@@ -1,0 +1,149 @@
+"""SCD2 versioning and current-state (upsert) semantics as window ops.
+
+The reference builds SCD2 in three non-atomic statements — MERGE deletes,
+MERGE close-old, append new (libs/scd2_spark_processor.py:438-483) — over
+an Iceberg table. Re-expressed Spark-first:
+
+* Building version chains from a CDC batch is ONE pass of window
+  functions over (key, event order) — no MERGE needed for the build.
+* Applying a batch to an existing SCD2 table is `apply_scd2_batch` in
+  merge.py (anti-join + union, the MERGE emulation).
+
+Semantics (documented divergences from the reference):
+* A no-op change (same content hash as the previous version) creates no
+  new version — we keep the FIRST event of a run of identical hashes, so
+  `effective_start_ts` is when the state actually began. (The reference's
+  lead-based filter keeps the LAST of a run: libs/scd2_spark_processor.py:
+  325-342.)
+* A delete closes the open version in place (`effective_end_ts` = delete
+  time, `is_current` = false, `is_deleted` = true). The reference instead
+  appends a separate tombstone row AND closes the current row
+  (libs/scd2_spark_processor.py:371-402,438-450); the in-place close keeps
+  intervals contiguous and ≤1 row per (key, interval).
+* The content hash covers ALL business attribute columns; the reference
+  omits sale_date/created_at (libs/scd2_spark_processor.py:309-313), so
+  date-only changes produce no version there. (SURVEY.md §4 decision.)
+
+Scale: every step is partition-local after ONE shuffle on the business
+key (Window.partitionBy). Skewed keys are rare for business-key CDC; if
+present, AQE skew handling applies to the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import DELETED_HASH, record_hash
+
+
+def _key_window(key_cols: list[str], order_cols: list[str]) -> Window:
+    return Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ordered CDC changes → SCD2 version table.
+
+    changes must contain key_cols + attr_cols + ts_col + op_col with op in
+    {c,r,u,d}. order_cols defaults to [ts_col]; pass a unique tiebreaker
+    (e.g. lsn / event_id) for deterministic chains when timestamps collide.
+
+    Returns key_cols + attr_cols + record_hash, effective_start_ts,
+    effective_end_ts, is_current, is_deleted.
+    """
+    order_cols = order_cols or [ts_col]
+    w = _key_window(key_cols, order_cols)
+
+    hashed = changes.withColumn(
+        "record_hash",
+        F.when(F.col(op_col) == "d", F.lit(DELETED_HASH)).otherwise(
+            record_hash(*attr_cols)
+        ),
+    )
+    # Consecutive-duplicate suppression: a run of events with identical
+    # content collapses to its first event. Delete rows hash to a sentinel,
+    # so an insert→delete→identical-insert sequence still yields two
+    # versions (the run is broken by the delete).
+    deduped = hashed.withColumn("_prev_hash", F.lag("record_hash").over(w)).filter(
+        ~F.col("record_hash").eqNullSafe(F.col("_prev_hash"))
+    )
+
+    w2 = _key_window(key_cols, order_cols)
+    chained = (
+        deduped.withColumn("_next_ts", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("_next_op", F.lead(F.col(op_col)).over(w2))
+    )
+    return (
+        chained.filter(F.col(op_col) != "d")
+        .select(
+            *key_cols,
+            *attr_cols,
+            "record_hash",
+            F.col(ts_col).alias("effective_start_ts"),
+            F.col("_next_ts").alias("effective_end_ts"),
+            F.col("_next_ts").isNull().alias("is_current"),
+            (F.col("_next_op") == "d").alias("is_deleted"),
+        )
+        .fillna({"is_deleted": False})
+    )
+
+
+def current_state(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+    deleted_col: str = "is_deleted",
+) -> DataFrame:
+    """Latest-wins keyed upsert — the Pinot current-state analog.
+
+    Pinot resolves concurrent versions per PRIMARY KEY by max
+    comparisonColumn (reference: scripts/pinot_auto/pinot_tables.yaml:32-36);
+    deletes are soft flags (scripts/cdc_to_pinot_current.py:216). Batch
+    equivalent: row_number()=1 by descending event order per key.
+    """
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn(deleted_col, F.col(op_col) == "d")
+    )
+
+
+def close_out_deletes(
+    scd2: DataFrame,
+    delete_keys: DataFrame,
+    key_cols: list[str],
+    delete_ts_col: Column,
+) -> DataFrame:
+    """MERGE #1 analog (reference: libs/scd2_spark_processor.py:438-450):
+    close current rows for deleted keys in place. Pure-DataFrame rewrite:
+    left join on keys + conditional rewrite of the matched rows.
+    """
+    marked = scd2.join(
+        F.broadcast(delete_keys.select(*key_cols, delete_ts_col.alias("_del_ts"))),
+        on=key_cols,
+        how="left",
+    )
+    hit = F.col("_del_ts").isNotNull() & F.col("is_current")
+    return (
+        marked.withColumn(
+            "effective_end_ts",
+            F.when(hit, F.col("_del_ts")).otherwise(F.col("effective_end_ts")),
+        )
+        .withColumn("is_deleted", F.when(hit, F.lit(True)).otherwise(F.col("is_deleted")))
+        .withColumn("is_current", F.when(hit, F.lit(False)).otherwise(F.col("is_current")))
+        .drop("_del_ts")
+    )

@@ -1,0 +1,269 @@
+"""CDC / SCD2 query lane — the reference's novel semantics, oracle-checked.
+
+The driver testdata has no Debezium stream, so these queries treat the
+`events` table as a deterministic changelog: `user_id` is the business
+key, `ts` (+ `event_id` tiebreak) the event order, and event_type maps to
+a Debezium op (signup→c, error→d, else u) — mirroring the op whitelist at
+reference scripts/cdc_to_parquet.py:204. The full engine (envelope parse,
+MERGE apply, checkpointing, streaming) is exercised on source_sales-shaped
+fixtures in tests/; here every pipeline is also expressed as ANSI SQL so
+the DuckDB oracle verifies the window semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.scd2 import current_state, scd2_from_changes
+from ..sources import load_table
+from .registry import register
+
+# Shared changelog derivation (Spark) + its SQL twin.
+_CHANGES_SQL = """
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'error' THEN 'd'
+                  WHEN event_type = 'signup' THEN 'c'
+                  ELSE 'u' END AS op
+      FROM events
+"""
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "signup", "c")
+        .otherwise("u")
+    )
+    return ev.select("user_id", "event_id", "ts", "event_type", op.alias("op"))
+
+
+# ---------------------------------------------------------------------------
+# The SCD2 build — §2.3 J1/J2 + §2.5 W1-W3 + §2.6 D1 in one pipeline
+# (reference: libs/scd2_spark_processor.py:278-369). One shuffle on the
+# business key; everything after is partition-local window work.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_build",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_SQL}),
+    hashed AS (
+      SELECT *, CASE WHEN op = 'd' THEN 'DELETED'
+                     ELSE md5(coalesce(event_type, '')) END AS record_hash
+      FROM changes
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, lag(record_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_hash
+        FROM hashed
+      ) WHERE record_hash IS DISTINCT FROM prev_hash
+    ),
+    chained AS (
+      SELECT *,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+             lead(op) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_op
+      FROM deduped
+    )
+    SELECT user_id, event_type, record_hash,
+           ts AS effective_start_ts,
+           next_ts AS effective_end_ts,
+           (next_ts IS NULL) AS is_current,
+           coalesce(next_op = 'd', false) AS is_deleted
+    FROM chained WHERE op <> 'd'
+    """,
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_from_changes(
+        _changes(spark, sf_dir),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Current-state upsert view — the Pinot REALTIME upsert analog (§2.3 J3):
+# latest row per key by comparison column, soft-delete flag
+# (reference: scripts/pinot_auto/pinot_tables.yaml:32-36;
+# scripts/cdc_to_pinot_current.py:216).
+# ---------------------------------------------------------------------------
+@register(
+    "current_state_upsert",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_SQL})
+    SELECT user_id, event_id, ts AS last_updated_ts, event_type,
+           (op = 'd') AS is_deleted
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM changes
+    ) WHERE rn = 1
+    """,
+)
+def current_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = current_state(
+        _changes(spark, sf_dir),
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    return cur.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("last_updated_ts"),
+        "event_type",
+        "is_deleted",
+    )
+
+
+# ---------------------------------------------------------------------------
+# History audit lane — append-only, both-images projection with op decode
+# (reference: scripts/cdc_to_pinot_history.py:156-185,258-264).
+# ---------------------------------------------------------------------------
+@register(
+    "history_audit",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_SQL})
+    SELECT event_id, user_id, op,
+           CASE op WHEN 'c' THEN 'CREATE' WHEN 'r' THEN 'READ'
+                   WHEN 'u' THEN 'UPDATE' WHEN 'd' THEN 'DELETE'
+                   ELSE 'UNKNOWN' END AS operation,
+           ts, epoch_ms(ts) AS ts_ms,
+           strftime(ts, '%Y-%m-%d') AS dt
+    FROM changes
+    """,
+)
+def history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _changes(spark, sf_dir)
+    operation = (
+        F.when(F.col("op") == "c", "CREATE")
+        .when(F.col("op") == "r", "READ")
+        .when(F.col("op") == "u", "UPDATE")
+        .when(F.col("op") == "d", "DELETE")
+        .otherwise("UNKNOWN")
+    )
+    return ch.select(
+        "event_id",
+        "user_id",
+        "op",
+        operation.alias("operation"),
+        "ts",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention window view — Pinot's segment retention as a predicate
+# (reference: scripts/pinot_auto/pinot_tables.yaml:38-40,121-123).
+# Anchored to max(ts) so the query is deterministic on static testdata.
+# ---------------------------------------------------------------------------
+@register(
+    "retention_window",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("_cutoff")
+    )
+    return (
+        ev.join(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("_cutoff"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time travel — point-in-time SCD2 read (reference README.MD:308-313:
+# `FOR TIMESTAMP AS OF`). Against a versioned table this is a snapshot
+# read (operators/timetravel.py); against the SCD2 chain it's an interval
+# predicate — the two are equivalent, which tests/test_scd2.py asserts.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_SQL}),
+    hashed AS (
+      SELECT *, CASE WHEN op = 'd' THEN 'DELETED'
+                     ELSE md5(coalesce(event_type, '')) END AS record_hash
+      FROM changes
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, lag(record_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_hash
+        FROM hashed
+      ) WHERE record_hash IS DISTINCT FROM prev_hash
+    ),
+    chained AS (
+      SELECT *,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM deduped
+    )
+    SELECT user_id, event_type, ts AS effective_start_ts
+    FROM chained
+    WHERE op <> 'd'
+      AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (next_ts IS NULL OR next_ts > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    as_of = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    scd2 = scd2_from_changes(
+        _changes(spark, sf_dir),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    return scd2.filter(
+        (F.col("effective_start_ts") <= as_of)
+        & (F.col("effective_end_ts").isNull() | (F.col("effective_end_ts") > as_of))
+    ).select("user_id", "event_type", "effective_start_ts")
+
+
+# ---------------------------------------------------------------------------
+# CDC envelope round-trip — P1/F1 on a real Debezium-shaped envelope: build
+# the nested JSON in-flight, parse it back with the engine's from_json
+# flattener, and project typed fields. The oracle is the identity on the
+# underlying columns, so any parser/flattener defect hash-mismatches.
+# ---------------------------------------------------------------------------
+@register(
+    "envelope_flatten_roundtrip",
+    oracle="""
+    SELECT CAST(user_id AS INT) AS after_id,
+           event_type AS after_product_name,
+           'u' AS op,
+           epoch_ms(ts) AS ts_ms,
+           strftime(ts, '%Y-%m-%d') AS dt
+    FROM events
+    """,
+)
+def envelope_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import flatten_envelope
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.col("user_id").cast("int").alias("id"),
+                        F.col("event_type").alias("product_name"),
+                    ).alias("after"),
+                    F.lit("u").alias("op"),
+                    F.unix_millis("ts").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("raw_message")
+    )
+    return flatten_envelope(raw).select("after_id", "after_product_name", "op", "ts_ms", "dt")
+
+
+# keep Window import referenced for future queries
+_ = Window

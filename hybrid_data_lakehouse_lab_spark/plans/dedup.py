@@ -1,0 +1,177 @@
+"""Deduplication extension lane (documents table).
+
+Exact dedup is a hash-groupBy; near-dup is MinHash + LSH banding
+(shingle → k independent min-hashes → band buckets → candidate join).
+Portability trick for the oracle: a min-hash can be the lexicographic MIN
+of md5(seed || shingle) — hex strings compare identically in Spark and
+DuckDB, so no hex→int conversion is needed and signatures match bit-for-bit.
+
+Scale notes (100 TB): the shingle explode is map-side only; the heavy op
+is the groupBy (doc_id, seed) — one shuffle keyed by doc, well-distributed.
+The LSH candidate join shuffles on (seed, minhash), whose cardinality is
+bounded by docs × k; skew only occurs for degenerate constant documents
+(salt or cap bucket size if a corpus has them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+N_HASHES = 8  # k independent min-hash functions (seeds 0..7)
+SHINGLE = 3  # word 3-grams
+_SEEDS_SQL = ", ".join(str(s) for s in range(N_HASHES))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id per group.
+
+    At 100 TB: hash first (map-side, 32 bytes/row), shuffle only the hash +
+    id — never the document bodies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id, shingle (distinct word 3-grams)."""
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (SHINGLE - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE)))
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+      SELECT DISTINCT doc_id,
+             array_to_string(words[i:i+{SHINGLE - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, len(words) - {SHINGLE - 2})) AS t(i)
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL})
+    SELECT doc_id, seed,
+           min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+    FROM shingles, UNNEST([{_SEEDS_SQL}]) AS s(seed)
+    GROUP BY doc_id, seed
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix in long form: (doc_id, seed, minhash)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(N_HASHES)])).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+@register(
+    "dedup_near_pairs_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+      FROM shingles, UNNEST([{_SEEDS_SQL}]) AS s(seed)
+      GROUP BY doc_id, seed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS INT) AS n_matching_bands
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+                          AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing a (band, minhash) bucket.
+
+    Band size 1 row (OR-construction over k hashes); n_matching_bands / k
+    estimates Jaccard. Self-join shuffles on (seed, minhash) — bucket
+    cardinality, not document content.
+    """
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matching_bands"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over shingle-sharing candidate pairs.
+
+    The shingle self-join bounds the pair space to docs with ≥1 common
+    3-gram (at corpus scale: band with LSH first, then verify with this).
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

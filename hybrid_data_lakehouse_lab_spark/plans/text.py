@@ -1,0 +1,114 @@
+"""Text-analysis extension lane (documents table) — part of the 100 TB
+training-data pipeline surface: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All operators are pure pyspark.sql.functions (JVM-side, codegen) — no
+Python UDFs in this lane. Oracles are exact DuckDB twins; regexes avoid
+dialect differences (DuckDB regexp_replace needs the 'g' flag for global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# Tiny stopword list shared by both dialects (enough for scoring).
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_SW_SQL = "', '".join(STOPWORDS)
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('{_SW_SQL}'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+           CAST(len(string_split(text, ' ')) BETWEEN 10 AND 1000 AS BOOLEAN) AS len_ok
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    return d.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias("avg_token_len"),
+        F.size(toks).between(10, 1000).alias("len_ok"),
+    )
+
+
+# Marker-word language heuristic: deterministic n-gram-free scorer usable
+# at 100 TB (pure column ops; no model). Real corpora would swap in a
+# char-n-gram profile — the plumbing (score → argmax) is identical.
+_MARKERS = {
+    "en": ["the", "fast", "key"],
+    "es": ["order", "sort", "table"],
+}
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the', 'fast', 'key')))
+                     >= len(list_filter(string_split(text, ' '), w -> w IN ('order', 'sort', 'table')))
+                THEN 'en' ELSE 'es' END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(score(_MARKERS["en"]) >= score(_MARKERS["es"]), "en")
+        .otherwise("es")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
