@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no driver
+collect cost). One untimed warmup of a small query absorbs JVM/codegen
+startup so the numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hybrid_data_lakehouse_lab_spark.plans import QUERIES  # noqa: E402
+from hybrid_data_lakehouse_lab_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_rollup",
+    "order_revenue_by_nation",
+    "top_k_per_group",
+    "json_extract_typed",
+    "scd2_build",
+    "current_state_upsert",
+    "latest_per_key",
+    "dedup_exact",
+    "dedup_near_pairs_lsh",
+    "similarity_cosine_topk",
+    "text_fingerprint",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warmup: spin up executors / codegen on a trivial plan (untimed)
+    materialize(QUERIES["group_count_ops"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

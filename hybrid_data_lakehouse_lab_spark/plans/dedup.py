@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.util import fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -50,14 +51,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """doc_id, shingle (distinct word 3-grams)."""
+def _shingles(d: DataFrame, distinct: bool = True) -> DataFrame:
+    """doc_id, shingle (word 3-grams; distinct=True for set semantics).
+
+    fan_out first: shingling + hashing are CPU-bound and a small scan
+    would otherwise run on one core (see operators/util.py).
+    """
     words = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.size(words) - (SHINGLE - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE)))
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
-    )
+    out = fan_out(d).select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = f"""
@@ -79,19 +83,30 @@ _SHINGLES_SQL = f"""
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix in long form: (doc_id, seed, minhash)."""
+    """MinHash signature matrix in long form: (doc_id, seed, minhash).
+
+    Plan shape for scale: the k hashes are computed as k map-side COLUMNS
+    per shingle (not a k-way row explode), so the single shuffle carries
+    |docs| × k strings after partial min aggregation — not |shingles| × k
+    rows. Duplicate shingles are left in (min() is dup-invariant), saving
+    the distinct's extra shuffle; the oracle's DISTINCT is semantically
+    identical.
+    """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    seeds = F.explode(F.array(*[F.lit(s) for s in range(N_HASHES)])).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    sh = _shingles(d, distinct=False)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"h{s}")
+            for s in range(N_HASHES)
+        ],
+    )
+    wide = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(N_HASHES)]
+    )
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(N_HASHES))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_HASHES}, {stack_args}) AS (seed, minhash)"
     )
 
 
