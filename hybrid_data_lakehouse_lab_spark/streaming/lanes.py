@@ -1,0 +1,127 @@
+"""Structured Streaming lanes — the three Flink jobs re-expressed.
+
+Reference fanout (SURVEY §2.10 T7): one CDC topic consumed by three jobs —
+bronze parquet writer (scripts/cdc_to_parquet.py), current-state upsert
+(scripts/cdc_to_pinot_current.py), history audit
+(scripts/cdc_to_pinot_history.py). Here each lane is a function from a
+streaming DataFrame of raw envelope JSON to a started StreamingQuery.
+
+Source: a file-drop directory of JSON-lines stands in for Kafka (same
+envelope schema); on a real cluster swap `readStream.text(dir)` for
+`readStream.format("kafka")...option("startingOffsets","earliest")` —
+the T1 earliest-replay semantics — and nothing downstream changes.
+
+Fault tolerance: Spark checkpointLocation replaces Flink's 60 s
+checkpoint-interval commit protocol (T2); `Trigger.AvailableNow` gives
+deterministic drain-everything runs for tests and incremental batch (T6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.scalars import decode_op
+from ..operators.cdc import flatten_envelope
+from ..operators.merge import latest_wins_upsert
+from ..operators.timetravel import SnapshotTable
+
+
+def read_envelope_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """Raw CDC stream: one string column per event (the reference's
+    format=raw Kafka source, scripts/cdc_to_parquet.py:77-88)."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 16)
+        .load(drop_dir)
+        .withColumnRenamed("value", "raw_message")
+    )
+
+
+def bronze_stream(
+    raw: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+) -> StreamingQuery:
+    """Lane 1 — bronze parquet, partitioned by dt (reference:
+    scripts/cdc_to_parquet.py:126-166). Partition commit via Spark's
+    file-sink transaction log (replaces Flink success-files)."""
+    flat = flatten_envelope(raw)
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("dt")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="60 seconds")  # T2 cadence
+    return writer.start()
+
+
+def history_stream(
+    raw: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+) -> StreamingQuery:
+    """Lane 2 — append-only audit history with op decode and both images
+    (reference: scripts/cdc_to_pinot_history.py:148-196,258-264)."""
+    flat = flatten_envelope(raw).withColumn("operation", decode_op("op"))
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_stream(
+    raw: DataFrame,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "event_timestamp",
+    order_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Lane 3 — keyed latest-wins upsert via foreachBatch MERGE (the
+    canonical Spark CDC pattern; replaces the reference's upsert-kafka →
+    Pinot FULL upsert, scripts/cdc_to_pinot_current.py:125-144).
+
+    The record key unifies both images — coalesce(after_id, before_id),
+    the reference's F3 idiom (scripts/cdc_to_pinot_current.py:209) —
+    because delete events carry only the before image.
+
+    Late/out-of-order data: latest-wins by event time per key, matching
+    Pinot's comparisonColumn resolution (T5) — an old event arriving after
+    a newer one never regresses the row.
+    """
+    key_cols = key_cols or ["key_id"]
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        flat = flatten_envelope(batch)
+        if "key_id" in key_cols and "key_id" not in flat.columns:
+            flat = flat.withColumn(
+                "key_id", F.coalesce("after_id", "before_id")
+            )
+        existing = table.read() if table.exists() else None
+        merged = latest_wins_upsert(existing, flat, key_cols, ts_col, "op", order_cols)
+        # Persist before overwrite: merged reads the table's current
+        # snapshot; SnapshotTable writes a NEW directory, so no
+        # read-under-write — localCheckpoint just avoids recompute.
+        table.write(merged.localCheckpoint())
+
+    writer = raw.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# Column helper used by lanes' callers to build a current-state view with
+# the reference's soft-delete filter (scripts/cdc_to_pinot_current.py:216).
+def active_rows(current: DataFrame) -> DataFrame:
+    return current.filter(~F.col("is_deleted"))

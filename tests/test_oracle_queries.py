@@ -1,0 +1,38 @@
+"""Every registered query hash-matches its DuckDB oracle at sf0.001 —
+the in-repo mirror of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES
+from hybrid_data_lakehouse_lab_spark.testing.compare import duck_con, frames_equal
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_con(SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLES:
+        pytest.skip(f"{name}: rows-only check (no oracle)")
+    ddf = con.execute(ORACLES[name]).fetchdf()
+    ok, why = frames_equal(sdf, ddf)
+    assert ok, f"{name}: {why}"
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

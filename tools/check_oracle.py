@@ -7,57 +7,17 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
-import duckdb
-import pandas as pd
-
 sys.path.insert(0, "/root/repo")
 
-from hybrid_data_lakehouse_lab_spark import TABLES  # noqa: E402
 from hybrid_data_lakehouse_lab_spark.session import get_spark  # noqa: E402
 from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES  # noqa: E402
-
-
-def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    return con
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-
-
-def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
-    if list(a.columns) != list(b.columns):
-        return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
-    if len(a) != len(b):
-        return False, f"row count differs: {len(a)} vs {len(b)}"
-    for c in a.columns:
-        av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            av = pd.to_numeric(av, errors="coerce")
-            bv = pd.to_numeric(bv, errors="coerce")
-            bad = ~(
-                (av.isna() & bv.isna())
-                | (abs(av - bv) <= 1e-9 + 1e-9 * abs(bv))
-            )
-        else:
-            bad = ~((av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str)))
-        if bad.any():
-            i = bad.idxmax()
-            return False, f"value mismatch col={c} row={i}: {a[c][i]!r} vs {b[c][i]!r}"
-    return True, ""
+from hybrid_data_lakehouse_lab_spark.testing.compare import (  # noqa: E402
+    duck_con,
+    frames_equal,
+)
 
 
 def main() -> int:
@@ -83,7 +43,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
-        ok, why = values_match(canon(sdf), canon(ddf))
+        ok, why = frames_equal(sdf, ddf)
         dt = time.time() - t0
         if ok:
             print(f"ok    {name}  rows={len(sdf)}  ({dt:.1f}s)")
