@@ -9,8 +9,10 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 # Import for side effect: each module registers its queries.
 from . import core  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 from . import cdc_scd2  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
+from . import dedup_advanced  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401

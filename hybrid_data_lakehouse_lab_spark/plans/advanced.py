@@ -1,0 +1,368 @@
+"""Advanced operator lane — capabilities beyond the reference's literal
+surface that a lakehouse engine at 100 TB needs: window frames (running /
+as-of), sessionization, event-time windows, pivot, rollup, semi/anti
+joins, and multi-table join pipelines (TPC-H Q3/Q5 shapes) that stress
+the join planner. All oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of lookup — Spark has no native as-of join; per-key it is a running
+# conditional max over an ordered frame (the composition-of-builtins path,
+# preferred over applyInPandas/merge_asof).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           max(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_signup_ts
+    FROM events
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w).alias(
+            "last_signup_ts"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running aggregate over an ordered frame.
+# ---------------------------------------------------------------------------
+@register(
+    "running_total_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_value
+    FROM events
+    """,
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap > 30 min starts a new session (lag + running sum;
+# the batch twin of streaming session_window).
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM flagged
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", is_new.alias("is_new"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum("is_new").over(wf).cast("bigint").alias("session_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window aggregate — the batch twin of the streaming
+# groupBy(window(...)); epoch-aligned 6h buckets in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "6 hours").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / conditional aggregation.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=_EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (hierarchical subtotals) — 'ALL' sentinel instead of grouping ids
+# so both engines agree without bitmask alignment.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS) — no payload shuffle of the
+# probe side's non-key columns.
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large order (anti join against a filtered build
+    side — the filter lands before the join, shrinking the hash table)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority: selective filters on both join
+# sides, 3-way join, agg, top-k. Catalyst pushes both filters to the
+# scans; AQE picks the join strategy at runtime.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — local supplier volume: 6-table join where customer and
+# supplier must share a nation. The dimension chain (nation ⋈ region) is
+# broadcast; the fact join shuffles once on orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — the sketch surface (HLL / quantiles). Exact
+# oracles exist for the *wrapped* outputs: approx results are compared via
+# their deterministic exact twins where the engines' sketches differ, so
+# this query exposes percentile/median over a deterministic path.
+# ---------------------------------------------------------------------------
+@register(
+    "quantiles_by_group",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 4) AS median_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+        )
+        .orderBy("event_type")
+    )
