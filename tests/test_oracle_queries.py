@@ -36,3 +36,10 @@ def test_entry_contract(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_sketch_error_bound(spark, sf_dir):
+    """sketch_distinct_users has no oracle (HLL++ is engine-specific);
+    assert the documented rsd=0.01 bound instead (generous 5% ceiling)."""
+    rows = QUERIES["sketch_distinct_users"](spark, sf_dir).collect()
+    assert rows and all(r["rel_error"] <= 0.05 for r in rows)
