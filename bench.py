@@ -22,17 +22,27 @@ from hybrid_data_lakehouse_lab_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority_exists",
+    "q17_below_avg_quantity",
     "revenue_rollup",
     "order_revenue_by_nation",
     "top_k_per_group",
     "json_extract_typed",
+    "sessionize",
     "scd2_build",
     "current_state_upsert",
     "latest_per_key",
+    "config_current_state_view",
     "dedup_exact",
     "dedup_near_pairs_lsh",
+    "dedup_simhash_near_pairs",
+    "dedup_embedding_near_pairs",
     "similarity_cosine_topk",
+    "array_hof_vector_stats",
     "text_fingerprint",
+    "text_normalize_regex",
 ]
 
 
@@ -48,7 +58,16 @@ def main() -> None:
     # warmup: spin up executors / codegen on a trivial plan (untimed)
     materialize(QUERIES["group_count_ops"](spark, sf_dir))
 
+    # Each query runs twice: the first (cold) run pays whole-stage-codegen
+    # JIT, which bleeds across queries and makes per-query attribution
+    # noisy; the second (warm) run measures the plan itself. Both totals
+    # are reported; `value` is the warm total.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
@@ -61,6 +80,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -18,3 +18,35 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str, payload_cols: list[str]) -> DataFrame:
+    """All intra-bucket pairs (a.id < b.id), computing the input ONCE.
+
+    The naive LSH candidate join is a self-join of the signature relation,
+    which Spark plans as two full computations of the signature subtree
+    (no exchange reuse across join sides). This operator instead groups
+    rows per bucket and generates pairs inside the bucket with
+    higher-order array functions — one pass over the input, one shuffle
+    on the bucket key, pair expansion entirely inside codegen.
+
+    Output columns: a, b — structs of (id, *payload_cols).
+
+    Scale: per-bucket work is O(bucket²); LSH bucket sizes are small by
+    construction. A degenerate corpus (constant documents) would need a
+    bucket-size cap / salt before the pair expansion — apply
+    `.filter(size(items) <= CAP)` upstream of explode if that arises.
+    """
+    from pyspark.sql import functions as F
+
+    item = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
+    grouped = (
+        df.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.array_sort(F.collect_list(item)).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))"
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")

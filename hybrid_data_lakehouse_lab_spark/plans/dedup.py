@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.util import fan_out
+from ..operators.util import bucket_pairs, fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -130,20 +130,16 @@ def dedup_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing a (band, minhash) bucket.
 
     Band size 1 row (OR-construction over k hashes); n_matching_bands / k
-    estimates Jaccard. Self-join shuffles on (seed, minhash) — bucket
-    cardinality, not document content.
+    estimates Jaccard. Implemented as intra-bucket pair generation
+    (operators.util.bucket_pairs) rather than a signature self-join: the
+    signature subtree is computed ONCE and shuffled once on the bucket
+    key — the self-join form computes it twice (Spark does not reuse the
+    exchange across join sides).
     """
     sig = dedup_minhash_signatures(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bucket_pairs(sig, ["seed", "minhash"], "doc_id", [])
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("int").alias("n_matching_bands"))
     )
 

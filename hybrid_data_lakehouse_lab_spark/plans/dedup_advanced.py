@@ -18,7 +18,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.util import fan_out
+from ..operators.util import bucket_pairs, fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -28,17 +28,29 @@ from .registry import register
 _HEX = "0123456789abcdef"
 
 
+def _digit_cols() -> list[str]:
+    """16 per-token hex-digit values, extracted ONCE per token.
+
+    d{p} = instr('0123456789abcdef', substr(h, p, 1)) - 1 ∈ [0,15]; the
+    64 bit-votes then read these with shift/mask arithmetic instead of
+    re-running 64 substr+instr string ops per token (4× less string
+    work in the hot explode). Same SQL in both dialects.
+    """
+    return [
+        f"(instr('{_HEX}', substr(h, {p}, 1)) - 1) AS d{p}" for p in range(1, 17)
+    ]
+
+
 def _simhash_bit_votes(dialect: str) -> list[str]:
     """64 aggregate expressions: vote sum for each fingerprint bit.
 
-    Bit j lives in hex digit position j//4 (1-based substr) at sub-bit
-    j%4. d = instr('0123456789abcdef', substr(h, pos, 1)) - 1 ∈ [0,15].
+    Bit j lives in hex digit position j//4 (1-based) at sub-bit j%4,
+    read from the pre-extracted d{pos} columns.
     """
     exprs = []
     for j in range(64):
         pos, b = j // 4 + 1, j % 4
-        d = f"(instr('{_HEX}', substr(h, {pos}, 1)) - 1)"
-        bit = f"(shiftright({d}, {b}) & 1)" if dialect == "spark" else f"(({d} >> {b}) & 1)"
+        bit = f"(shiftright(d{pos}, {b}) & 1)" if dialect == "spark" else f"((d{pos} >> {b}) & 1)"
         exprs.append(f"sum(2 * {bit} - 1)")
     return exprs
 
@@ -49,10 +61,13 @@ def _simhash_select(dialect: str) -> str:
     return f"concat({bits})"
 
 
-_TOKENS_SQL = """
-      SELECT doc_id, md5(t.token) AS h
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           UNNEST(toks) AS t(token)
+_TOKENS_SQL = f"""
+      SELECT doc_id, {", ".join(_digit_cols())}
+      FROM (
+        SELECT doc_id, md5(t.token) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             UNNEST(toks) AS t(token)
+      )
 """
 
 
@@ -71,10 +86,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums per doc (map-side combine), independent of token count.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    tokens = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).select("doc_id", F.md5("token").alias("h"))
-    return tokens.groupBy("doc_id").agg(
+    digits = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", F.md5("token").alias("h"))
+        .selectExpr("doc_id", *_digit_cols())
+    )
+    return digits.groupBy("doc_id").agg(
         F.expr(_simhash_select("spark")).alias("simhash")
     )
 
@@ -104,21 +121,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: block on the first 16-bit band (the
     LSH step — at scale, block on each of the 4 bands), then verify by
-    Hamming distance ≤ 16."""
-    sig = dedup_simhash(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    Hamming distance ≤ 16. Intra-bucket pair generation (bucket_pairs)
+    computes the fingerprints once instead of per join side."""
+    sig = dedup_simhash(spark, sf_dir).withColumn(
+        "band", F.substring("simhash", 1, 16)
+    )
+    pairs = bucket_pairs(sig, ["band"], "doc_id", ["simhash"]).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.simhash").alias("hb"),
+    )
     hamming = sum(
         F.when(F.substring("ha", i, 1) != F.substring("hb", i, 1), 1).otherwise(0)
         for i in range(1, 65)
     )
     return (
-        a.join(
-            b,
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.substring("ha", 1, 16) == F.substring("hb", 1, 16)),
-        )
-        .withColumn("hamming", hamming.cast("int"))
+        pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 16)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -139,15 +158,26 @@ def _weight(plane: int, dim: int) -> int:
 
 
 def _bucket_expr(vec: str, dialect: str) -> str:
-    """8-char sign bucket for a DOUBLE[] column named `vec`."""
+    """8-char sign bucket for a DOUBLE[] column named `vec`.
+
+    Each plane is a dot product against an ARRAY LITERAL of ±1 weights —
+    not 64 inline multiply terms. The inline form generates enormous
+    whole-stage-codegen methods (8×64 expression nodes) whose JIT
+    compilation measurably stalls every subsequent query's codegen; the
+    array form compiles to a constant-array loop. Both engines sum in
+    index order, so the sign bits agree bit-for-bit.
+    """
     chars = []
     for p in range(N_PLANES):
-        elem = (
-            (lambda i: f"element_at({vec}, {i})")
-            if dialect == "spark"
-            else (lambda i: f"{vec}[{i}]")
-        )
-        proj = " + ".join(f"({_weight(p, d)})*{elem(d + 1)}" for d in range(DIM))
+        ws = ", ".join(str(_weight(p, d)) for d in range(DIM))
+        if dialect == "spark":
+            proj = (
+                f"aggregate(zip_with({vec}, array({ws}), "
+                "(x, w) -> x * CAST(w AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+        else:
+            proj = f"list_dot_product({vec}, [{ws}]::DOUBLE[])"
         chars.append(f"CASE WHEN ({proj}) > 0 THEN '1' ELSE '0' END")
     return f"concat({', '.join(chars)})"
 
@@ -188,24 +218,39 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
     ).withColumn("bucket", F.expr(_bucket_expr("v", "spark")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("bucket").alias("ba")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bb")
+    # Explode the OR over bands into band rows: an OR-of-equalities join
+    # condition cannot hash-partition (it degenerates to a nested-loop
+    # cross product); per-band bucket keys restore a proper hash shuffle.
+    bands = e.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.substring("bucket", i * BAND_BITS + 1, BAND_BITS).alias("key"),
+                    )
+                    for i in range(N_PLANES // BAND_BITS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "v", "band.band_id", "band.key")
+    pairs = (
+        bucket_pairs(bands, ["band_id", "key"], "vec_id", ["v"])
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])  # pair may match in both bands
     )
     dot = F.expr(_DOT.format(a="va", b="vb"))
     na = F.sqrt(F.expr(_DOT.format(a="va", b="va")))
     nb = F.sqrt(F.expr(_DOT.format(a="vb", b="vb")))
-    band_match = (
-        F.substring("ba", 1, BAND_BITS) == F.substring("bb", 1, BAND_BITS)
-    ) | (
-        F.substring("ba", BAND_BITS + 1, BAND_BITS)
-        == F.substring("bb", BAND_BITS + 1, BAND_BITS)
-    )
     return (
-        a.join(b, (F.col("vec_a") < F.col("vec_b")) & band_match)
-        .withColumn("sim", dot / (na * nb))
+        pairs.withColumn("sim", dot / (na * nb))
         .filter(F.col("sim") >= COSINE_TAU)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
     )
