@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import as_media_table, extract_features
+from ..operators.multimodal import (
+    as_media_table,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..sources import load_table
 from .registry import register
 
@@ -58,3 +63,44 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = as_media_table(d, "doc_id", "text")
     return extract_features(media).select("media_id", "n_bytes", "byte_sum")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(octet_length(encode(substr(text, 1 + i * 32, 32))) AS INT) AS frame_bytes,
+           md5(substr(text, 1 + i * 32, 32)) AS frame_md5
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 4)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame expansion via mapInPandas (every 4th 32-byte frame).
+    ASCII payloads make the frames SQL-expressible, so the Arrow kernel's
+    output is fully oracle-verified; on real video this is rows-only."""
+    media = as_media_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return sample_frames(media, frame_size=32, every_k=4)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS media_type,
+           CAST(len(sel) AS INT) AS n_bytes,
+           md5(array_to_string(sel, '')) AS resized_md5
+    FROM (
+      SELECT doc_id,
+             list_select(string_split_regex(text, ''),
+                         range(1, len(string_split_regex(text, '')) + 1, 2)) AS sel
+      FROM documents
+    )
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample kernel (every 2nd byte) through the same Arrow path a
+    real image-resize would use; content hash proves byte-exactness."""
+    media = as_media_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return resize_media(media, factor=2)

@@ -1,0 +1,64 @@
+"""Plan-quality gates: every registered query must compile to a plan
+that survives scale — no cartesian products or nested-loop joins, pruned
+scans on the headline queries, broadcasts where intended. This is the
+automated `.explain` audit (SCALE.md documents the reasoning)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Queries where a broadcast nested-loop is the INTENDED plan because the
+# build side is provably tiny (1-row scalar aggregate / bounded query set):
+#   retention_window        — broadcasts a single-row max(ts) aggregate
+#   similarity_cosine_topk  — brute-force baseline broadcasts the query set
+_INTENDED_BNLJ = {"retention_window", "similarity_cosine_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unpartitionable_joins(name, spark, sf_dir):
+    """A CartesianProduct or BroadcastNestedLoopJoin in any lane means a
+    join condition failed to hash-partition — O(n²) at scale — unless the
+    build side is known-tiny (allowlisted above)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in _INTENDED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    """The pricing summary reads 7 of lineitem's 11 columns; the scan
+    schema must not contain the unused ones (column pruning reached the
+    parquet reader)."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in scan, f"unpruned column {col} in scan: {scan}"
+
+
+def test_q3_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "PushedFilters: [" in plan
+    # the segment filter must reach a scan, not sit above the join
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("c_mktsegment" in l for l in pushed), pushed
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_filter_pushdown(spark, sf_dir):
+    """The checkpoint-style timestamp predicate must reach the events
+    scan (row-group skipping; partition pruning when dt exists)."""
+    plan = _plan(spark, sf_dir, "incremental_filter")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("ts" in l for l in pushed), pushed
