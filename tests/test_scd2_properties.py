@@ -1,0 +1,131 @@
+"""Property-based SCD2 invariants (hypothesis): random CDC streams of
+inserts/updates/deletes must always produce a lawful version table, and
+incremental application must equal the full rebuild (SURVEY §5.2).
+
+Each example spins real Spark jobs, so examples are few but adversarial:
+hypothesis shrinks any failure to a minimal event stream.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.merge import merge_scd2_batch
+from hybrid_data_lakehouse_lab_spark.operators.scd2 import (
+    current_state,
+    scd2_from_changes,
+)
+from hybrid_data_lakehouse_lab_spark.testing.compare import frames_equal
+
+KEYS = ["id"]
+ATTRS = ["val"]
+BASE = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+# An event stream: per event (key ∈ 0..3, op, attr value ∈ small set).
+# Timestamps are the event index (strictly increasing, unique) — the
+# order_cols tiebreak path is exercised separately by the fixture tests.
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["c", "u", "u", "d"]),  # updates twice as likely
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _rows(events, start_index: int = 0):
+    """Event tuples → rows with globally increasing timestamps (the index
+    is global so a split stream keeps its original event times)."""
+    return [
+        (key, f"v{val}", datetime.fromtimestamp(BASE.timestamp() + start_index + i, tz=timezone.utc), op)
+        for i, (key, op, val) in enumerate(events)
+    ]
+
+
+def _changes_df(spark, events, start_index: int = 0):
+    return spark.createDataFrame(
+        _rows(events, start_index), "id INT, val STRING, ts TIMESTAMP, op STRING"
+    )
+
+
+def _invariants(scd2_rows):
+    by_key: dict[int, list] = {}
+    for r in scd2_rows:
+        by_key.setdefault(r["id"], []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r["effective_start_ts"])
+        # ≤1 current row per key, and only the last version may be open
+        currents = [r for r in rows if r["is_current"]]
+        assert len(currents) <= 1, f"key {key}: {len(currents)} current rows"
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["effective_end_ts"] is not None, f"key {key}: open non-final version"
+            # non-overlapping + contiguous: end == next start unless a
+            # delete gap separates the chains
+            assert prev["effective_end_ts"] <= nxt["effective_start_ts"]
+            if not prev["is_deleted"]:
+                assert prev["effective_end_ts"] == nxt["effective_start_ts"]
+        # no two consecutive versions with identical content (no-op runs collapse)
+        for prev, nxt in zip(rows, rows[1:]):
+            if not (prev["is_deleted"] or nxt["is_deleted"]):
+                assert prev["record_hash"] != nxt["record_hash"], f"key {key}: no-op version"
+
+
+@pytest.mark.usefixtures("spark")
+@given(events=_events)
+@_SETTINGS
+def test_random_streams_yield_lawful_version_tables(spark, events):
+    scd2 = scd2_from_changes(_changes_df(spark, events), KEYS, ATTRS, "ts")
+    _invariants(scd2.collect())
+
+
+@pytest.mark.usefixtures("spark")
+@given(events=_events, split=st.integers(min_value=0, max_value=25))
+@_SETTINGS
+def test_incremental_merge_equals_full_build(spark, events, split):
+    """Applying the stream in two batches (any split point) must equal
+    building from the whole stream at once — the MERGE path is lossless."""
+    split = min(split, len(events))
+    df = _changes_df(spark, events)
+    full = scd2_from_changes(df, KEYS, ATTRS, "ts")
+
+    head = _changes_df(spark, events[:split])
+    tail = _changes_df(spark, events[split:], start_index=split)
+    first = scd2_from_changes(head, KEYS, ATTRS, "ts") if split else None
+    merged = merge_scd2_batch(first, tail, KEYS, ATTRS, "ts") if events[split:] else first
+
+    cols = ["id", "val", "record_hash", "effective_start_ts",
+            "effective_end_ts", "is_current", "is_deleted"]
+    ok, why = frames_equal(
+        merged.select(*cols).toPandas(), full.select(*cols).toPandas()
+    )
+    assert ok, why
+
+
+@pytest.mark.usefixtures("spark")
+@given(events=_events)
+@_SETTINGS
+def test_current_state_is_latest_per_key(spark, events):
+    """current_state (latest-wins upsert over the changes stream) keeps
+    exactly the last event per key, soft-delete flagged when it's a 'd' —
+    regardless of arrival interleaving."""
+    got = {
+        r["id"]: (r["val"], r["is_deleted"])
+        for r in current_state(_changes_df(spark, events), KEYS, "ts").collect()
+    }
+    expected: dict[int, tuple[str, bool]] = {}
+    for key, op, val in events:
+        expected[key] = (f"v{val}", op == "d")
+    assert got == expected
