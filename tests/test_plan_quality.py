@@ -17,9 +17,14 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 # Queries where a broadcast nested-loop is the INTENDED plan because the
 # build side is provably tiny (1-row scalar aggregate / bounded query set):
-#   retention_window        — broadcasts a single-row max(ts) aggregate
-#   similarity_cosine_topk  — brute-force baseline broadcasts the query set
-_INTENDED_BNLJ = {"retention_window", "similarity_cosine_topk"}
+#   retention_window         — broadcasts a single-row max(ts) aggregate
+#   similarity_cosine_topk   — brute-force baseline broadcasts the query set
+#   q22_idle_rich_customers  — broadcasts a single-row avg(acctbal) gate
+_INTENDED_BNLJ = {
+    "retention_window",
+    "similarity_cosine_topk",
+    "q22_idle_rich_customers",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
