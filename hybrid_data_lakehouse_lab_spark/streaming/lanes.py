@@ -125,3 +125,48 @@ def upsert_stream(
 # the reference's soft-delete filter (scripts/cdc_to_pinot_current.py:216).
 def active_rows(current: DataFrame) -> DataFrame:
     return current.filter(~F.col("is_deleted"))
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Event-time tumbling-window aggregation with a watermark — the
+    streaming twin of the batch `tumbling_window_agg` query.
+
+    The reference's streams are stateless routers (SURVEY §2.10 T4 — no
+    watermarks anywhere); this is the extension lane for aggregation-
+    at-ingest. The watermark bounds state: windows older than
+    (max event time − watermark) finalize and evict; later-than-watermark
+    events are dropped (a documented trade against the latest-wins lanes,
+    which never drop). Append mode emits each window exactly once, on
+    close — the parquet sink is insert-only and replay-safe. A window
+    still open when the stream idles is emitted only after the watermark
+    passes it (for drain-style runs, feed a final event beyond the last
+    window + watermark).
+    """
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
