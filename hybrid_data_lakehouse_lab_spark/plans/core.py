@@ -555,3 +555,33 @@ def op_decode_5arm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # decode_op is used by the CDC lane; reference the helper so both stay in sync
 _ = decode_op
+
+
+# ---------------------------------------------------------------------------
+# MapType lane — props parsed as map<string,int> and exploded to
+# (key, value) rows; the generic-JSON-document shape (every key
+# aggregated without naming it in the query). Spark: from_json + explode
+# stay in codegen; DuckDB twin enumerates keys via json_keys.
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_map_agg",
+    oracle="""
+    SELECT k AS prop_key, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.' || k) AS INT)) AS total
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    ORDER BY prop_key
+    """,
+)
+def json_props_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prop_value").cast("bigint").alias("total"),
+        )
+        .orderBy("prop_key")
+    )

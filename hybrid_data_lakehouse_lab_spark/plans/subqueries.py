@@ -248,3 +248,26 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted (two-phase) aggregation — the explicit skew path surfaced as a
+# query: result must equal the plain GROUP BY (the oracle), while the
+# plan pre-aggregates per (key, salt) so one hot key spreads over N
+# reducers (operators/skew.py; SCALE.md §Joins).
+# ---------------------------------------------------------------------------
+@register(
+    "salted_group_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    out = salted_aggregate(
+        ev, ["user_id"], [("value", "count", "n"), ("value", "sum", "total_value")]
+    )
+    return out.select("user_id", "n", F.round("total_value", 2).alias("total_value"))
