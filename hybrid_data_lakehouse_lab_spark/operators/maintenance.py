@@ -38,7 +38,17 @@ def compact_partition_dir(
     new complete fileset. At cluster scale run per-partition rewrites in
     parallel batches and prefer the table format's native compaction
     (Delta OPTIMIZE / Iceberg rewrite_data_files) when available.
+
+    If the directory was written by a Structured Streaming file sink, its
+    `_spark_metadata` commit log (which pins the exact pre-compaction
+    file list for readers) is retired: compaction FINALIZES the directory
+    into a plain parquet table. Only compact partitions the stream has
+    stopped writing (closed dt partitions) — same rule as Delta/Iceberg
+    compaction of streaming tables.
     """
+    meta = os.path.join(path, "_spark_metadata")
+    if os.path.isdir(meta):
+        shutil.rmtree(meta)
     out: dict[str, int] = {}
     for entry in sorted(os.listdir(path)):
         pdir = os.path.join(path, entry)
