@@ -14,6 +14,7 @@ from . import cdc_scd2  # noqa: E402,F401
 from . import config_driven  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401
+from . import tpch_full  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import dedup_advanced  # noqa: E402,F401

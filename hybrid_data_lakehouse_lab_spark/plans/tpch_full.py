@@ -1,0 +1,538 @@
+"""Remaining TPC-H query shapes (Q2/Q6/Q9/Q11/Q13/Q14/Q15/Q16/Q18/Q20/Q21),
+adapted to the testdata's star schema — completes the 22-query TPC-H
+sweep started in plans/advanced.py, subqueries.py and tpch_shapes.py.
+
+The testdata has no ``partsupp`` table and no commit/receipt dates, so
+the queries that depend on them are re-expressed over ``lineitem`` while
+preserving the planner shape that makes each query interesting:
+
+- Q2  → per-group min with tie-preserving selection (window min, not a
+  correlated subquery: one shuffle on the group key instead of a
+  self-join; the "supply offer" relation is derived from lineitem).
+- Q6  → pure scan-side conjunctive range filter + global agg (the whole
+  query should collapse to one scan stage with every predicate in
+  `PushedFilters`).
+- Q9  → five-way join with derived profit expression; dims broadcast.
+- Q11 → group-HAVING against a scalar fraction of the *same* scoped
+  relation (self-referential total, broadcast single row).
+- Q13 → left-outer join with a join-side predicate, then a second
+  aggregation over the first one's results (two chained shuffles).
+- Q14 → conditional-ratio aggregate in one pass (no second scan).
+- Q15 → aggregate view + scalar-max equality selection (ties kept,
+  no LIMIT — deterministic under hash comparison).
+- Q16 → count(DISTINCT) per group with a NOT IN exclusion, expressed
+  as a left_anti join (null-safe, scales as a broadcast hash anti).
+- Q18 → IN-subquery over a HAVING aggregate, expressed as a semi-join
+  on the pre-aggregated key set.
+- Q20 → nested semi-join chain (parts slice → qualifying supplier
+  aggregate → supplier semi-join).
+- Q21 → EXISTS + NOT EXISTS over the same fact, decorrelated into ONE
+  per-order aggregation (supplier cardinality + returner cardinality)
+  instead of two correlated self-joins of lineitem — at 100 TB this is
+  the difference between one shuffle of the fact and three.
+
+Reference parity: the reference's engine surface is SQL-on-lake
+(SURVEY §2.3-§2.4 join/agg rows; libs/scd2_spark_processor.py:459-483
+shows its join/MERGE style); these shapes extend the same declarative
+lane to the full TPC-H sweep.
+
+At 100 TB: every fact-fact join here shuffles on its equi-key and
+every dim join is an explicit broadcast; part-derived slices (name
+LIKE, size IN) are broadcast AFTER filtering so the broadcast payload
+is the slice, not the table. AQE re-plans the borderline ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change: conjunctive range predicates, no join.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates must reach the parquet scan (PushedFilters);
+    the plan is scan → partial agg → single-row exchange → final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: conditional ratio in one aggregation pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-09-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-09-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(vol), 4).alias("promo_revenue_pct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: HAVING-derived key set, semi-joined back.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS total_price,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY total_price DESC, o_orderkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING aggregate runs FIRST and its tiny surviving key set is
+    broadcast-semi-joined into orders — the big fact is aggregated once,
+    not joined to itself row-for-row."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select(F.col("l_orderkey").alias("_big_ok"))
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("_big_ok"), "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"), "total_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: aggregate view + scalar-max selection (ties kept).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding happens BEFORE the max-equality compare on both engines,
+    so partial-agg ordering can't flip a tie (verify SKILL gotcha)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: outer join with join-side
+# predicate, then an aggregation OF an aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) cc
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The priority predicate must live in the JOIN condition, not a
+    WHERE, or customers whose only orders are urgent would be dropped
+    instead of counted as zero."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (no partsupp: the "offer" relation is
+# the per-(part, supplier) average unit price observed in lineitem).
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT o.*, min(o.unit_cost) OVER (PARTITION BY o.l_partkey) AS min_cost
+      FROM offers o
+      JOIN supplier s ON o.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT s.s_name, n.n_name AS nation, p.p_partkey, rk.unit_cost
+    FROM ranked rk
+    JOIN part p ON rk.l_partkey = p.p_partkey
+    JOIN supplier s ON rk.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE rk.unit_cost = rk.min_cost AND p.p_type = 'SMALL' AND p.p_size <= 10
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H's correlated MIN subquery as a window min over the offer
+    relation: one shuffle on l_partkey replaces the offers⋈offers
+    self-join. The regional supplier scope is applied BEFORE the window
+    so the min is the regional min, matching Q2 semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    regional_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.join(
+            F.broadcast(regional_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_name", "nation", "p_partkey", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (profit margin derived
+# from retail price in lieu of ps_supplycost).
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, extract(year FROM o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The name-sliced part dim is broadcast AFTER filtering, so the
+    selective LIKE prunes the fact via the broadcast hash join's build
+    side before the single fact-fact shuffle (lineitem ⋈ orders)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts: HAVING against a scalar fraction of the same
+# scoped relation.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS vol
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT l_partkey, round(sum(vol), 2) AS value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING sum(vol) > (SELECT sum(vol) * 0.0008 FROM scoped)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoped relation is computed once and reused for both the
+    per-part aggregate and the global threshold (two aggregations over
+    one lineage — Catalyst reuses the exchange under AQE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    regional_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    scoped = li.join(
+        F.broadcast(regional_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    threshold = scoped.agg((F.sum("vol") * 0.0008).alias("_thr"))
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("vol").alias("_value"))
+        .join(F.broadcast(threshold))
+        .filter(F.col("_value") > F.col("_thr"))
+        .select("l_partkey", F.round("_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts per part attribute: distinct agg + NOT IN
+# exclusion as a null-safe anti join.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null key column is expressed as left_anti —
+    same result, but a broadcastable hash anti-join instead of the
+    null-aware anti join's fallback plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — promotable suppliers: nested semi-join chain.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_promotable_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 50)
+    ORDER BY s_name
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Innermost slice first (part LIKE → broadcast semi into the fact),
+    then the HAVING aggregate, then a dropDuplicates'd key set semi-joined
+    into supplier — each step shrinks before the next join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 50)
+        .select("l_suppkey")
+        .dropDuplicates()
+    )
+    return (
+        s.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers solely responsible for returns in multi-supplier
+# orders: EXISTS + NOT EXISTS decorrelated into one aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_single_return_supplier",
+    oracle="""
+    WITH f_lines AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS nsupp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nret,
+             min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+      FROM f_lines GROUP BY l_orderkey)
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_order po JOIN supplier s ON po.ret_supp = s.s_suppkey
+    WHERE po.nsupp > 1 AND po.nret = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's EXISTS (another supplier in the order) + NOT EXISTS
+    (another RETURNING supplier) become two distinct-counts in a single
+    per-order aggregation: when nret == 1 the lone returner is min(case)
+    — one shuffle of the fact instead of two correlated self-joins.
+
+    The F-status order set is a third of a FACT table, so it is NOT
+    broadcast: the semi-join shuffles on l_orderkey, the same key the
+    following groupBy needs, so the exchange is reused (one shuffle
+    total for join + agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier")
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct(ret_supp).alias("nret"),
+            F.min(ret_supp).alias("ret_supp"),
+        )
+    )
+    return (
+        per_order.filter((F.col("nsupp") > 1) & (F.col("nret") == 1))
+        .join(F.broadcast(s), F.col("ret_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -20,10 +20,14 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   retention_window         — broadcasts a single-row max(ts) aggregate
 #   similarity_cosine_topk   — brute-force baseline broadcasts the query set
 #   q22_idle_rich_customers  — broadcasts a single-row avg(acctbal) gate
+#   q15_top_supplier         — broadcasts a single-row max(revenue) gate
+#   q11_important_parts      — broadcasts a single-row sum(vol) threshold
 _INTENDED_BNLJ = {
     "retention_window",
     "similarity_cosine_topk",
     "q22_idle_rich_customers",
+    "q15_top_supplier",
+    "q11_important_parts",
 }
 
 
@@ -58,6 +62,24 @@ def test_q3_filters_pushed_to_scan(spark, sf_dir):
 
 def test_q5_broadcasts_dimensions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is scan + agg only: the shipdate range, discount range, and
+    quantity bound must ALL reach the parquet scan, and no join may
+    appear anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in l for l in pushed), (col, pushed)
+    assert "Join" not in plan
+
+
+def test_q9_broadcasts_filtered_part_slice(spark, sf_dir):
+    """The %gear% part slice must be a broadcast build side so the LIKE
+    prunes the fact before the lineitem ⋈ orders shuffle."""
+    plan = _plan(spark, sf_dir, "q9_product_type_profit")
     assert "BroadcastHashJoin" in plan
 
 
