@@ -20,7 +20,13 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
-def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str, payload_cols: list[str]) -> DataFrame:
+def bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    keep_bucket_cols: bool = False,
+) -> DataFrame:
     """All intra-bucket pairs (a.id < b.id), computing the input ONCE.
 
     The naive LSH candidate join is a self-join of the signature relation,
@@ -30,7 +36,10 @@ def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str, payload_col
     higher-order array functions — one pass over the input, one shuffle
     on the bucket key, pair expansion entirely inside codegen.
 
-    Output columns: a, b — structs of (id, *payload_cols).
+    Output columns: a, b — structs of (id, *payload_cols); with
+    keep_bucket_cols=True the bucket key columns are kept alongside
+    (multi-band LSH uses them to suppress cross-band duplicate pairs
+    with a predicate instead of a dropDuplicates shuffle).
 
     Scale: per-bucket work is O(bucket²); LSH bucket sizes are small by
     construction. A degenerate corpus (constant documents) would need a
@@ -49,4 +58,7 @@ def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str, payload_col
         "flatten(transform(items, (x, i) -> "
         "transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))"
     )
-    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    keep = list(bucket_cols) if keep_bucket_cols else []
+    return grouped.select(*keep, F.explode(pairs).alias("p")).select(
+        *keep, "p.a", "p.b"
+    )
