@@ -26,6 +26,11 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q4_order_priority_exists",
     "q17_below_avg_quantity",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_single_return_supplier",
     "revenue_rollup",
     "order_revenue_by_nation",
     "top_k_per_group",
