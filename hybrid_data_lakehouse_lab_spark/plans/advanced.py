@@ -312,6 +312,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The region restriction reaches CUSTOMER before any fact join: the
+    supplier must share the customer's nation, so r_name='ASIA' prunes
+    the customer side to 1/5 up front — every downstream shuffle
+    (customer ⋈ orders, ⋈ lineitem) carries a fifth of the rows it
+    would if the filter were applied after the supplier join."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -321,16 +326,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
+        c.join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(

@@ -513,21 +513,31 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one shuffle of the fact instead of two correlated self-joins.
 
     The F-status order set is a third of a FACT table, so it is NOT
-    broadcast: the semi-join shuffles on l_orderkey, the same key the
-    following groupBy needs, so the exchange is reused (one shuffle
-    total for join + agg)."""
+    broadcast: the semi-join shuffles on l_orderkey (AQE may still
+    choose broadcast at small SF).
+
+    The two supplier-distinct counts are computed as TWO stacked
+    aggregations — per-(order, supplier) with map-side combine, then
+    per-order — because expressing them as countDistinct in one
+    aggregation makes Catalyst expand every fact row 3× (one copy per
+    distinct-aggregate gid) before a wide-key shuffle; the stacked form
+    shuffles the fact once at its natural width."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     s = _t(spark, sf_dir, "supplier")
-    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = (
+    per_supp = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("nsupp"),
-            F.countDistinct(ret_supp).alias("nret"),
-            F.min(ret_supp).alias("ret_supp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_ret")
         )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("nsupp"),
+        F.sum("has_ret").alias("nret"),
+        F.min(F.when(F.col("has_ret") == 1, F.col("l_suppkey"))).alias("ret_supp"),
     )
     return (
         per_order.filter((F.col("nsupp") > 1) & (F.col("nret") == 1))
