@@ -41,6 +41,7 @@ HEADLINE = [
     "latest_per_key",
     "config_current_state_view",
     "dedup_exact",
+    "corpus_curation_pipeline",
     "dedup_near_pairs_lsh",
     "dedup_simhash_near_pairs",
     "dedup_embedding_near_pairs",

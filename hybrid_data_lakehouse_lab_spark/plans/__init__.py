@@ -18,5 +18,6 @@ from . import tpch_full  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import dedup_advanced  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401

@@ -1,0 +1,118 @@
+"""Corpus-curation pipeline: the training-data prep lanes composed
+end-to-end into ONE query — the flagship of the 100 TB document surface.
+
+Stages (each individually registered and oracle-paired elsewhere; this
+query proves they compose):
+
+1. quality gate    — token-count bounds (text.py:text_quality_score)
+2. language gate   — marker-word lang-ID, keep 'en' (text.py:text_lang_id)
+3. exact dedup     — normalized-fingerprint keeper, lowest doc_id wins
+                     (text.py:text_fingerprint + dedup.py:dedup_exact)
+4. near-dup drop   — MinHash LSH pairs with >= 2 matching bands among
+                     survivors; the higher doc_id of each pair is dropped
+                     (dedup.py:dedup_near_pairs_lsh)
+5. emit            — curated doc_id, token count, fingerprint
+
+Scale notes: stages 1-3 are one scan + one tiny-keyed shuffle
+(fingerprint groups); stage 4's signature matrix is computed over the
+ALREADY-FILTERED corpus, so the expensive shingle hashing runs on the
+survivors only. The greedy doc_b drop is deterministic and single-pass;
+full connected-component clustering (iterative) is intentionally out of
+scope here — at scale that is a GraphFrames/iterative-join job keyed by
+the same candidate pairs this query produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.util import bucket_pairs, fan_out
+from ..sources import load_table
+from .dedup import _SEEDS_SQL, minhash_long, shingles_sql
+from .registry import register
+
+_EN = "'the', 'fast', 'key'"
+_ES = "'order', 'sort', 'table'"
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+        AND len(list_filter(string_split(text, ' '), w -> w IN ({_EN})))
+         >= len(list_filter(string_split(text, ' '), w -> w IN ({_ES})))
+    ),
+    canon AS (
+      SELECT * FROM survivors
+      WHERE doc_id IN (SELECT min(doc_id) FROM survivors GROUP BY fingerprint)
+    ),
+    shingles AS ({shingles_sql("canon")}),
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+      FROM shingles, UNNEST([{_SEEDS_SQL}]) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    near AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+                            AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+    )
+    SELECT c.doc_id, c.n_tokens, c.fingerprint
+    FROM canon c
+    WHERE c.doc_id NOT IN (SELECT doc_b FROM near)
+    ORDER BY c.doc_id
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+
+    def score(words: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    survivors = (
+        d.filter(F.size(toks).between(10, 1000))
+        .filter(score(["the", "fast", "key"]) >= score(["order", "sort", "table"]))
+        .select(
+            "doc_id",
+            "text",
+            F.size(toks).alias("n_tokens"),
+            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
+                "fingerprint"
+            ),
+        )
+    )
+    # Keeper selection is a window-min on the fingerprint partition — the
+    # keeper SET is corpus-sized, so a groupBy+semi-join (let alone a
+    # broadcast) would shuffle it twice; the window does it in one.
+    canon = (
+        survivors.withColumn(
+            "_keeper", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    sig = minhash_long(canon.select("doc_id", "text"))
+    near_b = (
+        bucket_pairs(sig, ["seed", "minhash"], "doc_id", [])
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # The dropped set is bounded by the near-dup pair count — usually
+    # small, but not provably broadcastable; AQE picks the join strategy.
+    return (
+        canon.join(near_b, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "fingerprint")
+        .orderBy("doc_id")
+    )

@@ -64,12 +64,39 @@ def _shingles(d: DataFrame, distinct: bool = True) -> DataFrame:
     return out.distinct() if distinct else out
 
 
-_SHINGLES_SQL = f"""
+def shingles_sql(src: str = "documents") -> str:
+    """DuckDB shingle CTE body over any (doc_id, text) relation."""
+    return f"""
       SELECT DISTINCT doc_id,
              array_to_string(words[i:i+{SHINGLE - 1}], ' ') AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {src}),
            UNNEST(range(1, len(words) - {SHINGLE - 2})) AS t(i)
 """
+
+
+_SHINGLES_SQL = shingles_sql()
+
+
+def minhash_long(d: DataFrame) -> DataFrame:
+    """MinHash signature matrix (doc_id, seed, minhash) for any
+    (doc_id, text) DataFrame — the reusable core of
+    ``dedup_minhash_signatures`` (see its docstring for the plan shape).
+    """
+    sh = _shingles(d, distinct=False)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"h{s}")
+            for s in range(N_HASHES)
+        ],
+    )
+    wide = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(N_HASHES)]
+    )
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(N_HASHES))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_HASHES}, {stack_args}) AS (seed, minhash)"
+    )
 
 
 @register(
@@ -92,22 +119,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct's extra shuffle; the oracle's DISTINCT is semantically
     identical.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d, distinct=False)
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"h{s}")
-            for s in range(N_HASHES)
-        ],
-    )
-    wide = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"h{s}") for s in range(N_HASHES)]
-    )
-    stack_args = ", ".join(f"{s}, h{s}" for s in range(N_HASHES))
-    return wide.selectExpr(
-        "doc_id", f"stack({N_HASHES}, {stack_args}) AS (seed, minhash)"
-    )
+    return minhash_long(load_table(spark, sf_dir, "documents"))
 
 
 @register(
