@@ -116,3 +116,119 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val split — hash-based assignment, no RNG, stable
+# under reruns and appends (a doc's split never changes when the corpus
+# grows — the property shuffles/rand() based splits lack).
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5'
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~90/10 split on the first md5 byte of the doc id (0x00–0xe5 →
+    train: 230/256 ≈ 89.8%). Pure map-side column op — no shuffle, no
+    state; at 100 TB the split is a free projection on every scan."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(bucket <= "e5", "train").otherwise("val").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics by source — the profiling pass a curation run logs.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_stats_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(median(len(string_split(text, ' '))), 4) AS median_tokens,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source profile: doc/token counts, mean/median tokens, max
+    chars. Exact median here for the oracle pairing; the 100 TB form is
+    approx_percentile (same plan shape, sketch merge instead of sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        d.select("source", n_tok.alias("n_tok"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("median_tokens"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-then-chunk assignment of documents to
+# fixed-token-budget packs (LLM pretraining batch prep).
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}) AS INT) AS pack_id
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM documents)
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to the pack where its token stream STARTS
+    (concat-then-chunk semantics): pack_id = floor(start_offset /
+    budget), start_offset from a running-sum window per source.
+
+    Scale: the window partitions by source — parallel across sources,
+    sequential within one. A single giant source needs a two-level pack
+    (window within (source, dt), then offset-shift by per-dt totals) —
+    same stitching pattern as the SCD2 hot-key note in SCALE.md."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET)
+            .cast("int")
+            .alias("pack_id"),
+        )
+        .orderBy("source", "doc_id")
+    )
