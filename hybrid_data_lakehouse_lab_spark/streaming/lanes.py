@@ -170,3 +170,45 @@ def windowed_counts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enriched_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    on: str | list[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-static enrichment: join each micro-batch against a batch
+    dimension table and append the enriched rows to parquet.
+
+    The Flink realtime lanes enrich rows inline before Pinot ingest
+    (scripts/cdc_to_pinot_current.py's projection stage); in Spark the
+    same job is a stream-static join — stateless, no watermark. The
+    static side's DATA is re-read each micro-batch, but a plain-parquet
+    dim pins its FILE LISTING when the DataFrame is resolved — an
+    overwrite under a running stream fails the next batch
+    (FILE_NOT_EXIST) rather than refreshing. For slowly changing dims,
+    either resolve a fresh dim per incremental availableNow run (the
+    checkpoint makes reruns cheap; tested), or back the dim with a
+    snapshot-resolving table format (Delta/Iceberg) for live updates.
+
+    Scale: the dim is broadcast — each executor joins its in-flight
+    micro-batch partition map-side, no shuffle of the stream. A dim too
+    big to broadcast (> a few GB) calls for pre-bucketing both sides on
+    the join key (sources/bucketing.py) or a keyed-state lookup
+    (stateful.py) instead. Left join: an event whose key is missing from
+    the dim still flows (nulled dim columns), so late dim rows never
+    drop fact rows.
+    """
+    enriched = events.join(F.broadcast(dim), on, "left")
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
