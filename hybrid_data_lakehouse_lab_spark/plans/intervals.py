@@ -1,0 +1,66 @@
+"""Interval analytics: range joins between events and time windows.
+
+The query uses operators/rangejoin.py's binned interval join so the
+plan is a hash join on the bin id — a raw ts-BETWEEN join would plan as
+BroadcastNestedLoopJoin (blocked by tests/test_plan_quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rangejoin import binned_interval_join
+from ..sources import load_table
+from .registry import register
+
+# Maintenance windows over the events table's Jan-2024 range; W3/W4
+# overlap, so events in the overlap legitimately count toward both.
+WINDOWS = [
+    ("W1", "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+    ("W2", "2024-01-10 12:00:00", "2024-01-11 06:00:00"),
+    ("W3", "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+    ("W4", "2024-01-20 00:00:00", "2024-01-23 00:00:00"),
+    ("W5", "2024-01-29 18:00:00", "2024-01-31 00:00:00"),
+]
+
+_W_VALUES = ",\n      ".join(
+    f"('{wid}', TIMESTAMP '{ws}', TIMESTAMP '{we}')" for wid, ws, we in WINDOWS
+)
+
+
+@register(
+    "range_join_event_windows",
+    oracle=f"""
+    WITH w(window_id, ws, we) AS (VALUES
+      {_W_VALUES})
+    SELECT w.window_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY w.window_id
+    ORDER BY window_id
+    """,
+)
+def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window event rollup via the binned range join (1-day bins ≈
+    the median window duration). The oracle states the plain range
+    predicate — DuckDB's IEJoin handles it natively; Spark needs the
+    binning to avoid a nested-loop plan."""
+    events = load_table(spark, sf_dir, "events")
+    w = spark.createDataFrame(WINDOWS, "window_id STRING, ws STRING, we STRING").select(
+        "window_id",
+        F.col("ws").cast("timestamp").alias("ws"),
+        F.col("we").cast("timestamp").alias("we"),
+    )
+    joined = binned_interval_join(events, w, "ts", "ws", "we", bin_seconds=86400)
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_id")
+    )
