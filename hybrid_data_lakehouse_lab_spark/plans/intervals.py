@@ -1,8 +1,12 @@
-"""Interval analytics: range joins between events and time windows.
+"""Interval / temporal-join analytics: range joins between events and
+time windows, and the two-table as-of join.
 
-The query uses operators/rangejoin.py's binned interval join so the
-plan is a hash join on the bin id — a raw ts-BETWEEN join would plan as
-BroadcastNestedLoopJoin (blocked by tests/test_plan_quality.py).
+The range query uses operators/rangejoin.py's binned interval join so
+the plan is a hash join on the bin id — a raw ts-BETWEEN join would
+plan as BroadcastNestedLoopJoin (blocked by tests/test_plan_quality.py).
+The as-of query uses operators/asof.py's union-window composition; its
+oracle is DuckDB's NATIVE ASOF JOIN, so the semantics are checked
+against an independent implementation, not a SQL restatement of ours.
 """
 
 from __future__ import annotations
@@ -10,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join
 from ..operators.rangejoin import binned_interval_join
 from ..sources import load_table
 from .registry import register
@@ -64,3 +69,42 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           p.ts AS matched_ts,
+           round(p.value, 4) AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event annotated with the user's most recent purchase at or
+    before it — the trades×quotes shape on this schema. The oracle is
+    DuckDB's native ASOF JOIN (independent implementation, not a SQL
+    copy of the union-window trick)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "matched_ts",
+        F.round("last_purchase_value", 4).alias("last_purchase_value"),
+    ).orderBy("event_id")
