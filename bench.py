@@ -49,6 +49,11 @@ HEADLINE = [
     "array_hof_vector_stats",
     "text_fingerprint",
     "text_normalize_regex",
+    "text_token_count_bpe",
+    "range_join_event_windows",
+    "asof_join_last_purchase",
+    "corpus_train_val_split",
+    "corpus_pack_sequences",
 ]
 
 

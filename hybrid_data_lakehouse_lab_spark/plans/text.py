@@ -112,3 +112,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# BPE-ish pre-tokenizer regex (GPT-2 style, lookahead-free so Java
+# regex (Spark) and RE2 (DuckDB) agree): contraction tail, space-glued
+# letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counting with a BPE pre-tokenizer regex —
+    the training-cost estimator that whitespace counts understate on
+    punctuation/digit-heavy text. Pure regexp_extract_all: map-side,
+    codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
