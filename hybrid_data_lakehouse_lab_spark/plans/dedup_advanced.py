@@ -28,17 +28,36 @@ from .registry import register
 _HEX = "0123456789abcdef"
 
 
-def _digit_cols() -> list[str]:
-    """16 per-token hex-digit values, extracted ONCE per token.
+def _digit_cols(dialect: str = "duckdb") -> list[str]:
+    """16 per-token hex-digit values d1..d16 ∈ [0,15], extracted ONCE
+    per token; the 64 bit-votes read them with shift/mask arithmetic.
 
-    d{p} = instr('0123456789abcdef', substr(h, p, 1)) - 1 ∈ [0,15]; the
-    64 bit-votes then read these with shift/mask arithmetic instead of
-    re-running 64 substr+instr string ops per token (4× less string
-    work in the hot explode). Same SQL in both dialects.
+    DuckDB form: instr('0123456789abcdef', substr(h, p, 1)) - 1 — one
+    string op per digit. Spark form: the caller pre-parses the two
+    8-hex-char halves once per token (`_HALF_COLS`: conv(·,16,10) —
+    32 bits each, bigint-safe, staged in their own projection so the
+    parse isn't repeated 8× per half) and the digits are nibble
+    shifts — two string parses per token instead of 16, the rest
+    integer ops. Values are identical; only the engines' cheapest path
+    differs.
     """
+    if dialect == "spark":
+        cols = []
+        for p in range(1, 17):
+            c, pos = ("c1", p) if p <= 8 else ("c2", p - 8)
+            cols.append(
+                f"CAST(shiftright({c}, {4 * (8 - pos)}) & 15 AS INT) AS d{p}"
+            )
+        return cols
     return [
         f"(instr('{_HEX}', substr(h, {p}, 1)) - 1) AS d{p}" for p in range(1, 17)
     ]
+
+
+_HALF_COLS = [
+    "CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS c1",
+    "CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS c2",
+]
 
 
 def _simhash_bit_votes(dialect: str) -> list[str]:
@@ -89,7 +108,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .select("doc_id", F.md5("token").alias("h"))
-        .selectExpr("doc_id", *_digit_cols())
+        .selectExpr("doc_id", *_HALF_COLS)
+        .selectExpr("doc_id", *_digit_cols("spark"))
     )
     return digits.groupBy("doc_id").agg(
         F.expr(_simhash_select("spark")).alias("simhash")
