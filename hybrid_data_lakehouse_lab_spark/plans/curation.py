@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..operators.util import bucket_pairs, fan_out
 from ..sources import load_table
-from .dedup import _SEEDS_SQL, minhash_long, shingles_sql
+from .dedup import minhash_long, minhash_sig_sql, shingles_sql
 from .registry import register
 
 _EN = "'the', 'fast', 'key'"
@@ -53,11 +53,7 @@ _ES = "'order', 'sort', 'table'"
       WHERE doc_id IN (SELECT min(doc_id) FROM survivors GROUP BY fingerprint)
     ),
     shingles AS ({shingles_sql("canon")}),
-    sig AS (
-      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
-      FROM shingles, UNNEST([{_SEEDS_SQL}]) AS s(seed)
-      GROUP BY doc_id, seed
-    ),
+    sig AS ({minhash_sig_sql()}),
     near AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash

@@ -15,6 +15,8 @@ bounded by docs × k; skew only occurs for degenerate constant documents
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,6 +78,41 @@ def shingles_sql(src: str = "documents") -> str:
 
 _SHINGLES_SQL = shingles_sql()
 
+# Carter–Wegman MinHash: ONE md5 per shingle (its first 8 hex chars →
+# a 31-bit int h), then k affine transforms g_i(h) = (a_i·h + b_i) mod p
+# with p = 2³¹−1. Versus k independent md5s per shingle this trades 7
+# string hashes for 7 integer mult-adds per shingle and shrinks the
+# shuffle payload from k×32-char strings to k bigints per doc. The
+# (a_i, b_i) are md5-derived constants, identical in both dialects; all
+# products stay < 2⁶² (no bigint overflow).
+P31 = 2_147_483_647
+
+
+def _coeff(kind: str, i: int) -> int:
+    v = int(hashlib.md5(f"minhash_{kind}_{i}".encode()).hexdigest()[:15], 16) % P31
+    return v if (kind == "b" or v > 0) else 1
+
+
+_COEFFS = [(_coeff("a", i), _coeff("b", i)) for i in range(N_HASHES)]
+
+_COEFF_VALUES = ", ".join(
+    f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_COEFFS)
+)
+
+
+def minhash_sig_sql(shingles_cte: str = "shingles") -> str:
+    """DuckDB CTE body: (doc_id, seed, minhash BIGINT) from a shingle
+    relation — the oracle twin of ``minhash_long``."""
+    return f"""
+      SELECT doc_id, seed, min((a * h + b) % {P31}) AS minhash
+      FROM (
+        SELECT doc_id,
+               (('0x' || substr(md5(shingle), 1, 8))::BIGINT & {P31}) AS h
+        FROM {shingles_cte}
+      ) hs, (VALUES {_COEFF_VALUES}) AS s(seed, a, b)
+      GROUP BY doc_id, seed
+"""
+
 
 def minhash_long(d: DataFrame) -> DataFrame:
     """MinHash signature matrix (doc_id, seed, minhash) for any
@@ -83,12 +120,12 @@ def minhash_long(d: DataFrame) -> DataFrame:
     ``dedup_minhash_signatures`` (see its docstring for the plan shape).
     """
     sh = _shingles(d, distinct=False)
-    hashed = sh.select(
+    hashed = sh.selectExpr(
         "doc_id",
-        *[
-            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"h{s}")
-            for s in range(N_HASHES)
-        ],
+        f"CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT) & {P31} AS h",
+    ).selectExpr(
+        "doc_id",
+        *[f"({a} * h + {b}) % {P31} AS h{i}" for i, (a, b) in enumerate(_COEFFS)],
     )
     wide = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(N_HASHES)]
@@ -103,10 +140,7 @@ def minhash_long(d: DataFrame) -> DataFrame:
     "dedup_minhash_signatures",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL})
-    SELECT doc_id, seed,
-           min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
-    FROM shingles, UNNEST([{_SEEDS_SQL}]) AS s(seed)
-    GROUP BY doc_id, seed
+    {minhash_sig_sql()}
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +148,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape for scale: the k hashes are computed as k map-side COLUMNS
     per shingle (not a k-way row explode), so the single shuffle carries
-    |docs| × k strings after partial min aggregation — not |shingles| × k
+    |docs| × k bigints after partial min aggregation — not |shingles| × k
     rows. Duplicate shingles are left in (min() is dup-invariant), saving
     the distinct's extra shuffle; the oracle's DISTINCT is semantically
     identical.
@@ -126,11 +160,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_near_pairs_lsh",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
-    sig AS (
-      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
-      FROM shingles, UNNEST([{_SEEDS_SQL}]) AS s(seed)
-      GROUP BY doc_id, seed
-    )
+    sig AS ({minhash_sig_sql()})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS INT) AS n_matching_bands
     FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
