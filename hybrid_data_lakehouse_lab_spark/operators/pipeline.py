@@ -87,6 +87,7 @@ class Scd2Pipeline:
             if n == 0:
                 return 0
             existing = self.table.read() if self.table.exists() else None
+            existing = self._evolve_schema(existing, cdc)
             merged = merge_scd2_batch(
                 existing,
                 cdc,
@@ -101,6 +102,36 @@ class Scd2Pipeline:
             return n
         finally:
             cdc.unpersist()
+
+    # -- schema evolution (add-only) -----------------------------------------
+    def _evolve_schema(self, existing: DataFrame | None, cdc: DataFrame) -> DataFrame | None:
+        """Widen an existing SCD2 table to this pipeline's attr_cols.
+
+        ADD-ONLY evolution (the Delta/Iceberg mergeSchema contract): an
+        attr column new to the table is backfilled as typed NULL on all
+        historical versions; the next merge then hashes it everywhere,
+        so a key whose new column arrives non-null gets a genuine new
+        version, while a key whose values (including the still-null new
+        column) are unchanged is hash-suppressed — no spurious
+        version storm. Dropping or retyping a column is refused: silent
+        drops corrupt the hash chain (every key would version-bump).
+        """
+        if existing is None:
+            return None
+        for c in self.attr_cols:
+            if c not in cdc.columns:
+                raise ValueError(f"attr column {c!r} missing from the batch")
+            if c not in existing.columns:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(cdc.schema[c].dataType)
+                )
+            elif existing.schema[c].dataType != cdc.schema[c].dataType:
+                raise ValueError(
+                    f"attr column {c!r} retyped: table has "
+                    f"{existing.schema[c].dataType.simpleString()}, batch has "
+                    f"{cdc.schema[c].dataType.simpleString()}"
+                )
+        return existing
 
     # -- reads ---------------------------------------------------------------
     def scd2(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:

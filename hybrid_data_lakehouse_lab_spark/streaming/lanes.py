@@ -212,3 +212,55 @@ def enriched_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-stream interval join: each click joined to the same key's
+    purchases that happen within `within` AFTER the click.
+
+    Both sides carry watermarks and the join condition bounds
+    purchase.ts relative to click.ts — together they let Spark evict
+    buffered rows once the watermark passes the interval, so state is
+    O(in-flight window), not O(stream). An unbounded condition (or a
+    missing watermark) would buffer both streams forever; Spark rejects
+    some of those shapes outright, silently grows state for others —
+    the interval bound is load-bearing, not decorative.
+
+    The reference joins streams only via Pinot lookups after landing
+    (SURVEY §2.10: its Flink jobs are single-input routers); this lane
+    is the Spark-native form of "conversion within the attribution
+    window" — inner join, append mode, replay-safe parquet sink.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col(key_col), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col(key_col).alias("_p_key"), F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = c.join(
+        p,
+        (F.col(key_col) == F.col("_p_key"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).drop("_p_key")
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

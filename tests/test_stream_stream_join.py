@@ -1,0 +1,99 @@
+"""Stream-stream interval join: output must equal the batch interval
+join, in-window purchases only, once the watermark has passed."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.streaming.lanes import stream_stream_join
+
+BASE = datetime(2026, 4, 1, tzinfo=timezone.utc).timestamp()
+
+# (event_id, user_id, event_type, value, offset_seconds)
+EVENTS = [
+    (1, 10, "click", 0.0, 0),
+    (2, 10, "purchase", 9.99, 600),        # within 1h of click 1 → joins
+    (3, 10, "purchase", 5.00, 2 * 3600),   # 2h after click 1 → outside
+    (4, 11, "click", 0.0, 0),
+    (5, 11, "purchase", 7.50, 3500),       # within → joins
+    (6, 12, "purchase", 1.00, 100),        # user with no click → no row
+    (7, 10, "click", 0.0, 3 * 3600),
+    (8, 10, "purchase", 2.50, 3 * 3600 + 60),  # within of click 7
+    # sentinel far ahead: pushes both watermarks past every interval
+    (9, 99, "click", 0.0, 30 * 3600),
+    (10, 99, "purchase", 0.0, 30 * 3600),
+]
+
+# (click_id, joined purchase event_id) — the sentinel pair also joins
+# (same ts, same user)
+EXPECTED = {(1, 2), (4, 5), (7, 8), (9, 10)}
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ssj_src")
+    # two files so the join spans micro-batches
+    for i, chunk in enumerate([EVENTS[:6], EVENTS[6:]]):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for eid, uid, etype, value, off in chunk:
+                ts = datetime.fromtimestamp(BASE + off, tz=timezone.utc)
+                f.write(
+                    json.dumps(
+                        {"event_id": eid, "user_id": uid, "event_type": etype,
+                         "value": value, "ts": ts.strftime("%Y-%m-%d %H:%M:%S")}
+                    ) + "\n"
+                )
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
+    return str(d)
+
+
+SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP"
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir, tmp_path_factory):
+    def src():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(stream_dir)
+        )
+
+    clicks = src().filter(F.col("event_type") == "click")
+    purchases = src().filter(F.col("event_type") == "purchase")
+    out = str(tmp_path_factory.mktemp("ssj_out"))
+    q = stream_stream_join(
+        clicks, purchases, out, str(tmp_path_factory.mktemp("ssj_ckpt"))
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["click_id"], r["purchase_ts"], r["purchase_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.read.schema(SCHEMA).json(stream_dir)
+    bc = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want_rows = bc.join(
+        bp,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+    )
+    want = {
+        (r["click_id"], r["purchase_ts"], r["purchase_value"])
+        for r in want_rows.collect()
+    }
+    assert got == want
+    assert {c for (c, _, _) in got} == {c for c, _ in EXPECTED}
