@@ -7,15 +7,12 @@ independently in Python from the fixture events (SURVEY §5.3)."""
 from __future__ import annotations
 
 import glob
-import json
 
 import pytest
 from pyspark.sql import functions as F
 
+from hybrid_data_lakehouse_lab_spark.job import LakehouseJob
 from hybrid_data_lakehouse_lab_spark.operators.maintenance import compact_partition_dir
-from hybrid_data_lakehouse_lab_spark.operators.pipeline import Scd2Pipeline
-from hybrid_data_lakehouse_lab_spark.streaming import bronze_stream
-from hybrid_data_lakehouse_lab_spark.streaming.lanes import read_envelope_stream
 from hybrid_data_lakehouse_lab_spark.testing.fixtures import (
     envelope_json_lines,
     make_cdc_events,
@@ -43,43 +40,16 @@ def _expected_current() -> dict[int, dict]:
 
 @pytest.fixture(scope="module")
 def lake(spark, tmp_path_factory):
-    root = tmp_path_factory.mktemp("lake")
-    drop = str(root / "drop")
-    bronze = str(root / "bronze")
-    write_drop_dir(drop)
-
-    # 1. streaming bronze: envelope JSON → flattened dt-partitioned parquet
-    q = bronze_stream(
-        read_envelope_stream(spark, drop), bronze, str(root / "bronze_ckpt")
-    )
-    q.awaitTermination(120)
-
-    # 2. maintenance: compact the micro-batch fragments
-    compact_partition_dir(spark, bronze, target_file_bytes=64 * 1024 * 1024)
-
-    # 3. batch SCD2 over the bronze scan, checkpointed
-    pipe = Scd2Pipeline(
-        spark,
-        str(root / "silver"),
-        key_cols=["id"],
-        attr_cols=ATTRS,
-        ts_col="event_timestamp",
-        order_cols=["event_timestamp", "lsn"],
-    )
-    flat = spark.read.parquet(bronze)
-    ins = flat.filter(F.col("op") != "d").select(
-        F.col("after_id").alias("id"),
-        *[F.col(f"after_{c}").alias(c) for c in ATTRS],
-        "event_timestamp", "lsn", "op", "dt",
-    )
-    dels = flat.filter(F.col("op") == "d").select(
-        F.col("before_id").alias("id"),
-        *[F.col(f"before_{c}").alias(c) for c in ATTRS],
-        "event_timestamp", "lsn", "op", "dt",
-    )
-    n = pipe.process_batch(ins.unionByName(dels))
+    root = str(tmp_path_factory.mktemp("lake"))
+    job = LakehouseJob(spark, root, attr_cols=ATTRS)
+    write_drop_dir(job.drop_dir)
+    n = job.run()
     assert n == len(envelope_json_lines())
-    return {"pipe": pipe, "bronze": bronze}
+
+    # maintenance: compact the micro-batch fragments (the stream for
+    # this cycle is drained; compaction finalizes the bronze dir)
+    compact_partition_dir(spark, job.bronze_dir, target_file_bytes=64 * 1024 * 1024)
+    return {"pipe": job.pipe, "bronze": job.bronze_dir, "job": job}
 
 
 def test_bronze_is_partitioned_and_compacted(spark, lake):
@@ -131,6 +101,34 @@ def test_history_chronology_per_key(spark, lake):
     assert rows, "id=1 missing from SCD2 table"
     for prev, nxt in zip(rows, rows[1:]):
         assert prev["effective_end_ts"] == nxt["effective_start_ts"]
+
+
+def test_rerun_with_no_new_input_is_noop(spark, lake):
+    """A scheduler re-triggering the job with nothing new must change
+    nothing: the SCD2 checkpoint filters every replayed event (DAG
+    idempotency — reference re-appends dupes on crash-rerun; we don't).
+
+    The rerun reads the COMPACTED bronze (its _spark_metadata retired),
+    so this also proves the maintenance output is a valid batch input.
+    """
+    job = lake["job"]
+    before = job.history().count()
+    assert job.pipe.process_batch(job._bronze_as_changes()) == 0
+    assert job.history().count() == before
+
+
+def test_revenue_view_matches_rollup(spark, lake):
+    got = {
+        r["category"]: round(r["revenue"], 2)
+        for r in lake["job"].revenue_by_category().collect()
+    }
+    expected: dict[str, float] = {}
+    for img in _expected_current().values():
+        expected[img["category"]] = round(
+            expected.get(img["category"], 0.0)
+            + float(img["price"]) * img["quantity"], 2
+        )
+    assert got == pytest.approx(expected)
 
 
 def test_time_travel_reads(spark, lake):
