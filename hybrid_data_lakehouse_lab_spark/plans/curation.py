@@ -228,3 +228,39 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — per-language keep rates, deterministic (hash
+# thresholds, no RNG): rebalancing a multilingual corpus toward a target
+# language mix without sacrificing rerun/append stability.
+# ---------------------------------------------------------------------------
+STRATA_RATES = {"en": "bf", "es": "3f"}  # first md5 byte ≤ x → keep (~75% / ~25%)
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 2) <=
+          CASE lang WHEN 'en' THEN '{STRATA_RATES["en"]}' ELSE '{STRATA_RATES["es"]}' END
+    ORDER BY doc_id
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep ~75% of 'en' docs and ~25% of 'es' docs by hash threshold —
+    the same stable-split trick as corpus_train_val_split, with a
+    per-stratum cut. Map-side only; composes with the split (independent
+    hash inputs would be needed for independent draws — use a salted
+    hash input per decision, e.g. md5('sample|' || doc_id))."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", STRATA_RATES["en"]).otherwise(
+        STRATA_RATES["es"]
+    )
+    return (
+        d.filter(bucket <= threshold)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
