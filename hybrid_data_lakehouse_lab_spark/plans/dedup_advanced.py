@@ -320,3 +320,52 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= COSINE_TAU)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clusters: connected components over the MinHash near-pair
+# graph — the correct "keep one per duplicate CLUSTER" semantics (pair
+# lists over- or under-delete when duplicates chain a~b~c).
+# --------------------------------------------------------------------------
+from ..operators.graph import connected_components  # noqa: E402
+from .dedup import _SHINGLES_SQL, minhash_sig_sql  # noqa: E402
+from .dedup import dedup_near_pairs_lsh as _lsh_pairs  # noqa: E402
+
+
+@register(
+    "dedup_cluster_assignments",
+    oracle=f"""
+    WITH RECURSIVE
+    shingles AS ({_SHINGLES_SQL}),
+    sig AS ({minhash_sig_sql()}),
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+                            AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+    ),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup pair (>= 2
+    matching MinHash bands); cluster_id is the smallest doc_id in the
+    connected component. Spark side: iterative label propagation
+    (operators/graph.py); oracle side: DuckDB recursive-CTE transitive
+    closure — an independent algorithm, so the equivalence check covers
+    the iteration's convergence, not just a SQL restatement."""
+    pairs = _lsh_pairs(spark, sf_dir).filter(F.col("n_matching_bands") >= 2)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
