@@ -61,6 +61,42 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def ingest_rows_per_sec(spark, n_copies: int = 300) -> float:
+    """Streaming CDC ingest throughput: drain a drop dir of envelope
+    JSON through the bronze lane (parse → flatten → dt-partitioned
+    parquet) and report rows/sec. The reference's generator sustains
+    ~1,000 rows/s and stresses to 10-20k rows/s (BASELINE.md a);
+    this measures the same envelope format through our lane.
+    """
+    import shutil
+    import tempfile
+
+    from hybrid_data_lakehouse_lab_spark.streaming import bronze_stream
+    from hybrid_data_lakehouse_lab_spark.streaming.lanes import read_envelope_stream
+    from hybrid_data_lakehouse_lab_spark.testing.fixtures import envelope_json_lines
+
+    lines = envelope_json_lines() * n_copies
+    root = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        per_file = max(1, len(lines) // 32)
+        for i in range(0, len(lines), per_file):
+            with open(os.path.join(drop, f"b{i}.json"), "w") as f:
+                f.write("\n".join(lines[i : i + per_file]) + "\n")
+        t0 = time.perf_counter()
+        q = bronze_stream(
+            read_envelope_stream(spark, drop),
+            os.path.join(root, "bronze"),
+            os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        return round(len(lines) / dt, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -92,6 +128,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "ingest_rows_per_sec": ingest_rows_per_sec(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
