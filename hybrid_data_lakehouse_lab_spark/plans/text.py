@@ -9,7 +9,7 @@ dialect differences (DuckDB regexp_replace needs the 'g' flag for global).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -142,4 +142,61 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, t.term
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           UNNEST(toks) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf.
+
+    Plan: one explode feeds BOTH aggregations — tf groups on
+    (doc, term) with map-side combine; df on term (the document
+    frequency table is vocabulary-sized, broadcast back). The doc-count
+    scalar joins as a 1-row broadcast. At 100 TB the df table is the
+    only global state and it is O(|vocabulary|)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
     )
