@@ -22,12 +22,14 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   q22_idle_rich_customers  — broadcasts a single-row avg(acctbal) gate
 #   q15_top_supplier         — broadcasts a single-row max(revenue) gate
 #   q11_important_parts      — broadcasts a single-row sum(vol) threshold
+#   text_tfidf_top_terms     — broadcasts a single-row corpus doc count
 _INTENDED_BNLJ = {
     "retention_window",
     "similarity_cosine_topk",
     "q22_idle_rich_customers",
     "q15_top_supplier",
     "q11_important_parts",
+    "text_tfidf_top_terms",
 }
 
 
