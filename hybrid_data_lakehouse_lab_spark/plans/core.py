@@ -585,3 +585,37 @@ def json_props_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prop_key")
     )
+
+
+@register(
+    "json_variant_agg",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4 VariantType:
+    `parse_json` decodes the props string ONCE into the binary variant
+    encoding; `variant_get` then does typed path access without
+    re-parsing. With several extracted paths (or repeated access under
+    a filter + aggregate, as here) this beats `get_json_object`, which
+    re-parses the JSON string at every call site — at 100 TB the parse
+    is the scan's CPU bill. The oracle uses DuckDB's JSON extraction —
+    same values, independent implementation."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).cast("int").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
