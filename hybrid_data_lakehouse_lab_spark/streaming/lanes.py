@@ -264,3 +264,78 @@ def stream_stream_join(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_window_stream(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming sessionization with Spark's native session_window:
+    per-user sessions close after `gap` of event-time inactivity.
+
+    Unlike tumbling windows, session windows MERGE as events arrive
+    (two half-sessions unite when a bridging event lands), so the state
+    store keeps open sessions per user and the watermark is what
+    finalizes them — a session emits once, `watermark` after its last
+    event. This is the streaming twin of the batch `sessionize` query
+    (same gap semantics, lag/cumsum formulation there).
+    """
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def deduped_stream(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """At-most-once-per-key pass-through using Spark's built-in
+    `dropDuplicatesWithinWatermark` — the bounded-state twin of the
+    custom `first_seen_stream` (stateful.py).
+
+    The built-in evicts seen-key state once the watermark passes, so
+    duplicates are suppressed only within the watermark horizon —
+    exactly-once per key FOREVER requires the applyInPandasWithState
+    operator (unbounded keys → unbounded state, caller's trade to
+    make). Use this lane when upstream retries/replays cluster within
+    a bounded lateness, which is the common CDC case.
+    """
+    key_cols = key_cols or ["event_id"]
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
