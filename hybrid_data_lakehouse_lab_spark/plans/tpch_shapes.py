@@ -39,8 +39,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation cn ON c.c_nationkey = cn.n_nationkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-    WHERE (cn.n_name = 'NATION_0' AND sn.n_name = 'NATION_1')
-       OR (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_0')
+    WHERE (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_3')
+       OR (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_2')
     GROUP BY cn.n_name, sn.n_name, extract(year FROM l.l_shipdate)
     ORDER BY cust_nation, supp_nation, ship_year
     """,
@@ -54,8 +54,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     pair = (
-        ((F.col("cust_nation") == "NATION_0") & (F.col("supp_nation") == "NATION_1"))
-        | ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_0"))
+        ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_3"))
+        | ((F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_2"))
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)

@@ -30,6 +30,13 @@ def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_degenerate_empty_result(name, spark, sf_dir):
+    """An empty Spark result hash-matches an empty oracle vacuously; a
+    query must prove itself on non-trivial rows even at sf0.001."""
+    assert QUERIES[name](spark, sf_dir).count() > 0, f"{name} returns 0 rows"
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as mod
 
