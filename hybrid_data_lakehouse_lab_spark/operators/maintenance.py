@@ -92,7 +92,14 @@ def vacuum_snapshots(
     if m["current"] is None:
         return []
     snaps = sorted(m["snapshots"], key=lambda s: s["version"])
-    protected = {m["current"]} | {s["version"] for s in snaps[-keep_last:]}
+    # every branch head is protected — expiring a version a branch still
+    # points at would break that branch's reads (same rule as Nessie:
+    # unreferenced-only garbage collection)
+    protected = (
+        {m["current"]}
+        | {s["version"] for s in snaps[-keep_last:]}
+        | set(m["branches"].values())
+    )
     expired = [
         s
         for s in snaps
@@ -101,7 +108,9 @@ def vacuum_snapshots(
     if not expired:
         return []
     keep = [s for s in snaps if s not in expired]
-    table._commit_manifest({"current": m["current"], "snapshots": keep})
+    table._commit_manifest(
+        {"current": m["current"], "snapshots": keep, "branches": m["branches"]}
+    )
     for s in expired:
         shutil.rmtree(s["path"], ignore_errors=True)
     return [s["version"] for s in expired]

@@ -13,6 +13,15 @@ files) minus compaction/file-level deltas: each version is a full rewrite,
 which is fine for dimension-scale SCD2 tables (the reference's use case —
 its fact history is append-only parquet, not merged). Swap in Delta by
 replacing this class; the engine call sites only use write/read/as_of.
+
+Branches add the Nessie side of the reference's catalog (its Iceberg
+commits go through a Nessie REST catalog, libs/scd2_spark_processor.py:
+59-118 — the reference only ever uses `main`, but the branch model is
+what Nessie exists for): a branch is a named pointer into the shared
+snapshot list, so `create_branch` is zero-copy, and the
+write-audit-publish flow is write-to-branch → validate → `fast_forward`
+main — the publish is one atomic manifest swap, invisible to `main`
+readers until it lands.
 """
 
 from __future__ import annotations
@@ -51,9 +60,11 @@ class SnapshotTable:
     def _load_manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)
+                m = json.load(f)
         except FileNotFoundError:
-            return {"current": None, "snapshots": []}
+            m = {"current": None, "snapshots": []}
+        m.setdefault("branches", {})  # non-main branch name → version
+        return m
 
     def _commit_manifest(self, manifest: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
@@ -74,14 +85,20 @@ class SnapshotTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         committed_at_ms: int | None = None,
+        branch: str = "main",
     ) -> SnapshotInfo:
-        """Write a new snapshot; visible only after the manifest swap.
+        """Write a new snapshot on `branch`; visible only after the
+        manifest swap. Non-main branches must exist (create_branch) —
+        implicit creation would hide typos as silent forks.
 
         committed_at_ms is injectable for deterministic tests; defaults to
         wall clock (ms) like an Iceberg commit timestamp.
         """
         m = self._load_manifest()
-        version = (m["current"] or 0) + 1
+        if branch != "main" and branch not in m["branches"]:
+            raise ValueError(f"unknown branch {branch!r}; create_branch first")
+        # versions are table-global (branches share the snapshot list)
+        version = max((s["version"] for s in m["snapshots"]), default=0) + 1
         # uuid suffix: a crashed write never collides with a retry
         vdir = os.path.join(self.root, f"v{version:05d}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
@@ -96,14 +113,61 @@ class SnapshotTable:
             path=vdir,
         )
         m["snapshots"].append(info.__dict__)
-        m["current"] = version
+        if branch == "main":
+            m["current"] = version
+        else:
+            m["branches"][branch] = version
         self._commit_manifest(m)
         return info
 
-    def _resolve(self, version: int | None = None, as_of_ms: int | None = None) -> str:
+    # -- branches (write-audit-publish) -------------------------------------
+    def branch_head(self, branch: str = "main") -> int | None:
         m = self._load_manifest()
-        if m["current"] is None:
-            raise FileNotFoundError(f"no snapshots in {self.root}")
+        return m["current"] if branch == "main" else m["branches"].get(branch)
+
+    def create_branch(self, name: str, from_branch: str = "main") -> int:
+        """Zero-copy branch: a named pointer at from_branch's head."""
+        m = self._load_manifest()
+        if name == "main" or name in m["branches"]:
+            raise ValueError(f"branch {name!r} already exists")
+        head = self.branch_head(from_branch)
+        if head is None:
+            raise ValueError(f"branch {from_branch!r} has no snapshots")
+        m["branches"][name] = head
+        self._commit_manifest(m)
+        return head
+
+    def fast_forward(self, to_branch: str, from_branch: str) -> int:
+        """Publish: move to_branch's pointer to from_branch's head (one
+        atomic manifest swap — the WAP publish step when to_branch is
+        'main')."""
+        m = self._load_manifest()
+        head = self.branch_head(from_branch)
+        if head is None:
+            raise ValueError(f"branch {from_branch!r} has no snapshots")
+        if to_branch == "main":
+            m["current"] = head
+        else:
+            if to_branch not in m["branches"]:
+                raise ValueError(f"unknown branch {to_branch!r}")
+            m["branches"][to_branch] = head
+        self._commit_manifest(m)
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        m = self._load_manifest()
+        if name == "main":
+            raise ValueError("cannot drop main")
+        m["branches"].pop(name, None)
+        self._commit_manifest(m)
+
+    def _resolve(
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        branch: str = "main",
+    ) -> str:
+        m = self._load_manifest()
         snaps = m["snapshots"]
         if version is not None:
             for s in snaps:
@@ -115,10 +179,16 @@ class SnapshotTable:
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             return max(eligible, key=lambda s: s["version"])["path"]
-        return next(s["path"] for s in snaps if s["version"] == m["current"])
+        head = m["current"] if branch == "main" else m["branches"].get(branch)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots on {branch!r} in {self.root}")
+        return next(s["path"] for s in snaps if s["version"] == head)
 
     def read(
-        self, version: int | None = None, as_of_ms: int | None = None
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        branch: str = "main",
     ) -> DataFrame:
-        """Current table, `VERSION AS OF`, or `TIMESTAMP AS OF` read."""
-        return self.spark.read.parquet(self._resolve(version, as_of_ms))
+        """Branch head, `VERSION AS OF`, or `TIMESTAMP AS OF` read."""
+        return self.spark.read.parquet(self._resolve(version, as_of_ms, branch))
