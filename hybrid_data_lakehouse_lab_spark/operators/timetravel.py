@@ -26,6 +26,7 @@ readers until it lands.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import tempfile
@@ -34,6 +35,10 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's read and commit."""
 
 
 @dataclass
@@ -66,11 +71,35 @@ class SnapshotTable:
         m.setdefault("branches", {})  # non-main branch name → version
         return m
 
-    def _commit_manifest(self, manifest: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path())  # atomic commit point
+    def _commit_manifest(
+        self, manifest: dict, expected_base: int | None = None
+    ) -> None:
+        """Atomic manifest swap; with `expected_base`, an optimistic
+        compare-and-swap: the commit aborts (ConcurrentWriteError) if
+        any snapshot landed since this writer read the manifest — the
+        Delta/Iceberg optimistic-concurrency contract. The advisory
+        flock serializes the check+swap on one node; on shared object
+        storage this role belongs to the catalog service (Nessie, a
+        DynamoDB lock, Hive metastore), which is exactly what the
+        reference's Nessie REST catalog provides.
+        """
+        lock_path = os.path.join(self.root, ".manifest.lock")
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            if expected_base is not None:
+                on_disk = self._load_manifest()
+                latest = max(
+                    (s["version"] for s in on_disk["snapshots"]), default=0
+                )
+                if latest != expected_base:
+                    raise ConcurrentWriteError(
+                        f"manifest advanced to v{latest} (expected v{expected_base}); "
+                        "reload and retry the commit"
+                    )
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path())  # atomic commit point
 
     # -- API ----------------------------------------------------------------
     def exists(self) -> bool:
@@ -117,7 +146,9 @@ class SnapshotTable:
             m["current"] = version
         else:
             m["branches"][branch] = version
-        self._commit_manifest(m)
+        # CAS against the version we allocated from: if another writer
+        # committed meanwhile, abort instead of clobbering its snapshot
+        self._commit_manifest(m, expected_base=version - 1)
         return info
 
     # -- branches (write-audit-publish) -------------------------------------

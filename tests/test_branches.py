@@ -60,3 +60,23 @@ def test_vacuum_protects_branch_heads(spark, table):
     assert 1 not in expired  # v1 is a branch head — must survive
     assert table.read(branch="pinned").count() == 10
     assert 2 in expired  # the unreferenced middle version goes
+
+def test_concurrent_write_aborts_not_clobbers(spark, table):
+    """Optimistic concurrency: a writer whose manifest read is stale
+    must fail its commit, not silently drop the other writer's
+    snapshot."""
+    from hybrid_data_lakehouse_lab_spark.operators.timetravel import (
+        ConcurrentWriteError,
+    )
+
+    stale = table._load_manifest()
+    table.write(_df(spark, 20), committed_at_ms=2_000)  # writer B lands v2
+    # writer A (holding the stale manifest) tries to commit its own v2
+    stale["snapshots"].append(
+        {"version": 2, "committed_at_ms": 2_500, "path": "/nonexistent"}
+    )
+    stale["current"] = 2
+    with pytest.raises(ConcurrentWriteError, match="reload and retry"):
+        table._commit_manifest(stale, expected_base=1)
+    # B's snapshot survived
+    assert table.read().count() == 20
