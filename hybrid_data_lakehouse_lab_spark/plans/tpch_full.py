@@ -245,7 +245,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH offers AS (
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+             round(min(l_extendedprice), 2) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey),
     ranked AS (
       SELECT o.*, min(o.unit_cost) OVER (PARTITION BY o.l_partkey) AS min_cost
@@ -267,7 +267,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H's correlated MIN subquery as a window min over the offer
     relation: one shuffle on l_partkey replaces the offers⋈offers
     self-join. The regional supplier scope is applied BEFORE the window
-    so the min is the regional min, matching Q2 semantics."""
+    so the min is the regional min, matching Q2 semantics.
+
+    The offer cost is min(l_extendedprice) — deliberately NOT a
+    price/quantity ratio: such ratios produce short decimals that land
+    exactly on round() boundaries, where Spark (BigDecimal HALF_UP on
+    the binary double) and DuckDB (scale-multiply-round) disagree by
+    one ulp (seen at sf0.1: 438.07875 → .0787 vs .0788). min of a
+    2-decimal column makes rounding the identity — comparison-stable
+    at every scale."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -281,9 +289,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
-        )
+        F.round(F.min("l_extendedprice"), 2).alias("unit_cost")
     )
     w = Window.partitionBy("l_partkey")
     return (
