@@ -35,6 +35,8 @@ HEADLINE = [
     "order_revenue_by_nation",
     "top_k_per_group",
     "json_extract_typed",
+    "json_variant_agg",
+    "grouping_sets_agg",
     "sessionize",
     "scd2_build",
     "current_state_upsert",
