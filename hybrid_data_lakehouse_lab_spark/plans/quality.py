@@ -1,0 +1,124 @@
+"""Data-quality / profiling lane over the events stream: burst
+debounce, statistical outlier flagging, and cohort bucketing — the
+checks a CDC pipeline runs between bronze and silver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Debounce — keep the FIRST event of each burst (same user+type within
+# 60 s): the CDC echo/retry suppressor.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_debounce_bursts",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 60
+    """,
+)
+def quality_debounce_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window (lag) per (user, type) partition — a single shuffle;
+    the dropped rows never leave their map task after the window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", prev.alias("prev_ts"))
+        .filter(
+            F.col("prev_ts").isNull()
+            | ((F.col("ts").cast("long") - F.col("prev_ts").cast("long")) > 60)
+        )
+        .drop("prev_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outliers — |value − mean| > 3σ within the event type.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_value_outliers",
+    oracle="""
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round((value - m) / s, 4) AS zscore
+    FROM (
+      SELECT event_id, event_type, value,
+             avg(value) OVER (PARTITION BY event_type) AS m,
+             stddev_samp(value) OVER (PARTITION BY event_type) AS s
+      FROM events)
+    WHERE abs(value - m) > 3 * s
+    ORDER BY event_id
+    """,
+)
+def quality_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean/σ as an unordered window (one pass, no join-back);
+    at 100 TB the same stats come from a tiny groupBy aggregate
+    broadcast back — both forms are one shuffle on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    m, s = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            m.alias("m"),
+            s.alias("s"),
+        )
+        .filter(F.abs(F.col("value") - F.col("m")) > 3 * F.col("s"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round((F.col("value") - F.col("m")) / F.col("s"), 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort quartiles — ntile over per-user spend.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_user_spend_quartiles",
+    oracle="""
+    SELECT user_id, total_value,
+           CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS INT) AS quartile
+    FROM (
+      SELECT user_id, round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id)
+    ORDER BY user_id
+    """,
+)
+def quality_user_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile after a groupBy: the window input is |users| rows, not
+    |events| — aggregate first, rank second. The rank orders on the
+    ROUNDED total (with a user_id tie-break) so engine-side ulp
+    differences in float summation can't reorder near-ties. A global
+    ntile is a single-partition sort; at real scale swap for
+    percent_rank over range-partitioned data or approx percentile
+    cutpoints."""
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.orderBy(F.desc("total_value"), "user_id")
+    return (
+        spend.select(
+            "user_id",
+            "total_value",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .orderBy("user_id")
+    )
