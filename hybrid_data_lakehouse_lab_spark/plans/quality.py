@@ -122,3 +122,47 @@ def quality_user_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily activity + next-day retention — the cohort query every product
+# analytics surface serves. Counts only: a retained/active RATIO of two
+# ints is a short terminating decimal, exactly the shape that lands on
+# cross-engine round() boundaries (see q2's docstring) — consumers can
+# divide the two columns themselves.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_daily_retention",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    flags AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM ud)
+    SELECT d AS activity_date,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(count(*) FILTER (WHERE d - prev_d = 1) AS BIGINT) AS retained_users
+    FROM flags
+    GROUP BY d
+    ORDER BY activity_date
+    """,
+)
+def quality_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user, day) first — the fact collapses to at most
+    |users|×|days| rows before any window or join; the lag window then
+    runs on that small relation. The naive day-over-day SELF-JOIN of
+    the distinct relation is equivalent but shuffles it twice."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    flags = ud.withColumn("prev_d", F.lag("d").over(w))
+    return (
+        flags.groupBy(F.col("d").alias("activity_date"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                F.when(F.datediff("d", "prev_d") == 1, 1).otherwise(0)
+            ).cast("bigint").alias("retained_users"),
+        )
+        .orderBy("activity_date")
+    )
