@@ -60,12 +60,19 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("we").cast("timestamp").alias("we"),
     )
     joined = binned_interval_join(events, w, "ts", "ws", "we", bin_seconds=86400)
+    # Stacked aggregation (see q21): countDistinct mixed with plain
+    # aggregates makes Catalyst EXPAND every row per distinct class
+    # before the shuffle; per-(window,user) partials first keep the
+    # fact at natural width through its one exchange.
+    per_user = joined.groupBy("window_id", "user_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v")
+    )
     return (
-        joined.groupBy("window_id")
+        per_user.groupBy("window_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum("_n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("_v"), 2).alias("total_value"),
         )
         .orderBy("window_id")
     )
