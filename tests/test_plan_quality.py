@@ -33,6 +33,22 @@ _INTENDED_BNLJ = {
 }
 
 
+# Expand is the INTENDED mechanism for multi-grouping queries (each row
+# legitimately belongs to several grouping sets); anywhere else it means
+# a distinct-aggregate rewrite is multiplying the fact before its
+# shuffle (one copy per gid) — fix with stacked aggregations (see
+# q21_single_return_supplier / range_join_event_windows).
+_INTENDED_EXPAND = {"rollup_agg", "cube_agg", "grouping_sets_agg"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_hidden_row_expansion(name, spark, sf_dir):
+    if name in _INTENDED_EXPAND:
+        return
+    plan = _plan(spark, sf_dir, name)
+    assert "Expand" not in plan, f"{name}: distinct-expand multiplies the fact"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_unpartitionable_joins(name, spark, sf_dir):
     """A CartesianProduct or BroadcastNestedLoopJoin in any lane means a
