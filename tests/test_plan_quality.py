@@ -5,6 +5,8 @@ automated `.explain` audit (SCALE.md documents the reasoning)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from hybrid_data_lakehouse_lab_spark.plans import QUERIES
@@ -39,6 +41,26 @@ _INTENDED_BNLJ = {
 # shuffle (one copy per gid) — fix with stacked aggregations (see
 # q21_single_return_supplier / range_join_event_windows).
 _INTENDED_EXPAND = {"rollup_agg", "cube_agg", "grouping_sets_agg"}
+
+
+# A window with no PARTITION BY funnels ALL rows through one task.
+# Allowed only where the window input is provably post-aggregate small:
+#   quality_user_spend_quartiles — global ntile over |users| rows
+_INTENDED_GLOBAL_WINDOW = {"quality_user_spend_quartiles"}
+
+_GLOBAL_WINDOW_PAT = re.compile(
+    r"Window [^\n]*\n(?:[^\n]*Sort [^\n]*\n)?[^\n]*Exchange SinglePartition"
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_global_window_on_facts(name, spark, sf_dir):
+    if name in _INTENDED_GLOBAL_WINDOW:
+        return
+    plan = _plan(spark, sf_dir, name)
+    assert not _GLOBAL_WINDOW_PAT.search(plan), (
+        f"{name}: unpartitioned window funnels all rows through one task"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
