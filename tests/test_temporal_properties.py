@@ -1,0 +1,101 @@
+"""Property tests: asof_join and binned_interval_join against exact
+pure-Python references on randomized inputs (hypothesis)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hybrid_data_lakehouse_lab_spark.operators.asof import asof_join
+from hybrid_data_lakehouse_lab_spark.operators.rangejoin import binned_interval_join
+
+BASE = datetime(2026, 6, 1, tzinfo=timezone.utc)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# left rows: (key ∈ 0..2, ts offset minutes); right rows add a payload
+_lefts = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=20
+)
+_rights = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 99)),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _ts(minutes: int) -> datetime:
+    return BASE + timedelta(minutes=minutes)
+
+
+@given(lefts=_lefts, rights=_rights)
+@_SETTINGS
+def test_asof_matches_python_reference(spark, lefts, rights):
+    # unique (key, ts) on the right — duplicate right timestamps make
+    # the matched payload nondeterministic in ANY asof implementation
+    rights = list({(k, m): v for k, m, v in rights}.items())
+    rights = [(k, m, v) for (k, m), v in rights]
+    left_df = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(lefts)],
+        "lid BIGINT, key BIGINT, lts TIMESTAMP",
+    )
+    right_df = spark.createDataFrame(
+        [(k, _ts(m), float(v)) for k, m, v in rights],
+        "key BIGINT, rts TIMESTAMP, px DOUBLE",
+    ) if rights else spark.createDataFrame([], "key BIGINT, rts TIMESTAMP, px DOUBLE")
+
+    got = {
+        r["lid"]: (r["matched_ts"], r["px"])
+        for r in asof_join(left_df, right_df, ["key"], "lts", "rts").collect()
+    }
+
+    want = {}
+    for i, (k, m) in enumerate(lefts):
+        eligible = [(rm, v) for rk, rm, v in rights if rk == k and rm <= m]
+        if eligible:
+            rm, v = max(eligible)  # latest ts; ts unique per key
+            want[i] = (_ts(rm).replace(tzinfo=None), float(v))
+        else:
+            want[i] = (None, None)
+    assert set(got) == set(want)
+    for i in want:
+        gt, gp = got[i]
+        wt, wp = want[i]
+        assert gp == wp and (gt == wt or (gt is None) == (wt is None)), (
+            i, got[i], want[i],
+        )
+
+
+_points = st.lists(st.integers(0, 1000), min_size=1, max_size=25)
+_intervals = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(1, 300)), min_size=1, max_size=8
+)
+
+
+@given(points=_points, intervals=_intervals, bin_min=st.sampled_from([7, 60, 240]))
+@_SETTINGS
+def test_range_join_matches_python_reference(spark, points, intervals, bin_min):
+    p_df = spark.createDataFrame(
+        [(i, _ts(m)) for i, m in enumerate(points)], "pid BIGINT, ts TIMESTAMP"
+    )
+    iv_df = spark.createDataFrame(
+        [(j, _ts(s), _ts(s + d)) for j, (s, d) in enumerate(intervals)],
+        "iid BIGINT, ws TIMESTAMP, we TIMESTAMP",
+    )
+    joined = binned_interval_join(
+        p_df, iv_df, "ts", "ws", "we", bin_seconds=bin_min * 60
+    )
+    got = {(r["pid"], r["iid"]) for r in joined.collect()}
+    want = {
+        (i, j)
+        for i, m in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= m < s + d
+    }
+    assert got == want
