@@ -99,3 +99,43 @@ def test_range_join_matches_python_reference(spark, points, intervals, bin_min):
         if s <= m < s + d
     }
     assert got == want
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=25
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=_edges)
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    from hybrid_data_lakehouse_lab_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+
+    # union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # canonical label = min node in component
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), n), n)
+    want = {n: comp_min[find(n)] for n in want}
+    assert got == want
