@@ -63,12 +63,15 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def ingest_rows_per_sec(spark, n_copies: int = 300) -> float:
+def ingest_rows_per_sec(spark, n_copies: int = 1500) -> float:
     """Streaming CDC ingest throughput: drain a drop dir of envelope
-    JSON through the bronze lane (parse → flatten → dt-partitioned
-    parquet) and report rows/sec. The reference's generator sustains
-    ~1,000 rows/s and stresses to 10-20k rows/s (BASELINE.md a);
-    this measures the same envelope format through our lane.
+    JSON (~240k rows) through the bronze lane (parse → flatten →
+    dt-partitioned parquet) and report rows/sec. The reference's
+    generator sustains ~1,000 rows/s and stresses to 10-20k rows/s
+    (BASELINE.md a); this measures the same envelope format through our
+    lane. The corpus is sized so the ~4 s fixed stream-startup cost
+    stops dominating the measurement (at 50k rows it halves the
+    reported rate).
     """
     import shutil
     import tempfile
