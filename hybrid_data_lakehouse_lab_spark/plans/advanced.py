@@ -409,3 +409,45 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "unpivot_revenue_components",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+             round(sum(l_extendedprice * l_discount), 2) AS discount_given,
+             round(sum(l_extendedprice * (1 - l_discount) * l_tax), 2) AS tax_collected
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'net_revenue' AS component, net_revenue AS amount FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'discount_given', discount_given FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'tax_collected', tax_collected FROM agg
+    ORDER BY l_returnflag, component
+    """,
+)
+def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack(): three measure columns melt to
+    (component, amount) rows AFTER aggregation, so the reshape touches
+    |groups|×3 rows, never the fact. The oracle states the same melt as
+    UNION ALL (dialect-neutral)."""
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(net), 2).alias("net_revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "discount_given"
+        ),
+        F.round(F.sum(net * F.col("l_tax")), 2).alias("tax_collected"),
+    )
+    return (
+        agg.selectExpr(
+            "l_returnflag",
+            "stack(3, 'net_revenue', net_revenue, "
+            "'discount_given', discount_given, "
+            "'tax_collected', tax_collected) AS (component, amount)",
+        )
+        .orderBy("l_returnflag", "component")
+    )

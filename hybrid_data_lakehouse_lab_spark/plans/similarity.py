@@ -155,3 +155,58 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rnk")
     )
+
+
+# The Arrow/Pandas-UDF twin of similarity_cosine_topk: SAME oracle, so
+# the vectorized-Python path is value-checked against DuckDB exactly
+# like the JVM path. Exists to prove the numpy escape hatch (BLAS math,
+# model scoring) without giving up the correctness gate.
+from ..operators.vectorized import cosine_sim_udf  # noqa: E402
+
+
+@register(
+    "similarity_cosine_topk_pandas",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, match_id,
+             list_cosine_similarity(qv, cv) AS sim
+      FROM q, c
+      WHERE query_id <> match_id
+    )
+    SELECT query_id, match_id, round(sim, 6) AS cosine_sim, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, match_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k with the similarity computed in an
+    Arrow-batched pandas_udf (numpy einsum per batch) instead of
+    zip_with/aggregate. Identical join/window plan around it — only the
+    scoring expression leaves the JVM."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), _as_double("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id", "match_id", cosine_sim_udf(F.col("qv"), F.col("cv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "match_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rnk")
+    )

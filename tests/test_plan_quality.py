@@ -28,6 +28,7 @@ def _plan(spark, sf_dir, name: str) -> str:
 _INTENDED_BNLJ = {
     "retention_window",
     "similarity_cosine_topk",
+    "similarity_cosine_topk_pandas",
     "q22_idle_rich_customers",
     "q15_top_supplier",
     "q11_important_parts",
