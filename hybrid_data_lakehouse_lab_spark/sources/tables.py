@@ -18,15 +18,37 @@ from .. import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable SQL confs every plan depends on, applied in load_table so
+# results are correct even on a session NOT built by session.get_spark (e.g.
+# an external harness calling queries() on a bare getOrCreate() session):
+#  * nanosAsLong — events.parquet carries TIMESTAMP(NANOS), which the vectorized
+#    parquet reader rejects outright; read as long and normalize below.
+#  * UTC session timezone — timestamp formatting/arithmetic must not depend on
+#    the host timezone (the DuckDB oracle is UTC-naive).
+#  * Arrow — the pandas-UDF lanes (similarity/multimodal) ride Arrow batches.
+_REQUIRED_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Idempotently pin the runtime confs correctness depends on."""
+    for k, v in _REQUIRED_RUNTIME_CONF.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table; filters/projections push down.
 
     events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads as a long
-    (nanosAsLong, see session.py); normalize to a microsecond timestamp by
-    integer division — the same ns→µs truncation DuckDB applies, so the
-    oracle sees identical values.
+    (nanosAsLong, pinned at runtime here so bare sessions work too);
+    normalize to a microsecond timestamp by integer division — the same
+    ns→µs truncation DuckDB applies, so the oracle sees identical values.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):

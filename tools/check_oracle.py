@@ -2,7 +2,12 @@
 entry on Spark and its oracle_sql() on DuckDB, compare row count, schema
 (column names), and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--bare-session] [sf_dir] [query ...]
+
+--bare-session replicates the driver harness: a plain
+``SparkSession.builder.getOrCreate()`` with NONE of the builder confs from
+session.get_spark, so any hidden dependency on builder-session configuration
+fails here before it fails in the driver.
 """
 
 from __future__ import annotations
@@ -21,9 +26,18 @@ from hybrid_data_lakehouse_lab_spark.testing.compare import (  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark("oracle-check")
+    argv = list(sys.argv[1:])
+    bare = "--bare-session" in argv
+    if bare:
+        argv.remove("--bare-session")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    names = argv[1:] or list(QUERIES)
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
     failures = 0
     for name in names:
