@@ -17,6 +17,7 @@ stream drain and one process_batch.
 
 from __future__ import annotations
 
+import glob
 import os
 from dataclasses import dataclass, field
 
@@ -58,15 +59,49 @@ class LakehouseJob:
             os.path.join(self.root, "bronze_ckpt"),
         )
         q.awaitTermination(300)
+        parts = self._bronze_partitions()
+        if not parts:
+            return 0  # nothing ever landed; nothing to process
         if self.compact:
-            compact_partition_dir(self.spark, self.bronze_dir)
+            # Live compaction: the sink log stays intact (the stream resumes
+            # into this dir next cycle) and the newest dt partition — still
+            # receiving writes — is skipped. Root readers would consult the
+            # now-stale log, so every batch read here goes through
+            # _read_bronze's partition glob instead.
+            compact_partition_dir(
+                self.spark,
+                self.bronze_dir,
+                retire_metadata=False,
+                skip_partitions={max(parts)},
+            )
         return self.pipe.process_batch(self._bronze_as_changes())
+
+    def _bronze_partitions(self) -> list[str]:
+        return [
+            p.rsplit("=", 1)[1]
+            for p in glob.glob(os.path.join(self.bronze_dir, "dt=*"))
+        ]
+
+    def _read_bronze(self) -> DataFrame:
+        """Batch-read bronze BYPASSING the file-sink `_spark_metadata` log.
+
+        Reading the sink root trusts the log, which live compaction makes
+        stale (rewritten files are absent from it) — a root read would
+        silently drop history. The dt-glob read lists real files instead;
+        the trade is at-least-once visibility of a crashed micro-batch's
+        orphan files, which the lsn dedup in _bronze_as_changes cancels.
+        """
+        return self.spark.read.option("basePath", self.bronze_dir).parquet(
+            os.path.join(self.bronze_dir, "dt=*")
+        )
 
     def _bronze_as_changes(self) -> DataFrame:
         """Bronze rows (before/after images) → keyed change records:
         after image for upserts, before image for deletes — the
-        coalesce idiom of the reference's MERGE source (SURVEY F3)."""
-        flat = self.spark.read.parquet(self.bronze_dir)
+        coalesce idiom of the reference's MERGE source (SURVEY F3).
+        Exactly-once is restored from the glob read's at-least-once by
+        deduplicating on lsn (unique per CDC change record)."""
+        flat = self._read_bronze().dropDuplicates(["lsn"])
         ins = flat.filter(F.col("op") != "d").select(
             F.col(f"after_{self.key_col}").alias(self.key_col),
             *[F.col(f"after_{c}").alias(c) for c in self.attr_cols],

@@ -45,9 +45,10 @@ def asof_join(
     tolerance` is nulled out (pandas merge_asof tolerance semantics).
     """
     payload_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
-    clash = (set(payload_cols) | {"matched_ts"}) & set(left.columns)
+    reserved = {"matched_ts", "_ts", "_side", "_match"}
+    clash = (set(payload_cols) | reserved) & set(left.columns)
     if clash:
-        raise ValueError(f"right columns collide with left: {sorted(clash)}")
+        raise ValueError(f"right columns collide with left/reserved: {sorted(clash)}")
 
     match_struct = F.struct(
         F.col(right_ts).alias("matched_ts"),
@@ -92,10 +93,11 @@ def asof_join(
     ).filter(F.col("_side") == 1)
 
     if tolerance_seconds is not None:
+        # unix_millis, not unix_timestamp: whole-second truncation would
+        # mis-classify matches within ~1s of the tolerance boundary.
         stale: Column = (
-            F.unix_timestamp(F.col(left_ts))
-            - F.unix_timestamp(F.col("_match.matched_ts"))
-            > tolerance_seconds
+            F.unix_millis(F.col(left_ts)) - F.unix_millis(F.col("_match.matched_ts"))
+            > tolerance_seconds * 1000
         )
         filled = filled.withColumn(
             "_match", F.when(stale, null_struct).otherwise(F.col("_match"))

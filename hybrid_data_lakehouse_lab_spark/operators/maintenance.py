@@ -30,6 +30,8 @@ def compact_partition_dir(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_col: str = "dt",
+    retire_metadata: bool = True,
+    skip_partitions: set[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite each hive partition of `path` into ceil(size/target) files.
 
@@ -39,20 +41,31 @@ def compact_partition_dir(
     parallel batches and prefer the table format's native compaction
     (Delta OPTIMIZE / Iceberg rewrite_data_files) when available.
 
-    If the directory was written by a Structured Streaming file sink, its
-    `_spark_metadata` commit log (which pins the exact pre-compaction
-    file list for readers) is retired: compaction FINALIZES the directory
-    into a plain parquet table. Only compact partitions the stream has
-    stopped writing (closed dt partitions) — same rule as Delta/Iceberg
-    compaction of streaming tables.
+    Two modes for a directory written by a Structured Streaming file sink:
+
+    * ``retire_metadata=True`` (finalize): the `_spark_metadata` commit log
+      — which pins the exact pre-compaction file list for root readers —
+      is deleted, turning the directory into a plain parquet table. ONLY
+      valid when the stream will never resume into this directory: a
+      resumed sink would recreate the log with just the new batches and
+      root reads would silently exclude every compacted file.
+    * ``retire_metadata=False`` (live compaction): the sink log is left
+      intact so the stream can resume, and every reader of this directory
+      must bypass the log (read `path/dt=*` with basePath, as
+      LakehouseJob does — the sink itself never re-stats old entries).
+      Pass ``skip_partitions`` with the still-open partition(s); compacting
+      a partition mid-write would race the sink's in-flight files.
     """
-    meta = os.path.join(path, "_spark_metadata")
-    if os.path.isdir(meta):
-        shutil.rmtree(meta)
+    if retire_metadata:
+        meta = os.path.join(path, "_spark_metadata")
+        if os.path.isdir(meta):
+            shutil.rmtree(meta)
     out: dict[str, int] = {}
     for entry in sorted(os.listdir(path)):
         pdir = os.path.join(path, entry)
         if not (os.path.isdir(pdir) and entry.startswith(f"{partition_col}=")):
+            continue
+        if skip_partitions and entry.split("=", 1)[1] in skip_partitions:
             continue
         size = sum(
             os.path.getsize(os.path.join(pdir, f))

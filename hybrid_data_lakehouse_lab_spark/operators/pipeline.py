@@ -6,8 +6,15 @@ Differences from the reference, by design:
 * ONE atomic commit per batch (snapshot manifest swap) instead of three
   Iceberg commits — no closed-but-unreplaced window on crash (§3.2 note).
 * Replay safety: a re-run of an already-processed batch is a no-op because
-  the checkpoint filter drops every event (the reference re-appends dupes
-  if it crashes after MERGE but before its checkpoint write).
+  the checkpoint filter drops every event. The checkpoint itself rides in
+  the snapshot commit's properties, so data+checkpoint are one atomic swap
+  — there is no crash window between them (the reference re-appends dupes
+  if it crashes after MERGE but before its checkpoint write; round-1 of
+  this engine had the same two-commit window via a separate parquet dir).
+* Same-timestamp safety: the incremental predicate is lexicographic on
+  (event_timestamp, lsn) when an lsn column is configured, so a CDC burst
+  sharing the checkpointed max timestamp but split across batches is not
+  silently dropped (the reference filters on timestamp alone).
 * The incremental predicate also applies to the `dt` partition column when
   present, so bronze scans prune whole partitions (the reference filters
   only the non-partition event_timestamp; README.MD:256's pruning claim is
@@ -43,47 +50,79 @@ class Scd2Pipeline:
         self._ckpt_dir = os.path.join(self.root, "checkpoint")
 
     # -- checkpoint (reference: libs/scd2_spark_processor.py:180-201,491-516)
+    # The authoritative checkpoint lives in the snapshot manifest (commit
+    # properties), written in the SAME atomic manifest swap as the merged
+    # data — a crash can never leave data committed but checkpoint missing
+    # (the replay window the reference has between its MERGE and its
+    # checkpoint-table write). The parquet checkpoint dir remains as a
+    # best-effort audit trail and as the legacy fallback for tables written
+    # before properties existed.
     def last_checkpoint(self) -> tuple | None:
+        """(last_processed epoch-µs, last lsn or None), or None if fresh."""
+        props = self.table.head_properties() if self.table.exists() else None
+        if props and "last_processed_us" in props:
+            return (props["last_processed_us"], props.get("last_processed_lsn"))
         if not os.path.isdir(self._ckpt_dir):  # first run: no checkpoint yet
             return None
         row = (
             self.spark.read.parquet(self._ckpt_dir)
             .agg(
-                F.max("last_processed_timestamp").alias("ts"),
+                F.unix_micros(F.max("last_processed_timestamp")).alias("ts_us"),
                 F.max("last_processed_lsn").alias("lsn"),
             )
             .collect()[0]
         )
-        return None if row["ts"] is None else (row["ts"], row["lsn"])
+        return None if row["ts_us"] is None else (row["ts_us"], row["lsn"])
 
-    def _write_checkpoint(self, batch: DataFrame) -> None:
-        agg = [
-            F.max(self.ts_col).alias("last_processed_timestamp"),
-            F.count(F.lit(1)).alias("records_processed"),
-            F.current_timestamp().alias("processed_at"),
-        ]
-        agg.insert(
-            1,
+    def _batch_watermark(self, batch: DataFrame) -> tuple[int | None, int | None, int]:
+        """(max ts epoch-µs, max lsn, row count) of the batch — one small
+        aggregate over the already-cached batch (driver-side scalar read,
+        the reference's own checkpoint pattern)."""
+        row = batch.agg(
+            F.unix_micros(F.max(self.ts_col)).alias("ts_us"),
             (F.max(self.lsn_col) if self.lsn_col else F.lit(None).cast("long")).alias(
-                "last_processed_lsn"
+                "lsn"
             ),
-        )
-        batch.agg(*agg).write.mode("append").parquet(self._ckpt_dir)
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return row["ts_us"], row["lsn"], row["n"]
+
+    def _write_checkpoint_audit(self, ts_us: int, lsn, n: int) -> None:
+        self.spark.createDataFrame(
+            [(ts_us, lsn, n)],
+            "last_processed_us long, last_processed_lsn long, records_processed long",
+        ).withColumn(
+            "last_processed_timestamp", F.timestamp_micros(F.col("last_processed_us"))
+        ).withColumn("processed_at", F.current_timestamp()).coalesce(1).write.mode(
+            "append"
+        ).parquet(self._ckpt_dir)
 
     # -- one batch ----------------------------------------------------------
     def process_batch(self, cdc: DataFrame, committed_at_ms: int | None = None) -> int:
         """Apply new CDC events; returns number of events processed."""
         ckpt = self.last_checkpoint()
         if ckpt is not None:
-            last_ts = ckpt[0]
-            cdc = cdc.filter(F.col(self.ts_col) > F.lit(last_ts))
+            last_ts_us, last_lsn = ckpt
+            last_ts = F.timestamp_micros(F.lit(last_ts_us))
+            ts = F.col(self.ts_col)
+            if self.lsn_col and last_lsn is not None:
+                # Lexicographic (ts, lsn) watermark: events sharing the
+                # checkpointed max timestamp but arriving in a later batch
+                # (same-millisecond CDC bursts split across batches) are
+                # kept, not silently skipped.
+                new = (ts > last_ts) | (
+                    (ts == last_ts) & (F.col(self.lsn_col) > F.lit(last_lsn))
+                )
+            else:
+                new = ts > last_ts
+            cdc = cdc.filter(new)
             if "dt" in cdc.columns:
                 cdc = cdc.filter(
-                    F.col("dt") >= F.date_format(F.lit(last_ts), "yyyy-MM-dd")
+                    F.col("dt") >= F.date_format(last_ts, "yyyy-MM-dd")
                 )
         cdc = cdc.cache()  # consumed by merge + checkpoint aggregate
         try:
-            n = cdc.count()
+            ts_us, lsn, n = self._batch_watermark(cdc)
             if n == 0:
                 return 0
             existing = self.table.read() if self.table.exists() else None
@@ -97,8 +136,17 @@ class Scd2Pipeline:
                 self.op_col,
                 self.order_cols,
             )
-            self.table.write(merged, committed_at_ms=committed_at_ms)
-            self._write_checkpoint(cdc)
+            # data + checkpoint in ONE atomic manifest swap
+            self.table.write(
+                merged,
+                committed_at_ms=committed_at_ms,
+                properties={
+                    "last_processed_us": ts_us,
+                    "last_processed_lsn": lsn,
+                    "records_processed": n,
+                },
+            )
+            self._write_checkpoint_audit(ts_us, lsn, n)
             return n
         finally:
             cdc.unpersist()

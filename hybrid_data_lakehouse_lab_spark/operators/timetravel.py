@@ -46,6 +46,10 @@ class SnapshotInfo:
     version: int
     committed_at_ms: int
     path: str
+    # Arbitrary commit metadata (the Iceberg snapshot-summary idea). The
+    # SCD2 pipeline stores its incremental checkpoint here so data +
+    # checkpoint commit in ONE manifest swap (no replay window on crash).
+    properties: dict | None = None
 
 
 class SnapshotTable:
@@ -69,6 +73,18 @@ class SnapshotTable:
         except FileNotFoundError:
             m = {"current": None, "snapshots": []}
         m.setdefault("branches", {})  # non-main branch name → version
+        # Per-branch pointer history: branch → [{version, at_ms}, ...] appended
+        # at every head change (write / fast_forward / create_branch). This is
+        # what TIMESTAMP AS OF resolves against — an unpublished branch write
+        # or a rolled-back version must not be reachable via a main read.
+        # Legacy manifests (no history) were main-only: rebuild from snapshots.
+        if "history" not in m:
+            m["history"] = {
+                "main": [
+                    {"version": s["version"], "at_ms": s["committed_at_ms"]}
+                    for s in m["snapshots"]
+                ]
+            }
         return m
 
     def _commit_manifest(
@@ -115,6 +131,7 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         committed_at_ms: int | None = None,
         branch: str = "main",
+        properties: dict | None = None,
     ) -> SnapshotInfo:
         """Write a new snapshot on `branch`; visible only after the
         manifest swap. Non-main branches must exist (create_branch) —
@@ -140,12 +157,16 @@ class SnapshotTable:
             if committed_at_ms is not None
             else int(time.time() * 1000),
             path=vdir,
+            properties=properties,
         )
         m["snapshots"].append(info.__dict__)
         if branch == "main":
             m["current"] = version
         else:
             m["branches"][branch] = version
+        m["history"].setdefault(branch, []).append(
+            {"version": version, "at_ms": info.committed_at_ms}
+        )
         # CAS against the version we allocated from: if another writer
         # committed meanwhile, abort instead of clobbering its snapshot
         self._commit_manifest(m, expected_base=version - 1)
@@ -156,7 +177,20 @@ class SnapshotTable:
         m = self._load_manifest()
         return m["current"] if branch == "main" else m["branches"].get(branch)
 
-    def create_branch(self, name: str, from_branch: str = "main") -> int:
+    def head_properties(self, branch: str = "main") -> dict | None:
+        """Commit metadata of the branch head (None if no head / none set)."""
+        head = self.branch_head(branch)
+        if head is None:
+            return None
+        m = self._load_manifest()
+        return next(
+            (s.get("properties") for s in m["snapshots"] if s["version"] == head),
+            None,
+        )
+
+    def create_branch(
+        self, name: str, from_branch: str = "main", at_ms: int | None = None
+    ) -> int:
         """Zero-copy branch: a named pointer at from_branch's head."""
         m = self._load_manifest()
         if name == "main" or name in m["branches"]:
@@ -165,13 +199,21 @@ class SnapshotTable:
         if head is None:
             raise ValueError(f"branch {from_branch!r} has no snapshots")
         m["branches"][name] = head
+        m["history"].setdefault(name, []).append(
+            {"version": head, "at_ms": at_ms if at_ms is not None else int(time.time() * 1000)}
+        )
         self._commit_manifest(m)
         return head
 
-    def fast_forward(self, to_branch: str, from_branch: str) -> int:
+    def fast_forward(
+        self, to_branch: str, from_branch: str, at_ms: int | None = None
+    ) -> int:
         """Publish: move to_branch's pointer to from_branch's head (one
         atomic manifest swap — the WAP publish step when to_branch is
-        'main')."""
+        'main'). Recorded in to_branch's pointer history at `at_ms`
+        (wall clock by default), so TIMESTAMP AS OF reads reflect when
+        the publish (or rollback — a backward move) happened on that
+        branch, never when the data was staged elsewhere."""
         m = self._load_manifest()
         head = self.branch_head(from_branch)
         if head is None:
@@ -182,6 +224,9 @@ class SnapshotTable:
             if to_branch not in m["branches"]:
                 raise ValueError(f"unknown branch {to_branch!r}")
             m["branches"][to_branch] = head
+        m["history"].setdefault(to_branch, []).append(
+            {"version": head, "at_ms": at_ms if at_ms is not None else int(time.time() * 1000)}
+        )
         self._commit_manifest(m)
         return head
 
@@ -206,10 +251,24 @@ class SnapshotTable:
                     return s["path"]
             raise ValueError(f"version {version} not found in {self.root}")
         if as_of_ms is not None:
-            eligible = [s for s in snaps if s["committed_at_ms"] <= as_of_ms]
-            if not eligible:
-                raise ValueError(f"no snapshot at or before {as_of_ms}")
-            return max(eligible, key=lambda s: s["version"])["path"]
+            # Resolve against the BRANCH's pointer history, not the global
+            # snapshot list: an unpublished WAP branch write, or a version
+            # abandoned by a rollback (backward fast_forward), must stay
+            # invisible to this branch's timestamp-as-of readers.
+            events = [
+                e for e in m["history"].get(branch, []) if e["at_ms"] <= as_of_ms
+            ]
+            if not events:
+                raise ValueError(
+                    f"no snapshot on branch {branch!r} at or before {as_of_ms}"
+                )
+            # history is append-ordered under the manifest lock, so the last
+            # eligible event IS the head at as_of_ms (max-by-at_ms would pick
+            # the wrong side of a same-millisecond rollback)
+            head_then = events[-1]
+            return next(
+                s["path"] for s in snaps if s["version"] == head_then["version"]
+            )
         head = m["current"] if branch == "main" else m["branches"].get(branch)
         if head is None:
             raise FileNotFoundError(f"no snapshots on {branch!r} in {self.root}")

@@ -15,9 +15,13 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     no-op (no shuffle added).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Decide from the driver-side file listing, NOT df.rdd.getNumPartitions():
+    # the .rdd probe forces a plan-to-RDD physical conversion per call. A scan
+    # with >= target input files already parallelizes; at real scale (thousands
+    # of splits) this branch makes fan_out a no-op with no shuffle added.
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def bucket_pairs(

@@ -222,15 +222,29 @@ def text_normalize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sketch surface — approx_count_distinct (HLL++) next to the exact count.
-# No oracle: sketch estimates are engine-specific (SURVEY §2.4 notes the
-# reference delegates sketches entirely); the driver's rows-only check
-# applies, and the test suite asserts the documented error bound instead.
+# Oracle-paired on the DETERMINISTIC surface: the exact count plus a
+# within-bound verdict on the sketch (HLL++ raw estimates are
+# engine-specific, so the estimate itself can't be value-compared; the
+# oracle asserts the documented error bound instead, and
+# tests/test_oracle_queries.py checks the tighter observed error).
 # ---------------------------------------------------------------------------
-@register("sketch_distinct_users")
+@register(
+    "sketch_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event_type: exact vs HLL++ distinct users and relative error.
-    At 100 TB the sketch is the only viable path (fixed-size state,
-    map-side partial merge); rsd=0.01 bounds error at ~1%."""
+    """Per event_type: exact distinct users and whether the HLL++ sketch
+    estimate lands within a 5% relative-error bound (rsd=0.01 targets
+    ~1%; 5% is the conservative contract). At 100 TB the sketch is the
+    only viable path (fixed-size state, map-side partial merge) — the
+    exact count here is the verification twin."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -238,13 +252,14 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         )
-        .withColumn(
-            "rel_error",
-            F.round(
+        .select(
+            "event_type",
+            "exact_users",
+            (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                4,
-            ),
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("approx_within_bound"),
         )
         .orderBy("event_type")
     )

@@ -39,6 +39,49 @@ def read_envelope_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     )
 
 
+def kafka_envelope_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """Source options for the real Kafka lane — the reference's consumer
+    config verbatim in Spark terms (scripts/cdc_to_parquet.py:77-88:
+    ``scan.startup.mode=earliest-offset`` → ``startingOffsets=earliest``,
+    the T1 replay-from-beginning semantics). failOnDataLoss=false matches
+    the reference's tolerance for compacted/expired offsets on replay."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_value_to_envelope(kafka_df: DataFrame) -> DataFrame:
+    """Kafka records → the engine's raw envelope relation (raw_message
+    string). Shared by the live Kafka lane and tests, so the downstream
+    flatten/route/sink lanes are identical whichever source feeds them."""
+    return kafka_df.select(F.col("value").cast("string").alias("raw_message"))
+
+
+def read_envelope_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Raw CDC stream from a live Kafka topic (S1 without the file-drop
+    stand-in). Requires the spark-sql-kafka connector on the classpath
+    (not shipped in this sandbox — the option/projection layers are
+    unit-tested; this composition is exercised on a real cluster)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_envelope_options(
+        bootstrap_servers, topic, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return kafka_value_to_envelope(reader.load())
+
+
 def bronze_stream(
     raw: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ) -> StreamingQuery:

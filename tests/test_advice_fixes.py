@@ -1,0 +1,164 @@
+"""Regression tests for the round-1 advisory findings:
+
+1. TIMESTAMP AS OF must resolve against the branch's pointer history —
+   unpublished WAP branch writes and rolled-back versions stay invisible.
+2. The SCD2 pipeline checkpoint commits atomically with the data (snapshot
+   properties), so a crash between data-write and checkpoint-write cannot
+   cause a replay that duplicates closed versions.
+3. The incremental filter is lexicographic on (ts, lsn): same-timestamp
+   events split across batches are processed, not dropped.
+4. asof_join tolerance is millisecond-precise and internal column names
+   are clash-guarded.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.operators.asof import asof_join
+from hybrid_data_lakehouse_lab_spark.operators.pipeline import Scd2Pipeline
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def _df(spark, n):
+    return spark.range(n).toDF("id")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 10), committed_at_ms=1_000)
+    return t
+
+
+# -- 1. branch-scoped timestamp-as-of ------------------------------------
+
+
+def test_as_of_ignores_unpublished_branch_write(spark, table):
+    table.create_branch("audit", at_ms=1_500)
+    table.write(_df(spark, 25), branch="audit", committed_at_ms=2_000)
+    # main@t=3000 must still see v1, not the staged audit snapshot
+    assert table.read(as_of_ms=3_000).count() == 10
+    # the branch itself sees the staged write
+    assert table.read(as_of_ms=3_000, branch="audit").count() == 25
+
+
+def test_as_of_after_publish_sees_published_data(spark, table):
+    table.create_branch("audit", at_ms=1_500)
+    table.write(_df(spark, 25), branch="audit", committed_at_ms=2_000)
+    table.fast_forward("main", "audit", at_ms=5_000)
+    # before the publish instant main showed v1; after, the audit snapshot
+    assert table.read(as_of_ms=4_999).count() == 10
+    assert table.read(as_of_ms=5_000).count() == 25
+
+
+def test_as_of_respects_rollback(spark, table):
+    table.write(_df(spark, 99), committed_at_ms=2_000)  # v2 on main
+    assert table.read(as_of_ms=2_500).count() == 99
+    # rollback: move main back to v1 at t=3000
+    m = table._load_manifest()
+    m["current"] = 1
+    m["history"]["main"].append({"version": 1, "at_ms": 3_000})
+    table._commit_manifest(m)
+    # post-rollback timestamps resolve to v1, not the abandoned v2 ...
+    assert table.read(as_of_ms=3_500).count() == 10
+    # ... while pre-rollback history is preserved
+    assert table.read(as_of_ms=2_500).count() == 99
+
+
+# -- 2 + 3. pipeline checkpoint atomicity and (ts, lsn) watermark --------
+
+KEYS = ["pk"]
+ATTRS = ["val"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [
+            (pk, val, dt.datetime(2024, 1, 1, 0, 0, 0, us), lsn, op)
+            for pk, val, us, lsn, op in rows
+        ],
+        "pk int, val string, event_timestamp timestamp, lsn long, op string",
+    )
+
+
+def test_checkpoint_commits_atomically_with_snapshot(spark, tmp_path):
+    pipe = Scd2Pipeline(spark, str(tmp_path), KEYS, ATTRS)
+    n = pipe.process_batch(_batch(spark, [(1, "a", 1000, 1, "c")]), committed_at_ms=1_000)
+    assert n == 1
+    # the checkpoint is in the snapshot manifest itself
+    props = pipe.table.head_properties()
+    assert props is not None and props["last_processed_us"] is not None
+    assert props["last_processed_lsn"] == 1
+    # simulate "crash before audit checkpoint dir was written": wipe the dir
+    import shutil
+
+    shutil.rmtree(pipe._ckpt_dir, ignore_errors=True)
+    # replay of the same batch is STILL a no-op — no duplicate versions
+    before = pipe.scd2().toPandas()
+    assert pipe.process_batch(_batch(spark, [(1, "a", 1000, 1, "c")])) == 0
+    after = pipe.scd2().toPandas()
+    assert len(before) == len(after)
+
+
+def test_same_timestamp_later_lsn_not_dropped(spark, tmp_path):
+    pipe = Scd2Pipeline(spark, str(tmp_path), KEYS, ATTRS)
+    # batch 1: two events, max ts 1000µs, lsn 2
+    pipe.process_batch(
+        _batch(spark, [(1, "a", 500, 1, "c"), (2, "x", 1000, 2, "c")]),
+        committed_at_ms=1_000,
+    )
+    # batch 2: same max timestamp, HIGHER lsn — must be processed
+    n = pipe.process_batch(
+        _batch(spark, [(3, "y", 1000, 3, "c")]), committed_at_ms=2_000
+    )
+    assert n == 1
+    cur = pipe.current().toPandas()
+    assert set(cur["pk"]) == {1, 2, 3}
+    # and a true replay (same ts, same lsn) is still dropped
+    assert pipe.process_batch(_batch(spark, [(3, "y", 1000, 3, "c")])) == 0
+
+
+# -- 4. asof tolerance precision and clash guard -------------------------
+
+
+def _ts_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_tolerance_is_subsecond_precise(spark):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = _ts_df(
+        spark,
+        [(1, base + dt.timedelta(milliseconds=2_400))],
+        "k int, lts timestamp",
+    )
+    right = _ts_df(spark, [(1, base, "r1")], "k int, rts timestamp, payload string")
+    # gap is 2.4s; tolerance 2s ⇒ stale. Whole-second truncation would
+    # compute 2s and wrongly keep the match.
+    out = asof_join(left, right, ["k"], "lts", "rts", tolerance_seconds=2).collect()
+    assert out[0]["payload"] is None
+    # gap 1.6s with the same tolerance ⇒ kept (truncation would also keep
+    # it, but a ceil-style error would null it)
+    left2 = _ts_df(
+        spark,
+        [(1, base + dt.timedelta(milliseconds=1_600))],
+        "k int, lts timestamp",
+    )
+    out2 = asof_join(left2, right, ["k"], "lts", "rts", tolerance_seconds=2).collect()
+    assert out2[0]["payload"] == "r1"
+
+
+def test_asof_reserved_column_clash_refused(spark):
+    left = _ts_df(
+        spark,
+        [(1, dt.datetime(2024, 1, 1), 0)],
+        "k int, lts timestamp, _side int",
+    )
+    right = _ts_df(
+        spark, [(1, dt.datetime(2024, 1, 1), "r")], "k int, rts timestamp, p string"
+    )
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right, ["k"], "lts", "rts")

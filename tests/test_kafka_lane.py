@@ -1,0 +1,87 @@
+"""S1 Kafka source lane — options and projection, unit-tested without a
+broker (the spark-sql-kafka connector isn't in this sandbox; the
+composition `read_envelope_stream_kafka` is option-building + the
+projection tested here + `.load()`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.cdc import flatten_envelope
+from hybrid_data_lakehouse_lab_spark.streaming import (
+    kafka_envelope_options,
+    kafka_value_to_envelope,
+)
+from hybrid_data_lakehouse_lab_spark.testing.fixtures import envelope_json_lines
+
+
+def test_options_request_earliest_replay():
+    opts = kafka_envelope_options("broker-1:9092,broker-2:9092", "pg.sales.cdc")
+    assert opts["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
+    assert opts["subscribe"] == "pg.sales.cdc"
+    assert opts["startingOffsets"] == "earliest"  # T1 replay-from-beginning
+    assert opts["failOnDataLoss"] == "false"
+    # explicit offsets pass through untouched
+    assert (
+        kafka_envelope_options("b:9092", "t", starting_offsets="latest")[
+            "startingOffsets"
+        ]
+        == "latest"
+    )
+
+
+def _kafka_shaped_df(spark, lines):
+    """A batch DataFrame with the Kafka source's record schema."""
+    rows = [
+        (None, line.encode("utf-8"), "pg.sales.cdc", 0, i)
+        for i, line in enumerate(lines)
+    ]
+    return spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long"
+    )
+
+
+def test_kafka_records_flatten_like_file_lane(spark):
+    """The Kafka projection feeds the SAME flatten as the file lane and
+    yields identical envelopes."""
+    lines = envelope_json_lines()[:30]
+    via_kafka = flatten_envelope(
+        kafka_value_to_envelope(_kafka_shaped_df(spark, lines))
+    )
+    via_files = flatten_envelope(
+        spark.createDataFrame([(s,) for s in lines], ["raw_message"])
+    )
+    assert via_kafka.schema == via_files.schema
+    a = sorted(via_kafka.collect(), key=lambda r: r["lsn"])
+    b = sorted(via_files.collect(), key=lambda r: r["lsn"])
+    assert a == b
+    assert len(a) == len(lines)
+
+
+def test_kafka_projection_single_string_column(spark):
+    out = kafka_value_to_envelope(_kafka_shaped_df(spark, ['{"x":1}']))
+    assert out.columns == ["raw_message"]
+    assert out.schema["raw_message"].dataType.simpleString() == "string"
+    assert out.first()["raw_message"] == '{"x":1}'
+
+
+def test_kafka_stream_builder_targets_kafka_format(spark):
+    """read_envelope_stream_kafka must reach .load() on format('kafka');
+    without the connector jar the load fails with the canonical
+    missing-data-source error — proving the branch is wired, not a stub."""
+    import pytest
+
+    from hybrid_data_lakehouse_lab_spark.streaming import read_envelope_stream_kafka
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        read_envelope_stream_kafka(spark, "b:9092", "t")
+
+
+def test_flatten_is_source_agnostic_passthrough(spark):
+    """Property the lanes rely on: flatten consumes ONLY raw_message, so
+    any source projecting to it (file text, Kafka value, socket) slots in."""
+    lines = envelope_json_lines()[:5]
+    extra = kafka_value_to_envelope(_kafka_shaped_df(spark, lines)).withColumn(
+        "noise", F.lit(1)
+    )
+    assert flatten_envelope(extra.select("raw_message")).count() == 5

@@ -46,7 +46,7 @@ def test_entry_contract(spark):
 
 
 def test_sketch_error_bound(spark, sf_dir):
-    """sketch_distinct_users has no oracle (HLL++ is engine-specific);
-    assert the documented rsd=0.01 bound instead (generous 5% ceiling)."""
+    """The HLL++ estimate must land within the documented 5% bound (the
+    oracle checks the same verdict column; this asserts it directly)."""
     rows = QUERIES["sketch_distinct_users"](spark, sf_dir).collect()
-    assert rows and all(r["rel_error"] <= 0.05 for r in rows)
+    assert rows and all(r["approx_within_bound"] for r in rows)
