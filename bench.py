@@ -132,6 +132,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "ingest_rows_per_sec": ingest_rows_per_sec(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
