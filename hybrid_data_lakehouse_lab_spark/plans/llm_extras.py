@@ -241,3 +241,151 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+    ),
+    freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS n_total FROM tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           round(avg(-ln(f.cnt / tt.n_total)), 5) AS nll_proxy
+    FROM tok t JOIN freq f USING (token) CROSS JOIN tot tt
+    GROUP BY t.doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality filter: score every document by the
+    mean negative log-probability of its tokens under the corpus's own
+    unigram distribution (high = rare/garbled text, low = boilerplate).
+    Real curation runs threshold on this score; the score is the judged
+    unit.
+
+    100 TB: one explode feeds both the vocabulary count (one shuffle on
+    token, map-side combine) and the scoring join; the probability table
+    is O(|vocabulary|) and broadcast here — on a corpus whose vocabulary
+    outgrows the broadcast limit, drop the hint and AQE picks a
+    sort-merge join on token. The corpus-total is a 1-row broadcast.
+    Output rounds at 1e-5, two orders above cross-engine float-summation
+    jitter (~1e-13 relative); ln() values are irrational so the
+    HALF_UP-boundary hazard that rounded ratios carry cannot occur.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("n_total"))), 5
+            ).alias("nll_proxy"),
+        )
+    )
+
+
+@register(
+    "corpus_domain_mix_weights",
+    oracle="""
+    WITH src AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS src_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(src_tokens) AS total_tokens, count(*) AS n_sources
+        FROM src
+    )
+    SELECT source, n_docs, src_tokens,
+           (1000000 * total_tokens) // (n_sources * src_tokens) AS weight_ppm,
+           (1000000 * total_tokens) // (n_sources * src_tokens) > 1000000
+               AS upsampled
+    FROM src CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def corpus_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights for a training run: per-source token mass vs
+    a uniform target mixture, emitted as parts-per-million resampling
+    weights (>1e6 ⇒ the source must be upsampled / multi-epoched). The
+    arithmetic is pure BIGINT (integer division), so the oracle pairing
+    is exact — no float rounding anywhere.
+
+    100 TB: a 20-group aggregate over the corpus (one shuffle, map-side
+    combine), a source-count-sized scalar broadcast back; output is
+    O(|sources|).
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("src_tokens"),
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = F.expr("(1000000 * total_tokens) div (n_sources * src_tokens)")
+    return (
+        src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            w.alias("weight_ppm"),
+            (w > 1000000).alias("upsampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, u.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+               AS postings
+    FROM pairs
+    GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval building block: term → document-frequency + capped,
+    sorted posting list (first 20 doc_ids ascending, comma-joined so the
+    oracle compares exact postings as a scalar).
+
+    100 TB: explode → distinct (token, doc_id) — one shuffle with
+    map-side partial dedup — then one aggregate on token. The per-term
+    posting cap bounds the collect_list state against stopword-like
+    terms whose full posting list would be corpus-sized; a production
+    index would segment those terms, the cap is the honest stand-in.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = d.select(
+        F.explode(F.split("text", " ")).alias("token"), "doc_id"
+    ).distinct()
+    postings = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return pairs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        postings.alias("postings"),
+    )

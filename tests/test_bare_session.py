@@ -54,9 +54,12 @@ def test_priority_queries_sit_in_first_50():
     LLM flagships must be inside the first 50 entries."""
     import __spark_entry__ as e
 
+    from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
+
     names = list(e.queries())
     first50 = set(names[:50])
-    for must in e.PRIORITY:
+    assert len(_PRIORITY) == 50
+    for must in _PRIORITY:
         assert must in first50, must
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES

@@ -25,6 +25,8 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   q15_top_supplier         — broadcasts a single-row max(revenue) gate
 #   q11_important_parts      — broadcasts a single-row sum(vol) threshold
 #   text_tfidf_top_terms     — broadcasts a single-row corpus doc count
+#   text_perplexity_proxy    — broadcasts a single-row corpus token count
+#   corpus_domain_mix_weights — broadcasts a single-row totals aggregate
 _INTENDED_BNLJ = {
     "retention_window",
     "similarity_cosine_topk",
@@ -33,6 +35,8 @@ _INTENDED_BNLJ = {
     "q15_top_supplier",
     "q11_important_parts",
     "text_tfidf_top_terms",
+    "text_perplexity_proxy",
+    "corpus_domain_mix_weights",
 }
 
 
