@@ -210,3 +210,119 @@ def similarity_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rnk")
     )
+
+
+K_CLUSTERS = 8  # vec_id < 8 seed the clusters (ids are contiguous from 0)
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _kmeans_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: corpus × broadcast centroids (k rows),
+    argmin via struct-min (no window). Distances round at 1e-5 so the
+    cross-engine float-summation jitter (~1e-13) cannot flip the argmin:
+    near-ties become exact ties, broken by cluster id in both engines."""
+    d = F.round(F.expr(_SQDIST.format(a="v", b="cv")), 5)
+    return (
+        e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "v", "cluster", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d", "cluster")).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("m.cluster").alias("cluster"), "v")
+    )
+
+
+def _kmeans_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cluster mean vector: explode dims → avg per (cluster, pos) →
+    re-assemble ordered by pos. Coordinates round at 1e-6 so both engines
+    continue from bit-identical centroids despite summation-order jitter.
+
+    100 TB: the explode is 64× row inflation but map-side combine
+    reduces each partition to ≤ k×64 partial sums before the one shuffle
+    on (cluster, pos); the rebuilt centroid table is k rows."""
+    dims = assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+    cd = dims.groupBy("cluster", "pos").agg(F.avg("x").alias("cx"))
+    cv = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+        lambda s: F.round(s["cx"], 6),
+    )
+    return cd.groupBy("cluster").agg(cv.alias("cv"))
+
+
+@register(
+    "similarity_kmeans_clusters",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, t.i AS pos, v[t.i] AS x
+      FROM e, UNNEST(range(1, 65)) AS t(i)
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster, v AS cv
+      FROM e WHERE vec_id < {K_CLUSTERS}
+    ),
+    d0 AS (
+      SELECT d.vec_id, c.cluster,
+             round(sum((d.x - c.cv[d.pos]) * (d.x - c.cv[d.pos])), 5) AS d
+      FROM dims d CROSS JOIN c0 c
+      GROUP BY d.vec_id, c.cluster
+    ),
+    a0 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a0.cluster, d.pos, round(avg(d.x), 6) AS cx
+      FROM a0 JOIN dims d USING (vec_id)
+      GROUP BY a0.cluster, d.pos
+    ),
+    d1 AS (
+      SELECT d.vec_id, c.cluster,
+             round(sum((d.x - c.cx) * (d.x - c.cx)), 5) AS d
+      FROM dims d JOIN c1 c ON d.pos = c.pos
+      GROUP BY d.vec_id, c.cluster
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+      FROM d1
+    ) WHERE rn = 1
+    """,
+)
+def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for embedding-space dedup/mixing: k-means with
+    deterministic seeding (the k lowest vec_ids) and two unrolled Lloyd
+    iterations, entirely as DataFrame ops — no MLlib, no driver loop
+    state. Downstream curation treats same-cluster members as
+    near-duplicate candidates (the IVF lane reuses this shape for its
+    coarse quantizer).
+
+    Determinism contract (oracle pairs exactly): centroid coordinates
+    round at 1e-6 after each mean, distances at 1e-5 before each argmin,
+    ties broken by cluster id — so engine-specific float summation order
+    cannot change any assignment.
+
+    100 TB: per iteration, one broadcast of k centroids (never a shuffle
+    of the corpus), one (cluster, pos)-keyed aggregate with map-side
+    combine for the update. Iteration count is fixed (2) — convergence
+    loops would re-plan per step; a production run would checkpoint
+    centroids between steps exactly like the incremental-rollup lane.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    a0 = _kmeans_assign(e, c0)
+    c1 = _kmeans_centroids(a0)
+    a1 = _kmeans_assign(e, c1)
+    return a1.select("vec_id", "cluster")

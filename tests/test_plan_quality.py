@@ -27,6 +27,7 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   text_tfidf_top_terms     — broadcasts a single-row corpus doc count
 #   text_perplexity_proxy    — broadcasts a single-row corpus token count
 #   corpus_domain_mix_weights — broadcasts a single-row totals aggregate
+#   similarity_kmeans_clusters — broadcasts the k-row centroid table
 _INTENDED_BNLJ = {
     "retention_window",
     "similarity_cosine_topk",
@@ -37,6 +38,7 @@ _INTENDED_BNLJ = {
     "text_tfidf_top_terms",
     "text_perplexity_proxy",
     "corpus_domain_mix_weights",
+    "similarity_kmeans_clusters",
 }
 
 
