@@ -382,3 +382,89 @@ def deduped_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    min_bands: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-duplicate gate: each micro-batch of (doc_id, text)
+    is MinHash-banded and checked against a persistent signature index;
+    docs sharing >= min_bands of the 8 bands with any already-admitted
+    doc (or with an earlier doc in the same batch) are dropped, survivors
+    are emitted to out_dir and their signatures appended to the index.
+    This is the continuous-ingest twin of the batch dedup_near_pairs_lsh
+    lane — the same Carter-Wegman signatures (plans/dedup.py), applied
+    incrementally.
+
+    Replay safety: band matching counts DISTINCT seeds against the
+    DISTINCT (seed, minhash) index projection, so an at-least-once
+    re-append of a batch's signatures cannot inflate match counts — a
+    replayed batch re-emits the same survivors (idempotent downstream
+    dedup on doc_id applies, as with every at-least-once file sink).
+
+    100 TB: per batch, one shuffle of the batch signatures on the
+    (seed, minhash) bucket key against the index (the index side prunes
+    to buckets present in the batch via the join), one intra-batch
+    bucket self-pair pass; index grows O(|admitted docs| x 8) rows and
+    is dt-compactable like any snapshot table.
+    """
+    from ..operators.util import bucket_pairs
+    from ..plans.dedup import minhash_long
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        sig = minhash_long(batch).cache()
+        try:
+            # --- match against the persisted index (distinct buckets) ---
+            try:
+                index = spark.read.parquet(index_dir)
+                have_index = True
+            except Exception:  # first batch: no index yet
+                have_index = False
+            if have_index:
+                hits = (
+                    sig.join(
+                        index.select("seed", "minhash").distinct(),
+                        ["seed", "minhash"],
+                    )
+                    .groupBy("doc_id")
+                    .agg(F.countDistinct("seed").alias("n_bands"))
+                    .filter(F.col("n_bands") >= min_bands)
+                    .select("doc_id")
+                )
+                sig_new = sig.join(hits, "doc_id", "left_anti")
+            else:
+                sig_new = sig
+            # --- intra-batch: drop the higher doc_id of each near pair ---
+            pairs = (
+                bucket_pairs(sig_new, ["seed", "minhash"], "doc_id", [])
+                .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+                .agg(F.count(F.lit(1)).alias("n_bands"))
+                .filter(F.col("n_bands") >= min_bands)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            survivors_sig = sig_new.join(pairs, "doc_id", "left_anti")
+            survivors = batch.join(
+                survivors_sig.select("doc_id").distinct(), "doc_id"
+            )
+            survivors.write.mode("append").parquet(out_dir)
+            survivors_sig.write.mode("append").parquet(index_dir)
+        finally:
+            sig.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
