@@ -389,3 +389,69 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("df"),
         postings.alias("postings"),
     )
+
+
+@register(
+    "corpus_mix_resample",
+    oracle="""
+    WITH src AS (
+        SELECT source, sum(len(string_split(text, ' '))) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(src_tokens) AS total_tokens, count(*) AS n_sources
+        FROM src
+    ),
+    w AS (
+        SELECT source,
+               (1000000 * total_tokens) // (n_sources * src_tokens) AS weight_ppm
+        FROM src CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source,
+           greatest(w.weight_ppm // 1000000, 1) AS n_epochs
+    FROM documents d JOIN w USING (source)
+    WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+          < least(w.weight_ppm, 1000000)
+    """,
+)
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the domain-mixing plan: over-represented sources are
+    downsampled by a deterministic md5-threshold on doc_id (keep rate =
+    weight_ppm/1e6), under-represented sources keep every doc and carry
+    n_epochs = floor(weight_ppm/1e6) passes for the trainer. Pure
+    integer arithmetic end to end — the oracle pairing is exact.
+
+    100 TB: the weight table is O(|sources|) and broadcast; the keep
+    decision is a map-side hash per doc — no shuffle of the corpus at
+    all beyond the one |sources|-group aggregate that derives weights.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("src_tokens")
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = (
+        src.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                "(1000000 * total_tokens) div (n_sources * src_tokens)"
+            ).alias("weight_ppm"),
+        )
+    )
+    keep_h = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT), 1000000)"
+    )
+    return (
+        d.join(F.broadcast(w), "source")
+        .filter(keep_h < F.least(F.col("weight_ppm"), F.lit(1000000)))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("greatest(weight_ppm div 1000000, 1)").alias("n_epochs"),
+        )
+    )

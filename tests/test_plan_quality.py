@@ -28,6 +28,7 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   text_perplexity_proxy    — broadcasts a single-row corpus token count
 #   corpus_domain_mix_weights — broadcasts a single-row totals aggregate
 #   similarity_kmeans_clusters — broadcasts the k-row centroid table
+#   corpus_mix_resample      — broadcasts a single-row totals aggregate
 _INTENDED_BNLJ = {
     "retention_window",
     "similarity_cosine_topk",
@@ -39,6 +40,7 @@ _INTENDED_BNLJ = {
     "text_perplexity_proxy",
     "corpus_domain_mix_weights",
     "similarity_kmeans_clusters",
+    "corpus_mix_resample",
 }
 
 
