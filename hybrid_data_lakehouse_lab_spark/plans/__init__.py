@@ -21,6 +21,7 @@ from . import dedup_advanced  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import llm_extras  # noqa: E402,F401
 from . import intervals  # noqa: E402,F401
+from . import funnel  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401

@@ -228,3 +228,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment (overlap coefficient): |A∩B| / min(|A|,|B|).
+
+    Catches PARTIAL duplication that symmetric Jaccard misses — a short
+    document embedded verbatim inside a long one scores containment ≈ 1
+    while its Jaccard stays tiny (the union is dominated by the long
+    doc). This is the "document-inside-document" dedup pass pretraining
+    pipelines run after whole-doc near-dedup.
+
+    100 TB: identical candidate generation to dedup_ngram_jaccard —
+    shingle-sharing pairs only (band with LSH first at corpus scale);
+    the per-doc size table is vocabulary-small and broadcast twice.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

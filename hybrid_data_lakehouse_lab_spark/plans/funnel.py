@@ -1,0 +1,162 @@
+"""Behavioral analytics over the events stream: funnel conversion,
+event-type transition matrix, and exact per-group quantiles — the
+product-analytics queries a lakehouse serving layer answers from the
+same CDC-fed events table the reference ingests
+(reference: data_gen_pg2.py event loop; servers run these downstream).
+
+Every lane is pure DataFrame/Catalyst: the funnel is three keyed
+aggregations that reuse one shuffle key (user_id), the transition
+matrix is a single window pass, and the quantiles are Spark's exact
+``percentile`` (interpolated, same definition as DuckDB's
+``quantile_cont``) so the oracle hash is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — users progressing view → click → purchase, each
+# stage strictly after the previous one (first-touch semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t0
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t0
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t0 GROUP BY e.user_id)
+    SELECT stage_idx, stage, n_users FROM (
+        SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM p)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage funnel with strict ordering: a user counts for stage
+    N only if their first stage-N event lands strictly after their first
+    stage-(N−1) event.
+
+    100 TB: every join and aggregation keys on ``user_id``, so the fact
+    shuffles once and the (tiny, one-row-per-user) stage tables reuse
+    that partitioning — Catalyst collapses the chain into one exchange
+    plus hash joins on already-partitioned sides. No windows, no
+    broadcast of the fact, and stage tables shrink monotonically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", F.col("t0").alias("t_prev")), "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t0"))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return stage(v, 1, "view").unionByName(stage(c, 2, "click")).unionByName(
+        stage(p, 3, "purchase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transition matrix — counts of consecutive event-type pairs per user:
+# the Markov-chain view of user behavior (at most |types|² rows out).
+# ---------------------------------------------------------------------------
+@register(
+    "events_type_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ``lag`` window partitioned by user (a single shuffle), then a
+    partial-aggregating groupBy whose output is bounded by the square of
+    the event-type cardinality — the classic scalable shape for
+    sequence-transition stats (never collects per-user sequences).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles — interpolated percentiles of value by type.
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's exact ``percentile`` uses the same linear-interpolation
+    definition as DuckDB's ``quantile_cont``, so values match to the
+    rounding precision.
+
+    100 TB: exact percentile buffers per-group values on the reducer —
+    fine for bounded group counts like event types, and the query to
+    swap in at unbounded cardinality is ``approx_percentile`` (KLL-style
+    sketch, mergeable map-side). The lane keeps the exact form because
+    the oracle contract demands bit-stable output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.50D, 0.75D, 0.95D))")
+    q = ev.groupBy("event_type").agg(pct.alias("q"))
+    return q.select(
+        "event_type",
+        *[
+            F.round(F.col("q")[i], 6).alias(n)
+            for i, n in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )

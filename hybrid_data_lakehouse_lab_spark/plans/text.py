@@ -200,3 +200,67 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    SELECT doc_id,
+           n_words BETWEEN 20 AND 100000 AS word_count_ok,
+           mean_word_len BETWEEN 2.5 AND 10.0 AS word_len_ok,
+           n_stop_kinds >= 2 AS stopword_ok,
+           rep_frac * 10 < 6 AS repetition_ok,
+           (n_words BETWEEN 20 AND 100000)
+             AND (mean_word_len BETWEEN 2.5 AND 10.0)
+             AND n_stop_kinds >= 2
+             AND rep_frac * 10 < 6 AS keep
+    FROM (
+      SELECT doc_id,
+             len(words) AS n_words,
+             round((length(text) - (len(words) - 1)) * 1.0 / len(words), 6) AS mean_word_len,
+             len(list_intersect(list_distinct(words), ['{_SW_SQL}'])) AS n_stop_kinds,
+             round(1.0 - len(list_distinct(words)) * 1.0 / len(words), 6) AS rep_frac
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+    per-document boolean quality gates — word-count bounds, mean-word-length
+    bounds, minimum distinct-stopword evidence, and a repeated-word cap —
+    plus the conjunctive ``keep`` verdict pretraining filters act on.
+
+    Thresholds are adapted to the synthetic corpus (Gopher's originals
+    are 50–100k words, 3–10 chars, ≥2 stopwords, <60% repetition); the
+    rule *structure* is the operator under test. Verdicts use integer /
+    rounded arithmetic so the oracle hash is float-stable.
+
+    100 TB: pure per-row higher-order-function pipeline — no shuffle, no
+    explode; every rule shares one tokenization inside whole-stage
+    codegen, so adding rules costs arithmetic, not passes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.round(
+            (F.length("text") - (F.size(toks) - 1)) / F.size(toks).cast("double"), 6
+        ).alias("mean_word_len"),
+        F.size(F.array_intersect(F.array_distinct(toks), sw)).alias("n_stop_kinds"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("rep_frac"),
+    )
+    word_count_ok = F.col("n_words").between(20, 100000)
+    word_len_ok = F.col("mean_word_len").between(2.5, 10.0)
+    stopword_ok = F.col("n_stop_kinds") >= 2
+    repetition_ok = F.col("rep_frac") * 10 < 6
+    return base.select(
+        "doc_id",
+        word_count_ok.alias("word_count_ok"),
+        word_len_ok.alias("word_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        repetition_ok.alias("repetition_ok"),
+        (word_count_ok & word_len_ok & stopword_ok & repetition_ok).alias("keep"),
+    )
