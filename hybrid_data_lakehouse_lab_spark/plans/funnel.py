@@ -1,14 +1,12 @@
-"""Behavioral analytics over the events stream: funnel conversion,
-event-type transition matrix, and exact per-group quantiles — the
-product-analytics queries a lakehouse serving layer answers from the
-same CDC-fed events table the reference ingests
-(reference: data_gen_pg2.py event loop; servers run these downstream).
+"""Behavioral analytics over the events stream: funnel conversion and
+the event-type transition matrix — the product-analytics queries a
+lakehouse serving layer answers from the same CDC-fed events table the
+reference ingests (reference: data_gen_pg2.py event loop).
 
-Every lane is pure DataFrame/Catalyst: the funnel is three keyed
-aggregations that reuse one shuffle key (user_id), the transition
-matrix is a single window pass, and the quantiles are Spark's exact
-``percentile`` (interpolated, same definition as DuckDB's
-``quantile_cont``) so the oracle hash is stable.
+Both lanes are pure DataFrame/Catalyst: the funnel is three keyed
+aggregations that reuse one shuffle key (user_id); the transition
+matrix is a single window pass. The streaming twin of the funnel is
+``streaming/stateful.py:funnel_stage_stream``.
 """
 
 from __future__ import annotations
@@ -124,39 +122,6 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Exact per-group quantiles — interpolated percentiles of value by type.
-# ---------------------------------------------------------------------------
-@register(
-    "events_value_quantiles",
-    oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.25), 6) AS p25,
-           round(quantile_cont(value, 0.50), 6) AS p50,
-           round(quantile_cont(value, 0.75), 6) AS p75,
-           round(quantile_cont(value, 0.95), 6) AS p95
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's exact ``percentile`` uses the same linear-interpolation
-    definition as DuckDB's ``quantile_cont``, so values match to the
-    rounding precision.
-
-    100 TB: exact percentile buffers per-group values on the reducer —
-    fine for bounded group counts like event types, and the query to
-    swap in at unbounded cardinality is ``approx_percentile`` (KLL-style
-    sketch, mergeable map-side). The lane keeps the exact form because
-    the oracle contract demands bit-stable output.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    pct = F.expr("percentile(value, array(0.25D, 0.50D, 0.75D, 0.95D))")
-    q = ev.groupBy("event_type").agg(pct.alias("q"))
-    return q.select(
-        "event_type",
-        *[
-            F.round(F.col("q")[i], 6).alias(n)
-            for i, n in enumerate(["p25", "p50", "p75", "p95"])
-        ],
-    )
+# Exact per-group quantiles already exist as plans/advanced.py:
+# quantiles_by_group (median + p95 by event_type, quantile_cont-paired) —
+# deliberately NOT duplicated here.

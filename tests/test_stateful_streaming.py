@@ -96,3 +96,117 @@ def test_running_totals_converge_to_batch_agg(spark, stream_dir, tmp_path_factor
     )
     expected = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
     assert totals == expected
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: out-of-order arrivals across batches, including a
+# late re-anchoring stage-1 event that retroactively promotes a user.
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = "user_id LONG, ts_us LONG, event_type STRING"
+
+# (user_id, ts_us, event_type) per micro-batch.
+FUNNEL_BATCHES = [
+    [
+        (10, 100, "view"),
+        (20, 150, "click"),       # click before its view arrives
+        (30, 500, "view"),
+        (40, 100, "view"),
+        (40, 300, "click"),
+        (50, 100, "purchase"),    # purchase only: never enters the funnel
+    ],
+    [
+        (10, 200, "click"),
+        (20, 100, "view"),        # late view@100 makes click@150 eligible
+        (30, 400, "click"),       # click BEFORE the view: not eligible
+        (40, 250, "purchase"),    # ineligible now (t_click=300), later promoted
+    ],
+    [
+        (10, 300, "purchase"),
+        (40, 50, "view"),         # re-anchor: view@50 ...
+        (40, 200, "click"),       # ... makes click@200 the anchor, so
+                                  # purchase@250 becomes eligible → stage 3
+    ],
+]
+
+# Reference final stages (strict-order semantics, order-independent).
+FUNNEL_EXPECTED = {10: 3, 20: 2, 30: 1, 40: 3}
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("funnel_src")
+    for i, batch in enumerate(FUNNEL_BATCHES):
+        path = d / f"batch_{i}.json"
+        with open(path, "w") as f:
+            for user_id, ts_us, event_type in batch:
+                f.write(
+                    json.dumps(
+                        {"user_id": user_id, "ts_us": ts_us, "event_type": event_type}
+                    )
+                    + "\n"
+                )
+        t = 1_700_000_000 + i * 60
+        os.utime(path, (t, t))
+    return str(d)
+
+
+def test_funnel_stream_matches_batch_semantics(spark, funnel_dir, tmp_path_factory):
+    from hybrid_data_lakehouse_lab_spark.streaming.stateful import funnel_stage_stream
+
+    emissions: list[tuple[int, int, int]] = []  # (epoch, user, stage_idx)
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            emissions.append((epoch_id, r["user_id"], r["stage_idx"]))
+
+    src = (
+        spark.readStream.schema(FUNNEL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(funnel_dir)
+    )
+    q = (
+        funnel_stage_stream(src)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("funnel_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final: dict[int, int] = {}
+    prev: dict[int, int] = {}
+    for _, user, stage in sorted(emissions):
+        # reached stage is monotone non-decreasing even under re-anchoring
+        assert stage >= prev.get(user, 0), f"user {user} regressed to {stage}"
+        prev[user] = stage
+        final[user] = stage
+    assert final == FUNNEL_EXPECTED  # user 50 (purchase-only) never emitted
+
+    # Cross-check against the batch funnel lane's strict-order semantics on
+    # the SAME rows: stage counts must agree with the streaming result.
+    from hybrid_data_lakehouse_lab_spark.plans.funnel import events_funnel_conversion
+    import hybrid_data_lakehouse_lab_spark.plans.funnel as funnel_mod
+
+    rows = [r for b in FUNNEL_BATCHES for r in b]
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    orig = funnel_mod.load_table
+    funnel_mod.load_table = lambda _s, _d, _n: df.withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    try:
+        got = {
+            r["stage"]: r["n_users"]
+            for r in events_funnel_conversion(spark, "unused").collect()
+        }
+    finally:
+        funnel_mod.load_table = orig
+    want = {
+        "view": sum(1 for s in FUNNEL_EXPECTED.values() if s >= 1),
+        "click": sum(1 for s in FUNNEL_EXPECTED.values() if s >= 2),
+        "purchase": sum(1 for s in FUNNEL_EXPECTED.values() if s >= 3),
+    }
+    assert got == want
