@@ -264,3 +264,47 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_length_buckets",
+    oracle="""
+    WITH tok AS (
+        SELECT source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents)
+    SELECT source,
+           CAST(n_tokens // 16 AS INT) AS bucket,
+           CAST((n_tokens // 16) * 16 AS INT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM tok GROUP BY 1, 2, 3
+    """,
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per source (16-token buckets) — the
+    sizing pass a packing/batching stage runs first, so bucket boundaries
+    (and padding waste) are known before corpus_pack_sequences commits to
+    a max_len. Pure map-side tokenize-and-count into a (source, bucket)
+    partial aggregate; output is bounded by sources × buckets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        d.select(
+            "source",
+            F.expr("CAST(size(split(text, ' ')) div 16 AS INT)").alias("bucket"),
+            n_tok.alias("n_tokens"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * 16).cast("int").alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+    )

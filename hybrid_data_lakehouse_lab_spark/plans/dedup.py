@@ -231,6 +231,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_duplicate_ngram_fraction",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    freq AS (SELECT shingle, count(*) AS n_docs FROM shingles GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS INT) AS n_shingles,
+           round(avg(CASE WHEN f.n_docs > 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS dup_fraction
+    FROM shingles s JOIN freq f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-ngram score: the fraction of a doc's
+    distinct 3-gram shingles that appear in at least one OTHER document.
+
+    This is the doc-level "how much of me is boilerplate" signal
+    pretraining curation uses to drop template-heavy pages before (or
+    instead of) pairwise near-dedup — it needs no pair enumeration at all.
+
+    100 TB: two shuffles, both well-keyed — the corpus-wide shingle
+    frequency table (map-side combine collapses each partition to its
+    distinct shingles first) and the per-doc re-aggregation. The
+    shingle⋈freq join co-partitions on the shingle key; nothing is ever
+    paired doc-against-doc, so cost is linear in corpus size.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("n_docs") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
     "dedup_containment",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),

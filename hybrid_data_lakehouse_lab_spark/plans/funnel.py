@@ -122,6 +122,104 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Retention cohorts — the week-over-week user-retention matrix: users
+# grouped by first-active week, counted in each later week they return.
+# ---------------------------------------------------------------------------
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events),
+    firsts AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, wk.w) // 7 AS INT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM wk JOIN firsts f ON wk.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: (first-active week, weeks-since) → active users.
+
+    The distinct (user, week) projection collapses the fact FIRST (map-side
+    combine, then one shuffle on user_id); the cohort join and both
+    aggregations reuse that user_id partitioning, and the final output is
+    bounded by weeks² regardless of corpus size. The datediff is always a
+    multiple of 7 (both sides are week-truncated), so integer division is
+    exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        wk.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(w, cohort_week) div 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-count anomaly detection — per-type z-scores over the daily event
+# volume: the ops-dashboard "did ingest spike/drop" query.
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+        FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, d.n,
+           round((d.n - s.mu) / s.sigma, 4) AS zscore,
+           (abs(round((d.n - s.mu) / s.sigma, 4)) > 2.0) AS is_anomaly
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    WHERE s.sigma > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type daily-volume z-score with a |z| > 2 anomaly flag.
+
+    Two stacked aggregations: daily counts (partial-agg shuffle keyed on
+    (type, day)), then the per-type mean/stddev over that already-tiny
+    table. The stats side is |types| rows and broadcast back, so the fact
+    is never shuffled twice. The anomaly verdict is computed from the
+    ROUNDED z-score in both engines, so a boundary value cannot flip the
+    flag across engines on floating-point noise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
 # Exact per-group quantiles already exist as plans/advanced.py:
 # quantiles_by_group (median + p95 by event_type, quantile_cont-paired) —
 # deliberately NOT duplicated here.

@@ -326,3 +326,71 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = _kmeans_centroids(a0)
     a1 = _kmeans_assign(e, c1)
     return a1.select("vec_id", "cluster")
+
+
+@register(
+    "embedding_centroid_distance",
+    oracle="""
+    WITH ve AS (
+        SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    cent AS (SELECT label, i, avg(v) AS c FROM ve GROUP BY label, i),
+    per_vec AS (
+        SELECT ve.vec_id, ve.label,
+               sum(ve.v * cent.c) AS dot,
+               sqrt(sum(ve.v * ve.v)) AS nv,
+               sqrt(sum(cent.c * cent.c)) AS nc
+        FROM ve JOIN cent ON ve.label = cent.label AND ve.i = cent.i
+        GROUP BY ve.vec_id, ve.label)
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(dot / (nv * nc)), 4) AS avg_cosine,
+           round(min(dot / (nv * nc)), 4) AS min_cosine
+    FROM per_vec GROUP BY label
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion audit: full-dimension per-label centroids, then
+    each vector's cosine to its own centroid, aggregated per label — the
+    "is this label/cluster internally consistent" check an embedding-dedup
+    or mixing pipeline runs before trusting cluster-level decisions.
+
+    100 TB plan shape: the centroid pass posexplodes to (label, pos) but
+    map-side combine collapses each partition to |labels|×dim partial sums
+    before the only shuffle, so the exchange is tiny regardless of corpus
+    size. The per-vector cosine pass never explodes: centroids come back
+    as a broadcast array per label, and the dot/norm reductions run inside
+    one codegen projection via zip_with + aggregate (sequential in-order
+    folds — deterministic). Only the final |labels|-row aggregate shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    cent = (
+        vals.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    vd = _as_double("embedding")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    dot = fold(F.zip_with(vd, F.col("centroid"), lambda a, b: a * b))
+    nv = F.sqrt(fold(F.transform(vd, lambda a: a * a)))
+    nc = F.sqrt(fold(F.transform(F.col("centroid"), lambda c: c * c)))
+    cos = (dot / (nv * nc)).alias("cos")
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("label", cos)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("cos"), 4).alias("avg_cosine"),
+            F.round(F.min("cos"), 4).alias("min_cosine"),
+        )
+    )

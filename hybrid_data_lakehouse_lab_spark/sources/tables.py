@@ -43,16 +43,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table; filters/projections push down.
 
-    events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads as a long
-    (nanosAsLong, pinned at runtime here so bare sessions work too);
-    normalize to a microsecond timestamp by integer division — the same
-    ns→µs truncation DuckDB applies, so the oracle sees identical values.
+    events.ts is TIMESTAMP(NANOS) in parquet. Spark versions differ in how
+    they surface it — older readers need ``nanosAsLong`` (read as long,
+    normalized here by ``div 1000``), newer ones read it natively as a
+    µs-truncated TIMESTAMP_NTZ and ignore that conf. Both branches land on
+    the same TimestampType under the pinned UTC session timezone, matching
+    DuckDB's own ns→µs truncation, so plans and oracle hashes are
+    identical regardless of which reader behavior the host Spark has.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name == "ts":
+            if isinstance(field.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif isinstance(field.dataType, T.TimestampNTZType):
+                # NTZ carries no zone; the cast interprets it in the session
+                # timezone (UTC, pinned above) — instant-preserving.
+                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
