@@ -152,6 +152,48 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregate — the overlapping-window twin of the
+# tumbling lane: 6h windows every 3h, so each event lands in exactly two
+# windows. Spark's window(slideDuration) explodes rows into their member
+# windows; the oracle derives the same two epoch-aligned starts per event.
+# ---------------------------------------------------------------------------
+@register(
+    "hopping_window_agg",
+    oracle="""
+    SELECT make_timestamp(
+             (CAST(floor(epoch(ts) / 10800) AS BIGINT) - k) * 10800 * 1000000
+           ) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events, UNNEST([0, 1]) AS t(k)
+    WHERE (CAST(floor(epoch(ts) / 10800) AS BIGINT) - k) >= 0
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6h windows hopping every 3h (each event in 2 windows).
+
+    100 TB: the ×2 row expansion happens map-side inside the window()
+    projection and collapses immediately in the partial aggregate, so the
+    shuffle carries only (window, type) groups — same exchange volume as
+    the tumbling lane, not 2× the fact. The oracle's k-guard mirrors
+    Spark's behavior of never emitting windows that start before epoch 0.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "6 hours", "3 hours").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot / conditional aggregation.
 # ---------------------------------------------------------------------------
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]

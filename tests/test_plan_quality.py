@@ -29,7 +29,9 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   corpus_domain_mix_weights — broadcasts a single-row totals aggregate
 #   similarity_kmeans_clusters — broadcasts the k-row centroid table
 #   corpus_mix_resample      — broadcasts a single-row totals aggregate
+#   orders_market_basket     — broadcasts a single-row order-count gate
 _INTENDED_BNLJ = {
+    "orders_market_basket",
     "retention_window",
     "similarity_cosine_topk",
     "similarity_cosine_topk_pandas",
@@ -49,7 +51,15 @@ _INTENDED_BNLJ = {
 # a distinct-aggregate rewrite is multiplying the fact before its
 # shuffle (one copy per gid) — fix with stacked aggregations (see
 # q21_single_return_supplier / range_join_event_windows).
-_INTENDED_EXPAND = {"rollup_agg", "cube_agg", "grouping_sets_agg"}
+# hopping_window_agg: Expand is how Spark emits each row's member
+# windows (windowDuration/slideDuration = 2 rows) — map-side, collapsed
+# immediately by the partial aggregate, so the shuffle never sees it.
+_INTENDED_EXPAND = {
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets_agg",
+    "hopping_window_agg",
+}
 
 
 # A window with no PARTITION BY funnels ALL rows through one task.
