@@ -110,20 +110,27 @@ def main() -> None:
     # warmup: spin up executors / codegen on a trivial plan (untimed)
     materialize(QUERIES["group_count_ops"](spark, sf_dir))
 
-    # Each query runs twice: the first (cold) run pays whole-stage-codegen
-    # JIT, which bleeds across queries and makes per-query attribution
-    # noisy; the second (warm) run measures the plan itself. Both totals
-    # are reported; `value` is the warm total.
+    # Each query runs three times: the first (cold) run pays
+    # whole-stage-codegen JIT, which bleeds across queries and makes
+    # per-query attribution noisy; the warm number is the MIN of two
+    # further runs — shared hosts throttle in multi-minute windows that
+    # can swallow a whole sweep, and a per-query min across two sweeps
+    # separated in time is the standard noise-floor estimator (observed
+    # here: identical code swinging 27→130 s sweep-to-sweep while
+    # interleaved per-query minima stayed stable). Both totals are
+    # reported; `value` is the min-warm total.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _sweep in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     print(
         json.dumps(

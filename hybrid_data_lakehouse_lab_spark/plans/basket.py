@@ -78,3 +78,89 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select("part_a", "part_b", "n_both", F.round(lift, 6).alias("lift"))
     )
+
+
+# Damping factor / iterations for the PageRank lane. Two UNROLLED
+# iterations (like similarity_kmeans_clusters' Lloyd steps): convergence
+# loops would re-plan per step; a production run checkpoints ranks
+# between steps exactly like the incremental-rollup lane.
+PR_DAMPING = 0.85
+
+
+@register(
+    "parts_pagerank",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (SELECT src, dst FROM prs
+              UNION ALL SELECT dst, src FROM prs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS pr FROM deg),
+    c1 AS (
+        SELECT e.dst AS node, sum(p.pr / d.deg) AS s
+        FROM edges e
+        JOIN pr0 p ON e.src = p.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst),
+    pr1 AS (SELECT node, 0.15 / (SELECT n FROM n) + 0.85 * s AS pr FROM c1),
+    c2 AS (
+        SELECT e.dst AS node, sum(p.pr / d.deg) AS s
+        FROM edges e
+        JOIN pr1 p ON e.src = p.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst)
+    SELECT node, round(0.15 / (SELECT n FROM n) + 0.85 * s, 6) AS pagerank
+    FROM c2
+    """,
+)
+def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled iterations, d=0.85) over the undirected part
+    co-occurrence graph — "which parts anchor the catalog": the iterative
+    graph-algorithm family (beyond connected components) expressed as
+    pure DataFrame joins.
+
+    100 TB plan shape: edge construction is the market-basket
+    ``bucket_pairs`` pass (one shuffle on the order key, intra-basket
+    expansion in codegen); each iteration is one edges⋈ranks hash join
+    keyed on the node id plus a node-keyed aggregate — the degree table
+    rides along in the same join, and the rank table is |nodes| rows
+    (vocabulary-sized, broadcast by AQE). The 1/N teleport scalar is a
+    1-row broadcast gate (allowlisted BNLJ, like tf-idf's doc count).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    prs = (
+        bucket_pairs(op, ["l_orderkey"], "l_partkey", [])
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    edges = prs.unionByName(
+        prs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    def step(pr: DataFrame) -> DataFrame:
+        return (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                (0.15 / F.col("n") + PR_DAMPING * F.col("s")).alias("pr"),
+            )
+        )
+
+    pr0 = deg.join(F.broadcast(n)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    pr2 = step(step(pr0))
+    return pr2.select("node", F.round("pr", 6).alias("pagerank"))

@@ -52,15 +52,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     identical regardless of which reader behavior the host Spark has.
     """
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if any(
+        f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType)
+        for f in df.schema.fields
+    ):
+        # Re-read with ts declared TimestampType instead of casting after
+        # the scan: a cast wraps the scan in a Project and ts predicates
+        # stop pushing down to parquet (no row-group skipping on the CDC
+        # fact's time column). Schema-on-read keeps PushedFilters intact
+        # (verified in tests/test_plan_quality.py) and yields bit-identical
+        # µs-truncated instants under the pinned UTC session timezone.
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampType()
+                    if f.name == "ts"
+                    and isinstance(f.dataType, T.TimestampNTZType)
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in df.schema.fields
+            ]
+        )
+        return spark.read.schema(schema).parquet(path)
     for field in df.schema.fields:
-        if field.name == "ts":
-            if isinstance(field.dataType, T.LongType):
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            elif isinstance(field.dataType, T.TimestampNTZType):
-                # NTZ carries no zone; the cast interprets it in the session
-                # timezone (UTC, pinned above) — instant-preserving.
-                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -30,8 +30,10 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   similarity_kmeans_clusters — broadcasts the k-row centroid table
 #   corpus_mix_resample      — broadcasts a single-row totals aggregate
 #   orders_market_basket     — broadcasts a single-row order-count gate
+#   parts_pagerank           — broadcasts the 1-row node-count teleport gate
 _INTENDED_BNLJ = {
     "orders_market_basket",
+    "parts_pagerank",
     "retention_window",
     "similarity_cosine_topk",
     "similarity_cosine_topk_pandas",
@@ -109,6 +111,15 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
     scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
     for col in ("l_orderkey", "l_partkey", "l_suppkey"):
         assert col not in scan, f"unpruned column {col} in scan: {scan}"
+
+
+def test_events_ts_filter_pushed_to_scan(spark, sf_dir):
+    """The CDC fact's time predicate must reach the parquet reader —
+    load_table's nanos normalization (schema-on-read, not a post-scan
+    cast) must not cost events.ts its row-group skipping."""
+    plan = _plan(spark, sf_dir, "incremental_filter")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThan(ts" in l for l in pushed), pushed
 
 
 def test_q3_filters_pushed_to_scan(spark, sf_dir):
