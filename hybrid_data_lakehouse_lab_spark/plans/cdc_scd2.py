@@ -265,5 +265,77 @@ def envelope_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_envelope(raw).select("after_id", "after_product_name", "op", "ts_ms", "dt")
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time dimension enrichment — each fact row joined to the SCD2
+# version valid at its event time: the query SCD2 tables exist to answer
+# (reference README's "as-of" reads, generalized from one timestamp to
+# every fact row's own timestamp).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_temporal_enrich",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_SQL}),
+    hashed AS (
+      SELECT *, CASE WHEN op = 'd' THEN 'DELETED'
+                     ELSE md5(coalesce(event_type, '')) END AS record_hash
+      FROM changes
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, lag(record_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_hash
+        FROM hashed
+      ) WHERE record_hash IS DISTINCT FROM prev_hash
+    ),
+    chained AS (
+      SELECT *,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+             lead(op) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_op
+      FROM deduped
+    ),
+    dim AS (
+      SELECT user_id, event_type, ts AS effective_start_ts, next_ts AS effective_end_ts
+      FROM chained WHERE op <> 'd'
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           d.event_type AS dim_state,
+           d.effective_start_ts AS dim_since
+    FROM changes e
+    LEFT JOIN dim d ON e.user_id = d.user_id
+      AND e.ts >= d.effective_start_ts
+      AND (d.effective_end_ts IS NULL OR e.ts < d.effective_end_ts)
+    """,
+)
+def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event annotated with the SCD2 version in force at its own
+    timestamp. Events landing in a deleted gap (after a close-out, before
+    the next create) legitimately enrich to NULL — the LEFT join keeps
+    them visible instead of silently dropping them.
+
+    100 TB: the join has a real equi key (user_id), so Catalyst plans an
+    ordinary hash/sort-merge join partitioned on the business key and the
+    validity-interval predicate evaluates inside the matched partition —
+    no binning needed (unlike the keyless range join), because versions
+    of one key are few and contiguous. Both sides derive from the same
+    scan; Spark computes the subtree per side, which at scale argues for
+    materializing the SCD2 dim once (SnapshotTable) — exactly what the
+    pipeline lane does.
+    """
+    dim = scd2_build(spark, sf_dir).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("dim_state"),
+        F.col("effective_start_ts").alias("dim_since"),
+        "effective_end_ts",
+    )
+    ev = _changes(spark, sf_dir)
+    cond = (
+        (ev["user_id"] == dim["d_user_id"])
+        & (ev["ts"] >= dim["dim_since"])
+        & (dim["effective_end_ts"].isNull() | (ev["ts"] < dim["effective_end_ts"]))
+    )
+    return ev.join(dim, cond, "left").select(
+        "event_id", "user_id", "ts", "event_type", "dim_state", "dim_since"
+    )
+
+
 # keep Window import referenced for future queries
 _ = Window
