@@ -1,0 +1,174 @@
+"""Driver-visible streaming round-trip: the bronze ingest lane (file-drop
+envelope stream → PERMISSIVE JSON parse → 22-col flatten → op whitelist →
+dt-partitioned parquet sink with checkpoint) executed to completion inside
+a registered query, so the external gate value-checks what the STREAM
+writes, not just what batch plans compute.
+
+Envelopes are derived deterministically from the events table (same
+construction as ``envelope_flatten_roundtrip``), so the oracle can state
+the expected sink content declaratively over the same table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..streaming.lanes import bronze_stream, read_envelope_stream
+from .registry import register
+
+
+def _envelopes(ev: DataFrame) -> DataFrame:
+    """events rows → one-line Debezium-style JSON envelopes (op=u)."""
+    return ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.col("user_id").cast("int").alias("id"),
+                        F.col("event_type").alias("product_name"),
+                    ).alias("after"),
+                    F.lit("u").alias("op"),
+                    F.unix_millis("ts").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+
+
+@register(
+    "streaming_bronze_roundtrip",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_ids
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-dir → bronze stream (Trigger.AvailableNow) → read the sink.
+
+    A hash match proves the streaming path end-to-end: envelope parse,
+    flatten, whitelist, event-time dt partitioning, and the file-sink
+    commit log all preserved every row exactly once. The tiny final
+    collect (|days| rows) exists so the scratch dir can be removed before
+    returning; the stream itself runs distributed with its checkpoint.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="bronze_rt_")
+    try:
+        drop = os.path.join(tmp, "drop")
+        _envelopes(ev).coalesce(8).write.mode("overwrite").text(drop)
+        q = bronze_stream(
+            read_envelope_stream(spark, drop),
+            os.path.join(tmp, "bronze"),
+            os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination(600)
+        got = (
+            spark.read.parquet(os.path.join(tmp, "bronze"))
+            .groupBy("dt")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("after_id").alias("n_ids"),
+            )
+            .collect()
+        )
+        rows = [(r["dt"], r["n"], r["n_ids"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "dt STRING, n BIGINT, n_ids BIGINT")
+
+
+def _mixed_op_envelopes(ev: DataFrame) -> DataFrame:
+    """events rows → envelopes with the _CHANGES op mapping (signup→c,
+    error→d, else u); deletes carry only the before image (Debezium
+    semantics) and event_id rides in source.lsn for a stable tiebreak."""
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "signup", "c")
+        .otherwise("u")
+    )
+    image = F.struct(
+        F.col("user_id").cast("int").alias("id"),
+        F.col("event_type").alias("product_name"),
+    )
+    return ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.when(op != "d", image).alias("after"),
+                    F.when(op == "d", image).alias("before"),
+                    op.alias("op"),
+                    F.unix_millis("ts").alias("ts_ms"),
+                    F.struct(F.col("event_id").alias("lsn")).alias("source"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+
+
+@register(
+    "streaming_upsert_roundtrip",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN 'd'
+                    WHEN event_type = 'signup' THEN 'c'
+                    ELSE 'u' END AS op
+        FROM events),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM changes)
+        WHERE rn = 1)
+    SELECT (op = 'd') AS is_deleted,
+           count(*) AS n_keys
+    FROM latest GROUP BY 1
+    """,
+)
+def streaming_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-dir → foreachBatch latest-wins MERGE into a SnapshotTable →
+    read the table: the S4 changelog-upsert sink driven end-to-end.
+
+    A hash match proves per-key latest-wins resolution (ms event time,
+    LSN tiebreak), soft-delete flagging, and the snapshot commit all
+    agree with the declarative upsert the oracle states. The ordering
+    deliberately uses the envelope's ms-truncated ts_ms (what a real CDC
+    stream carries) — the oracle orders by epoch_ms(ts) to match.
+    """
+    from ..operators.timetravel import SnapshotTable
+    from ..streaming.lanes import upsert_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="upsert_rt_")
+    try:
+        drop = os.path.join(tmp, "drop")
+        _mixed_op_envelopes(ev).coalesce(8).write.mode("overwrite").text(drop)
+        table = SnapshotTable(spark, os.path.join(tmp, "t"))
+        q = upsert_stream(
+            read_envelope_stream(spark, drop),
+            table,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["key_id"],
+            ts_col="event_timestamp",
+            order_cols=["event_timestamp", "lsn"],
+        )
+        q.awaitTermination(600)
+        got = (
+            table.read()
+            .groupBy("is_deleted")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .collect()
+        )
+        rows = [(bool(r["is_deleted"]), r["n_keys"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "is_deleted BOOLEAN, n_keys BIGINT")
