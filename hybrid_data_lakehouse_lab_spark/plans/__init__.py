@@ -60,34 +60,35 @@ _PRIORITY = [
     "history_audit",
     "retention_window",
     "scd2_point_in_time",
+    "scd2_temporal_enrich",
     "envelope_flatten_roundtrip",
     "config_current_state_view",
-    "config_defaults_applied",
+    # --- end-to-end machinery round-trips (sinks / time travel / streams) ---
+    "timetravel_versions_demo",
+    "streaming_bronze_roundtrip",
+    "streaming_upsert_roundtrip",
     # --- LLM training-data pipeline flagships ---
     "dedup_exact",
     "dedup_near_pairs_lsh",
-    "dedup_minhash_signatures",
+    "dedup_duplicate_ngram_fraction",
     "dedup_simhash_near_pairs",
     "dedup_embedding_near_pairs",
     "dedup_ngram_jaccard",
     "dedup_cluster_assignments",
     "corpus_curation_pipeline",
     "similarity_cosine_topk",
-    "similarity_ivf_topk",
     "similarity_cosine_topk_pandas",
     "text_tfidf_top_terms",
-    "text_token_count",
     "text_lang_id",
     "text_quality_score",
     "text_pii_scrub",
-    "corpus_train_val_split",
     "corpus_pack_sequences",
     "corpus_contamination_check",
     "multimodal_metadata",
+    "parts_pagerank",
     # --- hardest TPC-H plan shapes ---
     "q6_forecast_revenue",
     "q9_product_type_profit",
-    "q13_order_count_distribution",
     "q18_large_volume_customers",
     "q21_single_return_supplier",
 ]
