@@ -223,3 +223,47 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact per-group quantiles already exist as plans/advanced.py:
 # quantiles_by_group (median + p95 by event_type, quantile_cont-paired) —
 # deliberately NOT duplicated here.
+
+
+# ---------------------------------------------------------------------------
+# Salted (two-phase) aggregation — the explicit skew path driver-visible:
+# the oracle is the PLAIN aggregate, so a hash match proves the salted
+# decomposition is exactly equivalent.
+# ---------------------------------------------------------------------------
+@register(
+    "events_salted_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats via operators/skew.py's two-phase salted groupBy.
+
+    event_type is exactly the kind of low-cardinality hot key that melts
+    a single reducer at 100 TB: the salt spreads each key over 16
+    partial groups, phase 2 merges ≤16 rows per key. avg is expressed as
+    sum/count AFTER the merge (the salted phase stays algebraic — an avg
+    of partial avgs would be wrong, which is why salted_aggregate bans
+    it). Equivalence to the unsalted plan is the oracle check itself.
+    """
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_aggregate(
+        ev.select("event_type", "value"),
+        keys=["event_type"],
+        aggs=[
+            ("value", "count", "n"),
+            ("value", "sum", "_sum_v"),
+        ],
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("_sum_v", 2).alias("total_value"),
+        F.round(F.col("_sum_v") / F.col("n"), 6).alias("avg_value"),
+    )
