@@ -172,3 +172,54 @@ def streaming_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(sorted(rows), "is_deleted BOOLEAN, n_keys BIGINT")
+
+
+@register(
+    "streaming_history_roundtrip",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'DELETE'
+                WHEN event_type = 'signup' THEN 'CREATE'
+                ELSE 'UPDATE' END AS operation,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_ids
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-dir → append-only audit history stream (op decode, both
+    images) → read the sink: the S5 lane driven end-to-end. Deletes carry
+    only the before image, so the id the audit row groups on is the F3
+    coalesce(after_id, before_id) — a hash match proves the lenient
+    parse, 5-arm op decode, and append sink lost no rows and decoded
+    every op.
+    """
+    from ..streaming.lanes import history_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="history_rt_")
+    try:
+        drop = os.path.join(tmp, "drop")
+        _mixed_op_envelopes(ev).coalesce(8).write.mode("overwrite").text(drop)
+        q = history_stream(
+            read_envelope_stream(spark, drop),
+            os.path.join(tmp, "hist"),
+            os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination(600)
+        got = (
+            spark.read.parquet(os.path.join(tmp, "hist"))
+            .groupBy("operation")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(
+                    F.coalesce("after_id", "before_id")
+                ).alias("n_ids"),
+            )
+            .collect()
+        )
+        rows = [(r["operation"], r["n"], r["n_ids"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "operation STRING, n BIGINT, n_ids BIGINT"
+    )
