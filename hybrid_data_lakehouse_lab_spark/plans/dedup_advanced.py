@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.util import bucket_pairs, fan_out
@@ -369,3 +369,75 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    shingles AS ({_SHINGLES_SQL}),
+    sig AS ({minhash_sig_sql()}),
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+                            AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+    ),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT r.doc_id, r.cluster_id,
+           k.doc_id AS keeper_doc_id,
+           (r.rn = 1) AS is_kept
+    FROM ranked r
+    JOIN ranked k ON r.cluster_id = k.cluster_id AND k.rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: one survivor per duplicate
+    cluster — the longest document (n_chars), doc_id as tiebreak — with
+    every member mapped to its keeper. Pair lists alone over- or
+    under-delete when duplicates chain (a~b~c); clustering first, then
+    argmax-per-cluster, is the semantics pretraining dedup actually ships.
+
+    100 TB: clusters come from the banded-LSH component pass (bounded
+    pair space, label propagation); the ranking window partitions by
+    cluster_id — duplicate clusters are small by nature, so no window
+    skew — and the keeper map is a self-join on the cluster key of an
+    already-tiny relation.
+    """
+    clusters = dedup_cluster_assignments(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = clusters.join(d, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keeper_doc_id")
+    )
+    return ranked.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_doc_id",
+        (F.col("rn") == 1).alias("is_kept"),
+    )
