@@ -1,0 +1,78 @@
+"""Driver-visible bucketed-layout round-trip: write both fact tables
+bucketed+sorted on the join key, run the co-located sort-merge join
+(zero Exchange — asserted structurally in tests/test_scale_toolkit.py),
+and value-check the result against the plain declarative join.
+
+This is the one-time-layout-cost / every-run-shuffle-savings trade
+SCALE.md prescribes for the orders ⋈ lineitem join at 100 TB, executed
+end-to-end inside a registered query so the external gate proves the
+bucketed path computes the same answer as the unbucketed one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..sources.bucketing import colocated_join, write_bucketed
+from .registry import register
+
+
+@register(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed write (8 buckets, sorted on the key) → co-located SMJ →
+    per-year revenue. The tiny final collect (|years| rows) lets the
+    scratch tables be dropped before returning; the bucketed write and
+    join run distributed.
+    """
+    uid = uuid.uuid4().hex[:8]
+    lt, rt = f"b_orders_{uid}", f"b_lineitem_{uid}"
+    tmp = tempfile.mkdtemp(prefix="bucketed_rt_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_bucketed(
+            orders, lt, ["o_orderkey"], 8, os.path.join(tmp, "o"),
+            sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            rt, ["o_orderkey"], 8, os.path.join(tmp, "l"),
+            sort_cols=["o_orderkey"],
+        )
+        got = (
+            colocated_join(spark, lt, rt, ["o_orderkey"])
+            .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+            .collect()
+        )
+        rows = [(r["order_year"], r["n_lines"], float(r["revenue"])) for r in got]
+    finally:
+        for t in (lt, rt):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "order_year INT, n_lines BIGINT, revenue DOUBLE"
+    )
