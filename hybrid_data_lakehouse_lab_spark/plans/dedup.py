@@ -320,3 +320,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "dedup_lsh_calibration",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sig AS ({minhash_sig_sql()}),
+    est AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_matching_bands
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+                            AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jac
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id)
+    SELECT e.n_matching_bands,
+           count(*) AS n_pairs,
+           round(avg(x.jac), 6) AS avg_exact_jaccard,
+           round(avg(abs(e.n_matching_bands / {N_HASHES}.0 - x.jac)), 6)
+             AS avg_abs_err
+    FROM est e JOIN exact x
+      ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    GROUP BY 1
+    """,
+)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration audit: for every LSH candidate pair, the
+    band-match fraction (n_bands/k, the MinHash Jaccard estimate) against
+    the EXACT shingle Jaccard — grouped by band count, with the mean
+    absolute estimation error. This is the "do we trust the approximate
+    pass" report a dedup pipeline publishes before turning thresholds
+    into deletions.
+
+    100 TB: exact Jaccard is computed ONLY for LSH candidates (the
+    shingle self-join is the verification pass on the banded candidate
+    set, not all pairs); output is bounded by k rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    est = dedup_near_pairs_lsh(spark, sf_dir)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jac"),
+        )
+    )
+    err = F.abs(F.col("n_matching_bands") / float(N_HASHES) - F.col("jac"))
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .groupBy("n_matching_bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jac"), 6).alias("avg_exact_jaccard"),
+            F.round(F.avg(err), 6).alias("avg_abs_err"),
+        )
+    )

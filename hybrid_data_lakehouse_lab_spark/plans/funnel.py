@@ -267,3 +267,62 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_sum_v", 2).alias("total_value"),
         F.round(F.col("_sum_v") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users — DAU / WAU (7d) / MAU (28d) per day: the iconic
+# engagement dashboard query.
+# ---------------------------------------------------------------------------
+@register(
+    "events_active_users_rolling",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day,
+           count(DISTINCT CASE WHEN ud.d = days.d
+                               THEN ud.user_id END) AS dau,
+           count(DISTINCT CASE WHEN ud.d > days.d - INTERVAL 7 DAY
+                               THEN ud.user_id END) AS wau,
+           count(DISTINCT ud.user_id) AS mau
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d > days.d - INTERVAL 28 DAY
+    GROUP BY 1
+    """,
+)
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU per day from one distinct (user, day) projection.
+
+    100 TB shape: the fact collapses map-side to distinct (user, day) —
+    at most users × days rows — before any join; the calendar side is
+    |days| rows and becomes the broadcast build of a range join whose
+    fan-out is bounded by 28 memberships per (user, day). The conditional
+    distincts share one aggregation pass. The un-collapsible cost is the
+    countDistinct per (day, window) — at extreme scale swap HLL sketches
+    per day and merge (sketch_distinct_users documents the pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    joined = ud.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") > F.date_sub(F.col("day"), 28)),
+    )
+    # Stacked aggregation: membership flags per (day, user) first, then
+    # plain sums — three filtered countDistincts in ONE agg would Expand
+    # every row 3× before the shuffle (blocked by the plan gates).
+    per_user = joined.groupBy("day", "user_id").agg(
+        F.max((F.col("d") == F.col("day")).cast("long")).alias("in_dau"),
+        F.max(
+            (F.col("d") > F.date_sub(F.col("day"), 7)).cast("long")
+        ).alias("in_wau"),
+    )
+    return per_user.groupBy("day").agg(
+        F.sum("in_dau").alias("dau"),
+        F.sum("in_wau").alias("wau"),
+        F.count(F.lit(1)).alias("mau"),
+    )

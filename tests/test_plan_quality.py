@@ -31,7 +31,10 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   corpus_mix_resample      — broadcasts a single-row totals aggregate
 #   orders_market_basket     — broadcasts a single-row order-count gate
 #   parts_pagerank           — broadcasts the 1-row node-count teleport gate
+#   events_active_users_rolling — broadcasts the |days|-row calendar as the
+#       build of a bounded range join (≤28 memberships per probe row)
 _INTENDED_BNLJ = {
+    "events_active_users_rolling",
     "orders_market_basket",
     "parts_pagerank",
     "retention_window",
