@@ -76,3 +76,48 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "order_year INT, n_lines BIGINT, revenue DOUBLE"
     )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction proven lossless under the value gate: write
+    the events table dt-partitioned as MANY small files (8 per
+    partition), compact every partition to one file via the
+    temp-rewrite-and-swap pass, read the compacted directory back, and
+    value-check per-partition counts and sums against the source. The
+    oracle never sees the file layout — a hash match means compaction
+    changed bytes-on-disk organization and nothing else.
+    """
+    from ..operators.maintenance import compact_partition_dir
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    tmp = tempfile.mkdtemp(prefix="compact_rt_")
+    try:
+        path = os.path.join(tmp, "t")
+        ev.repartition(8).write.partitionBy("dt").parquet(path)
+        compact_partition_dir(spark, path)
+        after = spark.read.parquet(path)
+        got = (
+            after.groupBy("dt")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        )
+        rows = [(r["dt"], r["n"], float(r["total_value"])) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "dt STRING, n BIGINT, total_value DOUBLE"
+    )
