@@ -121,3 +121,55 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "dt STRING, n BIGINT, total_value DOUBLE"
     )
+
+
+@register(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n,
+           count(o_orderpriority) AS n_with_priority
+    FROM (
+        SELECT o_orderdate, NULL AS o_orderpriority
+        FROM orders WHERE o_orderdate <  DATE '1995-01-01'
+        UNION ALL
+        SELECT o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderdate >= DATE '1995-01-01')
+    GROUP BY 1
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-only schema evolution proven under the value gate: batch 1 is
+    written WITHOUT the o_orderpriority column, batch 2 (later orders) WITH it;
+    a mergeSchema read of the mixed directory must surface the unified
+    schema with the old rows NULL-backfilled — exactly the Delta/Iceberg
+    add-column contract the SCD2 pipeline documents. The oracle states
+    the expected union declaratively.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("date")
+    tmp = tempfile.mkdtemp(prefix="evolve_rt_")
+    try:
+        path = os.path.join(tmp, "t")
+        orders.filter(F.col("o_orderdate") < cut).select(
+            "o_orderkey", "o_orderdate"
+        ).write.mode("append").parquet(path)
+        orders.filter(F.col("o_orderdate") >= cut).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ).write.mode("append").parquet(path)
+        got = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("o_orderpriority").alias("n_with_priority"),
+            )
+            .collect()
+        )
+        rows = [(r["order_year"], r["n"], r["n_with_priority"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "order_year INT, n BIGINT, n_with_priority BIGINT"
+    )
