@@ -17,7 +17,7 @@ Cross-engine determinism notes (the oracle pairs value-hash-compare):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.util import fan_out
@@ -454,4 +454,74 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.expr("greatest(weight_ppm div 1000000, 1)").alias("n_epochs"),
         )
+    )
+
+
+@register(
+    "text_bigram_conditionals",
+    oracle="""
+    WITH big AS (
+        SELECT words[i] AS w1, words[i+1] AS w2
+        FROM (SELECT string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(1, len(words))) AS t(i)
+    ),
+    pc AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(n12) AS n1 FROM pc GROUP BY w1),
+    ranked AS (
+        SELECT pc.w1, pc.w2, pc.n12,
+               round(CAST(pc.n12 AS DOUBLE) / uc.n1, 6) AS p_cond,
+               row_number() OVER (PARTITION BY pc.w1
+                                  ORDER BY pc.n12 DESC, pc.w2 ASC) AS rn
+        FROM pc JOIN uc ON pc.w1 = uc.w1
+        WHERE uc.n1 >= 50
+    )
+    SELECT w1, w2, n12, p_cond
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability table: for every context token with
+    ≥50 corpus occurrences (as a bigram left side), its top-3 next tokens
+    with P(w2|w1) — the statistical-LM view of the corpus (and the data
+    a repetition/templating auditor reads: a near-deterministic
+    distribution means boilerplate).
+
+    100 TB: pair explode is map-side; ONE shuffle keyed on (w1, w2) with
+    partial counts; the context totals derive from the pair counts by a
+    second vocabulary-sized aggregate (never re-reading the corpus); the
+    ranking window partitions on w1 over ≤|vocab seen after w1| rows.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            F.element_at(words, i + 1).alias("w2"),
+        ),
+    )
+    pc = (
+        d.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    uc = pc.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    ranked = (
+        pc.join(F.broadcast(uc.filter(F.col("n1") >= 50)), "w1")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(
+                    F.col("n12").desc(), F.col("w2").asc()
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rn") <= 3).select(
+        "w1",
+        "w2",
+        "n12",
+        F.round(F.col("n12").cast("double") / F.col("n1"), 6).alias("p_cond"),
     )
