@@ -326,3 +326,47 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_wau").alias("wau"),
         F.count(F.lit(1)).alias("mau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival statistics — per-type gaps between a user's consecutive
+# events: the time-series heartbeat query (SLA / engagement cadence).
+# ---------------------------------------------------------------------------
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_ms
+        FROM events)
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(avg(gap_ms) / 1000, 3) AS avg_gap_s,
+           round(median(gap_ms) / 1000, 3) AS p50_gap_s
+    FROM gaps WHERE gap_ms IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gaps (same user, consecutive events of that
+    type): count, mean, exact median — in ms-epoch arithmetic so both
+    engines subtract identical integers before any float math.
+
+    100 TB: one lag window per (user, type) partition — a single shuffle
+    of the fact — then a |types|-group aggregate. Exact median exists for
+    oracle parity; at scale swap percentile_approx (same plan, mergeable
+    sketch), as quantiles_by_group documents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    gaps = ev.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_ms") / 1000, 3).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_ms, 0.5)") / 1000, 3).alias("p50_gap_s"),
+    )
