@@ -12,7 +12,7 @@ twice; Spark does not reuse the exchange across join sides).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.util import bucket_pairs
@@ -164,3 +164,60 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr2 = step(step(pr0))
     return pr2.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "supplier_revenue_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+        FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    deciled AS (
+        SELECT l_suppkey, r, ntile(10) OVER (ORDER BY r DESC, l_suppkey) AS decile
+        FROM rev)
+    SELECT decile,
+           count(*) AS n_suppliers,
+           round(sum(r), 2) AS revenue,
+           round(sum(r) / (SELECT t FROM tot), 6) AS revenue_share
+    FROM deciled GROUP BY decile
+    """,
+)
+def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) report: suppliers ranked into
+    revenue deciles with each decile's share of total — the "do 10% of
+    suppliers carry 80% of revenue" audit.
+
+    100 TB: the fact collapses to one row per supplier in the first
+    aggregate (map-side partials, one shuffle); the ntile window is
+    GLOBAL but over the post-aggregate |suppliers| relation — the same
+    provably-small exception as quality_user_spend_quartiles (allowlisted
+    with it). The total is a 1-row broadcast gate. Deterministic ntile
+    tie-break on (revenue DESC, suppkey).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    deciled = rev.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("r").desc(), F.col("l_suppkey").asc())
+        ),
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("r"), 2).alias("revenue"),
+            F.sum("r").alias("_raw"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_suppliers",
+            "revenue",
+            F.round(F.col("_raw") / F.col("t"), 6).alias("revenue_share"),
+        )
+    )

@@ -33,8 +33,10 @@ def _plan(spark, sf_dir, name: str) -> str:
 #   parts_pagerank           — broadcasts the 1-row node-count teleport gate
 #   events_active_users_rolling — broadcasts the |days|-row calendar as the
 #       build of a bounded range join (≤28 memberships per probe row)
+#   supplier_revenue_pareto  — broadcasts the 1-row revenue total
 _INTENDED_BNLJ = {
     "events_active_users_rolling",
+    "supplier_revenue_pareto",
     "orders_market_basket",
     "parts_pagerank",
     "retention_window",
@@ -70,7 +72,12 @@ _INTENDED_EXPAND = {
 # A window with no PARTITION BY funnels ALL rows through one task.
 # Allowed only where the window input is provably post-aggregate small:
 #   quality_user_spend_quartiles — global ntile over |users| rows
-_INTENDED_GLOBAL_WINDOW = {"quality_user_spend_quartiles"}
+#   supplier_revenue_pareto — global ntile over the post-aggregate
+#       |suppliers| relation (same provably-small class)
+_INTENDED_GLOBAL_WINDOW = {
+    "quality_user_spend_quartiles",
+    "supplier_revenue_pareto",
+}
 
 _GLOBAL_WINDOW_PAT = re.compile(
     r"Window [^\n]*\n(?:[^\n]*Sort [^\n]*\n)?[^\n]*Exchange SinglePartition"
