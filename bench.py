@@ -105,7 +105,11 @@ def ingest_rows_per_sec(spark, n_copies: int = 1500) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # Progress bars and stage spam eat bytes from the driver's bounded
+    # stdout-tail capture; the headline JSON line must survive in it.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     # warmup: spin up executors / codegen on a trivial plan (untimed)
     materialize(QUERIES["group_count_ops"](spark, sf_dir))
@@ -132,20 +136,30 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "ingest_rows_per_sec": ingest_rows_per_sec(spark),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    ingest = ingest_rows_per_sec(spark)
+
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "warm": "min-of-2",
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "ingest_rows_per_sec": ingest,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail goes to a file; stdout carries only the compact
+    # headline object as the LAST line. The driver captures a bounded tail
+    # of stdout — round 2's single giant line (warm + cold dicts) overflowed
+    # it and the record parsed as null. The headline line is sized to the
+    # round-1 shape that is known to fit.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**headline, "queries_cold": cold}, f, indent=1)
+    sys.stdout.flush()
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

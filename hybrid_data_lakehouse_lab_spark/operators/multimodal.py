@@ -65,22 +65,34 @@ def fake_feature_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     """Deterministic stand-in kernel: per-blob byte statistics.
 
     Shape matches a real extractor: binary in → fixed-width features out,
-    one output row per input row, vectorized per Arrow batch.
+    one output row per input row, vectorized per Arrow batch. The hot
+    dimension (bytes within a blob) is numpy — `frombuffer` is a zero-copy
+    view, the sum/histogram are C loops; only the cheap per-blob dispatch
+    is Python. No `iterrows` (it constructs a Series per row and is the
+    pattern real kernels must not copy).
     """
+    import numpy as np
+
+    def view(b: bytes | None) -> np.ndarray:
+        return np.frombuffer(b or b"", dtype=np.uint8)
+
     for pdf in batches:
-        feats = []
-        for _, row in pdf.iterrows():
-            b = row["payload"] or b""
-            feats.append(
-                {
-                    "media_id": row["media_id"],
-                    "media_type": row["media_type"],
-                    "n_bytes": len(b),
-                    "byte_sum": int(sum(b)),
-                    "byte_histogram_head": [b.count(i) for i in range(8)],
-                }
-            )
-        yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+        arrs = pdf["payload"].map(view)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].to_numpy(),
+                "media_type": pdf["media_type"].to_numpy(),
+                "n_bytes": arrs.map(len).to_numpy(dtype="int32"),
+                "byte_sum": arrs.map(
+                    lambda a: int(a.sum(dtype=np.int64))
+                ).to_numpy(dtype="int64"),
+                "byte_histogram_head": arrs.map(
+                    lambda a: np.bincount(a, minlength=8)[:8]
+                    .astype("int32")
+                    .tolist()
+                ),
+            }
+        )
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -127,19 +139,45 @@ def sample_frames(
     """
     import hashlib
 
+    import numpy as np
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_index": [], "frame_bytes": [], "frame_md5": []}
-            for _, row in pdf.iterrows():
-                b = row["payload"] or b""
+            ids, idx_chunks, size_chunks, md5s = [], [], [], []
+            payloads = pdf["payload"].to_numpy()
+            media_ids = pdf["media_id"].to_numpy()
+            for mid, b in zip(media_ids, payloads):
+                b = b or b""
                 n_frames = (len(b) + frame_size - 1) // frame_size
-                for i in range(0, n_frames, every_k):
-                    frame = b[i * frame_size : (i + 1) * frame_size]
-                    out["media_id"].append(row["media_id"])
-                    out["frame_index"].append(i)
-                    out["frame_bytes"].append(len(frame))
-                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
-            yield pd.DataFrame(out)
+                take = np.arange(0, n_frames, every_k, dtype="int32")
+                ids.append(np.full(len(take), mid, dtype="int64"))
+                idx_chunks.append(take)
+                # per-frame sizes vectorized: full frames except a ragged tail
+                sizes = np.minimum(
+                    frame_size, len(b) - take.astype("int64") * frame_size
+                ).astype("int32")
+                size_chunks.append(sizes)
+                # md5 is inherently per-item (as real decode would be); the
+                # frame slice is zero-copy via memoryview
+                mv = memoryview(b)
+                md5s.extend(
+                    hashlib.md5(
+                        mv[i * frame_size : (i + 1) * frame_size]
+                    ).hexdigest()
+                    for i in take
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(ids) if ids else np.array([], "int64"),
+                    "frame_index": np.concatenate(idx_chunks)
+                    if idx_chunks
+                    else np.array([], "int32"),
+                    "frame_bytes": np.concatenate(size_chunks)
+                    if size_chunks
+                    else np.array([], "int32"),
+                    "frame_md5": md5s,
+                }
+            )
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
@@ -153,16 +191,24 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
     """
     import hashlib
 
+    import numpy as np
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "media_type": [], "n_bytes": [], "resized_md5": []}
-            for _, row in pdf.iterrows():
-                b = row["payload"] or b""
-                small = b[::factor]
-                out["media_id"].append(row["media_id"])
-                out["media_type"].append(row["media_type"])
-                out["n_bytes"].append(len(small))
-                out["resized_md5"].append(hashlib.md5(small).hexdigest())
-            yield pd.DataFrame(out)
+            # Downsample each blob as a strided numpy view (no byte copy
+            # until tobytes); columns built from Series ops, not iterrows.
+            small = pdf["payload"].map(
+                lambda b: np.frombuffer(b or b"", dtype=np.uint8)[::factor].tobytes()
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": small.map(len).to_numpy(dtype="int32"),
+                    "resized_md5": small.map(
+                        lambda s: hashlib.md5(s).hexdigest()
+                    ),
+                }
+            )
 
     return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)

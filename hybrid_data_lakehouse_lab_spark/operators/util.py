@@ -24,12 +24,20 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+#: Default per-bucket size cap for LSH candidate generation. Normal LSH
+#: buckets hold a handful of near-duplicate documents; anything past this
+#: is a degenerate class (boilerplate, constant documents) where all-pairs
+#: expansion is O(B²) for no information gain.
+DEFAULT_MAX_BUCKET = 256
+
+
 def bucket_pairs(
     df: DataFrame,
     bucket_cols: list[str],
     id_col: str,
     payload_cols: list[str],
     keep_bucket_cols: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All intra-bucket pairs (a.id < b.id), computing the input ONCE.
 
@@ -46,10 +54,22 @@ def bucket_pairs(
     with a predicate instead of a dropDuplicates shuffle).
 
     Scale: per-bucket work is O(bucket²); LSH bucket sizes are small by
-    construction. A degenerate corpus (constant documents) would need a
-    bucket-size cap / salt before the pair expansion — apply
-    `.filter(size(items) <= CAP)` upstream of explode if that arises.
+    construction — EXCEPT on degenerate corpora (millions of identical or
+    near-constant documents landing in one bucket). ``max_bucket`` bounds
+    that case: buckets larger than the cap switch from all-pairs to STAR
+    pairs — every member paired with the bucket's minimum-id item — which
+    is O(B) edges instead of O(B²) yet still links the entire degenerate
+    class into one connected component for downstream duplicate-cluster
+    assignment / similarity verification. (B-1 edges is the information-
+    theoretic minimum to connect B duplicates; the dropped pairs are
+    redundant for dedup.) Buckets at or under the cap are byte-identical
+    to the uncapped output. The number of capped buckets is flagged, not
+    silent: the returned DataFrame carries an attached
+    ``pyspark.sql.Observation`` as ``df.bucket_pairs_observation`` with
+    metrics ``capped_buckets`` / ``buckets``, populated once the plan is
+    materialized.
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     item = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
@@ -58,11 +78,34 @@ def bucket_pairs(
         .agg(F.array_sort(F.collect_list(item)).alias("items"))
         .filter(F.size("items") >= 2)
     )
-    pairs = F.expr(
+    all_pairs = F.expr(
         "flatten(transform(items, (x, i) -> "
         "transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))"
     )
+    obs = None
+    if max_bucket is not None:
+        obs = Observation("bucket_pairs_cap")
+        grouped = grouped.observe(
+            obs,
+            F.sum((F.size("items") > max_bucket).cast("long")).alias(
+                "capped_buckets"
+            ),
+            F.count(F.lit(1)).alias("buckets"),
+        )
+        # items is array_sort-ed, so element_at(items, 1) is the
+        # deterministic min-id hub.
+        star_pairs = F.expr(
+            "transform(slice(items, 2, size(items) - 1), "
+            "y -> struct(element_at(items, 1) AS a, y AS b))"
+        )
+        pairs = F.when(F.size("items") > max_bucket, star_pairs).otherwise(
+            all_pairs
+        )
+    else:
+        pairs = all_pairs
     keep = list(bucket_cols) if keep_bucket_cols else []
-    return grouped.select(*keep, F.explode(pairs).alias("p")).select(
+    out = grouped.select(*keep, F.explode(pairs).alias("p")).select(
         *keep, "p.a", "p.b"
     )
+    out.bucket_pairs_observation = obs
+    return out

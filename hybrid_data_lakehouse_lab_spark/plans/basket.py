@@ -85,11 +85,18 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loops would re-plan per step; a production run checkpoints ranks
 # between steps exactly like the incremental-rollup lane.
 PR_DAMPING = 0.85
+# Teleport mass is DERIVED from the damping factor (rounded away from
+# float artifacts of 1-0.85); both the Spark step and the oracle SQL
+# interpolate these same two constants.
+PR_TELEPORT = round(1 - PR_DAMPING, 10)
 
 
 @register(
     "parts_pagerank",
-    oracle="""
+    # One constant drives BOTH engines: damping is interpolated and the
+    # teleport mass is derived as (1 - damping), so editing PR_DAMPING
+    # cannot desync the oracle from the Spark plan (ADVICE r2).
+    oracle=f"""
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     prs AS (
         SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -107,14 +114,16 @@ PR_DAMPING = 0.85
         JOIN pr0 p ON e.src = p.node
         JOIN deg d ON e.src = d.src
         GROUP BY e.dst),
-    pr1 AS (SELECT node, 0.15 / (SELECT n FROM n) + 0.85 * s AS pr FROM c1),
+    pr1 AS (SELECT node, {PR_TELEPORT} / (SELECT n FROM n)
+                         + {PR_DAMPING} * s AS pr FROM c1),
     c2 AS (
         SELECT e.dst AS node, sum(p.pr / d.deg) AS s
         FROM edges e
         JOIN pr1 p ON e.src = p.node
         JOIN deg d ON e.src = d.src
         GROUP BY e.dst)
-    SELECT node, round(0.15 / (SELECT n FROM n) + 0.85 * s, 6) AS pagerank
+    SELECT node, round({PR_TELEPORT} / (SELECT n FROM n)
+                       + {PR_DAMPING} * s, 6) AS pagerank
     FROM c2
     """,
 )
@@ -155,7 +164,9 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(n))
             .select(
                 "node",
-                (0.15 / F.col("n") + PR_DAMPING * F.col("s")).alias("pr"),
+                ((PR_TELEPORT) / F.col("n") + PR_DAMPING * F.col("s")).alias(
+                    "pr"
+                ),
             )
         )
 

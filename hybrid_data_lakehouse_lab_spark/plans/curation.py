@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.util import bucket_pairs, fan_out
+from ..operators.util import DEFAULT_MAX_BUCKET, bucket_pairs, fan_out
 from ..sources import load_table
 from .dedup import minhash_long, minhash_sig_sql, shingles_sql
 from .registry import register
@@ -98,7 +98,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = minhash_long(canon.select("doc_id", "text"))
     near_b = (
-        bucket_pairs(sig, ["seed", "minhash"], "doc_id", [])
+        bucket_pairs(
+            sig, ["seed", "minhash"], "doc_id", [], max_bucket=DEFAULT_MAX_BUCKET
+        )
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("nb"))
         .filter(F.col("nb") >= 2)

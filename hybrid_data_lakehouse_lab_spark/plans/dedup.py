@@ -20,7 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.util import bucket_pairs, fan_out
+from ..operators.util import DEFAULT_MAX_BUCKET, bucket_pairs, fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -180,7 +180,9 @@ def dedup_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig = dedup_minhash_signatures(spark, sf_dir)
     return (
-        bucket_pairs(sig, ["seed", "minhash"], "doc_id", [])
+        bucket_pairs(
+            sig, ["seed", "minhash"], "doc_id", [], max_bucket=DEFAULT_MAX_BUCKET
+        )
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("int").alias("n_matching_bands"))
     )

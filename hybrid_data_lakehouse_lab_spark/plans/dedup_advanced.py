@@ -18,7 +18,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.util import bucket_pairs, fan_out
+from ..operators.util import DEFAULT_MAX_BUCKET, bucket_pairs, fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -153,7 +153,9 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h1", F.conv(F.substring("simhash", 1, 32), 2, 10).cast("bigint"))
         .withColumn("h2", F.conv(F.substring("simhash", 33, 32), 2, 10).cast("bigint"))
     )
-    pairs = bucket_pairs(sig, ["band"], "doc_id", ["h1", "h2"]).select(
+    pairs = bucket_pairs(
+        sig, ["band"], "doc_id", ["h1", "h2"], max_bucket=DEFAULT_MAX_BUCKET
+    ).select(
         F.col("a.id").alias("doc_a"),
         F.col("b.id").alias("doc_b"),
         (
@@ -303,7 +305,7 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         bucket_pairs(
             bands, ["band_id", "key"], "vec_id", ["v", "bucket", "norm"],
-            keep_bucket_cols=True,
+            keep_bucket_cols=True, max_bucket=DEFAULT_MAX_BUCKET,
         )
         .filter(first_match)
         .select(

@@ -253,11 +253,14 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_aggregate
 
     ev = load_table(spark, sf_dir, "events")
+    # count() a never-null literal, not `value`: count(value) is the
+    # NON-NULL count, which matches the oracle's count(*) only while
+    # events.value happens to have no NULLs (ADVICE r2).
     agg = salted_aggregate(
-        ev.select("event_type", "value"),
+        ev.select("event_type", "value").withColumn("_one", F.lit(1)),
         keys=["event_type"],
         aggs=[
-            ("value", "count", "n"),
+            ("_one", "count", "n"),
             ("value", "sum", "_sum_v"),
         ],
     )

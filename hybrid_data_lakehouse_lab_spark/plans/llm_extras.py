@@ -230,9 +230,14 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: explode to pairs → partial (map-side) count → one shuffle on
     the pair key → top-k via TakeOrderedAndProject, never a full sort.
     """
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        # 0/1-token guard: sequence(1, size-1) on size<=1 is the
+        # DESCENDING [1, 0] and slice(words, 0, …) throws, where the
+        # oracle's range() just yields no rows (ADVICE r2).
+        F.size(F.split("text", " ")) >= 2
+    )
     words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1)))
     pairs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
     return (
         d.select(F.explode(pairs).alias("pair"))
@@ -491,9 +496,14 @@ def text_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     second vocabulary-sized aggregate (never re-reading the corpus); the
     ranking window partitions on w1 over ≤|vocab seen after w1| rows.
     """
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        # 0/1-token guard: sequence(1, size-1) on size<=1 is the
+        # DESCENDING [1, 0] and element_at(words, 0) throws, where the
+        # oracle's range() just yields no rows (ADVICE r2).
+        F.size(F.split("text", " ")) >= 2
+    )
     words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1)))
     bigrams = F.transform(
         idx,
         lambda i: F.struct(

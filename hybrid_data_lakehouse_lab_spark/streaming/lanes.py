@@ -413,7 +413,7 @@ def near_dedup_stream(
     bucket self-pair pass; index grows O(|admitted docs| x 8) rows and
     is dt-compactable like any snapshot table.
     """
-    from ..operators.util import bucket_pairs
+    from ..operators.util import DEFAULT_MAX_BUCKET, bucket_pairs
     from ..plans.dedup import minhash_long
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -444,7 +444,13 @@ def near_dedup_stream(
                 sig_new = sig
             # --- intra-batch: drop the higher doc_id of each near pair ---
             pairs = (
-                bucket_pairs(sig_new, ["seed", "minhash"], "doc_id", [])
+                bucket_pairs(
+                    sig_new,
+                    ["seed", "minhash"],
+                    "doc_id",
+                    [],
+                    max_bucket=DEFAULT_MAX_BUCKET,
+                )
                 .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
                 .agg(F.count(F.lit(1)).alias("n_bands"))
                 .filter(F.col("n_bands") >= min_bands)
