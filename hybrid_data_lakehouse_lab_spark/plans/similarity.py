@@ -255,10 +255,11 @@ def _kmeans_centroids(assigned: DataFrame) -> DataFrame:
     return cd.groupBy("cluster").agg(cv.alias("cv"))
 
 
-@register(
-    "similarity_kmeans_clusters",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# The kmeans assignment CTE chain, shared by the oracle of
+# similarity_kmeans_clusters and similarity_ivf_kmeans_topk so the two
+# stay in lockstep by construction.
+_KMEANS_A1_SQL = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     dims AS (
       SELECT vec_id, t.i AS pos, v[t.i] AS x
       FROM e, UNNEST(range(1, 65)) AS t(i)
@@ -290,12 +291,22 @@ def _kmeans_centroids(assigned: DataFrame) -> DataFrame:
              round(sum((d.x - c.cx) * (d.x - c.cx)), 5) AS d
       FROM dims d JOIN c1 c ON d.pos = c.pos
       GROUP BY d.vec_id, c.cluster
+    ),
+    a1 AS (
+      SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM d1
+      ) WHERE rn = 1
     )
-    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
-      SELECT vec_id, cluster,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-      FROM d1
-    ) WHERE rn = 1
+"""
+
+
+@register(
+    "similarity_kmeans_clusters",
+    oracle=f"""
+    WITH {_KMEANS_A1_SQL}
+    SELECT vec_id, cluster FROM a1
     """,
 )
 def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +337,86 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = _kmeans_centroids(a0)
     a1 = _kmeans_assign(e, c1)
     return a1.select("vec_id", "cluster")
+
+
+@register(
+    "similarity_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_KMEANS_A1_SQL},
+    q AS (
+      SELECT a.vec_id AS query_id, a.cluster, e.v AS qv
+      FROM a1 a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS match_id,
+             list_cosine_similarity(q.qv, ec.v) AS sim
+      FROM q
+      JOIN a1 a ON a.cluster = q.cluster AND a.vec_id <> q.query_id
+      JOIN e ec ON ec.vec_id = a.vec_id
+    )
+    SELECT query_id, match_id, round(sim, 6) AS cosine_sim, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, match_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN: the k-means lane is the coarse quantizer —
+    train centroids (2 deterministic Lloyd steps), build the inverted
+    lists (final assignment), then answer each query from ITS OWN
+    cluster's list only (nprobe=1). This composes
+    ``similarity_kmeans_clusters`` (quantizer) with the
+    ``similarity_ivf_topk`` probe shape, replacing that lane's
+    pre-labeled stand-in cluster key with learned clusters — the actual
+    100 TB ANN architecture (train on a sample, assign corpus once,
+    store lists cluster-partitioned, probe per query).
+
+    100 TB plan shape: training/assignment never shuffles the corpus
+    (k-row centroid broadcasts, (cluster,pos)-keyed map-side-combined
+    update); the probe is one broadcast of the query set joined on the
+    cluster key — per query, one inverted list is scanned instead of the
+    corpus. Recall improves by probing the nprobe nearest centroid lists
+    instead of 1; the join key set per query grows to nprobe, nothing
+    else changes.
+
+    Determinism: inherits the k-means rounding contract (centroids 1e-6,
+    distances 1e-5, ties by cluster id), so both engines build identical
+    inverted lists; cosine is rounded at 1e-6 after ranking on ties by
+    match_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    a1 = _kmeans_assign(e, _kmeans_centroids(_kmeans_assign(e, c0)))
+    q = a1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster").alias("query_cluster"),
+        F.col("v").alias("qv"),
+    )
+    c = a1.select(F.col("vec_id").alias("match_id"), "cluster", F.col("v").alias("cv"))
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    nq = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
+    nc = F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("cluster") == F.col("query_cluster"))
+            & (F.col("match_id") != F.col("query_id")),
+        )
+        .select("query_id", "match_id", (dot / (nq * nc)).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "match_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rnk")
+    )
 
 
 @register(

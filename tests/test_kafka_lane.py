@@ -30,6 +30,67 @@ def test_options_request_earliest_replay():
     )
 
 
+# The option vocabulary of the spark-sql-kafka-0-10 source (public Spark
+# docs, "Structured Streaming + Kafka Integration Guide"). The contract:
+# every option the lane emits must be a key Spark's Kafka source actually
+# reads — a misspelled or Flink-style key would be SILENTLY ignored by
+# Spark's case-insensitive option map and only fail in production.
+_SPARK_KAFKA_OPTION_KEYS = {
+    "subscribe",
+    "subscribepattern",
+    "assign",
+    "startingoffsets",
+    "endingoffsets",
+    "startingoffsetsbytimestamp",
+    "endingoffsetsbytimestamp",
+    "startingtimestamp",
+    "endingtimestamp",
+    "failondataloss",
+    "kafkaconsumer.polltimeoutms",
+    "fetchoffset.numretries",
+    "fetchoffset.retryintervalms",
+    "maxoffsetspertrigger",
+    "minoffsetspertrigger",
+    "maxtriggerdelay",
+    "minpartitions",
+    "groupidprefix",
+    "kafka.group.id",
+    "includeheaders",
+}
+
+
+def test_option_dict_matches_spark_kafka_contract():
+    """VERDICT r2 item 7: every emitted option key must be either a
+    `kafka.`-prefixed consumer passthrough or a documented spark-sql-kafka
+    option; exactly ONE subscription mode must be present; boolean options
+    must be string-typed (Spark's option map stringifies — a Python bool
+    would arrive as 'True', which Kafka config parsing rejects)."""
+    opts = kafka_envelope_options("b1:9092,b2:9092", "pg.sales.cdc")
+    for key in opts:
+        low = key.lower()
+        assert low in _SPARK_KAFKA_OPTION_KEYS or low.startswith("kafka."), (
+            f"option {key!r} is not a spark-sql-kafka key — it would be "
+            "silently dropped"
+        )
+    # Flink DDL spellings (the reference's, scripts/cdc_to_parquet.py:77-88)
+    # must NOT leak into the Spark option dict.
+    for flink_key in ("connector", "topic", "scan.startup.mode", "format",
+                      "properties.bootstrap.servers", "properties.group.id"):
+        assert flink_key not in opts
+    # exactly one subscription mode
+    modes = [k for k in opts if k.lower() in {"subscribe", "subscribepattern", "assign"}]
+    assert len(modes) == 1
+    # the consumer needs the broker list under the kafka. passthrough key
+    assert "kafka.bootstrap.servers" in opts
+    # every value must already be a string (stringification is lossy for
+    # Python bools: str(False) == 'False' is not valid Kafka config)
+    assert all(isinstance(v, str) for v in opts.values()), opts
+    assert opts["failOnDataLoss"] in {"true", "false"}
+    assert opts["startingOffsets"] in {"earliest", "latest"} or opts[
+        "startingOffsets"
+    ].startswith("{")
+
+
 def _kafka_shaped_df(spark, lines):
     """A batch DataFrame with the Kafka source's record schema."""
     rows = [

@@ -49,6 +49,9 @@ _INTENDED_BNLJ = {
     "text_perplexity_proxy",
     "corpus_domain_mix_weights",
     "similarity_kmeans_clusters",
+    # inherits _kmeans_assign's crossJoin vs the k-row broadcast
+    # centroid table (the IVF coarse quantizer), same as the line above
+    "similarity_ivf_kmeans_topk",
     "corpus_mix_resample",
 }
 
