@@ -419,6 +419,203 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2
+
+# Probe-cluster selection per query: top-`nprobe` nearest c1 centroids,
+# from the d1 distance relation the k-means CTE chain already computes.
+_PROBES_SQL = f"""
+    probes AS (
+      SELECT vec_id AS query_id, CAST(cluster AS INT) AS cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM d1 WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    )
+"""
+
+
+@register(
+    "similarity_ivf_nprobe_topk",
+    oracle=f"""
+    WITH {_KMEANS_A1_SQL},
+    {_PROBES_SQL},
+    q AS (
+      SELECT p.query_id, p.cluster, e.v AS qv
+      FROM probes p JOIN e ON e.vec_id = p.query_id
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS match_id,
+             list_cosine_similarity(q.qv, ec.v) AS sim
+      FROM q
+      JOIN a1 a ON a.cluster = q.cluster AND a.vec_id <> q.query_id
+      JOIN e ec ON ec.vec_id = a.vec_id
+    )
+    SELECT query_id, match_id, round(sim, 6) AS cosine_sim, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, match_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query scans the inverted lists of its
+    TWO nearest centroids instead of one — the standard recall knob
+    (FAISS-style IVF probes, re-expressed as a relational plan). The
+    probe set comes from the same rounded distance relation the
+    quantizer's assignment uses, so both engines pick identical probe
+    clusters (ties at 1e-5 break by cluster id).
+
+    100 TB plan shape: identical to nprobe=1 — the broadcast query
+    relation just carries nprobe rows per query, and the probe stays an
+    equi-join on the cluster key (never an OR-join or cross product).
+    Each corpus vector belongs to exactly one list, so candidates are
+    naturally duplicate-free without a dropDuplicates shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    c1 = _kmeans_centroids(_kmeans_assign(e, c0))
+    a1 = _kmeans_assign(e, c1)
+    d = F.round(F.expr(_SQDIST.format(a="v", b="cv")), 5)
+    wq = Window.partitionBy("query_id").orderBy("d", "cluster")
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(c1))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster", d.alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cluster").alias("probe_cluster"), "qv")
+    )
+    c = a1.select(F.col("vec_id").alias("match_id"), "cluster", F.col("v").alias("cv"))
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    nq = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
+    nc = F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+    scored = (
+        F.broadcast(probes)
+        .join(
+            c,
+            (F.col("cluster") == F.col("probe_cluster"))
+            & (F.col("match_id") != F.col("query_id")),
+        )
+        .select("query_id", "match_id", (dot / (nq * nc)).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "match_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rnk")
+    )
+
+
+@register(
+    "similarity_ivf_recall_audit",
+    oracle=f"""
+    WITH {_KMEANS_A1_SQL},
+    q AS (
+      SELECT a.vec_id AS query_id, a.cluster, e.v AS qv
+      FROM a1 a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    exact_topk AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id
+               ) AS rnk
+        FROM q JOIN e c ON c.vec_id <> q.query_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    ivf_topk AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, a.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, ec.v) DESC, a.vec_id
+               ) AS rnk
+        FROM q
+        JOIN a1 a ON a.cluster = q.cluster AND a.vec_id <> q.query_id
+        JOIN e ec ON ec.vec_id = a.vec_id
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(sum(CASE WHEN i.match_id IS NULL THEN 0 ELSE 1 END) AS INT) AS n_hits,
+           round(sum(CASE WHEN i.match_id IS NULL THEN 0 ELSE 1 END) / {TOP_K}.0, 2)
+             AS recall_at_{TOP_K}
+    FROM exact_topk x
+    LEFT JOIN ivf_topk i ON i.query_id = x.query_id AND i.match_id = x.match_id
+    GROUP BY x.query_id
+    """,
+)
+def similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the nprobe=1 IVF index against brute-force ground
+    truth — the measurement an ANN deployment runs before trusting the
+    index (recall tells you whether k/nprobe are sized right for the
+    corpus). Output is per-query: hits in the exact top-k and the
+    recall fraction.
+
+    100 TB shape: ground truth is only ever computed for the (small)
+    query sample, so the brute-force side is the broadcast-query scan of
+    the corpus the cosine-topk lane already uses; the IVF side reads one
+    inverted list per query; the comparison joins two k-row-per-query
+    relations. Grading the index costs one corpus scan per audit, not
+    per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    a1 = _kmeans_assign(e, _kmeans_centroids(_kmeans_assign(e, c0)))
+    q = a1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster").alias("query_cluster"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    nq = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
+    nc = F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "match_id")
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "match_id")
+        )
+
+    c_all = e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"))
+    exact = topk(
+        F.broadcast(q)
+        .crossJoin(c_all)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", (dot / (nq * nc)).alias("sim"))
+    )
+    c_ivf = a1.select(F.col("vec_id").alias("match_id"), "cluster", F.col("v").alias("cv"))
+    ivf = topk(
+        F.broadcast(q)
+        .join(
+            c_ivf,
+            (F.col("cluster") == F.col("query_cluster"))
+            & (F.col("match_id") != F.col("query_id")),
+        )
+        .select("query_id", "match_id", (dot / (nq * nc)).alias("sim"))
+    ).withColumn("hit", F.lit(1))
+    return (
+        exact.join(ivf, ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 2).alias(f"recall_at_{TOP_K}"),
+        )
+    )
+
+
 @register(
     "embedding_centroid_distance",
     oracle="""

@@ -52,6 +52,8 @@ _INTENDED_BNLJ = {
     # inherits _kmeans_assign's crossJoin vs the k-row broadcast
     # centroid table (the IVF coarse quantizer), same as the line above
     "similarity_ivf_kmeans_topk",
+    "similarity_ivf_nprobe_topk",
+    "similarity_ivf_recall_audit",
     "corpus_mix_resample",
 }
 
