@@ -171,7 +171,9 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump({**headline, "queries_cold": cold}, f, indent=1)
     sys.stdout.flush()
-    print(json.dumps(headline), flush=True)
+    # Compact separators keep the line ~1.2 KB — well inside the driver's
+    # 2000-char stdout tail even as per-query digits grow at larger SF.
+    print(json.dumps(headline, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

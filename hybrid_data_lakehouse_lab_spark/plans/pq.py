@@ -1,0 +1,469 @@
+"""Product quantization (PQ) for embedding compression + ANN scoring.
+
+The IVF lanes (plans/similarity.py) answer the "which vectors do I even
+look at" half of the 100 TB ANN problem; PQ answers the other half:
+"how do I score candidates without storing/scanning full vectors". A
+64-d float vector (256 B) compresses to M_SUB codebook codes (one byte
+each) — 32× — and queries score candidates from a per-query lookup table (LUT)
+without ever touching the original vectors. This is the FAISS IVF-PQ
+shape re-expressed as relational plans; the reference repo has no
+comparable operator (its serving layer is Pinot segment scans).
+
+Determinism contract (same as the k-means quantizer in
+plans/similarity.py): codebook coordinates round at 1e-6 after each
+mean, squared distances at 1e-5 before each argmin, ties break by code
+id — so engine-specific float summation order cannot flip any code
+assignment, and both engines build bit-identical codebooks.
+
+The key structural fact both engines share: the training-assignment
+distance relation pqd1(vec_id, sub, code, d) IS the ADC lookup table —
+restricted to query vec_ids it gives, for every (query, subspace,
+code), the squared distance from the query's subvector to that
+codeword. The Spark plan and the oracle both read the LUT out of pqd1,
+so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+DIM = 64
+M_SUB = 8  # subspaces
+SUB_DIM = DIM // M_SUB  # dims per subspace
+K_CODES = 16  # codewords per subspace; vec_id < K_CODES seed the codebooks
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+# Squared L2 distance between two double arrays, JVM-side.
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, v[64]) -> (vec_id, sub, sv[SUB_DIM]): M_SUB rows per vector.
+
+    100 TB: map-side array slicing — no shuffle, no Python. The M_SUB×
+    row inflation carries 1/M_SUB-width arrays, so bytes in flight are
+    unchanged.
+    """
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice("v", m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+            )
+            for m in range(M_SUB)
+        ]
+    )
+    return e.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_distances(subv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Distance relation: (vec_id, sub, code, d) for every codeword of
+    the row's subspace. cb is (sub, code, cv[SUB_DIM]) — K_CODES×M_SUB rows,
+    always broadcast; the join on sub never shuffles the corpus."""
+    d = F.round(F.expr(_SQDIST.format(a="sv", b="cv")), 5)
+    return subv.join(F.broadcast(cb), "sub").select("vec_id", "sub", "code", d.alias("d"))
+
+
+def _pq_assign(dist: DataFrame) -> DataFrame:
+    """Argmin over codes per (vec_id, sub) via struct-min (no window)."""
+    return (
+        dist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+
+
+def _pq_codebook_update(assigned: DataFrame, subv: DataFrame) -> DataFrame:
+    """Per-(sub, code) mean subvector. Explode to scalar dims for the
+    mean, re-assemble ordered by position, round at 1e-6.
+
+    100 TB: map-side combine reduces each partition to ≤ M_SUB×K_CODES×
+    SUB_DIM partial sums before the one shuffle; output is M_SUB×K_CODES rows."""
+    dims = assigned.join(subv, ["vec_id", "sub"]).select(
+        "sub", "code", F.posexplode("sv").alias("spos", "x")
+    )
+    cd = dims.groupBy("sub", "code", "spos").agg(F.avg("x").alias("cx"))
+    cv = F.transform(
+        F.array_sort(F.collect_list(F.struct("spos", "cx"))),
+        lambda s: F.round(s["cx"], 6),
+    )
+    return cd.groupBy("sub", "code").agg(cv.alias("cv"))
+
+
+def _pq_train_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebooks (seed → assign → mean-update) and return
+    the final distance relation pqd1 against the refined codebooks.
+    Codes = argmin(pqd1); ADC LUT = pqd1 filtered to query ids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    subv = _subvectors(e)
+    cb0 = subv.filter(F.col("vec_id") < K_CODES).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    pqa0 = _pq_assign(_pq_distances(subv, cb0))
+    cb1 = _pq_codebook_update(pqa0, subv)
+    return _pq_distances(subv, cb1)
+
+
+# Shared training CTE chain (DuckDB side). sdims is the scalar-dim view
+# of every vector's subvectors; pqd1 is the final distance relation whose
+# argmin is the code assignment and whose query-id slice is the ADC LUT
+# — exactly mirroring _pq_train_distances above.
+_PQ_E_SQL = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+# Chain body without the `e` CTE, so it can compose with the k-means
+# chain from plans/similarity.py (which defines the identical `e`).
+_PQ_CHAIN_SQL = f"""
+    sdims AS (
+      SELECT vec_id,
+             CAST((t.i - 1) // {SUB_DIM} AS INT) AS sub,
+             CAST((t.i - 1) % {SUB_DIM} AS INT) AS spos,
+             v[t.i] AS x
+      FROM e, UNNEST(range(1, {DIM + 1})) AS t(i)
+    ),
+    cb0 AS (
+      SELECT sub, CAST(vec_id AS INT) AS code, spos, x AS cx
+      FROM sdims WHERE vec_id < {K_CODES}
+    ),
+    pqd0 AS (
+      SELECT s.vec_id, s.sub, c.code,
+             round(sum((s.x - c.cx) * (s.x - c.cx)), 5) AS d
+      FROM sdims s JOIN cb0 c ON c.sub = s.sub AND c.spos = s.spos
+      GROUP BY s.vec_id, s.sub, c.code
+    ),
+    pqa0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pqd0
+      ) WHERE rn = 1
+    ),
+    cb1 AS (
+      SELECT a.sub, a.code, s.spos, round(avg(s.x), 6) AS cx
+      FROM pqa0 a JOIN sdims s ON s.vec_id = a.vec_id AND s.sub = a.sub
+      GROUP BY a.sub, a.code, s.spos
+    ),
+    pqd1 AS (
+      SELECT s.vec_id, s.sub, c.code,
+             round(sum((s.x - c.cx) * (s.x - c.cx)), 5) AS d
+      FROM sdims s JOIN cb1 c ON c.sub = s.sub AND c.spos = s.spos
+      GROUP BY s.vec_id, s.sub, c.code
+    )
+"""
+
+_PQ_SQL = f"{_PQ_E_SQL},{_PQ_CHAIN_SQL}"
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH {_PQ_SQL}
+    SELECT vec_id, sub, CAST(code AS INT) AS code FROM (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+      FROM pqd1
+    ) WHERE rn = 1
+    ORDER BY vec_id, sub
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus: each vector becomes M_SUB codebook
+    codes — the 64×-compressed representation an ANN index actually
+    stores. Codebooks are trained with one deterministic Lloyd step per
+    subspace (seed = subvectors of the K_CODES lowest vec_ids).
+
+    100 TB plan shape: training touches the corpus twice (assign,
+    mean-update) with only the M_SUB×K_CODES-row codebook ever broadcast; encoding
+    is one more broadcast-join pass. The corpus is never shuffled at
+    vector width — the only wide shuffle key is (sub, code, spos) with
+    map-side combine.
+    """
+    pqd1 = _pq_train_distances(spark, sf_dir)
+    return _pq_assign(pqd1).select(
+        "vec_id", "sub", F.col("code").cast("int").alias("code")
+    ).orderBy("vec_id", "sub")
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pqd1
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code, d AS pd
+      FROM pqd1 WHERE vec_id < {N_QUERIES}
+    ),
+    adist AS (
+      SELECT l.query_id, co.vec_id AS match_id, round(sum(l.pd), 5) AS adc_dist
+      FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    )
+    SELECT query_id, match_id, adc_dist, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, match_id) AS INT) AS rnk
+      FROM adist
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: queries keep exact subvectors,
+    candidates are scored from their PQ codes alone via a per-query LUT
+    — approximate squared-L2 = Σ_m LUT[query, m, code_m]. The LUT is the
+    query-id slice of the training distance relation, so no separate
+    query-encoding step can drift from the codebooks. The summed
+    distance re-rounds at 1e-5: the true sum of M_SUB 1e-5-multiples is
+    itself a 1e-5 multiple, so the float jitter (~1e-15) can never reach
+    a rounding boundary — a coarser 1e-4 round would sit exactly on the
+    x.00005 half-ulp and flip between engines.
+
+    100 TB plan shape: the scored relation never touches a stored
+    vector — it joins the (vec_id, sub, code) code table against a
+    broadcast LUT of |Q|×M_SUB×K_CODES rows on (sub, code) and sums
+    map-side-combined partials per (query, candidate). With the code
+    table as an array column the same LUT applies via element_at with
+    zero join — the relational form is kept here so the oracle states
+    the identical dataflow.
+    """
+    pqd1 = _pq_train_distances(spark, sf_dir)
+    codes = _pq_assign(pqd1)
+    lut = pqd1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d").alias("pd")
+    )
+    adist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.round(F.sum("pd"), 5).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    return (
+        adist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id", "adc_dist", "rnk")
+    )
+
+
+@register(
+    "similarity_pq_recall_audit",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pqd1
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code, d AS pd
+      FROM pqd1 WHERE vec_id < {N_QUERIES}
+    ),
+    adist AS (
+      SELECT l.query_id, co.vec_id AS match_id, round(sum(l.pd), 5) AS adc_dist
+      FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    ),
+    pq_topk AS (
+      SELECT query_id, match_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, match_id) AS rnk
+        FROM adist
+      ) WHERE rnk <= {TOP_K}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_distance(q.qv, c.v), 4), c.vec_id) AS rnk
+        FROM q, e c WHERE c.vec_id <> q.query_id
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(count(p.match_id) AS BIGINT) AS hits,
+           round(count(p.match_id) / {TOP_K}.0, 4) AS recall_at_{TOP_K}
+    FROM exact x LEFT JOIN pq_topk p
+      ON p.query_id = x.query_id AND p.match_id = x.match_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """,
+)
+def similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC index against exact-L2 ground truth per
+    query — the accuracy half of the compression trade, graded inside
+    the engine (same shape as similarity_ivf_recall_audit). Ground truth
+    ranks on L2 distance rounded at 1e-4, ties by match_id, in both
+    engines.
+
+    100 TB: the audit costs one brute-force scan per audit RUN (not per
+    production query) over a query sample — exactly how recall is
+    monitored on a real corpus.
+    """
+    pqd1 = _pq_train_distances(spark, sf_dir)
+    codes = _pq_assign(pqd1)
+    lut = pqd1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d").alias("pd")
+    )
+    adist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.round(F.sum("pd"), 5).alias("adc_dist"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    pq_topk = (
+        adist.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dist = F.round(F.sqrt(F.expr(_SQDIST.format(a="qv", b="cv"))), 4)
+    we = Window.partitionBy("query_id").orderBy("ed", "match_id")
+    exact = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv")))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", dist.alias("ed"))
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id")
+    )
+    return (
+        exact.join(pq_topk.withColumn("hit", F.lit(1)), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(TOP_K)), 4).alias(f"recall_at_{TOP_K}"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the full two-level ANN index — IVF coarse quantizer picks the
+# candidate list, PQ-ADC scores it from codes. Composes the k-means
+# chain (plans/similarity.py) with the PQ chain above in one oracle.
+# ---------------------------------------------------------------------------
+
+from .similarity import (  # noqa: E402  (shared quantizer machinery)
+    _KMEANS_A1_SQL,
+    _kmeans_assign,
+    _kmeans_centroids,
+    K_CLUSTERS,
+)
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH {_KMEANS_A1_SQL},
+    {_PQ_CHAIN_SQL},
+    cand AS (
+      SELECT qa.vec_id AS query_id, a.vec_id AS match_id
+      FROM a1 qa JOIN a1 a ON a.cluster = qa.cluster AND a.vec_id <> qa.vec_id
+      WHERE qa.vec_id < {N_QUERIES}
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pqd1
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code, d AS pd
+      FROM pqd1 WHERE vec_id < {N_QUERIES}
+    ),
+    adist AS (
+      SELECT c.query_id, c.match_id, round(sum(l.pd), 5) AS adc_dist
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.match_id
+      JOIN lut l ON l.query_id = c.query_id AND l.sub = co.sub AND l.code = co.code
+      GROUP BY c.query_id, c.match_id
+    )
+    SELECT query_id, match_id, adc_dist, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, match_id) AS INT) AS rnk
+      FROM adist
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the production 100 TB ANN shape end-to-end: the
+    k-means coarse quantizer restricts each query to its own cluster's
+    inverted list (candidate selection never scans the corpus), and
+    PQ-ADC scores those candidates from their codes alone (scoring never
+    touches a stored vector). This is the composition FAISS calls
+    IndexIVFPQ, re-expressed as two shared relational chains.
+
+    100 TB plan shape: the candidate relation (query_id, match_id) is
+    |Q|×|list| rows and is BROADCAST; joining it to the code table is
+    map-side, the LUT join is a second broadcast, and the only shuffle
+    is the per-(query, candidate) partial-sum aggregate of M_SUB-row
+    groups. Neither the IVF side nor the PQ side ever shuffles vectors.
+
+    Determinism: inherits both chains' rounding contracts; the summed
+    ADC distance re-rounds at 1e-5 (sum of 1e-5 multiples — see
+    similarity_pq_adc_topk), ties break by match_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    a1 = _kmeans_assign(e, _kmeans_centroids(_kmeans_assign(e, c0)))
+    cand = (
+        a1.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "cluster")
+        .join(a1.select(F.col("vec_id").alias("match_id"), "cluster"), "cluster")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id")
+    )
+    pqd1 = _pq_train_distances(spark, sf_dir)
+    codes = _pq_assign(pqd1)
+    lut = pqd1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d").alias("pd")
+    )
+    adist = (
+        codes.join(F.broadcast(cand), codes.vec_id == cand.match_id)
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.round(F.sum("pd"), 5).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    return (
+        adist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id", "adc_dist", "rnk")
+    )

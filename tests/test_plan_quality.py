@@ -54,6 +54,10 @@ _INTENDED_BNLJ = {
     "similarity_ivf_kmeans_topk",
     "similarity_ivf_nprobe_topk",
     "similarity_ivf_recall_audit",
+    # ground truth side is the broadcast-query brute-force scan
+    "similarity_pq_recall_audit",
+    # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
+    "similarity_ivfpq_topk",
     "corpus_mix_resample",
 }
 
