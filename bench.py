@@ -158,6 +158,7 @@ def main() -> None:
         "warm": f"min-of-{sweeps}",
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": ingest,
+        "ingest": "best-of-2",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail goes to a file; stdout carries only the compact
