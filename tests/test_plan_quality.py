@@ -58,6 +58,10 @@ _INTENDED_BNLJ = {
     "similarity_pq_recall_audit",
     # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
     "similarity_ivfpq_topk",
+    # 1-row n_docs broadcast in the idf table (as text_tfidf_top_terms);
+    # rrf additionally has the broadcast-query vector scan
+    "hybrid_search_rrf",
+    "hybrid_search_rerank",
     "corpus_mix_resample",
 }
 
