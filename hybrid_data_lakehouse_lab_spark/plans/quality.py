@@ -166,3 +166,65 @@ def quality_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("activity_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over the document corpus — the governance check a
+# training-data release runs before publishing: any combination of
+# quasi-identifiers shared by fewer than k documents can single people
+# (or sources) out.
+# ---------------------------------------------------------------------------
+K_ANON = 5
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM documents
+      GROUP BY lang, source, n_chars // 500
+    )
+    SELECT c.lang, c.source, c.len_bucket, c.group_size,
+           c.group_size >= {K_ANON} AS k_anonymous,
+           CAST(sum(CASE WHEN c.group_size < {K_ANON} THEN c.group_size ELSE 0 END)
+                OVER () AS BIGINT) AS risky_docs_total
+    FROM cells c
+    ORDER BY c.lang, c.source, c.len_bucket
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the quasi-identifier cell (lang, source,
+    500-char length bucket): per-cell size, the k>=5 verdict, and the
+    corpus-wide count of documents sitting in risky (sub-k) cells.
+
+    100 TB plan shape: one aggregate keyed on the quasi-identifier cell
+    (map-side combine; cell count is bounded by the QI domain, not the
+    corpus); the risky-total is a 1-row broadcast back over the cell
+    relation — the corpus is scanned once and never re-shuffled.
+    All-integer arithmetic; no rounding contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / F.lit(500)).cast("bigint").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    risky = cells.agg(
+        F.sum(
+            F.when(F.col("group_size") < K_ANON, F.col("group_size")).otherwise(0)
+        ).cast("bigint").alias("risky_docs_total")
+    )
+    return (
+        cells.join(F.broadcast(risky))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "group_size",
+            (F.col("group_size") >= K_ANON).alias("k_anonymous"),
+            "risky_docs_total",
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )

@@ -62,6 +62,8 @@ _INTENDED_BNLJ = {
     # rrf additionally has the broadcast-query vector scan
     "hybrid_search_rrf",
     "hybrid_search_rerank",
+    # 1-row risky-total broadcast back over the cell relation
+    "privacy_k_anonymity",
     "corpus_mix_resample",
 }
 
