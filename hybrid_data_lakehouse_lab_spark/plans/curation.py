@@ -310,3 +310,128 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation lineage — every document, its verdict, and the FIRST gate
+# that dropped it. The governance twin of corpus_curation_pipeline:
+# that lane returns the survivors; this one explains the casualties
+# ("why was my document dropped" is the first question a data audit
+# asks of a 100 TB curation run).
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_curation_lineage",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             len(string_split(text, ' ')) BETWEEN 10 AND 1000 AS length_ok,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_EN})))
+              >= len(list_filter(string_split(text, ' '), w -> w IN ({_ES}))) AS lang_ok,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    keepers AS (
+      SELECT fingerprint, min(doc_id) AS keeper
+      FROM base WHERE length_ok AND lang_ok GROUP BY fingerprint
+    ),
+    canon AS (
+      SELECT b.doc_id, b.text FROM base b
+      JOIN keepers k ON k.fingerprint = b.fingerprint AND k.keeper = b.doc_id
+      WHERE b.length_ok AND b.lang_ok
+    ),
+    shingles AS ({shingles_sql("canon")}),
+    sig AS ({minhash_sig_sql()}),
+    near AS (
+      SELECT DISTINCT doc_b AS doc_id FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+                              AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+      )
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CASE WHEN NOT b.length_ok THEN 'drop_length'
+                WHEN NOT b.lang_ok THEN 'drop_lang'
+                WHEN k.keeper IS NULL OR k.keeper <> b.doc_id THEN 'drop_exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+                ELSE 'kept' END AS verdict
+    FROM base b
+    LEFT JOIN keepers k ON k.fingerprint = b.fingerprint
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop attribution through the curation gates, in gate
+    order: length → language → exact-dup (fingerprint keeper) →
+    near-dup (MinHash-LSH) → kept. Gate definitions are copied from
+    corpus_curation_pipeline so the 'kept' set here IS that lane's
+    output (asserted in tests/test_curation_lineage.py).
+
+    100 TB plan shape: identical cost to the pipeline itself plus one
+    fingerprint-keyed keeper join — attribution rides the same shuffles;
+    no per-gate corpus re-scan. (A production run would write this as
+    the pipeline's second output, not a separate job; the lane keeps
+    them separate so both stay oracle-paired.)
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+
+    def score(words: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    base = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(toks).between(10, 1000).alias("length_ok"),
+        (score(["the", "fast", "key"]) >= score(["order", "sort", "table"])).alias(
+            "lang_ok"
+        ),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
+            "fingerprint"
+        ),
+    )
+    keepers = (
+        base.filter(F.col("length_ok") & F.col("lang_ok"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    canon = (
+        base.filter(F.col("length_ok") & F.col("lang_ok"))
+        .join(keepers, "fingerprint")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+    )
+    sig = minhash_long(canon)
+    near = (
+        bucket_pairs(
+            sig, ["seed", "minhash"], "doc_id", [], max_bucket=DEFAULT_MAX_BUCKET
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        base.join(keepers, "fingerprint", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(~F.col("length_ok"), "drop_length")
+            .when(~F.col("lang_ok"), "drop_lang")
+            .when(
+                F.col("keeper").isNull() | (F.col("keeper") != F.col("doc_id")),
+                "drop_exact_dup",
+            )
+            .when(F.col("_near").isNotNull(), "drop_near_dup")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
