@@ -474,3 +474,68 @@ def near_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def heavy_hitters_stream(
+    docs: DataFrame,
+    counters_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming count-min sketch maintenance: each micro-batch's token
+    stream collapses to its own d×w counter grid, appended with the
+    epoch id; the live sketch is the element-wise SUM of the per-epoch
+    grids (``read_cms_counters``). This is the mergeability that makes
+    CMS the streaming heavy-hitter structure — and the streaming twin of
+    the batch ``sketch_heavy_hitters_cmin`` lane (plans/sketches.py),
+    with which it agrees exactly (tests/test_streaming_cms.py proves
+    stream-merged == batch-computed counters).
+
+    Replay safety: a replayed epoch re-appends an IDENTICAL grid (the
+    bucket hash is deterministic), and the merge reader collapses
+    duplicate (epoch, i, bucket) rows with max() before summing across
+    epochs — so at-least-once delivery cannot inflate a count.
+
+    100 TB: per batch, one (i, bucket)-keyed aggregate with map-side
+    combine (≤ d×w rows out regardless of batch size); the persisted
+    state grows O(d×w) per epoch and compacts by pre-summing closed
+    epochs — never by rescanning the corpus.
+    """
+    from ..plans.sketches import CMS_D, _bucket_spark
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+        grid = (
+            batch.select(F.explode(F.split("text", " ")).alias("term"))
+            .select("term", F.explode(rows).alias("i"))
+            .select("i", _bucket_spark("term", "i"))
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("epoch", F.lit(epoch_id))
+        )
+        grid.write.mode("append").parquet(counters_dir)
+
+    writer = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_counters(spark: SparkSession, counters_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed sketch: collapse replayed epochs
+    (max of identical grids), then sum across epochs → the same
+    (i, bucket, cnt) grid a single batch pass would produce."""
+    per_epoch = (
+        spark.read.parquet(counters_dir)
+        .groupBy("epoch", "i", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    return per_epoch.groupBy("i", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
