@@ -1,0 +1,160 @@
+"""Corpus statistical audits: Zipf-law fit over the term distribution
+(degenerate/synthetic-corpus detector) and per-source decile drift
+(distribution-shift monitor between ingestion sources).
+
+Both are the checks a training-data pipeline runs per snapshot: a
+natural-language corpus follows Zipf (rank-frequency log-log slope near
+-1); machine-generated or template spam flattens or steepens it. Source
+drift — one crawl's length distribution wandering from the corpus — is
+the earliest signal of an upstream extraction regression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+ZIPF_TOP = 100  # terms in the regression
+DECILES = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH terms AS (
+      SELECT t.term
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+           UNNEST(toks) AS t(term)
+    ),
+    top AS (
+      SELECT cnt, rnk FROM (
+        SELECT count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
+        FROM terms GROUP BY term
+      ) WHERE rnk <= {ZIPF_TOP}
+    ),
+    pts AS (SELECT ln(rnk) AS x, ln(cnt) AS y FROM top),
+    fit AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             BETWEEN -1.5 AND -0.5 AS zipf_like
+    FROM fit
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(frequency) against ln(rank) over the top-100 terms:
+    slope ≈ -1 is Zipf — the natural-language signature; a flat or
+    cliff-edge slope flags template spam or synthetic filler. The
+    zipf_like verdict compares the ROUNDED slope so both engines agree
+    even at the band edge.
+
+    100 TB plan shape: term counts are one map-side-combined aggregate;
+    the top-100 cut is a WindowGroupLimit (per-partition partial top-k,
+    then merge — no vocabulary-sized single-partition sort); the
+    regression itself is a 1-row aggregate of 100 points.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "term")
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_TOP)
+        .select(F.log("rnk").alias("x"), F.log("cnt").alias("y"))
+    )
+    fit = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(slope, 4).between(-1.5, -0.5).alias("zipf_like"),
+    )
+
+
+_DECILE_COLS_SQL = ",\n           ".join(
+    f"round(quantile_cont(n_chars, {q}), 2) AS p{int(q * 100)}" for q in DECILES
+)
+_LINF_SQL = "greatest(" + ", ".join(
+    f"abs(s.p{int(q * 100)} - g.p{int(q * 100)})" for q in DECILES
+) + ")"
+
+
+@register(
+    "corpus_drift_deciles",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, {_DECILE_COLS_SQL}
+      FROM documents GROUP BY source
+    ),
+    global AS (
+      SELECT {_DECILE_COLS_SQL}
+      FROM documents
+    )
+    SELECT s.source,
+           {", ".join(f"s.p{int(q * 100)}" for q in DECILES)},
+           round({_LINF_SQL}, 2) AS linf_vs_global
+    FROM per_src s CROSS JOIN global g
+    ORDER BY s.source
+    """,
+)
+def corpus_drift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length deciles plus the L∞ distance to the
+    corpus-global deciles — the Kolmogorov-style drift score a pipeline
+    alerts on when one source's extraction starts producing truncated
+    (or bloated) documents.
+
+    100 TB plan shape: two aggregates over one scan subtree (per-source
+    and global percentile state are both bounded); the global row is a
+    1-row broadcast back over the |sources|-row relation. Exact
+    interpolated percentiles match DuckDB's quantile_cont — the same
+    cross-engine contract quantiles_by_group uses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def dec_cols():
+        return [
+            F.round(F.expr(f"percentile(n_chars, {q})"), 2).alias(f"p{int(q * 100)}")
+            for q in DECILES
+        ]
+
+    per_src = d.groupBy("source").agg(*dec_cols())
+    glob = d.agg(*[c.alias(f"g{int(q * 100)}") for c, q in zip(dec_cols(), DECILES)])
+    linf = F.greatest(
+        *[
+            F.abs(F.col(f"p{int(q * 100)}") - F.col(f"g{int(q * 100)}"))
+            for q in DECILES
+        ]
+    )
+    return (
+        per_src.join(F.broadcast(glob))
+        .select(
+            "source",
+            *[f"p{int(q * 100)}" for q in DECILES],
+            F.round(linf, 2).alias("linf_vs_global"),
+        )
+        .orderBy("source")
+    )

@@ -64,6 +64,8 @@ _INTENDED_BNLJ = {
     "hybrid_search_rerank",
     # 1-row risky-total broadcast back over the cell relation
     "privacy_k_anonymity",
+    # 1-row global-deciles broadcast over the |sources|-row relation
+    "corpus_drift_deciles",
     "corpus_mix_resample",
 }
 
