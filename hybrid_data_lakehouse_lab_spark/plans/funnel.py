@@ -373,3 +373,64 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_ms") / 1000, 3).alias("avg_gap_s"),
         F.round(F.expr("percentile(gap_ms, 0.5)") / 1000, 3).alias("p50_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew audit — the diagnostic that decides WHEN the salted-aggregate
+# path (events_salted_type_stats) is needed: per-key share of the fact
+# in exact integer ppm, flagged against the hot-key threshold.
+# ---------------------------------------------------------------------------
+SKEW_TOP = 10
+SKEW_HOT_PPM = 20_000  # >2% of the fact on one key => salt it
+
+
+@register(
+    "events_key_skew_audit",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM per_key)
+    SELECT user_id, n_rows,
+           CAST(n_rows * 1000000 // t.total AS BIGINT) AS share_ppm,
+           n_rows * 1000000 // t.total >= {SKEW_HOT_PPM} AS needs_salting,
+           rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY n_rows DESC, user_id) AS INT) AS rnk
+      FROM per_key
+    ) p CROSS JOIN tot t
+    WHERE rnk <= {SKEW_TOP}
+    ORDER BY rnk
+    """,
+)
+def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest shuffle keys with their exact share of the fact
+    (integer ppm — no float, no rounding contract) and the salt/don't
+    salt verdict at 2%. Run this before any user_id-keyed join or agg:
+    a key above the threshold is the one AQE skew-split or the salted
+    two-phase aggregate exists for.
+
+    100 TB plan shape: one map-side-combined count per key, a
+    WindowGroupLimit top-10 (per-partition partial top-k — the key
+    relation is never globally sorted), and a 1-row total broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per_key.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    w = Window.orderBy(F.desc("n_rows"), "user_id")
+    share = F.expr("n_rows * 1000000 div total")
+    return (
+        per_key.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SKEW_TOP)
+        .join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            share.alias("share_ppm"),
+            (share >= SKEW_HOT_PPM).alias("needs_salting"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )

@@ -539,3 +539,59 @@ def read_cms_counters(spark: SparkSession, counters_dir: str) -> DataFrame:
     return per_epoch.groupBy("i", "bucket").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
+
+
+def embedding_assign_stream(
+    vectors: DataFrame,
+    centroids_dir: str,
+    lists_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming IVF index maintenance: each micro-batch of
+    (vec_id, embedding) is assigned to its nearest TRAINED centroid
+    (read from centroids_dir — the persisted output of a
+    similarity_kmeans_clusters-style training run) and appended to the
+    inverted lists, cluster-partitioned. This closes the ANN lifecycle:
+    train batch (plans/similarity.py) → serve queries (IVF/PQ lanes) →
+    ingest continuously (this lane), without ever rebuilding the index
+    for new data.
+
+    Replay safety: assignment is deterministic (the k-means rounding
+    contract), so an at-least-once re-append writes IDENTICAL rows; the
+    read side dedupes on vec_id (``read_inverted_lists``).
+
+    100 TB: per batch, one broadcast of the k-row centroid table against
+    the batch (never a shuffle of the vectors); the partitionBy(cluster)
+    layout means a query's probe reads exactly its cluster's directory —
+    partition pruning does the inverted-list lookup.
+    """
+    from ..plans.similarity import _kmeans_assign
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        cdf = spark.read.parquet(centroids_dir)
+        e = batch.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        assigned = _kmeans_assign(e, cdf).select("vec_id", "cluster", "v")
+        assigned.write.mode("append").partitionBy("cluster").parquet(lists_dir)
+
+    writer = (
+        vectors.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_inverted_lists(spark: SparkSession, lists_dir: str) -> DataFrame:
+    """Replay-safe read of the streamed inverted lists: duplicate
+    appends of the same vec_id (identical rows by determinism) collapse
+    to one."""
+    return spark.read.parquet(lists_dir).dropDuplicates(["vec_id"])

@@ -66,6 +66,8 @@ _INTENDED_BNLJ = {
     "privacy_k_anonymity",
     # 1-row global-deciles broadcast over the |sources|-row relation
     "corpus_drift_deciles",
+    # 1-row fact-total broadcast over the top-10 key relation
+    "events_key_skew_audit",
     "corpus_mix_resample",
 }
 
