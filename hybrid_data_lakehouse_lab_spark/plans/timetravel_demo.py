@@ -67,3 +67,72 @@ def timetravel_versions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "version INT, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "privacy_forget_demo",
+    oracle="""
+    SELECT 'before_forget' AS stage,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (user_id % 97 = 0) AS BIGINT) AS forgotten_present,
+           2 AS readable_versions
+    FROM events
+    UNION ALL
+    SELECT 'after_forget',
+           CAST(count(*) FILTER (user_id % 97 <> 0) AS BIGINT),
+           CAST(0 AS BIGINT), 2
+    FROM events
+    UNION ALL
+    SELECT 'after_vacuum',
+           CAST(count(*) FILTER (user_id % 97 <> 0) AS BIGINT),
+           CAST(0 AS BIGINT), 1
+    FROM events
+    ORDER BY stage
+    """,
+)
+def privacy_forget_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten round-trip on the versioned table: commit
+    the fact (v1), commit the erasure (v2 = anti-join of the forget
+    set), then VACUUM v1 so the forgotten rows are physically deleted —
+    the three-step GDPR erasure contract (logical delete is not enough;
+    time travel must stop resurrecting the data once retention allows).
+
+    Checked per stage: total rows, forgotten rows still readable, and
+    how many versions remain readable. Before vacuum, v1 deliberately
+    still serves the forgotten rows (audit retention); after
+    vacuum_snapshots the manifest drops v1 FIRST, then deletes its data
+    dir — a stale reader can hit missing files, never wrong rows.
+
+    100 TB: the erasure commit is one anti-join against the (broadcast)
+    forget set rewriting only live data; vacuum is manifest surgery plus
+    directory deletes — no scan of surviving data.
+    """
+    from ..operators.maintenance import vacuum_snapshots
+
+    ev = load_table(spark, sf_dir, "events")
+    forgotten = F.col("user_id") % 97 == 0
+    tmp = tempfile.mkdtemp(prefix="forget_demo_")
+    rows = []
+
+    def audit(stage: str, df: DataFrame, n_versions: int) -> None:
+        got = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(forgotten, 1).otherwise(0)).cast("bigint").alias("fp"),
+        ).collect()[0]
+        rows.append((stage, got["n"], got["fp"], n_versions))
+
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(~forgotten), committed_at_ms=2)
+        audit("before_forget", t.read(version=1), len(t.snapshots()))
+        audit("after_forget", t.read(version=2), len(t.snapshots()))
+        expired = vacuum_snapshots(t, older_than_ms=2, keep_last=1)
+        assert expired == [1], expired
+        audit("after_vacuum", t.read(), len(t.snapshots()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "stage STRING, n_rows BIGINT, forgotten_present BIGINT, readable_versions INT",
+    )
