@@ -158,3 +158,90 @@ def corpus_drift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table content fingerprint — order-insensitive checksum for replication
+# / migration validation. Two engines (or two clusters) that disagree on
+# a single row disagree on the fingerprint; the oracle comparison of
+# this very lane IS the cross-engine validation it implements.
+# ---------------------------------------------------------------------------
+def _row_hash_sql(concat: str) -> str:
+    """40-bit per-row hash (DuckDB dialect): summing 40-bit values over
+    any realistic table stays far below BIGINT range — no overflow
+    handling needed in either engine (Spark 4 runs ANSI: a BIGINT sum
+    overflow would throw, not wrap)."""
+    return f"('0x' || substr(md5({concat}), 1, 10))::BIGINT"
+
+
+@register(
+    "table_content_fingerprint",
+    oracle=f"""
+    WITH o AS (
+      SELECT {_row_hash_sql("concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+                            " CAST(round(o_totalprice * 100) AS BIGINT),"
+                            " epoch(o_orderdate)::BIGINT, o_orderpriority)")} AS h
+      FROM orders
+    ),
+    c AS (
+      SELECT {_row_hash_sql("concat_ws('|', c_custkey, c_name, c_nationkey,"
+                            " CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment)")} AS h
+      FROM customer
+    )
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS fingerprint
+    FROM c
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT), CAST(sum(h) AS BIGINT)
+    FROM o
+    ORDER BY table_name
+    """,
+)
+def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum per table: serialize each row
+    canonically (integers and strings verbatim, money as exact cents,
+    timestamps as epoch seconds under the pinned UTC session), hash to
+    40 bits, SUM. Commutative addition makes the fingerprint independent
+    of partitioning, file order, and parallelism — two copies of a table
+    match iff the fingerprints match (modulo 2^40-collision odds).
+
+    This is the end-of-migration check a replication pipeline runs
+    between source and target warehouse — and the lane's own DuckDB
+    oracle run IS that check, across two unrelated engines.
+
+    100 TB plan shape: embarrassingly parallel map-side hashing, one
+    1-row aggregate per table; no shuffle of row data at all.
+    """
+
+    def fp(df: DataFrame, concat: F.Column, name: str) -> DataFrame:
+        h = F.conv(F.substring(F.md5(concat), 1, 10), 16, 10).cast("bigint")
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("fingerprint"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o_concat = F.concat_ws(
+        "|",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        F.unix_timestamp("o_orderdate").cast("bigint"),
+        "o_orderpriority",
+    )
+    c_concat = F.concat_ws(
+        "|",
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint"),
+        "c_mktsegment",
+    )
+    return (
+        fp(c, c_concat, "customer")
+        .unionByName(fp(o, o_concat, "orders"))
+        .orderBy("table_name")
+    )
