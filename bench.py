@@ -146,9 +146,19 @@ def main() -> None:
             break
         prev_total = total
 
-    # Same estimator for ingest: best of two runs, so one throttled
-    # stream drain cannot halve the recorded rate.
-    ingest = max(ingest_rows_per_sec(spark), ingest_rows_per_sec(spark))
+    # Same estimator philosophy as warm: keep draining (min 2, max 4)
+    # until the best rate stops improving by >5%, so a throttle window
+    # spanning both of a fixed pair of runs cannot depress the record
+    # (observed: same-code ingest reading 30k vs 86k rows/s run-to-run).
+    ingest = 0.0
+    ingest_runs = 0
+    while ingest_runs < 4:
+        rate = ingest_rows_per_sec(spark)
+        ingest_runs += 1
+        if ingest_runs >= 2 and rate <= ingest * 1.05:
+            ingest = max(ingest, rate)
+            break
+        ingest = max(ingest, rate)
 
     headline = {
         "metric": "headline_queries_total_sec",
@@ -158,7 +168,7 @@ def main() -> None:
         "warm": f"min-of-{sweeps}",
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": ingest,
-        "ingest": "best-of-2",
+        "ingest": f"best-of-{ingest_runs}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail goes to a file; stdout carries only the compact
