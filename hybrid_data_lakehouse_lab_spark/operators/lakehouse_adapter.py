@@ -14,9 +14,13 @@ Interface contract (what both backends provide):
 - ``write(df, partition_by=None, committed_at_ms=None, properties=None)``
   — one ATOMIC commit per batch (manifest swap / Delta commit). The
   SCD2 pipeline's checkpoint rides in ``properties`` so data +
-  checkpoint commit together.
+  checkpoint commit together. ``committed_at_ms`` (logical commit
+  time) is SnapshotTable-only — the Delta backend raises, because the
+  Delta log stamps wall-clock time and ``as_of_ms`` would resolve
+  against the wrong clock.
 - ``read(version=None, as_of_ms=None)`` — head, ``VERSION AS OF``, or
-  ``TIMESTAMP AS OF`` resolution.
+  ``TIMESTAMP AS OF`` resolution. Versions are 1-based on BOTH backends
+  (first commit = 1; the Delta shim translates to Delta's 0-based log).
 - ``exists()`` / ``snapshots()`` — table probe + commit log.
 
 Mapping table (SnapshotTable → Delta):
@@ -24,7 +28,7 @@ Mapping table (SnapshotTable → Delta):
 | SnapshotTable                  | Delta                                  |
 |--------------------------------|----------------------------------------|
 | manifest swap commit           | `_delta_log` JSON commit               |
-| ``read(version=v)``            | ``option("versionAsOf", v)``           |
+| ``read(version=v)`` (1-based)  | ``option("versionAsOf", v - 1)``       |
 | ``read(as_of_ms=t)``           | ``option("timestampAsOf", t)``         |
 | snapshot ``properties``        | ``userMetadata`` commit info           |
 | branches + fast_forward (WAP)  | no direct analog (use shallow clones)  |
@@ -92,6 +96,17 @@ class DeltaSnapshotTable:
             raise NotImplementedError(
                 "branches are SnapshotTable-only; Delta WAP = shallow clone"
             )
+        if committed_at_ms is not None:
+            # Delta stamps wall-clock commit times in its log; a caller
+            # passing a LOGICAL timestamp (the SnapshotTable checkpoint
+            # pattern: write(committed_at_ms=1); read(as_of_ms=1_500))
+            # would silently resolve against the wrong clock — fail loud
+            # instead. Logical-timestamp flows stay on the parquet
+            # backend.
+            raise NotImplementedError(
+                "committed_at_ms is SnapshotTable-only: Delta commits are "
+                "stamped with wall-clock time by the Delta log"
+            )
         import json
 
         writer = df.write.format("delta").mode("overwrite").option(
@@ -104,7 +119,7 @@ class DeltaSnapshotTable:
         writer.save(self.root)
         last = self._history(1)[0]
         return SnapshotInfo(
-            version=int(last["version"]),
+            version=int(last["version"]) + 1,
             committed_at_ms=int(last["timestamp"].timestamp() * 1000),
             path=self.root,
             properties=properties,
@@ -124,7 +139,7 @@ class DeltaSnapshotTable:
             meta = r.get("userMetadata")
             out.append(
                 SnapshotInfo(
-                    version=int(r["version"]),
+                    version=int(r["version"]) + 1,
                     committed_at_ms=int(r["timestamp"].timestamp() * 1000),
                     path=self.root,
                     properties=json.loads(meta) if meta else None,
@@ -148,10 +163,16 @@ class DeltaSnapshotTable:
             raise NotImplementedError("branches are SnapshotTable-only")
         reader = self.spark.read.format("delta")
         if version is not None:
-            reader = reader.option("versionAsOf", version)
+            # Surface versions are 1-based (SnapshotTable numbering);
+            # Delta's native log is 0-based. Normalizing here keeps
+            # read(version=1) == "first commit" on BOTH backends.
+            reader = reader.option("versionAsOf", version - 1)
         elif as_of_ms is not None:
             # Delta's timestampAsOf takes a timestamp string; resolution
-            # semantics (latest commit <= ts) match SnapshotTable._resolve.
+            # (latest commit <= ts) matches SnapshotTable._resolve, but
+            # against Delta's WALL-CLOCK commit times (write() rejects
+            # logical committed_at_ms for exactly this reason), and Delta
+            # raises for timestamps before the first commit.
             import datetime as dt
 
             ts = dt.datetime.fromtimestamp(

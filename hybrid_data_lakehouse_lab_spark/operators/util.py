@@ -30,6 +30,8 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 #: expansion is O(B²) for no information gain.
 DEFAULT_MAX_BUCKET = 256
 
+_OBS_COUNTER = 0
+
 
 def bucket_pairs(
     df: DataFrame,
@@ -68,6 +70,15 @@ def bucket_pairs(
     ``pyspark.sql.Observation`` as ``df.bucket_pairs_observation`` with
     metrics ``capped_buckets`` / ``buckets``, populated once the plan is
     materialized.
+
+    Oracle-pairing note: the registered DuckDB oracles state the plain
+    all-pairs join, so a capped bucket is a DELIBERATE divergence that
+    only a degenerate corpus can trigger. The pairing stays valid on the
+    correctness gate's data because no test-corpus bucket approaches the
+    cap — asserted by tests/test_bucket_cap.py
+    (test_gate_corpora_never_trigger_the_cap), which fails loudly if the
+    test data ever drifts into cap territory instead of letting the gate
+    hash-mismatch mysteriously.
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -84,7 +95,12 @@ def bucket_pairs(
     )
     obs = None
     if max_bucket is not None:
-        obs = Observation("bucket_pairs_cap")
+        # Unique per call: Spark rejects two observed-metrics nodes with
+        # the same name in one plan, so a lane composing two capped
+        # bucket_pairs outputs would fail analysis with a fixed name.
+        global _OBS_COUNTER
+        _OBS_COUNTER += 1
+        obs = Observation(f"bucket_pairs_cap_{_OBS_COUNTER}")
         grouped = grouped.observe(
             obs,
             F.sum((F.size("items") > max_bucket).cast("long")).alias(

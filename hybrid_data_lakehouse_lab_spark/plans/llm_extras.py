@@ -237,7 +237,8 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= 2
     )
     words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1)))
+    # the size>=2 filter above guarantees size-1 >= 1 here
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
     pairs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
     return (
         d.select(F.explode(pairs).alias("pair"))
@@ -503,7 +504,8 @@ def text_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= 2
     )
     words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1)))
+    # the size>=2 filter above guarantees size-1 >= 1 here
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
     bigrams = F.transform(
         idx,
         lambda i: F.struct(

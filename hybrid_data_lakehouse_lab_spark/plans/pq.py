@@ -117,6 +117,33 @@ def _pq_train_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_distances(subv, cb1)
 
 
+def _pq_adc_distances(pqd1: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+    """ADC distance relation (query_id, match_id, adc_dist) from the
+    trained distance relation: codes = argmin(pqd1), LUT = pqd1's
+    query-id slice, score = round(Σ_m pd, 5). With `cand` (query_id,
+    match_id) the scoring is restricted to those candidate pairs (the
+    IVF-PQ path); without it every corpus vector is a candidate. One
+    definition for all three ADC consumers so the rounding contract and
+    query predicate cannot drift between lanes."""
+    codes = _pq_assign(pqd1)
+    lut = pqd1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d").alias("pd")
+    )
+    if cand is not None:
+        scored = codes.join(F.broadcast(cand), codes.vec_id == cand.match_id).join(
+            F.broadcast(lut), ["query_id", "sub", "code"]
+        )
+    else:
+        scored = (
+            codes.join(F.broadcast(lut), ["sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("match_id", F.col("vec_id"))
+        )
+    return scored.groupBy("query_id", "match_id").agg(
+        F.round(F.sum("pd"), 5).alias("adc_dist")
+    )
+
+
 # Shared training CTE chain (DuckDB side). sdims is the scalar-dim view
 # of every vector's subvectors; pqd1 is the final distance relation whose
 # argmin is the code assignment and whose query-id slice is the ADC LUT
@@ -243,17 +270,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero join — the relational form is kept here so the oracle states
     the identical dataflow.
     """
-    pqd1 = _pq_train_distances(spark, sf_dir)
-    codes = _pq_assign(pqd1)
-    lut = pqd1.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d").alias("pd")
-    )
-    adist = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("match_id"))
-        .agg(F.round(F.sum("pd"), 5).alias("adc_dist"))
-    )
+    adist = _pq_adc_distances(_pq_train_distances(spark, sf_dir))
     w = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
     return (
         adist.withColumn("rnk", F.row_number().over(w))
@@ -320,17 +337,7 @@ def similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production query) over a query sample — exactly how recall is
     monitored on a real corpus.
     """
-    pqd1 = _pq_train_distances(spark, sf_dir)
-    codes = _pq_assign(pqd1)
-    lut = pqd1.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d").alias("pd")
-    )
-    adist = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("match_id"))
-        .agg(F.round(F.sum("pd"), 5).alias("adc_dist"))
-    )
+    adist = _pq_adc_distances(_pq_train_distances(spark, sf_dir))
     wk = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
     pq_topk = (
         adist.withColumn("rnk", F.row_number().over(wk))
@@ -450,17 +457,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("match_id") != F.col("query_id"))
         .select("query_id", "match_id")
     )
-    pqd1 = _pq_train_distances(spark, sf_dir)
-    codes = _pq_assign(pqd1)
-    lut = pqd1.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d").alias("pd")
-    )
-    adist = (
-        codes.join(F.broadcast(cand), codes.vec_id == cand.match_id)
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .groupBy("query_id", "match_id")
-        .agg(F.round(F.sum("pd"), 5).alias("adc_dist"))
-    )
+    adist = _pq_adc_distances(_pq_train_distances(spark, sf_dir), cand=cand)
     w = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
     return (
         adist.withColumn("rnk", F.row_number().over(w))

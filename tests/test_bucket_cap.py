@@ -90,3 +90,38 @@ def test_lsh_lane_bounded_on_identical_docs(spark, tmp_path):
     assert len(rows) == n - 1
     assert all(r.doc_a == 0 and r.n_matching_bands == 8 for r in rows)
     assert {r.doc_b for r in rows} == set(range(1, n))
+
+
+def test_gate_corpora_never_trigger_the_cap(spark, sf_dir):
+    """The capped lanes' oracles state the UNCAPPED all-pairs join, so
+    oracle pairing is only valid while no bucket on the gate's corpora
+    exceeds DEFAULT_MAX_BUCKET. Assert that directly for each capped
+    lane's bucket key — if the test data ever drifts degenerate, this
+    fails with a number, not a mysterious hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.util import DEFAULT_MAX_BUCKET
+    from hybrid_data_lakehouse_lab_spark.plans.dedup import minhash_long
+    from hybrid_data_lakehouse_lab_spark.plans.dedup_advanced import dedup_simhash
+    from hybrid_data_lakehouse_lab_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # dedup_near_pairs_lsh / corpus_curation_pipeline: (seed, minhash)
+    lsh_max = (
+        minhash_long(docs.select("doc_id", "text"))
+        .groupBy("seed", "minhash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # dedup_simhash_near_pairs: 16-bit leading band
+    sim_max = (
+        dedup_simhash(spark, sf_dir)
+        .groupBy(F.substring("simhash", 1, 16))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert lsh_max <= DEFAULT_MAX_BUCKET, lsh_max
+    assert sim_max <= DEFAULT_MAX_BUCKET, sim_max

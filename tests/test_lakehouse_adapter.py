@@ -52,6 +52,18 @@ def test_delta_roundtrip_versions(spark, tmp_path):
     t = DeltaSnapshotTable(spark, str(tmp_path / "t"))
     t.write(spark.range(5).toDF("id"))
     t.write(spark.range(8).toDF("id"))
-    assert t.read(version=0).count() == 5
+    # surface versions are 1-based on both backends (first commit = 1);
+    # the shim translates to Delta's 0-based log internally
+    assert t.read(version=1).count() == 5
     assert t.read().count() == 8
-    assert [s.version for s in t.snapshots()] == [0, 1]
+    assert [s.version for s in t.snapshots()] == [1, 2]
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_delta_rejects_logical_commit_timestamps(spark, tmp_path):
+    """committed_at_ms is a LOGICAL clock on SnapshotTable; Delta stamps
+    wall-clock commit times, so passing one must fail loud, not resolve
+    as_of_ms against the wrong clock."""
+    t = DeltaSnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(NotImplementedError):
+        t.write(spark.range(3).toDF("id"), committed_at_ms=1_000)
