@@ -115,3 +115,111 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_ts",
         F.round("last_purchase_value", 4).alias("last_purchase_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Max concurrency — the sweep-line interval aggregate ("how many user
+# sessions were active at the busiest instant of each day"), made
+# distributable by clipping sessions to day boundaries so each day's
+# sweep is an independent partition.
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_max_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY user_id, session_id
+    ),
+    segs AS (
+      SELECT t.d::DATE AS day,
+             greatest(s, t.d::TIMESTAMP) AS ss,
+             least(e, (t.d + INTERVAL 1 DAY)::TIMESTAMP) AS se
+      FROM sessions, UNNEST(generate_series(s::DATE, e::DATE, INTERVAL 1 DAY)) AS t(d)
+    ),
+    bounds AS (
+      SELECT day, ss AS ts, 1 AS delta FROM segs
+      UNION ALL
+      SELECT day, se, -1 FROM segs
+    ),
+    swept AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM bounds
+    )
+    SELECT day, CAST(max(conc) AS INT) AS max_concurrency
+    FROM swept GROUP BY day ORDER BY day
+    """,
+)
+def events_daily_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day, exactly: sessionize (30-min
+    gap), clip each session into per-day segments, then sweep each day's
+    +1/-1 boundary events with a running sum and take the max. At equal
+    timestamps starts sort before ends (delta DESC), so sessions that
+    touch at an instant count as concurrent — identically in both
+    engines.
+
+    100 TB plan shape: the day-clipping is what makes the classic
+    sweep-line DISTRIBUTABLE — each day's sweep is an independent window
+    partition over only that day's boundary events (2 rows per
+    session-day), never a global ordered scan; the per-day max is a
+    tiny aggregate. Capacity planning runs exactly this query.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .select("user_id", "ts", F.sum("is_new").over(run).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    segs = sess.select(
+        F.explode(F.sequence(F.to_date("s"), F.to_date("e"))).alias("day"), "s", "e"
+    ).select(
+        "day",
+        F.greatest("s", F.col("day").cast("timestamp")).alias("ss"),
+        F.least("e", F.date_add("day", 1).cast("timestamp")).alias("se"),
+    )
+    bounds = segs.select("day", F.col("ss").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        segs.select("day", F.col("se").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sweep = W.partitionBy("day").orderBy(F.col("ts"), F.desc("delta")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        bounds.select("day", F.sum("delta").over(sweep).alias("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").cast("int").alias("max_concurrency"))
+        .orderBy("day")
+    )
