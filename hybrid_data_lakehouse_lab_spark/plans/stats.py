@@ -245,3 +245,68 @@ def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fp(o, o_concat, "orders"))
         .orderBy("table_name")
     )
+
+
+@register(
+    "fingerprint_partition_diff_demo",
+    oracle="""
+    WITH mutated_day AS (
+      SELECT CAST(min(ts)::DATE AS VARCHAR) AS d FROM events
+      WHERE event_id = (SELECT min(event_id) FROM events)
+    )
+    SELECT CAST(e.ts::DATE AS VARCHAR) AS day,
+           CAST(e.ts::DATE AS VARCHAR) = m.d AS diverged
+    FROM events e CROSS JOIN mutated_day m
+    GROUP BY 1, 2 ORDER BY day
+    """,
+)
+def fingerprint_partition_diff_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair scoping: per-PARTITION (per-day) fingerprints
+    of two copies of the events table — one pristine, one with a single
+    mutated row — joined day-against-day. Exactly the mutated row's day
+    diverges; every other day hash-matches, so a repair job re-syncs ONE
+    partition instead of the table. This is the partition-granular
+    extension of table_content_fingerprint (same canonical row hash,
+    grouped by the partition key instead of globally).
+
+    The oracle states the expected diff declaratively: the day of the
+    minimum event_id (the row the demo mutates) and no other.
+
+    100 TB plan shape: two map-side hash passes + one |days|-row join.
+    Locating divergence costs two scans and moves |days| rows — the
+    re-copy cost is then proportional to the DAMAGE, not the table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.agg(F.min("event_id").alias("mid"))
+    mutated = ev.join(F.broadcast(target)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_id") == F.col("mid"), F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+    def day_fp(df: DataFrame) -> DataFrame:
+        row = F.concat_ws(
+            "|",
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").cast("bigint"),
+            F.round(F.col("value") * 10000).cast("bigint"),
+        )
+        h = F.conv(F.substring(F.md5(row), 1, 10), 16, 10).cast("bigint")
+        return (
+            df.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+            .agg(F.sum(h).alias("fp"))
+        )
+
+    a = day_fp(ev).withColumnRenamed("fp", "fp_a")
+    b = day_fp(mutated).withColumnRenamed("fp", "fp_b")
+    return (
+        a.join(b, "day")
+        .select("day", (F.col("fp_a") != F.col("fp_b")).alias("diverged"))
+        .orderBy("day")
+    )

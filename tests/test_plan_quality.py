@@ -68,6 +68,8 @@ _INTENDED_BNLJ = {
     "corpus_drift_deciles",
     # 1-row fact-total broadcast over the top-10 key relation
     "events_key_skew_audit",
+    # 1-row mutated-target-id broadcast over the fact (demo mutation)
+    "fingerprint_partition_diff_demo",
     "corpus_mix_resample",
 }
 
