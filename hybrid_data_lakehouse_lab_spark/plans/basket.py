@@ -232,3 +232,95 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_raw") / F.col("t"), 6).alias("revenue_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census over the co-purchase graph — the classic distributed
+# graph-analytics kernel (clustering coefficient = how clique-ish the
+# product graph is; the signal behind "frequently bought together"
+# neighborhoods).
+# ---------------------------------------------------------------------------
+@register(
+    "parts_triangle_census",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.pa = e1.pb
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    deg AS (
+        SELECT part, count(*) AS d FROM (
+            SELECT pa AS part FROM edges
+            UNION ALL SELECT pb FROM edges
+        ) GROUP BY part
+    ),
+    wed AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg),
+    ecnt AS (SELECT count(*) AS n_edges FROM edges)
+    SELECT CAST(ecnt.n_edges AS BIGINT) AS n_edges,
+           CAST(wed.n_wedges AS BIGINT) AS n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           round(3.0 * tri.n_triangles / wed.n_wedges, 6)
+             AS global_clustering_coeff
+    FROM ecnt CROSS JOIN wed CROSS JOIN tri
+    """,
+)
+def parts_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge/wedge/triangle counts and the global clustering coefficient
+    of the support>=2 co-purchase graph. Triangles are enumerated with
+    the ordered-edge (a<b<c) join — each triangle counted exactly once,
+    no orientation dedup pass: wedges (a<b, b<c) close iff (a,c) is an
+    edge.
+
+    100 TB plan shape: the standard distributed triangle kernel — two
+    hash joins on single node keys over the EDGE relation (already
+    support-thresholded, far smaller than the fact); the ordering
+    constraint means each edge's heavier endpoint never fans out, which
+    is what keeps skewed hub nodes from exploding the wedge join. Wedge
+    counts come from the degree relation (map-side combine), not from
+    materializing wedges.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        bucket_pairs(op, ["l_orderkey"], "l_partkey", [])
+        .groupBy(F.col("a.id").alias("pa"), F.col("b.id").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+    wedges = e1.join(e2, "pb")
+    tri = wedges.join(
+        edges.select(F.col("pa"), F.col("pb").alias("pc")), ["pa", "pc"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        edges.select(F.col("pa").alias("part"))
+        .unionAll(edges.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ecnt.join(F.broadcast(wed))
+        .join(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering_coeff"),
+        )
+    )

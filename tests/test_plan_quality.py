@@ -70,6 +70,8 @@ _INTENDED_BNLJ = {
     "events_key_skew_audit",
     # 1-row mutated-target-id broadcast over the fact (demo mutation)
     "fingerprint_partition_diff_demo",
+    # 1-row wedge/triangle totals cross-joined into the single output row
+    "parts_triangle_census",
     "corpus_mix_resample",
 }
 
