@@ -319,11 +319,13 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ("why was my document dropped" is the first question a data audit
 # asks of a 100 TB curation run).
 # ---------------------------------------------------------------------------
-@register(
-    "corpus_curation_lineage",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text,
+# Shared lineage CTE chain (DuckDB side): relation `lineage(doc_id,
+# source, n_tokens, verdict)` — one definition for the per-document
+# lane and the per-source rate report so the gate semantics cannot
+# drift between them.
+_LINEAGE_SQL = f"""
+    base AS (
+      SELECT doc_id, source, text,
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
              len(string_split(text, ' ')) BETWEEN 10 AND 1000 AS length_ok,
              len(list_filter(string_split(text, ' '), w -> w IN ({_EN})))
@@ -349,21 +351,24 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
       )
+    ),
+    lineage AS (
+      SELECT b.doc_id, b.source, b.n_tokens,
+             CASE WHEN NOT b.length_ok THEN 'drop_length'
+                  WHEN NOT b.lang_ok THEN 'drop_lang'
+                  WHEN k.keeper IS NULL OR k.keeper <> b.doc_id THEN 'drop_exact_dup'
+                  WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+                  ELSE 'kept' END AS verdict
+      FROM base b
+      LEFT JOIN keepers k ON k.fingerprint = b.fingerprint
+      LEFT JOIN near n ON n.doc_id = b.doc_id
     )
-    SELECT b.doc_id, b.n_tokens,
-           CASE WHEN NOT b.length_ok THEN 'drop_length'
-                WHEN NOT b.lang_ok THEN 'drop_lang'
-                WHEN k.keeper IS NULL OR k.keeper <> b.doc_id THEN 'drop_exact_dup'
-                WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
-                ELSE 'kept' END AS verdict
-    FROM base b
-    LEFT JOIN keepers k ON k.fingerprint = b.fingerprint
-    LEFT JOIN near n ON n.doc_id = b.doc_id
-    ORDER BY b.doc_id
-    """,
-)
-def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document drop attribution through the curation gates, in gate
+"""
+
+
+def _lineage_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lineage relation (doc_id, source, n_tokens, verdict) —
+    the Spark twin of the _LINEAGE_SQL CTE chain; per-document drop attribution through the curation gates, in gate
     order: length → language → exact-dup (fingerprint keeper) →
     near-dup (MinHash-LSH) → kept. Gate definitions are copied from
     corpus_curation_pipeline so the 'kept' set here IS that lane's
@@ -384,6 +389,7 @@ def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = d.select(
         "doc_id",
+        "source",
         "text",
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(toks).between(10, 1000).alias("length_ok"),
@@ -422,6 +428,7 @@ def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near, "doc_id", "left")
         .select(
             "doc_id",
+            "source",
             "n_tokens",
             F.when(~F.col("length_ok"), "drop_length")
             .when(~F.col("lang_ok"), "drop_lang")
@@ -433,5 +440,81 @@ def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("kept")
             .alias("verdict"),
         )
-        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_curation_lineage",
+    oracle=f"""
+    WITH {_LINEAGE_SQL}
+    SELECT doc_id, n_tokens, verdict FROM lineage
+    ORDER BY doc_id
+    """,
+)
+def corpus_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _lineage_verdicts — this lane is its per-document projection."""
+    return _lineage_verdicts(spark, sf_dir).select(
+        "doc_id", "n_tokens", "verdict"
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_dedup_rate_report",
+    oracle=f"""
+    WITH {_LINEAGE_SQL}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (verdict = 'kept') AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (verdict = 'drop_length') AS BIGINT) AS n_drop_length,
+           CAST(count(*) FILTER (verdict = 'drop_lang') AS BIGINT) AS n_drop_lang,
+           CAST(count(*) FILTER (verdict = 'drop_exact_dup') AS BIGINT) AS n_drop_exact,
+           CAST(count(*) FILTER (verdict = 'drop_near_dup') AS BIGINT) AS n_drop_near,
+           CAST((count(*) FILTER (verdict IN ('drop_exact_dup', 'drop_near_dup')))
+                * 1000000 // count(*) AS BIGINT) AS dedup_rate_ppm
+    FROM lineage
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: document counts by verdict and the
+    duplicate rate in exact integer ppm — the per-crawl health report a
+    data team reviews after each curation run (a source whose dedup rate
+    jumps is re-crawling itself; one whose drop_lang spikes changed
+    language mix). Shares the lineage relation with
+    corpus_curation_lineage in BOTH engines, so the report can never
+    disagree with the per-document attribution.
+
+    100 TB plan shape: the lineage relation's cost (the pipeline's own
+    shuffles) plus one |sources|-row aggregate with map-side combine.
+    """
+
+    def vcount(v: str, alias: str) -> F.Column:
+        return F.sum(F.when(F.col("verdict") == v, 1).otherwise(0)).cast(
+            "bigint"
+        ).alias(alias)
+
+    return (
+        _lineage_verdicts(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            vcount("kept", "n_kept"),
+            vcount("drop_length", "n_drop_length"),
+            vcount("drop_lang", "n_drop_lang"),
+            vcount("drop_exact_dup", "n_drop_exact"),
+            vcount("drop_near_dup", "n_drop_near"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "n_drop_length",
+            "n_drop_lang",
+            "n_drop_exact",
+            "n_drop_near",
+            F.expr(
+                "(n_drop_exact + n_drop_near) * 1000000 div n_docs"
+            ).alias("dedup_rate_ppm"),
+        )
+        .orderBy("source")
     )
