@@ -228,3 +228,124 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "len_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract audit — declarative expectations over the fact, graded
+# in one scan (the Great-Expectations shape as a relational plan):
+# each check is a row with its observed value and a pass verdict.
+# ---------------------------------------------------------------------------
+@register(
+    "events_data_contract_audit",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(event_id) AS null_event_id,
+             count(*) - count(user_id) AS null_user_id,
+             count(*) - count(ts) AS null_ts,
+             count(*) - count(value) AS null_value,
+             count(DISTINCT event_id) AS distinct_event_id,
+             CAST(count(*) FILTER (value < 0) AS BIGINT) AS neg_value,
+             CAST(count(*) FILTER (
+               event_type NOT IN ('click','view','purchase','signup','login')
+             ) AS BIGINT) AS unknown_type,
+             CAST(count(*) FILTER (
+               ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01'
+             ) AS BIGINT) AS ts_out_of_range
+      FROM events
+    )
+    SELECT 'event_id_not_null' AS check_name, null_event_id AS violations,
+           null_event_id = 0 AS passed FROM s
+    UNION ALL
+    SELECT 'event_id_unique', n_rows - distinct_event_id,
+           n_rows = distinct_event_id FROM s
+    UNION ALL
+    SELECT 'no_null_keys', null_user_id + null_ts,
+           null_user_id + null_ts = 0 FROM s
+    UNION ALL
+    SELECT 'ts_in_2024', ts_out_of_range, ts_out_of_range = 0 FROM s
+    UNION ALL
+    SELECT 'value_non_negative', neg_value + null_value,
+           neg_value + null_value = 0 FROM s
+    UNION ALL
+    SELECT 'event_type_in_domain', unknown_type, unknown_type = 0 FROM s
+    ORDER BY check_name
+    """,
+)
+def events_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract checks over the events fact — key non-null, key unique,
+    timestamp range, value domain, event-type enumeration — each
+    reported as (check_name, violations, passed). The audit a pipeline
+    gates each ingest batch on before promoting bronze to silver.
+
+    100 TB plan shape: ONE scan computes every check's counters in a
+    single aggregate (map-side combine; the distinct-key check rides the
+    same pass via count(DISTINCT) over the already-unique key — Spark
+    plans it as a two-stage partial distinct, not a fact re-shuffle
+    per check); the verdict table is built from the 1-row summary.
+    Adding a check adds a counter, not a scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    KNOWN = ["click", "view", "purchase", "signup", "login"]
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("event_id")).alias("null_event_id"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("null_user_id"),
+        (F.count(F.lit(1)) - F.count("ts")).alias("null_ts"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_value"),
+        F.countDistinct("event_id").alias("distinct_event_id"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg_value"),
+        F.sum(F.when(~F.col("event_type").isin(KNOWN), 1).otherwise(0))
+        .cast("bigint")
+        .alias("unknown_type"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ts_out_of_range"),
+    )
+    checks = [
+        ("event_id_not_null", F.col("null_event_id"), F.col("null_event_id") == 0),
+        (
+            "event_id_unique",
+            F.col("n_rows") - F.col("distinct_event_id"),
+            F.col("n_rows") == F.col("distinct_event_id"),
+        ),
+        (
+            "no_null_keys",
+            F.col("null_user_id") + F.col("null_ts"),
+            (F.col("null_user_id") + F.col("null_ts")) == 0,
+        ),
+        ("ts_in_2024", F.col("ts_out_of_range"), F.col("ts_out_of_range") == 0),
+        (
+            "value_non_negative",
+            F.col("neg_value") + F.col("null_value"),
+            (F.col("neg_value") + F.col("null_value")) == 0,
+        ),
+        (
+            "event_type_in_domain",
+            F.col("unknown_type"),
+            F.col("unknown_type") == 0,
+        ),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                cnt.cast("bigint").alias("violations"),
+                ok.alias("passed"),
+            )
+            for name, cnt, ok in checks
+        ]
+    )
+    return (
+        s.select(F.explode(rows).alias("c"))
+        .select("c.check_name", "c.violations", "c.passed")
+        .orderBy("check_name")
+    )
