@@ -44,10 +44,12 @@ def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reference: libs/scd2_spark_processor.py:278-369). One shuffle on the
 # business key; everything after is partition-local window work.
 # ---------------------------------------------------------------------------
-@register(
-    "scd2_build",
-    oracle=f"""
-    WITH changes AS ({_CHANGES_SQL}),
+# Shared SCD2 CTE chain (DuckDB side): relation `scd2(user_id,
+# event_type, record_hash, effective_start_ts, effective_end_ts,
+# is_current, is_deleted)` — one definition for the build lane and the
+# invariants audit so they cannot drift.
+_SCD2_SQL = f"""
+    changes AS ({_CHANGES_SQL}),
     hashed AS (
       SELECT *, CASE WHEN op = 'd' THEN 'DELETED'
                      ELSE md5(coalesce(event_type, '')) END AS record_hash
@@ -64,13 +66,23 @@ def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
              lead(op) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_op
       FROM deduped
+    ),
+    scd2 AS (
+      SELECT user_id, event_type, record_hash,
+             ts AS effective_start_ts,
+             next_ts AS effective_end_ts,
+             (next_ts IS NULL) AS is_current,
+             coalesce(next_op = 'd', false) AS is_deleted
+      FROM chained WHERE op <> 'd'
     )
-    SELECT user_id, event_type, record_hash,
-           ts AS effective_start_ts,
-           next_ts AS effective_end_ts,
-           (next_ts IS NULL) AS is_current,
-           coalesce(next_op = 'd', false) AS is_deleted
-    FROM chained WHERE op <> 'd'
+"""
+
+
+@register(
+    "scd2_build",
+    oracle=f"""
+    WITH {_SCD2_SQL}
+    SELECT * FROM scd2
     """,
 )
 def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,3 +351,125 @@ def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # keep Window import referenced for future queries
 _ = Window
+
+
+@register(
+    "scd2_invariants_audit",
+    oracle=f"""
+    WITH {_SCD2_SQL},
+    seq AS (
+      SELECT user_id, effective_start_ts, effective_end_ts, is_current,
+             lead(effective_start_ts) OVER (
+               PARTITION BY user_id
+               ORDER BY effective_start_ts, record_hash) AS next_start
+      FROM scd2
+    ),
+    v AS (
+      SELECT
+        CAST(count(*) FILTER (
+          effective_end_ts IS NOT NULL
+          AND effective_end_ts <= effective_start_ts
+        ) AS BIGINT) AS empty_or_negative_interval,
+        CAST(count(*) FILTER (
+          next_start IS NOT NULL
+          AND effective_end_ts IS DISTINCT FROM next_start
+        ) AS BIGINT) AS gap_or_overlap,
+        CAST(count(*) FILTER (
+          is_current AND effective_end_ts IS NOT NULL
+        ) AS BIGINT) AS current_with_end,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+           SELECT user_id FROM scd2 WHERE is_current
+           GROUP BY user_id HAVING count(*) > 1
+        )) AS keys_with_multiple_current
+      FROM seq
+    )
+    SELECT 'current_has_open_end' AS invariant, current_with_end AS violations,
+           current_with_end = 0 AS passed FROM v
+    UNION ALL
+    SELECT 'intervals_contiguous', gap_or_overlap, gap_or_overlap = 0 FROM v
+    UNION ALL
+    SELECT 'intervals_positive', empty_or_negative_interval,
+           empty_or_negative_interval = 0 FROM v
+    UNION ALL
+    SELECT 'one_current_per_key', keys_with_multiple_current,
+           keys_with_multiple_current = 0 FROM v
+    ORDER BY invariant
+    """,
+)
+def scd2_invariants_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-correctness audit of the SCD2 output itself: versions
+    per key must tile time (each version's end equals the next
+    version's start — no gaps, no overlaps), closed intervals must be
+    positive, current rows must be open-ended, and no key may have two
+    current rows. Run after every merge — an SCD2 table that violates
+    these silently corrupts every point-in-time join downstream.
+
+    100 TB plan shape: one per-key window over the (already
+    version-grained) SCD2 relation plus a per-key current-count
+    aggregate — both shuffle on the business key the table is naturally
+    clustered by; the verdict table is built from 1-row totals.
+    """
+    dim = scd2_build(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("effective_start_ts", "record_hash")
+    seq = dim.select(
+        "user_id",
+        "effective_start_ts",
+        "effective_end_ts",
+        "is_current",
+        F.lead("effective_start_ts").over(w).alias("next_start"),
+    )
+    v = seq.agg(
+        F.sum(
+            F.when(
+                F.col("effective_end_ts").isNotNull()
+                & (F.col("effective_end_ts") <= F.col("effective_start_ts")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("empty_or_negative_interval"),
+        F.sum(
+            F.when(
+                F.col("next_start").isNotNull()
+                & ~F.col("effective_end_ts").eqNullSafe(F.col("next_start")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("gap_or_overlap"),
+        F.sum(
+            F.when(F.col("is_current") & F.col("effective_end_ts").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("current_with_end"),
+    )
+    multi_current = (
+        dim.filter("is_current")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("keys_with_multiple_current"))
+    )
+    v = v.join(F.broadcast(multi_current))
+    checks = [
+        ("current_has_open_end", "current_with_end"),
+        ("intervals_contiguous", "gap_or_overlap"),
+        ("intervals_positive", "empty_or_negative_interval"),
+        ("one_current_per_key", "keys_with_multiple_current"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("invariant"),
+                F.col(col).alias("violations"),
+                (F.col(col) == 0).alias("passed"),
+            )
+            for name, col in checks
+        ]
+    )
+    return (
+        v.select(F.explode(rows).alias("c"))
+        .select("c.invariant", "c.violations", "c.passed")
+        .orderBy("invariant")
+    )

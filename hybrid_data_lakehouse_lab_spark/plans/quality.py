@@ -349,3 +349,70 @@ def events_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.check_name", "c.violations", "c.passed")
         .orderBy("check_name")
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IS NULL
+    ),
+    ord AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_custkey IS NULL
+    ),
+    cust AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE n.n_nationkey IS NULL
+    )
+    SELECT 'customer.c_nationkey -> nation' AS relationship,
+           orphans, orphans = 0 AS passed FROM cust
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders', orphans, orphans = 0 FROM li
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer', orphans, orphans = 0 FROM ord
+    ORDER BY relationship
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the warehouse spine
+    (lineitem→orders→customer→nation): dangling-reference counts per
+    relationship with a pass verdict — the cross-TABLE complement of the
+    single-table contract audit, run before trusting any join-based
+    metric downstream.
+
+    100 TB plan shape: each relationship is one left-anti-shaped probe —
+    the parent key side reduces to its distinct keys (dimension-sized
+    for customer/nation; order-keys co-partition with lineitem's
+    natural join key), aggregated to a count. No fact ever joins
+    another fact's payload; AQE broadcasts the small parents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(child, key, parent, pkey):
+        return (
+            child.select(F.col(key))
+            .join(parent.select(F.col(pkey).alias(key)).distinct(), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+        )
+
+    def row(name, df):
+        return df.select(
+            F.lit(name).alias("relationship"),
+            F.col("orphans"),
+            (F.col("orphans") == 0).alias("passed"),
+        )
+
+    return (
+        row("customer.c_nationkey -> nation", orphans(c, "c_nationkey", n, "n_nationkey"))
+        .unionAll(row("lineitem.l_orderkey -> orders", orphans(li, "l_orderkey", o, "o_orderkey")))
+        .unionAll(row("orders.o_custkey -> customer", orphans(o, "o_custkey", c, "c_custkey")))
+        .orderBy("relationship")
+    )

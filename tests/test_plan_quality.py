@@ -72,6 +72,8 @@ _INTENDED_BNLJ = {
     "fingerprint_partition_diff_demo",
     # 1-row wedge/triangle totals cross-joined into the single output row
     "parts_triangle_census",
+    # 1-row multi-current-key total joined into the 1-row summary
+    "scd2_invariants_audit",
     "corpus_mix_resample",
 }
 
