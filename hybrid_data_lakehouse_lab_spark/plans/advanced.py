@@ -83,31 +83,44 @@ def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization — gap > 30 min starts a new session (lag + running sum;
 # the batch twin of streaming session_window).
 # ---------------------------------------------------------------------------
-@register(
-    "sessionize",
-    oracle="""
-    WITH flagged AS (
+SESSION_GAP_US = 1_800_000_000  # 30 min, in microseconds
+
+# Shared sessionization CTE chain (DuckDB side): relation
+# `sess(event_id, user_id, ts, session_id)` — one definition for the
+# sessionize lane and every session-derived lane (peak concurrency) so
+# the gap rule cannot drift between lanes. Gaps compare in MICROSECONDS
+# on both engines: Spark's unix_timestamp truncates to whole seconds
+# while DuckDB's epoch() keeps fractional parts, so a seconds-based
+# comparison diverges on gaps within 1s of the threshold — unix_micros
+# vs epoch_us is exact on both sides.
+SESSIONS_SQL = f"""
+    flagged AS (
       SELECT event_id, user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT event_id, user_id, ts,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
     )
-    SELECT event_id, user_id, ts,
-           CAST(sum(is_new) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS session_id
-    FROM flagged
-    """,
-)
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SESSIONS_SQL: (event_id, user_id, ts, session_id)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
     is_new = F.when(
-        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800),
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > SESSION_GAP_US),
         1,
     ).otherwise(0)
     return (
@@ -120,6 +133,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_new").over(wf).cast("bigint").alias("session_id"),
         )
     )
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+    WITH {SESSIONS_SQL}
+    SELECT event_id, user_id, ts, session_id FROM sess
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionized(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

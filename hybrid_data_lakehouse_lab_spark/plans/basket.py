@@ -20,6 +20,22 @@ from ..sources import load_table
 from .registry import register
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase pair relation (pa < pb, n_both) — ONE definition of
+    what an edge of the part co-occurrence graph is, shared by the
+    basket-lift, pagerank, and triangle lanes so they cannot disagree
+    about the graph. One shuffle of the distinct (order, part)
+    projection on the order key; pair expansion inside codegen
+    (bucket_pairs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        bucket_pairs(op, ["l_orderkey"], "l_partkey", [])
+        .groupBy(F.col("a.id").alias("pa"), F.col("b.id").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+
+
 @register(
     "orders_market_basket",
     oracle="""
@@ -62,9 +78,10 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     pairs = (
-        bucket_pairs(op, ["l_orderkey"], "l_partkey", [])
-        .groupBy(F.col("a.id").alias("part_a"), F.col("b.id").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("n_both"))
+        _copurchase_pairs(spark, sf_dir)
+        .select(
+            F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_both"
+        )
         .filter(F.col("n_both") >= 2)
     )
     pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na"))
@@ -141,13 +158,8 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized, broadcast by AQE). The 1/N teleport scalar is a
     1-row broadcast gate (allowlisted BNLJ, like tf-idf's doc count).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    prs = (
-        bucket_pairs(op, ["l_orderkey"], "l_partkey", [])
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+    prs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     edges = prs.unionByName(
         prs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -287,12 +299,8 @@ def parts_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts come from the degree relation (map-side combine), not from
     materializing wedges.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
     edges = (
-        bucket_pairs(op, ["l_orderkey"], "l_partkey", [])
-        .groupBy(F.col("a.id").alias("pa"), F.col("b.id").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n_both"))
+        _copurchase_pairs(spark, sf_dir)
         .filter(F.col("n_both") >= 2)
         .select("pa", "pb")
     )

@@ -359,6 +359,7 @@ _ = Window
     WITH {_SCD2_SQL},
     seq AS (
       SELECT user_id, effective_start_ts, effective_end_ts, is_current,
+             is_deleted,
              lead(effective_start_ts) OVER (
                PARTITION BY user_id
                ORDER BY effective_start_ts, record_hash) AS next_start
@@ -372,6 +373,7 @@ _ = Window
         ) AS BIGINT) AS empty_or_negative_interval,
         CAST(count(*) FILTER (
           next_start IS NOT NULL
+          AND NOT is_deleted
           AND effective_end_ts IS DISTINCT FROM next_start
         ) AS BIGINT) AS gap_or_overlap,
         CAST(count(*) FILTER (
@@ -399,9 +401,11 @@ _ = Window
 def scd2_invariants_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-correctness audit of the SCD2 output itself: versions
     per key must tile time (each version's end equals the next
-    version's start — no gaps, no overlaps), closed intervals must be
-    positive, current rows must be open-ended, and no key may have two
-    current rows. Run after every merge — an SCD2 table that violates
+    version's start — no gaps, no overlaps), EXCEPT across a delete: a
+    version closed by a delete legitimately precedes a gap until the
+    key's re-insert, so delete-closed rows are exempt from the
+    contiguity check. Closed intervals must be positive, current rows
+    must be open-ended, and no key may have two current rows. Run after every merge — an SCD2 table that violates
     these silently corrupts every point-in-time join downstream.
 
     100 TB plan shape: one per-key window over the (already
@@ -416,6 +420,7 @@ def scd2_invariants_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effective_start_ts",
         "effective_end_ts",
         "is_current",
+        "is_deleted",
         F.lead("effective_start_ts").over(w).alias("next_start"),
     )
     v = seq.agg(
@@ -431,6 +436,7 @@ def scd2_invariants_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.col("next_start").isNotNull()
+                & ~F.col("is_deleted")
                 & ~F.col("effective_end_ts").eqNullSafe(F.col("next_start")),
                 1,
             ).otherwise(0)

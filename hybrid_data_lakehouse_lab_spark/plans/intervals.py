@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..operators.rangejoin import binned_interval_join
 from ..sources import load_table
+from .advanced import SESSIONS_SQL
 from .registry import register
 
 # Maintenance windows over the events table's Jan-2024 range; W3/W4
@@ -125,22 +126,8 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "events_daily_max_concurrency",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id,
-             ts
-      FROM flagged
-    ),
+    oracle=f"""
+    WITH {SESSIONS_SQL},
     sessions AS (
       SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
       FROM sess GROUP BY user_id, session_id
@@ -180,27 +167,12 @@ def events_daily_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-day), never a global ordered scan; the per-day max is a
     tiny aggregate. Capacity planning runs exactly this query.
     """
-    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
+    from .advanced import sessionized
+
     sess = (
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.when(
-                F.lag("ts").over(w).isNull()
-                | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
-                1,
-            )
-            .otherwise(0)
-            .alias("is_new"),
-        )
-        .select("user_id", "ts", F.sum("is_new").over(run).alias("session_id"))
+        sessionized(spark, sf_dir)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )

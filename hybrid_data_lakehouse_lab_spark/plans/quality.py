@@ -247,7 +247,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(DISTINCT event_id) AS distinct_event_id,
              CAST(count(*) FILTER (value < 0) AS BIGINT) AS neg_value,
              CAST(count(*) FILTER (
-               event_type NOT IN ('click','view','purchase','signup','login')
+               event_type NOT IN ('click','view','purchase','signup','error')
              ) AS BIGINT) AS unknown_type,
              CAST(count(*) FILTER (
                ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01'
@@ -286,7 +286,7 @@ def events_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adding a check adds a counter, not a scan.
     """
     ev = load_table(spark, sf_dir, "events")
-    KNOWN = ["click", "view", "purchase", "signup", "login"]
+    KNOWN = ["click", "view", "purchase", "signup", "error"]
     s = ev.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("event_id")).alias("null_event_id"),

@@ -166,6 +166,13 @@ def corpus_drift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a single row disagree on the fingerprint; the oracle comparison of
 # this very lane IS the cross-engine validation it implements.
 # ---------------------------------------------------------------------------
+def _hash40(row: F.Column) -> F.Column:
+    """40-bit md5-prefix row hash — the ONE definition both fingerprint
+    lanes use (table-level and per-partition), so they stay provably
+    comparable."""
+    return F.conv(F.substring(F.md5(row), 1, 10), 16, 10).cast("bigint")
+
+
 def _row_hash_sql(concat: str) -> str:
     """40-bit per-row hash (DuckDB dialect): summing 40-bit values over
     any realistic table stays far below BIGINT range — no overflow
@@ -214,7 +221,7 @@ def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def fp(df: DataFrame, concat: F.Column, name: str) -> DataFrame:
-        h = F.conv(F.substring(F.md5(concat), 1, 10), 16, 10).cast("bigint")
+        h = _hash40(concat)
         return df.select(h.alias("h")).agg(
             F.lit(name).alias("table_name"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -297,7 +304,7 @@ def fingerprint_partition_diff_demo(spark: SparkSession, sf_dir: str) -> DataFra
             F.unix_timestamp("ts").cast("bigint"),
             F.round(F.col("value") * 10000).cast("bigint"),
         )
-        h = F.conv(F.substring(F.md5(row), 1, 10), 16, 10).cast("bigint")
+        h = _hash40(row)
         return (
             df.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
             .agg(F.sum(h).alias("fp"))
