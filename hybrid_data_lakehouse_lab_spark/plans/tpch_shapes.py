@@ -266,3 +266,55 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "supplier_ship_latency_scorecard",
+    oracle="""
+    SELECT l.l_suppkey AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(avg(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)), 4)
+             AS avg_ship_lag_days,
+           CAST(median(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE))
+             AS DOUBLE) AS p50_ship_lag_days,
+           CAST(count(*) FILTER (l.l_returnflag = 'R') * 1000000 // count(*)
+             AS BIGINT) AS return_ppm
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_suppkey
+    ORDER BY suppkey
+    """,
+)
+def supplier_ship_latency_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier operational scorecard: line volume, revenue, mean
+    and median order-to-ship lag in days, and the returned-line rate in
+    exact integer ppm — the supplier-reliability view a procurement team
+    reviews (the aggregate complement of q21's worst-offender hunt).
+
+    100 TB plan shape: ONE fact-fact join on the order key (lineitem and
+    orders co-partition naturally on it — bucketed layouts make it
+    exchange-free, see bucketed_join_roundtrip), then a supplier-keyed
+    aggregate with map-side combine. The median is exact
+    (percentile == DuckDB median on day-integer lags).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+            lag.alias("_lag"),
+            (F.col("l_returnflag") == "R").cast("int").alias("_ret"),
+        )
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("_rev"), 2).alias("revenue"),
+            F.round(F.avg("_lag"), 4).alias("avg_ship_lag_days"),
+            F.expr("percentile(_lag, 0.5)").alias("p50_ship_lag_days"),
+            F.expr("sum(_ret) * 1000000 div count(1)").alias("return_ppm"),
+        )
+        .orderBy("suppkey")
+    )
