@@ -174,11 +174,34 @@ def _hash40(row: F.Column) -> F.Column:
 
 
 def _row_hash_sql(concat: str) -> str:
-    """40-bit per-row hash (DuckDB dialect): summing 40-bit values over
-    any realistic table stays far below BIGINT range — no overflow
-    handling needed in either engine (Spark 4 runs ANSI: a BIGINT sum
-    overflow would throw, not wrap)."""
+    """40-bit per-row hash (DuckDB dialect). Row hashes are summed in
+    UNBOUNDED precision (DuckDB HUGEINT / Spark decimal(38,0) — see
+    ``_fp_sum``): a plain BIGINT sum of ~2^39-mean values overflows at
+    roughly 1.7e7 rows, and Spark 4 runs ANSI so the overflow would
+    THROW mid-migration-check rather than wrap."""
     return f"('0x' || substr(md5({concat}), 1, 10))::BIGINT"
+
+
+#: Largest prime below 2^63. The unbounded-precision hash sum is reduced
+#: mod this prime so the published fingerprint fits BIGINT in both
+#: engines at ANY row count. A single-row difference can never hide in
+#: the reduction: the delta of two 40-bit row hashes is < 2^40 << p, so
+#: it is nonzero mod p.
+_FP_MOD = 9223372036854775783
+
+
+def _fp_sum(h: F.Column) -> F.Column:
+    """Overflow-proof commutative fingerprint: sum 40-bit row hashes as
+    decimal(38,0) (good to ~1e26 rows; ANSI-safe), reduce mod _FP_MOD,
+    publish as BIGINT. DuckDB twin: ``CAST(sum(h) % p AS BIGINT)`` —
+    DuckDB sums BIGINT into HUGEINT natively, and both engines truncate
+    toward zero on non-negative operands, so the values match exactly."""
+    return (F.sum(h.cast("decimal(38,0)")) % F.lit(_FP_MOD)).cast("bigint")
+
+
+def _fp_sum_sql(col: str = "h") -> str:
+    """DuckDB twin of ``_fp_sum`` (HUGEINT accumulate, mod, BIGINT)."""
+    return f"CAST(sum({col}) % {_FP_MOD} AS BIGINT)"
 
 
 @register(
@@ -187,7 +210,7 @@ def _row_hash_sql(concat: str) -> str:
     WITH o AS (
       SELECT {_row_hash_sql("concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
                             " CAST(round(o_totalprice * 100) AS BIGINT),"
-                            " epoch(o_orderdate)::BIGINT, o_orderpriority)")} AS h
+                            " epoch_us(o_orderdate), o_orderpriority)")} AS h
       FROM orders
     ),
     c AS (
@@ -196,10 +219,10 @@ def _row_hash_sql(concat: str) -> str:
       FROM customer
     )
     SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(h) AS BIGINT) AS fingerprint
+           {_fp_sum_sql()} AS fingerprint
     FROM c
     UNION ALL
-    SELECT 'orders', CAST(count(*) AS BIGINT), CAST(sum(h) AS BIGINT)
+    SELECT 'orders', CAST(count(*) AS BIGINT), {_fp_sum_sql()}
     FROM o
     ORDER BY table_name
     """,
@@ -207,9 +230,12 @@ def _row_hash_sql(concat: str) -> str:
 def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content checksum per table: serialize each row
     canonically (integers and strings verbatim, money as exact cents,
-    timestamps as epoch seconds under the pinned UTC session), hash to
-    40 bits, SUM. Commutative addition makes the fingerprint independent
-    of partitioning, file order, and parallelism — two copies of a table
+    timestamps as exact epoch MICROSECONDS — unix_micros/epoch_us agree
+    bit-for-bit across engines, whereas whole-second epoch() ROUNDS in
+    DuckDB but TRUNCATES in Spark on sub-second values), hash to 40
+    bits, SUM in unbounded precision, reduce mod a fixed 63-bit prime.
+    Commutative addition makes the fingerprint independent of
+    partitioning, file order, and parallelism — two copies of a table
     match iff the fingerprints match (modulo 2^40-collision odds).
 
     This is the end-of-migration check a replication pipeline runs
@@ -225,7 +251,7 @@ def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(h.alias("h")).agg(
             F.lit(name).alias("table_name"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("h").alias("fingerprint"),
+            _fp_sum(F.col("h")).alias("fingerprint"),
         )
 
     o = load_table(spark, sf_dir, "orders")
@@ -236,7 +262,7 @@ def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("bigint"),
-        F.unix_timestamp("o_orderdate").cast("bigint"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
         "o_orderpriority",
     )
     c_concat = F.concat_ws(
@@ -301,13 +327,13 @@ def fingerprint_partition_diff_demo(spark: SparkSession, sf_dir: str) -> DataFra
             "event_id",
             "user_id",
             "event_type",
-            F.unix_timestamp("ts").cast("bigint"),
+            F.unix_micros(F.col("ts").cast("timestamp")),
             F.round(F.col("value") * 10000).cast("bigint"),
         )
         h = _hash40(row)
         return (
             df.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
-            .agg(F.sum(h).alias("fp"))
+            .agg(_fp_sum(h).alias("fp"))
         )
 
     a = day_fp(ev).withColumnRenamed("fp", "fp_a")

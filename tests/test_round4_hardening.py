@@ -1,0 +1,60 @@
+"""Round-4 scale-hardening regression tests.
+
+1. table_content_fingerprint's hash sum must survive row counts where a
+   plain BIGINT sum of 40-bit hashes overflows int64 (~1.7e7 rows) —
+   accumulation is decimal(38,0)/HUGEINT, published mod a 63-bit prime,
+   identical in Spark and DuckDB.
+2. The canonical row serialization is microsecond-exact: DuckDB epoch()
+   ROUNDS sub-second timestamps while Spark unix_timestamp TRUNCATES, so
+   the contract pins epoch_us/unix_micros where both are exact integers.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.plans.stats import _FP_MOD, _fp_sum, _fp_sum_sql
+
+# 2^40 - 1: the largest value the 40-bit row hash can produce.
+H_MAX = (1 << 40) - 1
+# Enough rows that sum(h) > 2^63 — the exact regime where the previous
+# BIGINT accumulation threw under ANSI in Spark (and silently promoted
+# to HUGEINT in DuckDB, so the two engines *diverged in failure mode*).
+N_ROWS = 20_000_000
+
+
+def test_fp_sum_survives_int64_overflow(spark):
+    assert N_ROWS * H_MAX > (1 << 63)  # the scenario is real
+    got = (
+        spark.range(N_ROWS)
+        .select(F.lit(H_MAX).alias("h"))
+        .agg(_fp_sum(F.col("h")).alias("fp"))
+        .collect()[0]["fp"]
+    )
+    expected = (N_ROWS * H_MAX) % _FP_MOD
+    assert got == expected
+
+    duck = duckdb.sql(
+        f"SELECT {_fp_sum_sql()} AS fp FROM "
+        f"(SELECT {H_MAX}::BIGINT AS h FROM range({N_ROWS}))"
+    ).fetchone()[0]
+    assert duck == expected
+
+
+def test_canonical_ts_is_microsecond_exact_cross_engine(spark):
+    # 00:00:00.7 — DuckDB epoch()::BIGINT rounds this UP to the next
+    # second while Spark unix_timestamp truncates; epoch_us/unix_micros
+    # agree exactly.
+    ts = "2024-03-01 00:00:00.700000"
+    got_spark = (
+        spark.sql(f"SELECT unix_micros(CAST(TIMESTAMP '{ts}' AS TIMESTAMP)) AS us")
+        .collect()[0]["us"]
+    )
+    got_duck = duckdb.sql(f"SELECT epoch_us(TIMESTAMP '{ts}') AS us").fetchone()[0]
+    assert got_spark == got_duck
+    # and the whole-second forms genuinely disagree on this input,
+    # which is why the contract must NOT use them:
+    trunc = spark.sql(f"SELECT unix_timestamp(TIMESTAMP '{ts}') AS s").collect()[0]["s"]
+    rounded = duckdb.sql(f"SELECT epoch(TIMESTAMP '{ts}')::BIGINT AS s").fetchone()[0]
+    assert trunc != rounded

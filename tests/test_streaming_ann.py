@@ -26,7 +26,7 @@ from hybrid_data_lakehouse_lab_spark.streaming.lanes import (
     read_inverted_lists,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the gate corpus
 
 SCHEMA = StructType(
     [
