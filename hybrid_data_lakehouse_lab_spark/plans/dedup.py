@@ -78,6 +78,45 @@ def shingles_sql(src: str = "documents") -> str:
 
 _SHINGLES_SQL = shingles_sql()
 
+#: Document-frequency cap τ for the exact-verification lanes
+#: (dedup_ngram_jaccard / dedup_containment / dedup_lsh_calibration).
+#: A shingle shared by B documents emits O(B²) candidate rows in the
+#: shingle self-join; on a web corpus a boilerplate 3-gram ("all rights
+#: reserved") appears in 10⁸ docs → 10¹⁶ join rows. Shingles past the
+#: cap carry ≈0 Jaccard information (they are corpus-wide boilerplate,
+#: present on both sides of almost every pair), so the lanes compute
+#: similarity over the INFORMATIVE shingle set: every shingle with
+#: n_docs ≤ τ. The cap is part of the lane semantics — the DuckDB
+#: oracles apply the identical filter, so the pairing holds on any
+#: corpus, not just ones that never trigger it. On the gate corpora the
+#: max observed DF is 25 (sf0.1), so τ=128 leaves results bit-identical
+#: to the uncapped lanes there (asserted by
+#: tests/test_round4_hardening.py::test_gate_corpora_below_shingle_df_cap).
+SHINGLE_DF_CAP = 128
+
+
+def _informative_shingles(sh: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Filter a (doc_id, shingle) relation to shingles whose document
+    frequency is ≤ df_cap, via a count window — ONE shuffle on the
+    shingle key (which the downstream candidate self-join reuses), and
+    the shingle subtree is computed once (a groupBy+semi-join form would
+    compute it twice; Spark does not reuse exchanges across join sides).
+    """
+    from pyspark.sql import Window
+
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return sh.withColumn("_df", n_docs).filter(F.col("_df") <= df_cap).drop("_df")
+
+
+def informative_shingles_sql(df_cap: int = SHINGLE_DF_CAP, src: str = "shingles0") -> str:
+    """DuckDB twin of ``_informative_shingles`` over a named shingle CTE."""
+    return f"""
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS n_docs
+        FROM {src})
+      WHERE n_docs <= {df_cap}
+"""
+
 # Carter–Wegman MinHash: ONE md5 per shingle (its first 8 hex chars →
 # a 31-bit int h), then k affine transforms g_i(h) = (a_i·h + b_i) mod p
 # with p = 2³¹−1. Versus k independent md5s per shingle this trades 7
@@ -191,7 +230,8 @@ def dedup_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+    WITH shingles0 AS ({_SHINGLES_SQL}),
+    shingles AS ({informative_shingles_sql()}),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -207,13 +247,20 @@ def dedup_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs.
 
-    The shingle self-join bounds the pair space to docs with ≥1 common
-    3-gram (at corpus scale: band with LSH first, then verify with this).
+    The candidate space is docs sharing ≥1 INFORMATIVE 3-gram: shingles
+    with document frequency > df_cap are excluded from both candidate
+    generation and the size table (see SHINGLE_DF_CAP — this is what
+    bounds the self-join to O(corpus · τ) instead of O(hot-shingle²)).
+    At corpus scale: band with LSH first, then verify with this.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sh = _informative_shingles(
+        _shingles(load_table(spark, sf_dir, "documents")), df_cap
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -276,7 +323,8 @@ def dedup_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+    WITH shingles0 AS ({_SHINGLES_SQL}),
+    shingles AS ({informative_shingles_sql()}),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -292,7 +340,9 @@ def dedup_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.5
     """,
 )
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Shingle containment (overlap coefficient): |A∩B| / min(|A|,|B|).
 
     Catches PARTIAL duplication that symmetric Jaccard misses — a short
@@ -302,10 +352,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines run after whole-doc near-dedup.
 
     100 TB: identical candidate generation to dedup_ngram_jaccard —
-    shingle-sharing pairs only (band with LSH first at corpus scale);
-    the per-doc size table is vocabulary-small and broadcast twice.
+    informative-shingle-sharing pairs only (df > df_cap boilerplate
+    shingles excluded on both sides; see SHINGLE_DF_CAP), band with LSH
+    first at corpus scale; the per-doc size table is vocabulary-small
+    and broadcast twice.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sh = _informative_shingles(
+        _shingles(load_table(spark, sf_dir, "documents")), df_cap
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -327,8 +381,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_calibration",
     oracle=f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
-    sig AS ({minhash_sig_sql()}),
+    WITH shingles0 AS ({_SHINGLES_SQL}),
+    shingles AS ({informative_shingles_sql()}),
+    sig AS ({minhash_sig_sql("shingles0")}),
     est AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_matching_bands
@@ -357,7 +412,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_calibration(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Estimator-calibration audit: for every LSH candidate pair, the
     band-match fraction (n_bands/k, the MinHash Jaccard estimate) against
     the EXACT shingle Jaccard — grouped by band count, with the mean
@@ -367,11 +424,16 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: exact Jaccard is computed ONLY for LSH candidates (the
     shingle self-join is the verification pass on the banded candidate
-    set, not all pairs); output is bounded by k rows.
+    set, not all pairs), and only over informative shingles (df ≤
+    df_cap; see SHINGLE_DF_CAP) so a corpus-wide boilerplate shingle
+    cannot re-inflate the verification join. The MinHash estimate side
+    intentionally stays on the FULL shingle set — it is the production
+    LSH pass being audited, and its bucket sizes are already bounded by
+    bucket_pairs' max_bucket. Output is bounded by k rows.
     """
     d = load_table(spark, sf_dir, "documents")
     est = dedup_near_pairs_lsh(spark, sf_dir)
-    sh = _shingles(d)
+    sh = _informative_shingles(_shingles(d), df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -406,4 +468,65 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jac"), 6).alias("avg_exact_jaccard"),
             F.round(F.avg(err), 6).alias("avg_abs_err"),
         )
+    )
+
+
+@register(
+    "dedup_cap_audit",
+    oracle=f"""
+    WITH shingles0 AS ({_SHINGLES_SQL}),
+    freq AS (SELECT shingle, count(*) AS n FROM shingles0 GROUP BY shingle),
+    sig AS ({minhash_sig_sql("shingles0")}),
+    buckets AS (SELECT seed, minhash, count(*) AS n FROM sig GROUP BY seed, minhash)
+    SELECT 'lsh_bucket' AS lane, {DEFAULT_MAX_BUCKET} AS cap,
+           count(*) AS n_groups,
+           count(*) FILTER (n > {DEFAULT_MAX_BUCKET}) AS n_capped,
+           max(n) AS max_group_size
+    FROM buckets
+    UNION ALL
+    SELECT 'shingle_df', {SHINGLE_DF_CAP}, count(*),
+           count(*) FILTER (n > {SHINGLE_DF_CAP}), max(n)
+    FROM freq
+    ORDER BY lane
+    """,
+)
+def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-trigger audit: how close the corpus sits to each
+    dedup cap, and how many groups the caps actually bit.
+
+    bucket_pairs surfaces its capped_buckets count only through an
+    attached Observation — visible to the caller holding the DataFrame,
+    silent to everyone else. This lane makes the same information a
+    first-class, oracle-checked query: per capped mechanism, the group
+    count, the number of groups over the cap (i.e. where the engine
+    switched to O(B) star pairs / dropped boilerplate shingles), and the
+    max group size. n_capped == 0 means every pair lane this round was
+    EXACT; a pipeline publishes this next to its dedup report so
+    approximation is never silent.
+
+    100 TB: two groupBy aggregations (shingle DF, LSH bucket sizes) —
+    the same shapes the dedup lanes themselves run, reduced to 2 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    buckets = (
+        minhash_long(docs).groupBy("seed", "minhash").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def audit(grp: DataFrame, lane: str, cap: int) -> DataFrame:
+        return grp.agg(
+            F.lit(lane).alias("lane"),
+            F.lit(cap).alias("cap"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).cast("bigint").alias(
+                "n_capped"
+            ),
+            F.max("n").alias("max_group_size"),
+        )
+
+    return (
+        audit(buckets, "lsh_bucket", DEFAULT_MAX_BUCKET)
+        .unionByName(audit(freq, "shingle_df", SHINGLE_DF_CAP))
+        .orderBy("lane")
     )

@@ -58,3 +58,88 @@ def test_canonical_ts_is_microsecond_exact_cross_engine(spark):
     trunc = spark.sql(f"SELECT unix_timestamp(TIMESTAMP '{ts}') AS s").collect()[0]["s"]
     rounded = duckdb.sql(f"SELECT epoch(TIMESTAMP '{ts}')::BIGINT AS s").fetchone()[0]
     assert trunc != rounded
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency cap (hot-shingle pair explosion guard)
+# ---------------------------------------------------------------------------
+
+
+import pandas as pd
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.plans.dedup import (
+    SHINGLE_DF_CAP,
+    _shingles,
+    dedup_containment,
+    dedup_lsh_calibration,
+    dedup_ngram_jaccard,
+)
+from hybrid_data_lakehouse_lab_spark.sources import load_table
+
+
+@pytest.fixture()
+def boilerplate_sf(tmp_path):
+    """200 byte-identical documents (the degenerate class: every shingle
+    has document frequency 200) plus one genuine near-dup pair whose
+    shingles are unique to the pair."""
+    n = 200
+    sf = tmp_path / "sf_boilerplate"
+    sf.mkdir()
+    boiler = "all rights reserved copyright notice terms of service apply here"
+    texts = [boiler] * n + [
+        "quick brown fox jumps over the lazy dog tonight",
+        "quick brown fox jumps over the lazy dog today",
+    ]
+    ids = list(range(n)) + [1000, 1001]
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    return str(sf)
+
+
+def test_jaccard_pairs_bounded_on_boilerplate(spark, boilerplate_sf):
+    """With df_cap=8, the 200-identical-doc class (19,900 all-pairs rows
+    uncapped) contributes ZERO candidate pairs — its shingles are dropped
+    as boilerplate — while the informative near-dup pair is still found."""
+    rows = dedup_ngram_jaccard(spark, boilerplate_sf, df_cap=8).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1000, 1001)]
+    assert rows[0].jaccard > 0.5
+
+
+def test_containment_pairs_bounded_on_boilerplate(spark, boilerplate_sf):
+    rows = dedup_containment(spark, boilerplate_sf, df_cap=8).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1000, 1001)]
+    assert rows[0].containment > 0.5
+
+
+def test_calibration_bounded_on_boilerplate(spark, boilerplate_sf):
+    """The calibration audit joins LSH candidates against exact Jaccard
+    over informative shingles only: the degenerate class (whose LSH side
+    is already star-capped) simply drops out of the exact join instead
+    of exploding it."""
+    rows = dedup_lsh_calibration(spark, boilerplate_sf, df_cap=8).collect()
+    # only the informative pair survives: one band-count group, one pair
+    assert len(rows) == 1 and rows[0].n_pairs == 1
+
+
+def test_gate_corpora_below_shingle_df_cap(spark, sf_dir):
+    """The default cap must be a NO-OP on the gate corpora (max DF 25 at
+    sf0.1) — if the test data drifts into cap territory this fails with
+    a number rather than silently changing lane results."""
+    from pyspark.sql import functions as F
+
+    max_df = (
+        _shingles(load_table(spark, sf_dir, "documents"))
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df <= SHINGLE_DF_CAP, max_df
