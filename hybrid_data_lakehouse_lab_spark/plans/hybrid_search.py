@@ -73,7 +73,11 @@ def _kw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector retrieval: cosine top-K_RETRIEVE per query embedding
     (broadcast-query corpus scan — the brute-force baseline; swap in the
-    IVF/PQ lanes for the indexed path at scale)."""
+    IVF/PQ lanes for the indexed path at scale). Bounded by the same
+    query-set guard as the similarity lanes."""
+    from .similarity import check_brute_force_bound
+
+    check_brute_force_bound(N_QUERIES)
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")

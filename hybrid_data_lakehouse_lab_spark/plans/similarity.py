@@ -18,6 +18,41 @@ from .registry import register
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 
+#: Broadcast-side bound for the brute-force ground-truth scans. Their
+#: cost is |queries| × |corpus| similarity evaluations plus a full
+#: broadcast of the query vectors to every executor — linear-in-corpus
+#: only while the query set is genuinely small. Past this bound the
+#: caller wants the indexed path (similarity_ivf_kmeans_topk /
+#: similarity_ivfpq_topk), whose per-query cost is one inverted list,
+#: not one corpus scan. The registered lanes check their compile-time
+#: constant (free); dynamic callers go through ``guard_query_set``.
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
+
+def check_brute_force_bound(
+    n_queries: int, cap: int = MAX_BRUTE_FORCE_QUERIES
+) -> None:
+    """Refuse a corpus-sized query set on the brute-force path."""
+    if n_queries > cap:
+        raise ValueError(
+            f"brute-force cosine top-k is the ground-truth path for small "
+            f"query sets (got > {cap} queries): each query scans the full "
+            f"corpus and the query vectors are broadcast to every executor. "
+            f"Use the indexed lanes instead (similarity_ivf_kmeans_topk / "
+            f"similarity_ivfpq_topk)."
+        )
+
+
+def guard_query_set(
+    q: DataFrame, cap: int = MAX_BRUTE_FORCE_QUERIES
+) -> DataFrame:
+    """Runtime guard for DYNAMIC query sets: probe at most cap+1 rows
+    (limit-count, so the probe cost is bounded regardless of |q|), raise
+    past the bound, otherwise return q unchanged for broadcasting."""
+    n = q.limit(cap + 1).count()
+    check_brute_force_bound(n, cap)
+    return q
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
@@ -54,8 +89,10 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the embedding column; the only exchange is the final
     per-query top-k (tiny). That is exactly this plan: q is broadcast,
     scored is map-side, window input is ≤ |corpus| rows filtered to
-    candidates.
+    candidates. Valid ONLY under the query-set bound — see
+    MAX_BRUTE_FORCE_QUERIES / check_brute_force_bound.
     """
+    check_brute_force_bound(N_QUERIES)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
@@ -190,7 +227,9 @@ def similarity_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     """Brute-force cosine top-k with the similarity computed in an
     Arrow-batched pandas_udf (numpy einsum per batch) instead of
     zip_with/aggregate. Identical join/window plan around it — only the
-    scoring expression leaves the JVM."""
+    scoring expression leaves the JVM. Same query-set bound as the JVM
+    twin (see MAX_BRUTE_FORCE_QUERIES)."""
+    check_brute_force_bound(N_QUERIES)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")

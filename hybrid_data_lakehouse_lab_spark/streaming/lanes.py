@@ -491,10 +491,19 @@ def heavy_hitters_stream(
     with which it agrees exactly (tests/test_streaming_cms.py proves
     stream-merged == batch-computed counters).
 
-    Replay safety: a replayed epoch re-appends an IDENTICAL grid (the
-    bucket hash is deterministic), and the merge reader collapses
-    duplicate (epoch, i, bucket) rows with max() before summing across
-    epochs — so at-least-once delivery cannot inflate a count.
+    Replay safety: each epoch's grid lands via DYNAMIC PARTITION
+    OVERWRITE keyed on epoch — a replayed epoch REPLACES its own
+    partition rather than appending a duplicate, so at-least-once
+    delivery is exactly idempotent regardless of whether the replayed
+    grid is byte-identical. (The previous append+max(cnt) collapse was
+    only sound for identical replays; a max() over two DIFFERENT grids
+    for the same epoch id would silently merge mismatched counters.)
+    One contract remains on the caller: a counters_dir is paired with
+    exactly ONE checkpoint lineage. Re-running against a fresh
+    checkpoint re-numbers epochs from 0 over the grown source; if the
+    old lineage had written MORE epochs than the new run produces, the
+    stale tail partitions would survive the overwrite — start a fresh
+    counters_dir alongside a fresh checkpoint_dir.
 
     100 TB: per batch, one (i, bucket)-keyed aggregate with map-side
     combine (≤ d×w rows out regardless of batch size); the persisted
@@ -515,7 +524,7 @@ def heavy_hitters_stream(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("epoch", F.lit(epoch_id))
         )
-        grid.write.mode("append").parquet(counters_dir)
+        write_epoch_grid(grid, counters_dir)
 
     writer = (
         docs.writeStream.foreachBatch(apply_batch)
@@ -527,17 +536,28 @@ def heavy_hitters_stream(
     return writer.start()
 
 
-def read_cms_counters(spark: SparkSession, counters_dir: str) -> DataFrame:
-    """Merge-on-read of the streamed sketch: collapse replayed epochs
-    (max of identical grids), then sum across epochs → the same
-    (i, bucket, cnt) grid a single batch pass would produce."""
-    per_epoch = (
-        spark.read.parquet(counters_dir)
-        .groupBy("epoch", "i", "bucket")
-        .agg(F.max("cnt").alias("cnt"))
+def write_epoch_grid(grid: DataFrame, counters_dir: str) -> None:
+    """Land one epoch's counter grid, epoch-partitioned, with dynamic
+    partition overwrite: only the partitions present in ``grid`` are
+    replaced, all other epochs are untouched. This is what makes a
+    foreachBatch replay idempotent by construction."""
+    (
+        grid.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(counters_dir)
     )
-    return per_epoch.groupBy("i", "bucket").agg(
-        F.sum("cnt").cast("bigint").alias("cnt")
+
+
+def read_cms_counters(spark: SparkSession, counters_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed sketch: sum the per-epoch grids →
+    the same (i, bucket, cnt) grid a single batch pass would produce.
+    No replay-dedup step is needed on read: the writer's per-epoch
+    dynamic partition overwrite guarantees at most one grid per epoch."""
+    return (
+        spark.read.parquet(counters_dir)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
 
 

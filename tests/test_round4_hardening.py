@@ -143,3 +143,26 @@ def test_gate_corpora_below_shingle_df_cap(spark, sf_dir):
         .collect()[0][0]
     )
     assert max_df <= SHINGLE_DF_CAP, max_df
+
+
+# ---------------------------------------------------------------------------
+# Brute-force similarity query-set bound
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_bound_static_and_dynamic(spark):
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.plans.similarity import (
+        check_brute_force_bound,
+        guard_query_set,
+    )
+
+    check_brute_force_bound(5)  # registered lanes: fine
+    with pytest.raises(ValueError, match="similarity_ivf_kmeans_topk"):
+        check_brute_force_bound(10_001)
+
+    q = spark.range(50).select(F.col("id").alias("query_id"))
+    assert guard_query_set(q, cap=100) is q
+    with pytest.raises(ValueError, match="brute-force"):
+        guard_query_set(q, cap=10)

@@ -13,6 +13,7 @@ from hybrid_data_lakehouse_lab_spark.plans.sketches import CMS_D, _bucket_spark
 from hybrid_data_lakehouse_lab_spark.streaming.lanes import (
     heavy_hitters_stream,
     read_cms_counters,
+    write_epoch_grid,
 )
 
 SCHEMA = StructType(
@@ -76,10 +77,39 @@ def test_replayed_epoch_does_not_inflate(spark, tmp_path):
     _write_batch(drop, DOCS, "b0.json")
     _run(spark, drop, tmp_path)
 
-    # simulate an at-least-once replay: re-append epoch 0's identical grid
+    # simulate an at-least-once replay through the REAL writer path:
+    # re-landing epoch 0's grid overwrites its partition, not appends
     counters = str(tmp_path / "counters")
-    spark.read.parquet(counters).write.mode("append").parquet(counters)
+    write_epoch_grid(
+        _batch_grid(spark).withColumn("epoch", F.lit(0)), counters
+    )
 
     merged = _as_dict(read_cms_counters(spark, counters))
     batch = _as_dict(_batch_grid(spark))
     assert merged == batch
+
+
+def test_reemitted_epoch_with_different_contents_replaces(spark, tmp_path):
+    """The failure mode the append+max() reader got WRONG: an epoch
+    re-emitted with DIFFERENT contents (e.g. a foreachBatch retry after
+    a partial upstream fix) must replace the old grid outright, not be
+    element-wise max-merged with it."""
+    counters = str(tmp_path / "counters")
+
+    def grid_of(docs):
+        rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+        return (
+            spark.createDataFrame(docs, SCHEMA)
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .select("term", F.explode(rows).alias("i"))
+            .select("i", _bucket_spark("term", "i"))
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("epoch", F.lit(0))
+        )
+
+    write_epoch_grid(grid_of(DOCS[:2]), counters)   # first attempt
+    write_epoch_grid(grid_of(DOCS), counters)       # re-emit, more data
+
+    merged = _as_dict(read_cms_counters(spark, counters))
+    assert merged == _as_dict(_batch_grid(spark))
