@@ -64,6 +64,27 @@ def flatten_envelope(raw: DataFrame, value_col: str = "raw_message") -> DataFram
     )
 
 
+def envelope_as_changes(
+    flat: DataFrame, key_col: str, attr_cols: list[str]
+) -> DataFrame:
+    """Flattened envelope rows (before/after images) → keyed change
+    records: after image for upserts, before image for deletes — the
+    coalesce idiom of the reference's MERGE source (SURVEY F3;
+    scripts/cdc_to_pinot_current.py:209). Both branches share one scan
+    (two filters over the same subtree, no double read)."""
+    ins = flat.filter(F.col("op") != "d").select(
+        F.col(f"after_{key_col}").alias(key_col),
+        *[F.col(f"after_{c}").alias(c) for c in attr_cols],
+        "event_timestamp", "lsn", "op",
+    )
+    dels = flat.filter(F.col("op") == "d").select(
+        F.col(f"before_{key_col}").alias(key_col),
+        *[F.col(f"before_{c}").alias(c) for c in attr_cols],
+        "event_timestamp", "lsn", "op",
+    )
+    return ins.unionByName(dels)
+
+
 def route_ops(cdc: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a CDC batch into (upserts, deletes).
 

@@ -223,3 +223,91 @@ def streaming_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "operation STRING, n BIGINT, n_ids BIGINT"
     )
+
+
+@register(
+    "streaming_scd2_roundtrip",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+               CASE WHEN event_type = 'error' THEN 'd'
+                    WHEN event_type = 'signup' THEN 'c'
+                    ELSE 'u' END AS op
+        FROM events),
+    hashed AS (
+        SELECT *, CASE WHEN op = 'd' THEN 'DELETED'
+                       ELSE md5(coalesce(event_type, '')) END AS record_hash
+        FROM changes),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, lag(record_hash) OVER (
+                PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_hash
+            FROM hashed)
+        WHERE record_hash IS DISTINCT FROM prev_hash),
+    chained AS (
+        SELECT *,
+               lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_ts,
+               lead(op) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_op
+        FROM deduped),
+    scd2 AS (
+        SELECT user_id,
+               (next_ts IS NULL) AS is_current,
+               coalesce(next_op = 'd', false) AS is_deleted
+        FROM chained WHERE op <> 'd')
+    SELECT is_current, is_deleted,
+           count(*) AS n_versions,
+           count(DISTINCT user_id) AS n_keys
+    FROM scd2 GROUP BY 1, 2
+    """,
+)
+def streaming_scd2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-dir → foreachBatch SCD2 MERGE into a SnapshotTable
+    (scd2_stream) → read the versioned table: the reference's
+    Airflow-batch MERGE cycle (libs/scd2_spark_processor.py:438-483,
+    dags/cdc_scd2_dag.py:61-83) driven CONTINUOUSLY, end-to-end.
+
+    A hash match proves the streamed history equals the declarative
+    SCD2 chain the oracle states over the same changelog: per-key
+    (ms event time, LSN) ordering, no-op change suppression via the
+    record hash, delete close-out flags, and version interval
+    construction — all through envelope parse, micro-batch merge, and
+    atomic snapshot commits. The envelope carries ms-truncated ts_ms
+    (what a real CDC stream has), so the oracle orders by epoch_ms(ts).
+    """
+    from ..operators.timetravel import SnapshotTable
+    from ..streaming.lanes import scd2_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="scd2_rt_")
+    try:
+        drop = os.path.join(tmp, "drop")
+        _mixed_op_envelopes(ev).coalesce(8).write.mode("overwrite").text(drop)
+        table = SnapshotTable(spark, os.path.join(tmp, "t"))
+        q = scd2_stream(
+            read_envelope_stream(spark, drop),
+            table,
+            os.path.join(tmp, "ckpt"),
+            key_col="id",
+            attr_cols=["product_name"],
+            order_cols=["event_timestamp", "lsn"],
+        )
+        q.awaitTermination(600)
+        got = (
+            table.read()
+            .groupBy("is_current", "is_deleted")
+            .agg(
+                F.count(F.lit(1)).alias("n_versions"),
+                F.countDistinct("id").alias("n_keys"),
+            )
+            .collect()
+        )
+        rows = [
+            (bool(r["is_current"]), bool(r["is_deleted"]), r["n_versions"], r["n_keys"])
+            for r in got
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "is_current BOOLEAN, is_deleted BOOLEAN, n_versions BIGINT, n_keys BIGINT",
+    )

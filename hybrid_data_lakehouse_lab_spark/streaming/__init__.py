@@ -4,5 +4,6 @@ from .lanes import (  # noqa: F401
     kafka_envelope_options,
     kafka_value_to_envelope,
     read_envelope_stream_kafka,
+    scd2_stream,
     upsert_stream,
 )

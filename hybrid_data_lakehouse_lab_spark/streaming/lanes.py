@@ -164,6 +164,65 @@ def upsert_stream(
     return writer.start()
 
 
+def scd2_stream(
+    raw: DataFrame,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    key_col: str = "id",
+    attr_cols: list[str] | None = None,
+    ts_col: str = "event_timestamp",
+    order_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Lane 3b — full SCD2 HISTORY maintenance per micro-batch: the
+    reference's Airflow-scheduled batch MERGE cycle
+    (libs/scd2_spark_processor.py:438-483 driven by
+    dags/cdc_scd2_dag.py:61-83) made continuous. Where ``upsert_stream``
+    keeps only current state, this lane applies ``merge_scd2_batch`` to
+    the versioned table on every micro-batch — delete close-out, version
+    close-out and append resolve to ONE DataFrame written in ONE atomic
+    SnapshotTable commit, so a crash between micro-batches can never
+    leave a half-applied MERGE (the reference's three-commit window).
+
+    Out-of-order tolerance matches the batch operator exactly (it IS the
+    batch operator): disorder within a micro-batch is resolved by the
+    (ts, lsn) window chain; a late event arriving in a later micro-batch
+    is woven into its key's OPEN segment deterministically. Events older
+    than a key's CLOSED history remain the checkpoint contract, same as
+    the batch pipeline (T5/T6) — tests/test_streaming_scd2.py proves
+    stream == one-shot batch rebuild across out-of-order micro-batches.
+
+    100 TB: per micro-batch cost is the merge's — closed history passes
+    through untouched, only |current ∩ batch-keys| rows re-chain, and
+    the batch-key semi-join broadcasts at CDC batch sizes.
+    """
+    from ..operators.cdc import envelope_as_changes
+    from ..operators.merge import merge_scd2_batch
+
+    attrs = attr_cols or ["product_name", "category", "price", "quantity", "sale_date"]
+    order = order_cols or [ts_col, "lsn"]
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        changes = envelope_as_changes(flatten_envelope(batch), key_col, attrs)
+        if not changes.take(1):
+            return
+        existing = table.read() if table.exists() else None
+        merged = merge_scd2_batch(
+            existing, changes, [key_col], attrs, ts_col, "op", order
+        )
+        # Persist before overwrite: merged reads the table's current
+        # snapshot; SnapshotTable writes a NEW directory, so no
+        # read-under-write — localCheckpoint just avoids recompute.
+        table.write(merged.localCheckpoint())
+
+    writer = raw.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # Column helper used by lanes' callers to build a current-state view with
 # the reference's soft-delete filter (scripts/cdc_to_pinot_current.py:216).
 def active_rows(current: DataFrame) -> DataFrame:

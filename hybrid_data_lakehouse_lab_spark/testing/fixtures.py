@@ -121,13 +121,23 @@ def raw_envelope_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(s,) for s in lines], ["raw_message"])
 
 
-def write_drop_dir(path: str, lines: list[str] | None = None, per_file: int = 20) -> int:
-    """Write envelope JSON-lines into a file-drop dir (streaming source)."""
+def write_drop_dir(
+    path: str,
+    lines: list[str] | None = None,
+    per_file: int = 20,
+    prefix: str = "batch",
+) -> int:
+    """Write envelope JSON-lines into a file-drop dir (streaming source).
+
+    ``prefix`` distinguishes successive drops into the SAME dir: the
+    file source tracks seen paths, so a second drop must use fresh
+    names (never overwrite batch-00000.jsonl — the source would ignore
+    the modified path and the events would be silently lost)."""
     import os
 
     os.makedirs(path, exist_ok=True)
     lines = lines if lines is not None else envelope_json_lines()
     for i in range(0, len(lines), per_file):
-        with open(os.path.join(path, f"batch-{i:05d}.jsonl"), "w") as f:
+        with open(os.path.join(path, f"{prefix}-{i:05d}.jsonl"), "w") as f:
             f.write("\n".join(lines[i : i + per_file]) + "\n")
     return len(lines)
