@@ -75,6 +75,10 @@ _INTENDED_BNLJ = {
     # 1-row multi-current-key total joined into the 1-row summary
     "scd2_invariants_audit",
     "corpus_mix_resample",
+    # arnk <= r theta-join of the broadcast (|Q|×SHORTLIST) refine
+    # relation against the 3-row shortlist-size table, plus the
+    # broadcast-query ground-truth scan (as similarity_pq_recall_audit)
+    "similarity_pq_refine_sensitivity",
 }
 
 

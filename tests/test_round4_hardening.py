@@ -166,3 +166,26 @@ def test_brute_force_bound_static_and_dynamic(spark):
     assert guard_query_set(q, cap=100) is q
     with pytest.raises(ValueError, match="brute-force"):
         guard_query_set(q, cap=10)
+
+
+# ---------------------------------------------------------------------------
+# PQ refine: the compression lane must be USABLE, not just honest
+# ---------------------------------------------------------------------------
+
+
+def test_pq_rerank_recall_clears_bar(spark, sf_dir):
+    """Mean recall@10 of the PQ-ADC + exact-refine pipeline at the
+    production config (M=8, K=16, SHORTLIST=100) must be ≥ 0.7 — the
+    round-3 verdict bar. The r=10 row is the plain-ADC baseline and is
+    expected to sit far lower; the gap is the refine step's value."""
+    from hybrid_data_lakehouse_lab_spark.plans.pq import (
+        SHORTLIST,
+        similarity_pq_refine_sensitivity,
+    )
+
+    rows = {
+        r.shortlist: r.mean_recall
+        for r in similarity_pq_refine_sensitivity(spark, sf_dir).collect()
+    }
+    assert rows[SHORTLIST] >= 0.7, rows
+    assert rows[10] < rows[SHORTLIST], rows  # refine genuinely adds recall
