@@ -95,6 +95,57 @@ def scd2_from_changes(
     )
 
 
+def scd2_from_changes_chunked(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+    chunk_col: Column | None = None,
+) -> DataFrame:
+    """Two-level SCD2 chain for HOT keys — the skew-bounded twin of
+    ``scd2_from_changes`` (SCALE.md §Windows: an entity updated 10⁸
+    times makes the single business-key window one 10⁸-row task).
+
+    Stage 1 partitions the window by (key, chunk) — chunk defaults to
+    the event DATE, any monotone function of ``ts_col`` works — and
+    drops every event whose content hash equals its immediate
+    predecessor's WITHIN the chunk. This is a pure semantic reducer:
+    the full chain would drop those events anyway (a run of identical
+    hashes keeps only its head), and because the chunk is a monotone
+    function of the order, an event's within-chunk predecessor IS its
+    global predecessor for all but each chunk's first event — which
+    stage 1 always keeps, deferring the cross-boundary comparison.
+
+    Stage 2 runs the standard single-window chain over the survivors:
+    per key that is O(distinct versions + chunks) rows, not O(events).
+    The hot key's 10⁸ heartbeat updates collapse map-side-of-stage-2 to
+    its version count; task input is bounded by max(chunk size,
+    versions-per-key) instead of events-per-key. Result is IDENTICAL to
+    ``scd2_from_changes`` on any input (tests/test_skew_validation.py).
+    """
+    order_cols = order_cols or [ts_col]
+    chunk = chunk_col if chunk_col is not None else F.to_date(F.col(ts_col))
+    hashed = changes.withColumn(
+        "record_hash",
+        F.when(F.col(op_col) == "d", F.lit(DELETED_HASH)).otherwise(
+            record_hash(*attr_cols)
+        ),
+    ).withColumn("_chunk", chunk)
+    w1 = Window.partitionBy(*key_cols, "_chunk").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    survivors = (
+        hashed.withColumn("_prev_hash", F.lag("record_hash").over(w1))
+        .filter(~F.col("record_hash").eqNullSafe(F.col("_prev_hash")))
+        .drop("_prev_hash", "_chunk", "record_hash")
+    )
+    return scd2_from_changes(
+        survivors, key_cols, attr_cols, ts_col, op_col, order_cols
+    )
+
+
 def current_state(
     changes: DataFrame,
     key_cols: list[str],

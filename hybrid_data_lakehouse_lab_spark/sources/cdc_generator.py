@@ -63,14 +63,29 @@ def _image(seed: int, id_: int, version: int) -> dict:
     }
 
 
-def envelope_for(seed: int, id_: int) -> str:
+def envelope_for(
+    seed: int, id_: int, hot_fraction: float = 0.0, hot_id: int = 1
+) -> str:
     """One envelope JSON line per id: ~70% inserts, ~25% updates (with
     before-image), ~5% deletes — the op mix a steady-state Debezium
-    topic carries for the reference's insert+touch workload."""
+    topic carries for the reference's insert+touch workload.
+
+    ``hot_fraction`` > 0 rewrites that fraction of the stream as UPDATE
+    events for the SINGLE business key ``hot_id`` — the degenerate
+    hot-entity workload (one row touched by half the topic) used to
+    property-test skew mitigation. Hot events change content every 16th
+    event (runs of identical images in between), the heartbeat-heavy
+    shape a hot CDC entity really has; ts/lsn stay id-derived so event
+    order and uniqueness are unchanged."""
     op_roll = _h(seed, id_, "op") % 100
     ts_ms = BASE_MS + (id_ % 86_400) * 1_000
     lsn = 1_000 + id_ * 7
-    if op_roll < 70:
+    if hot_fraction > 0 and (_h(seed, id_, "hot") % 1000) < hot_fraction * 1000:
+        version = id_ // 16
+        op = "u"
+        before = _image(seed, hot_id, max(version - 1, 0))
+        after = _image(seed, hot_id, version)
+    elif op_roll < 70:
         op, before, after = "c", None, _image(seed, id_, 0)
     elif op_roll < 95:
         op, before, after = "u", _image(seed, id_, 0), _image(seed, id_, 1)
@@ -106,6 +121,8 @@ class SalesCdcReader(DataSourceReader):
         self.start_id = int(options.get("startId", 1000))
         self.seed = int(options.get("seed", 42))
         self.num_partitions = int(options.get("numPartitions", 8))
+        self.hot_fraction = float(options.get("hotFraction", 0.0))
+        self.hot_id = int(options.get("hotId", 1))
 
     def partitions(self):
         per = max(1, -(-self.rows // self.num_partitions))
@@ -119,7 +136,11 @@ class SalesCdcReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for id_ in range(partition.start, partition.end):
-            yield (envelope_for(partition.seed, id_),)
+            yield (
+                envelope_for(
+                    partition.seed, id_, self.hot_fraction, self.hot_id
+                ),
+            )
 
 
 class SalesCdcStreamReader(SimpleDataSourceStreamReader):
