@@ -95,27 +95,52 @@ _SHINGLES_SQL = shingles_sql()
 SHINGLE_DF_CAP = 128
 
 
-def _informative_shingles(sh: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
-    """Filter a (doc_id, shingle) relation to shingles whose document
-    frequency is ≤ df_cap, via a count window — ONE shuffle on the
-    shingle key (which the downstream candidate self-join reuses), and
-    the shingle subtree is computed once (a groupBy+semi-join form would
-    compute it twice; Spark does not reuse exchanges across join sides).
-    """
-    from pyspark.sql import Window
-
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    return sh.withColumn("_df", n_docs).filter(F.col("_df") <= df_cap).drop("_df")
-
-
 def informative_shingles_sql(df_cap: int = SHINGLE_DF_CAP, src: str = "shingles0") -> str:
-    """DuckDB twin of ``_informative_shingles`` over a named shingle CTE."""
+    """DuckDB CTE body: shingles whose document frequency is ≤ df_cap —
+    the oracle twin of the count-window filter inside _pair_overlaps."""
     return f"""
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS n_docs
         FROM {src})
       WHERE n_docs <= {df_cap}
 """
+
+
+def _pair_overlaps(d: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """(doc_a, doc_b, n_common, na, nb) over informative shingles — the
+    shared candidate relation of the exact-verification lanes.
+
+    Plan shape: ONE pass over the shingle relation. A plain self-join +
+    two size-table broadcasts computes the shingle subtree FOUR times
+    (Spark does not reuse exchanges across join sides — measured 12
+    exchanges over 4 scans before this rewrite). Here the per-doc
+    informative-shingle count rides each row as a payload column, the
+    shingle window's hash partitioning is reused by the intra-bucket
+    pair generation (operators.util.bucket_pairs), and both sizes
+    arrive attached to the pair — 5 exchanges over one scan, and the
+    pair expansion is bounded by construction: the df_cap filter means
+    no shingle bucket can exceed df_cap members, so no max_bucket
+    star-pair fallback is needed (the output stays exact).
+    """
+    from pyspark.sql import Window
+
+    sh = _shingles(d)
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    n_sh = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    informative = (
+        sh.withColumn("_df", n_docs)
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+        .withColumn("n", n_sh)
+    )
+    pairs = bucket_pairs(informative, ["shingle"], "doc_id", ["n"])
+    return pairs.groupBy(
+        F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.first("a.n").alias("na"),
+        F.first("b.n").alias("nb"),
+    )
 
 # Carter–Wegman MinHash: ONE md5 per shingle (its first 8 hex chars →
 # a 31-bit int h), then k affine transforms g_i(h) = (a_i·h + b_i) mod p
@@ -255,26 +280,15 @@ def dedup_ngram_jaccard(
     The candidate space is docs sharing ≥1 INFORMATIVE 3-gram: shingles
     with document frequency > df_cap are excluded from both candidate
     generation and the size table (see SHINGLE_DF_CAP — this is what
-    bounds the self-join to O(corpus · τ) instead of O(hot-shingle²)).
-    At corpus scale: band with LSH first, then verify with this.
+    bounds the pair space to O(corpus · τ) instead of O(hot-shingle²)).
+    Candidate pairs + both set sizes come from ONE pass over the
+    shingle relation (see _pair_overlaps). At corpus scale: band with
+    LSH first, then verify with this.
     """
-    sh = _informative_shingles(
-        _shingles(load_table(spark, sf_dir, "documents")), df_cap
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = _pair_overlaps(load_table(spark, sf_dir, "documents"), df_cap)
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.2)
+        inter.filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -353,27 +367,14 @@ def dedup_containment(
 
     100 TB: identical candidate generation to dedup_ngram_jaccard —
     informative-shingle-sharing pairs only (df > df_cap boilerplate
-    shingles excluded on both sides; see SHINGLE_DF_CAP), band with LSH
-    first at corpus scale; the per-doc size table is vocabulary-small
-    and broadcast twice.
+    shingles excluded on both sides; see SHINGLE_DF_CAP), one pass over
+    the shingle relation with sizes riding the pairs (_pair_overlaps);
+    band with LSH first at corpus scale.
     """
-    sh = _informative_shingles(
-        _shingles(load_table(spark, sf_dir, "documents")), df_cap
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = _pair_overlaps(load_table(spark, sf_dir, "documents"), df_cap)
     cont = F.col("n_common").cast("double") / F.least("na", "nb")
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(cont >= 0.5)
+        inter.filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
 
@@ -433,31 +434,13 @@ def dedup_lsh_calibration(
     """
     d = load_table(spark, sf_dir, "documents")
     est = dedup_near_pairs_lsh(spark, sf_dir)
-    sh = _informative_shingles(_shingles(d), df_cap)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    exact = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common"))
-            ).alias("jac"),
-        )
+    exact = _pair_overlaps(d, df_cap).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+        ).alias("jac"),
     )
     err = F.abs(F.col("n_matching_bands") / float(N_HASHES) - F.col("jac"))
     return (
