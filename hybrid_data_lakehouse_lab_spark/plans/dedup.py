@@ -110,28 +110,42 @@ def _pair_overlaps(d: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """(doc_a, doc_b, n_common, na, nb) over informative shingles — the
     shared candidate relation of the exact-verification lanes.
 
-    Plan shape: ONE pass over the shingle relation. A plain self-join +
-    two size-table broadcasts computes the shingle subtree FOUR times
-    (Spark does not reuse exchanges across join sides — measured 12
-    exchanges over 4 scans before this rewrite). Here the per-doc
-    informative-shingle count rides each row as a payload column, the
-    shingle window's hash partitioning is reused by the intra-bucket
-    pair generation (operators.util.bucket_pairs), and both sizes
-    arrive attached to the pair — 5 exchanges over one scan, and the
-    pair expansion is bounded by construction: the df_cap filter means
-    no shingle bucket can exceed df_cap members, so no max_bucket
-    star-pair fallback is needed (the output stays exact).
+    Plan shape, chosen shuffle-by-shuffle for the hot-shingle case:
+
+    - Document frequency comes from a map-side-combined groupBy — a
+      boilerplate shingle in 10⁸ docs collapses to ≤ #map-partitions
+      partial rows BEFORE its shuffle. (A count-window would move every
+      raw occurrence to one reducer: the explosion re-introduced at the
+      DF step. Never window a Zipf key.)
+    - Only the HOT side of the frequency table ships: shingles with
+      n_docs > df_cap are few by nature (each one is corpus-wide
+      boilerplate), so they broadcast as a left-anti probe — the raw
+      shingle relation is filtered map-side, never shuffled by shingle
+      at full width.
+    - Per-doc sizes are a doc_id window (group size = shingles per doc,
+      bounded by document length — no skew), and ride the rows into
+      bucket_pairs as payload, so both set sizes arrive attached to
+      each pair with no size-table joins.
+    - Pair generation shuffles the FILTERED relation on shingle; after
+      the cap no bucket exceeds df_cap members, so the expansion is
+      bounded by construction and stays exact (no star-pair fallback).
+
+    The shingle explode itself is computed twice (frequency pass +
+    probe pass) — map-side CPU, the deliberate price for keeping every
+    shuffle skew-free; the self-join form it replaced computed it FOUR
+    times AND shuffled raw shingles.
     """
     from pyspark.sql import Window
 
     sh = _shingles(d)
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    n_sh = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    informative = (
-        sh.withColumn("_df", n_docs)
-        .filter(F.col("_df") <= df_cap)
-        .drop("_df")
-        .withColumn("n", n_sh)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > df_cap)
+        .select("shingle")
+    )
+    informative = sh.join(F.broadcast(hot), "shingle", "left_anti").withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     pairs = bucket_pairs(informative, ["shingle"], "doc_id", ["n"])
     return pairs.groupBy(

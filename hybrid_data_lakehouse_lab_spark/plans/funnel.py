@@ -49,40 +49,56 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     N only if their first stage-N event lands strictly after their first
     stage-(N−1) event.
 
-    100 TB: every join and aggregation keys on ``user_id``, so the fact
-    shuffles once and the (tiny, one-row-per-user) stage tables reuse
-    that partitioning — Catalyst collapses the chain into one exchange
-    plus hash joins on already-partitioned sides. No windows, no
-    broadcast of the fact, and stage tables shrink monotonically.
+    100 TB: ONE linear chain — stage N is a LEFT join of the stage-(N−1)
+    per-user table against the next stage's filtered events, so every
+    subtree is consumed exactly once and the fact is scanned once per
+    stage (3 pushdown scans total; the previous stage-count UNION
+    referenced each stage table from two places, which Spark planned as
+    6 recomputed scans — no cross-branch subtree reuse). Users who miss
+    a stage carry NULL timestamps forward instead of dropping out, so
+    all three counts come from one final 1-row aggregate over the last
+    table. Every join/aggregate keys on ``user_id``: one exchange, then
+    hash joins on already-partitioned sides.
     """
     ev = load_table(spark, sf_dir, "events")
 
-    def first_after(prev: DataFrame, etype: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .join(prev.select("user_id", F.col("t0").alias("t_prev")), "user_id")
-            .filter(F.col("ts") > F.col("t_prev"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t0"))
-        )
-
-    v = (
+    s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+        .agg(F.min("ts").alias("t1"))
     )
-    c = first_after(v, "click")
-    p = first_after(c, "purchase")
-
-    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_users"),
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    s2 = (
+        s1.join(
+            clicks,
+            (F.col("user_id") == F.col("c_uid")) & (F.col("c_ts") > F.col("t1")),
+            "left",
         )
-
-    return stage(v, 1, "view").unionByName(stage(c, 2, "click")).unionByName(
-        stage(p, 3, "purchase")
+        .groupBy("user_id", "t1")
+        .agg(F.min("c_ts").alias("t2"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    s3 = (
+        s2.join(
+            purchases,
+            (F.col("user_id") == F.col("p_uid")) & (F.col("p_ts") > F.col("t2")),
+            "left",
+        )
+        .groupBy("user_id", "t2")
+        .agg(F.min("p_ts").alias("t3"))
+    )
+    counts = s3.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3)"
+        " AS (stage_idx, stage, n_users)"
     )
 
 

@@ -35,30 +35,44 @@ def _kw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query document and every other document, top-K_RETRIEVE per
     query. score(q, d) = Σ_{t ∈ tokens(q) ∩ tokens(d)} ln(N/df(t)).
 
-    100 TB plan shape: ONE distinct (doc, term) relation feeds both the
-    df table (vocabulary-sized, broadcast) and the postings; the query
-    side is |Q| documents' tokens — broadcast — so the candidate join is
-    an inverted-index probe (equi-join on term), never a corpus×corpus
-    product. The per-(query, doc) score aggregate has map-side combine.
+    100 TB plan shape: the score sums idf only over terms the QUERY SET
+    contains, so no vocabulary-wide df state is ever built — the df
+    table is computed for the query terms alone (semi-join against the
+    broadcast query tokens, then a map-side-combined count: a stopword
+    query term appearing in every doc collapses to ≤ #map-partitions
+    partials before its shuffle) and broadcast back at |Q-vocabulary|
+    size. The corpus term relation is only ever filtered/joined
+    map-side against broadcasts — raw postings are NEVER shuffled by
+    term (a term-keyed exchange would put a stopword's every posting in
+    one task). The query side is a pushed-down scan of the |Q| ids. The
+    only real shuffle is the per-(query, doc) score aggregate, which
+    has map-side combine. The term explode runs twice (df pass + probe
+    pass) — map-side CPU, the price of zero skewed shuffles.
     """
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).distinct()
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    df = (
-        terms.groupBy("term")
+    q = (
+        d.filter(F.col("doc_id") < N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .distinct()
+    )
+    idf_q = (
+        terms.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .join(F.broadcast(n))
         .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
     )
-    q = terms.filter(F.col("doc_id") < N_QUERIES).select(
-        F.col("doc_id").alias("query_id"), "term"
-    )
     scored = (
         terms.join(F.broadcast(q), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(df), "term")
+        .join(F.broadcast(idf_q), "term")
         .groupBy("query_id", F.col("doc_id").alias("match_id"))
         .agg(F.round(F.sum("idf"), 6).alias("kw_score"))
     )

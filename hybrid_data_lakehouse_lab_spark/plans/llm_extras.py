@@ -272,19 +272,23 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Real curation runs threshold on this score; the score is the judged
     unit.
 
-    100 TB: one explode feeds both the vocabulary count (one shuffle on
-    token, map-side combine) and the scoring join; the probability table
-    is O(|vocabulary|) and broadcast here — on a corpus whose vocabulary
-    outgrows the broadcast limit, drop the hint and AQE picks a
-    sort-merge join on token. The corpus-total is a 1-row broadcast.
-    Output rounds at 1e-5, two orders above cross-engine float-summation
-    jitter (~1e-13 relative); ln() values are irrational so the
-    HALF_UP-boundary hazard that rounded ratios carry cannot occur.
+    100 TB: the token explode runs twice — once for the vocabulary
+    count (one shuffle on token with MAP-SIDE COMBINE: a stopword's
+    ~5%-of-corpus occurrences collapse to ≤ #map-partitions partials
+    before moving; never window a Zipf key) and once for the scoring
+    join, which stays map-side against the broadcast probability table.
+    The corpus token total needs no explode at all: it is the map-side
+    sum of per-document token counts, a 1-row broadcast. On a corpus
+    whose vocabulary outgrows the broadcast limit, drop the hint and
+    AQE picks a sort-merge join on token. Output rounds at 1e-5, two
+    orders above cross-engine float-summation jitter (~1e-13 relative);
+    ln() values are irrational so the HALF_UP-boundary hazard that
+    rounded ratios carry cannot occur.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    tot = d.agg(F.sum(F.size(F.split("text", " "))).alias("n_total"))
     return (
         tok.join(F.broadcast(freq), "token")
         .join(F.broadcast(tot))

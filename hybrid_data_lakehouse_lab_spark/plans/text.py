@@ -173,11 +173,15 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf-idf.
 
-    Plan: one explode feeds BOTH aggregations — tf groups on
-    (doc, term) with map-side combine; df on term (the document
-    frequency table is vocabulary-sized, broadcast back). The doc-count
-    scalar joins as a 1-row broadcast. At 100 TB the df table is the
-    only global state and it is O(|vocabulary|)."""
+    Plan: the explode runs twice — tf groups on (doc, term) (hot terms
+    spread across docs, uniform) and df groups on term with MAP-SIDE
+    COMBINE, so a stopword's postings collapse to ≤ #map-partitions
+    partials before the shuffle. df then joins back as a broadcast, so
+    the tf relation is never shuffled by bare term (a term-keyed
+    exchange — join or count-window — would put df("the") ≈ n_docs rows
+    in one task; never window a Zipf key). On a corpus whose vocabulary
+    outgrows the broadcast limit, drop the hint and AQE picks a
+    sort-merge join. The doc-count scalar is a 1-row broadcast."""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
