@@ -59,14 +59,27 @@ def scd2_from_changes(
     effective_end_ts, is_current, is_deleted.
     """
     order_cols = order_cols or [ts_col]
-    w = _key_window(key_cols, order_cols)
-
     hashed = changes.withColumn(
         "record_hash",
         F.when(F.col(op_col) == "d", F.lit(DELETED_HASH)).otherwise(
             record_hash(*attr_cols)
         ),
     )
+    return _scd2_chain(hashed, key_cols, attr_cols, ts_col, op_col, order_cols)
+
+
+def _scd2_chain(
+    hashed: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Chain builder over a relation that already carries record_hash —
+    shared by the single-window and chunked builds so the hash is
+    computed exactly once per input row in either path."""
+    w = _key_window(key_cols, order_cols)
     # Consecutive-duplicate suppression: a run of events with identical
     # content collapses to its first event. Delete rows hash to a sentinel,
     # so an insert→delete→identical-insert sequence still yields two
@@ -108,24 +121,36 @@ def scd2_from_changes_chunked(
     ``scd2_from_changes`` (SCALE.md §Windows: an entity updated 10⁸
     times makes the single business-key window one 10⁸-row task).
 
-    Stage 1 partitions the window by (key, chunk) — chunk defaults to
-    the event DATE, any monotone function of ``ts_col`` works — and
-    drops every event whose content hash equals its immediate
-    predecessor's WITHIN the chunk. This is a pure semantic reducer:
-    the full chain would drop those events anyway (a run of identical
-    hashes keeps only its head), and because the chunk is a monotone
-    function of the order, an event's within-chunk predecessor IS its
-    global predecessor for all but each chunk's first event — which
-    stage 1 always keeps, deferring the cross-boundary comparison.
+    Stage 1 partitions the window by (key, chunk) and drops every event
+    whose content hash equals its immediate predecessor's WITHIN the
+    chunk. This is a pure semantic reducer — the full chain would drop
+    those events anyway (a run of identical hashes keeps only its head)
+    — PROVIDED chunk is a monotone function of the ORDER (order_cols):
+    then an event's within-chunk predecessor IS its global predecessor
+    for all but each chunk's first event, which stage 1 always keeps,
+    deferring the cross-boundary comparison. The default chunk,
+    to_date(ts_col), is monotone only when order_cols leads with
+    ts_col, so that combination is enforced; callers ordering by
+    something else (e.g. lsn-first) must pass a chunk_col that is
+    monotone in THEIR order, or stage 1 could drop an event whose true
+    predecessor (in a different chunk) has a different hash.
 
-    Stage 2 runs the standard single-window chain over the survivors:
-    per key that is O(distinct versions + chunks) rows, not O(events).
-    The hot key's 10⁸ heartbeat updates collapse map-side-of-stage-2 to
-    its version count; task input is bounded by max(chunk size,
+    Stage 2 runs the standard single-window chain over the survivors —
+    per key that is O(distinct versions + chunks) rows, not O(events) —
+    reusing the stage-1 hashes (each row is hashed exactly once). The
+    hot key's 10⁸ heartbeat updates collapse to its version count
+    before stage 2; task input is bounded by max(chunk size,
     versions-per-key) instead of events-per-key. Result is IDENTICAL to
-    ``scd2_from_changes`` on any input (tests/test_skew_validation.py).
+    ``scd2_from_changes`` under the monotonicity precondition
+    (tests/test_skew_validation.py).
     """
     order_cols = order_cols or [ts_col]
+    if chunk_col is None and order_cols[0] != ts_col:
+        raise ValueError(
+            f"default chunk to_date({ts_col!r}) is not monotone under "
+            f"order_cols={order_cols!r} (must lead with {ts_col!r}); pass a "
+            f"chunk_col that is a monotone function of the event order"
+        )
     chunk = chunk_col if chunk_col is not None else F.to_date(F.col(ts_col))
     hashed = changes.withColumn(
         "record_hash",
@@ -139,11 +164,9 @@ def scd2_from_changes_chunked(
     survivors = (
         hashed.withColumn("_prev_hash", F.lag("record_hash").over(w1))
         .filter(~F.col("record_hash").eqNullSafe(F.col("_prev_hash")))
-        .drop("_prev_hash", "_chunk", "record_hash")
+        .drop("_prev_hash", "_chunk")
     )
-    return scd2_from_changes(
-        survivors, key_cols, attr_cols, ts_col, op_col, order_cols
-    )
+    return _scd2_chain(survivors, key_cols, attr_cols, ts_col, op_col, order_cols)
 
 
 def current_state(

@@ -512,13 +512,17 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def audit(grp: DataFrame, lane: str, cap: int) -> DataFrame:
+        # coalesce: on an EMPTY group relation (degenerate corpus — e.g.
+        # every document shorter than one shingle) sum() is NULL but the
+        # oracle's count(*) FILTER is 0; the audit must stay paired on
+        # exactly the corpora it exists to flag.
         return grp.agg(
             F.lit(lane).alias("lane"),
             F.lit(cap).alias("cap"),
             F.count(F.lit(1)).alias("n_groups"),
-            F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).cast("bigint").alias(
-                "n_capped"
-            ),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > cap, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("n_capped"),
             F.max("n").alias("max_group_size"),
         )
 

@@ -153,6 +153,10 @@ class SalesCdcStreamReader(SimpleDataSourceStreamReader):
         self.seed = int(options.get("seed", 42))
         self.rows_per_batch = int(options.get("rowsPerBatch", 500))
         self.max_rows = int(options.get("maxRows", 0))  # 0 = unbounded
+        # same knobs as the batch twin — the two readers must not
+        # interpret identical options differently
+        self.hot_fraction = float(options.get("hotFraction", 0.0))
+        self.hot_id = int(options.get("hotId", 1))
 
     def initialOffset(self):
         return {"next": self.start_id}
@@ -162,12 +166,16 @@ class SalesCdcStreamReader(SimpleDataSourceStreamReader):
         hi = lo + self.rows_per_batch
         if self.max_rows:
             hi = min(hi, self.start_id + self.max_rows)
-        rows = [(envelope_for(self.seed, i),) for i in range(lo, hi)]
+        rows = [
+            (envelope_for(self.seed, i, self.hot_fraction, self.hot_id),)
+            for i in range(lo, hi)
+        ]
         return iter(rows), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(
-            (envelope_for(self.seed, i),) for i in range(start["next"], end["next"])
+            (envelope_for(self.seed, i, self.hot_fraction, self.hot_id),)
+            for i in range(start["next"], end["next"])
         )
 
 

@@ -167,3 +167,42 @@ def test_scd2_chunked_bounds_task_input(spark, hot_changes):
         hot_changes, [KEY], ATTRS, "event_timestamp", "op", ORDER
     )
     assert chunked.count() == base.count()
+
+
+def test_chunked_default_requires_ts_led_order(spark, hot_changes):
+    """The default chunk (event date) is monotone only under a
+    ts-led ordering; a non-ts-led order must be refused rather than
+    silently producing a different chain."""
+    with pytest.raises(ValueError, match="monotone"):
+        scd2_from_changes_chunked(
+            hot_changes, [KEY], ATTRS, "event_timestamp", "op", ["lsn"]
+        )
+
+
+def test_stream_generator_honors_hot_options(spark, tmp_path):
+    """The streaming twin must interpret hotFraction/hotId identically
+    to the batch reader (it previously ignored them silently)."""
+    spark.dataSource.register(SalesCdcDataSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("cdc_sales")
+        .option("rowsPerBatch", 4000)  # AvailableNow falls back to ONE batch
+        .option("maxRows", 4000)
+        .option("hotFraction", 0.5)
+        .option("hotId", HOT_ID)
+        .load()
+        .withColumnRenamed("value", "raw_message")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    changes = envelope_as_changes(
+        flatten_envelope(spark.read.parquet(out)), KEY, ATTRS
+    )
+    hot = changes.filter(F.col(KEY) == HOT_ID).count()
+    total = changes.count()
+    assert total >= 4000 * 0.9
+    assert hot > 0.4 * total, (hot, total)
