@@ -161,9 +161,14 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     prs = _copurchase_pairs(spark, sf_dir).select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
+    # Pin the edge relation: it is referenced from five join branches
+    # (degree table, both iterations' joins, the rank seed) and Spark
+    # re-runs the whole basket-pair subtree per reference (measured 16
+    # fact scans unpinned). Caching edges is what every iterative graph
+    # engine does; same lineage-truncation pattern as operators/graph.py.
     edges = prs.unionByName(
         prs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
 
@@ -299,10 +304,14 @@ def parts_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts come from the degree relation (map-side combine), not from
     materializing wedges.
     """
+    # Pinned for the same reason as parts_pagerank: the edge relation
+    # feeds six branches (wedge join twice, closure probe, degree,
+    # edge count) and would re-run the basket-pair subtree per branch.
     edges = (
         _copurchase_pairs(spark, sf_dir)
         .filter(F.col("n_both") >= 2)
         .select("pa", "pb")
+        .localCheckpoint()
     )
     e1 = edges
     e2 = edges.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))

@@ -113,7 +113,14 @@ def _pq_train_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
     )
     pqa0 = _pq_assign(_pq_distances(subv, cb0))
-    cb1 = _pq_codebook_update(pqa0, subv)
+    # Materialize the trained codebooks (M_SUB×K_CODES rows): every
+    # downstream reference to pqd1 otherwise re-runs the whole training
+    # subtree — Spark reuses no subtrees across join branches, and the
+    # composed lanes (codes + LUT + refine) reference it repeatedly
+    # (measured 14 corpus scans in similarity_ivfpq_topk before this).
+    # With cb1 pinned, training touches the corpus exactly twice (assign,
+    # update) and each pqd1 consumer costs one broadcast-join pass.
+    cb1 = _pq_codebook_update(pqa0, subv).localCheckpoint()
     return _pq_distances(subv, cb1)
 
 

@@ -291,7 +291,14 @@ def _kmeans_centroids(assigned: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("pos", "cx"))),
         lambda s: F.round(s["cx"], 6),
     )
-    return cd.groupBy("cluster").agg(cv.alias("cv"))
+    # Materialize the k-row centroid table: the IVF lanes reference the
+    # assignment relation from multiple join branches (query side,
+    # corpus side, probe lists) and Spark would re-run the entire
+    # training subtree per reference; with the trained state pinned,
+    # each reference is one corpus scan + a broadcast join. Same
+    # truncate-the-lineage pattern as the label-propagation rounds in
+    # operators/graph.py.
+    return cd.groupBy("cluster").agg(cv.alias("cv")).localCheckpoint()
 
 
 # The kmeans assignment CTE chain, shared by the oracle of
