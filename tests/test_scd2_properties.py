@@ -129,3 +129,29 @@ def test_current_state_is_latest_per_key(spark, events):
     for key, op, val in events:
         expected[key] = (f"v{val}", op == "d")
     assert got == expected
+
+
+@given(_events)
+@_SETTINGS
+def test_chunked_chain_equals_single_window(spark, events):
+    """scd2_from_changes_chunked is a pure optimization: identical
+    output to the single-window build on ANY event stream, with a chunk
+    small enough (4-second buckets here) that runs of identical content
+    routinely straddle chunk boundaries — the cross-boundary dedupe
+    case stage 2 must resolve."""
+    from hybrid_data_lakehouse_lab_spark.operators.scd2 import (
+        scd2_from_changes_chunked,
+    )
+
+    changes = _changes_df(spark, events)
+    chunk = (F.unix_timestamp("ts") / 4).cast("long")  # tiny chunks
+    base = scd2_from_changes(changes, KEYS, ATTRS, "ts")
+    chunked = scd2_from_changes_chunked(
+        changes, KEYS, ATTRS, "ts", chunk_col=chunk
+    )
+    cols = ["id", "val", "record_hash", "effective_start_ts",
+            "effective_end_ts", "is_current", "is_deleted"]
+    ok, why = frames_equal(
+        chunked.select(*cols).toPandas(), base.select(*cols).toPandas()
+    )
+    assert ok, why
