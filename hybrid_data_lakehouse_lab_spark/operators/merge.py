@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .scd2 import current_state, scd2_from_changes
+from .scd2 import current_state, scd2_from_changes, scd2_from_changes_chunked
 
 
 def merge_scd2_batch(
@@ -38,6 +38,7 @@ def merge_scd2_batch(
     ts_col: str,
     op_col: str = "op",
     order_cols: list[str] | None = None,
+    chunked: bool = False,
 ) -> DataFrame:
     """Apply one CDC batch to an existing SCD2 table; returns the new table.
 
@@ -48,11 +49,19 @@ def merge_scd2_batch(
     older than a key's open version are woven deterministically into the
     open segment, but events older than CLOSED history are the caller's
     checkpoint responsibility — same contract as the reference (T5/T6).
+
+    ``chunked=True`` routes both the initial load and the per-batch
+    rebuild through ``scd2_from_changes_chunked`` (event-date chunks) —
+    the hot-key mitigation for corpora where one entity carries a large
+    share of a batch (see tests/test_skew_validation.py). Output is
+    identical either way; both internal orderings lead with ts_col, so
+    the chunked builder's monotonicity precondition holds.
     """
     order_cols = order_cols or [ts_col]
+    build = scd2_from_changes_chunked if chunked else scd2_from_changes
 
     if existing is None or not existing.columns:
-        return scd2_from_changes(changes, key_cols, attr_cols, ts_col, op_col, order_cols)
+        return build(changes, key_cols, attr_cols, ts_col, op_col, order_cols)
 
     batch_keys = changes.select(*key_cols).distinct()
     current = existing.filter(F.col("is_current"))
@@ -75,7 +84,7 @@ def merge_scd2_batch(
     batch = changes.select(
         *key_cols, *attr_cols, ts_col, op_col, *extra_order, F.lit(1).alias("_seq")
     )
-    rebuilt = scd2_from_changes(
+    rebuilt = build(
         seed.unionByName(batch),
         key_cols,
         attr_cols,

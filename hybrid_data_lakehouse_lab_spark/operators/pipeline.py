@@ -43,6 +43,10 @@ class Scd2Pipeline:
     op_col: str = "op"
     order_cols: list[str] | None = None
     lsn_col: str | None = "lsn"
+    #: Route SCD2 builds through the two-level (key, chunk) chain — the
+    #: hot-key skew mitigation (operators/scd2.py:scd2_from_changes_chunked).
+    #: Identical output; enable for corpora with heartbeat-heavy entities.
+    chunked: bool = False
     table: SnapshotTable = field(init=False)
 
     def __post_init__(self) -> None:
@@ -135,6 +139,7 @@ class Scd2Pipeline:
                 self.ts_col,
                 self.op_col,
                 self.order_cols,
+                chunked=self.chunked,
             )
             # data + checkpoint in ONE atomic manifest swap
             self.table.write(

@@ -206,3 +206,26 @@ def test_stream_generator_honors_hot_options(spark, tmp_path):
     total = changes.count()
     assert total >= 4000 * 0.9
     assert hot > 0.4 * total, (hot, total)
+
+
+def test_merge_chunked_flag_equals_default(spark, hot_changes):
+    """merge_scd2_batch(chunked=True) — the production entry point for
+    the hot-key mitigation — must produce the identical table for both
+    the initial load and an incremental batch."""
+    from hybrid_data_lakehouse_lab_spark.operators.merge import merge_scd2_batch
+
+    split_ts = hot_changes.approxQuantile("lsn", [0.5], 0.0)[0]
+    b1 = hot_changes.filter(F.col("lsn") <= split_ts)
+    b2 = hot_changes.filter(F.col("lsn") > split_ts)
+    cols = [KEY, *ATTRS, "record_hash", "effective_start_ts",
+            "effective_end_ts", "is_current", "is_deleted"]
+
+    def run(chunked):
+        t1 = merge_scd2_batch(None, b1, [KEY], ATTRS, "event_timestamp",
+                              order_cols=ORDER, chunked=chunked)
+        t2 = merge_scd2_batch(t1, b2, [KEY], ATTRS, "event_timestamp",
+                              order_cols=ORDER, chunked=chunked)
+        return t2.select(*cols).toPandas()
+
+    ok, why = frames_equal(run(True), run(False))
+    assert ok, why
