@@ -531,3 +531,82 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(freq, "shingle_df", SHINGLE_DF_CAP))
         .orderBy("lane")
     )
+
+
+LINE_W = 8  # words per pseudo-line (the corpus has no sentence marks)
+
+
+@register(
+    "corpus_line_dedup",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, CAST((t.i - 1) / {LINE_W} AS INT) AS idx,
+             array_to_string(words[t.i:t.i+{LINE_W - 1}], ' ') AS chunk
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(range(1, len(words) + 1, {LINE_W})) AS t(i)
+    ),
+    flagged AS (
+      SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+      FROM chunks
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+           CAST(count(*) FILTER (NOT kept) AS INT) AS n_dropped,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (kept), ''))
+             AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (line-level) dedup, the C4/CCNet boilerplate pass:
+    each document splits into fixed {LINE_W}-word pseudo-lines (the
+    corpus carries no sentence marks), and every occurrence of a span
+    already seen at a lexicographically earlier (doc_id, position) is
+    DROPPED — within-document repeats included. Output per document:
+    span counts, dropped count, and the md5 of the cleaned
+    reconstruction (surviving spans re-joined in order), so the lane is
+    value-checked end-to-end without shipping full texts.
+
+    100 TB plan shape: the keeper of each span is min(struct(doc, idx))
+    from a MAP-SIDE-COMBINED groupBy — a boilerplate span in 10⁸ docs
+    collapses to ≤ #map-partitions partials before its shuffle (the
+    row_number()-over-span form the oracle states would move every raw
+    occurrence of a hot span to one reducer; never window a Zipf key).
+    The keep/drop flag then attaches via a LEFT join on the FULL
+    (span, doc, idx) triple — unique per row on the build side, so the
+    join key is uniform even when the span alone is white-hot. The
+    reconstruction groups by doc_id (bounded by document length).
+    """
+    from pyspark.sql import Window as _W  # noqa: F401  (parity w/ oracle docs)
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(LINE_W))
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, LINE_W)))
+        ).alias("idx", "chunk"),
+    )
+    keepers = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("m"))
+        .select("chunk", F.col("m.doc_id").alias("doc_id"), F.col("m.idx").alias("idx"))
+        .withColumn("kept", F.lit(True))
+    )
+    flagged = chunks.join(keepers, ["chunk", "doc_id", "idx"], "left")
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("kept"), F.struct("idx", "chunk")))
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.when(F.col("kept").isNull(), 1).otherwise(0)).cast("int").alias(
+            "n_dropped"
+        ),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

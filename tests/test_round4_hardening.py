@@ -189,3 +189,45 @@ def test_pq_rerank_recall_clears_bar(spark, sf_dir):
     }
     assert rows[SHORTLIST] >= 0.7, rows
     assert rows[10] < rows[SHORTLIST], rows  # refine genuinely adds recall
+
+
+# ---------------------------------------------------------------------------
+# Line-level (repeated-span) dedup — the C4/CCNet boilerplate pass
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_semantics(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.plans.dedup import LINE_W, corpus_line_dedup
+
+    assert LINE_W == 8
+    span_a = "a1 a2 a3 a4 a5 a6 a7 a8"      # shared boilerplate span
+    span_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    span_c = "c1 c2 c3 c4 c5 c6 c7 c8"
+    texts = {
+        0: f"{span_a} {span_b}",             # first owner of a and b
+        1: f"{span_a} {span_c}",             # loses a, keeps c
+        2: f"{span_c} {span_c}",             # loses both: c seen in doc 1,
+                                             # and its own within-doc repeat
+    }
+    sf = tmp_path / "sf_lines"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(sf / "documents.parquet")
+
+    rows = {r.doc_id: r for r in corpus_line_dedup(spark, str(sf)).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (rows[0].n_chunks, rows[0].n_dropped) == (2, 0)
+    assert rows[0].cleaned_md5 == md5(f"{span_a} {span_b}")
+    assert (rows[1].n_chunks, rows[1].n_dropped) == (2, 1)
+    assert rows[1].cleaned_md5 == md5(span_c)
+    assert (rows[2].n_chunks, rows[2].n_dropped) == (2, 2)
+    assert rows[2].cleaned_md5 == md5("")
