@@ -541,3 +541,68 @@ def text_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n12",
         F.round(F.col("n12").cast("double") / F.col("n1"), 6).alias("p_cond"),
     )
+
+
+MIX_ALPHA = 0.3  # temperature exponent (multilingual-pretraining convention)
+
+
+@register(
+    "corpus_domain_mix_temperature",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, sum(len(string_split(text, ' '))) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(src_tokens) AS total FROM src),
+    sh AS (
+        SELECT source, src_tokens, total,
+               1.0 * src_tokens / total AS share
+        FROM src CROSS JOIN tot
+    ),
+    z AS (SELECT sum(pow(share, {MIX_ALPHA})) AS zsum FROM sh)
+    SELECT source,
+           (1000000 * src_tokens) // total AS share_ppm,
+           round(pow(share, {MIX_ALPHA}) / zsum, 6) AS p_temperature,
+           round(pow(share, {MIX_ALPHA}) / zsum / share, 4) AS boost
+    FROM sh CROSS JOIN z
+    ORDER BY source
+    """,
+)
+def corpus_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing: sampling probability per source
+    ∝ share^α with α=0.3 — the exponentiated-mixture rule multilingual
+    pretraining uses to lift low-resource domains without flattening
+    the mixture entirely (α=1 keeps natural proportions, α=0 is the
+    uniform target corpus_domain_mix_weights computes). ``boost`` is
+    the resulting up/down-sampling factor vs natural sampling.
+
+    Determinism: share_ppm is exact BIGINT arithmetic; the temperature
+    terms are pow/ln-irrational doubles rounded at 1e-6/1e-4 — far
+    above the ≤1-ulp libm and 20-term summation-order jitter, and
+    irrational values cannot sit on HALF_UP boundaries (the perplexity
+    lane's argument).
+
+    100 TB: one |sources|-group aggregate over the corpus with map-side
+    combine; everything after operates on O(|sources|) rows with two
+    1-row scalar broadcasts.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("src_tokens")
+    )
+    tot = src.agg(F.sum("src_tokens").alias("total"))
+    sh = src.join(F.broadcast(tot)).withColumn(
+        "share", F.col("src_tokens") / F.col("total")
+    )
+    z = sh.agg(F.sum(F.pow("share", F.lit(MIX_ALPHA))).alias("zsum"))
+    p = F.pow("share", F.lit(MIX_ALPHA)) / F.col("zsum")
+    return (
+        sh.join(F.broadcast(z))
+        .select(
+            "source",
+            F.expr("(1000000 * src_tokens) div total").alias("share_ppm"),
+            F.round(p, 6).alias("p_temperature"),
+            F.round(p / F.col("share"), 4).alias("boost"),
+        )
+        .orderBy("source")
+    )

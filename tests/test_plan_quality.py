@@ -79,6 +79,9 @@ _INTENDED_BNLJ = {
     # relation against the 3-row shortlist-size table, plus the
     # broadcast-query ground-truth scan (as similarity_pq_recall_audit)
     "similarity_pq_refine_sensitivity",
+    # two 1-row scalar broadcasts (token total, temperature normalizer)
+    # over the |sources|-row relation (as corpus_domain_mix_weights)
+    "corpus_domain_mix_temperature",
 }
 
 
