@@ -34,6 +34,7 @@ from . import pq  # noqa: E402,F401
 from . import hybrid_search  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import stats  # noqa: E402,F401
+from . import data_selection  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registered queries.
 # Pin that window explicitly: the SURVEY §2 core anchors (every S/P/J/A/W/

@@ -1,0 +1,358 @@
+"""Data-selection lanes: choosing WHAT goes into a pretraining corpus.
+
+The dedup/curation modules decide what to *remove*; these lanes decide
+what to *keep and how often* — the selection half of a training-data
+pipeline (SURVEY §2 extension surface; the reference has no document
+pipeline at all):
+
+* ``corpus_dsir_importance`` — hashed n-gram importance weights against a
+  target distribution (DSIR, Xie et al. 2023: "Data Selection for
+  Language Models via Importance Resampling").
+* ``corpus_quality_classifier`` — a hash-kernel linear classifier score
+  per document (the fasttext-style quality filter of GPT-3/CCNet,
+  expressed as pure column arithmetic).
+* ``corpus_token_budget_plan`` — per-source epoch/sampling plan for a
+  fixed token budget with an upsampling cap (the "don't repeat data much
+  past 4 epochs" rule of Muennighoff et al. 2023).
+* ``similarity_semdedup`` — semantic dedup inside k-means clusters
+  (SemDeDup, Abbas et al. 2023), composed on the shared deterministic
+  k-means chain from ``plans/similarity.py``.
+
+Cross-engine determinism: every per-document reduction is INTEGER
+arithmetic (micro-unit fixed point). Floats appear only in trained
+state of bounded cardinality — the 64-row DSIR weight table, the 20-row
+source plan, per-pair cosines — and are rounded to micro-units before
+any comparison, so engine summation order cannot flip a verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.util import fan_out
+from ..sources import load_table
+from .registry import register
+from .similarity import (
+    _DOT,
+    _as_double,
+    _kmeans_assign,
+    _kmeans_centroids,
+    _KMEANS_A1_SQL,
+    K_CLUSTERS,
+)
+
+DSIR_BUCKETS = 64  # hashed-feature dimensionality
+DSIR_TARGET_LANG = "en"  # the "target distribution" sample: English docs
+BUDGET_TOKENS = 1_000_000  # planning budget for corpus_token_budget_plan
+MAX_EPOCHS_MICRO = 4_000_000  # upsampling cap: at most 4 passes per source
+SEMDEDUP_TAU_MICRO = 350_000  # drop threshold: cosine > 0.35 (micro-units)
+
+# Cross-engine token bucket: md5 prefix → int (identical in both engines,
+# see dedup.py's Carter–Wegman hash) → mod the feature dimensionality.
+_BUCKET_SPARK = (
+    f"CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT) % {DSIR_BUCKETS}"
+)
+_BUCKET_DUCK = f"(('0x' || substr(md5(word), 1, 8))::BIGINT % {DSIR_BUCKETS})"
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, t.word
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+        WHERE t.word <> ''
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, {_BUCKET_DUCK} AS bucket, count(*) AS cnt
+        FROM tok GROUP BY 1, 2, 3
+    ),
+    stats AS (
+        SELECT bucket,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END) AS tgt,
+               sum(cnt) AS src
+        FROM per_doc GROUP BY bucket
+    ),
+    tot AS (SELECT sum(tgt) AS tgt_tot, sum(src) AS src_tot FROM stats),
+    w AS (
+        SELECT bucket,
+               CAST(round((ln((tgt + 1)::DOUBLE / (tgt_tot + {DSIR_BUCKETS})::DOUBLE)
+                         - ln((src + 1)::DOUBLE / (src_tot + {DSIR_BUCKETS})::DOUBLE))
+                          * 1000000) AS BIGINT) AS lw_micro
+        FROM stats, tot
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.cnt) AS INT) AS n_tokens,
+           CAST(sum(p.cnt * w.lw_micro) AS BIGINT) AS importance_micro,
+           sum(p.cnt * w.lw_micro) > 0 AS selected
+    FROM per_doc p JOIN w USING (bucket)
+    GROUP BY p.doc_id
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: estimate a hashed-unigram bag-of-words
+    model for the target distribution (here: the corpus' own English
+    slice) and for the raw source, then score each document by its
+    log importance ratio  Σ_tokens [log p_tgt(bucket) − log p_src(bucket)]
+    (Laplace-smoothed). ``selected`` marks documents that look more
+    target-like than source-like — the resampling acceptance signal.
+
+    Determinism: the 64 per-bucket log-ratios are rounded to integer
+    micro-units ONCE (trained state, bounded cardinality); every per-doc
+    reduction after that is an exact integer sum, so summation order is
+    irrelevant in both engines.
+
+    100 TB plan shape: two passes over documents — one to train (explode
+    → map-side-combined (doc,bucket) counts → 64-row weight table,
+    pinned with localCheckpoint like the k-means centroids), one to
+    score (same pre-aggregated shape joined against the BROADCAST weight
+    table, then an exact integer agg by doc_id). The bucket table is
+    O(DSIR_BUCKETS) regardless of vocabulary: no vocab-wide state, no
+    Zipf-keyed shuffle (buckets fold the head terms into fixed cells and
+    the groupBy is map-side combined).
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = tok.groupBy(
+        "doc_id", "lang", F.expr(_BUCKET_SPARK).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    # Trained state: 64-row bucket frequency table, lineage truncated so
+    # the scoring pass below doesn't re-run the training subtree.
+    stats = (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("tgt"),
+            F.sum("cnt").alias("src"),
+        )
+        .localCheckpoint()
+    )
+    tot = stats.agg(
+        F.sum("tgt").alias("tgt_tot"), F.sum("src").alias("src_tot")
+    )
+    lw = F.round(
+        (
+            F.log((F.col("tgt") + 1).cast("double") / (F.col("tgt_tot") + DSIR_BUCKETS).cast("double"))
+            - F.log((F.col("src") + 1).cast("double") / (F.col("src_tot") + DSIR_BUCKETS).cast("double"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    w = stats.crossJoin(F.broadcast(tot)).select("bucket", lw.alias("lw_micro"))
+    imp = F.sum(F.col("cnt") * F.col("lw_micro"))
+    return (
+        per_doc.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_tokens"),
+            imp.alias("importance_micro"),
+            (imp > 0).alias("selected"),
+        )
+    )
+
+
+# Deterministic hash-kernel weight for one token: md5 prefix → integer in
+# [-1000, 1000]. Stands in for a broadcast trained-weight lookup; the
+# lane's point is the scoring plan shape, which is identical either way.
+_CLS_W_SPARK = (
+    "(CAST(conv(substr(md5(concat('qw#', w)), 1, 8), 16, 10) AS BIGINT) % 2001) - 1000"
+)
+_CLS_W_DUCK = "(('0x' || substr(md5('qw#' || w), 1, 8))::BIGINT % 2001) - 1000"
+
+
+@register(
+    "corpus_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(words,
+                w -> {_CLS_W_DUCK})), 0) AS BIGINT) AS score,
+           coalesce(list_sum(list_transform(words,
+                w -> {_CLS_W_DUCK})), 0) > 0 AS keep
+    FROM t
+    """,
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (the GPT-3/CCNet fasttext-filter
+    shape): each document's score is the sum of per-token weights from a
+    hashed feature kernel; ``keep`` is the sign. The weights here are a
+    deterministic function of the token hash — in production they'd be a
+    broadcast map from a trained model, which changes nothing about the
+    plan.
+
+    100 TB: a pure map — split, transform, integer-fold — entirely inside
+    whole-stage codegen. No explode, no shuffle, no Python; scoring cost
+    is one pass over the bytes, the same shape as text_quality_score.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    words = "filter(split(text, ' '), w -> w <> '')"
+    score = F.expr(
+        f"aggregate({words}, CAST(0 AS BIGINT), (acc, w) -> acc + ({_CLS_W_SPARK}))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"size({words})").cast("int").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+@register(
+    "corpus_token_budget_plan",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens
+        FROM documents GROUP BY source
+        HAVING n_tokens > 0
+    ),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS sqrt_micro
+        FROM per_src
+    ),
+    tot AS (SELECT sum(sqrt_micro) AS denom FROM s)
+    SELECT source,
+           CAST(n_docs AS INT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sqrt_micro * 1000000 // denom AS BIGINT) AS weight_micro,
+           CAST({BUDGET_TOKENS} * sqrt_micro // denom AS BIGINT) AS target_tokens,
+           CAST(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens AS BIGINT)
+               AS epochs_micro,
+           (({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens)
+               > {MAX_EPOCHS_MICRO} AS capped,
+           CAST({BUDGET_TOKENS} * sqrt_micro // denom
+               - n_tokens * least(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens,
+                                  {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT) AS shortfall_tokens
+    FROM s, tot
+    """,
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning: allocate a fixed training budget across
+    sources with a sqrt-scaled mix (temperature α=0.5 — rarer sources
+    upsampled relative to their share), then convert each allocation to
+    epochs over that source, capped at 4 passes (repeating data much past
+    that stops helping — Muennighoff et al. 2023). ``shortfall_tokens``
+    is the allocation a capped source cannot absorb, i.e. what a second
+    planning round would redistribute.
+
+    Determinism: per-source sqrt shares become integer micro-units via
+    floor (sqrt is correctly rounded in both engines), and every derived
+    quantity is integer `div` arithmetic — exact everywhere.
+
+    100 TB: one map-side-combined aggregate over documents to the
+    |sources|-row table (pinned), then arithmetic on that tiny relation;
+    the 1-row denominator broadcast is the same audited BNLJ shape as
+    corpus_domain_mix_weights.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.expr("filter(split(text, ' '), w -> w <> '')"))
+    per_src = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum(n_tok).alias("n_tokens"))
+        # an all-empty source has nothing to sample — and would divide
+        # the epoch computation by zero
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000)
+            .cast("bigint")
+            .alias("sqrt_micro"),
+        )
+        .localCheckpoint()
+    )
+    denom = per_src.agg(F.sum("sqrt_micro").alias("denom"))
+    target = f"{BUDGET_TOKENS} * sqrt_micro div denom"
+    epochs = f"({target}) * 1000000 div n_tokens"
+    return per_src.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("sqrt_micro * 1000000 div denom").alias("weight_micro"),
+        F.expr(target).alias("target_tokens"),
+        F.expr(epochs).alias("epochs_micro"),
+        F.expr(f"({epochs}) > {MAX_EPOCHS_MICRO}").alias("capped"),
+        F.expr(
+            f"{target} - n_tokens * least({epochs}, {MAX_EPOCHS_MICRO}) div 1000000"
+        ).alias("shortfall_tokens"),
+    )
+
+
+@register(
+    "similarity_semdedup",
+    oracle=f"""
+    WITH {_KMEANS_A1_SQL},
+    m AS (
+        SELECT a.vec_id, a.cluster, e.v
+        FROM a1 a JOIN e ON e.vec_id = a.vec_id
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE CAST(round(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+              > {SEMDEDUP_TAU_MICRO}
+    )
+    SELECT m.vec_id, m.cluster, dup.vec_id IS NULL AS kept
+    FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+    """,
+)
+def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal via
+    the k-means partition — candidate pairs exist only INSIDE a cluster,
+    and a vector is dropped when a lower-id cluster-mate sits above the
+    cosine threshold (so the lowest id of every duplicate neighborhood
+    survives; each cluster always keeps its minimum id).
+
+    Composes the shared deterministic k-means chain (2 Lloyd steps,
+    centroids pinned — see similarity_kmeans_clusters); pair cosines are
+    compared in rounded micro-units so the verdict can't flip on float
+    jitter.
+
+    100 TB: this is the published algorithm's own scaling argument — k
+    grows with the corpus so cluster sizes stay bounded, making the
+    within-cluster quadratic a constant per cluster; the join here is
+    cluster-keyed (balanced by construction, unlike Zipf text keys), and
+    each side of it is one corpus scan + the k-row centroid broadcast
+    (training state is checkpointed, not re-run per branch).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    a1 = _kmeans_assign(e, _kmeans_centroids(_kmeans_assign(e, c0)))
+    m = a1.select("vec_id", "cluster", "v")
+    a = m.select(
+        F.col("vec_id").alias("a_id"), "cluster", F.col("v").alias("av")
+    )
+    b = m.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("v").alias("bv"),
+    )
+    dot = F.expr(_DOT.format(a="av", b="bv"))
+    na = F.sqrt(F.expr(_DOT.format(a="av", b="av")))
+    nb = F.sqrt(F.expr(_DOT.format(a="bv", b="bv")))
+    sim_micro = F.round(dot / (na * nb) * 1_000_000).cast("bigint")
+    dup = (
+        a.join(b, (a.cluster == b.b_cluster) & (a.a_id < b.b_id))
+        .filter(sim_micro > SEMDEDUP_TAU_MICRO)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return m.join(
+        dup.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cluster", F.col("is_dup").isNull().alias("kept"))

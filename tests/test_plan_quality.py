@@ -82,6 +82,12 @@ _INTENDED_BNLJ = {
     # two 1-row scalar broadcasts (token total, temperature normalizer)
     # over the |sources|-row relation (as corpus_domain_mix_weights)
     "corpus_domain_mix_temperature",
+    # 1-row corpus-totals broadcast over the 64-row DSIR weight table
+    "corpus_dsir_importance",
+    # 1-row sqrt-share denominator broadcast over the |sources|-row plan
+    "corpus_token_budget_plan",
+    # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
+    "similarity_semdedup",
 }
 
 
