@@ -606,3 +606,132 @@ def corpus_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+BPE_MERGE_STEPS = 3  # unrolled training iterations (kmeans-style)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=r"""
+    WITH wc AS (
+        SELECT t.word, count(*) AS cnt
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+        WHERE t.word <> ''
+        GROUP BY t.word
+    ),
+    s0 AS (SELECT word, cnt, array_to_string(string_split(word, ''), ' ') AS s FROM wc),
+    p0 AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS pc
+        FROM (SELECT cnt, string_split(s, ' ') AS syms FROM s0),
+             UNNEST(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    b0 AS (SELECT l, r, pc FROM p0 ORDER BY pc DESC, l, r LIMIT 1),
+    s1 AS (
+        SELECT word, cnt,
+               regexp_replace(s, '\b' || b0.l || ' ' || b0.r || '\b',
+                              b0.l || b0.r, 'g') AS s
+        FROM s0, b0
+    ),
+    p1 AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS pc
+        FROM (SELECT cnt, string_split(s, ' ') AS syms FROM s1),
+             UNNEST(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    b1 AS (SELECT l, r, pc FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
+    s2 AS (
+        SELECT word, cnt,
+               regexp_replace(s, '\b' || b1.l || ' ' || b1.r || '\b',
+                              b1.l || b1.r, 'g') AS s
+        FROM s1, b1
+    ),
+    p2 AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS pc
+        FROM (SELECT cnt, string_split(s, ' ') AS syms FROM s2),
+             UNNEST(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1)
+    SELECT CAST(1 AS INT) AS step, l AS left_sym, r AS right_sym,
+           l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b0
+    UNION ALL
+    SELECT CAST(2 AS INT), l, r, l || r, CAST(pc AS BIGINT) FROM b1
+    UNION ALL
+    SELECT CAST(3 AS INT), l, r, l || r, CAST(pc AS BIGINT) FROM b2
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step BPE tokenizer TRAINING (not just the first pair count):
+    three merge rounds unrolled, each round = weighted adjacent-pair
+    count over the current symbolization, argmax pair (count desc, then
+    lexicographic — the deterministic tie rule both engines share), and
+    a greedy non-overlapping merge applied via word-boundary regex on the
+    space-joined symbol string (regex global replace IS left-to-right
+    non-overlapping — the exact BPE merge semantics; symbols stay
+    alphabetic by construction so the \\b delimiters are sound).
+
+    This is how production BPE trainers actually scale: aggregate the
+    corpus ONCE into a word-frequency table (map-side-combined groupBy —
+    the Zipf head never shuffles raw), then iterate on the compact
+    |vocab|-row relation. Each round's state is localCheckpoint-ed (the
+    graph.py label-propagation pattern) so round N never re-runs rounds
+    1..N-1, and the 1-row argmax rides a broadcast. Corpus cost: one
+    scan, independent of merge count.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cur = wc.select(
+        "word", "cnt", F.array_join(F.split("word", ""), " ").alias("s")
+    ).localCheckpoint()
+    steps = []
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        pairs = (
+            cur.filter(F.size(F.split("s", " ")) > 1)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(s, ' ')) - 1), "
+                        "i -> struct(element_at(split(s, ' '), i) AS l, "
+                        "element_at(split(s, ' '), i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "l", "r").limit(1).localCheckpoint()
+        steps.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("pc").cast("bigint").alias("pair_count"),
+            )
+        )
+        if step < BPE_MERGE_STEPS:
+            b = F.broadcast(
+                best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
+            )
+            pat = F.concat(F.lit("\\b"), F.col("bl"), F.lit(" "), F.col("br"), F.lit("\\b"))
+            cur = (
+                cur.crossJoin(b)
+                .select(
+                    "word",
+                    "cnt",
+                    F.regexp_replace(F.col("s"), pat, F.concat("bl", "br")).alias("s"),
+                )
+                .localCheckpoint()
+            )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -1,0 +1,70 @@
+"""Properties of the multi-step BPE trainer (plans/llm_extras.py:
+bpe_train_merges): classic BPE invariants plus degenerate corpora."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.plans.llm_extras import (
+    BPE_MERGE_STEPS,
+    bpe_train_merges,
+)
+
+
+def test_merge_counts_non_increasing_and_distinct(spark, sf_dir):
+    rows = sorted(bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == list(range(1, BPE_MERGE_STEPS + 1))
+    # The max-pair count can only shrink: any round-N+1 pair either
+    # existed in round N or contains the new symbol (count <= the merged
+    # pair's count).
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    merges = {(r["left_sym"], r["right_sym"]) for r in rows}
+    assert len(merges) == BPE_MERGE_STEPS
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+
+
+@pytest.fixture()
+def single_char_sf(tmp_path):
+    sf = tmp_path / "sf_single_chars"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c", "c b a a"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [5, 7],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    return str(sf)
+
+
+def test_no_pairs_yields_no_merges(spark, single_char_sf):
+    # Every word is one symbol: there is nothing to merge, and the
+    # unrolled rounds must survive the empty argmax (not crash).
+    assert bpe_train_merges(spark, single_char_sf).count() == 0
+
+
+def test_greedy_merge_overlap_semantics(spark, tmp_path):
+    # 'aaaa' = pairs (a,a) x3, but a greedy left-to-right merge produces
+    # 'aa aa'; round 2 must therefore see (aa,aa) — the non-overlapping
+    # application, not a re-count of raw overlaps.
+    sf = tmp_path / "sf_overlap"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["aaaa aaaa"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [9],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    rows = {r["step"]: r for r in bpe_train_merges(spark, str(sf)).collect()}
+    assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("a", "a")
+    assert rows[1]["pair_count"] == 6  # 3 overlapping pairs x 2 words
+    assert (rows[2]["left_sym"], rows[2]["right_sym"]) == ("aa", "aa")
+    assert rows[2]["pair_count"] == 2  # one per word after greedy merge

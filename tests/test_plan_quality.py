@@ -88,6 +88,8 @@ _INTENDED_BNLJ = {
     "corpus_token_budget_plan",
     # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
     "similarity_semdedup",
+    # per-round 1-row argmax-pair broadcast over the |vocab|-row relation
+    "bpe_train_merges",
 }
 
 
