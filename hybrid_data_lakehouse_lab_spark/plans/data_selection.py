@@ -17,6 +17,9 @@ pipeline at all):
 * ``similarity_semdedup`` — semantic dedup inside k-means clusters
   (SemDeDup, Abbas et al. 2023), composed on the shared deterministic
   k-means chain from ``plans/similarity.py``.
+* ``corpus_selection_pipeline`` — the composed keep/drop decision with
+  first-failing-gate attribution, built from the SAME shared gate
+  definitions (``_CLS_W_*``, ``dsir_scores``/``_DSIR_SQL``).
 
 Cross-engine determinism: every per-document reduction is INTEGER
 arithmetic (micro-unit fixed point). Floats appear only in trained
@@ -56,38 +59,49 @@ _BUCKET_SPARK = (
 _BUCKET_DUCK = f"(('0x' || substr(md5(word), 1, 8))::BIGINT % {DSIR_BUCKETS})"
 
 
-@register(
-    "corpus_dsir_importance",
-    oracle=f"""
-    WITH tok AS (
+# The DSIR scoring CTE chain, shared by corpus_dsir_importance and
+# corpus_selection_pipeline so the two cannot drift (the k-means
+# `_KMEANS_A1_SQL` pattern). All CTEs are dsir-prefixed to compose.
+_DSIR_SQL = f"""
+    dsir_tok AS (
         SELECT doc_id, lang, t.word
         FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
         WHERE t.word <> ''
     ),
-    per_doc AS (
+    dsir_per_doc AS (
         SELECT doc_id, lang, {_BUCKET_DUCK} AS bucket, count(*) AS cnt
-        FROM tok GROUP BY 1, 2, 3
+        FROM dsir_tok GROUP BY 1, 2, 3
     ),
-    stats AS (
+    dsir_stats AS (
         SELECT bucket,
                sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END) AS tgt,
                sum(cnt) AS src
-        FROM per_doc GROUP BY bucket
+        FROM dsir_per_doc GROUP BY bucket
     ),
-    tot AS (SELECT sum(tgt) AS tgt_tot, sum(src) AS src_tot FROM stats),
-    w AS (
+    dsir_tot AS (SELECT sum(tgt) AS tgt_tot, sum(src) AS src_tot FROM dsir_stats),
+    dsir_w AS (
         SELECT bucket,
                CAST(round((ln((tgt + 1)::DOUBLE / (tgt_tot + {DSIR_BUCKETS})::DOUBLE)
                          - ln((src + 1)::DOUBLE / (src_tot + {DSIR_BUCKETS})::DOUBLE))
                           * 1000000) AS BIGINT) AS lw_micro
-        FROM stats, tot
+        FROM dsir_stats, dsir_tot
+    ),
+    dsir AS (
+        SELECT p.doc_id,
+               CAST(sum(p.cnt) AS INT) AS n_tokens,
+               CAST(sum(p.cnt * w.lw_micro) AS BIGINT) AS importance_micro,
+               sum(p.cnt * w.lw_micro) > 0 AS selected
+        FROM dsir_per_doc p JOIN dsir_w w USING (bucket)
+        GROUP BY p.doc_id
     )
-    SELECT p.doc_id,
-           CAST(sum(p.cnt) AS INT) AS n_tokens,
-           CAST(sum(p.cnt * w.lw_micro) AS BIGINT) AS importance_micro,
-           sum(p.cnt * w.lw_micro) > 0 AS selected
-    FROM per_doc p JOIN w USING (bucket)
-    GROUP BY p.doc_id
+"""
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH {_DSIR_SQL}
+    SELECT doc_id, n_tokens, importance_micro, selected FROM dsir
     """,
 )
 def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,6 +126,13 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-keyed shuffle (buckets fold the head terms into fixed cells and
     the groupBy is map-side combined).
     """
+    return dsir_scores(spark, sf_dir)
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR scoring relation (doc_id, n_tokens, importance_micro,
+    selected) — shared by corpus_dsir_importance and
+    corpus_selection_pipeline, mirroring the ``_DSIR_SQL`` oracle chain."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
@@ -356,3 +377,77 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(
         dup.withColumn("is_dup", F.lit(True)), "vec_id", "left"
     ).select("vec_id", "cluster", F.col("is_dup").isNull().alias("kept"))
+
+
+@register(
+    "corpus_selection_pipeline",
+    oracle=f"""
+    WITH {_DSIR_SQL},
+    base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   BETWEEN 20 AND 100000 AS word_count_ok,
+               coalesce(list_sum(list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   w -> {_CLS_W_DUCK})), 0) > 0 AS classifier_keep
+        FROM documents
+    )
+    SELECT b.doc_id, b.word_count_ok, b.classifier_keep,
+           coalesce(d.selected, FALSE) AS dsir_keep,
+           b.word_count_ok AND b.classifier_keep
+               AND coalesce(d.selected, FALSE) AS selected,
+           CASE WHEN NOT b.word_count_ok THEN 'word_count'
+                WHEN NOT b.classifier_keep THEN 'classifier'
+                WHEN NOT coalesce(d.selected, FALSE) THEN 'dsir_importance'
+                ELSE 'kept' END AS verdict
+    FROM base b LEFT JOIN dsir d ON b.doc_id = d.doc_id
+    """,
+)
+def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed selection pipeline with per-document attribution — the
+    selection-side twin of corpus_curation_pipeline: a length sanity
+    gate, the hash-kernel classifier verdict, and the DSIR target-fit
+    verdict, folded into one ``selected`` decision plus a first-failing-
+    gate ``verdict`` column (what a curation dashboard reports). Gates
+    share their definitions with the standalone lanes — the classifier
+    weight expression is the same ``_CLS_W_*`` constant and the DSIR side
+    is the same ``dsir_scores`` relation / ``_DSIR_SQL`` chain — so the
+    composition cannot drift from its parts.
+
+    Documents that tokenize to nothing have no DSIR row; they re-enter
+    via the left join as not-selected rather than silently vanishing.
+
+    100 TB: the two map-only gates fuse into ONE pass over documents
+    (codegen expressions, no join between them); only DSIR adds its
+    two-pass train/score shape, and the final join is doc_id-keyed —
+    the same shuffle the DSIR aggregation already produced.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    words = "filter(split(text, ' '), w -> w <> '')"
+    cls_score = F.expr(
+        f"aggregate({words}, CAST(0 AS BIGINT), (acc, w) -> acc + ({_CLS_W_SPARK}))"
+    )
+    base = d.select(
+        "doc_id",
+        F.expr(f"size({words})").between(20, 100000).alias("word_count_ok"),
+        (cls_score > 0).alias("classifier_keep"),
+    )
+    dsir = dsir_scores(spark, sf_dir).select(
+        "doc_id", F.col("selected").alias("dsir_sel")
+    )
+    j = base.join(dsir, "doc_id", "left")
+    dsir_keep = F.coalesce(F.col("dsir_sel"), F.lit(False))
+    return j.select(
+        "doc_id",
+        "word_count_ok",
+        "classifier_keep",
+        dsir_keep.alias("dsir_keep"),
+        (F.col("word_count_ok") & F.col("classifier_keep") & dsir_keep).alias(
+            "selected"
+        ),
+        F.when(~F.col("word_count_ok"), F.lit("word_count"))
+        .when(~F.col("classifier_keep"), F.lit("classifier"))
+        .when(~dsir_keep, F.lit("dsir_importance"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )

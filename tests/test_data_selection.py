@@ -13,6 +13,7 @@ from hybrid_data_lakehouse_lab_spark.plans.data_selection import (
     MAX_EPOCHS_MICRO,
     corpus_dsir_importance,
     corpus_quality_classifier,
+    corpus_selection_pipeline,
     corpus_token_budget_plan,
     similarity_semdedup,
 )
@@ -94,7 +95,26 @@ def test_semdedup_keeper_invariants(spark, sf_dir):
         assert lead["kept"]
 
 
-@pytest.mark.parametrize("lane", ["dsir", "classifier", "budget"])
+def test_selection_pipeline_matches_parts(spark, sf_dir):
+    """The composed verdict must equal the conjunction of the standalone
+    lanes — shared definitions, same results (no drift)."""
+    pipe = {r["doc_id"]: r for r in corpus_selection_pipeline(spark, sf_dir).collect()}
+    cls = {r["doc_id"]: r["keep"] for r in corpus_quality_classifier(spark, sf_dir).collect()}
+    dsir = {r["doc_id"]: r["selected"] for r in corpus_dsir_importance(spark, sf_dir).collect()}
+    assert set(pipe) >= set(cls)
+    for doc_id, row in pipe.items():
+        assert row["classifier_keep"] == cls[doc_id]
+        assert row["dsir_keep"] == dsir.get(doc_id, False)
+        assert row["selected"] == (
+            row["word_count_ok"] and row["classifier_keep"] and row["dsir_keep"]
+        )
+        if row["selected"]:
+            assert row["verdict"] == "kept"
+        else:
+            assert row["verdict"] in {"word_count", "classifier", "dsir_importance"}
+
+
+@pytest.mark.parametrize("lane", ["dsir", "classifier", "budget", "pipeline"])
 def test_lanes_survive_empty_tokens(spark, tmp_path, lane):
     """Documents that split into zero tokens (empty text) must not crash
     the integer folds or divide target allocations by zero."""
@@ -115,6 +135,7 @@ def test_lanes_survive_empty_tokens(spark, tmp_path, lane):
         "dsir": corpus_dsir_importance,
         "classifier": corpus_quality_classifier,
         "budget": corpus_token_budget_plan,
+        "pipeline": corpus_selection_pipeline,
     }[lane]
     rows = fn(spark, str(sf)).collect()
     assert rows  # runs and yields something
