@@ -416,3 +416,49 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("orders.o_custkey -> customer", orphans(o, "o_custkey", c, "c_custkey")))
         .orderBy("relationship")
     )
+
+
+# ---------------------------------------------------------------------------
+# Relative standing — percent_rank / cume_dist per event type: the
+# monitoring view behind "is this value in the top decile for its type".
+# ---------------------------------------------------------------------------
+@register(
+    "quality_value_percentile_flags",
+    oracle="""
+    SELECT event_id, event_type,
+           round(value, 2) AS value_r,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_d,
+           cume_dist() OVER w * 10 > 9 AS top_decile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def quality_value_percentile_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type relative standing: percent_rank and cume_dist over the
+    value distribution, plus a top-decile flag — the remaining two
+    analytic window functions in the SQL window family (rank/row_number/
+    ntile/lead/lag are covered elsewhere).
+
+    Determinism: both engines define percent_rank=(rank-1)/(n-1) and
+    cume_dist=|rows<=x|/n and evaluate the divisions on identical
+    integers, so even the unrounded flag comparison is bit-identical;
+    displayed ranks round at 1e-6 anyway.
+
+    100 TB: one shuffle keyed by event_type. The type key is low-
+    cardinality, so at real scale this is the documented two-level
+    pattern (pre-aggregate a per-(type, value-bucket) CDF, then join) —
+    here the direct window states the semantics; the flag itself only
+    needs the CDF, never a full sort per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cd = F.cume_dist().over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value_r"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(cd, 6).alias("cume_d"),
+        (cd * 10 > 9).alias("top_decile"),
+    )
