@@ -617,7 +617,7 @@ BPE_MERGE_STEPS = 3  # unrolled training iterations (kmeans-style)
     WITH wc AS (
         SELECT t.word, count(*) AS cnt
         FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
-        WHERE t.word <> ''
+        WHERE regexp_matches(t.word, '^[a-z0-9]+$')
         GROUP BY t.word
     ),
     s0 AS (SELECT word, cnt, array_to_string(string_split(word, ''), ' ') AS s FROM wc),
@@ -669,8 +669,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic — the deterministic tie rule both engines share), and
     a greedy non-overlapping merge applied via word-boundary regex on the
     space-joined symbol string (regex global replace IS left-to-right
-    non-overlapping — the exact BPE merge semantics; symbols stay
-    alphabetic by construction so the \\b delimiters are sound).
+    non-overlapping — the exact BPE merge semantics). The training vocab
+    is filtered to normalized lowercase-alphanumeric words in BOTH
+    engines, so every symbol is regex-literal and the \\b delimiters are
+    sound by construction, not by assumption.
 
     This is how production BPE trainers actually scale: aggregate the
     corpus ONCE into a word-frequency table (map-side-combined groupBy —
@@ -681,9 +683,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, independent of merge count.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Train on NORMALIZED words only (lowercase alphanumerics) — BPE
+    # trainers run after text normalization anyway, and this makes the
+    # \b-delimited merge regex sound BY CONSTRUCTION instead of by
+    # assumption (a regex metacharacter inside a symbol would corrupt
+    # the merge pattern). Enforced identically in the oracle; a no-op
+    # on the gate corpora.
     wc = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )

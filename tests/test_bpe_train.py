@@ -68,3 +68,25 @@ def test_greedy_merge_overlap_semantics(spark, tmp_path):
     assert rows[1]["pair_count"] == 6  # 3 overlapping pairs x 2 words
     assert (rows[2]["left_sym"], rows[2]["right_sym"]) == ("aa", "aa")
     assert rows[2]["pair_count"] == 2  # one per word after greedy merge
+
+
+def test_regex_metachar_words_excluded_from_training(spark, tmp_path):
+    # Words containing regex metacharacters are outside the normalized
+    # vocab: they must be dropped from training (both engines share the
+    # filter) rather than corrupting the \b merge pattern.
+    sf = tmp_path / "sf_meta"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["a.b a.b a.b (x) ab ab ab"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [24],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    rows = bpe_train_merges(spark, str(sf)).collect()
+    syms = {s for r in rows for s in (r["left_sym"], r["right_sym"])}
+    assert "." not in "".join(syms) and "(" not in "".join(syms)
+    # the clean word still trains
+    assert any((r["left_sym"], r["right_sym"]) == ("a", "b") for r in rows)

@@ -64,7 +64,6 @@ def test_budget_plan_accounting(spark, sf_dir):
     # Floor-divided shares: each sums to the whole minus at most one
     # rounding unit per source.
     w = sum(r["weight_micro"] for r in rows)
-    assert BUDGET_TOKENS - 0 >= 0  # guard against constant drift
     assert 1_000_000 - n_src <= w <= 1_000_000
     t = sum(r["target_tokens"] for r in rows)
     assert BUDGET_TOKENS - n_src <= t <= BUDGET_TOKENS
