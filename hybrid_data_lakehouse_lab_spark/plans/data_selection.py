@@ -129,19 +129,23 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(spark, sf_dir)
 
 
-def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DSIR scoring relation (doc_id, n_tokens, importance_micro,
-    selected) — shared by corpus_dsir_importance and
-    corpus_selection_pipeline, mirroring the ``_DSIR_SQL`` oracle chain."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+def _doc_bucket_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket, cnt): the hashed-feature representation a
+    document reduces to — used by training and by every scoring site."""
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    per_doc = tok.groupBy(
+    return tok.groupBy(
         "doc_id", "lang", F.expr(_BUCKET_SPARK).alias("bucket")
     ).agg(F.count("*").alias("cnt"))
-    # Trained state: 64-row bucket frequency table, lineage truncated so
-    # the scoring pass below doesn't re-run the training subtree.
+
+
+def dsir_weight_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN: the 64-row (bucket, lw_micro) weight table over the corpus
+    at sf_dir. Trained state — lineage truncated (localCheckpoint) so
+    scoring sites never re-run the training subtree; persist it to
+    parquet to apply in streaming (``selection_stream``)."""
+    per_doc = _doc_bucket_counts(fan_out(load_table(spark, sf_dir, "documents")))
     stats = (
         per_doc.groupBy("bucket")
         .agg(
@@ -164,10 +168,17 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 1_000_000
     ).cast("bigint")
-    w = stats.crossJoin(F.broadcast(tot)).select("bucket", lw.alias("lw_micro"))
+    return stats.crossJoin(F.broadcast(tot)).select("bucket", lw.alias("lw_micro"))
+
+
+def dsir_apply(d: DataFrame, w: DataFrame) -> DataFrame:
+    """SCORE documents ``d`` against a (possibly pre-trained, possibly
+    read-from-disk) weight table ``w`` — one pass, exact integer sums,
+    weight table broadcast."""
     imp = F.sum(F.col("cnt") * F.col("lw_micro"))
     return (
-        per_doc.join(F.broadcast(w), "bucket")
+        _doc_bucket_counts(d)
+        .join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("int").alias("n_tokens"),
@@ -175,6 +186,14 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (imp > 0).alias("selected"),
         )
     )
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR scoring relation (doc_id, n_tokens, importance_micro,
+    selected) — train + apply on the same corpus, mirroring the
+    ``_DSIR_SQL`` oracle chain."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return dsir_apply(d, dsir_weight_table(spark, sf_dir))
 
 
 # Deterministic hash-kernel weight for one token: md5 prefix → integer in
@@ -379,11 +398,12 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", F.col("is_dup").isNull().alias("kept"))
 
 
-@register(
-    "corpus_selection_pipeline",
-    oracle=f"""
-    WITH {_DSIR_SQL},
-    base AS (
+# The composed selection chain (ends in CTE `selection`), shared by the
+# per-document pipeline lane and the streaming round-trip's aggregated
+# oracle so the two state identical semantics.
+_SELECTION_SQL = f"""
+    {_DSIR_SQL},
+    sel_base AS (
         SELECT doc_id,
                len(list_filter(string_split(text, ' '), w -> w <> ''))
                    BETWEEN 20 AND 100000 AS word_count_ok,
@@ -391,16 +411,27 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_filter(string_split(text, ' '), w -> w <> ''),
                    w -> {_CLS_W_DUCK})), 0) > 0 AS classifier_keep
         FROM documents
+    ),
+    selection AS (
+        SELECT b.doc_id, b.word_count_ok, b.classifier_keep,
+               coalesce(d.selected, FALSE) AS dsir_keep,
+               b.word_count_ok AND b.classifier_keep
+                   AND coalesce(d.selected, FALSE) AS selected,
+               CASE WHEN NOT b.word_count_ok THEN 'word_count'
+                    WHEN NOT b.classifier_keep THEN 'classifier'
+                    WHEN NOT coalesce(d.selected, FALSE) THEN 'dsir_importance'
+                    ELSE 'kept' END AS verdict
+        FROM sel_base b LEFT JOIN dsir d ON b.doc_id = d.doc_id
     )
-    SELECT b.doc_id, b.word_count_ok, b.classifier_keep,
-           coalesce(d.selected, FALSE) AS dsir_keep,
-           b.word_count_ok AND b.classifier_keep
-               AND coalesce(d.selected, FALSE) AS selected,
-           CASE WHEN NOT b.word_count_ok THEN 'word_count'
-                WHEN NOT b.classifier_keep THEN 'classifier'
-                WHEN NOT coalesce(d.selected, FALSE) THEN 'dsir_importance'
-                ELSE 'kept' END AS verdict
-    FROM base b LEFT JOIN dsir d ON b.doc_id = d.doc_id
+"""
+
+
+@register(
+    "corpus_selection_pipeline",
+    oracle=f"""
+    WITH {_SELECTION_SQL}
+    SELECT doc_id, word_count_ok, classifier_keep, dsir_keep, selected, verdict
+    FROM selection
     """,
 )
 def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +454,14 @@ def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shuffle the DSIR aggregation already produced.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    return selection_verdicts(d, dsir_weight_table(spark, sf_dir))
+
+
+def selection_verdicts(d: DataFrame, w: DataFrame) -> DataFrame:
+    """The composed per-document selection decision over any documents
+    relation ``d`` (batch table or a foreachBatch micro-batch) and a
+    DSIR weight table ``w`` — the shared body of
+    corpus_selection_pipeline and the streaming ``selection_stream``."""
     words = "filter(split(text, ' '), w -> w <> '')"
     cls_score = F.expr(
         f"aggregate({words}, CAST(0 AS BIGINT), (acc, w) -> acc + ({_CLS_W_SPARK}))"
@@ -432,9 +471,7 @@ def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({words})").between(20, 100000).alias("word_count_ok"),
         (cls_score > 0).alias("classifier_keep"),
     )
-    dsir = dsir_scores(spark, sf_dir).select(
-        "doc_id", F.col("selected").alias("dsir_sel")
-    )
+    dsir = dsir_apply(d, w).select("doc_id", F.col("selected").alias("dsir_sel"))
     j = base.join(dsir, "doc_id", "left")
     dsir_keep = F.coalesce(F.col("dsir_sel"), F.lit(False))
     return j.select(

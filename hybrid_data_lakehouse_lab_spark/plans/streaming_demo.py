@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..streaming.lanes import bronze_stream, read_envelope_stream
+from .data_selection import _SELECTION_SQL
 from .registry import register
 
 
@@ -310,4 +311,63 @@ def streaming_scd2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows),
         "is_current BOOLEAN, is_deleted BOOLEAN, n_versions BIGINT, n_keys BIGINT",
+    )
+
+
+@register(
+    "streaming_selection_roundtrip",
+    oracle=f"""
+    WITH {_SELECTION_SQL}
+    SELECT verdict,
+           count(*) AS n_docs,
+           sum(CASE WHEN selected THEN 1 ELSE 0 END) AS n_selected
+    FROM selection GROUP BY verdict
+    """,
+)
+def streaming_selection_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-dir documents → selection_stream applying BATCH-TRAINED DSIR
+    weights + the map gates per micro-batch → read the verdict sink: the
+    train-offline / filter-online deployment of the selection pipeline,
+    end-to-end inside a registered query.
+
+    A hash match against the declarative `_SELECTION_SQL` chain proves
+    the streamed verdicts equal the batch pipeline exactly (weights are
+    trained once on the full corpus — correctness never depends on what
+    a micro-batch happens to contain).
+    """
+    from ..plans.data_selection import dsir_weight_table
+    from ..streaming.lanes import read_selection, selection_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="sel_rt_")
+    try:
+        drop = os.path.join(tmp, "drop")
+        docs.select(
+            F.to_json(F.struct("doc_id", "text", "lang")).alias("value")
+        ).coalesce(8).write.mode("overwrite").text(drop)
+        weights = os.path.join(tmp, "weights")
+        dsir_weight_table(spark, sf_dir).write.parquet(weights)
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING, lang STRING").json(
+            drop
+        )
+        q = selection_stream(
+            stream, weights, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+        q.awaitTermination(600)
+        got = (
+            read_selection(spark, os.path.join(tmp, "out"))
+            .groupBy("verdict")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("selected"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_selected"),
+            )
+            .collect()
+        )
+        rows = [(r["verdict"], r["n_docs"], r["n_selected"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "verdict STRING, n_docs BIGINT, n_selected BIGINT"
     )

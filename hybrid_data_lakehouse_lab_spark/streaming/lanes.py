@@ -674,3 +674,54 @@ def read_inverted_lists(spark: SparkSession, lists_dir: str) -> DataFrame:
     appends of the same vec_id (identical rows by determinism) collapse
     to one."""
     return spark.read.parquet(lists_dir).dropDuplicates(["vec_id"])
+
+
+def selection_stream(
+    docs: DataFrame,
+    weights_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus selection: apply BATCH-TRAINED DSIR weights plus
+    the map-side gates (length sanity, hash-kernel classifier) to each
+    micro-batch of (doc_id, text, lang) documents and append the
+    per-document verdicts. This is the train-offline / filter-online
+    deployment of the selection pipeline — the exact split real
+    pretraining ingestion uses (the weight table is the persisted output
+    of ``plans.data_selection.dsir_weight_table``), and the selection
+    twin of ``embedding_assign_stream``'s trained-centroid shape.
+
+    Replay safety: every gate is a deterministic function of (document,
+    trained weights), so an at-least-once re-append writes IDENTICAL
+    rows; the read side dedupes on doc_id (``read_selection``).
+
+    100 TB: per batch, the two map gates run inside codegen, the 64-row
+    weight table is a broadcast join against the batch's hashed bucket
+    counts, and the only shuffle is the batch-local doc_id aggregate —
+    state per executor is O(buckets), independent of corpus size.
+    """
+    from ..plans.data_selection import selection_verdicts
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        w = spark.read.parquet(weights_dir)
+        selection_verdicts(batch, w).write.mode("append").parquet(out_dir)
+
+    writer = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_selection(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Replay-safe read of streamed selection verdicts: duplicate
+    appends of the same doc_id (identical rows by determinism) collapse
+    to one."""
+    return spark.read.parquet(out_dir).dropDuplicates(["doc_id"])
