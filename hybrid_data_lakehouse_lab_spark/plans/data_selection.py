@@ -488,3 +488,50 @@ def selection_verdicts(d: DataFrame, w: DataFrame) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("verdict"),
     )
+
+
+@register(
+    "corpus_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_SQL},
+    prob AS (
+        SELECT doc_id, n_tokens, importance_micro,
+               least(1000000, greatest(0,
+                   500000 + importance_micro // (2 * n_tokens))) AS p_micro
+        FROM dsir
+    )
+    SELECT doc_id, n_tokens, importance_micro, CAST(p_micro AS BIGINT) AS p_micro,
+           (('0x' || substr(md5('dsir#' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+               < p_micro AS accepted
+    FROM prob
+    """,
+)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the DSIR weights as a RESAMPLE (the paper's second half):
+    each document's acceptance probability is a piecewise-linear squash
+    of its per-token importance (1/2 + importance/(2·n_tokens) in micro-
+    units, clamped to [0, 1]) and acceptance is a deterministic
+    md5-threshold draw on doc_id — the same seedless, rerun- and
+    append-stable coin as corpus_train_val_split / corpus_mix_resample.
+    Target-like documents keep probability > 1/2; source-typical ones
+    fall below it. Every step is integer `div` arithmetic.
+
+    100 TB: adds one map-side projection to the DSIR scoring plan — the
+    accept decision needs no extra pass, no state, and no RNG service;
+    acceptance is reproducible per document forever (a replayed shard
+    selects the identical subset).
+    """
+    scores = dsir_scores(spark, sf_dir)
+    p = F.expr(
+        "least(1000000L, greatest(0L, 500000L + importance_micro div (2 * n_tokens)))"
+    )
+    coin = F.expr(
+        "CAST(conv(substr(md5(concat('dsir#', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    return scores.select(
+        "doc_id",
+        "n_tokens",
+        "importance_micro",
+        p.cast("bigint").alias("p_micro"),
+        (coin < p).alias("accepted"),
+    )

@@ -138,3 +138,21 @@ def test_lanes_survive_empty_tokens(spark, tmp_path, lane):
     }[lane]
     rows = fn(spark, str(sf)).collect()
     assert rows  # runs and yields something
+
+
+def test_dsir_resample_coin_is_the_documented_md5_draw(spark, sf_dir):
+    """Acceptance must be exactly coin(doc_id) < p_micro with the
+    documented seedless md5 coin — recomputed independently here, so
+    neither engine's expression can drift from the contract."""
+    import hashlib
+
+    from hybrid_data_lakehouse_lab_spark.plans.data_selection import (
+        corpus_dsir_resample,
+    )
+
+    rows = corpus_dsir_resample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p_micro"] <= 1_000_000
+        coin = int(hashlib.md5(f"dsir#{r['doc_id']}".encode()).hexdigest()[:8], 16) % 1_000_000
+        assert r["accepted"] == (coin < r["p_micro"])

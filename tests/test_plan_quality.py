@@ -84,8 +84,9 @@ _INTENDED_BNLJ = {
     "corpus_domain_mix_temperature",
     # 1-row corpus-totals broadcast over the 64-row DSIR weight table
     "corpus_dsir_importance",
-    # inherits the DSIR totals broadcast through dsir_scores
+    # inherit the DSIR totals broadcast through dsir_scores
     "corpus_selection_pipeline",
+    "corpus_dsir_resample",
     # 1-row sqrt-share denominator broadcast over the |sources|-row plan
     "corpus_token_budget_plan",
     # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
