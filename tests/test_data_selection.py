@@ -156,3 +156,22 @@ def test_dsir_resample_coin_is_the_documented_md5_draw(spark, sf_dir):
         assert 0 <= r["p_micro"] <= 1_000_000
         coin = int(hashlib.md5(f"dsir#{r['doc_id']}".encode()).hexdigest()[:8], 16) % 1_000_000
         assert r["accepted"] == (coin < r["p_micro"])
+
+
+def test_mrl_audit_recall_monotone_in_depth(spark, sf_dir):
+    """More prefix dimensions can only help on average: mean recall@10
+    must be non-decreasing in trunc_dim, and full-depth information loss
+    must be visible (recall < 1 on the isotropic corpus)."""
+    from hybrid_data_lakehouse_lab_spark.plans.similarity import (
+        MRL_DIMS,
+        similarity_mrl_truncation_audit,
+    )
+
+    rows = similarity_mrl_truncation_audit(spark, sf_dir).collect()
+    assert len(rows) == len(MRL_DIMS) * 5
+    mean = {}
+    for d in MRL_DIMS:
+        rs = [r["recall_at_10"] for r in rows if r["trunc_dim"] == d]
+        mean[d] = sum(rs) / len(rs)
+    assert mean[8] <= mean[16] <= mean[32]
+    assert mean[32] < 1.0

@@ -93,6 +93,8 @@ _INTENDED_BNLJ = {
     "similarity_semdedup",
     # per-round 1-row argmax-pair broadcast over the |vocab|-row relation
     "bpe_train_merges",
+    # broadcast-query ground-truth scan + 3-row depth-table expansion
+    "similarity_mrl_truncation_audit",
 }
 
 
