@@ -864,3 +864,84 @@ def similarity_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(hits / TOP_K, 2).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+N_HARD_NEG = 5  # hardest negatives mined per anchor
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv
+      FROM e WHERE vec_id < {N_QUERIES}
+    )
+    SELECT anchor_id, neg_id, neg_label, sim, rnk
+    FROM (
+      SELECT q.anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.anchor_id
+               ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+                        c.vec_id) AS INT) AS rnk
+      FROM q JOIN e c
+        ON c.vec_id <> q.anchor_id AND c.label <> q.anchor_label
+    ) WHERE rnk <= {N_HARD_NEG}
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each anchor, the top-{N_HARD_NEG} most-similar vectors with a
+    DIFFERENT label — the highest-loss negatives a triplet or InfoNCE
+    batch wants (random negatives are trivially easy; training signal
+    lives in these). The label column is the supervision the embeddings
+    table carries.
+
+    Determinism: cosine rounds at 1e-6 before the rank, ties by vec_id.
+
+    100 TB: anchors broadcast, corpus streamed once with the label
+    inequality applied during the scan (no shuffle of the embedding
+    column); per-anchor top-k is the same WindowGroupLimit partial top-k
+    every topk lane compiles to. Mining for ALL anchors (not a sample)
+    is the IVF composition: probe each anchor's cluster list and mine
+    within it — the similarity_ivf_kmeans_topk shape plus the label
+    filter.
+    """
+    check_brute_force_bound(N_QUERIES)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("cv"),
+    )
+    sim = F.round(
+        F.expr(_DOT.format(a="qv", b="cv"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
+            * F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+        ),
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .select("anchor_id", "neg_id", "neg_label", sim.alias("sim"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= N_HARD_NEG)
+    )

@@ -175,3 +175,29 @@ def test_mrl_audit_recall_monotone_in_depth(spark, sf_dir):
         mean[d] = sum(rs) / len(rs)
     assert mean[8] <= mean[16] <= mean[32]
     assert mean[32] < 1.0
+
+
+def test_hard_negatives_are_cross_label_and_harder_than_random(spark, sf_dir):
+    from hybrid_data_lakehouse_lab_spark.plans.similarity import (
+        N_HARD_NEG,
+        similarity_hard_negatives,
+    )
+    from hybrid_data_lakehouse_lab_spark.sources import load_table
+
+    rows = similarity_hard_negatives(spark, sf_dir).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert r["neg_label"] != labels[r["anchor_id"]]  # truly negative
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for anchor, negs in by_anchor.items():
+        assert len(negs) == N_HARD_NEG
+        # rnk is a contiguous 1..k ranking ordered by sim desc
+        negs = sorted(negs, key=lambda r: r["rnk"])
+        assert [n["rnk"] for n in negs] == list(range(1, N_HARD_NEG + 1))
+        assert all(
+            negs[i]["sim"] >= negs[i + 1]["sim"] for i in range(len(negs) - 1)
+        )

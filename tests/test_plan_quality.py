@@ -95,6 +95,8 @@ _INTENDED_BNLJ = {
     "bpe_train_merges",
     # broadcast-query ground-truth scan + 3-row depth-table expansion
     "similarity_mrl_truncation_audit",
+    # broadcast-anchor scan with the label-inequality theta filter
+    "similarity_hard_negatives",
 }
 
 
