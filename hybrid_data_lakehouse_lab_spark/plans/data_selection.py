@@ -247,35 +247,48 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_token_budget_plan",
-    oracle=f"""
-    WITH per_src AS (
+# Round-1 budget chain (ends in CTE `budget_round1`), shared with the
+# redistribution lane so the rounds cannot drift.
+_BUDGET_SQL = f"""
+    bp_per_src AS (
         SELECT source,
                count(*) AS n_docs,
                sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens
         FROM documents GROUP BY source
         HAVING n_tokens > 0
     ),
-    s AS (
+    bp_s AS (
         SELECT source, n_docs, n_tokens,
                CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS sqrt_micro
-        FROM per_src
+        FROM bp_per_src
     ),
-    tot AS (SELECT sum(sqrt_micro) AS denom FROM s)
-    SELECT source,
-           CAST(n_docs AS INT) AS n_docs,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(sqrt_micro * 1000000 // denom AS BIGINT) AS weight_micro,
-           CAST({BUDGET_TOKENS} * sqrt_micro // denom AS BIGINT) AS target_tokens,
-           CAST(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens AS BIGINT)
-               AS epochs_micro,
-           (({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens)
-               > {MAX_EPOCHS_MICRO} AS capped,
-           CAST({BUDGET_TOKENS} * sqrt_micro // denom
-               - n_tokens * least(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens,
-                                  {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT) AS shortfall_tokens
-    FROM s, tot
+    bp_tot AS (SELECT sum(sqrt_micro) AS denom FROM bp_s),
+    budget_round1 AS (
+        SELECT source,
+               CAST(n_docs AS INT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               sqrt_micro,
+               CAST(sqrt_micro * 1000000 // denom AS BIGINT) AS weight_micro,
+               CAST({BUDGET_TOKENS} * sqrt_micro // denom AS BIGINT) AS target_tokens,
+               CAST(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens AS BIGINT)
+                   AS epochs_micro,
+               (({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens)
+                   > {MAX_EPOCHS_MICRO} AS capped,
+               CAST({BUDGET_TOKENS} * sqrt_micro // denom
+                   - n_tokens * least(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens,
+                                      {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT) AS shortfall_tokens
+        FROM bp_s, bp_tot
+    )
+"""
+
+
+@register(
+    "corpus_token_budget_plan",
+    oracle=f"""
+    WITH {_BUDGET_SQL}
+    SELECT source, n_docs, n_tokens, weight_micro, target_tokens,
+           epochs_micro, capped, shortfall_tokens
+    FROM budget_round1
     """,
 )
 def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +309,13 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row denominator broadcast is the same audited BNLJ shape as
     corpus_domain_mix_weights.
     """
+    return _budget_round1(spark, sf_dir).drop("sqrt_micro")
+
+
+def _budget_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 allocation incl. the sqrt_micro share column — the shared
+    body of corpus_token_budget_plan and the redistribution round,
+    mirroring the ``_BUDGET_SQL`` chain."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     n_tok = F.size(F.expr("filter(split(text, ' '), w -> w <> '')"))
     per_src = (
@@ -321,6 +341,7 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_docs").cast("int").alias("n_docs"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "sqrt_micro",
         F.expr("sqrt_micro * 1000000 div denom").alias("weight_micro"),
         F.expr(target).alias("target_tokens"),
         F.expr(epochs).alias("epochs_micro"),
@@ -328,6 +349,82 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"{target} - n_tokens * least({epochs}, {MAX_EPOCHS_MICRO}) div 1000000"
         ).alias("shortfall_tokens"),
+    )
+
+
+@register(
+    "corpus_token_budget_redistribute",
+    oracle=f"""
+    WITH {_BUDGET_SQL},
+    bp_agg AS (
+        SELECT sum(shortfall_tokens) AS surplus,
+               sum(CASE WHEN NOT capped THEN sqrt_micro ELSE 0 END) AS denom_u
+        FROM budget_round1
+    )
+    SELECT source, n_tokens, target_tokens,
+           CAST(extra_tokens AS BIGINT) AS extra_tokens,
+           CAST(final_target AS BIGINT) AS final_target_tokens,
+           CAST(final_target * 1000000 // n_tokens AS BIGINT) AS final_epochs_micro,
+           final_target * 1000000 // n_tokens > {MAX_EPOCHS_MICRO} AS still_capped,
+           CAST(final_target
+               - n_tokens * least(final_target * 1000000 // n_tokens,
+                                  {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT)
+               AS residual_tokens
+    FROM (
+        SELECT b.*,
+               CASE WHEN b.capped OR a.denom_u = 0 THEN 0
+                    ELSE a.surplus * b.sqrt_micro // a.denom_u END AS extra_tokens,
+               b.target_tokens - b.shortfall_tokens
+                   + CASE WHEN b.capped OR a.denom_u = 0 THEN 0
+                          ELSE a.surplus * b.sqrt_micro // a.denom_u END AS final_target
+        FROM budget_round1 b, bp_agg a
+    )
+    """,
+)
+def corpus_token_budget_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 2 of the budget planner — the water-filling step the
+    round-1 ``shortfall_tokens`` column calls for: the surplus capped
+    sources cannot absorb is redistributed to the UNCAPPED sources in
+    proportion to their sqrt shares, and each source's final allocation
+    is re-expressed as epochs under the same 4-epoch cap. One round by
+    design (a redistribution that re-caps a source reports the remainder
+    in ``residual_tokens`` instead of iterating — plan relations must
+    have statically known depth); residual > 0 means the corpus simply
+    cannot absorb the budget under the cap.
+
+    Shares the ``_BUDGET_SQL`` chain / ``_budget_round1`` relation with
+    the round-1 lane, so the rounds cannot drift; all arithmetic remains
+    integer `div`.
+
+    100 TB: arithmetic over the pinned |sources|-row relation with one
+    more 1-row aggregate broadcast — no additional corpus pass.
+    """
+    r1 = _budget_round1(spark, sf_dir)
+    agg = r1.agg(
+        F.sum("shortfall_tokens").alias("surplus"),
+        F.sum(F.when(~F.col("capped"), F.col("sqrt_micro")).otherwise(F.lit(0))).alias(
+            "denom_u"
+        ),
+    )
+    extra = (
+        "CASE WHEN capped OR denom_u = 0 THEN 0 "
+        "ELSE surplus * sqrt_micro div denom_u END"
+    )
+    final = f"target_tokens - shortfall_tokens + ({extra})"
+    fe = f"({final}) * 1000000 div n_tokens"
+    return r1.crossJoin(F.broadcast(agg)).select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        F.expr(extra).cast("bigint").alias("extra_tokens"),
+        F.expr(final).cast("bigint").alias("final_target_tokens"),
+        F.expr(fe).cast("bigint").alias("final_epochs_micro"),
+        F.expr(f"({fe}) > {MAX_EPOCHS_MICRO}").alias("still_capped"),
+        F.expr(
+            f"({final}) - n_tokens * least({fe}, {MAX_EPOCHS_MICRO}) div 1000000"
+        )
+        .cast("bigint")
+        .alias("residual_tokens"),
     )
 
 

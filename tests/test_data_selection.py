@@ -201,3 +201,60 @@ def test_hard_negatives_are_cross_label_and_harder_than_random(spark, sf_dir):
         assert all(
             negs[i]["sim"] >= negs[i + 1]["sim"] for i in range(len(negs) - 1)
         )
+
+
+def test_budget_redistribute_conserves_and_targets_uncapped(spark, tmp_path):
+    """Build a corpus where capping genuinely bites asymmetrically: one
+    tiny source (caps at 4 epochs immediately) and two large ones.
+    Surplus must flow only to uncapped sources, proportionally, and the
+    final allocations must conserve the round-1 total up to floor loss."""
+    import pandas as pd
+
+    from hybrid_data_lakehouse_lab_spark.plans.data_selection import (
+        MAX_EPOCHS_MICRO,
+        corpus_token_budget_redistribute,
+    )
+
+    sf = tmp_path / "sf_skew_budget"
+    sf.mkdir()
+    texts, sources = [], []
+    for i in range(2):  # tiny source: 2 docs x 5 tokens
+        texts.append("a b c d e")
+        sources.append("tiny")
+    # big sources sized so budget/(their tokens) stays under the 4-epoch
+    # cap: 200k + 300k tokens against the 1M budget
+    for src, n in [("big1", 400), ("big2", 600)]:
+        for i in range(n):
+            texts.append(" ".join(["tok"] * 500))
+            sources.append(src)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": sources,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(sf / "documents.parquet")
+
+    rows = {r["source"]: r for r in corpus_token_budget_redistribute(spark, str(sf)).collect()}
+    tiny, big1, big2 = rows["tiny"], rows["big1"], rows["big2"]
+    assert tiny["extra_tokens"] == 0  # capped sources receive nothing
+    assert big1["extra_tokens"] > 0 and big2["extra_tokens"] > 0
+    # proportional to sqrt shares: big2 has more tokens -> more extra
+    assert big2["extra_tokens"] > big1["extra_tokens"]
+    # conservation: final targets = round-1 targets up to floor loss
+    t1 = sum(r["target_tokens"] for r in rows.values())
+    tf = sum(r["final_target_tokens"] for r in rows.values())
+    assert t1 - len(rows) <= tf <= t1
+    # after redistribution the tiny source holds EXACTLY its 4-epoch
+    # capacity: no longer over-allocated, nothing left on the table
+    assert not tiny["still_capped"]
+    assert tiny["residual_tokens"] == 0
+    assert tiny["final_epochs_micro"] == MAX_EPOCHS_MICRO
+    # nothing residual anywhere beyond per-source floor loss: the corpus
+    # could absorb the budget
+    assert all(0 <= r["residual_tokens"] <= 1 for r in rows.values())
+    for r in rows.values():
+        assert r["final_epochs_micro"] == r["final_target_tokens"] * 1_000_000 // r["n_tokens"]
+        assert r["still_capped"] == (r["final_epochs_micro"] > MAX_EPOCHS_MICRO)

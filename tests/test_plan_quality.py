@@ -89,6 +89,8 @@ _INTENDED_BNLJ = {
     "corpus_dsir_resample",
     # 1-row sqrt-share denominator broadcast over the |sources|-row plan
     "corpus_token_budget_plan",
+    # adds the 1-row surplus/uncapped-denominator broadcast on top
+    "corpus_token_budget_redistribute",
     # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
     "similarity_semdedup",
     # per-round 1-row argmax-pair broadcast over the |vocab|-row relation
