@@ -449,7 +449,10 @@ def quality_value_percentile_flags(spark: SparkSession, sf_dir: str) -> DataFram
     cardinality, so at real scale this is the documented two-level
     pattern (pre-aggregate a per-(type, value-bucket) CDF, then join) —
     here the direct window states the semantics; the flag itself only
-    needs the CDF, never a full sort per type.
+    needs the CDF, never a full sort per type —
+    quality_value_cdf_scalable implements that two-level CDF shape as a
+    registered lane, and a pytest proves it sandwiches this lane's
+    cume_dist.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
@@ -461,4 +464,81 @@ def quality_value_percentile_flags(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(cd, 6).alias("cume_d"),
         (cd * 10 > 9).alias("top_decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalable relative standing — the two-level CDF shape the percent_rank
+# lane's docstring promises: per-(type, value-bucket) counts first, then
+# flags via a broadcast CDF. The fact is never shuffled.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_value_cdf_scalable",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, CAST(floor(value) AS INT) AS bucket, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    cdf AS (
+        SELECT event_type, bucket, cnt,
+               coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM b
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(floor(e.value) AS INT) AS bucket,
+           CAST(c.below * 1000000 // c.n AS BIGINT) AS pct_below_micro,
+           CAST((c.below + c.cnt) * 1000000 // c.n AS BIGINT) AS pct_upto_micro,
+           c.below * 10 >= c.n * 9 AS top_decile
+    FROM events e
+    JOIN cdf c ON c.event_type = e.event_type
+              AND c.bucket = CAST(floor(e.value) AS INT)
+    """,
+)
+def quality_value_cdf_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-correct form of per-type relative standing (the shape
+    quality_value_percentile_flags documents as the 100 TB path, here as
+    real code): bucket values at unit granularity, reduce to a
+    per-(type, bucket) histogram with map-side combine, turn that tiny
+    relation into a CDF with a window bounded by the BUCKET count (never
+    by event count), and broadcast it back onto the fact. Each event
+    gets its strictly-below / up-to-bucket percentile in integer
+    micro-units plus a bucket-granular top-decile flag.
+
+    The fact table is never shuffled and never sorted: both passes are
+    scans, the only window runs over the |types|x|buckets| histogram,
+    and the join is a broadcast. That is the difference from the exact
+    percent_rank lane, whose per-type sort is the stated trade for exact
+    rank semantics at audit-sized cardinalities.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = F.floor("value").cast("int")
+    hist = ev.groupBy("event_type", b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    return (
+        ev.select("event_id", "event_type", b.alias("bucket"))
+        .join(F.broadcast(cdf), ["event_type", "bucket"])
+        .select(
+            "event_id",
+            "event_type",
+            "bucket",
+            F.expr("below * 1000000 div n").alias("pct_below_micro"),
+            F.expr("(below + cnt) * 1000000 div n").alias("pct_upto_micro"),
+            (F.col("below") * 10 >= F.col("n") * 9).alias("top_decile"),
+        )
     )

@@ -258,3 +258,27 @@ def test_budget_redistribute_conserves_and_targets_uncapped(spark, tmp_path):
     for r in rows.values():
         assert r["final_epochs_micro"] == r["final_target_tokens"] * 1_000_000 // r["n_tokens"]
         assert r["still_capped"] == (r["final_epochs_micro"] > MAX_EPOCHS_MICRO)
+
+
+def test_cdf_scalable_brackets_exact_percentiles(spark, sf_dir):
+    """The bucket-granular CDF must SANDWICH the exact window lane: for
+    every event, pct_below <= cume_dist <= pct_upto (lower buckets all
+    precede it in the exact ordering; its own bucket completes it)."""
+    from hybrid_data_lakehouse_lab_spark.plans.quality import (
+        quality_value_cdf_scalable,
+        quality_value_percentile_flags,
+    )
+
+    approx = {
+        r["event_id"]: r for r in quality_value_cdf_scalable(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_id"]: r for r in quality_value_percentile_flags(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for eid, a in approx.items():
+        cd_micro = exact[eid]["cume_d"] * 1_000_000
+        # slack: the exact lane rounds cume_dist at 1e-6 (+-0.5 micro)
+        # and the CDF floors its micro division (-1 micro)
+        assert a["pct_below_micro"] <= cd_micro + 2
+        assert cd_micro <= a["pct_upto_micro"] + 2
