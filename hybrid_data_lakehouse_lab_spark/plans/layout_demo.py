@@ -173,3 +173,74 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "order_year INT, n BIGINT, n_with_priority BIGINT"
     )
+
+
+@register(
+    "format_interop_roundtrip",
+    oracle="""
+    SELECT fmt,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           max(epoch_us(ts)) AS max_ts_us
+    FROM events
+    CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+    GROUP BY fmt
+    """,
+)
+def format_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format interop: write the events fact to CSV (with header),
+    JSON lines, and ORC; read each back with an explicit schema; prove
+    every format round-trips losslessly (row count, cent-exact value sum,
+    max event time in microseconds must all equal the parquet truth the
+    oracle states). Timestamps travel as unix_micros BIGINT — the
+    format-agnostic representation — so the check isolates the FORMAT
+    plumbing (headers, schema-on-read, encoding) from timestamp-format
+    dialects; doubles round-trip CSV via Spark's shortest-roundtrip
+    float printing and are checked cent-exact after the read.
+
+    100 TB: each write/read is one distributed pass per format;
+    schema-on-read with an explicit schema avoids the inference scan
+    (inference = a full extra pass on CSV/JSON at scale). Columnar ORC
+    keeps pushdown; row formats are the interchange path, not the query
+    path — which is exactly what this lane demonstrates end-to-end.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+    tmp = tempfile.mkdtemp(prefix="fmt_rt_")
+    rows = []
+    try:
+        for fmt in ["csv", "json", "orc"]:
+            path = os.path.join(tmp, fmt)
+            w = ev.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.save(path)
+            r = spark.read.schema(schema).format(fmt)
+            if fmt == "csv":
+                r = r.option("header", "true")
+            back = r.load(path)
+            agg = back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "value_cents"
+                ),
+                F.max("ts_us").alias("max_ts_us"),
+            ).collect()[0]
+            rows.append((fmt, agg["n_rows"], agg["value_cents"], agg["max_ts_us"]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "fmt STRING, n_rows BIGINT, value_cents BIGINT, max_ts_us BIGINT"
+    )
