@@ -282,3 +282,38 @@ def test_cdf_scalable_brackets_exact_percentiles(spark, sf_dir):
         # and the CDF floors its micro division (-1 micro)
         assert a["pct_below_micro"] <= cd_micro + 2
         assert cd_micro <= a["pct_upto_micro"] + 2
+
+
+def test_semdedup_drops_exact_duplicate_vectors(spark, tmp_path):
+    """Planted exact duplicates (cosine 1.0) must collapse to their
+    lowest id; distant vectors must all survive."""
+    import numpy as np
+    import pandas as pd
+
+    from hybrid_data_lakehouse_lab_spark.plans.data_selection import (
+        similarity_semdedup,
+    )
+
+    sf = tmp_path / "sf_dup_vecs"
+    sf.mkdir()
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64).astype("float32")
+    # vectors 10 and 11 are byte-identical copies of vector 3
+    base[10] = base[3]
+    base[11] = base[3]
+    pd.DataFrame(
+        {
+            "vec_id": list(range(20)),
+            "embedding": [v.tolist() for v in base],
+            "label": [0] * 20,
+        }
+    ).to_parquet(sf / "embeddings.parquet")
+    out = {r["vec_id"]: r for r in similarity_semdedup(spark, str(sf)).collect()}
+    assert len(out) == 20
+    # identical copies share a cluster with their original and only the
+    # lowest id of the trio is kept
+    assert out[3]["cluster"] == out[10]["cluster"] == out[11]["cluster"]
+    assert out[3]["kept"] and not out[10]["kept"] and not out[11]["kept"]
+    # independent random 64-dim gaussians sit far below the 0.35
+    # threshold: everything else survives
+    assert all(r["kept"] for vid, r in out.items() if vid not in (10, 11))
