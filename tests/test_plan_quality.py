@@ -99,6 +99,8 @@ _INTENDED_BNLJ = {
     "similarity_mrl_truncation_audit",
     # broadcast-anchor scan with the label-inequality theta filter
     "similarity_hard_negatives",
+    # 1-row bigram-type total broadcast over the pair-count relation
+    "text_bigram_kneser_ney",
 }
 
 
