@@ -50,6 +50,11 @@ DSIR_TARGET_LANG = "en"  # the "target distribution" sample: English docs
 BUDGET_TOKENS = 1_000_000  # planning budget for corpus_token_budget_plan
 MAX_EPOCHS_MICRO = 4_000_000  # upsampling cap: at most 4 passes per source
 SEMDEDUP_TAU_MICRO = 350_000  # drop threshold: cosine > 0.35 (micro-units)
+# Degenerate-cluster guard for SemDeDup pair generation: clusters past
+# this size switch to star pairs (bucket_pairs max_bucket). Gate corpora
+# peak far below it (canary-tested); at real scale k ∝ N keeps clusters
+# well under the cap and this never fires.
+SEMDEDUP_MAX_CLUSTER = 1024
 
 # Cross-engine token bucket: md5 prefix → int (identical in both engines,
 # see dedup.py's Carter–Wegman hash) → mod the feature dimensionality.
@@ -460,11 +465,19 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: this is the published algorithm's own scaling argument — k
     grows with the corpus so cluster sizes stay bounded, making the
-    within-cluster quadratic a constant per cluster; the join here is
-    cluster-keyed (balanced by construction, unlike Zipf text keys), and
-    each side of it is one corpus scan + the k-row centroid broadcast
-    (training state is checkpointed, not re-run per branch).
+    within-cluster quadratic a constant per cluster; and the quadratic
+    is BOUNDED BY CODE, not by hope: pair generation routes through
+    ``bucket_pairs`` (cluster = bucket, vectors ride as payload — the
+    assignment relation is computed ONCE, no self-join), so a
+    degenerate cluster past ``SEMDEDUP_MAX_CLUSTER`` degrades to O(B)
+    star pairs against its minimum id — which still links every exact/
+    near duplicate to the surviving representative — with the capped
+    count surfaced via the attached Observation (the r3 LSH cap
+    machinery, same oracle-divergence contract: gate corpora never
+    reach the cap, asserted by a canary test).
     """
+    from ..operators.util import bucket_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
@@ -472,22 +485,16 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a1 = _kmeans_assign(e, _kmeans_centroids(_kmeans_assign(e, c0)))
     m = a1.select("vec_id", "cluster", "v")
-    a = m.select(
-        F.col("vec_id").alias("a_id"), "cluster", F.col("v").alias("av")
+    pairs = bucket_pairs(
+        m, ["cluster"], "vec_id", ["v"], max_bucket=SEMDEDUP_MAX_CLUSTER
     )
-    b = m.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cluster").alias("b_cluster"),
-        F.col("v").alias("bv"),
-    )
-    dot = F.expr(_DOT.format(a="av", b="bv"))
-    na = F.sqrt(F.expr(_DOT.format(a="av", b="av")))
-    nb = F.sqrt(F.expr(_DOT.format(a="bv", b="bv")))
+    dot = F.expr(_DOT.format(a="a.v", b="b.v"))
+    na = F.sqrt(F.expr(_DOT.format(a="a.v", b="a.v")))
+    nb = F.sqrt(F.expr(_DOT.format(a="b.v", b="b.v")))
     sim_micro = F.round(dot / (na * nb) * 1_000_000).cast("bigint")
     dup = (
-        a.join(b, (a.cluster == b.b_cluster) & (a.a_id < b.b_id))
-        .filter(sim_micro > SEMDEDUP_TAU_MICRO)
-        .select(F.col("b_id").alias("vec_id"))
+        pairs.filter(sim_micro > SEMDEDUP_TAU_MICRO)
+        .select(F.col("b.id").alias("vec_id"))
         .distinct()
     )
     return m.join(

@@ -345,3 +345,60 @@ def test_kneser_ney_discount_and_bounds(spark, sf_dir):
     # Cross-lane: same contexts qualify (the >=50 gate is shared)
     mle_ctx = {r["w1"] for r in text_bigram_conditionals(spark, sf_dir).collect()}
     assert set(by_ctx) == mle_ctx
+
+
+def test_semdedup_gate_clusters_far_below_cap(spark):
+    """Canary (mirrors test_bucket_cap): if gate-corpus k-means clusters
+    ever approach SEMDEDUP_MAX_CLUSTER the oracle pairing would silently
+    diverge via star pairs — fail loudly here instead."""
+    from hybrid_data_lakehouse_lab_spark.plans.data_selection import (
+        SEMDEDUP_MAX_CLUSTER,
+        similarity_semdedup,
+    )
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]:
+        sizes = (
+            similarity_semdedup(spark, sf)
+            .groupBy("cluster")
+            .count()
+            .agg({"count": "max"})
+            .collect()[0][0]
+        )
+        assert sizes * 2 <= SEMDEDUP_MAX_CLUSTER, (sf, sizes)
+
+
+def test_semdedup_degenerate_cluster_bounded_star_pairs(spark, tmp_path):
+    """A corpus engineered so one cluster blows past the cap must still
+    (a) run with O(B) pair expansion and (b) drop every planted exact
+    duplicate — star pairs link each member to the surviving min id."""
+    import numpy as np
+    import pandas as pd
+
+    from hybrid_data_lakehouse_lab_spark.plans import data_selection as ds
+
+    sf = tmp_path / "sf_giant_cluster"
+    sf.mkdir()
+    rng = np.random.RandomState(11)
+    n = 60
+    base = rng.randn(n, 64).astype("float32")
+    dup_of = {i: 7 for i in range(20, 40)}  # 20 copies of vector 7
+    for i, src in dup_of.items():
+        base[i] = base[src]
+    pd.DataFrame(
+        {
+            "vec_id": list(range(n)),
+            "embedding": [v.tolist() for v in base],
+            "label": [0] * n,
+        }
+    ).to_parquet(sf / "embeddings.parquet")
+    # Force the cap low for this test only
+    orig = ds.SEMDEDUP_MAX_CLUSTER
+    ds.SEMDEDUP_MAX_CLUSTER = 4
+    try:
+        out = {r["vec_id"]: r for r in ds.similarity_semdedup(spark, str(sf)).collect()}
+    finally:
+        ds.SEMDEDUP_MAX_CLUSTER = orig
+    assert len(out) == n
+    # every planted copy must die; its source (lower id) must survive
+    assert out[7]["kept"]
+    assert all(not out[i]["kept"] for i in dup_of)
