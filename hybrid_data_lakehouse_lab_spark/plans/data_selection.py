@@ -477,14 +477,9 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the cap, asserted by a canary test).
     """
     from ..operators.util import bucket_pairs
+    from .similarity import kmeans_a1
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
-    )
-    a1 = _kmeans_assign(e, _kmeans_centroids(_kmeans_assign(e, c0)))
-    m = a1.select("vec_id", "cluster", "v")
+    m = kmeans_a1(spark, sf_dir).select("vec_id", "cluster", "v")
     pairs = bucket_pairs(
         m, ["cluster"], "vec_id", ["v"], max_bucket=SEMDEDUP_MAX_CLUSTER
     )

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from ..operators.util import DEFAULT_MAX_BUCKET, bucket_pairs, fan_out
 from ..sources import load_table
 from .registry import register
+from .data_selection import SEMDEDUP_MAX_CLUSTER
+from .similarity import _KMEANS_A1_SQL
 
 N_HASHES = 8  # k independent min-hash functions (seeds 0..7)
 SHINGLE = 3  # word 3-grams
@@ -474,12 +476,18 @@ def dedup_lsh_calibration(
     WITH shingles0 AS ({_SHINGLES_SQL}),
     freq AS (SELECT shingle, count(*) AS n FROM shingles0 GROUP BY shingle),
     sig AS ({minhash_sig_sql("shingles0")}),
-    buckets AS (SELECT seed, minhash, count(*) AS n FROM sig GROUP BY seed, minhash)
+    buckets AS (SELECT seed, minhash, count(*) AS n FROM sig GROUP BY seed, minhash),
+    {_KMEANS_A1_SQL},
+    clusters AS (SELECT cluster, count(*) AS n FROM a1 GROUP BY cluster)
     SELECT 'lsh_bucket' AS lane, {DEFAULT_MAX_BUCKET} AS cap,
            count(*) AS n_groups,
            count(*) FILTER (n > {DEFAULT_MAX_BUCKET}) AS n_capped,
            max(n) AS max_group_size
     FROM buckets
+    UNION ALL
+    SELECT 'semdedup_cluster', {SEMDEDUP_MAX_CLUSTER}, count(*),
+           count(*) FILTER (n > {SEMDEDUP_MAX_CLUSTER}), max(n)
+    FROM clusters
     UNION ALL
     SELECT 'shingle_df', {SHINGLE_DF_CAP}, count(*),
            count(*) FILTER (n > {SHINGLE_DF_CAP}), max(n)
@@ -504,11 +512,16 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: two groupBy aggregations (shingle DF, LSH bucket sizes) —
     the same shapes the dedup lanes themselves run, reduced to 2 rows.
     """
+    from .similarity import kmeans_a1
+
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
     buckets = (
         minhash_long(docs).groupBy("seed", "minhash").agg(F.count(F.lit(1)).alias("n"))
+    )
+    clusters = (
+        kmeans_a1(spark, sf_dir).groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     )
 
     def audit(grp: DataFrame, lane: str, cap: int) -> DataFrame:
@@ -528,6 +541,7 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         audit(buckets, "lsh_bucket", DEFAULT_MAX_BUCKET)
+        .unionByName(audit(clusters, "semdedup_cluster", SEMDEDUP_MAX_CLUSTER))
         .unionByName(audit(freq, "shingle_df", SHINGLE_DF_CAP))
         .orderBy("lane")
     )

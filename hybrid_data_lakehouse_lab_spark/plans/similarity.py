@@ -945,3 +945,15 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= N_HARD_NEG)
     )
+
+
+def kmeans_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final (vec_id, cluster, v) assignment relation of the shared
+    deterministic k-means chain — the Spark twin of ``_KMEANS_A1_SQL``,
+    reused by SemDeDup and the cap audit so consumers cannot drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    c0 = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    return _kmeans_assign(e, _kmeans_centroids(_kmeans_assign(e, c0)))

@@ -101,6 +101,8 @@ _INTENDED_BNLJ = {
     "similarity_hard_negatives",
     # 1-row bigram-type total broadcast over the pair-count relation
     "text_bigram_kneser_ney",
+    # inherits _kmeans_assign's crossJoin via the semdedup_cluster row
+    "dedup_cap_audit",
 }
 
 
