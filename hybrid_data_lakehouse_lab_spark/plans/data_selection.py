@@ -273,15 +273,16 @@ _BUDGET_SQL = f"""
                CAST(n_docs AS INT) AS n_docs,
                CAST(n_tokens AS BIGINT) AS n_tokens,
                sqrt_micro,
-               CAST(sqrt_micro * 1000000 // denom AS BIGINT) AS weight_micro,
-               CAST({BUDGET_TOKENS} * sqrt_micro // denom AS BIGINT) AS target_tokens,
-               CAST(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens AS BIGINT)
+               CAST(CAST(sqrt_micro AS HUGEINT) * 1000000 // denom AS BIGINT) AS weight_micro,
+               CAST({BUDGET_TOKENS} * CAST(sqrt_micro AS HUGEINT) // denom AS BIGINT) AS target_tokens,
+               CAST(({BUDGET_TOKENS} * CAST(sqrt_micro AS HUGEINT) // denom) * 1000000 // n_tokens AS BIGINT)
                    AS epochs_micro,
-               (({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens)
+               (({BUDGET_TOKENS} * CAST(sqrt_micro AS HUGEINT) // denom) * 1000000 // n_tokens)
                    > {MAX_EPOCHS_MICRO} AS capped,
-               CAST({BUDGET_TOKENS} * sqrt_micro // denom
-                   - n_tokens * least(({BUDGET_TOKENS} * sqrt_micro // denom) * 1000000 // n_tokens,
-                                      {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT) AS shortfall_tokens
+               CAST({BUDGET_TOKENS} * CAST(sqrt_micro AS HUGEINT) // denom
+                   - CAST(n_tokens AS HUGEINT)
+                     * least(({BUDGET_TOKENS} * CAST(sqrt_micro AS HUGEINT) // denom) * 1000000 // n_tokens,
+                             {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT) AS shortfall_tokens
         FROM bp_s, bp_tot
     )
 """
@@ -339,20 +340,34 @@ def _budget_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return _budget_arith(per_src)
+
+
+def _budget_arith(per_src: DataFrame) -> DataFrame:
+    """Round-1 allocation arithmetic over a (source, n_docs, n_tokens,
+    sqrt_micro) relation — split out so the overflow headroom can be
+    regression-tested at corpus sizes no local fixture can reach."""
     denom = per_src.agg(F.sum("sqrt_micro").alias("denom"))
-    target = f"{BUDGET_TOKENS} * sqrt_micro div denom"
+    # Overflow headroom: sqrt_micro reaches ~9.2e12 at 8.5e13 tokens per
+    # source, so a raw BIGINT product with 1e6 sits on the int64 edge
+    # (ANSI throw). Widen every product through decimal(38,0) — Spark's
+    # IntegralDivide returns BIGINT, so output types are unchanged and
+    # the DuckDB chain's HUGEINT casts mirror it exactly.
+    sqrt_d = "CAST(sqrt_micro AS DECIMAL(38,0))"
+    ntok_d = "CAST(n_tokens AS DECIMAL(38,0))"
+    target = f"{BUDGET_TOKENS} * {sqrt_d} div denom"
     epochs = f"({target}) * 1000000 div n_tokens"
     return per_src.crossJoin(F.broadcast(denom)).select(
         "source",
         F.col("n_docs").cast("int").alias("n_docs"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "sqrt_micro",
-        F.expr("sqrt_micro * 1000000 div denom").alias("weight_micro"),
+        F.expr(f"{sqrt_d} * 1000000 div denom").alias("weight_micro"),
         F.expr(target).alias("target_tokens"),
         F.expr(epochs).alias("epochs_micro"),
         F.expr(f"({epochs}) > {MAX_EPOCHS_MICRO}").alias("capped"),
         F.expr(
-            f"{target} - n_tokens * least({epochs}, {MAX_EPOCHS_MICRO}) div 1000000"
+            f"{target} - {ntok_d} * least({epochs}, {MAX_EPOCHS_MICRO}) div 1000000"
         ).alias("shortfall_tokens"),
     )
 
@@ -369,19 +384,20 @@ def _budget_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, n_tokens, target_tokens,
            CAST(extra_tokens AS BIGINT) AS extra_tokens,
            CAST(final_target AS BIGINT) AS final_target_tokens,
-           CAST(final_target * 1000000 // n_tokens AS BIGINT) AS final_epochs_micro,
-           final_target * 1000000 // n_tokens > {MAX_EPOCHS_MICRO} AS still_capped,
+           CAST(CAST(final_target AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS final_epochs_micro,
+           CAST(final_target AS HUGEINT) * 1000000 // n_tokens > {MAX_EPOCHS_MICRO} AS still_capped,
            CAST(final_target
-               - n_tokens * least(final_target * 1000000 // n_tokens,
-                                  {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT)
+               - CAST(n_tokens AS HUGEINT)
+                 * least(CAST(final_target AS HUGEINT) * 1000000 // n_tokens,
+                         {MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT)
                AS residual_tokens
     FROM (
         SELECT b.*,
                CASE WHEN b.capped OR a.denom_u = 0 THEN 0
-                    ELSE a.surplus * b.sqrt_micro // a.denom_u END AS extra_tokens,
+                    ELSE a.surplus * CAST(b.sqrt_micro AS HUGEINT) // a.denom_u END AS extra_tokens,
                b.target_tokens - b.shortfall_tokens
                    + CASE WHEN b.capped OR a.denom_u = 0 THEN 0
-                          ELSE a.surplus * b.sqrt_micro // a.denom_u END AS final_target
+                          ELSE a.surplus * CAST(b.sqrt_micro AS HUGEINT) // a.denom_u END AS final_target
         FROM budget_round1 b, bp_agg a
     )
     """,
@@ -404,19 +420,27 @@ def corpus_token_budget_redistribute(spark: SparkSession, sf_dir: str) -> DataFr
     100 TB: arithmetic over the pinned |sources|-row relation with one
     more 1-row aggregate broadcast — no additional corpus pass.
     """
-    r1 = _budget_round1(spark, sf_dir)
+    return _redistribute_arith(_budget_round1(spark, sf_dir))
+
+
+def _redistribute_arith(r1: DataFrame) -> DataFrame:
+    """Water-filling arithmetic over a budget_round1-shaped relation —
+    split out (like ``_budget_arith``) for overflow regression tests."""
     agg = r1.agg(
         F.sum("shortfall_tokens").alias("surplus"),
         F.sum(F.when(~F.col("capped"), F.col("sqrt_micro")).otherwise(F.lit(0))).alias(
             "denom_u"
         ),
     )
+    # Same decimal(38,0) widening as _budget_round1: surplus*sqrt_micro
+    # and n_tokens*epochs both clear int64 once a source holds ~8.5e13
+    # tokens; `div` collapses each product back to BIGINT.
     extra = (
         "CASE WHEN capped OR denom_u = 0 THEN 0 "
-        "ELSE surplus * sqrt_micro div denom_u END"
+        "ELSE surplus * CAST(sqrt_micro AS DECIMAL(38,0)) div denom_u END"
     )
     final = f"target_tokens - shortfall_tokens + ({extra})"
-    fe = f"({final}) * 1000000 div n_tokens"
+    fe = f"CAST(({final}) AS DECIMAL(38,0)) * 1000000 div n_tokens"
     return r1.crossJoin(F.broadcast(agg)).select(
         "source",
         "n_tokens",
@@ -426,7 +450,8 @@ def corpus_token_budget_redistribute(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr(fe).cast("bigint").alias("final_epochs_micro"),
         F.expr(f"({fe}) > {MAX_EPOCHS_MICRO}").alias("still_capped"),
         F.expr(
-            f"({final}) - n_tokens * least({fe}, {MAX_EPOCHS_MICRO}) div 1000000"
+            f"({final}) - CAST(n_tokens AS DECIMAL(38,0))"
+            f" * least({fe}, {MAX_EPOCHS_MICRO}) div 1000000"
         )
         .cast("bigint")
         .alias("residual_tokens"),
@@ -470,11 +495,15 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucket_pairs`` (cluster = bucket, vectors ride as payload — the
     assignment relation is computed ONCE, no self-join), so a
     degenerate cluster past ``SEMDEDUP_MAX_CLUSTER`` degrades to O(B)
-    star pairs against its minimum id — which still links every exact/
-    near duplicate to the surviving representative — with the capped
-    count surfaced via the attached Observation (the r3 LSH cap
-    machinery, same oracle-divergence contract: gate corpora never
-    reach the cap, asserted by a canary test).
+    star pairs against its minimum id. The star fallback guarantees
+    linkage only for exact duplicates of the hub and members cosine-
+    similar to it; two near-duplicates that each fall BELOW the
+    threshold against the hub both survive a capped cluster even though
+    the full quadratic pass would drop one — that recall loss is the
+    divergence ``dedup_cap_audit`` exists to surface, alongside the
+    capped count in the attached Observation (the r3 LSH cap machinery,
+    same oracle-divergence contract: gate corpora never reach the cap,
+    asserted by a canary test).
     """
     from ..operators.util import bucket_pairs
     from .similarity import kmeans_a1

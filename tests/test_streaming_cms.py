@@ -113,3 +113,38 @@ def test_reemitted_epoch_with_different_contents_replaces(spark, tmp_path):
 
     merged = _as_dict(read_cms_counters(spark, counters))
     assert merged == _as_dict(_batch_grid(spark))
+
+
+def test_replay_of_one_epoch_leaves_other_epochs_intact(spark, tmp_path):
+    """Distinguishes DYNAMIC partition overwrite from static overwrite:
+    with epochs 0 and 1 both landed, re-landing epoch 0 must replace
+    only epoch 0's partition — a static-mode overwrite would silently
+    wipe epoch 1 and the single-epoch replay tests above would still
+    pass."""
+    counters = str(tmp_path / "counters")
+
+    def grid_of(docs, epoch):
+        rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+        return (
+            spark.createDataFrame(docs, SCHEMA)
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .select("term", F.explode(rows).alias("i"))
+            .select("i", _bucket_spark("term", "i"))
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("epoch", F.lit(epoch))
+        )
+
+    write_epoch_grid(grid_of(DOCS[:2], 0), counters)
+    write_epoch_grid(grid_of(DOCS[2:], 1), counters)
+    # at-least-once replay of epoch 0 only
+    write_epoch_grid(grid_of(DOCS[:2], 0), counters)
+
+    # epoch 1's counters must survive: the merged grid is still the
+    # full-corpus batch grid (epoch 0 + epoch 1, each counted once)
+    merged = _as_dict(read_cms_counters(spark, counters))
+    assert merged == _as_dict(_batch_grid(spark))
+
+    # and epoch 1's rows are still physically present
+    raw = spark.read.parquet(counters)
+    assert raw.filter(F.col("epoch") == 1).count() > 0
