@@ -75,10 +75,13 @@ _INTENDED_BNLJ = {
     # 1-row multi-current-key total joined into the 1-row summary
     "scd2_invariants_audit",
     "corpus_mix_resample",
-    # arnk <= r theta-join of the broadcast (|Q|×SHORTLIST) refine
-    # relation against the 3-row shortlist-size table, plus the
-    # broadcast-query ground-truth scan (as similarity_pq_recall_audit)
+    # arnk <= r theta-join of the broadcast (|Q|×s) refine relation
+    # against the ≤4-row shortlist-size table, plus the broadcast-query
+    # ground-truth scan (as similarity_pq_recall_audit) and the 1-row
+    # scale-aware-shortlist broadcast
     "similarity_pq_refine_sensitivity",
+    # 1-row scale-aware-shortlist broadcast over the ADC ranking
+    "similarity_pq_rerank_topk",
     # two 1-row scalar broadcasts (token total, temperature normalizer)
     # over the |sources|-row relation (as corpus_domain_mix_weights)
     "corpus_domain_mix_temperature",

@@ -175,11 +175,14 @@ def test_brute_force_bound_static_and_dynamic(spark):
 
 def test_pq_rerank_recall_clears_bar(spark, sf_dir):
     """Mean recall@10 of the PQ-ADC + exact-refine pipeline at the
-    production config (M=8, K=16, SHORTLIST=100) must be ≥ 0.7 — the
-    round-3 verdict bar. The r=10 row is the plain-ADC baseline and is
-    expected to sit far lower; the gap is the refine step's value."""
+    production config (M=8, K=16, scale-aware shortlist) must be ≥ 0.85
+    — the round-4 verdict bar, raised from 0.7. The r=10 row is the
+    plain-ADC baseline and is expected to sit far lower; the gap is the
+    refine step's value. (The sf0.1 twin of this gate lives in
+    tests/test_round5_hardening.py, where the shortlist law actually
+    engages.)"""
     from hybrid_data_lakehouse_lab_spark.plans.pq import (
-        SHORTLIST,
+        SHORTLIST_FLOOR,
         similarity_pq_refine_sensitivity,
     )
 
@@ -187,8 +190,9 @@ def test_pq_rerank_recall_clears_bar(spark, sf_dir):
         r.shortlist: r.mean_recall
         for r in similarity_pq_refine_sensitivity(spark, sf_dir).collect()
     }
-    assert rows[SHORTLIST] >= 0.7, rows
-    assert rows[10] < rows[SHORTLIST], rows  # refine genuinely adds recall
+    # gate corpus N=500 -> the law sits at the floor (s=100)
+    assert rows[SHORTLIST_FLOOR] >= 0.85, rows
+    assert rows[10] < rows[SHORTLIST_FLOOR], rows  # refine genuinely adds recall
 
 
 # ---------------------------------------------------------------------------
