@@ -2,12 +2,16 @@
 with typed metadata, processed by Arrow-batched Pandas UDFs over
 mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED: `decode_image` raises NotImplementedError by design, and
-`fake_feature_extract` is a deterministic stand-in used by tests to prove
-the Spark-side plumbing (schema, batching, partitioning) is real. Swapping
-the kernel body for PIL/librosa is a one-function change — the dataflow
-does not move.
+The container has no codec LIBRARIES, but the uncompressed raster
+formats need none: `decode_image` really decodes 24-bit BI_RGB BMP
+(BGR order, bottom-up or top-down rows, 4-byte row padding) and binary
+PPM/PGM (P6/P5) with pure numpy — see `multimodal_image_decode` for the
+oracle-verified end-to-end lane. Compressed formats (JPEG/PNG) still
+raise NotImplementedError by design, and `fake_feature_extract` remains
+the deterministic stand-in that proves the Spark-side plumbing (schema,
+batching, partitioning) without any format assumption. Swapping in
+PIL/librosa for the compressed formats is a one-function change — the
+dataflow does not move.
 """
 
 from __future__ import annotations
@@ -53,11 +57,108 @@ def as_media_table(df: DataFrame, id_col: str, payload_text_col: str) -> DataFra
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder slot. No codec libs in this container."""
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to
+    4 bytes) — the baseline Windows bitmap every viewer accepts."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    stride = row_raw + pad
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_raw] = arr[::-1, :, ::-1].reshape(h, row_raw)  # flip + BGR
+    return header + rows.tobytes()
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _decode_bmp(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("not a BITMAPINFOHEADER BMP")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP is decoded here (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_pnm(payload: bytes):
+    """Binary PPM (P6) / PGM (P5): ASCII header tokens (with # comments),
+    single whitespace byte, then raw samples."""
+    import numpy as np
+
+    magic = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    want = 3  # width, height, maxval
+    while len(tokens) < want:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM samples not supported")
+    ch = 3 if magic == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return data.reshape(h, w, ch) if ch == 3 else data.reshape(h, w)
+
+
+def decode_image(payload: bytes):
+    """Decode an uncompressed raster payload to a numpy uint8 array —
+    (h, w, 3) RGB for BMP/PPM, (h, w) for PGM.
+
+    Real formats, really decoded (header parse, BGR swap, bottom-up row
+    flip, stride padding — all the places a cargo-cult decoder goes
+    wrong), no codec libraries needed. Compressed formats stay an honest
+    NotImplementedError until PIL/opencv exists in the environment."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this environment; "
-        "fake_feature_extract provides the deterministic test path"
+        "only uncompressed BMP/PPM/PGM are decoded natively; JPEG/PNG "
+        "require PIL/opencv — not available in this environment"
     )
 
 
@@ -98,6 +199,66 @@ def fake_feature_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas pipeline: partition-parallel, Arrow-batched, no shuffle."""
     return media.mapInPandas(fake_feature_extract, schema=FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pix_md5", T.StringType(), True),
+        T.StructField("row0_sum", T.LongType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+    ]
+)
+
+
+def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> DataFrame:
+    """Encode each payload's bytes as real BMP and PPM images (pixels =
+    payload cycled to width*height*3), decode them back through
+    ``decode_image``, and emit stats OF THE DECODED ARRAY.
+
+    The stats are chosen so encoder/decoder bugs cannot cancel out when
+    checked against a payload-derived oracle: ``pix_md5`` is the decoded
+    row-major RGB buffer (order identity), ``row0_sum`` pins the row
+    DIRECTION (a missed bottom-up flip on both sides round-trips the md5
+    but swaps row 0 with row h-1), and the per-channel sums pin the
+    BGR→RGB swap. width=5 keeps the BMP stride unaligned (15-byte rows,
+    1 pad byte) so the padding path is always exercised.
+
+    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle —
+    identical dataflow to a PIL-backed kernel."""
+    import hashlib
+
+    import numpy as np
+
+    n_px = width * height * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in IMAGE_STATS_SCHEMA.fields}
+            for mid, b in zip(pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()):
+                src = np.frombuffer(b or b"", dtype=np.uint8)
+                if src.size == 0:
+                    continue
+                px = np.resize(src, n_px).reshape(height, width, 3)
+                for fmt, enc in (("bmp", encode_bmp), ("ppm", encode_ppm)):
+                    dec = decode_image(enc(px))
+                    out["media_id"].append(int(mid))
+                    out["fmt"].append(fmt)
+                    out["width"].append(dec.shape[1])
+                    out["height"].append(dec.shape[0])
+                    out["pix_md5"].append(hashlib.md5(dec.tobytes()).hexdigest())
+                    out["row0_sum"].append(int(dec[0].sum(dtype=np.int64)))
+                    out["r_sum"].append(int(dec[:, :, 0].sum(dtype=np.int64)))
+                    out["g_sum"].append(int(dec[:, :, 1].sum(dtype=np.int64)))
+                    out["b_sum"].append(int(dec[:, :, 2].sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=IMAGE_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -44,8 +44,120 @@ def test_feature_extraction_deterministic(spark, sf_dir):
 
 
 def test_decode_stub_contract():
+    # compressed formats remain an honest NotImplementedError
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# Real raster decode: BMP / PPM / PGM round-trips through pure numpy
+# ---------------------------------------------------------------------------
+
+
+def _arr(h, w, seed=7):
+    import numpy as np
+
+    return (
+        (np.arange(h * w * 3, dtype=np.int64) * 31 + seed) % 251
+    ).astype("uint8").reshape(h, w, 3)
+
+
+def test_bmp_roundtrip_with_padding():
+    """w=5 -> 15-byte rows padded to 16; decode must strip the pad and
+    undo the bottom-up + BGR storage."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_bmp
+
+    a = _arr(4, 5)
+    assert np.array_equal(decode_image(encode_bmp(a)), a)
+
+
+def test_bmp_roundtrip_aligned_width():
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_bmp
+
+    a = _arr(3, 8)  # 24-byte rows, no padding
+    assert np.array_equal(decode_image(encode_bmp(a)), a)
+
+
+def test_bmp_top_down_variant():
+    """Negative height = top-down row order; the decoder must not flip."""
+    import struct
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_bmp
+
+    a = _arr(4, 5)
+    buf = bytearray(encode_bmp(a))
+    h = struct.unpack_from("<i", buf, 22)[0]
+    struct.pack_into("<i", buf, 22, -h)  # declare top-down
+    decoded = decode_image(bytes(buf))
+    # payload rows were written bottom-up; read top-down they come back
+    # reversed — proving the decoder honors the sign, not a cancel-out
+    assert np.array_equal(decoded, a[::-1])
+
+
+def test_bmp_rejects_unsupported_bpp():
+    import struct
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_bmp
+
+    buf = bytearray(encode_bmp(_arr(2, 2)))
+    struct.pack_into("<H", buf, 28, 8)  # claim 8-bit palette
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_image(bytes(buf))
+
+
+def test_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_ppm
+
+    a = _arr(4, 5)
+    assert np.array_equal(decode_image(encode_ppm(a)), a)
+    # header comments are legal PNM and must be skipped
+    with_comment = b"P6\n# made by a test\n5 4\n255\n" + a.tobytes()
+    assert np.array_equal(decode_image(with_comment), a)
+
+
+def test_pgm_grayscale():
+    import numpy as np
+
+    a = (_arr(3, 4)[:, :, 0]).copy()
+    payload = b"P5\n4 3\n255\n" + a.tobytes()
+    assert np.array_equal(decode_image(payload), a)
+
+
+def test_image_decode_stats_lane(spark):
+    """The Spark-side kernel over real encode->decode: stats must match
+    a direct numpy derivation from the payload bytes."""
+    import hashlib
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        image_decode_stats,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, text.encode(), "text/plain", len(text))],
+        "media_id long, payload binary, media_type string, n_bytes int",
+    )
+    rows = {r["fmt"]: r for r in image_decode_stats(df).collect()}
+    assert set(rows) == {"bmp", "ppm"}
+    px = np.resize(np.frombuffer(text.encode(), dtype=np.uint8), 60)
+    for fmt in ("bmp", "ppm"):
+        r = rows[fmt]
+        assert (r["width"], r["height"]) == (5, 4)
+        assert r["pix_md5"] == hashlib.md5(px.tobytes()).hexdigest()
+        assert r["row0_sum"] == int(px[:15].sum())
+        assert r["r_sum"] == int(px[0::3].sum())
+        assert r["g_sum"] == int(px[1::3].sum())
+        assert r["b_sum"] == int(px[2::3].sum())
 
 
 def test_null_payload_handled(spark):
