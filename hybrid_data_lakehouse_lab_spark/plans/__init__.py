@@ -97,6 +97,79 @@ _PRIORITY = [
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "q21_single_return_supplier",
+    # =====================================================================
+    # Slots 51-100: insurance for a wider driver window. Ordered by how
+    # battle-tested each lane is, NOT by registration order — every lane
+    # here has (a) been oracle-green since at least round 3, and (b) a
+    # dedicated pytest file or hardening test beyond the sweep. Tiers:
+    #   1. Remaining TPC-H (longest-lived lanes; plan shapes asserted by
+    #      test_plan_quality pushdown/broadcast/no-Expand gates).
+    #   2. Round-1 analytics anchors (windows, grouping sets, JSON,
+    #      quantiles — the generic-OLAP surface).
+    #   3. Join family (semi/anti/range/as-of — test_rangejoin/test_asof).
+    #   4. Dedup + cap machinery (test_bucket_cap, test_degenerate_docs,
+    #      test_round4_hardening degenerate-corpus proofs).
+    #   5. Similarity/PQ chains (recall gates in test_pq +
+    #      test_round4/5_hardening).
+    #   6. Text pipeline + streaming round-trips (stream==batch
+    #      equivalence tests).
+    # =====================================================================
+    # --- tier 1: remaining TPC-H ---
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority_exists",
+    "q17_below_avg_quantity",
+    "q13_order_count_distribution",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_item_ranking",
+    "q11_important_parts",
+    "q12_priority_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_promotable_suppliers",
+    "q22_idle_rich_customers",
+    # --- tier 2: round-1 analytics anchors ---
+    "order_revenue_by_nation",
+    "top_k_per_group",
+    "sessionize",
+    "grouping_sets_agg",
+    "json_variant_agg",
+    "distinct_agg",
+    "quantiles_by_group",
+    "tumbling_window_agg",
+    "running_total_per_user",
+    "asof_last_signup",
+    # --- tier 3: join family ---
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "range_join_event_windows",
+    "asof_join_last_purchase",
+    # --- tier 4: dedup + cap machinery ---
+    "dedup_minhash_signatures",
+    "dedup_containment",
+    "dedup_lsh_calibration",
+    "dedup_cap_audit",
+    "dedup_simhash",
+    "dedup_cluster_keep_best",
+    "corpus_line_dedup",
+    # --- tier 5: similarity / PQ chains ---
+    "similarity_kmeans_clusters",
+    "similarity_ivf_topk",
+    "similarity_ivf_recall_audit",
+    "embedding_pq_codes",
+    "similarity_pq_adc_topk",
+    "similarity_pq_rerank_topk",
+    # --- tier 6: text pipeline + streaming round-trips ---
+    "text_token_count",
+    "text_fingerprint",
+    "text_token_count_bpe",
+    "text_gopher_rules",
+    "streaming_scd2_roundtrip",
+    "streaming_history_roundtrip",
 ]
 
 
