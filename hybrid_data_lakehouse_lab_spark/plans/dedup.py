@@ -25,6 +25,7 @@ from ..sources import load_table
 from .registry import register
 from .data_selection import SEMDEDUP_MAX_CLUSTER
 from .similarity import _KMEANS_A1_SQL
+from .simhash_kernel import _TOKENS_SQL, _simhash_select
 
 N_HASHES = 8  # k independent min-hash functions (seeds 0..7)
 SHINGLE = 3  # word 3-grams
@@ -478,7 +479,12 @@ def dedup_lsh_calibration(
     sig AS ({minhash_sig_sql("shingles0")}),
     buckets AS (SELECT seed, minhash, count(*) AS n FROM sig GROUP BY seed, minhash),
     {_KMEANS_A1_SQL},
-    clusters AS (SELECT cluster, count(*) AS n FROM a1 GROUP BY cluster)
+    clusters AS (SELECT cluster, count(*) AS n FROM a1 GROUP BY cluster),
+    shtok AS ({_TOKENS_SQL}),
+    shsig AS (SELECT doc_id, {_simhash_select("duckdb")} AS simhash
+              FROM shtok GROUP BY doc_id),
+    shbands AS (SELECT substr(simhash, 1, 16) AS band, count(*) AS n
+                FROM shsig GROUP BY band)
     SELECT 'lsh_bucket' AS lane, {DEFAULT_MAX_BUCKET} AS cap,
            count(*) AS n_groups,
            count(*) FILTER (n > {DEFAULT_MAX_BUCKET}) AS n_capped,
@@ -492,6 +498,10 @@ def dedup_lsh_calibration(
     SELECT 'shingle_df', {SHINGLE_DF_CAP}, count(*),
            count(*) FILTER (n > {SHINGLE_DF_CAP}), max(n)
     FROM freq
+    UNION ALL
+    SELECT 'simhash_band', {DEFAULT_MAX_BUCKET}, count(*),
+           count(*) FILTER (n > {DEFAULT_MAX_BUCKET}), max(n)
+    FROM shbands
     ORDER BY lane
     """,
 )
@@ -509,9 +519,16 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT; a pipeline publishes this next to its dedup report so
     approximation is never silent.
 
-    100 TB: two groupBy aggregations (shingle DF, LSH bucket sizes) —
-    the same shapes the dedup lanes themselves run, reduced to 2 rows.
+    100 TB: four groupBy aggregations (shingle DF, LSH bucket sizes,
+    k-means cluster sizes, simhash band-bucket sizes) — the same shapes
+    the dedup lanes themselves run, reduced to 4 rows. Engaged-regime
+    proof (tools/make_scaled_slice.py 10× slice, round 5): shingle_df
+    reported 4,950 capped groups and semdedup_cluster 8/8 capped while
+    the df-capped lanes stayed oracle-exact — the audit is what makes
+    the simhash/semdedup divergence on such a corpus a published
+    number instead of a silent recall loss.
     """
+    from .dedup_advanced import dedup_simhash
     from .similarity import kmeans_a1
 
     docs = load_table(spark, sf_dir, "documents")
@@ -522,6 +539,12 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = (
         kmeans_a1(spark, sf_dir).groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    )
+    sbands = (
+        dedup_simhash(spark, sf_dir)
+        .select(F.substring("simhash", 1, 16).alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
     def audit(grp: DataFrame, lane: str, cap: int) -> DataFrame:
@@ -543,6 +566,7 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit(buckets, "lsh_bucket", DEFAULT_MAX_BUCKET)
         .unionByName(audit(clusters, "semdedup_cluster", SEMDEDUP_MAX_CLUSTER))
         .unionByName(audit(freq, "shingle_df", SHINGLE_DF_CAP))
+        .unionByName(audit(sbands, "simhash_band", DEFAULT_MAX_BUCKET))
         .orderBy("lane")
     )
 
