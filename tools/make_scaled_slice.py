@@ -29,11 +29,14 @@ import duckdb
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def build(src: str, dst: str, k: int) -> None:
+def build(src: str, dst: str, k: int, doc_limit: int | None = None) -> None:
+    """doc_limit keeps only the first N base documents before
+    replication — used by tests/test_engaged_caps.py to build a slice
+    whose caps engage in seconds instead of minutes."""
     out = Path(dst)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"SET threads TO 16")
+    con.execute("SET threads TO 16")
 
     def write(table: str, sql: str) -> None:
         con.execute(
@@ -73,10 +76,11 @@ def build(src: str, dst: str, k: int) -> None:
     )
 
     did = con.sql(f"SELECT max(doc_id) + 1 FROM {p('documents')}").fetchone()[0]
+    doc_where = f"WHERE doc_id < {doc_limit}" if doc_limit is not None else ""
     write(
         "documents",
         f"""SELECT doc_id + r.k * {did} AS doc_id, text, lang, source, n_chars
-            FROM {p('documents')}, range({k}) AS r(k)""",
+            FROM (SELECT * FROM {p('documents')} {doc_where}), range({k}) AS r(k)""",
     )
 
     vid = con.sql(f"SELECT max(vec_id) + 1 FROM {p('embeddings')}").fetchone()[0]
