@@ -610,11 +610,10 @@ def corpus_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame
 
 BPE_MERGE_STEPS = 3  # unrolled training iterations (kmeans-style)
 
-
-@register(
-    "bpe_train_merges",
-    oracle=r"""
-    WITH wc AS (
+# The trained chain (vocab -> 3 argmax/merge rounds, ends with CTE `b2`
+# and the fully-merged symbolization `s3`) is shared by the trainer and
+# the encoder oracles so they cannot drift.
+_BPE_CHAIN_SQL = r"""wc AS (
         SELECT t.word, count(*) AS cnt
         FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
         WHERE regexp_matches(t.word, '^[a-z0-9]+$')
@@ -653,7 +652,19 @@ BPE_MERGE_STEPS = 3  # unrolled training iterations (kmeans-style)
              UNNEST(range(1, len(syms))) AS t(i)
         GROUP BY 1, 2
     ),
-    b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1)
+    b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+    s3 AS (
+        SELECT word,
+               regexp_replace(s, '\b' || b2.l || ' ' || b2.r || '\b',
+                              b2.l || b2.r, 'g') AS s
+        FROM s2, b2
+    )"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_BPE_CHAIN_SQL}
     SELECT CAST(1 AS INT) AS step, l AS left_sym, r AS right_sym,
            l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b0
     UNION ALL
@@ -682,6 +693,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     1..N-1, and the 1-row argmax rides a broadcast. Corpus cost: one
     scan, independent of merge count.
     """
+    steps, _ = _bpe_train(spark, sf_dir)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training chain: returns (per-step merge rows, final
+    encoded vocab after ALL merges). bpe_train_merges publishes the
+    steps; bpe_encode_corpus applies the final vocab — one chain, so
+    trainer and encoder cannot drift (the _KMEANS_A1_SQL pattern)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     # Train on NORMALIZED words only (lowercase alphanumerics) — BPE
     # trainers run after text normalization anyway, and this makes the
@@ -725,24 +748,74 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pc").cast("bigint").alias("pair_count"),
             )
         )
-        if step < BPE_MERGE_STEPS:
-            b = F.broadcast(
-                best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
+        # apply EVERY merge (the trainer only needed 1..N-1 for its own
+        # next round; the encoder needs the vocab after all N)
+        b = F.broadcast(
+            best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
+        )
+        pat = F.concat(F.lit("\\b"), F.col("bl"), F.lit(" "), F.col("br"), F.lit("\\b"))
+        cur = (
+            cur.crossJoin(b)
+            .select(
+                "word",
+                "cnt",
+                F.regexp_replace(F.col("s"), pat, F.concat("bl", "br")).alias("s"),
             )
-            pat = F.concat(F.lit("\\b"), F.col("bl"), F.lit(" "), F.col("br"), F.lit("\\b"))
-            cur = (
-                cur.crossJoin(b)
-                .select(
-                    "word",
-                    "cnt",
-                    F.regexp_replace(F.col("s"), pat, F.concat("bl", "br")).alias("s"),
-                )
-                .localCheckpoint()
-            )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out
+            .localCheckpoint()
+        )
+    return steps, cur
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=f"""
+    WITH {_BPE_CHAIN_SQL},
+    docw AS (
+        SELECT doc_id, i, ws[i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(range(1, len(ws) + 1)) AS t(i)
+        WHERE regexp_matches(ws[i], '^[a-z0-9]+$')
+    ),
+    j AS (SELECT d.doc_id, d.i, e.s FROM docw d JOIN s3 e ON d.word = e.word)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_words,
+           CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(s, ' ' ORDER BY i)) AS stream_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE story: encode every
+    document with the merges bpe_train_merges learned. The trained vocab
+    is symbolized ONCE (word -> post-merge symbol string, all merges
+    applied in rank order via the same word-boundary regex the trainer
+    used), then documents encode through
+    a plain word -> symbols lookup. Output per document: normalized word
+    count, encoded token count, and the md5 of the full token stream in
+    word order — the whole tokenization is value-pinned, not just
+    counted.
+
+    100 TB plan shape: training iterates on the compact vocab relation
+    (see bpe_train_merges); encoding joins the exploded corpus against
+    the BROADCAST encoded vocab — the Zipf-keyed word relation is never
+    shuffled (a hash join on `word` would funnel every 'the' through
+    one reducer; the broadcast turns it into a map-side lookup, the
+    production tokenizer shape: ship the merge table, stream the
+    corpus). Per-doc stream ordering sorts only within a document
+    (bounded by doc length), never globally.
+    """
+    _, vocab = _bpe_train(spark, sf_dir)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    j = words.join(F.broadcast(vocab.select("word", "s")), "word")
+    ordered = F.expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum(F.size(F.split("s", " "))).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(ordered, " ")).alias("stream_md5"),
+    )
 
 
 @register(

@@ -90,3 +90,64 @@ def test_regex_metachar_words_excluded_from_training(spark, tmp_path):
     assert "." not in "".join(syms) and "(" not in "".join(syms)
     # the clean word still trains
     assert any((r["left_sym"], r["right_sym"]) == ("a", "b") for r in rows)
+
+
+def test_encode_applies_trained_merges(spark, tmp_path):
+    """Encoder invariants on a corpus with a known dominant pair: token
+    count = char count minus one per applied merge occurrence, stream
+    md5 reconstructs the exact symbolization."""
+    import hashlib
+
+    from hybrid_data_lakehouse_lab_spark.plans.llm_extras import (
+        bpe_encode_corpus,
+    )
+
+    sf = tmp_path / "sf_enc"
+    sf.mkdir()
+    # 'ab' dominates -> merge1 = (a,b); the encoder must then tokenize
+    # 'ab' as 1 token and 'ba' as 2.
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["ab ab ab ab ba", "ab cd"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [14, 5],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    rows = {r["doc_id"]: r for r in bpe_encode_corpus(spark, str(sf)).collect()}
+    assert rows[0]["n_words"] == 5
+    assert rows[1]["n_words"] == 2
+    # every word is 2 chars -> without merges n_tokens would be 2/word
+    assert rows[0]["n_tokens"] < 2 * rows[0]["n_words"]
+    # merges never split: tokens per word in [1, len(word)]
+    for r in rows.values():
+        assert r["n_words"] <= r["n_tokens"] <= 2 * r["n_words"]
+
+
+def test_encode_token_totals_bounded(spark, sf_dir):
+    """On the gate corpus: n_words <= n_tokens <= total chars of the
+    normalized words, and at least one document actually compressed
+    (a trained merge fired somewhere)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.plans.llm_extras import (
+        bpe_encode_corpus,
+    )
+    from hybrid_data_lakehouse_lab_spark.sources import load_table
+
+    enc = bpe_encode_corpus(spark, sf_dir)
+    chars = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("w")).alias("n_chars"))
+    )
+    j = enc.join(chars, "doc_id").collect()
+    assert j
+    assert all(r["n_words"] <= r["n_tokens"] <= r["n_chars"] for r in j)
+    assert any(r["n_tokens"] < r["n_chars"] for r in j)

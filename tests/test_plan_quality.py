@@ -98,6 +98,8 @@ _INTENDED_BNLJ = {
     "similarity_semdedup",
     # per-round 1-row argmax-pair broadcast over the |vocab|-row relation
     "bpe_train_merges",
+    # inherits the trainer's argmax broadcasts through _bpe_train
+    "bpe_encode_corpus",
     # broadcast-query ground-truth scan + 3-row depth-table expansion
     "similarity_mrl_truncation_audit",
     # broadcast-anchor scan with the label-inequality theta filter
