@@ -201,6 +201,123 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fake_feature_extract, schema=FEATURE_SCHEMA)
 
 
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 PCM array ((n,) mono or (n, ch)) as a RIFF/WAVE
+    file. A junk LIST chunk is deliberately placed between fmt and data
+    so decoders that assume 'data starts at byte 44' break — the
+    decoder below must genuinely walk chunks."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    junk = b"spark-graft-pad"  # odd length: exercises the pad byte too
+    body = (
+        b"fmt " + fmt
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_audio(payload: bytes):
+    """Decode RIFF/WAVE PCM16 → (samples as (n_frames, n_channels)
+    int16 numpy array, sample_rate). Walks the chunk list properly
+    (LIST/fact/odd-size padding), de-interleaves channels. Compressed
+    codecs (MP3/AAC/float WAV…) raise NotImplementedError — the same
+    honest-slot contract as decode_image."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM16 is decoded natively; compressed audio "
+            "requires librosa/ffmpeg — not available in this environment"
+        )
+    pos, end = 12, len(payload)
+    n_ch = rate = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV is decoded here (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_ch is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, n_ch), rate
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("l_sum", T.LongType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("samples_md5", T.StringType(), True),
+    ]
+)
+
+
+def audio_decode_stats(media: DataFrame, n_samples: int = 48) -> DataFrame:
+    """Encode each payload's bytes as a real stereo PCM16 WAV (samples =
+    affine-mapped payload bytes, interleaved L/R), decode back through
+    ``decode_audio``'s chunk walker, and emit stats OF THE DECODED
+    array. Mirrors image_decode_stats' no-cancel design: the per-channel
+    sums pin the de-interleave, the md5 over the ordered sample values
+    pins content and order, and the junk LIST chunk in the encoder means
+    a header-offset-assuming decoder never even finds the data.
+
+    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle."""
+    import hashlib
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_STATS_SCHEMA.fields}
+            for mid, b in zip(pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()):
+                src = np.frombuffer(b or b"", dtype=np.uint8)
+                if src.size == 0:
+                    continue
+                pcm = (
+                    (np.resize(src, n_samples).astype(np.int32) - 128) * 256
+                ).astype(np.int16)
+                dec, rate = decode_audio(encode_wav(pcm.reshape(-1, 2)))
+                flat = dec.reshape(-1)
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(int(dec.shape[0]))
+                out["n_channels"].append(int(dec.shape[1]))
+                out["sample_rate"].append(int(rate))
+                out["l_sum"].append(int(dec[:, 0].sum(dtype=np.int64)))
+                out["r_sum"].append(int(dec[:, 1].sum(dtype=np.int64)))
+                out["samples_md5"].append(
+                    hashlib.md5(
+                        ",".join(str(int(v)) for v in flat).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=AUDIO_STATS_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

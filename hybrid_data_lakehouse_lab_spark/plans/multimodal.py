@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     as_media_table,
+    audio_decode_stats,
     extract_features,
     image_decode_stats,
     resize_media,
@@ -157,3 +158,47 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = as_media_table(d, "doc_id", "text")
     return image_decode_stats(media, width=5, height=4)
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(48.0 / octet_length(encode(text))) AS INT)),
+                    1, 48) AS pix
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    px AS (
+      SELECT doc_id, i,
+             (ascii(substr(pix, CAST(i + 1 AS INT), 1)) - 128) * 256 AS s
+      FROM d, UNNEST(range(0, 48)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(24 AS INT) AS n_frames,
+           CAST(2 AS INT) AS n_channels,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE 0 END) AS BIGINT) AS l_sum,
+           CAST(sum(CASE WHEN i % 2 = 1 THEN s ELSE 0 END) AS BIGINT) AS r_sum,
+           md5(string_agg(s::VARCHAR, ',' ORDER BY i)) AS samples_md5
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-verified end-to-end (the WAV twin of
+    multimodal_image_decode): each document's bytes become 48 interleaved
+    stereo PCM16 samples, encoded as an actual RIFF/WAVE file (with a
+    junk LIST chunk so only a genuine chunk walker finds the data),
+    decoded back through ``decode_audio``, and the DECODED array's stats
+    are checked against DuckDB's independent derivation from the text
+    construction: per-channel sums pin the de-interleave, the ordered
+    sample md5 pins content, the frame/rate columns pin the header
+    parse. Compressed codecs stay an honest NotImplementedError.
+
+    100 TB: partition-local mapInPandas over Arrow batches — no shuffle,
+    per-blob CPU only."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") > 0
+    )
+    media = as_media_table(d, "doc_id", "text")
+    return audio_decode_stats(media, n_samples=48)

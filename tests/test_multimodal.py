@@ -167,3 +167,71 @@ def test_null_payload_handled(spark):
     )
     r = extract_features(df).collect()[0]
     assert r["byte_sum"] == 0 and r["n_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/PCM16 decode: chunk-walking RIFF parser
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_stereo():
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    a = ((np.arange(48, dtype=np.int32) * 977 - 23000) % 65536 - 32768).astype(
+        "int16"
+    ).reshape(-1, 2)
+    dec, rate = decode_audio(encode_wav(a, sample_rate=22050))
+    assert rate == 22050
+    assert dec.shape == a.shape
+    assert np.array_equal(dec, a)
+
+
+def test_wav_roundtrip_mono():
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    a = np.array([0, 1, -1, 32767, -32768, 100], dtype="int16")
+    dec, rate = decode_audio(encode_wav(a))
+    assert dec.shape == (6, 1)
+    assert np.array_equal(dec[:, 0], a)
+
+
+def test_wav_chunk_walker_required():
+    """The encoder plants a LIST chunk before data; a byte-44 decoder
+    would read garbage. Verify data really sits past the junk."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_wav
+
+    a = np.array([[1000, -1000]], dtype="int16")
+    buf = encode_wav(a)
+    assert buf[36:40] != b"data"  # naive offset assumption is wrong here
+    assert b"LIST" in buf
+
+
+def test_wav_rejects_non_pcm():
+    import struct
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    buf = bytearray(encode_wav(np.array([1, 2], dtype="int16")))
+    # fmt chunk body starts right after 'fmt '+size at offset 12+8=20
+    struct.pack_into("<H", buf, 20, 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_audio(bytes(buf))
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3-ish")
