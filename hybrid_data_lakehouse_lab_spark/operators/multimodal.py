@@ -255,6 +255,11 @@ def decode_audio(payload: bytes):
                     f"only PCM16 WAV is decoded here (fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
+            if len(body) != size:
+                raise ValueError(
+                    f"truncated WAV data chunk: declared {size} bytes, "
+                    f"payload holds {len(body)}"
+                )
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if n_ch is None or data is None:
@@ -289,6 +294,12 @@ def audio_decode_stats(media: DataFrame, n_samples: int = 48) -> DataFrame:
     import hashlib
 
     import numpy as np
+
+    if n_samples % 2 != 0:
+        # the payload bytes interleave as stereo L/R frames below
+        # (reshape(-1, 2)); fail fast at plan-build time instead of with
+        # an executor-side reshape ValueError mid-job
+        raise ValueError(f"n_samples must be even for stereo framing, got {n_samples}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -754,15 +754,18 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
         )
         pat = F.concat(F.lit("\\b"), F.col("bl"), F.lit(" "), F.col("br"), F.lit("\\b"))
-        cur = (
-            cur.crossJoin(b)
-            .select(
-                "word",
-                "cnt",
-                F.regexp_replace(F.col("s"), pat, F.concat("bl", "br")).alias("s"),
-            )
-            .localCheckpoint()
+        cur = cur.crossJoin(b).select(
+            "word",
+            "cnt",
+            F.regexp_replace(F.col("s"), pat, F.concat("bl", "br")).alias("s"),
         )
+        # The final merge application stays LAZY: only bpe_encode_corpus
+        # consumes the post-merge vocab, so bpe_train_merges (which reads
+        # just `steps`) must not pay a full-vocab regex pass + checkpoint
+        # for it. Intermediate rounds still checkpoint so round N never
+        # re-runs rounds 1..N-1.
+        if step < BPE_MERGE_STEPS:
+            cur = cur.localCheckpoint()
     return steps, cur
 
 

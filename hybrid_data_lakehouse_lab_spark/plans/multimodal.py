@@ -23,6 +23,20 @@ from ..operators.multimodal import (
 from ..sources import load_table
 from .registry import register
 
+# ASCII guard for every lane whose Arrow kernel walks the UTF-8 BYTES of
+# the payload while its oracle derives the expectation from the VARCHAR
+# (repeat/substr/ascii are CHAR-based in DuckDB). On any non-ASCII
+# document the byte and char streams diverge, so those lanes scope
+# themselves to ASCII documents ON BOTH SIDES — the pairing then holds on
+# any corpus by construction, not because the gate corpora happen to be
+# ASCII-only (they are; this is latent-bug insurance, a no-op today).
+_ASCII_SQL = "length(text) = octet_length(encode(text))"
+
+
+def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.length("text") == F.octet_length("text"))
+
 
 @register(
     "multimodal_metadata",
@@ -48,47 +62,50 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS BIGINT)
              AS byte_sum
     FROM documents
+    WHERE {_ASCII_SQL}
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads.
 
-    Test payloads are ASCII, so byte_sum == sum of codepoints and the
-    DuckDB oracle can verify the kernel output exactly.
+    ASCII-scoped lane (see _ASCII_SQL): byte_sum == sum of codepoints
+    exactly when bytes and chars coincide, so the DuckDB oracle verifies
+    the kernel output on any corpus.
     """
-    d = load_table(spark, sf_dir, "documents")
-    media = as_media_table(d, "doc_id", "text")
+    media = as_media_table(_ascii_docs(spark, sf_dir), "doc_id", "text")
     return extract_features(media).select("media_id", "n_bytes", "byte_sum")
 
 
 @register(
     "multimodal_frame_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS media_id,
            CAST(i AS INT) AS frame_index,
            CAST(octet_length(encode(substr(text, 1 + i * 32, 32))) AS INT) AS frame_bytes,
            md5(substr(text, 1 + i * 32, 32)) AS frame_md5
     FROM documents,
          UNNEST(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 4)) AS t(i)
+    WHERE {_ASCII_SQL}
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame expansion via mapInPandas (every 4th 32-byte frame).
-    ASCII payloads make the frames SQL-expressible, so the Arrow kernel's
-    output is fully oracle-verified; on real video this is rows-only."""
-    media = as_media_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    ASCII-scoped (see _ASCII_SQL): byte frames == char frames, so the
+    Arrow kernel's output is fully oracle-verified; on real video this
+    is rows-only."""
+    media = as_media_table(_ascii_docs(spark, sf_dir), "doc_id", "text")
     return sample_frames(media, frame_size=32, every_k=4)
 
 
 @register(
     "multimodal_resize",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS media_id,
            'text/plain' AS media_type,
            CAST(len(sel) AS INT) AS n_bytes,
@@ -98,24 +115,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_select(string_split_regex(text, ''),
                          range(1, len(string_split_regex(text, '')) + 1, 2)) AS sel
       FROM documents
+      WHERE {_ASCII_SQL}
     )
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample kernel (every 2nd byte) through the same Arrow path a
-    real image-resize would use; content hash proves byte-exactness."""
-    media = as_media_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    real image-resize would use; content hash proves byte-exactness.
+    ASCII-scoped (see _ASCII_SQL): every-2nd-byte == every-2nd-char."""
+    media = as_media_table(_ascii_docs(spark, sf_dir), "doc_id", "text")
     return resize_media(media, factor=2)
 
 
 @register(
     "multimodal_image_decode",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id,
              substr(repeat(text, CAST(ceil(60.0 / octet_length(encode(text))) AS INT)),
                     1, 60) AS pix
-      FROM documents WHERE octet_length(encode(text)) > 0
+      FROM documents
+      WHERE octet_length(encode(text)) > 0 AND {_ASCII_SQL}
     ),
     px AS (
       SELECT doc_id, i, ascii(substr(pix, CAST(i + 1 AS INT), 1)) AS b
@@ -152,22 +172,23 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: partition-local mapInPandas over Arrow batches — the same
     no-shuffle dataflow as the other media kernels; decode cost is
-    per-blob CPU with zero data movement."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.octet_length("text") > 0
-    )
+    per-blob CPU with zero data movement. ASCII-scoped (see _ASCII_SQL):
+    the kernel cycles payload BYTES while the oracle cycles VARCHAR
+    chars, coincident exactly on ASCII text."""
+    d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
     media = as_media_table(d, "doc_id", "text")
     return image_decode_stats(media, width=5, height=4)
 
 
 @register(
     "multimodal_audio_decode",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id,
              substr(repeat(text, CAST(ceil(48.0 / octet_length(encode(text))) AS INT)),
                     1, 48) AS pix
-      FROM documents WHERE octet_length(encode(text)) > 0
+      FROM documents
+      WHERE octet_length(encode(text)) > 0 AND {_ASCII_SQL}
     ),
     px AS (
       SELECT doc_id, i,
@@ -196,9 +217,8 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse. Compressed codecs stay an honest NotImplementedError.
 
     100 TB: partition-local mapInPandas over Arrow batches — no shuffle,
-    per-blob CPU only."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.octet_length("text") > 0
-    )
+    per-blob CPU only. ASCII-scoped (see _ASCII_SQL): kernel bytes vs
+    oracle chars coincide exactly on ASCII text."""
+    d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
     media = as_media_table(d, "doc_id", "text")
     return audio_decode_stats(media, n_samples=48)
