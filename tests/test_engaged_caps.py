@@ -76,3 +76,92 @@ def test_df_capped_lanes_stay_oracle_exact(name, spark, slice_dir, slice_con):
     ddf = slice_con.execute(ORACLES[name]).fetchdf()
     ok, why = frames_equal(sdf, ddf)
     assert ok, f"{name} under engaged caps: {why}"
+
+
+# ---------------------------------------------------------------------------
+# LSH max_bucket — the ONE cap the 40× slice never engaged (max bucket
+# there: 200 < 256; SCALE.md table). A 300×-replicated slice of 8 base
+# documents puts every document in a 300-member exact-duplicate class:
+# all copies share every MinHash, so each of the 8 band buckets per
+# class holds ~300 members and bucket_pairs' star fallback MUST fire.
+# dedup_near_pairs_lsh is a star-fallback lane (its oracle states plain
+# all-pairs), so under the cap it diverges BY DESIGN — these tests pin
+# the exact shape of that divergence instead of hand-waving it:
+#   1. the audit lane publishes the engagement (loss is never silent),
+#   2. emitted pairs are a SUBSET of the oracle's (the cap drops
+#      redundant pairs, never invents or overcounts one), and
+#   3. per duplicate class the output is exactly the (B-1)-edge star on
+#      the class minimum — the information-theoretic minimum keeping the
+#      class one connected component for downstream cluster assignment,
+#      i.e. O(B) edges where the oracle has O(B²).
+# ---------------------------------------------------------------------------
+
+LSH_CLASS_SIZE = 300  # > DEFAULT_MAX_BUCKET = 256
+
+
+@pytest.fixture(scope="module")
+def lsh_slice_dir(tmp_path_factory):
+    from make_scaled_slice import build
+
+    dst = tmp_path_factory.mktemp("engaged_lsh") / "slice"
+    build(SF_DIR, str(dst), k=LSH_CLASS_SIZE, doc_limit=8)
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def lsh_slice(spark, lsh_slice_dir):
+    pairs = QUERIES["dedup_near_pairs_lsh"](spark, lsh_slice_dir).toPandas()
+    con = duck_con(lsh_slice_dir)
+    oracle = con.execute(ORACLES["dedup_near_pairs_lsh"]).fetchdf()
+    classes = con.execute(
+        """SELECT md5(text) AS h, list(doc_id ORDER BY doc_id) AS members
+           FROM documents GROUP BY 1 HAVING count(*) >= 2"""
+    ).fetchdf()
+    return pairs, oracle, classes
+
+
+def test_lsh_bucket_cap_engages_and_is_published(spark, lsh_slice_dir):
+    audit = {
+        r["lane"]: r
+        for r in QUERIES["dedup_cap_audit"](spark, lsh_slice_dir).collect()
+    }
+    row = audit["lsh_bucket"]
+    assert row["n_capped"] > 0, row
+    assert row["max_group_size"] >= LSH_CLASS_SIZE
+    assert row["cap"] == 256
+
+
+def test_lsh_star_fallback_is_a_subset_never_an_overcount(lsh_slice):
+    pairs, oracle, _ = lsh_slice
+    assert len(pairs) > 0
+    want = {
+        (int(r.doc_a), int(r.doc_b)): int(r.n_matching_bands)
+        for r in oracle.itertuples()
+    }
+    for r in pairs.itertuples():
+        key = (int(r.doc_a), int(r.doc_b))
+        assert key in want, f"invented pair {key}"
+        assert int(r.n_matching_bands) <= want[key], key
+    # and the cap is a real loss vs the quadratic oracle, not a wash
+    assert len(pairs) < len(oracle) / 10, (len(pairs), len(oracle))
+
+
+def test_lsh_star_fallback_keeps_every_class_connected(lsh_slice):
+    pairs, _, classes = lsh_slice
+    got: dict = {}
+    for r in pairs.itertuples():
+        got.setdefault(int(r.doc_a), set()).add(int(r.doc_b))
+    for row in classes.itertuples():
+        members = [int(m) for m in row.members]
+        hub, rest = members[0], set(members[1:])
+        intra = {
+            (a, b)
+            for a, bs in got.items()
+            for b in bs
+            if a in set(members) and b in set(members)
+        }
+        # exactly the star: B-1 edges, all incident to the class min
+        assert intra == {(hub, b) for b in rest}, (
+            f"class {row.h}: expected {len(rest)}-edge star on {hub}, "
+            f"got {len(intra)} edges"
+        )
