@@ -2,12 +2,14 @@
 with typed metadata, processed by Arrow-batched Pandas UDFs over
 mapInPandas.
 
-The container has no codec LIBRARIES, but the uncompressed raster
-formats need none: `decode_image` really decodes 24-bit BI_RGB BMP
-(BGR order, bottom-up or top-down rows, 4-byte row padding) and binary
-PPM/PGM (P6/P5) with pure numpy — see `multimodal_image_decode` for the
-oracle-verified end-to-end lane. Compressed formats (JPEG/PNG) still
-raise NotImplementedError by design, and `fake_feature_extract` remains
+The container has no codec LIBRARIES, but these formats need none:
+`decode_image` really decodes 24-bit BI_RGB BMP (BGR order, bottom-up
+or top-down rows, 4-byte row padding), binary PPM/PGM (P6/P5), and —
+via stdlib zlib — 8-bit gray/RGB PNG (CRC-checked chunk walk,
+multi-IDAT reassembly, all five row unfilters) with pure numpy — see
+`multimodal_image_decode` for the oracle-verified end-to-end lane.
+JPEG still raises NotImplementedError by design, and
+`fake_feature_extract` remains
 the deterministic stand-in that proves the Spark-side plumbing (schema,
 batching, partitioning) without any format assumption. Swapping in
 PIL/librosa for the compressed formats is a one-function change — the
@@ -115,6 +117,173 @@ def _decode_bmp(payload: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predictor(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): the neighbor (left a, up b,
+    upper-left c) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) gray uint8 array as an 8-bit
+    PNG using only stdlib zlib/struct. Per-row filter types default to
+    cycling (y + 4) % 5 — Paeth first — so a decoder must implement
+    EVERY unfilter (None/Sub/Up/Average/Paeth) to round-trip even a
+    4-row image; IDAT is deliberately split into two chunks and a tEXt
+    ancillary chunk is planted before them, so a decoder that doesn't
+    genuinely reassemble the IDAT stream or walk chunks breaks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ch = 1 if gray else 3
+    raw = arr.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y] if filters is not None else (y + 4) % 5
+        row = raw[y]
+        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (left + prev) // 2
+        elif f == 4:  # Paeth
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            pred = np.fromiter(
+                (
+                    _paeth_predictor(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, ul)
+                ),
+                dtype=np.int32,
+                count=stride,
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    comp = zlib.compress(bytes(out), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    mid = max(1, len(comp) // 2)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00spark-graft")
+        + chunk(b"IDAT", comp[:mid])
+        + chunk(b"IDAT", comp[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes):
+    """Real PNG decode with stdlib zlib only: CRC-checked chunk walk,
+    multi-IDAT reassembly, inflate, and per-row unfilter of all five
+    filter types (None/Sub/Up/Average/Paeth) for 8-bit grayscale
+    (color type 0) and RGB (color type 2). Palette/alpha/16-bit/
+    interlaced variants stay honest NotImplementedError slots."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    w = h = color = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp_m, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp_m != 0 or filt_m != 0:
+                raise ValueError("invalid IHDR compression/filter method")
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced gray/RGB PNG is decoded here "
+                    f"(depth={depth}, color_type={color}, interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up: no left-dependency, vectorizes
+            cur = (line + prev) % 256
+        elif f in (1, 3, 4):
+            # Sub/Average/Paeth depend on the RECONSTRUCTED left pixel,
+            # so the scan is inherently sequential along x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth_predictor(a, b, c)
+                cur[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f} in row {y}")
+        out[y] = cur
+        prev = cur
+    arr = out.astype(np.uint8)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
 def _decode_pnm(payload: bytes):
     """Binary PPM (P6) / PGM (P5): ASCII header tokens (with # comments),
     single whitespace byte, then raw samples."""
@@ -145,20 +314,24 @@ def _decode_pnm(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """Decode an uncompressed raster payload to a numpy uint8 array —
-    (h, w, 3) RGB for BMP/PPM, (h, w) for PGM.
+    """Decode a raster payload to a numpy uint8 array — (h, w, 3) RGB
+    for BMP/PPM/PNG-RGB, (h, w) for PGM/PNG-gray.
 
     Real formats, really decoded (header parse, BGR swap, bottom-up row
-    flip, stride padding — all the places a cargo-cult decoder goes
-    wrong), no codec libraries needed. Compressed formats stay an honest
-    NotImplementedError until PIL/opencv exists in the environment."""
+    flip, stride padding, zlib inflate + the five PNG unfilters — all
+    the places a cargo-cult decoder goes wrong), no codec libraries
+    needed: PNG rides stdlib zlib. JPEG (and PNG's palette/alpha/16-bit/
+    interlaced variants) stay honest NotImplementedError slots until
+    PIL/opencv exists in the environment."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP/PPM/PGM are decoded natively; JPEG/PNG "
-        "require PIL/opencv — not available in this environment"
+        "only BMP/PPM/PGM/PNG(8-bit gray/RGB) are decoded natively; JPEG "
+        "requires PIL/opencv — not available in this environment"
     )
 
 
@@ -345,9 +518,9 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> DataFrame:
-    """Encode each payload's bytes as real BMP and PPM images (pixels =
-    payload cycled to width*height*3), decode them back through
-    ``decode_image``, and emit stats OF THE DECODED ARRAY.
+    """Encode each payload's bytes as real BMP, PNG, and PPM images
+    (pixels = payload cycled to width*height*3), decode them back
+    through ``decode_image``, and emit stats OF THE DECODED ARRAY.
 
     The stats are chosen so encoder/decoder bugs cannot cancel out when
     checked against a payload-derived oracle: ``pix_md5`` is the decoded
@@ -355,7 +528,10 @@ def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> Dat
     DIRECTION (a missed bottom-up flip on both sides round-trips the md5
     but swaps row 0 with row h-1), and the per-channel sums pin the
     BGR→RGB swap. width=5 keeps the BMP stride unaligned (15-byte rows,
-    1 pad byte) so the padding path is always exercised.
+    1 pad byte) so the padding path is always exercised, and the PNG
+    encoder's default per-row filter cycle (Paeth first) means all four
+    rows take a DIFFERENT filter type — the inflate + unfilter path is
+    exercised on every blob, not just in unit tests.
 
     100 TB: partition-local mapInPandas, Arrow-batched, no shuffle —
     identical dataflow to a PIL-backed kernel."""
@@ -373,7 +549,11 @@ def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> Dat
                 if src.size == 0:
                     continue
                 px = np.resize(src, n_px).reshape(height, width, 3)
-                for fmt, enc in (("bmp", encode_bmp), ("ppm", encode_ppm)):
+                for fmt, enc in (
+                    ("bmp", encode_bmp),
+                    ("png", encode_png),
+                    ("ppm", encode_ppm),
+                ):
                     dec = decode_image(enc(px))
                     out["media_id"].append(int(mid))
                     out["fmt"].append(fmt)

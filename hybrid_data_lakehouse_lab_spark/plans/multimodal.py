@@ -157,18 +157,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.g_sum AS BIGINT) AS g_sum,
            CAST(s.b_sum AS BIGINT) AS b_sum
     FROM d JOIN stats s USING (doc_id),
-         (VALUES ('bmp'), ('ppm')) AS f(fmt)
+         (VALUES ('bmp'), ('png'), ('ppm')) AS f(fmt)
     """,
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-verified end-to-end: each document's
     bytes (cycled to a 5x4 RGB raster) are encoded as an actual 24-bit
-    BMP and a binary PPM, decoded back through ``decode_image``'s
-    pure-numpy header/stride/BGR/bottom-up parsing, and the DECODED
-    array's stats are compared against DuckDB's independent derivation
-    from the text construction. The oracle never sees the image bytes,
-    so an encoder bug cannot cancel a decoder bug: md5 pins content,
-    row0_sum pins row direction, channel sums pin the BGR swap.
+    BMP, an 8-bit PNG (stdlib-zlib deflate, per-row filter cycle over
+    all five types), and a binary PPM, decoded back through
+    ``decode_image``'s pure-numpy header/stride/BGR/bottom-up/unfilter
+    parsing, and the DECODED array's stats are compared against DuckDB's
+    independent derivation from the text construction. The oracle never
+    sees the image bytes, so an encoder bug cannot cancel a decoder bug:
+    md5 pins content, row0_sum pins row direction, channel sums pin the
+    BGR swap, and the PNG lane additionally pins the inflate + unfilter
+    reconstruction.
 
     100 TB: partition-local mapInPandas over Arrow batches — the same
     no-shuffle dataflow as the other media kernels; decode cost is
