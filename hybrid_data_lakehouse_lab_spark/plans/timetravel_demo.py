@@ -70,6 +70,70 @@ def timetravel_versions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_export_demo",
+    oracle=f"""
+    SELECT 0 AS delta_version, event_type, count(*) AS n
+    FROM events WHERE ts < TIMESTAMP '{_CUT}' GROUP BY 2
+    UNION ALL
+    SELECT 1 AS delta_version, event_type, count(*) AS n
+    FROM events GROUP BY 2
+    """,
+)
+def delta_log_export_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log interop round-trip, driver-visible: two
+    snapshot commits, `export_delta_log` emits the open-spec
+    `_delta_log/` (protocol/metaData/add/remove/commitInfo ndjson), the
+    lane REPLAYS that log per the Delta spec (add wins by path, remove
+    deletes) to resolve each Delta version's live file set, and reads
+    those files back — never consulting the SnapshotTable manifest for
+    resolution. A hash match therefore proves an external Delta reader
+    applying PROTOCOL.md reconciliation to the exported log would see
+    exactly the committed data at every version (the reference's
+    lakehouse-format interop, README.MD:308-313, without format jars).
+
+    Output is |event types| × 2 rows regardless of scale; the heavy ops
+    (snapshot writes, parquet read of the replayed file sets) run
+    distributed."""
+    import json
+
+    from ..operators.delta_log import export_delta_log
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="delta_log_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev.filter(F.col("ts") < F.lit(_CUT).cast("timestamp")),
+                committed_at_ms=1)
+        t.write(ev, committed_at_ms=2)
+        log_dir = export_delta_log(t)
+        live: dict[str, str] = {}
+        rows = []
+        for v, fname in enumerate(sorted(os.listdir(log_dir))):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(log_dir, fname)) as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    if "add" in action:
+                        p = action["add"]["path"]
+                        live[p] = os.path.join(t.root, p)
+                    elif "remove" in action:
+                        live.pop(action["remove"]["path"], None)
+            got = (
+                spark.read.parquet(*live.values())
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((v, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "delta_version INT, event_type STRING, n BIGINT"
+    )
+
+
+@register(
     "privacy_forget_demo",
     oracle="""
     SELECT 'before_forget' AS stage,

@@ -1,0 +1,199 @@
+"""Delta transaction-log interop: `export_delta_log` emits a spec-shaped
+`_delta_log/` that an INDEPENDENT replay (spec semantics re-implemented
+here from PROTOCOL.md, importing nothing from the exporter) resolves to
+exactly the file sets SnapshotTable's manifest declares — and whose
+final live set, read back through DuckDB (a genuinely different parquet
+reader), value-matches `SnapshotTable.read()`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+import duckdb
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.operators.delta_log import export_delta_log
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def replay_delta_log(log_dir: str) -> list[dict]:
+    """Independent pure-Python Delta log replay: for each commit file in
+    version order, apply add/remove by path (PROTOCOL.md action
+    reconciliation) and record the table state AFTER that commit."""
+    states = []
+    live: dict[str, dict] = {}
+    protocol = meta = None
+    commits = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".json") and f[0].isdigit()
+    )
+    assert commits, "empty _delta_log"
+    # version numbers must be 0..N contiguous
+    assert [int(c.split(".")[0]) for c in commits] == list(range(len(commits)))
+    for c in commits:
+        commit_info = None
+        with open(os.path.join(log_dir, c)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "commitInfo" in action:
+                    commit_info = action["commitInfo"]
+        assert protocol is not None and meta is not None, (
+            f"commit {c} replayed before protocol/metaData appeared"
+        )
+        states.append(
+            {
+                "version": int(c.split(".")[0]),
+                "files": dict(live),
+                "protocol": dict(protocol),
+                "metaData": dict(meta),
+                "commitInfo": commit_info,
+            }
+        )
+    return states
+
+
+def disk_files(root: str, snap_dir: str) -> set[str]:
+    out = set()
+    for dirpath, _d, filenames in os.walk(snap_dir):
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                out.add(urllib.parse.quote(rel.replace(os.sep, "/"), safe="/=-._"))
+    return out
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(
+        spark.range(5).selectExpr("id", "id * 2 AS v"),
+        committed_at_ms=1000,
+        properties={"checkpoint": "a"},
+    )
+    t.write(spark.range(8).selectExpr("id", "id * 3 AS v"), committed_at_ms=2000)
+    t.write(spark.range(3).selectExpr("id", "id * 5 AS v"), committed_at_ms=3000)
+    return t
+
+
+def test_replay_matches_manifest_version_by_version(table):
+    states = replay_delta_log(export_delta_log(table))
+    snaps = table.snapshots()
+    assert len(states) == 3
+    for st, snap in zip(states, snaps):
+        assert set(st["files"]) == disk_files(table.root, snap.path), (
+            f"delta v{st['version']} != snapshot v{snap.version}"
+        )
+        assert st["commitInfo"]["timestamp"] == snap.committed_at_ms
+    # protocol + metaData shape
+    assert states[0]["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    schema = json.loads(states[-1]["metaData"]["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["id", "v"]
+    # properties ride commitInfo.userMetadata (the checkpoint channel)
+    assert json.loads(states[0]["commitInfo"]["userMetadata"]) == {"checkpoint": "a"}
+    assert "userMetadata" not in (states[1]["commitInfo"] or {})
+
+
+def test_final_live_set_readable_by_duckdb(table):
+    states = replay_delta_log(export_delta_log(table))
+    paths = [
+        os.path.join(table.root, urllib.parse.unquote(p)) for p in states[-1]["files"]
+    ]
+    got = duckdb.connect().execute(
+        "SELECT id, v FROM read_parquet(?) ORDER BY id", [paths]
+    ).fetchall()
+    want = [
+        (r["id"], r["v"])
+        for r in table.read().orderBy("id").collect()
+    ]
+    assert got == want
+
+
+def test_full_rewrite_emits_removes(table):
+    states = replay_delta_log(export_delta_log(table))
+    with open(os.path.join(table.root, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh]
+    removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    assert removed == set(states[0]["files"]), "v1 must remove ALL of v0's files"
+
+
+def test_partitioned_table_partition_values(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ptbl"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")], "id long, dt string"
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    states = replay_delta_log(export_delta_log(t))
+    assert states[0]["metaData"]["partitionColumns"] == ["dt"]
+    vals = {f["partitionValues"]["dt"] for f in states[0]["files"].values()}
+    assert vals == {"2024-01-01", "2024-01-02"}
+    for path, f in states[0]["files"].items():
+        assert f"dt={f['partitionValues']['dt']}" in path
+
+
+def test_wap_branch_invisible_until_published(spark, tmp_path):
+    """A write-audit-publish staging write must NOT appear in main's
+    Delta log; after fast_forward it appears as the NEXT linear commit."""
+    t = SnapshotTable(spark, str(tmp_path / "wap"))
+    t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.create_branch("audit", at_ms=1500)
+    staged = t.write(
+        spark.range(9).selectExpr("id", "id AS v"),
+        branch="audit",
+        committed_at_ms=2000,
+    )
+    states = replay_delta_log(export_delta_log(t))
+    assert len(states) == 1  # staged write invisible on main
+    staged_files = disk_files(t.root, staged.path)
+    assert not (set(states[0]["files"]) & staged_files)
+
+    t.fast_forward("main", "audit", at_ms=3000)
+    states = replay_delta_log(export_delta_log(t))
+    assert len(states) == 2
+    assert set(states[1]["files"]) == staged_files
+    assert states[1]["commitInfo"]["timestamp"] == 3000
+
+
+def test_rollback_becomes_a_restore_commit(spark, tmp_path):
+    """A backward pointer move (rollback) re-adds the old files as a NEW
+    linear commit — Delta RESTORE semantics, no log rewriting."""
+    t = SnapshotTable(spark, str(tmp_path / "rb"))
+    s1 = t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.create_branch("pin_v1", at_ms=1100)
+    t.write(spark.range(7).selectExpr("id", "id AS v"), committed_at_ms=2000)
+    t.fast_forward("main", "pin_v1", at_ms=3000)  # rollback main to v1
+    states = replay_delta_log(export_delta_log(t))
+    assert len(states) == 3
+    v1_files = disk_files(t.root, s1.path)
+    assert set(states[0]["files"]) == v1_files
+    assert set(states[2]["files"]) == v1_files  # restored
+    assert set(states[1]["files"]) != v1_files
+
+
+def test_export_is_idempotent_and_extendable(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "idem"))
+    t.write(spark.range(3).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    d1 = export_delta_log(t)
+
+    def read_all(d):
+        return {
+            f: open(os.path.join(d, f)).read()
+            for f in os.listdir(d)
+            if f.endswith(".json")
+        }
+
+    first = read_all(d1)
+    assert read_all(export_delta_log(t)) == first  # byte-stable re-export
+    t.write(spark.range(6).selectExpr("id", "id AS v"), committed_at_ms=2000)
+    extended = read_all(export_delta_log(t))
+    assert set(extended) == set(first) | {f"{1:020d}.json"}
+    assert extended[f"{0:020d}.json"] == first[f"{0:020d}.json"]
