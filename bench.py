@@ -167,6 +167,38 @@ def main() -> None:
             break
         ingest = max(ingest, rate)
 
+    # Standing scale gate: one timed sweep of the same headline set over
+    # a 10×-replicated slice (tools/make_scaled_slice.py — FK-preserving
+    # key shifts, duplicate-class documents), so the wall-clock-vs-data
+    # scaling trend (3.2× wall for 10× data in round 5) is RECORDED per
+    # round instead of re-derived by hand. Single sweep by design: the
+    # JVM and codegen are already hot from the sf0.1 sweeps of the very
+    # same plans, and the gate tracks a ratio where ±10% noise is fine.
+    # Opt out with SPARK_GRAFT_SKIP_SF1R=1 (local iteration); only runs
+    # for the default sf0.1 corpus.
+    sf1r_total = None
+    sf1r_queries: dict[str, float] = {}
+    if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1R"):
+        import shutil
+        import tempfile
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from make_scaled_slice import build
+
+        root = tempfile.mkdtemp(prefix="sf1r_gate_")
+        slice_dir = os.path.join(root, "slice")
+        try:
+            build(sf_dir, slice_dir, 10)
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, slice_dir))
+                sf1r_queries[name] = round(time.perf_counter() - t0, 3)
+            sf1r_total = round(sum(sf1r_queries.values()), 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     headline = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -178,6 +210,9 @@ def main() -> None:
         "ingest": f"best-of-{ingest_runs}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if sf1r_total is not None:
+        # one compact key on the stdout line; per-query detail in the file
+        headline["sf1r_total_sec"] = sf1r_total
     # Full per-query detail goes to a file; stdout carries only the compact
     # headline object as the LAST line. The driver captures a bounded tail
     # of stdout — round 2's single giant line (warm + cold dicts) overflowed
@@ -187,7 +222,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**headline, "queries_cold": cold}, f, indent=1)
+        json.dump(
+            {**headline, "queries_cold": cold, "queries_sf1r": sf1r_queries}, f,
+            indent=1,
+        )
     sys.stdout.flush()
     # Compact separators keep the line ~1.2 KB — well inside the driver's
     # 2000-char stdout tail even as per-query digits grow at larger SF.
