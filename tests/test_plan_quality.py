@@ -82,6 +82,11 @@ _INTENDED_BNLJ = {
     "similarity_pq_refine_sensitivity",
     # 1-row scale-aware-shortlist broadcast over the ADC ranking
     "similarity_pq_rerank_topk",
+    # per-budget 1-row recall scalars cross-joined into each 1-row
+    # output row, plus the broadcast-query ground-truth scan (as
+    # similarity_pq_recall_audit) — all build sides ≤ 1 row by
+    # construction
+    "similarity_pq_code_budget_audit",
     # two 1-row scalar broadcasts (token total, temperature normalizer)
     # over the |sources|-row relation (as corpus_domain_mix_weights)
     "corpus_domain_mix_temperature",
