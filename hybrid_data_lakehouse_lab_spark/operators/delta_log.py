@@ -160,3 +160,98 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
         os.replace(tmp, os.path.join(log_dir, f"{i:020d}.json"))
         prev_files, prev_schema = files, schema_str
     return log_dir
+
+
+def replay_delta_log(log_dir: str, version: int | None = None) -> dict:
+    """Replay a `_delta_log/` per PROTOCOL.md action reconciliation up
+    to `version` (0-based; None = latest): add wins by path, remove
+    deletes by path. Returns {"version", "files": {path: add_action},
+    "metaData", "protocol"}. Works on ANY spec-conforming log, not just
+    ones this module exported."""
+    commits = sorted(
+        f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    if not commits:
+        raise FileNotFoundError(f"no commit files in {log_dir}")
+    live: dict[str, dict] = {}
+    meta = protocol = None
+    last = -1
+    for c in commits:
+        v = int(c.split(".")[0])
+        if version is not None and v > version:
+            break
+        with open(os.path.join(log_dir, c)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+        last = v
+    if version is not None and last != version:
+        raise ValueError(f"version {version} not found in {log_dir} (last={last})")
+    return {"version": last, "files": live, "metaData": meta, "protocol": protocol}
+
+
+def read_delta_table(spark, root: str, version: int | None = None):
+    """Read a Delta table (ours or an external writer's) at `version`
+    (0-based, None = latest) with plain Spark parquet reads — the
+    consumer half of the interop story, no delta-spark jar needed.
+
+    Scope (honest slots, same contract as the media decoders): basic
+    protocol only — minReaderVersion 1, no deletion vectors / column
+    mapping / reader table features. Partition column VALUES come from
+    the log's add actions (the Delta rule — paths are opaque), cast to
+    the schemaString's declared types and attached as literals per
+    partition group; data files are read with the non-partition schema
+    so a file that physically contains the partition column (as
+    SnapshotTable's exports do) still reads consistently.
+
+    100 TB: the log replay is driver-side metadata work (KB-scale JSON);
+    the data read is an ordinary pruned parquet scan per partition
+    group, distributed as usual."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    state = replay_delta_log(os.path.join(root, "_delta_log"), version)
+    protocol = state["protocol"] or {}
+    if protocol.get("minReaderVersion", 1) > 1 or protocol.get("readerFeatures"):
+        raise NotImplementedError(
+            f"only basic Delta protocol (minReaderVersion 1) is supported "
+            f"here, got {protocol}"
+        )
+    meta = state["metaData"]
+    if meta is None:
+        raise ValueError(f"{root}: log has no metaData action")
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
+    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+    by_part: dict[tuple, list[str]] = {}
+    for path, add in state["files"].items():
+        key = tuple(
+            (add.get("partitionValues") or {}).get(c) for c in pcols
+        )
+        by_part.setdefault(key, []).append(
+            os.path.join(root, urllib.parse.unquote(path))
+        )
+    if not by_part:
+        return spark.createDataFrame([], schema)
+    out = None
+    for key, paths in sorted(by_part.items(), key=str):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, v in zip(pcols, key):
+            typ = schema[c].dataType
+            df = df.withColumn(
+                c, F.lit(v).cast(typ) if v is not None else F.lit(None).cast(typ)
+            )
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -82,21 +82,20 @@ def timetravel_versions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def delta_log_export_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta transaction-log interop round-trip, driver-visible: two
     snapshot commits, `export_delta_log` emits the open-spec
-    `_delta_log/` (protocol/metaData/add/remove/commitInfo ndjson), the
-    lane REPLAYS that log per the Delta spec (add wins by path, remove
-    deletes) to resolve each Delta version's live file set, and reads
-    those files back — never consulting the SnapshotTable manifest for
-    resolution. A hash match therefore proves an external Delta reader
-    applying PROTOCOL.md reconciliation to the exported log would see
-    exactly the committed data at every version (the reference's
-    lakehouse-format interop, README.MD:308-313, without format jars).
+    `_delta_log/` (protocol/metaData/add/remove/commitInfo ndjson), and
+    `read_delta_table` — the consumer half, which resolves versions by
+    PROTOCOL.md action replay and never consults the SnapshotTable
+    manifest — reads each Delta version back. A hash match therefore
+    proves a Delta reader applying spec reconciliation to the exported
+    log sees exactly the committed data at every version (the
+    reference's lakehouse-format interop, README.MD:308-313, without
+    format jars). An additional from-scratch replay implementation lives
+    in tests/test_delta_log.py so exporter and reader cannot co-drift.
 
     Output is |event types| × 2 rows regardless of scale; the heavy ops
-    (snapshot writes, parquet read of the replayed file sets) run
+    (snapshot writes, parquet reads of the resolved file sets) run
     distributed."""
-    import json
-
-    from ..operators.delta_log import export_delta_log
+    from ..operators.delta_log import export_delta_log, read_delta_table
 
     ev = load_table(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="delta_log_demo_")
@@ -105,22 +104,11 @@ def delta_log_export_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.write(ev.filter(F.col("ts") < F.lit(_CUT).cast("timestamp")),
                 committed_at_ms=1)
         t.write(ev, committed_at_ms=2)
-        log_dir = export_delta_log(t)
-        live: dict[str, str] = {}
+        export_delta_log(t)
         rows = []
-        for v, fname in enumerate(sorted(os.listdir(log_dir))):
-            if not fname.endswith(".json"):
-                continue
-            with open(os.path.join(log_dir, fname)) as fh:
-                for line in fh:
-                    action = json.loads(line)
-                    if "add" in action:
-                        p = action["add"]["path"]
-                        live[p] = os.path.join(t.root, p)
-                    elif "remove" in action:
-                        live.pop(action["remove"]["path"], None)
+        for v in (0, 1):
             got = (
-                spark.read.parquet(*live.values())
+                read_delta_table(spark, t.root, version=v)
                 .groupBy("event_type")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()

@@ -179,6 +179,88 @@ def test_rollback_becomes_a_restore_commit(spark, tmp_path):
     assert set(states[1]["files"]) != v1_files
 
 
+def test_reader_matches_snapshot_reads_at_every_version(table, spark):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    export_delta_log(table)
+    for dv, snap in zip(range(3), table.snapshots()):
+        got = sorted(
+            (r["id"], r["v"])
+            for r in read_delta_table(spark, table.root, version=dv).collect()
+        )
+        want = sorted(
+            (r["id"], r["v"]) for r in table.read(version=snap.version).collect()
+        )
+        assert got == want, f"delta v{dv} != snapshot v{snap.version}"
+    # latest (version=None) == head
+    got = sorted(r["id"] for r in read_delta_table(spark, table.root).collect())
+    want = sorted(r["id"] for r in table.read().collect())
+    assert got == want
+
+
+def test_reader_partitioned_values_from_log(spark, tmp_path):
+    """Partition column values must come from the LOG's add actions (the
+    Delta rule — paths are opaque), cast to the declared schema type,
+    and the reader must agree with SnapshotTable.read() — including the
+    hive-layout type inference both share (a date-like string partition
+    value reads back as DATE through either path)."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "prd"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")], "id long, dt string"
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    export_delta_log(t)
+    got = read_delta_table(spark, t.root)
+    snap = t.read()
+    assert got.schema == snap.schema  # incl. the inferred dt: date
+    assert sorted((r["id"], str(r["dt"])) for r in got.collect()) == sorted(
+        (r["id"], str(r["dt"])) for r in snap.collect()
+    ) == [
+        (1, "2024-01-01"),
+        (2, "2024-01-01"),
+        (3, "2024-01-02"),
+    ]
+
+
+def test_reader_rejects_advanced_protocol(table, spark, tmp_path):
+    import shutil as _sh
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    export_delta_log(table)
+    root = str(tmp_path / "adv")
+    _sh.copytree(table.root, root)
+    p0 = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    lines = open(p0).read().splitlines()
+    out = []
+    for line in lines:
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 3, "minWriterVersion": 7}
+        out.append(json.dumps(a))
+    open(p0, "w").write("\n".join(out) + "\n")
+    with pytest.raises(NotImplementedError, match="minReaderVersion"):
+        read_delta_table(spark, root)
+
+
+def test_reader_missing_version_rejected(table, spark):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    export_delta_log(table)
+    with pytest.raises(ValueError, match="version 9"):
+        read_delta_table(spark, table.root, version=9)
+
+
 def test_export_is_idempotent_and_extendable(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "idem"))
     t.write(spark.range(3).selectExpr("id", "id AS v"), committed_at_ms=1000)
