@@ -162,27 +162,106 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
     return log_dir
 
 
+def _load_last_checkpoint(log_dir: str) -> dict | None:
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _checkpoint_paths(log_dir: str, cp: dict) -> list[str]:
+    """Resolve the parquet file(s) of a `_last_checkpoint` pointer:
+    single-file `{v}.checkpoint.parquet` or multi-part
+    `{v}.checkpoint.{i}.{n}.parquet` per the spec's checkpoint naming."""
+    v = cp["version"]
+    parts = cp.get("parts")
+    if parts:
+        names = [
+            f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            for i in range(1, parts + 1)
+        ]
+    else:
+        names = [f"{v:020d}.checkpoint.parquet"]
+    paths = [os.path.join(log_dir, n) for n in names]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"_last_checkpoint points at version {v} but checkpoint file(s) "
+            f"missing: {[os.path.basename(p) for p in missing]}"
+        )
+    return paths
+
+
+def _read_checkpoint(log_dir: str, cp: dict) -> tuple[dict, dict | None, dict | None]:
+    """Load checkpoint parquet rows back into replay state
+    (live add-actions by path, metaData, protocol). Arrow returns map
+    columns as key/value tuple lists — normalize them back to dicts."""
+    import pyarrow.parquet as pq
+
+    def _demap(v):
+        return dict(v) if isinstance(v, list) else v
+
+    live: dict[str, dict] = {}
+    meta = protocol = None
+    for path in _checkpoint_paths(log_dir, cp):
+        for row in pq.read_table(path).to_pylist():
+            if row.get("add"):
+                add = dict(row["add"])
+                add["partitionValues"] = _demap(add.get("partitionValues")) or {}
+                live[add["path"]] = add
+            elif row.get("metaData"):
+                meta = dict(row["metaData"])
+                meta["configuration"] = _demap(meta.get("configuration")) or {}
+            elif row.get("protocol"):
+                protocol = dict(row["protocol"])
+    return live, meta, protocol
+
+
 def replay_delta_log(log_dir: str, version: int | None = None) -> dict:
     """Replay a `_delta_log/` per PROTOCOL.md action reconciliation up
     to `version` (0-based; None = latest): add wins by path, remove
     deletes by path. Returns {"version", "files": {path: add_action},
     "metaData", "protocol"}. Works on ANY spec-conforming log, not just
-    ones this module exported."""
-    commits = sorted(
-        f
+    ones this module exported.
+
+    If a `_last_checkpoint` exists and the requested version is at or
+    past it, replay starts FROM the checkpoint parquet and only the JSON
+    commits after it are parsed — the spec's long-history fast path, and
+    the only correct path once `clean_log_commits` has removed the early
+    JSON files. Versions before the checkpoint remain readable only
+    while their JSON commits survive."""
+    commit_files = {
+        int(f.split(".")[0]): f
         for f in os.listdir(log_dir)
         if f.endswith(".json") and f.split(".")[0].isdigit()
-    )
-    if not commits:
-        raise FileNotFoundError(f"no commit files in {log_dir}")
+    }
+    cp = _load_last_checkpoint(log_dir)
     live: dict[str, dict] = {}
     meta = protocol = None
     last = -1
-    for c in commits:
-        v = int(c.split(".")[0])
+    if cp is not None and (version is None or version >= cp["version"]):
+        live, meta, protocol = _read_checkpoint(log_dir, cp)
+        last = cp["version"]
+    elif not commit_files:
+        raise FileNotFoundError(f"no commit files in {log_dir}")
+    elif min(commit_files) > 0:
+        raise FileNotFoundError(
+            f"version {version} predates the checkpoint and commits "
+            f"0..{min(commit_files) - 1} have been cleaned from {log_dir}; "
+            f"earliest replayable version is {min(commit_files)}"
+        )
+    for v in sorted(commit_files):
+        if v <= last:
+            continue
         if version is not None and v > version:
             break
-        with open(os.path.join(log_dir, c)) as fh:
+        if v != last + 1:
+            raise ValueError(
+                f"non-contiguous log in {log_dir}: expected commit "
+                f"{last + 1:020d}.json, found {v:020d}.json"
+            )
+        with open(os.path.join(log_dir, commit_files[v])) as fh:
             for line in fh:
                 if not line.strip():
                     continue
@@ -196,9 +275,158 @@ def replay_delta_log(log_dir: str, version: int | None = None) -> dict:
                 elif "protocol" in action:
                     protocol = action["protocol"]
         last = v
+    if last < 0:
+        raise FileNotFoundError(f"no commit files in {log_dir}")
     if version is not None and last != version:
         raise ValueError(f"version {version} not found in {log_dir} (last={last})")
     return {"version": last, "files": live, "metaData": meta, "protocol": protocol}
+
+
+def write_checkpoint(
+    log_dir: str, version: int | None = None, parts: int | None = None
+) -> list[str]:
+    """Materialize the replayed state at `version` (None = latest) as a
+    spec-shaped parquet checkpoint and point `_last_checkpoint` at it —
+    the Delta answer to million-commit logs: a reader seeds from one
+    columnar snapshot of the live add-set instead of parsing every JSON
+    action since version 0.
+
+    One row per action (protocol, metaData, then adds sorted by path;
+    remove tombstones are omitted — this engine's readers never need
+    them and the spec allows expired tombstones to be dropped). With
+    `parts` = N the rows split across N files under the multi-part
+    naming `{v}.checkpoint.{i}.{n}.parquet`, the spec's shape for
+    tables whose live-file count outgrows one writer/reader — at 100 TB
+    (~1M files) checkpoint size tracks file COUNT, not data size, so a
+    driver-side columnar write remains the right tool (delta-rs does the
+    same); parts bound the per-file row count for parallel consumers.
+
+    `_last_checkpoint` is swapped in atomically (tmp + rename) so a
+    concurrent reader sees either the old pointer or the new one, never
+    a partial file. Returns the checkpoint parquet path(s)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = replay_delta_log(log_dir, version)
+    v = state["version"]
+    protocol = state["protocol"] or PROTOCOL
+    meta = state["metaData"]
+    if meta is None:
+        raise ValueError(f"{log_dir}: cannot checkpoint a log with no metaData")
+
+    kv = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", kv),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", kv),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": protocol.get("minReaderVersion", 1),
+                "minWriterVersion": protocol.get("minWriterVersion", 2),
+            }
+        },
+        {
+            "metaData": {
+                "id": meta.get("id"),
+                "format": {"provider": (meta.get("format") or {}).get("provider", "parquet")},
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": meta.get("partitionColumns", []),
+                "configuration": meta.get("configuration") or {},
+                "createdTime": meta.get("createdTime"),
+            }
+        },
+    ]
+    for path in sorted(state["files"]):
+        add = state["files"][path]
+        rows.append(
+            {
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": add.get("partitionValues") or {},
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": bool(add.get("dataChange", True)),
+                }
+            }
+        )
+
+    n = max(1, parts or 1)
+    if parts:
+        names = [
+            f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet" for i in range(1, n + 1)
+        ]
+        chunks = [rows[i::n] for i in range(n)]
+    else:
+        names = [f"{v:020d}.checkpoint.parquet"]
+        chunks = [rows]
+    out = []
+    for name, chunk in zip(names, chunks):
+        tbl = pa.Table.from_pylist(chunk, schema=schema)
+        target = os.path.join(log_dir, name)
+        pq.write_table(tbl, target)
+        out.append(target)
+    pointer = {"version": v, "size": len(rows)}
+    if parts:
+        pointer["parts"] = n
+    tmp = os.path.join(log_dir, "._last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(pointer, fh)
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return out
+
+
+def clean_log_commits(log_dir: str) -> list[int]:
+    """Delete JSON commit files at or before the `_last_checkpoint`
+    version — Delta's metadata retention step, safe because any version
+    ≥ the checkpoint replays from the checkpoint alone. Versions BEFORE
+    the checkpoint stop being replayable (time travel horizon moves up);
+    callers wanting history keep a longer retention, same trade as
+    `vacuum_snapshots` on the data side. Returns the removed versions;
+    raises if no checkpoint exists (cleaning without one would orphan
+    the table)."""
+    cp = _load_last_checkpoint(log_dir)
+    if cp is None:
+        raise ValueError(f"{log_dir}: refusing to clean commits without a checkpoint")
+    removed = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json") and f.split(".")[0].isdigit():
+            v = int(f.split(".")[0])
+            if v <= cp["version"]:
+                os.remove(os.path.join(log_dir, f))
+                removed.append(v)
+    return removed
 
 
 def read_delta_table(spark, root: str, version: int | None = None):
@@ -214,10 +442,11 @@ def read_delta_table(spark, root: str, version: int | None = None):
     non-partition schema so a file that physically contains the
     partition column still reads consistently.
 
-    100 TB plan shape: the log replay is driver-side metadata work (a
-    production log would additionally need parquet checkpoint support —
-    `_last_checkpoint` — to avoid replaying millions of JSON actions;
-    honest gap, the JSON-commit path here is the spec's base case). The
+    100 TB plan shape: the log replay is driver-side metadata work, and
+    for long histories it seeds from the parquet checkpoint
+    (`_last_checkpoint` + `write_checkpoint`) instead of replaying every
+    JSON action since version 0 — only the commits after the checkpoint
+    parse as JSON. The
     data read is ONE parquet scan over all live files; partition values
     attach via a BROADCAST file→values join on the normalized
     input_file_name — never a per-partition union, whose plan size would

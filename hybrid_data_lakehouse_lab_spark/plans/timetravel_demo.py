@@ -121,6 +121,68 @@ def delta_log_export_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUT2 = "2024-02-01 00:00:00"
+
+
+@register(
+    "delta_checkpoint_roundtrip",
+    oracle=f"""
+    SELECT 1 AS delta_version, event_type, count(*) AS n
+    FROM events WHERE ts < TIMESTAMP '{_CUT2}' GROUP BY 2
+    UNION ALL
+    SELECT 2 AS delta_version, event_type, count(*) AS n
+    FROM events GROUP BY 2
+    """,
+)
+def delta_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta parquet-checkpoint round-trip, driver-visible: three
+    snapshot commits, export the log, `write_checkpoint` at version 1,
+    then `clean_log_commits` DELETES the JSON commits 0–1 — so the
+    subsequent reads can only succeed by seeding from the checkpoint
+    parquet (version 1 from the checkpoint alone; version 2 = checkpoint
+    + the JSON tail). A hash match therefore proves the long-history
+    fast path (`_last_checkpoint`, the spec's answer to million-commit
+    logs) reconstructs exactly the committed data, not just that replay
+    still works when every JSON action survives.
+
+    Output is |event types| × 2 rows regardless of scale; checkpoint
+    size tracks live-FILE count, not data size."""
+    from ..operators.delta_log import (
+        clean_log_commits,
+        export_delta_log,
+        read_delta_table,
+        write_checkpoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="delta_cp_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev.filter(F.col("ts") < F.lit(_CUT).cast("timestamp")),
+                committed_at_ms=1)
+        t.write(ev.filter(F.col("ts") < F.lit(_CUT2).cast("timestamp")),
+                committed_at_ms=2)
+        t.write(ev, committed_at_ms=3)
+        log_dir = export_delta_log(t)
+        write_checkpoint(log_dir, version=1)
+        removed = clean_log_commits(log_dir)
+        assert removed == [0, 1], removed
+        rows = []
+        for v in (1, 2):
+            got = (
+                read_delta_table(spark, t.root, version=v)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((v, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "delta_version INT, event_type STRING, n BIGINT"
+    )
+
+
 @register(
     "privacy_forget_demo",
     oracle="""

@@ -279,3 +279,145 @@ def test_export_is_idempotent_and_extendable(spark, tmp_path):
     extended = read_all(export_delta_log(t))
     assert set(extended) == set(first) | {f"{1:020d}.json"}
     assert extended[f"{0:020d}.json"] == first[f"{0:020d}.json"]
+
+
+# ---------------------------------------------------------------------------
+# Parquet checkpoints (`_last_checkpoint`) — the long-history fast path
+# ---------------------------------------------------------------------------
+
+
+def _live_ids(spark, root, version=None):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import read_delta_table
+
+    return sorted(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root, version).collect()
+    )
+
+
+def test_checkpoint_state_equals_json_replay(table):
+    """The checkpoint parquet, read back INDEPENDENTLY with pyarrow here
+    (not through the module's own loader), must hold exactly the live
+    add-set + metaData + protocol that a full JSON replay produces."""
+    import pyarrow.parquet as pq
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import write_checkpoint
+
+    log_dir = export_delta_log(table)
+    json_states = replay_delta_log(log_dir)  # this file's from-scratch replay
+    (cp_path,) = write_checkpoint(log_dir)
+    assert os.path.basename(cp_path) == f"{2:020d}.checkpoint.parquet"
+
+    live = {}
+    meta = protocol = None
+    for row in pq.read_table(cp_path).to_pylist():
+        if row.get("add"):
+            live[row["add"]["path"]] = row["add"]
+        elif row.get("metaData"):
+            meta = row["metaData"]
+        elif row.get("protocol"):
+            protocol = row["protocol"]
+    final = json_states[-1]
+    assert set(live) == set(final["files"])
+    for p, add in live.items():
+        assert add["size"] == final["files"][p]["size"]
+    assert meta["schemaString"] == final["metaData"]["schemaString"]
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # _last_checkpoint pointer shape
+    ptr = json.loads(open(os.path.join(log_dir, "_last_checkpoint")).read())
+    assert ptr == {"version": 2, "size": len(live) + 2}
+
+
+def test_reader_uses_checkpoint_after_clean(table, spark):
+    """Delete every JSON commit ≤ the checkpoint version: the reader
+    must still resolve the checkpointed version (from the checkpoint
+    alone) and any later version (checkpoint + JSON tail) — and must
+    refuse pre-checkpoint versions with a clear horizon error."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        clean_log_commits,
+        write_checkpoint,
+    )
+
+    log_dir = export_delta_log(table)
+    before_v1 = _live_ids(spark, table.root, version=1)
+    before_v2 = _live_ids(spark, table.root, version=2)
+    write_checkpoint(log_dir, version=1)
+    assert clean_log_commits(log_dir) == [0, 1]
+    assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.json"))
+    assert _live_ids(spark, table.root, version=1) == before_v1
+    assert _live_ids(spark, table.root, version=2) == before_v2
+    assert _live_ids(spark, table.root) == before_v2  # latest
+    with pytest.raises(FileNotFoundError, match="cleaned"):
+        _live_ids(spark, table.root, version=0)
+
+
+def test_multipart_checkpoint_roundtrip(table, spark):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        clean_log_commits,
+        write_checkpoint,
+    )
+
+    log_dir = export_delta_log(table)
+    want = _live_ids(spark, table.root)
+    paths = write_checkpoint(log_dir, parts=3)
+    assert [os.path.basename(p) for p in paths] == [
+        f"{2:020d}.checkpoint.{i:010d}.{3:010d}.parquet" for i in (1, 2, 3)
+    ]
+    ptr = json.loads(open(os.path.join(log_dir, "_last_checkpoint")).read())
+    assert ptr["parts"] == 3
+    clean_log_commits(log_dir)
+    assert _live_ids(spark, table.root) == want
+
+
+def test_checkpoint_partitioned_table(spark, tmp_path):
+    """partitionValues survive the parquet map round-trip: a partitioned
+    table read purely from its checkpoint keeps the log-sourced
+    partition column values and types."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        clean_log_commits,
+        read_delta_table,
+        write_checkpoint,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cpp"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")], "id long, dt string"
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    log_dir = export_delta_log(t)
+    snap = t.read()
+    write_checkpoint(log_dir)
+    clean_log_commits(log_dir)
+    got = read_delta_table(spark, t.root)
+    assert got.schema == snap.schema
+    assert sorted((r["id"], str(r["dt"])) for r in got.collect()) == sorted(
+        (r["id"], str(r["dt"])) for r in snap.collect()
+    )
+
+
+def test_checkpoint_then_new_commits(table, spark):
+    """New exports after a checkpoint extend the JSON log; replay seeds
+    from the checkpoint and applies only the tail."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        clean_log_commits,
+        write_checkpoint,
+    )
+
+    log_dir = export_delta_log(table)
+    write_checkpoint(log_dir)
+    clean_log_commits(log_dir)
+    table.write(
+        table.spark.range(4).selectExpr("id", "id * 7 AS v"), committed_at_ms=4000
+    )
+    export_delta_log(table)
+    assert os.path.exists(os.path.join(log_dir, f"{3:020d}.json"))
+    assert _live_ids(spark, table.root) == [(i, i * 7) for i in range(4)]
+    # stale pointer still valid: latest resolves through cp(v2) + json v3
+    assert _live_ids(spark, table.root, version=2) == [(i, i * 5) for i in range(3)]
+
+
+def test_clean_without_checkpoint_refused(table):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import clean_log_commits
+
+    log_dir = export_delta_log(table)
+    with pytest.raises(ValueError, match="refusing"):
+        clean_log_commits(log_dir)
