@@ -103,19 +103,48 @@ def _pq_codebook_update(assigned: DataFrame, subv: DataFrame) -> DataFrame:
 
 
 def _pq_train_distances(
-    spark: SparkSession, sf_dir: str, m_sub: int = M_SUB
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = M_SUB,
+    k_codes: int = K_CODES,
+    seed: str = "prefix",
 ) -> DataFrame:
     """Train the PQ codebooks (seed → assign → mean-update) and return
     the final distance relation pqd1 against the refined codebooks.
-    Codes = argmin(pqd1); ADC LUT = pqd1 filtered to query ids."""
+    Codes = argmin(pqd1); ADC LUT = pqd1 filtered to query ids.
+
+    Seeding: ``prefix`` (production default) takes vec_id < k_codes;
+    ``md5`` takes the k_codes vec_ids with the smallest
+    md5(CAST(vec_id AS STRING)) — a deterministic pseudo-random sample
+    identical in both engines, required once k_codes stops being tiny
+    relative to the corpus (a contiguous id-prefix of 256 would be a
+    biased, generator-order-correlated seed set and would swallow the
+    query ids). Scale shape: the md5 pick is orderBy().limit(k) — a
+    per-partition top-k merge (TakeOrderedAndProject), never a global
+    sort — and the k-row result gets its code ids from a window over
+    k rows, then broadcasts."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     subv = _subvectors(e, m_sub)
-    cb0 = subv.filter(F.col("vec_id") < K_CODES).select(
-        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
-    )
+    if seed == "md5":
+        picked = (
+            e.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(k_codes)
+        )
+        codes = picked.withColumn(
+            "code",
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).cast("int"),
+        ).select("vec_id", "code")
+        cb0 = subv.join(F.broadcast(codes), "vec_id").select(
+            "sub", "code", F.col("sv").alias("cv")
+        )
+    else:
+        cb0 = subv.filter(F.col("vec_id") < k_codes).select(
+            "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+        )
     pqa0 = _pq_assign(_pq_distances(subv, cb0))
     # Materialize the trained codebooks (M_SUB×K_CODES rows): every
     # downstream reference to pqd1 otherwise re-runs the whole training
@@ -167,8 +196,32 @@ _PQ_E_SQL = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 # (m_sub=16 → 64-bit codes) with suffixed CTE names beside the default.
 
 
-def _pq_chain_sql(m_sub: int = M_SUB, sfx: str = "") -> str:
+def _pq_chain_sql(
+    m_sub: int = M_SUB,
+    sfx: str = "",
+    k_codes: int = K_CODES,
+    seed: str = "prefix",
+) -> str:
     sub_dim = DIM // m_sub
+    if seed == "md5":
+        cb0 = f"""
+    seeds{sfx} AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
+      FROM (SELECT vec_id FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes})
+    ),
+    cb0{sfx} AS (
+      SELECT s.sub, sd.code, s.spos, s.x AS cx
+      FROM sdims{sfx} s JOIN seeds{sfx} sd ON sd.vec_id = s.vec_id
+    ),"""
+    else:
+        cb0 = f"""
+    cb0{sfx} AS (
+      SELECT sub, CAST(vec_id AS INT) AS code, spos, x AS cx
+      FROM sdims{sfx} WHERE vec_id < {k_codes}
+    ),"""
     return f"""
     sdims{sfx} AS (
       SELECT vec_id,
@@ -176,11 +229,7 @@ def _pq_chain_sql(m_sub: int = M_SUB, sfx: str = "") -> str:
              CAST((t.i - 1) % {sub_dim} AS INT) AS spos,
              v[t.i] AS x
       FROM e, UNNEST(range(1, {DIM + 1})) AS t(i)
-    ),
-    cb0{sfx} AS (
-      SELECT sub, CAST(vec_id AS INT) AS code, spos, x AS cx
-      FROM sdims{sfx} WHERE vec_id < {K_CODES}
-    ),
+    ),{cb0}
     pqd0{sfx} AS (
       SELECT s.vec_id, s.sub, c.code,
              round(sum((s.x - c.cx) * (s.x - c.cx)), 5) AS d
@@ -875,6 +924,23 @@ def similarity_pq_code_budget_audit(spark: SparkSession, sf_dir: str) -> DataFra
     e = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
+    return _budget_rows(
+        spark,
+        sf_dir,
+        [(M_SUB, K_CODES, "prefix"), (BUDGET_M16, K_CODES, "prefix")],
+        key_cols="m_sub INT, code_bits INT",
+        key_of=lambda m, k, _s: (m, m * 4),
+    ).orderBy("m_sub")
+
+
+def _budget_rows(spark, sf_dir, variants, key_cols, key_of) -> DataFrame:
+    """Shared recall machinery of the two code-budget audits: exact
+    top-k ground truth once, then per (m_sub, k_codes, seed) variant the
+    plain-ADC and fixed-floor-rerank recall@TOP_K, labeled by key_of."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -903,8 +969,10 @@ def similarity_pq_code_budget_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     out = None
-    for m_sub in (M_SUB, BUDGET_M16):
-        adist = _pq_adc_distances(_pq_train_distances(spark, sf_dir, m_sub))
+    for m_sub, k_codes, seed in variants:
+        adist = _pq_adc_distances(
+            _pq_train_distances(spark, sf_dir, m_sub, k_codes, seed)
+        )
         wa = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
         ranked = adist.withColumn("arnk", F.row_number().over(wa))
         adc_sel = ranked.filter(F.col("arnk") <= TOP_K).select("query_id", "match_id")
@@ -923,11 +991,91 @@ def similarity_pq_code_budget_audit(spark: SparkSession, sf_dir: str) -> DataFra
             .select("query_id", "match_id")
         )
         row = (
-            spark.createDataFrame(
-                [(m_sub, m_sub * 4)], "m_sub INT, code_bits INT"
-            )
+            spark.createDataFrame([key_of(m_sub, k_codes, seed)], key_cols)
             .crossJoin(recall_of(adc_sel, "adc_recall"))
             .crossJoin(recall_of(rr_sel, "rerank_floor_recall"))
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("m_sub")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Codeword-budget lever (round 6, second axis): the audit above grows the
+# code by adding SUBSPACES (M=16); this one grows it by deepening the
+# CODEBOOKS (K=256 codewords → 8 bits/code), reaching the same 64-bit
+# budget down the other axis of the M×K matrix. K=256 cannot use the
+# production vec_id < K seeding — a 256-id prefix is a generator-order-
+# correlated sample that swallows the query ids and half the smallest
+# corpus — so both variants here seed from the md5-ranked vec_id sample
+# (deterministic, engine-identical, corpus-size-stable in distribution);
+# the K=16 row therefore differs from the code_budget audit's K=16 row
+# only by seeding, which makes the pair ALSO a seeding-sensitivity check.
+# ---------------------------------------------------------------------------
+
+BUDGET_K256 = 256  # deepened codebooks: 8 subspaces × 8 bits
+
+
+def _kbudget_oracle_row(k_codes: int, bits: int, sfx: str) -> str:
+    hit = "s JOIN exact x ON x.query_id = s.query_id AND x.match_id = s.match_id"
+    denom = f"{N_QUERIES * TOP_K}.0"
+    return f"""
+    SELECT CAST({k_codes} AS INT) AS k_codes,
+           CAST({bits} AS INT) AS code_bits,
+           (SELECT round(count(*) / {denom}, 4) FROM adc{sfx}b {hit}) AS adc_recall,
+           (SELECT round(count(*) / {denom}, 4) FROM rr{sfx}b {hit})
+             AS rerank_floor_recall
+"""
+
+
+@register(
+    "similarity_pq_codeword_budget_audit",
+    oracle=f"""
+    WITH {_PQ_E_SQL},
+    {_pq_chain_sql(M_SUB, "ka", K_CODES, "md5")},
+    {_pq_chain_sql(M_SUB, "kb", BUDGET_K256, "md5")},
+    q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT q2.query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q2.query_id
+                 ORDER BY round(list_distance(q2.qv, c.v), 4), c.vec_id) AS rnk
+        FROM q2, e c WHERE c.vec_id <> q2.query_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    {_budget_oracle_block("ka")},
+    {_budget_oracle_block("kb")}
+    {_kbudget_oracle_row(K_CODES, M_SUB * 4, "ka")}
+    UNION ALL
+    {_kbudget_oracle_row(BUDGET_K256, M_SUB * 8, "kb")}
+    ORDER BY k_codes
+    """,
+)
+def similarity_pq_codeword_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codeword-budget sensitivity: recall@{TOP_K} at K={K_CODES} vs
+    K={BUDGET_K256} codewords per subspace (32- vs 64-bit codes at the
+    production M={M_SUB}), both md5-seeded, measured as plain-ADC top-k
+    and exact rerank over a FIXED {SHORTLIST_FLOOR}-deep shortlist.
+    Together with similarity_pq_code_budget_audit (the M axis at fixed
+    K) this completes the M×K lever matrix the SHORTLIST LAW note calls
+    for past its ~N=20M saturation point: two independent ways to spend
+    log-N bits, measured under the same fixed refine cost in both
+    engines before anyone retrains a production index.
+
+    100 TB plan shape: the broadcast codebook grows to M×K = 2048 rows —
+    still trivially broadcastable — and the seed pick is a per-partition
+    top-k merge (orderBy().limit(k)), never a global sort; everything
+    else inherits the PQ bounds (corpus never shuffled at vector width,
+    ≤ {SHORTLIST_FLOOR} full-vector reads per query in the refine).
+
+    Determinism: inherits the 1e-5/1e-6/1e-4 rounding contracts; the
+    seed sample is md5-of-string ranked with vec_id tiebreak, identical
+    in both engines.
+    """
+    return _budget_rows(
+        spark,
+        sf_dir,
+        [(M_SUB, K_CODES, "md5"), (M_SUB, BUDGET_K256, "md5")],
+        key_cols="k_codes INT, code_bits INT",
+        key_of=lambda m, k, _s: (k, m * (4 if k == K_CODES else 8)),
+    ).orderBy("k_codes")

@@ -87,6 +87,8 @@ _INTENDED_BNLJ = {
     # similarity_pq_recall_audit) — all build sides ≤ 1 row by
     # construction
     "similarity_pq_code_budget_audit",
+    # same shape down the K axis (shared _budget_rows machinery)
+    "similarity_pq_codeword_budget_audit",
     # two 1-row scalar broadcasts (token total, temperature normalizer)
     # over the |sources|-row relation (as corpus_domain_mix_weights)
     "corpus_domain_mix_temperature",
