@@ -130,9 +130,14 @@ def _paeth_predictor(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels, filters=None) -> bytes:
+def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) gray uint8 array as an 8-bit
-    PNG using only stdlib zlib/struct. Per-row filter types default to
+    PNG using only stdlib zlib/struct. With ``palette=True`` the (h, w,
+    3) input is palettized instead (color type 3): the unique colors
+    (≤ 256, lexicographically sorted so the palette is deterministic)
+    become the PLTE chunk and the raster stores 1-byte indices — the
+    filter pipeline then runs on the index plane with bpp=1, exactly the
+    spec's indexed-color layout. Per-row filter types default to
     cycling (y + 4) % 5 — Paeth first — so a decoder must implement
     EVERY unfilter (None/Sub/Up/Average/Paeth) to round-trip even a
     4-row image; IDAT is deliberately split into two chunks and a tEXt
@@ -146,8 +151,21 @@ def encode_png(pixels, filters=None) -> bytes:
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    ch = 1 if gray else 3
-    raw = arr.reshape(h, w * ch).astype(np.int32)
+    plte = None
+    if palette:
+        if gray:
+            raise ValueError("palette encoding needs an (h, w, 3) RGB array")
+        colors, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(
+                f"palette PNG holds at most 256 colors, image has {len(colors)}"
+            )
+        plte = colors.astype(np.uint8).tobytes()
+        ch = 1
+        raw = inverse.reshape(h, w).astype(np.int32)
+    else:
+        ch = 1 if gray else 3
+        raw = arr.reshape(h, w * ch).astype(np.int32)
     stride = w * ch
     out = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
@@ -189,11 +207,13 @@ def encode_png(pixels, filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    color_type = 3 if palette else (0 if gray else 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     mid = max(1, len(comp) // 2)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if plte is not None else b"")
         + chunk(b"tEXt", b"Comment\x00spark-graft")
         + chunk(b"IDAT", comp[:mid])
         + chunk(b"IDAT", comp[mid:])
@@ -205,8 +225,11 @@ def _decode_png(payload: bytes):
     """Real PNG decode with stdlib zlib only: CRC-checked chunk walk,
     multi-IDAT reassembly, inflate, and per-row unfilter of all five
     filter types (None/Sub/Up/Average/Paeth) for 8-bit grayscale
-    (color type 0) and RGB (color type 2). Palette/alpha/16-bit/
-    interlaced variants stay honest NotImplementedError slots."""
+    (color type 0), RGB (color type 2), and palette (color type 3 —
+    PLTE lookup after a bpp=1 unfilter of the index plane, out-of-range
+    indices rejected per spec). Alpha/16-bit/interlaced/sub-byte-palette
+    variants (and tRNS palette alpha) stay honest NotImplementedError
+    slots."""
     import struct
     import zlib
 
@@ -216,6 +239,7 @@ def _decode_png(payload: bytes):
         raise ValueError("bad PNG signature")
     pos = 8
     w = h = color = None
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         ln = struct.unpack_from(">I", payload, pos)[0]
@@ -232,11 +256,18 @@ def _decode_png(payload: bytes):
             )
             if comp_m != 0 or filt_m != 0:
                 raise ValueError("invalid IHDR compression/filter method")
-            if depth != 8 or color not in (0, 2) or interlace != 0:
+            if depth != 8 or color not in (0, 2, 3) or interlace != 0:
                 raise NotImplementedError(
-                    f"only 8-bit non-interlaced gray/RGB PNG is decoded here "
-                    f"(depth={depth}, color_type={color}, interlace={interlace})"
+                    f"only 8-bit non-interlaced gray/RGB/palette PNG is decoded "
+                    f"here (depth={depth}, color_type={color}, "
+                    f"interlace={interlace})"
                 )
+        elif typ == b"PLTE":
+            if ln % 3 != 0 or not 3 <= ln <= 256 * 3:
+                raise ValueError(f"invalid PLTE length {ln}")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            raise NotImplementedError("tRNS (palette alpha) is not decoded here")
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -245,8 +276,10 @@ def _decode_png(payload: bytes):
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    ch = 1 if color == 0 else 3
+    ch = 3 if color == 2 else 1
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data size mismatch")
@@ -281,6 +314,14 @@ def _decode_png(payload: bytes):
         out[y] = cur
         prev = cur
     arr = out.astype(np.uint8)
+    if color == 3:
+        idx = arr.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(palette has {len(plte)} entries)"
+            )
+        return plte[idx]
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
 
 
@@ -318,11 +359,12 @@ def decode_image(payload: bytes):
     for BMP/PPM/PNG-RGB, (h, w) for PGM/PNG-gray.
 
     Real formats, really decoded (header parse, BGR swap, bottom-up row
-    flip, stride padding, zlib inflate + the five PNG unfilters — all
-    the places a cargo-cult decoder goes wrong), no codec libraries
-    needed: PNG rides stdlib zlib. JPEG (and PNG's palette/alpha/16-bit/
-    interlaced variants) stay honest NotImplementedError slots until
-    PIL/opencv exists in the environment."""
+    flip, stride padding, zlib inflate + the five PNG unfilters, PLTE
+    palette lookup — all the places a cargo-cult decoder goes wrong), no
+    codec libraries needed: PNG rides stdlib zlib. JPEG (and PNG's
+    alpha/16-bit/interlaced/sub-byte-palette variants) stay honest
+    NotImplementedError slots until PIL/opencv exists in the
+    environment."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
@@ -330,8 +372,8 @@ def decode_image(payload: bytes):
     if payload[:8] == PNG_SIG:
         return _decode_png(payload)
     raise NotImplementedError(
-        "only BMP/PPM/PGM/PNG(8-bit gray/RGB) are decoded natively; JPEG "
-        "requires PIL/opencv — not available in this environment"
+        "only BMP/PPM/PGM/PNG(8-bit gray/RGB/palette) are decoded natively; "
+        "JPEG requires PIL/opencv — not available in this environment"
     )
 
 
@@ -518,9 +560,11 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> DataFrame:
-    """Encode each payload's bytes as real BMP, PNG, and PPM images
-    (pixels = payload cycled to width*height*3), decode them back
-    through ``decode_image``, and emit stats OF THE DECODED ARRAY.
+    """Encode each payload's bytes as real BMP, PNG (truecolor AND
+    palettized — the 5×4 raster has ≤ 20 unique colors, so the indexed
+    path always engages), and PPM images (pixels = payload cycled to
+    width*height*3), decode them back through ``decode_image``, and emit
+    stats OF THE DECODED ARRAY.
 
     The stats are chosen so encoder/decoder bugs cannot cancel out when
     checked against a payload-derived oracle: ``pix_md5`` is the decoded
@@ -552,6 +596,7 @@ def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> Dat
                 for fmt, enc in (
                     ("bmp", encode_bmp),
                     ("png", encode_png),
+                    ("png_pal", lambda p: encode_png(p, palette=True)),
                     ("ppm", encode_ppm),
                 ):
                     dec = decode_image(enc(px))

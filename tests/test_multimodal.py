@@ -209,9 +209,109 @@ def test_png_rejects_unsupported_variants():
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_image(with_ihdr_byte(8, 16))  # 16-bit depth
     with pytest.raises(NotImplementedError, match="color_type"):
-        decode_image(with_ihdr_byte(9, 3))  # palette
+        decode_image(with_ihdr_byte(9, 4))  # gray+alpha
+    with pytest.raises(ValueError, match="PLTE"):
+        # claiming palette without a PLTE chunk is a hard error, not a
+        # missing feature — color type 3 itself is supported
+        decode_image(with_ihdr_byte(9, 3))
     with pytest.raises(NotImplementedError, match="interlace"):
         decode_image(with_ihdr_byte(12, 1))  # Adam7
+
+
+def test_png_palette_roundtrip_each_filter_type():
+    """Indexed-color round-trip through every filter type: the filter
+    pipeline runs on the 1-byte index plane (bpp=1), the PLTE lookup
+    restores the exact RGB raster."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    a = _arr(6, 5)
+    for f in range(5):
+        buf = encode_png(a, filters=[f] * 6, palette=True)
+        assert b"PLTE" in buf
+        assert np.array_equal(decode_image(buf), a), f"filter {f}"
+
+
+def test_png_palette_deduplicates_colors():
+    """A 2-color image yields a 2-entry PLTE regardless of pixel count."""
+    import struct
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    a[::2] = [200, 10, 30]
+    buf = encode_png(a, palette=True)
+    at = buf.index(b"PLTE")
+    (ln,) = struct.unpack_from(">I", buf, at - 4)
+    assert ln == 2 * 3
+    assert np.array_equal(decode_image(buf), a)
+
+
+def test_png_palette_too_many_colors_rejected():
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    idx = np.arange(17 * 17)  # 289 distinct (r, g, b) triples
+    a = np.stack([idx // 256, idx % 256, np.zeros_like(idx)], axis=1).astype(
+        np.uint8
+    ).reshape(17, 17, 3)
+    with pytest.raises(ValueError, match="256"):
+        encode_png(a, palette=True)
+
+
+def test_png_palette_out_of_range_index_rejected():
+    """Corrupt the palette: shrink PLTE below the max index used (fix
+    the CRC so the chunk walk passes) — decode must fail on the index
+    bound, per spec, not silently wrap."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    a = _arr(4, 5)
+    buf = bytearray(encode_png(a, palette=True))
+    at = buf.index(b"PLTE")
+    (ln,) = struct.unpack_from(">I", buf, at - 4)
+    assert ln > 3
+    new_ln = 3  # keep one palette entry
+    data = bytes(buf[at + 4 : at + 4 + new_ln])
+    crc = zlib.crc32(b"PLTE" + data) & 0xFFFFFFFF
+    patched = (
+        bytes(buf[: at - 4])
+        + struct.pack(">I", new_ln)
+        + b"PLTE"
+        + data
+        + struct.pack(">I", crc)
+        + bytes(buf[at + 4 + ln + 4 :])
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_image(patched)
+
+
+def test_png_trns_rejected():
+    import struct
+    import zlib
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    buf = bytearray(encode_png(_arr(3, 3), palette=True))
+    at = buf.index(b"tEXt") - 4  # splice tRNS where an ancillary chunk sits
+    data = b"\x80"
+    trns = (
+        struct.pack(">I", len(data))
+        + b"tRNS"
+        + data
+        + struct.pack(">I", zlib.crc32(b"tRNS" + data) & 0xFFFFFFFF)
+    )
+    patched = bytes(buf[:at]) + trns + bytes(buf[at:])
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_image(patched)
 
 
 def test_png_truncated_payload_rejected():
@@ -239,9 +339,9 @@ def test_image_decode_stats_lane(spark):
         "media_id long, payload binary, media_type string, n_bytes int",
     )
     rows = {r["fmt"]: r for r in image_decode_stats(df).collect()}
-    assert set(rows) == {"bmp", "png", "ppm"}
+    assert set(rows) == {"bmp", "png", "png_pal", "ppm"}
     px = np.resize(np.frombuffer(text.encode(), dtype=np.uint8), 60)
-    for fmt in ("bmp", "png", "ppm"):
+    for fmt in ("bmp", "png", "png_pal", "ppm"):
         r = rows[fmt]
         assert (r["width"], r["height"]) == (5, 4)
         assert r["pix_md5"] == hashlib.md5(px.tobytes()).hexdigest()
