@@ -5,9 +5,12 @@ mapInPandas.
 The container has no codec LIBRARIES, but these formats need none:
 `decode_image` really decodes 24-bit BI_RGB BMP (BGR order, bottom-up
 or top-down rows, 4-byte row padding), binary PPM/PGM (P6/P5), and —
-via stdlib zlib — 8-bit gray/RGB PNG (CRC-checked chunk walk,
-multi-IDAT reassembly, all five row unfilters) with pure numpy — see
-`multimodal_image_decode` for the oracle-verified end-to-end lane.
+via stdlib zlib — 8-bit gray/RGB/palette PNG (CRC-checked chunk walk,
+multi-IDAT reassembly, all five row unfilters, PLTE lookup) with pure
+numpy; `decode_video_frames` really decodes uncompressed 24-bit DIB
+AVI (word-aligned RIFF walk, per-frame BMP-layout rasters) — see
+`multimodal_image_decode` / `multimodal_video_decode` for the
+oracle-verified end-to-end lanes.
 JPEG still raises NotImplementedError by design, and
 `fake_feature_extract` remains
 the deterministic stand-in that proves the Spark-side plumbing (schema,
@@ -614,6 +617,73 @@ def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> Dat
     return media.mapInPandas(kernel, schema=IMAGE_STATS_SCHEMA)
 
 
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("frames_md5", T.StringType(), False),
+        T.StructField("frame0_sum", T.LongType(), False),
+        T.StructField("row0_sum", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+    ]
+)
+
+
+def video_decode_stats(
+    media: DataFrame,
+    n_frames: int = 2,
+    width: int = 5,
+    height: int = 4,
+    fps: int = 10,
+) -> DataFrame:
+    """Encode each payload's bytes as a real uncompressed AVI (pixels =
+    payload cycled to n_frames*width*height*3), decode it back through
+    ``decode_video_frames``, and emit stats OF THE DECODED frame stack —
+    the video twin of image_decode_stats, with the same cancellation-
+    proof design against a payload-derived oracle: ``frames_md5`` pins
+    the full decoded buffer, ``frame0_sum`` pins FRAME order (chunk
+    reassembly), ``row0_sum`` pins the per-frame bottom-up flip, the
+    channel sums pin the BGR swap, and fps pins the avih timebase
+    round-trip. width=5 keeps the DIB stride padded (16-byte rows).
+
+    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle —
+    identical dataflow to an ffmpeg-backed kernel."""
+    import hashlib
+
+    import numpy as np
+
+    n_px = n_frames * width * height * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_STATS_SCHEMA.fields}
+            for mid, b in zip(pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()):
+                src = np.frombuffer(b or b"", dtype=np.uint8)
+                if src.size == 0:
+                    continue
+                px = np.resize(src, n_px).reshape(n_frames, height, width, 3)
+                dec, got_fps = decode_video_frames(encode_avi(px, fps=fps))
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(dec.shape[0])
+                out["width"].append(dec.shape[2])
+                out["height"].append(dec.shape[1])
+                out["fps"].append(got_fps)
+                out["frames_md5"].append(hashlib.md5(dec.tobytes()).hexdigest())
+                out["frame0_sum"].append(int(dec[0].sum(dtype=np.int64)))
+                out["row0_sum"].append(int(dec[0, 0].sum(dtype=np.int64)))
+                out["r_sum"].append(int(dec[:, :, :, 0].sum(dtype=np.int64)))
+                out["g_sum"].append(int(dec[:, :, :, 1].sum(dtype=np.int64)))
+                out["b_sum"].append(int(dec[:, :, :, 2].sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=VIDEO_STATS_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -633,12 +703,157 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def decode_video_frames(payload: bytes) -> object:
-    """Real video decoder slot. No codec libs in this container."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/pyav — not available in this environment; "
-        "sample_frames provides the deterministic chunk-based test path"
+def _riff_subchunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, data_start, size) for each RIFF sub-chunk in
+    buf[pos:end], honoring the spec's word alignment (odd-sized chunks
+    carry a pad byte). Truncation is a hard error, not a silent stop."""
+    import struct
+
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    AVI ('vids'/'DIB ', BI_RGB): RIFF('AVI ') → LIST hdrl (avih, LIST
+    strl(strh, strf)) → LIST movi (one '00db' DIB frame per input
+    frame, each in the BMP raster layout: bottom-up rows, BGR, stride
+    padded to 4 bytes) → idx1. A JUNK chunk with an ODD payload size is
+    planted between hdrl and movi, so a decoder that ignores RIFF word
+    alignment or assumes 'movi directly follows hdrl' breaks."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = arr.shape
+    row_raw = w * 3
+    stride = (row_raw + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def list_chunk(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n, 0, 1, frame_size,  # totalFrames, initialFrames, streams, bufSize
+        w, h, 0, 0, 0, 0,  # width, height, reserved[4]
     )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n,  # dwScale, dwRate (fps = rate/scale), dwStart, dwLength
+        frame_size, 0, 0,  # bufSize, quality, sampleSize
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    raster = np.zeros((n, h, stride), dtype=np.uint8)
+    raster[:, :, :row_raw] = arr[:, ::-1, :, ::-1].reshape(n, h, row_raw)
+    movi_body = b"movi" + b"".join(
+        chunk(b"00db", raster[i].tobytes()) for i in range(n)
+    )
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + frame_size), frame_size)
+            for i in range(n)
+        ),
+    )
+    body = b"AVI " + hdrl + chunk(b"JUNK", b"spark-graft-odd") + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_video_frames(payload: bytes):
+    """Real AVI decode for the uncompressed 24-bit DIB case, pure
+    numpy/struct: RIFF walk (word-aligned, JUNK/idx1 skipped), avih for
+    dimensions/frame count/fps, strf checked for BI_RGB 24-bit, movi's
+    '00db'/'00dd' chunks unpacked from the BMP raster layout (stride
+    strip, bottom-up flip, BGR→RGB). Returns (frames (n, h, w, 3)
+    uint8 RGB, fps). Compressed streams (MJPEG/cvid/...) and non-24-bit
+    depths raise NotImplementedError — the honest-slot contract the
+    other media decoders follow."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    total = struct.unpack_from("<I", payload, 4)[0]
+    if 8 + total > len(payload):
+        raise ValueError("truncated RIFF payload")
+    w = h = n_frames = None
+    us_per_frame = None
+    frames_raw: list[bytes] = []
+    for fourcc, at, size in _riff_subchunks(payload, 12, 8 + total):
+        if fourcc != b"LIST":
+            continue  # JUNK, idx1, ...
+        list_type = payload[at : at + 4]
+        if list_type == b"hdrl":
+            for sub, sat, ssize in _riff_subchunks(payload, at + 4, at + size):
+                if sub == b"avih":
+                    vals = struct.unpack_from("<14I", payload, sat)
+                    us_per_frame, n_frames, w, h = vals[0], vals[4], vals[8], vals[9]
+                elif sub == b"LIST" and payload[sat : sat + 4] == b"strl":
+                    for s2, s2at, s2size in _riff_subchunks(
+                        payload, sat + 4, sat + ssize
+                    ):
+                        if s2 == b"strh":
+                            fcc_type, handler = struct.unpack_from(
+                                "<4s4s", payload, s2at
+                            )
+                            if fcc_type != b"vids":
+                                raise NotImplementedError(
+                                    f"only video streams are decoded here "
+                                    f"(got {fcc_type!r})"
+                                )
+                        elif s2 == b"strf":
+                            bpp, compression = struct.unpack_from(
+                                "<HI", payload, s2at + 14
+                            )
+                            if bpp != 24 or compression != 0:
+                                raise NotImplementedError(
+                                    f"only uncompressed 24-bit DIB AVI is decoded "
+                                    f"here (bpp={bpp}, compression={compression})"
+                                )
+        elif list_type == b"movi":
+            for sub, sat, ssize in _riff_subchunks(payload, at + 4, at + size):
+                if sub[2:] in (b"db", b"dd"):
+                    frames_raw.append(payload[sat : sat + ssize])
+    if w is None:
+        raise ValueError("AVI missing avih header")
+    if len(frames_raw) != n_frames:
+        raise ValueError(
+            f"avih declares {n_frames} frames, movi holds {len(frames_raw)}"
+        )
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) != stride * h:
+            raise ValueError(f"frame {i}: got {len(raw)} bytes, want {stride * h}")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+    return out, fps
 
 
 def sample_frames(

@@ -19,6 +19,7 @@ from ..operators.multimodal import (
     image_decode_stats,
     resize_media,
     sample_frames,
+    video_decode_stats,
 )
 from ..sources import load_table
 from .registry import register
@@ -227,3 +228,55 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
     media = as_media_table(d, "doc_id", "text")
     return audio_decode_stats(media, n_samples=48)
+
+
+@register(
+    "multimodal_video_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(120.0 / octet_length(encode(text))) AS INT)),
+                    1, 120) AS pix
+      FROM documents
+      WHERE octet_length(encode(text)) > 0 AND {_ASCII_SQL}
+    ),
+    px AS (
+      SELECT doc_id, i, ascii(substr(pix, CAST(i + 1 AS INT), 1)) AS b
+      FROM d, UNNEST(range(0, 120)) AS t(i)
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(2 AS INT) AS n_frames,
+           CAST(5 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(10 AS INT) AS fps,
+           md5(d.pix) AS frames_md5,
+           CAST(sum(CASE WHEN i < 60 THEN b ELSE 0 END) AS BIGINT) AS frame0_sum,
+           CAST(sum(CASE WHEN i < 15 THEN b ELSE 0 END) AS BIGINT) AS row0_sum,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS b_sum
+    FROM d JOIN px USING (doc_id)
+    GROUP BY d.doc_id, d.pix
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, oracle-verified end-to-end (the AVI member of
+    the image/audio decode family): each document's bytes become a
+    2-frame 5x4 RGB clip, encoded as an actual uncompressed 24-bit AVI
+    (RIFF chunk tree with a planted odd-sized JUNK chunk, per-frame DIB
+    rasters in bottom-up/BGR/stride-padded layout), decoded back through
+    ``decode_video_frames``'s word-aligned RIFF walk, and the DECODED
+    stack's stats compared against DuckDB's independent text-path
+    derivation. The oracle never sees the container bytes, so an encoder
+    bug cannot cancel a decoder bug: frames_md5 pins content order,
+    frame0_sum pins frame reassembly, row0_sum pins the per-frame
+    vertical flip, channel sums pin the BGR swap, fps pins the avih
+    timebase. Compressed codecs (MJPEG/cvid) stay honest
+    NotImplementedError slots.
+
+    100 TB: partition-local mapInPandas over Arrow batches — no shuffle,
+    per-blob CPU only. ASCII-scoped (see _ASCII_SQL): kernel bytes vs
+    oracle chars coincide exactly on ASCII text."""
+    d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
+    media = as_media_table(d, "doc_id", "text")
+    return video_decode_stats(media, n_frames=2, width=5, height=4, fps=10)
