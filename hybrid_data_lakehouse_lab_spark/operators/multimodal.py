@@ -419,11 +419,13 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fake_feature_extract, schema=FEATURE_SCHEMA)
 
 
-def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+def encode_wav(samples, sample_rate: int = 16000, codec: str = "pcm16") -> bytes:
     """Encode an int16 PCM array ((n,) mono or (n, ch)) as a RIFF/WAVE
-    file. A junk LIST chunk is deliberately placed between fmt and data
-    so decoders that assume 'data starts at byte 44' break — the
-    decoder below must genuinely walk chunks."""
+    file — ``codec="pcm16"`` (format tag 1) or ``codec="mulaw"``
+    (format tag 7: G.711 companding to one byte per sample, 2×
+    compression). A junk LIST chunk is deliberately placed between fmt
+    and data so decoders that assume 'data starts at byte 44' break —
+    the decoder below must genuinely walk chunks."""
     import struct
 
     import numpy as np
@@ -432,8 +434,18 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     if arr.ndim == 1:
         arr = arr[:, None]
     n, ch = arr.shape
-    data = arr.tobytes()
-    fmt = struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    if codec == "mulaw":
+        data = mulaw_compress(arr).tobytes()
+        fmt = struct.pack(
+            "<IHHIIHH", 16, 7, ch, sample_rate, sample_rate * ch, ch, 8
+        )
+    elif codec == "pcm16":
+        data = arr.tobytes()
+        fmt = struct.pack(
+            "<IHHIIHH", 16, 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
     junk = b"spark-graft-pad"  # odd length: exercises the pad byte too
     body = (
         b"fmt " + fmt
@@ -443,23 +455,62 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def mulaw_compress(pcm):
+    """G.711 μ-law companding of an int16 PCM array to one byte per
+    sample — a REAL compressed audio codec (telephony WAV, format tag
+    7), all-integer so both engines can state the transform exactly:
+    arithmetic >>2 into the ITU 14-bit domain, then sign bit, 3-bit
+    segment (position of the biased magnitude's top bit), 4-bit
+    mantissa, ones-complemented. Bit-identical to CPython's
+    audioop.lin2ulaw / the classic Sun g711.c tables (the unit tests
+    assert this where audioop exists). Vectorized numpy; the segment
+    comes from threshold counts, not float log2 (which could flip at
+    segment boundaries)."""
+    import numpy as np
+
+    x = np.asarray(pcm).astype(np.int32) >> 2  # 16-bit → ITU 14-bit domain
+    sgn = np.where(x < 0, 128, 0)
+    m = np.minimum(np.abs(x), 8158) + 33
+    thresholds = np.array([64, 128, 256, 512, 1024, 2048, 4096], dtype=np.int32)
+    ex = (m[..., None] >= thresholds).sum(axis=-1)
+    mant = (m >> (ex + 1)) & 15
+    return (255 - (sgn + ex * 16 + mant)).astype(np.uint8)
+
+
+def mulaw_expand(u8):
+    """Inverse of :func:`mulaw_compress` (exact per G.711): u8 bytes →
+    int16 samples. μ-law is lossy toward PCM16, but expand∘compress is
+    a pure integer function of the input sample — which is what lets
+    the lane oracle replicate the round-trip in SQL."""
+    import numpy as np
+
+    v = 255 - np.asarray(u8).astype(np.int32)
+    ex = (v >> 4) & 7
+    mant = v & 15
+    mag = ((mant * 8 + 132) << ex) - 132
+    return np.where(v >= 128, -mag, mag).astype(np.int16)
+
+
 def decode_audio(payload: bytes):
-    """Decode RIFF/WAVE PCM16 → (samples as (n_frames, n_channels)
-    int16 numpy array, sample_rate). Walks the chunk list properly
-    (LIST/fact/odd-size padding), de-interleaves channels. Compressed
-    codecs (MP3/AAC/float WAV…) raise NotImplementedError — the same
-    honest-slot contract as decode_image."""
+    """Decode RIFF/WAVE → (samples as (n_frames, n_channels) int16
+    numpy array, sample_rate). Walks the chunk list properly
+    (LIST/fact/odd-size padding), de-interleaves channels. Two real
+    codecs: PCM16 (format tag 1) and G.711 μ-law (format tag 7, one
+    byte per sample, expanded through :func:`mulaw_expand`). Other
+    codecs (MP3/AAC/ADPCM/float WAV…) raise NotImplementedError — the
+    same honest-slot contract as decode_image."""
     import struct
 
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only RIFF/WAVE PCM16 is decoded natively; compressed audio "
-            "requires librosa/ffmpeg — not available in this environment"
+            "only RIFF/WAVE PCM16 and mu-law are decoded natively; other "
+            "compressed audio requires librosa/ffmpeg — not available in "
+            "this environment"
         )
     pos, end = 12, len(payload)
-    n_ch = rate = bits = None
+    n_ch = rate = bits = audio_fmt = None
     data = None
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
@@ -468,9 +519,10 @@ def decode_audio(payload: bytes):
         if cid == b"fmt ":
             audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
+            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
                 raise NotImplementedError(
-                    f"only PCM16 WAV is decoded here (fmt={audio_fmt}, bits={bits})"
+                    f"only PCM16 (fmt=1) and mu-law (fmt=7) WAV are decoded "
+                    f"here (fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
             if len(body) != size:
@@ -482,7 +534,10 @@ def decode_audio(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if n_ch is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    arr = np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 7:
+        arr = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        arr = np.frombuffer(data, dtype="<i2")
     return arr.reshape(-1, n_ch), rate
 
 
@@ -499,14 +554,20 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
-def audio_decode_stats(media: DataFrame, n_samples: int = 48) -> DataFrame:
-    """Encode each payload's bytes as a real stereo PCM16 WAV (samples =
-    affine-mapped payload bytes, interleaved L/R), decode back through
-    ``decode_audio``'s chunk walker, and emit stats OF THE DECODED
-    array. Mirrors image_decode_stats' no-cancel design: the per-channel
+def audio_decode_stats(
+    media: DataFrame, n_samples: int = 48, codec: str = "pcm16"
+) -> DataFrame:
+    """Encode each payload's bytes as a real stereo WAV (samples =
+    affine-mapped payload bytes, interleaved L/R; ``codec`` picks PCM16
+    or G.711 μ-law), decode back through ``decode_audio``'s chunk
+    walker, and emit stats OF THE DECODED array. Mirrors
+    image_decode_stats' no-cancel design: the per-channel
     sums pin the de-interleave, the md5 over the ordered sample values
     pins content and order, and the junk LIST chunk in the encoder means
-    a header-offset-assuming decoder never even finds the data.
+    a header-offset-assuming decoder never even finds the data. For
+    μ-law the decoded samples are the COMPANDED values — lossy toward
+    the source PCM but an exact integer function of it, which is what
+    the μ-law lane's oracle re-states in SQL.
 
     100 TB: partition-local mapInPandas, Arrow-batched, no shuffle."""
     import hashlib
@@ -529,7 +590,7 @@ def audio_decode_stats(media: DataFrame, n_samples: int = 48) -> DataFrame:
                 pcm = (
                     (np.resize(src, n_samples).astype(np.int32) - 128) * 256
                 ).astype(np.int16)
-                dec, rate = decode_audio(encode_wav(pcm.reshape(-1, 2)))
+                dec, rate = decode_audio(encode_wav(pcm.reshape(-1, 2), codec=codec))
                 flat = dec.reshape(-1)
                 out["media_id"].append(int(mid))
                 out["n_frames"].append(int(dec.shape[0]))

@@ -280,3 +280,83 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
     media = as_media_table(d, "doc_id", "text")
     return video_decode_stats(media, n_frames=2, width=5, height=4, fps=10)
+
+
+@register(
+    "multimodal_audio_mulaw",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(48.0 / octet_length(encode(text))) AS INT)),
+                    1, 48) AS pix
+      FROM documents
+      WHERE octet_length(encode(text)) > 0 AND {_ASCII_SQL}
+    ),
+    px AS (
+      SELECT doc_id, i,
+             (ascii(substr(pix, CAST(i + 1 AS INT), 1)) - 128) * 256 AS s
+      FROM d, UNNEST(range(0, 48)) AS t(i)
+    ),
+    c14 AS (  -- G.711: arithmetic >>2 into the 14-bit domain (floor)
+      SELECT doc_id, i,
+             CASE WHEN s >= 0 THEN s // 4 ELSE -((-s + 3) // 4) END AS x
+      FROM px
+    ),
+    seg AS (
+      SELECT doc_id, i,
+             CASE WHEN x < 0 THEN 128 ELSE 0 END AS sgn,
+             LEAST(abs(x), 8158) + 33 AS m
+      FROM c14
+    ),
+    enc AS (
+      SELECT doc_id, i, sgn, m,
+             CASE WHEN m >= 4096 THEN 7 WHEN m >= 2048 THEN 6
+                  WHEN m >= 1024 THEN 5 WHEN m >= 512 THEN 4
+                  WHEN m >= 256 THEN 3 WHEN m >= 128 THEN 2
+                  WHEN m >= 64 THEN 1 ELSE 0 END AS ex
+      FROM seg
+    ),
+    u AS (
+      SELECT doc_id, i,
+             255 - (sgn + ex * 16 + ((m // (1 << (ex + 1))) % 16)) AS u8
+      FROM enc
+    ),
+    dec AS (
+      SELECT doc_id, i,
+             CASE WHEN (255 - u8) >= 128 THEN
+               -((((255 - u8) % 16) * 8 + 132) * (1 << (((255 - u8) // 16) % 8)) - 132)
+             ELSE
+               ((((255 - u8) % 16) * 8 + 132) * (1 << (((255 - u8) // 16) % 8)) - 132)
+             END AS s2
+      FROM u
+    )
+    SELECT doc_id AS media_id,
+           CAST(24 AS INT) AS n_frames,
+           CAST(2 AS INT) AS n_channels,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN s2 ELSE 0 END) AS BIGINT) AS l_sum,
+           CAST(sum(CASE WHEN i % 2 = 1 THEN s2 ELSE 0 END) AS BIGINT) AS r_sum,
+           md5(string_agg(s2::VARCHAR, ',' ORDER BY i)) AS samples_md5
+    FROM dec GROUP BY doc_id
+    """,
+)
+def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio codec, oracle-verified end-to-end: the same
+    48 interleaved stereo samples as multimodal_audio_decode, but
+    encoded through G.711 μ-law (format tag 7 — one byte per sample, 2×
+    compression, THE telephony codec) into a RIFF/WAVE container and
+    decoded back via ``mulaw_expand``. μ-law is lossy toward PCM16, yet
+    expand∘compress is an exact integer function of the input sample —
+    so the oracle re-states the complete compand chain in SQL (>>2 into
+    the ITU 14-bit domain, clip+bias, segment by thresholds, mantissa,
+    ones-complement, then the inverse) and the match is EXACT, unlike
+    any float-DSP codec. The Spark kernel is additionally pinned
+    bit-for-bit to CPython's audioop/g711.c in unit tests. Per-channel
+    sums pin the de-interleave of the 1-byte samples; the ordered md5
+    pins every companded value.
+
+    100 TB: partition-local mapInPandas over Arrow batches — no
+    shuffle, per-blob CPU only. ASCII-scoped (see _ASCII_SQL)."""
+    d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
+    media = as_media_table(d, "doc_id", "text")
+    return audio_decode_stats(media, n_samples=48, codec="mulaw")

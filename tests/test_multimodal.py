@@ -551,3 +551,97 @@ def test_video_decode_stats_lane(spark):
     assert r["r_sum"] == int(px[0::3].sum())
     assert r["g_sum"] == int(px[1::3].sum())
     assert r["b_sum"] == int(px[2::3].sum())
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law: a real compressed audio codec, integer-exact
+# ---------------------------------------------------------------------------
+
+
+def test_mulaw_matches_cpython_audioop():
+    """Bit-identical to the stdlib's C implementation (g711.c lineage)
+    over the ENTIRE int16 domain, both directions. audioop is deprecated
+    (removed in 3.13) so the cross-check gates on availability; the
+    SQL-oracle lane keeps the independent verification either way."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        pytest.skip("stdlib audioop not available")
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    u = mulaw_compress(s)
+    assert np.array_equal(
+        u, np.frombuffer(audioop.lin2ulaw(s.tobytes(), 2), np.uint8)
+    )
+    assert np.array_equal(
+        mulaw_expand(u), np.frombuffer(audioop.ulaw2lin(u.tobytes(), 2), "<i2")
+    )
+
+
+def test_mulaw_codec_fixed_point_and_error_bound():
+    """expand∘compress is idempotent on its own output (codec fixed
+    point) and the quantization error is bounded by the top segment's
+    half-step."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    d = mulaw_expand(mulaw_compress(s))
+    assert np.array_equal(mulaw_expand(mulaw_compress(d)), d)
+    assert int(np.abs(d.astype(np.int32) - s.astype(np.int32)).max()) <= 1024
+    # monotone non-decreasing: companding preserves order
+    assert (np.diff(d.astype(np.int32)) >= 0).all()
+
+
+def test_wav_mulaw_roundtrip():
+    """Format tag 7 WAV: half the bytes of PCM16, decoded samples equal
+    the companded values, channels de-interleaved."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    a = ((np.arange(48, dtype=np.int32) * 977 - 23000) % 65536 - 32768).astype(
+        "int16"
+    ).reshape(-1, 2)
+    buf = encode_wav(a, sample_rate=8000, codec="mulaw")
+    pcm_buf = encode_wav(a, sample_rate=8000)
+    assert len(buf) == len(pcm_buf) - 48  # one byte/sample vs two
+    dec, rate = decode_audio(buf)
+    assert rate == 8000
+    assert np.array_equal(dec, mulaw_expand(mulaw_compress(a)))
+
+
+def test_wav_other_codecs_still_rejected():
+    import struct
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    buf = bytearray(encode_wav(np.zeros(4, dtype="int16")))
+    at = buf.index(b"fmt ") + 8  # past fourcc + size: wFormatTag
+    struct.pack_into("<H", buf, at, 2)  # MS-ADPCM tag with bits=16
+    with pytest.raises(NotImplementedError, match="fmt=2"):
+        decode_audio(bytes(buf))
