@@ -1,0 +1,546 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) in pure numpy + stdlib.
+
+The container has no codec libraries, but baseline sequential JPEG needs
+none: the whole pipeline — JFIF marker structure, quantization tables
+(Annex K luminance/chrominance scaled by IJG quality), level shift,
+8×8 DCT-II, zigzag, DC prediction, run-length + canonical-Huffman
+entropy coding with byte stuffing, and the full inverse path — is
+arithmetic over uint8 arrays.
+
+Scope (same honest-slot contract as the other media codecs in
+operators/multimodal.py):
+
+- ENCODER: baseline DCT (SOF0), 8-bit, 4:4:4 (no chroma subsampling),
+  3-component YCbCr (JFIF BT.601) or 1-component grayscale. The Huffman
+  tables are CUSTOM spec-valid canonical tables declared in DHT —
+  fixed-length 4-bit DC / 8-bit AC codes (12 and 162 symbols: neither
+  fills its length class, so the reserved all-ones code never occurs,
+  per T.81 C.2). Declaring tables in-stream is exactly what the format
+  is for, and it forces the decoder below to BUILD tables from DHT
+  rather than assume Annex K.
+- DECODER: baseline sequential only. Any spec-valid DHT (including
+  Annex K files from other encoders), multiple DQT/DHT segments,
+  grayscale or 4:4:4 color, dimensions that aren't multiples of 8.
+  Progressive (SOF2), arithmetic coding, subsampled chroma, 12-bit
+  precision, and restart markers raise NotImplementedError.
+
+JPEG is lossy, so — unlike the BMP/PNG/PPM/AVI/μ-law lanes — the
+driver-visible lane (`multimodal_image_jpeg` in plans/multimodal.py)
+pairs on dimensions plus a bounded-reconstruction-error VERDICT, with
+the bound itself asserted empirically in tests/test_jpeg.py.
+
+Reference parity note: the reference repo has no media decode at all;
+this module exists for the LLM-pipeline north star (multimodal corpus
+curation), same as the rest of operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K quantization tables (public ITU-T T.81 constants) --------------
+
+STD_LUMINANCE_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+STD_CHROMINANCE_Q = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Zigzag scan order (T.81 Figure 5): ZIGZAG[k] = flat index of the k-th
+# coefficient in scan order. Generated, not transcribed.
+
+
+def _zigzag_order() -> np.ndarray:
+    order = sorted(
+        ((x, y) for x in range(8) for y in range(8)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
+    )
+    return np.array([x * 8 + y for x, y in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+
+# Orthonormal 8x8 DCT-II basis: DCT = C @ block @ C.T, IDCT = C.T @ blk @ C.
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+# --- custom spec-valid Huffman tables (fixed-length canonical codes) --------
+
+_DC_SYMBOLS = list(range(12))  # magnitude categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]  # EOB, ZRL, (run, size): 162 symbols
+
+# BITS[i] = number of codes of length i+1 (T.81 DHT payload shape)
+_DC_BITS = [0] * 16
+_DC_BITS[3] = len(_DC_SYMBOLS)  # all DC codes are 4 bits (12 < 15 used)
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_SYMBOLS)  # all AC codes are 8 bits (162 < 255 used)
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_ENC_AC = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) for a DC diff / AC coefficient (F.1.2.1):
+    negatives are stored as value + 2^s - 1 (one's-complement style)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _quality_scaled(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ],
+        axis=-1,
+    )
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    return np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+
+
+def _encode_component(
+    plane: np.ndarray, qt: np.ndarray, dc_codes, ac_codes, writer: _BitWriter, prev_dc: int
+) -> int:
+    """FDCT + quantize + entropy-code every 8×8 block of one padded
+    plane (row-major block order); returns the last DC for prediction."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    shifted = plane.astype(np.float64) - 128.0
+    # all blocks at once: (h8, w8, 8, 8) then C @ blk @ C.T
+    blocks = shifted.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+    quant = np.round(coeffs / qt).astype(np.int32)
+    for by in range(h8):
+        for bx in range(w8):
+            zz = quant[by, bx].reshape(64)[ZIGZAG]
+            s, bits = _magnitude(int(zz[0]) - prev_dc)
+            code, ln = dc_codes[s]
+            writer.write(code, ln)
+            if s:
+                writer.write(bits, s)
+            prev_dc = int(zz[0])
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last_nz = (nz[-1] + 1) if len(nz) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                    writer.write(code, ln)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                writer.write(code, ln)
+                writer.write(bits, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                writer.write(code, ln)
+    return prev_dc
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline JFIF JPEG (SOF0, 8-bit, 4:4:4). Quantization = Annex K
+    tables at IJG `quality`; entropy tables are the module's canonical
+    fixed-length codes, declared in DHT. Deterministic: float64 DCT and
+    round-half-even quantization have no platform-dependent paths."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _quality_scaled(STD_LUMINANCE_Q, quality)
+    qt_c = _quality_scaled(STD_CHROMINANCE_Q, quality)
+
+    pad_h, pad_w = (-h) % 8, (-w) % 8
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+    planes = [
+        np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") for p in planes
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )  # APP0
+    # DQT: table 0 (luminance) and, for color, table 1 (chrominance)
+    out += seg(0xFFDB, bytes([0]) + bytes(qt_l.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(
+            0xFFDB, bytes([1]) + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8))
+        )
+    # SOF0: baseline, 8-bit, 1x1 sampling on every component (4:4:4)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += seg(0xFFC0, sof)
+    # DHT: DC table 0, AC table 0 (+ DC 1 / AC 1 for chroma, same codes —
+    # declared separately so the decoder's table-id routing is exercised)
+    for tc_th, bits, vals in (
+        ((0 << 4) | 0, _DC_BITS, _DC_SYMBOLS),
+        ((1 << 4) | 0, _AC_BITS, _AC_SYMBOLS),
+    ) + (
+        ()
+        if gray
+        else (
+            ((0 << 4) | 1, _DC_BITS, _DC_SYMBOLS),
+            ((1 << 4) | 1, _AC_BITS, _AC_SYMBOLS),
+        )
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        td_ta = 0 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])  # spectral selection / approximation (baseline)
+    out += seg(0xFFDA, sos)
+
+    writer = _BitWriter()
+    if gray:
+        _encode_component(planes[0], qt_l, _ENC_DC, _ENC_AC, writer, 0)
+    else:
+        # non-interleaved would need multiple scans; baseline interleaved
+        # MCU order with 1x1 sampling = per-MCU one block of each comp
+        h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+        comps = []
+        for ci, (p, qt) in enumerate(
+            zip(planes, (qt_l, qt_c, qt_c))
+        ):
+            shifted = p.astype(np.float64) - 128.0
+            blocks = shifted.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
+            coeffs = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+            comps.append(np.round(coeffs / qt).astype(np.int32))
+        prev = [0, 0, 0]
+        for by in range(h8):
+            for bx in range(w8):
+                for ci in range(3):
+                    zz = comps[ci][by, bx].reshape(64)[ZIGZAG]
+                    s, bits = _magnitude(int(zz[0]) - prev[ci])
+                    code, ln = _ENC_DC[s]
+                    writer.write(code, ln)
+                    if s:
+                        writer.write(bits, s)
+                    prev[ci] = int(zz[0])
+                    run = 0
+                    nz = np.nonzero(zz[1:])[0]
+                    last_nz = (nz[-1] + 1) if len(nz) else 0
+                    for k in range(1, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = _ENC_AC[0xF0]
+                            writer.write(code, ln)
+                            run -= 16
+                        s, bits = _magnitude(v)
+                        code, ln = _ENC_AC[(run << 4) | s]
+                        writer.write(code, ln)
+                        writer.write(bits, s)
+                        run = 0
+                    if last_nz < 63:
+                        code, ln = _ENC_AC[0x00]
+                        writer.write(code, ln)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; any other marker mid-scan is an error (restart markers
+    are an explicit NotImplementedError)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "restart markers (DRI/RSTn) are not decoded here"
+                )
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xff{nxt:02x} inside entropy data"
+                )
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_decode_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical per T.81 C.2 — works for ANY
+    spec-valid DHT, not just this module's fixed-length tables."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy data")
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline sequential JFIF JPEG → (h, w, 3) RGB or (h, w)
+    grayscale uint8 array. See module docstring for the supported
+    envelope; progressive / subsampled / 12-bit / restart-interval
+    streams raise NotImplementedError, malformed streams ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                zz = np.frombuffer(body, np.uint8, 64, at + 1).astype(np.int32)
+                qt = np.zeros(64, np.int32)
+                qt[ZIGZAG] = zz
+                qtables[tq] = qt.reshape(8, 8)
+                at += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0xF
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                vals = body[at + 17 : at + 17 + n]
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                at += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit precision")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 (1x1 sampling) is decoded here"
+                    )
+                comps.append((cid, tq))
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only baseline SOF0 is decoded here (got SOF marker "
+                f"0xff{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise NotImplementedError("restart intervals are not decoded here")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            pos = pos + 2 + seg_len
+            break
+        # APPn / COM / others: skipped
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    fh, fw, comps = frame
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+    h8, w8 = (fh + 7) // 8, (fw + 7) // 8
+    reader = _BitReader(payload, pos)
+    planes = [np.zeros((h8 * 8, w8 * 8)) for _ in comps]
+    prev = [0] * len(comps)
+    # map scan-component id -> (frame index, qtable, dc table, ac table)
+    lookup = []
+    for cs, td_ta in scan:
+        idx = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+        qt = qtables[comps[idx][1]]
+        lookup.append(
+            (idx, qt, htables[(0, td_ta >> 4)], htables[(1, td_ta & 0xF)])
+        )
+    for by in range(h8):
+        for bx in range(w8):
+            for idx, qt, dc_t, ac_t in lookup:
+                zz = np.zeros(64, np.int32)
+                s = _read_symbol(reader, dc_t)
+                diff = _extend(reader.read_bits(s), s)
+                prev[idx] += diff
+                zz[0] = prev[idx]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(reader, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                block = np.zeros(64, np.float64)
+                block[ZIGZAG] = zz * qt.reshape(64)[ZIGZAG]
+                block = block.reshape(8, 8)
+                pix = _C.T @ block @ _C + 128.0
+                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    planes = [p[:fh, :fw] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -44,8 +44,12 @@ def test_feature_extraction_deterministic(spark, sf_dir):
 
 
 def test_decode_stub_contract():
-    # JPEG remains an honest NotImplementedError (PNG is real as of r6)
+    # unknown magic stays an honest NotImplementedError (JPEG/PNG are
+    # real as of r6); a JPEG-looking but malformed payload is a
+    # ValueError from the real decoder, not a missing feature
     with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a....")
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
 
 
