@@ -1,0 +1,456 @@
+"""Apache Iceberg (spec v1) metadata interop for `SnapshotTable`.
+
+The reference's lakehouse format IS Iceberg — its SCD2 processor
+commits Iceberg snapshots through a Nessie catalog (reference
+`libs/scd2_spark_processor.py:59-118`, `README.MD:308-313`). The
+Iceberg table spec (iceberg.apache.org/spec/) is open: a table is a
+`metadata/` tree — `v{N}.metadata.json` (schema with field-ids,
+partition spec, snapshot list) + per-snapshot Avro manifest lists and
+manifests naming the data files — discovered via `version-hint.text`
+(the HadoopCatalog convention; the reference's Nessie serves the same
+pointer over REST).
+
+`export_iceberg_metadata` emits exactly that from a `SnapshotTable`
+branch's pointer history, so an external Iceberg reader (Spark's
+iceberg runtime, Trino, pyiceberg, DuckDB's iceberg extension) could
+consume the engine's versioned tables — the sibling of the Delta
+interop in operators/delta_log.py, covering the OTHER major table
+format, and the one the reference actually uses. Mapping mirrors the
+Delta exporter: each pointer-history event becomes one snapshot (WAP
+branch writes stay invisible to main until `fast_forward`; a rollback
+becomes a new snapshot re-listing the old files), every snapshot is a
+full rewrite so all files are status=ADDED, and snapshot `properties`
+ride the snapshot summary.
+
+Avro manifests use the stdlib writer in operators/avro_io.py. Scale
+note: Iceberg's own answer to million-file tables is many manifests
+per snapshot; the exporter writes one manifest per snapshot (full-
+rewrite model) and the metadata tree's size tracks file COUNT, never
+data size.
+
+Verified in tests/test_iceberg_meta.py with an INDEPENDENT from-scratch
+Avro + metadata parse (importing neither this module nor avro_io), plus
+a DuckDB read of the resolved live file set value-matched against
+`SnapshotTable.read()`.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+
+from .avro_io import read_avro, write_avro
+from .delta_log import _snapshot_files
+from .timetravel import SnapshotTable
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _iceberg_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return spark_type.replace("decimal(", "decimal(").replace(",", ", ")
+    t = _SPARK_TO_ICEBERG.get(spark_type)
+    if t is None:
+        raise NotImplementedError(
+            f"no Iceberg mapping for Spark type {spark_type!r}"
+        )
+    return t
+
+
+def _avro_partition_type(iceberg_type: str):
+    if iceberg_type == "string":
+        return "string"
+    if iceberg_type in ("int",):
+        return "int"
+    if iceberg_type == "long":
+        return "long"
+    if iceberg_type == "date":
+        return {"type": "int", "logicalType": "date"}
+    raise NotImplementedError(
+        f"identity partition on {iceberg_type!r} is not supported here"
+    )
+
+
+def _partition_value(iceberg_type: str, raw: str | None):
+    if raw is None:
+        return None
+    if iceberg_type == "string":
+        return raw
+    if iceberg_type in ("int", "long"):
+        return int(raw)
+    if iceberg_type == "date":
+        return (datetime.date.fromisoformat(raw) - _EPOCH).days
+    raise NotImplementedError(iceberg_type)
+
+
+def _entry_schema(partition_fields: list[dict]) -> dict:
+    """Iceberg v1 manifest_entry Avro schema with the spec's field-ids
+    (status 0, snapshot_id 1, data_file 2; file fields 100+; partition
+    fields carry their spec field-ids 1000+)."""
+    partition_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": ["null", _avro_partition_type(f["type"])],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+            for f in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {
+            "name": "added_snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 503,
+        },
+    ],
+}
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
+    """Emit an Iceberg v1 `metadata/` tree under the table root for
+    `branch`'s pointer history; returns the metadata directory.
+    Idempotent full regeneration (deterministic snapshot ids = history
+    index + 1, stable table-uuid via uuid5 of the root, byte-stable
+    Avro), so re-export after new commits extends the tree in place and
+    bumps `version-hint.text`."""
+    m = table._load_manifest()
+    events = m["history"].get(branch, [])
+    if not events:
+        raise ValueError(f"branch {branch!r} has no commits to export")
+    by_version = {s["version"]: s for s in m["snapshots"]}
+
+    meta_dir = os.path.join(table.root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    # schema + partition spec from the LATEST snapshot's files/reader
+    # (ADD-only evolution keeps older files readable under it)
+    latest = by_version[events[-1]["version"]]
+    df = table.spark.read.parquet(latest["path"])
+    latest_files = _snapshot_files(table.root, latest["path"])
+    pcols = next(
+        (list(f["partitionValues"]) for f in latest_files if f["partitionValues"]),
+        [],
+    )
+    fields = []
+    col_ids: dict[str, int] = {}
+    for i, f in enumerate(df.schema.fields, start=1):
+        col_ids[f.name] = i
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType.simpleString()),
+            }
+        )
+    type_of = {f["name"]: f["type"] for f in fields}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": col_ids[c],
+            "field-id": 1000 + k,
+            "type": type_of[c],  # convenience for _entry_schema; stripped below
+        }
+        for k, c in enumerate(pcols)
+    ]
+    entry_schema = _entry_schema(spec_fields)
+
+    snapshots = []
+    snapshot_log = []
+    for i, ev in enumerate(events):
+        snap = by_version[ev["version"]]
+        snapshot_id = i + 1
+        manifest_path = os.path.join(meta_dir, f"m-{i:05d}.avro")
+        list_path = os.path.join(
+            meta_dir, f"snap-{snapshot_id}-1-manifest-list.avro"
+        )
+        files = _snapshot_files(table.root, snap["path"])
+        entries = []
+        for f in files:
+            import urllib.parse
+
+            rel = urllib.parse.unquote(f["path"])
+            full = os.path.join(table.root, rel)
+            entries.append(
+                {
+                    "status": 1,  # ADDED (full-rewrite model)
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "file_path": full,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            sf["name"]: _partition_value(
+                                sf["type"],
+                                f["partitionValues"].get(sf["name"]),
+                            )
+                            for sf in spec_fields
+                        },
+                        "record_count": _parquet_row_count(full),
+                        "file_size_in_bytes": f["size"],
+                        "block_size_in_bytes": 67108864,
+                    },
+                }
+            )
+        write_avro(manifest_path, entry_schema, entries)
+        write_avro(
+            list_path,
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snapshot_id,
+                }
+            ],
+        )
+        summary = {"operation": "overwrite"}
+        for k, v in (snap.get("properties") or {}).items():
+            summary[str(k)] = str(v)
+        s = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": ev["at_ms"],
+            "summary": summary,
+            "manifest-list": list_path,
+            "schema-id": 0,
+        }
+        if i > 0:
+            s["parent-snapshot-id"] = i
+        snapshots.append(s)
+        snapshot_log.append(
+            {"snapshot-id": snapshot_id, "timestamp-ms": ev["at_ms"]}
+        )
+
+    metadata = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.root)),
+        "location": table.root,
+        "last-updated-ms": events[-1]["at_ms"],
+        "last-column-id": len(fields),
+        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "current-schema-id": 0,
+        "partition-spec": [
+            {k: v for k, v in sf.items() if k != "type"} for sf in spec_fields
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {k: v for k, v in sf.items() if k != "type"}
+                    for sf in spec_fields
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
+        "properties": {},
+        "current-snapshot-id": snapshots[-1]["snapshot-id"],
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": [],
+    }
+    n = len(events)
+    meta_path = os.path.join(meta_dir, f"v{n}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=1, sort_keys=True)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return meta_dir
+
+
+def _spark_type(iceberg_type: str):
+    from pyspark.sql import types as T
+
+    table = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }
+    if iceberg_type in table:
+        return table[iceberg_type]
+    if iceberg_type.startswith("decimal"):
+        p, s = iceberg_type[iceberg_type.index("(") + 1 : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    raise NotImplementedError(f"iceberg type {iceberg_type!r}")
+
+
+def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
+    """Read an Iceberg v1 table at `snapshot_id` (None = current) with
+    plain Spark parquet scans — the consumer half, no iceberg jar:
+    version-hint → metadata.json → manifest list (Avro) → manifests →
+    live file set; partition values come from the manifests' typed
+    partition structs (the Iceberg rule — paths are opaque).
+
+    Scope: format-version 1, identity partitions, no deletes (v2 merge-
+    on-read raises honestly). 100 TB plan shape: metadata resolution is
+    driver-side and proportional to file count; the data read is ONE
+    parquet scan with a broadcast file→partition-values join, identical
+    to read_delta_table."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        metadata = json.load(fh)
+    if metadata.get("format-version", 1) != 1:
+        raise NotImplementedError(
+            f"only Iceberg format-version 1 is read here "
+            f"(got {metadata.get('format-version')})"
+        )
+    sid = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
+    snap = next(
+        (s for s in metadata["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {sid} not found in {meta_dir}")
+    _, manifest_files = read_avro(snap["manifest-list"])
+    files: dict[str, dict] = {}
+    for mf in manifest_files:
+        _, entries = read_avro(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                files.pop(e["data_file"]["file_path"], None)
+                continue
+            df_rec = e["data_file"]
+            if df_rec["file_format"].upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"file format {df_rec['file_format']!r}"
+                )
+            files[df_rec["file_path"]] = df_rec
+    schema_fields = metadata["schema"]["fields"]
+    spec = {
+        f["name"]: f
+        for f in metadata["partition-specs"][0]["fields"]
+    }
+    for f in spec.values():
+        if f["transform"] != "identity":
+            raise NotImplementedError(
+                f"partition transform {f['transform']!r}"
+            )
+    pcols = list(spec)
+    full_schema = T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), True)
+            for f in schema_fields
+        ]
+    )
+    data_schema = T.StructType(
+        [f for f in full_schema.fields if f.name not in pcols]
+    )
+    if not files:
+        return spark.createDataFrame([], full_schema)
+    paths = {os.path.abspath(p): rec for p, rec in files.items()}
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if pcols:
+        iceberg_types = {
+            f["name"]: f["type"] for f in schema_fields if f["name"] in pcols
+        }
+
+        def from_typed(col: str, v):
+            if v is None:
+                return None
+            if iceberg_types[col] == "date":
+                return _EPOCH + datetime.timedelta(days=int(v))
+            return v
+
+        mapping = spark.createDataFrame(
+            [
+                (p, *[from_typed(c, rec["partition"].get(c)) for c in pcols])
+                for p, rec in paths.items()
+            ],
+            T.StructType(
+                [T.StructField("_file", T.StringType())]
+                + [
+                    T.StructField(c, _spark_type(iceberg_types[c]), True)
+                    for c in pcols
+                ]
+            ),
+        )
+        df = (
+            df.withColumn(
+                "_file",
+                F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"),
+            )
+            .join(F.broadcast(mapping), "_file")
+            .drop("_file")
+        )
+    return df.select(*[f.name for f in full_schema.fields])

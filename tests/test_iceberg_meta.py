@@ -1,0 +1,312 @@
+"""Iceberg metadata interop: `export_iceberg_metadata` emits a spec-
+shaped `metadata/` tree that an INDEPENDENT parse — Avro container +
+varint decoding re-implemented here from the Avro spec, importing
+neither the exporter nor operators/avro_io — resolves to exactly the
+file sets SnapshotTable's manifest declares, and whose live set read
+through DuckDB value-matches `SnapshotTable.read()`. The same
+exporter-vs-test-replay independence contract as tests/test_delta_log.py,
+for the table format the reference actually uses (Iceberg via Nessie).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import duckdb
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    export_iceberg_metadata,
+    read_iceberg_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+# --- from-scratch Avro reading (spec: container + zigzag varints) ----------
+
+
+class _R:
+    def __init__(self, b):
+        self.b = b
+        self.i = 0
+
+    def take(self, n):
+        out = self.b[self.i : self.i + n]
+        assert len(out) == n, "truncated avro"
+        self.i += n
+        return out
+
+    def vlong(self):
+        shift = acc = 0
+        while True:
+            c = self.take(1)[0]
+            acc |= (c & 0x7F) << shift
+            shift += 7
+            if not c & 0x80:
+                break
+        return (acc >> 1) ^ -(acc & 1)
+
+    def vbytes(self):
+        return self.take(self.vlong())
+
+
+def _avro_datum(r: _R, schema):
+    if isinstance(schema, list):
+        return _avro_datum(r, schema[r.vlong()])
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {f["name"]: _avro_datum(r, f["type"]) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while (n := r.vlong()) != 0:
+                if n < 0:
+                    r.vlong()
+                    n = -n
+                out += [_avro_datum(r, schema["items"]) for _ in range(n)]
+            return out
+        if t == "map":
+            out = {}
+            while (n := r.vlong()) != 0:
+                if n < 0:
+                    r.vlong()
+                    n = -n
+                for _ in range(n):
+                    k = r.vbytes().decode()  # key BEFORE value (eval order)
+                    out[k] = _avro_datum(r, schema["values"])
+            return out
+        return _avro_datum(r, t)
+    if schema in ("long", "int"):
+        return r.vlong()
+    if schema == "string":
+        return r.vbytes().decode()
+    if schema == "bytes":
+        return r.vbytes()
+    if schema == "boolean":
+        return r.take(1) == b"\x01"
+    if schema == "double":
+        return struct.unpack("<d", r.take(8))[0]
+    if schema == "float":
+        return struct.unpack("<f", r.take(4))[0]
+    if schema == "null":
+        return None
+    raise AssertionError(f"unexpected avro type {schema!r}")
+
+
+def read_avro_file(path):
+    with open(path, "rb") as fh:
+        r = _R(fh.read())
+    assert r.take(4) == b"Obj\x01", "bad avro magic"
+    meta = {}
+    while (n := r.vlong()) != 0:
+        if n < 0:
+            r.vlong()
+            n = -n
+        for _ in range(n):
+            k = r.vbytes().decode()  # NB: must read key BEFORE value
+            meta[k] = r.vbytes()
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = r.take(16)
+    records = []
+    while r.i < len(r.b):
+        count = r.vlong()
+        block = r.vbytes()
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise AssertionError(f"unexpected codec {codec}")
+        br = _R(block)
+        records += [_avro_datum(br, schema) for _ in range(count)]
+        assert r.take(16) == sync, "sync mismatch"
+    return schema, records
+
+
+def load_metadata(root):
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def snapshot_files(root, snapshot):
+    """Resolve one snapshot's live data files via manifest-list →
+    manifests, from scratch."""
+    _, manifests = read_avro_file(snapshot["manifest-list"])
+    files = {}
+    for mf in manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            assert e["status"] in (0, 1, 2)
+            if e["status"] != 2:
+                files[e["data_file"]["file_path"]] = e["data_file"]
+    return files
+
+
+def disk_files(snap_dir):
+    out = set()
+    for dirpath, _d, filenames in os.walk(snap_dir):
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                out.add(os.path.join(dirpath, fn))
+    return out
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(
+        spark.range(5).selectExpr("id", "id * 2 AS v"),
+        committed_at_ms=1000,
+        properties={"checkpoint": "a"},
+    )
+    t.write(spark.range(8).selectExpr("id", "id * 3 AS v"), committed_at_ms=2000)
+    t.write(spark.range(3).selectExpr("id", "id * 5 AS v"), committed_at_ms=3000)
+    return t
+
+
+def test_snapshots_match_manifest_version_by_version(table):
+    export_iceberg_metadata(table)
+    metadata = load_metadata(table.root)
+    assert metadata["format-version"] == 1
+    snaps = table.snapshots()
+    assert len(metadata["snapshots"]) == 3
+    for s, snap in zip(metadata["snapshots"], snaps):
+        assert set(snapshot_files(table.root, s)) == disk_files(snap.path)
+        assert s["timestamp-ms"] == snap.committed_at_ms
+    # properties ride the snapshot summary (the checkpoint channel)
+    assert metadata["snapshots"][0]["summary"]["checkpoint"] == "a"
+    assert metadata["current-snapshot-id"] == 3
+    # schema carries field-ids 1..n
+    assert [f["id"] for f in metadata["schema"]["fields"]] == [1, 2]
+    # record counts are real parquet footer counts
+    total = sum(
+        f["record_count"]
+        for f in snapshot_files(table.root, metadata["snapshots"][1]).values()
+    )
+    assert total == 8
+
+
+def test_final_live_set_readable_by_duckdb(table):
+    export_iceberg_metadata(table)
+    metadata = load_metadata(table.root)
+    files = snapshot_files(table.root, metadata["snapshots"][-1])
+    got = duckdb.sql(
+        f"SELECT id, v FROM read_parquet({sorted(files)!r}) ORDER BY id"
+    ).fetchall()
+    want = sorted(
+        (r["id"], r["v"]) for r in table.read().collect()
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_reader_matches_snapshot_reads(table, spark):
+    export_iceberg_metadata(table)
+    for sid, version in ((1, 1), (2, 2), (3, 3)):
+        got = sorted(
+            (r["id"], r["v"])
+            for r in read_iceberg_table(spark, table.root, snapshot_id=sid).collect()
+        )
+        want = sorted(
+            (r["id"], r["v"]) for r in table.read(version=version).collect()
+        )
+        assert got == want, f"snapshot {sid}"
+    latest = sorted(
+        (r["id"], r["v"]) for r in read_iceberg_table(spark, table.root).collect()
+    )
+    assert latest == sorted((r["id"], r["v"]) for r in table.read().collect())
+
+
+def test_partitioned_table_typed_partition_values(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "prd"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")],
+        "id long, dt string",
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    export_iceberg_metadata(t)
+    metadata = load_metadata(t.root)
+    spec = metadata["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [("dt", "identity")]
+    # partition values in the manifest are TYPED (date = days since epoch)
+    files = snapshot_files(t.root, metadata["snapshots"][0])
+    days = {f["partition"]["dt"] for f in files.values()}
+    assert days == {19723, 19724}  # 2024-01-01, 2024-01-02
+    got = read_iceberg_table(spark, t.root)
+    snap = t.read()
+    assert got.schema == snap.schema
+    assert sorted((r["id"], str(r["dt"])) for r in got.collect()) == sorted(
+        (r["id"], str(r["dt"])) for r in snap.collect()
+    )
+
+
+def test_wap_branch_invisible_until_published(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "wap"))
+    t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.create_branch("audit", at_ms=1500)
+    t.write(
+        spark.range(9).selectExpr("id", "id AS v"),
+        committed_at_ms=2000,
+        branch="audit",
+    )
+    export_iceberg_metadata(t)  # main
+    assert len(load_metadata(t.root)["snapshots"]) == 1
+    t.fast_forward("main", "audit", at_ms=3000)
+    export_iceberg_metadata(t)
+    metadata = load_metadata(t.root)
+    assert len(metadata["snapshots"]) == 2
+    files = snapshot_files(t.root, metadata["snapshots"][-1])
+    total = sum(f["record_count"] for f in files.values())
+    assert total == 9
+
+
+def test_rollback_becomes_new_snapshot(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "rb"))
+    t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.create_branch("pin_v1", at_ms=1100)
+    t.write(spark.range(7).selectExpr("id", "id AS v"), committed_at_ms=2000)
+    t.fast_forward("main", "pin_v1", at_ms=3000)  # rollback main to v1
+    export_iceberg_metadata(t)
+    metadata = load_metadata(t.root)
+    assert len(metadata["snapshots"]) == 3  # rollback = RESTORE-style commit
+    first = snapshot_files(t.root, metadata["snapshots"][0])
+    restored = snapshot_files(t.root, metadata["snapshots"][2])
+    assert set(first) == set(restored)
+    got = sorted(r["id"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_export_idempotent_and_extendable(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "idem"))
+    t.write(spark.range(3).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    meta_dir = export_iceberg_metadata(t)
+
+    def tree(d):
+        return {
+            f: open(os.path.join(d, f), "rb").read() for f in os.listdir(d)
+        }
+
+    first = tree(meta_dir)
+    assert tree(export_iceberg_metadata(t)) == first  # byte-stable
+    t.write(spark.range(6).selectExpr("id", "id AS v"), committed_at_ms=2000)
+    extended = tree(export_iceberg_metadata(t))
+    assert extended["version-hint.text"] == b"2"
+    assert extended["m-00000.avro"] == first["m-00000.avro"]
+    assert "v2.metadata.json" in extended and "v1.metadata.json" in extended
+
+
+def test_reader_rejects_unknown_snapshot_and_v2(table, spark, tmp_path):
+    export_iceberg_metadata(table)
+    with pytest.raises(ValueError, match="snapshot 99"):
+        read_iceberg_table(spark, table.root, snapshot_id=99)
+    # bump format-version: reader must refuse, not mis-read
+    meta_dir = os.path.join(table.root, "metadata")
+    p = os.path.join(meta_dir, "v3.metadata.json")
+    m = json.load(open(p))
+    m["format-version"] = 2
+    json.dump(m, open(p, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 1"):
+        read_iceberg_table(spark, table.root)
