@@ -809,6 +809,63 @@ def video_decode_stats(
     return media.mapInPandas(kernel, schema=VIDEO_STATS_SCHEMA)
 
 
+MJPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("quality", T.IntegerType(), False),
+        T.StructField("within_tol", T.BooleanType(), False),
+    ]
+)
+
+
+def mjpeg_roundtrip_stats(
+    media: DataFrame,
+    n_frames: int = 2,
+    width: int = 5,
+    height: int = 4,
+    fps: int = 10,
+    quality: int = 95,
+) -> DataFrame:
+    """COMPRESSED video round-trip: the payload's cycled raster becomes
+    a Motion-JPEG AVI (one baseline JPEG per frame inside the RIFF
+    container — both codecs of this package composed) and is decoded
+    back through the full container + per-frame JPEG inverse path.
+    Lossy, so like jpeg_roundtrip_stats the verdict is dims/fps plus
+    max |decoded−source| ≤ JPEG_TOLERANCE per document.
+
+    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle."""
+    import numpy as np
+
+    n_px = n_frames * width * height * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MJPEG_STATS_SCHEMA.fields}
+            for mid, b in zip(pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()):
+                src = np.frombuffer(b or b"", dtype=np.uint8)
+                if src.size == 0:
+                    continue
+                px = np.resize(src, n_px).reshape(n_frames, height, width, 3)
+                dec, got_fps = decode_video_frames(
+                    encode_avi(px, fps=fps, codec="mjpeg", quality=quality)
+                )
+                err = int(np.abs(dec.astype(np.int32) - px.astype(np.int32)).max())
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(dec.shape[0])
+                out["width"].append(dec.shape[2])
+                out["height"].append(dec.shape[1])
+                out["fps"].append(got_fps)
+                out["quality"].append(quality)
+                out["within_tol"].append(err <= JPEG_TOLERANCE)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=MJPEG_STATS_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -843,23 +900,36 @@ def _riff_subchunks(buf: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def encode_avi(frames, fps: int = 10) -> bytes:
-    """Encode an (n, h, w, 3) uint8 RGB array as an uncompressed 24-bit
-    AVI ('vids'/'DIB ', BI_RGB): RIFF('AVI ') → LIST hdrl (avih, LIST
-    strl(strh, strf)) → LIST movi (one '00db' DIB frame per input
-    frame, each in the BMP raster layout: bottom-up rows, BGR, stride
-    padded to 4 bytes) → idx1. A JUNK chunk with an ODD payload size is
-    planted between hdrl and movi, so a decoder that ignores RIFF word
-    alignment or assumes 'movi directly follows hdrl' breaks."""
+def encode_avi(frames, fps: int = 10, codec: str = "raw", quality: int = 95) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB array as an AVI: RIFF('AVI ') →
+    LIST hdrl (avih, LIST strl(strh, strf)) → LIST movi → idx1.
+    ``codec="raw"`` writes uncompressed 24-bit DIB ('00db' frames in
+    the BMP raster layout: bottom-up rows, BGR, stride padded to 4
+    bytes); ``codec="mjpeg"`` writes Motion-JPEG ('MJPG' fourcc, one
+    baseline JPEG per '00dc' frame via operators/jpeg.py — REAL
+    compressed video, each frame independently decodable). A JUNK chunk
+    with an ODD payload size is planted between hdrl and movi, so a
+    decoder that ignores RIFF word alignment or assumes 'movi directly
+    follows hdrl' breaks."""
     import struct
 
     import numpy as np
 
+    if codec not in ("raw", "mjpeg"):
+        raise ValueError(f"unknown codec {codec!r}")
     arr = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = arr.shape
     row_raw = w * 3
     stride = (row_raw + 3) & ~3
-    frame_size = stride * h
+    if codec == "mjpeg":
+        from .jpeg import encode_jpeg
+
+        frame_blobs = [encode_jpeg(arr[i], quality=quality) for i in range(n)]
+        frame_size = max(len(b) for b in frame_blobs)
+        handler, compression, chunk_id = b"MJPG", 0x47504A4D, b"00dc"
+    else:
+        frame_size = stride * h
+        handler, compression, chunk_id = b"DIB ", 0, b"00db"
 
     def chunk(fourcc: bytes, data: bytes) -> bytes:
         return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
@@ -878,45 +948,51 @@ def encode_avi(frames, fps: int = 10) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4h",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", handler, 0, 0, 0, 0,
         1, fps, 0, n,  # dwScale, dwRate (fps = rate/scale), dwStart, dwLength
         frame_size, 0, 0,  # bufSize, quality, sampleSize
         0, 0, w, h,  # rcFrame
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 2835, 2835, 0, 0
     )
     hdrl = list_chunk(
         b"hdrl",
         chunk(b"avih", avih)
         + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    raster = np.zeros((n, h, stride), dtype=np.uint8)
-    raster[:, :, :row_raw] = arr[:, ::-1, :, ::-1].reshape(n, h, row_raw)
-    movi_body = b"movi" + b"".join(
-        chunk(b"00db", raster[i].tobytes()) for i in range(n)
-    )
+    if codec == "mjpeg":
+        payloads = frame_blobs
+    else:
+        raster = np.zeros((n, h, stride), dtype=np.uint8)
+        raster[:, :, :row_raw] = arr[:, ::-1, :, ::-1].reshape(n, h, row_raw)
+        payloads = [raster[i].tobytes() for i in range(n)]
+    movi_body = b"movi"
+    idx_entries = []
+    for p in payloads:
+        idx_entries.append(
+            chunk_id + struct.pack("<III", 0x10, len(movi_body), len(p))
+        )
+        movi_body += chunk(chunk_id, p)
     movi = chunk(b"LIST", movi_body)
-    idx1 = chunk(
-        b"idx1",
-        b"".join(
-            b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + frame_size), frame_size)
-            for i in range(n)
-        ),
-    )
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + chunk(b"JUNK", b"spark-graft-odd") + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' as a little-endian biCompression int
+
+
 def decode_video_frames(payload: bytes):
-    """Real AVI decode for the uncompressed 24-bit DIB case, pure
-    numpy/struct: RIFF walk (word-aligned, JUNK/idx1 skipped), avih for
-    dimensions/frame count/fps, strf checked for BI_RGB 24-bit, movi's
-    '00db'/'00dd' chunks unpacked from the BMP raster layout (stride
-    strip, bottom-up flip, BGR→RGB). Returns (frames (n, h, w, 3)
-    uint8 RGB, fps). Compressed streams (MJPEG/cvid/...) and non-24-bit
-    depths raise NotImplementedError — the honest-slot contract the
-    other media decoders follow."""
+    """Real AVI decode, pure numpy/struct: RIFF walk (word-aligned,
+    JUNK/idx1 skipped), avih for dimensions/frame count/fps, strf for
+    the codec — BI_RGB 24-bit DIB frames ('00db', BMP raster layout:
+    stride strip, bottom-up flip, BGR→RGB) or Motion-JPEG ('MJPG'
+    biCompression, one baseline JPEG per '00dc' frame decoded through
+    operators/jpeg.py). Returns (frames (n, h, w, 3) uint8 RGB, fps).
+    Other codecs (cvid/h264/...) and non-24-bit DIB depths raise
+    NotImplementedError — the honest-slot contract the other media
+    decoders follow."""
     import struct
 
     import numpy as np
@@ -928,6 +1004,7 @@ def decode_video_frames(payload: bytes):
         raise ValueError("truncated RIFF payload")
     w = h = n_frames = None
     us_per_frame = None
+    compression = 0
     frames_raw: list[bytes] = []
     for fourcc, at, size in _riff_subchunks(payload, 12, 8 + total):
         if fourcc != b"LIST":
@@ -955,14 +1032,17 @@ def decode_video_frames(payload: bytes):
                             bpp, compression = struct.unpack_from(
                                 "<HI", payload, s2at + 14
                             )
-                            if bpp != 24 or compression != 0:
+                            if compression not in (0, _MJPG_FOURCC) or (
+                                compression == 0 and bpp != 24
+                            ):
                                 raise NotImplementedError(
-                                    f"only uncompressed 24-bit DIB AVI is decoded "
-                                    f"here (bpp={bpp}, compression={compression})"
+                                    f"only uncompressed 24-bit DIB and MJPG AVI "
+                                    f"are decoded here (bpp={bpp}, "
+                                    f"compression={compression})"
                                 )
         elif list_type == b"movi":
             for sub, sat, ssize in _riff_subchunks(payload, at + 4, at + size):
-                if sub[2:] in (b"db", b"dd"):
+                if sub[2:] in (b"db", b"dd", b"dc"):
                     frames_raw.append(payload[sat : sat + ssize])
     if w is None:
         raise ValueError("AVI missing avih header")
@@ -970,13 +1050,26 @@ def decode_video_frames(payload: bytes):
         raise ValueError(
             f"avih declares {n_frames} frames, movi holds {len(frames_raw)}"
         )
-    stride = (w * 3 + 3) & ~3
     out = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
-    for i, raw in enumerate(frames_raw):
-        if len(raw) != stride * h:
-            raise ValueError(f"frame {i}: got {len(raw)} bytes, want {stride * h}")
-        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    if compression == _MJPG_FOURCC:
+        from .jpeg import decode_jpeg
+
+        for i, raw in enumerate(frames_raw):
+            frame = decode_jpeg(raw)
+            if frame.shape != (h, w, 3):
+                raise ValueError(
+                    f"frame {i}: JPEG dims {frame.shape} != header ({h}, {w}, 3)"
+                )
+            out[i] = frame
+    else:
+        stride = (w * 3 + 3) & ~3
+        for i, raw in enumerate(frames_raw):
+            if len(raw) != stride * h:
+                raise ValueError(
+                    f"frame {i}: got {len(raw)} bytes, want {stride * h}"
+                )
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+            out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
     fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
     return out, fps
 

@@ -18,6 +18,7 @@ from ..operators.multimodal import (
     extract_features,
     image_decode_stats,
     jpeg_roundtrip_stats,
+    mjpeg_roundtrip_stats,
     resize_media,
     sample_frames,
     video_decode_stats,
@@ -393,3 +394,37 @@ def multimodal_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
     media = as_media_table(d, "doc_id", "text")
     return jpeg_roundtrip_stats(media, width=5, height=4, quality=95)
+
+
+@register(
+    "multimodal_video_mjpeg",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(2 AS INT) AS n_frames,
+           CAST(5 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(10 AS INT) AS fps,
+           CAST(95 AS INT) AS quality,
+           TRUE AS within_tol
+    FROM documents
+    WHERE octet_length(encode(text)) > 0 AND {_ASCII_SQL}
+    """,
+)
+def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed video, oracle-verified: each document's cycled
+    raster becomes a 2-frame Motion-JPEG AVI — the package's baseline
+    JPEG codec (operators/jpeg.py) composed inside its RIFF/AVI
+    container ('MJPG' fourcc, one independently-decodable JPEG per
+    '00dc' chunk) — and is decoded back through the word-aligned
+    container walk plus the full per-frame JPEG inverse. Lossy, so the
+    pairing is dims/fps + the bounded-reconstruction verdict (same
+    JPEG_TOLERANCE contract as multimodal_image_jpeg; the exact-content
+    design lives in the lossless multimodal_video_decode lane).
+
+    100 TB: partition-local mapInPandas over Arrow batches — no
+    shuffle, per-blob CPU only. ASCII-scoped (see _ASCII_SQL)."""
+    d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
+    media = as_media_table(d, "doc_id", "text")
+    return mjpeg_roundtrip_stats(
+        media, n_frames=2, width=5, height=4, fps=10, quality=95
+    )

@@ -505,8 +505,10 @@ def test_avi_compressed_stream_rejected():
 
     buf = bytearray(encode_avi(_arr(4, 5).reshape(1, 4, 5, 3)))
     at = buf.index(b"strf") + 8
-    struct.pack_into("<I", buf, at + 16, 1196444237)  # biCompression = 'MJPG'
-    with pytest.raises(NotImplementedError, match="compression"):
+    # 'MJPG' is a SUPPORTED codec now — claiming it over raw DIB frames
+    # is a malformed stream (frames aren't JPEGs), not a missing feature
+    struct.pack_into("<I", buf, at + 16, 1196444237)
+    with pytest.raises(ValueError, match="SOI"):
         decode_video_frames(bytes(buf))
     buf2 = bytearray(encode_avi(_arr(4, 5).reshape(1, 4, 5, 3)))
     at2 = buf2.index(b"strf") + 8
@@ -649,3 +651,98 @@ def test_wav_other_codecs_still_rejected():
     struct.pack_into("<H", buf, at, 2)  # MS-ADPCM tag with bits=16
     with pytest.raises(NotImplementedError, match="fmt=2"):
         decode_audio(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI: the two codecs composed (compressed video)
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_bounded():
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        JPEG_TOLERANCE,
+        decode_video_frames,
+        encode_avi,
+    )
+
+    a = np.stack([_arr(8, 8), _arr(8, 8)[::-1], _arr(8, 8, seed=13)])
+    buf = encode_avi(a, fps=24, codec="mjpeg", quality=95)
+    assert b"MJPG" in buf and b"00dc" in buf and b"00db" not in buf
+    dec, fps = decode_video_frames(buf)
+    assert fps == 24 and dec.shape == a.shape
+    assert int(np.abs(dec.astype(int) - a.astype(int)).max()) <= JPEG_TOLERANCE
+
+
+def test_mjpeg_frames_are_standalone_jpegs():
+    """Every '00dc' chunk must start with SOI and end with EOI — the
+    MJPEG contract (each frame independently decodable)."""
+    import struct
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_avi
+
+    buf = encode_avi(np.stack([_arr(4, 5), _arr(4, 5)[::-1]]), codec="mjpeg")
+    at = buf.index(b"movi") + 4
+    seen = 0
+    while buf[at : at + 4] == b"00dc":
+        (size,) = struct.unpack_from("<I", buf, at + 4)
+        frame = buf[at + 8 : at + 8 + size]
+        assert frame[:2] == b"\xff\xd8" and frame[-2:] == b"\xff\xd9"
+        seen += 1
+        at += 8 + size + (size & 1)
+    assert seen == 2
+
+
+def test_mjpeg_dim_mismatch_rejected():
+    """A frame whose JPEG dims disagree with the AVI header is a hard
+    error, not a silent crop."""
+    import struct
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_avi,
+    )
+
+    buf = bytearray(encode_avi(np.stack([_arr(4, 5)]), codec="mjpeg"))
+    at = buf.index(b"avih") + 8
+    struct.pack_into("<I", buf, at + 32, 7)  # lie: width = 7
+    with pytest.raises(ValueError, match="dims"):
+        decode_video_frames(bytes(buf))
+
+
+def test_unknown_video_codec_still_rejected():
+    import struct
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_avi,
+    )
+
+    buf = bytearray(encode_avi(np.stack([_arr(4, 5)])))
+    at = buf.index(b"strf") + 8
+    struct.pack_into("<I", buf, at + 16, 0x64697663)  # 'cvid'
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_video_frames(bytes(buf))
+
+
+def test_mjpeg_stats_lane(spark):
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        mjpeg_roundtrip_stats,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, text.encode(), "text/plain", len(text))],
+        "media_id long, payload binary, media_type string, n_bytes int",
+    )
+    r = mjpeg_roundtrip_stats(df).collect()[0]
+    assert (
+        r["n_frames"], r["width"], r["height"], r["fps"], r["within_tol"]
+    ) == (2, 5, 4, 10, True)
