@@ -5,19 +5,21 @@ mapInPandas.
 The container has no codec LIBRARIES, but these formats need none:
 `decode_image` really decodes 24-bit BI_RGB BMP (BGR order, bottom-up
 or top-down rows, 4-byte row padding), binary PPM/PGM (P6/P5), and —
-via stdlib zlib — 8-bit gray/RGB/palette PNG (CRC-checked chunk walk,
-multi-IDAT reassembly, all five row unfilters, PLTE lookup) with pure
-numpy; `decode_video_frames` really decodes uncompressed 24-bit DIB
-AVI (word-aligned RIFF walk, per-frame BMP-layout rasters); baseline
-JPEG rides `operators/jpeg.py` (full T.81 DCT/Huffman pipeline, lossy →
+via stdlib zlib — 8-bit PNG in every color type (gray/RGB/palette/
+gray+alpha/RGBA: CRC-checked chunk walk, multi-IDAT reassembly, all
+five row unfilters, PLTE lookup) with pure numpy;
+`decode_video_frames` really decodes AVI — uncompressed 24-bit DIB
+(word-aligned RIFF walk, per-frame BMP-layout rasters) and Motion-JPEG
+('MJPG', one baseline JPEG per frame); baseline JPEG itself rides
+`operators/jpeg.py` (full T.81 DCT/Huffman pipeline, lossy →
 verdict-paired lane); G.711 μ-law covers compressed audio — see the
 `multimodal_*` lanes for the oracle-verified end-to-end checks.
 `fake_feature_extract` remains
 the deterministic stand-in that proves the Spark-side plumbing (schema,
 batching, partitioning) without any format assumption. The remaining
 honest NotImplementedError slots are the genuinely-external codecs
-(MP3/AAC, MJPEG/cvid video, progressive/subsampled JPEG, PNG
-alpha/16-bit/interlaced) — swapping in PIL/librosa/ffmpeg for those is
+(MP3/AAC, cvid/h264 video, progressive/subsampled/12-bit JPEG, 16-bit/
+interlaced PNG) — swapping in PIL/librosa/ffmpeg for those is
 a one-function change; the dataflow does not move.
 """
 
@@ -136,9 +138,10 @@ def _paeth_predictor(a: int, b: int, c: int) -> int:
 
 
 def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) gray uint8 array as an 8-bit
-    PNG using only stdlib zlib/struct. With ``palette=True`` the (h, w,
-    3) input is palettized instead (color type 3): the unique colors
+    """Encode a uint8 array as an 8-bit PNG using only stdlib
+    zlib/struct — (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB, or
+    (h, w, 4) RGBA (color types 0/4/2/6). With ``palette=True`` the
+    (h, w, 3) input is palettized instead (color type 3): the unique colors
     (≤ 256, lexicographically sorted so the palette is deterministic)
     become the PLTE chunk and the raster stores 1-byte indices — the
     filter pipeline then runs on the index plane with bpp=1, exactly the
@@ -156,9 +159,10 @@ def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
+    nch = 1 if gray else arr.shape[2]
     plte = None
     if palette:
-        if gray:
+        if nch != 3:
             raise ValueError("palette encoding needs an (h, w, 3) RGB array")
         colors, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
         if len(colors) > 256:
@@ -169,7 +173,9 @@ def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
         ch = 1
         raw = inverse.reshape(h, w).astype(np.int32)
     else:
-        ch = 1 if gray else 3
+        if nch not in (1, 2, 3, 4):
+            raise ValueError(f"cannot encode {nch}-channel pixels as PNG")
+        ch = nch
         raw = arr.reshape(h, w * ch).astype(np.int32)
     stride = w * ch
     out = bytearray()
@@ -212,7 +218,7 @@ def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    color_type = 3 if palette else (0 if gray else 2)
+    color_type = 3 if palette else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     mid = max(1, len(comp) // 2)
     return (
@@ -229,12 +235,13 @@ def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
 def _decode_png(payload: bytes):
     """Real PNG decode with stdlib zlib only: CRC-checked chunk walk,
     multi-IDAT reassembly, inflate, and per-row unfilter of all five
-    filter types (None/Sub/Up/Average/Paeth) for 8-bit grayscale
-    (color type 0), RGB (color type 2), and palette (color type 3 —
-    PLTE lookup after a bpp=1 unfilter of the index plane, out-of-range
-    indices rejected per spec). Alpha/16-bit/interlaced/sub-byte-palette
-    variants (and tRNS palette alpha) stay honest NotImplementedError
-    slots."""
+    filter types (None/Sub/Up/Average/Paeth) for every 8-bit color
+    type — grayscale (0), RGB (2), palette (3 — PLTE lookup after a
+    bpp=1 unfilter of the index plane, out-of-range indices rejected
+    per spec), gray+alpha (4), and RGBA (6); the filter pipeline is
+    bpp-generic, alpha is just more bytes per pixel. 16-bit/interlaced/
+    sub-byte-palette variants (and tRNS palette alpha) stay honest
+    NotImplementedError slots."""
     import struct
     import zlib
 
@@ -261,10 +268,10 @@ def _decode_png(payload: bytes):
             )
             if comp_m != 0 or filt_m != 0:
                 raise ValueError("invalid IHDR compression/filter method")
-            if depth != 8 or color not in (0, 2, 3) or interlace != 0:
+            if depth != 8 or color not in (0, 2, 3, 4, 6) or interlace != 0:
                 raise NotImplementedError(
-                    f"only 8-bit non-interlaced gray/RGB/palette PNG is decoded "
-                    f"here (depth={depth}, color_type={color}, "
+                    f"only 8-bit non-interlaced PNG color_types 0/2/3/4/6 "
+                    f"are decoded here (depth={depth}, color_type={color}, "
                     f"interlace={interlace})"
                 )
         elif typ == b"PLTE":
@@ -284,7 +291,7 @@ def _decode_png(payload: bytes):
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    ch = 3 if color == 2 else 1
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data size mismatch")
@@ -327,7 +334,7 @@ def _decode_png(payload: bytes):
                 f"(palette has {len(plte)} entries)"
             )
         return plte[idx]
-    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+    return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
 
 
 def _decode_pnm(payload: bytes):
@@ -367,9 +374,9 @@ def decode_image(payload: bytes):
     flip, stride padding, zlib inflate + the five PNG unfilters, PLTE
     palette lookup — all the places a cargo-cult decoder goes wrong), no
     codec libraries needed: PNG rides stdlib zlib. JPEG (and PNG's
-    alpha/16-bit/interlaced/sub-byte-palette variants) stay honest
+    16-bit/interlaced/sub-byte-palette variants) stay honest
     NotImplementedError slots until PIL/opencv exists in the
-    environment."""
+    environment; alpha (color types 4/6) decodes natively."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):

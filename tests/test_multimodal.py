@@ -213,7 +213,7 @@ def test_png_rejects_unsupported_variants():
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_image(with_ihdr_byte(8, 16))  # 16-bit depth
     with pytest.raises(NotImplementedError, match="color_type"):
-        decode_image(with_ihdr_byte(9, 4))  # gray+alpha
+        decode_image(with_ihdr_byte(9, 7))  # invalid color type
     with pytest.raises(ValueError, match="PLTE"):
         # claiming palette without a PLTE chunk is a hard error, not a
         # missing feature — color type 3 itself is supported
@@ -746,3 +746,22 @@ def test_mjpeg_stats_lane(spark):
     assert (
         r["n_frames"], r["width"], r["height"], r["fps"], r["within_tol"]
     ) == (2, 5, 4, 10, True)
+
+
+def test_png_rgba_and_gray_alpha_roundtrip():
+    """Color types 6 and 4: the filter pipeline is bpp-generic, so
+    alpha round-trips exactly through every filter type."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    rgba = np.dstack([_arr(6, 5), (_arr(6, 5, seed=21)[:, :, 0])])
+    assert rgba.shape == (6, 5, 4)
+    for f in range(5):
+        dec = decode_image(encode_png(rgba, filters=[f] * 6))
+        assert dec.shape == (6, 5, 4)
+        assert np.array_equal(dec, rgba), f"filter {f}"
+    ga = rgba[:, :, :2].copy()
+    dec = decode_image(encode_png(ga))
+    assert dec.shape == (6, 5, 2)
+    assert np.array_equal(dec, ga)
