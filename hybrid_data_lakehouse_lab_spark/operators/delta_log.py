@@ -309,6 +309,15 @@ def write_checkpoint(
 
     state = replay_delta_log(log_dir, version)
     v = state["version"]
+    prior = _load_last_checkpoint(log_dir)
+    if prior is not None and v < prior["version"]:
+        # A backwards pointer move would force later reads to replay JSON
+        # commits after v — which clean_log_commits may already have
+        # deleted up to the PRIOR checkpoint. Never regress.
+        raise ValueError(
+            f"refusing to move _last_checkpoint backwards "
+            f"(v{prior['version']} -> v{v})"
+        )
     protocol = state["protocol"] or PROTOCOL
     meta = state["metaData"]
     if meta is None:

@@ -421,3 +421,17 @@ def test_clean_without_checkpoint_refused(table):
     log_dir = export_delta_log(table)
     with pytest.raises(ValueError, match="refusing"):
         clean_log_commits(log_dir)
+
+
+def test_checkpoint_pointer_never_regresses(table):
+    """A checkpoint at an older version than _last_checkpoint must be
+    refused: after clean_log_commits, a regressed pointer would demand
+    JSON commits that no longer exist."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import write_checkpoint
+
+    log_dir = export_delta_log(table)
+    write_checkpoint(log_dir, version=2)
+    with pytest.raises(ValueError, match="backwards"):
+        write_checkpoint(log_dir, version=1)
+    # same-version re-checkpoint stays allowed (idempotent refresh)
+    write_checkpoint(log_dir, version=2)
