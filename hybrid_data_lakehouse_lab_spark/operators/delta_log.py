@@ -159,6 +159,19 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
                 fh.write(json.dumps(a) + "\n")
         os.replace(tmp, os.path.join(log_dir, f"{i:020d}.json"))
         prev_files, prev_schema = files, schema_str
+    # A vacuum can SHRINK the pointer history (it rewrites the manifest
+    # without the vacuumed versions). Any previously-exported commit
+    # files past the new end would otherwise still replay — referencing
+    # deleted data files — so drop the stale tail, and drop a
+    # _last_checkpoint that points past the new end for the same reason.
+    last = len(events) - 1
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f.split(".")[0].isdigit():
+            if int(f.split(".")[0]) > last:
+                os.remove(os.path.join(log_dir, f))
+    cp = _load_last_checkpoint(log_dir)
+    if cp is not None and cp["version"] > last:
+        os.remove(os.path.join(log_dir, "_last_checkpoint"))
     return log_dir
 
 

@@ -323,6 +323,22 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
     with open(hint_tmp, "w") as fh:
         fh.write(str(n))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    # A vacuum can SHRINK the pointer history; files from a longer
+    # pre-vacuum export (higher metadata versions, manifests for dropped
+    # snapshots) are unreferenced by the new hint but would reference
+    # deleted data — remove them, the catalog-GC step a real Iceberg
+    # deployment runs.
+    for f in os.listdir(meta_dir):
+        stale = (
+            (f.startswith("m-") and f.endswith(".avro")
+             and int(f[2:-5]) >= len(events))
+            or (f.startswith("snap-") and f.endswith(".avro")
+                and int(f.split("-")[1]) > len(events))
+            or (f.startswith("v") and f.endswith(".metadata.json")
+                and f[1:-14].isdigit() and int(f[1:-14]) > n)
+        )
+        if stale:
+            os.remove(os.path.join(meta_dir, f))
     return meta_dir
 
 

@@ -435,3 +435,34 @@ def test_checkpoint_pointer_never_regresses(table):
         write_checkpoint(log_dir, version=1)
     # same-version re-checkpoint stays allowed (idempotent refresh)
     write_checkpoint(log_dir, version=2)
+
+
+def test_reexport_after_vacuum_drops_stale_tail(spark, tmp_path):
+    """vacuum_snapshots rewrites the manifest (shorter history); a
+    re-export must not leave higher-numbered commit files from the
+    pre-vacuum export replaying adds of deleted data files."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+        write_checkpoint,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        vacuum_snapshots,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "vac"))
+    t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.write(spark.range(7).selectExpr("id", "id * 2 AS v"), committed_at_ms=2000)
+    t.write(spark.range(3).selectExpr("id", "id * 3 AS v"), committed_at_ms=3000)
+    log_dir = export_delta_log(t)
+    write_checkpoint(log_dir)  # points at v2 — must not survive the shrink
+    assert os.path.exists(os.path.join(log_dir, f"{2:020d}.json"))
+    expired = vacuum_snapshots(t, older_than_ms=3000, keep_last=1)
+    assert expired == [1, 2]
+    export_delta_log(t)
+    # history collapsed to ONE surviving commit; stale tail + stale
+    # checkpoint gone; replay sees exactly the live table
+    assert not os.path.exists(os.path.join(log_dir, f"{1:020d}.json"))
+    assert not os.path.exists(os.path.join(log_dir, f"{2:020d}.json"))
+    assert not os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    got = sorted((r["id"], r["v"]) for r in read_delta_table(spark, t.root).collect())
+    assert got == [(i, i * 3) for i in range(3)]

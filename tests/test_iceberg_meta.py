@@ -310,3 +310,32 @@ def test_reader_rejects_unknown_snapshot_and_v2(table, spark, tmp_path):
     json.dump(m, open(p, "w"))
     with pytest.raises(NotImplementedError, match="format-version 1"):
         read_iceberg_table(spark, table.root)
+
+
+def test_reexport_after_vacuum_drops_stale_metadata(spark, tmp_path):
+    """After vacuum_snapshots shrinks the history, a re-export must not
+    leave unreferenced manifests / higher metadata versions around
+    (they'd reference deleted data files)."""
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        vacuum_snapshots,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "vac"))
+    t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.write(spark.range(7).selectExpr("id", "id * 2 AS v"), committed_at_ms=2000)
+    t.write(spark.range(3).selectExpr("id", "id * 3 AS v"), committed_at_ms=3000)
+    meta_dir = export_iceberg_metadata(t)
+    assert os.path.exists(os.path.join(meta_dir, "v3.metadata.json"))
+    assert vacuum_snapshots(t, older_than_ms=3000, keep_last=1) == [1, 2]
+    export_iceberg_metadata(t)
+    left = sorted(os.listdir(meta_dir))
+    assert left == [
+        "m-00000.avro",
+        "snap-1-1-manifest-list.avro",
+        "v1.metadata.json",
+        "version-hint.text",
+    ], left
+    got = sorted(
+        (r["id"], r["v"]) for r in read_iceberg_table(spark, t.root).collect()
+    )
+    assert got == [(i, i * 3) for i in range(3)]
