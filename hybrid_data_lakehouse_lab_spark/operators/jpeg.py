@@ -190,47 +190,47 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     )
 
 
-def _encode_component(
-    plane: np.ndarray, qt: np.ndarray, dc_codes, ac_codes, writer: _BitWriter, prev_dc: int
-) -> int:
-    """FDCT + quantize + entropy-code every 8×8 block of one padded
-    plane (row-major block order); returns the last DC for prediction."""
+def _quantized_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8×8 block of one padded plane: returns an
+    (h8, w8, 8, 8) int32 array of quantized coefficients."""
     h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
     shifted = plane.astype(np.float64) - 128.0
-    # all blocks at once: (h8, w8, 8, 8) then C @ blk @ C.T
     blocks = shifted.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
     coeffs = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
-    quant = np.round(coeffs / qt).astype(np.int32)
-    for by in range(h8):
-        for bx in range(w8):
-            zz = quant[by, bx].reshape(64)[ZIGZAG]
-            s, bits = _magnitude(int(zz[0]) - prev_dc)
-            code, ln = dc_codes[s]
+    return np.round(coeffs / qt).astype(np.int32)
+
+
+def _entropy_code_block(
+    zz: np.ndarray, dc_codes, ac_codes, writer: _BitWriter, prev_dc: int
+) -> int:
+    """Entropy-code one zigzag-ordered quantized block (DC prediction +
+    AC run-length per F.1.2); returns the block's DC for prediction."""
+    s, bits = _magnitude(int(zz[0]) - prev_dc)
+    code, ln = dc_codes[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(bits, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
             writer.write(code, ln)
-            if s:
-                writer.write(bits, s)
-            prev_dc = int(zz[0])
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = (nz[-1] + 1) if len(nz) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                    writer.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | s]
-                writer.write(code, ln)
-                writer.write(bits, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                writer.write(code, ln)
-    return prev_dc
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
+    return int(zz[0])
 
 
 def encode_jpeg(pixels, quality: int = 90) -> bytes:
@@ -299,51 +299,21 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     out += seg(0xFFDA, sos)
 
     writer = _BitWriter()
-    if gray:
-        _encode_component(planes[0], qt_l, _ENC_DC, _ENC_AC, writer, 0)
-    else:
-        # non-interleaved would need multiple scans; baseline interleaved
-        # MCU order with 1x1 sampling = per-MCU one block of each comp
-        h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
-        comps = []
-        for ci, (p, qt) in enumerate(
-            zip(planes, (qt_l, qt_c, qt_c))
-        ):
-            shifted = p.astype(np.float64) - 128.0
-            blocks = shifted.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
-            coeffs = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
-            comps.append(np.round(coeffs / qt).astype(np.int32))
-        prev = [0, 0, 0]
-        for by in range(h8):
-            for bx in range(w8):
-                for ci in range(3):
-                    zz = comps[ci][by, bx].reshape(64)[ZIGZAG]
-                    s, bits = _magnitude(int(zz[0]) - prev[ci])
-                    code, ln = _ENC_DC[s]
-                    writer.write(code, ln)
-                    if s:
-                        writer.write(bits, s)
-                    prev[ci] = int(zz[0])
-                    run = 0
-                    nz = np.nonzero(zz[1:])[0]
-                    last_nz = (nz[-1] + 1) if len(nz) else 0
-                    for k in range(1, last_nz + 1):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            code, ln = _ENC_AC[0xF0]
-                            writer.write(code, ln)
-                            run -= 16
-                        s, bits = _magnitude(v)
-                        code, ln = _ENC_AC[(run << 4) | s]
-                        writer.write(code, ln)
-                        writer.write(bits, s)
-                        run = 0
-                    if last_nz < 63:
-                        code, ln = _ENC_AC[0x00]
-                        writer.write(code, ln)
+    # baseline interleaved MCU order: with 1x1 sampling each MCU holds
+    # one block of every component, row-major over the block grid
+    h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    comps = [
+        _quantized_blocks(p, qt)
+        for p, qt in zip(planes, (qt_l, qt_c, qt_c))
+    ]
+    prev = [0] * ncomp
+    for by in range(h8):
+        for bx in range(w8):
+            for ci in range(ncomp):
+                zz = comps[ci][by, bx].reshape(64)[ZIGZAG]
+                prev[ci] = _entropy_code_block(
+                    zz, _ENC_DC, _ENC_AC, writer, prev[ci]
+                )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
