@@ -5,9 +5,9 @@ mapInPandas.
 The container has no codec LIBRARIES, but these formats need none:
 `decode_image` really decodes 24-bit BI_RGB BMP (BGR order, bottom-up
 or top-down rows, 4-byte row padding), binary PPM/PGM (P6/P5), and —
-via stdlib zlib — 8-bit PNG in every color type (gray/RGB/palette/
-gray+alpha/RGBA: CRC-checked chunk walk, multi-IDAT reassembly, all
-five row unfilters, PLTE lookup) with pure numpy;
+via stdlib zlib — PNG in every color type at 8 or 16 bits
+(gray/RGB/palette/gray+alpha/RGBA: CRC-checked chunk walk, multi-IDAT
+reassembly, all five row unfilters, PLTE lookup) with pure numpy;
 `decode_video_frames` really decodes AVI — uncompressed 24-bit DIB
 (word-aligned RIFF walk, per-frame BMP-layout rasters) and Motion-JPEG
 ('MJPG', one baseline JPEG per frame); baseline JPEG itself rides
@@ -18,8 +18,8 @@ verdict-paired lane); G.711 μ-law covers compressed audio — see the
 the deterministic stand-in that proves the Spark-side plumbing (schema,
 batching, partitioning) without any format assumption. The remaining
 honest NotImplementedError slots are the genuinely-external codecs
-(MP3/AAC, cvid/h264 video, progressive/subsampled/12-bit JPEG, 16-bit/
-interlaced PNG) — swapping in PIL/librosa/ffmpeg for those is
+(MP3/AAC, cvid/h264 video, progressive/subsampled/12-bit JPEG, interlaced
+PNG) — swapping in PIL/librosa/ffmpeg for those is
 a one-function change; the dataflow does not move.
 """
 
@@ -138,8 +138,9 @@ def _paeth_predictor(a: int, b: int, c: int) -> int:
 
 
 def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
-    """Encode a uint8 array as an 8-bit PNG using only stdlib
-    zlib/struct — (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB, or
+    """Encode a uint8 (8-bit) or uint16 (16-bit, big-endian samples)
+    array as a PNG using only stdlib zlib/struct — (h, w) gray,
+    (h, w, 2) gray+alpha, (h, w, 3) RGB, or
     (h, w, 4) RGBA (color types 0/4/2/6). With ``palette=True`` the
     (h, w, 3) input is palettized instead (color type 3): the unique colors
     (≤ 256, lexicographically sorted so the palette is deterministic)
@@ -156,14 +157,16 @@ def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
 
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
+    src = np.asarray(pixels)
+    depth = 16 if src.dtype == np.uint16 else 8
+    arr = src if depth == 16 else np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     nch = 1 if gray else arr.shape[2]
     plte = None
     if palette:
-        if nch != 3:
-            raise ValueError("palette encoding needs an (h, w, 3) RGB array")
+        if nch != 3 or depth != 8:
+            raise ValueError("palette encoding needs an 8-bit (h, w, 3) RGB array")
         colors, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
         if len(colors) > 256:
             raise ValueError(
@@ -175,8 +178,19 @@ def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
     else:
         if nch not in (1, 2, 3, 4):
             raise ValueError(f"cannot encode {nch}-channel pixels as PNG")
-        ch = nch
-        raw = arr.reshape(h, w * ch).astype(np.int32)
+        if depth == 16:
+            # 16-bit samples are stored big-endian; PNG filters operate
+            # on BYTES with bpp = 2×channels, so filter the byte plane
+            ch = nch * 2
+            raw = (
+                np.ascontiguousarray(arr.reshape(h, w * nch).astype(">u2"))
+                .view(np.uint8)
+                .reshape(h, w * ch)
+                .astype(np.int32)
+            )
+        else:
+            ch = nch
+            raw = arr.reshape(h, w * ch).astype(np.int32)
     stride = w * ch
     out = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
@@ -218,8 +232,8 @@ def encode_png(pixels, filters=None, palette: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    color_type = 3 if palette else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    color_type = 3 if palette else {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     mid = max(1, len(comp) // 2)
     return (
         PNG_SIG
@@ -238,10 +252,11 @@ def _decode_png(payload: bytes):
     filter types (None/Sub/Up/Average/Paeth) for every 8-bit color
     type — grayscale (0), RGB (2), palette (3 — PLTE lookup after a
     bpp=1 unfilter of the index plane, out-of-range indices rejected
-    per spec), gray+alpha (4), and RGBA (6); the filter pipeline is
-    bpp-generic, alpha is just more bytes per pixel. 16-bit/interlaced/
-    sub-byte-palette variants (and tRNS palette alpha) stay honest
-    NotImplementedError slots."""
+    per spec), gray+alpha (4), and RGBA (6) — at 8 OR 16 bits per sample (the
+    filter pipeline is byte-pitch generic: 16-bit just doubles bpp, and
+    the big-endian byte pairs recombine to uint16 after the unfilter).
+    Interlaced and sub-byte-palette variants (and tRNS palette alpha)
+    stay honest NotImplementedError slots."""
     import struct
     import zlib
 
@@ -268,9 +283,14 @@ def _decode_png(payload: bytes):
             )
             if comp_m != 0 or filt_m != 0:
                 raise ValueError("invalid IHDR compression/filter method")
-            if depth != 8 or color not in (0, 2, 3, 4, 6) or interlace != 0:
+            if (
+                depth not in (8, 16)
+                or color not in (0, 2, 3, 4, 6)
+                or (depth == 16 and color == 3)
+                or interlace != 0
+            ):
                 raise NotImplementedError(
-                    f"only 8-bit non-interlaced PNG color_types 0/2/3/4/6 "
+                    f"only 8/16-bit non-interlaced PNG color_types 0/2/3/4/6 "
                     f"are decoded here (depth={depth}, color_type={color}, "
                     f"interlace={interlace})"
                 )
@@ -291,7 +311,10 @@ def _decode_png(payload: bytes):
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    # the unfilter loop works on BYTES; bpp (the `ch` pitch below) is
+    # bytes per pixel, so 16-bit samples just double it
+    ch = nch * (depth // 8)
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data size mismatch")
@@ -334,7 +357,11 @@ def _decode_png(payload: bytes):
                 f"(palette has {len(plte)} entries)"
             )
         return plte[idx]
-    return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+    if depth == 16:
+        pairs = arr.reshape(h * w * nch, 2).astype(np.uint16)
+        samples = ((pairs[:, 0] << 8) | pairs[:, 1]).astype(np.uint16)
+        return samples.reshape(h, w, nch) if nch > 1 else samples.reshape(h, w)
+    return arr.reshape(h, w, nch) if nch > 1 else arr.reshape(h, w)
 
 
 def _decode_pnm(payload: bytes):

@@ -169,3 +169,20 @@ def test_avro_roundtrip_arbitrary_values(tmp_path_factory, recs, codec):
     write_avro(p, schema, recs, codec=codec)
     _, back = read_avro(p)
     assert back == recs
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 7),
+    w=st.integers(1, 7),
+    ch=st.sampled_from([0, 2, 3, 4]),
+    seed=st.integers(0, 10_000),
+    filters=st.lists(st.integers(0, 4), min_size=7, max_size=7),
+)
+def test_png_16bit_roundtrip_exact(h, w, ch, seed, filters):
+    n = h * w * (ch or 1)
+    vals = (np.arange(n, dtype=np.int64) * (2 * seed + 1) + seed) % 65536
+    a = vals.astype(np.uint16).reshape((h, w) if ch == 0 else (h, w, ch))
+    dec = decode_image(encode_png(a, filters=filters[:h]))
+    assert dec.dtype == np.uint16 and dec.shape == a.shape
+    assert np.array_equal(dec, a)

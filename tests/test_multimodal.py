@@ -210,8 +210,8 @@ def test_png_rejects_unsupported_variants():
         struct.pack_into(">I", buf, data_at + 13, crc)
         return bytes(buf)
 
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        decode_image(with_ihdr_byte(8, 16))  # 16-bit depth
+    with pytest.raises(NotImplementedError, match="bit"):
+        decode_image(with_ihdr_byte(8, 4))  # sub-byte depth
     with pytest.raises(NotImplementedError, match="color_type"):
         decode_image(with_ihdr_byte(9, 7))  # invalid color type
     with pytest.raises(ValueError, match="PLTE"):
@@ -765,3 +765,28 @@ def test_png_rgba_and_gray_alpha_roundtrip():
     dec = decode_image(encode_png(ga))
     assert dec.shape == (6, 5, 2)
     assert np.array_equal(dec, ga)
+
+
+def test_png_16bit_roundtrip_all_color_types():
+    """Depth 16: big-endian sample pairs, filters on the byte plane
+    (bpp doubles) — exact round-trip for gray/GA/RGB/RGBA through every
+    filter type; palette at 16 bits is invalid per spec and rejected."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    base = (np.arange(6 * 5, dtype=np.int64) * 9973 % 65536).astype(np.uint16)
+    for nch in (0, 2, 3, 4):
+        a = (
+            base.reshape(6, 5)
+            if nch == 0
+            else np.stack([(base + i * 31) % 65536 for i in range(nch)], axis=-1)
+            .reshape(6, 5, nch)
+            .astype(np.uint16)
+        )
+        for f in range(5):
+            dec = decode_image(encode_png(a, filters=[f] * 6))
+            assert dec.dtype == np.uint16 and dec.shape == a.shape
+            assert np.array_equal(dec, a), (nch, f)
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_png(base.reshape(6, 5, 1).repeat(3, -1), palette=True)
