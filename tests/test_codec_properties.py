@@ -186,3 +186,17 @@ def test_png_16bit_roundtrip_exact(h, w, ch, seed, filters):
     dec = decode_image(encode_png(a, filters=filters[:h]))
     assert dec.dtype == np.uint16 and dec.shape == a.shape
     assert np.array_equal(dec, a)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    ch=st.sampled_from([0, 2, 3, 4]),
+    seed=st.integers(0, 10_000),
+)
+def test_png_adam7_roundtrip_exact(h, w, ch, seed):
+    a = _pixels(h, w, ch, seed)
+    dec = decode_image(encode_png(a, interlace=True))
+    assert dec.shape == a.shape
+    assert np.array_equal(dec, a)

@@ -219,7 +219,8 @@ def test_png_rejects_unsupported_variants():
         # missing feature — color type 3 itself is supported
         decode_image(with_ihdr_byte(9, 3))
     with pytest.raises(NotImplementedError, match="interlace"):
-        decode_image(with_ihdr_byte(12, 1))  # Adam7
+        decode_image(with_ihdr_byte(12, 2))  # invalid interlace method
+        # (Adam7 itself, value 1, is supported as of this round)
 
 
 def test_png_palette_roundtrip_each_filter_type():
@@ -790,3 +791,29 @@ def test_png_16bit_roundtrip_all_color_types():
             assert np.array_equal(dec, a), (nch, f)
     with pytest.raises(ValueError, match="8-bit"):
         encode_png(base.reshape(6, 5, 1).repeat(3, -1), palette=True)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: seven independently-filtered passes, scattered back —
+    exact for every color type, both depths, palette included, and for
+    dims small enough that some passes are EMPTY (1×1 has six empty
+    passes)."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    a = _arr(13, 11)
+    buf = encode_png(a, interlace=True)
+    assert buf[8 + 4 + 4 + 12] == 1  # IHDR interlace byte
+    assert np.array_equal(decode_image(buf), a)
+    one = _arr(1, 1)
+    assert np.array_equal(decode_image(encode_png(one, interlace=True)), one)
+    pal = (_arr(9, 7) // 64 * 64).astype(np.uint8)
+    assert np.array_equal(
+        decode_image(encode_png(pal, palette=True, interlace=True)), pal
+    )
+    hi = (np.arange(9 * 7 * 3, dtype=np.int64) * 9973 % 65536).astype(
+        np.uint16
+    ).reshape(9, 7, 3)
+    dec = decode_image(encode_png(hi, interlace=True))
+    assert dec.dtype == np.uint16 and np.array_equal(dec, hi)
