@@ -5,8 +5,10 @@ mapInPandas.
 The container has no codec LIBRARIES, but these formats need none:
 `decode_image` really decodes 24-bit BI_RGB BMP (BGR order, bottom-up
 or top-down rows, 4-byte row padding), binary PPM/PGM (P6/P5), and —
-via stdlib zlib — PNG in every color type at 8 or 16 bits, sequential
-or Adam7-interlaced (gray/RGB/palette/gray+alpha/RGBA: CRC-checked
+via stdlib zlib — the COMPLETE PNG matrix: every color type
+(gray/RGB/palette/gray+alpha/RGBA), every spec-valid bit depth
+(1/2/4/8/16 — sub-byte rows MSB-first bit-unpacked, 16-bit pairs
+big-endian recombined), sequential or Adam7-interlaced (CRC-checked
 chunk walk, multi-IDAT reassembly, all five row unfilters, PLTE
 lookup, per-pass unfilter + scatter) with pure numpy;
 `decode_video_frames` really decodes AVI — uncompressed 24-bit DIB
@@ -19,8 +21,8 @@ verdict-paired lane); G.711 μ-law covers compressed audio — see the
 the deterministic stand-in that proves the Spark-side plumbing (schema,
 batching, partitioning) without any format assumption. The remaining
 honest NotImplementedError slots are the genuinely-external codecs
-(MP3/AAC, cvid/h264 video, progressive/subsampled/12-bit JPEG,
-sub-byte-palette PNG) — swapping in PIL/librosa/ffmpeg for those is
+(MP3/AAC, cvid/h264 video, progressive/subsampled/12-bit JPEG) —
+swapping in PIL/librosa/ffmpeg for those is
 a one-function change; the dataflow does not move.
 """
 
@@ -230,7 +232,13 @@ def _unfilter_rows(raw: bytes, h: int, stride: int, ch: int):
     return out.astype(np.uint8)
 
 
-def encode_png(pixels, filters=None, palette: bool = False, interlace: bool = False) -> bytes:
+def encode_png(
+    pixels,
+    filters=None,
+    palette: bool = False,
+    interlace: bool = False,
+    bit_depth: int | None = None,
+) -> bytes:
     """Encode a uint8 (8-bit) or uint16 (16-bit, big-endian samples)
     array as a PNG using only stdlib zlib/struct — (h, w) gray,
     (h, w, 2) gray+alpha, (h, w, 3) RGB, or
@@ -271,20 +279,45 @@ def encode_png(pixels, filters=None, palette: bool = False, interlace: bool = Fa
         plte = colors.astype(np.uint8).tobytes()
         ns = 1  # one palette-index sample per pixel
         samples = inverse.reshape(h, w, 1).astype(np.int64)
+        if bit_depth is not None:
+            if bit_depth not in (1, 2, 4, 8):
+                raise ValueError(f"palette bit depth must be 1/2/4/8, got {bit_depth}")
+            if len(colors) > (1 << bit_depth):
+                raise ValueError(
+                    f"{len(colors)} colors do not fit {bit_depth}-bit indices"
+                )
+            depth = bit_depth
     else:
         if nch not in (1, 2, 3, 4):
             raise ValueError(f"cannot encode {nch}-channel pixels as PNG")
         ns = nch
         samples = arr.reshape(h, w, ns).astype(np.int64)
-    bpp = ns * (depth // 8)
+        if bit_depth is not None:
+            if nch != 1 or depth != 8 or bit_depth not in (1, 2, 4):
+                raise ValueError(
+                    "sub-byte bit depth applies to 8-bit grayscale only"
+                )
+            if int(samples.max(initial=0)) >= (1 << bit_depth):
+                raise ValueError(
+                    f"gray values do not fit {bit_depth}-bit samples"
+                )
+            depth = bit_depth
+    bpp = max(1, ns * depth // 8)
 
     def plane_bytes(sub):
-        """(ph, pw, ns) samples → (ph, pw*bpp) int32 byte plane; 16-bit
-        samples are stored big-endian, and filters operate on BYTES."""
+        """(ph, pw, ns) samples → (ph, stride) int32 byte plane; 16-bit
+        samples are stored big-endian, sub-byte samples are MSB-first
+        bit-packed per row (each row padded to a byte boundary) — PNG
+        filters operate on the packed BYTES either way."""
         ph, pw = sub.shape[:2]
         if depth == 16:
             flat = np.ascontiguousarray(sub.reshape(ph, pw * ns).astype(">u2"))
             return flat.view(np.uint8).reshape(ph, pw * bpp).astype(np.int32)
+        if depth < 8:
+            vals = sub.reshape(ph, pw).astype(np.uint8)
+            bits = np.unpackbits(vals[..., None], axis=2, count=8)[..., 8 - depth :]
+            packed = np.packbits(bits.reshape(ph, pw * depth), axis=1)
+            return packed.astype(np.int32)
         return sub.reshape(ph, pw * ns).astype(np.int32)
 
     out = bytearray()
@@ -335,8 +368,10 @@ def _decode_png(payload: bytes):
     the big-endian byte pairs recombine to uint16 after the unfilter).
     Both sequential and Adam7-interlaced streams decode (each Adam7
     pass is an independently-filtered sub-image scattered back into the
-    full raster). Sub-byte palette depths (and tRNS palette alpha) stay
-    honest NotImplementedError slots."""
+    full raster), and the sub-byte depths (1/2/4, gray and palette)
+    bit-unpack MSB-first with per-row byte padding — sub-byte GRAY
+    samples return their RAW values (0..2^d−1), not rescaled. tRNS
+    (palette alpha) stays the one honest NotImplementedError slot."""
     import struct
     import zlib
 
@@ -363,16 +398,22 @@ def _decode_png(payload: bytes):
             )
             if comp_m != 0 or filt_m != 0:
                 raise ValueError("invalid IHDR compression/filter method")
+            valid_depths = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                4: (8, 16),
+                6: (8, 16),
+            }
             if (
-                depth not in (8, 16)
-                or color not in (0, 2, 3, 4, 6)
-                or (depth == 16 and color == 3)
+                color not in valid_depths
+                or depth not in valid_depths[color]
                 or interlace not in (0, 1)
             ):
                 raise NotImplementedError(
-                    f"only 8/16-bit PNG color_types 0/2/3/4/6 (sequential or "
-                    f"Adam7) are decoded here (depth={depth}, "
-                    f"color_type={color}, interlace={interlace})"
+                    f"not a spec-valid PNG bit depth/color_type/interlace "
+                    f"combination (depth={depth}, color_type={color}, "
+                    f"interlace={interlace})"
                 )
         elif typ == b"PLTE":
             if ln % 3 != 0 or not 3 <= ln <= 256 * 3:
@@ -392,42 +433,59 @@ def _decode_png(payload: bytes):
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    # the unfilter works on BYTES; bpp is bytes per pixel, so 16-bit
-    # samples just double it
-    bpp = nch * (depth // 8)
+    # the unfilter works on BYTES; bpp is bytes per pixel (1 for the
+    # sub-byte depths — the spec filters packed rows with bpp=1)
+    bpp = max(1, nch * depth // 8)
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+
+    def row_stride(pw: int) -> int:
+        return (pw * nch * depth + 7) // 8
+
+    def to_samples(plane, pw: int):
+        """(ph, stride) unfiltered bytes → (ph, pw, nch) samples:
+        big-endian pair recombination at depth 16, MSB-first bit
+        unpacking at depths 1/2/4."""
+        ph = plane.shape[0]
+        if depth == 16:
+            pairs = plane.reshape(ph, pw * nch, 2).astype(np.uint16)
+            return ((pairs[..., 0] << 8) | pairs[..., 1]).reshape(ph, pw, nch)
+        if depth == 8:
+            return plane.reshape(ph, pw, nch)
+        bits = np.unpackbits(plane, axis=1)[:, : pw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8).reshape(ph, pw, 1)
+
+    samples = np.zeros((h, w, nch), dtype=sample_dtype)
     if interlace == 1:
-        # Adam7: each non-empty pass is an independently-filtered
-        # sub-image; unfilter it, then scatter into the full byte plane
-        arr = np.zeros((h, w * bpp), dtype=np.uint8)
+        # Adam7: each non-empty pass is an independently-filtered (and,
+        # at sub-byte depths, independently bit-packed) sub-image
         at = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = max(0, (w - xs + xstep - 1) // xstep)
             ph = max(0, (h - ys + ystep - 1) // ystep)
             if pw == 0 or ph == 0:
                 continue
-            pstride = pw * bpp
+            pstride = row_stride(pw)
             n = ph * (1 + pstride)
             sub = _unfilter_rows(raw[at : at + n], ph, pstride, bpp)
             at += n
-            pix = sub.reshape(ph, pw, bpp)
-            arr.reshape(h, w, bpp)[ys::ystep, xs::xstep] = pix
+            samples[ys::ystep, xs::xstep] = to_samples(sub, pw)
         if at != len(raw):
             raise ValueError("PNG pixel data size mismatch (Adam7)")
     else:
-        arr = _unfilter_rows(raw, h, w * bpp, bpp)
+        samples = to_samples(
+            _unfilter_rows(raw, h, row_stride(w), bpp), w
+        ).astype(sample_dtype)
     if color == 3:
-        idx = arr.reshape(h, w)
+        idx = samples.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError(
                 f"palette index {int(idx.max())} out of range "
                 f"(palette has {len(plte)} entries)"
             )
         return plte[idx]
-    if depth == 16:
-        pairs = arr.reshape(h * w * nch, 2).astype(np.uint16)
-        samples = ((pairs[:, 0] << 8) | pairs[:, 1]).astype(np.uint16)
-        return samples.reshape(h, w, nch) if nch > 1 else samples.reshape(h, w)
-    return arr.reshape(h, w, nch) if nch > 1 else arr.reshape(h, w)
+    return samples.reshape(h, w, nch) if nch > 1 else samples.reshape(h, w)
 
 
 def _decode_pnm(payload: bytes):

@@ -817,3 +817,31 @@ def test_png_adam7_interlaced_roundtrip():
     ).reshape(9, 7, 3)
     dec = decode_image(encode_png(hi, interlace=True))
     assert dec.dtype == np.uint16 and np.array_equal(dec, hi)
+
+
+def test_png_sub_byte_palette_and_gray():
+    """Depths 1/2/4: MSB-first bit packing with per-row byte padding,
+    filters over the packed bytes with bpp=1 — exact round-trips for
+    palette and raw-valued grayscale, sequential and Adam7."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    for d in (1, 2, 4):
+        idx = (np.arange(5 * 13).reshape(5, 13) * 7) % (1 << d)
+        pal = (np.arange(1 << d)[:, None] * np.array([3, 7, 11]) * 19 % 256).astype(
+            np.uint8
+        )
+        a = pal[idx]
+        for il in (False, True):
+            buf = encode_png(a, palette=True, bit_depth=d, interlace=il)
+            assert buf[8 + 4 + 4 + 8] == d  # IHDR depth byte
+            assert np.array_equal(decode_image(buf), a), (d, il)
+        g = idx.astype(np.uint8)
+        for il in (False, True):
+            dec = decode_image(encode_png(g, bit_depth=d, interlace=il))
+            assert np.array_equal(dec, g), (d, il)
+    with pytest.raises(ValueError, match="fit"):
+        encode_png(_arr(4, 4), palette=True, bit_depth=1)  # too many colors
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_png(_arr(4, 4), bit_depth=4)  # sub-byte RGB is spec-invalid
