@@ -371,7 +371,9 @@ def _decode_png(payload: bytes):
     full raster), and the sub-byte depths (1/2/4, gray and palette)
     bit-unpack MSB-first with per-row byte padding — sub-byte GRAY
     samples return their RAW values (0..2^d−1), not rescaled. tRNS
-    (palette alpha) stays the one honest NotImplementedError slot."""
+    palette alpha decodes to RGBA (per-entry alpha prefix, remainder
+    opaque); nothing in the PNG spec's still-image feature set remains
+    unimplemented here."""
     import struct
     import zlib
 
@@ -381,7 +383,7 @@ def _decode_png(payload: bytes):
         raise ValueError("bad PNG signature")
     pos = 8
     w = h = color = None
-    plte = None
+    plte = trns = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         ln = struct.unpack_from(">I", payload, pos)[0]
@@ -420,7 +422,11 @@ def _decode_png(payload: bytes):
                 raise ValueError(f"invalid PLTE length {ln}")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"tRNS":
-            raise NotImplementedError("tRNS (palette alpha) is not decoded here")
+            if color != 3:
+                raise NotImplementedError(
+                    "tRNS transparency is decoded for palette images only"
+                )
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -484,6 +490,15 @@ def _decode_png(payload: bytes):
                 f"palette index {int(idx.max())} out of range "
                 f"(palette has {len(plte)} entries)"
             )
+        if trns is not None:
+            # tRNS: per-entry alpha for a prefix of the palette, the
+            # rest opaque (spec 11.3.2.1) — output becomes RGBA
+            if len(trns) > len(plte):
+                raise ValueError("tRNS longer than the palette")
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            rgba = np.concatenate([plte, alpha[:, None]], axis=1)
+            return rgba[idx]
         return plte[idx]
     return samples.reshape(h, w, nch) if nch > 1 else samples.reshape(h, w)
 

@@ -299,26 +299,6 @@ def test_png_palette_out_of_range_index_rejected():
         decode_image(patched)
 
 
-def test_png_trns_rejected():
-    import struct
-    import zlib
-
-    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
-
-    buf = bytearray(encode_png(_arr(3, 3), palette=True))
-    at = buf.index(b"tEXt") - 4  # splice tRNS where an ancillary chunk sits
-    data = b"\x80"
-    trns = (
-        struct.pack(">I", len(data))
-        + b"tRNS"
-        + data
-        + struct.pack(">I", zlib.crc32(b"tRNS" + data) & 0xFFFFFFFF)
-    )
-    patched = bytes(buf[:at]) + trns + bytes(buf[at:])
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        decode_image(patched)
-
-
 def test_png_truncated_payload_rejected():
     from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
 
@@ -845,3 +825,42 @@ def test_png_sub_byte_palette_and_gray():
         encode_png(_arr(4, 4), palette=True, bit_depth=1)  # too many colors
     with pytest.raises(ValueError, match="grayscale"):
         encode_png(_arr(4, 4), bit_depth=4)  # sub-byte RGB is spec-invalid
+
+
+def test_png_trns_palette_alpha_decodes_rgba():
+    """tRNS over a palette image: per-entry alpha for the prefix, the
+    rest opaque — output becomes RGBA. The splice uses a real chunk
+    with a valid CRC before the IDATs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import encode_png
+
+    pal_colors = np.array([[10, 20, 30], [200, 100, 50], [1, 2, 3]], np.uint8)
+    idx = (np.arange(4 * 5).reshape(4, 5)) % 3
+    a = pal_colors[idx]
+    buf = bytearray(encode_png(a, palette=True))
+    at = buf.index(b"tEXt") - 4
+    data = bytes([255, 128])  # alpha for palette entries 0 and 1
+    trns = (
+        struct.pack(">I", len(data))
+        + b"tRNS"
+        + data
+        + struct.pack(">I", zlib.crc32(b"tRNS" + data) & 0xFFFFFFFF)
+    )
+    dec = decode_image(bytes(buf[:at]) + trns + bytes(buf[at:]))
+    assert dec.shape == (4, 5, 4)
+    assert np.array_equal(dec[:, :, :3], a)
+    # palette is lexicographically re-sorted by the encoder: entry order
+    # is sorted(pal_colors) = [[1,2,3],[10,20,30],[200,100,50]]
+    alpha_by_color = {(1, 2, 3): 255, (10, 20, 30): 128, (200, 100, 50): 255}
+    for y in range(4):
+        for x in range(5):
+            assert dec[y, x, 3] == alpha_by_color[tuple(a[y, x])], (y, x)
+    # tRNS on a truecolor stream stays honest
+    buf2 = bytearray(encode_png(_arr(3, 3)))
+    at2 = buf2.index(b"tEXt") - 4
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_image(bytes(buf2[:at2]) + trns + bytes(buf2[at2:]))
