@@ -87,7 +87,16 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
     """Emit `_delta_log/` under the table root for `branch`'s pointer
     history. Idempotent full regeneration: commit files are rewritten
     deterministically (stable metaData id via uuid5 of the root), so
-    re-export after new commits extends the log in place.
+    re-export after new commits extends the log in place, and a SHRUNK
+    history (vacuum) drops the stale tail + checkpoint pointer.
+
+    SOLE-WRITER assumption: this exporter owns `_delta_log/` — the
+    regeneration (and especially the stale-tail cleanup) would
+    overwrite or delete commits appended by an EXTERNAL Delta writer.
+    Interop is one-directional by design: external engines READ the
+    exported log, and `read_delta_table` conversely reads external
+    logs; dual-writer coordination is what a real catalog/log store
+    provides and is out of scope here.
 
     Returns the `_delta_log` directory path. Raises if the branch has
     no history (a Delta log must have a version 0).

@@ -614,11 +614,28 @@ def encode_wav(samples, sample_rate: int = 16000, codec: str = "pcm16") -> bytes
     if arr.ndim == 1:
         arr = arr[:, None]
     n, ch = arr.shape
+    fact = b""
     if codec == "mulaw":
         data = mulaw_compress(arr).tobytes()
         fmt = struct.pack(
             "<IHHIIHH", 16, 7, ch, sample_rate, sample_rate * ch, ch, 8
         )
+    elif codec == "adpcm":
+        if ch != 1:
+            raise ValueError("IMA-ADPCM encoding here is mono only")
+        block_samples = 505  # block_align 256: 4-byte header + 252 nibble bytes
+        block_align = 4 + (block_samples - 1 + 1) // 2
+        blocks = adpcm_compress(arr[:, 0], block_samples=block_samples)
+        # every block is block_align bytes (the last one zero-padded;
+        # `fact` carries the true sample count)
+        data = b"".join(b.ljust(block_align, b"\x00") for b in blocks)
+        byte_rate = (sample_rate * block_align + block_samples - 1) // block_samples
+        fmt = struct.pack(
+            "<IHHIIHHHH",
+            20, 0x11, 1, sample_rate, byte_rate, block_align, 4,
+            2, block_samples,  # cbSize, wSamplesPerBlock
+        )
+        fact = b"fact" + struct.pack("<II", 4, n)
     elif codec == "pcm16":
         data = arr.tobytes()
         fmt = struct.pack(
@@ -629,10 +646,125 @@ def encode_wav(samples, sample_rate: int = 16000, codec: str = "pcm16") -> bytes
     junk = b"spark-graft-pad"  # odd length: exercises the pad byte too
     body = (
         b"fmt " + fmt
+        + fact
         + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# IMA/DVI ADPCM (public IMA spec constants; same tables as CPython's
+# audioop.c and every g722-era codec): 89 step sizes, 16 index deltas.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(sample: int, predictor: int, index: int) -> tuple[int, int, int]:
+    """One IMA-ADPCM compand step: quantize (sample − predictor) to a
+    4-bit nibble against the current step size, reconstruct the way the
+    decoder will, and advance the (predictor, index) state. Returns
+    (nibble, new_predictor, new_index). Pure integers — the lane oracle
+    re-states this exact recurrence as a recursive CTE."""
+    step = _IMA_STEP[index]
+    diff = sample - predictor
+    nibble = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    vpdiff = step >> 3
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+        vpdiff += step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+        vpdiff += step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+        vpdiff += step >> 2
+    predictor = predictor - vpdiff if nibble & 8 else predictor + vpdiff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return nibble, predictor, index
+
+
+def _ima_decode_nibble(nibble: int, predictor: int, index: int) -> tuple[int, int]:
+    """Decoder half of the recurrence (identical reconstruction)."""
+    step = _IMA_STEP[index]
+    vpdiff = step >> 3
+    if nibble & 4:
+        vpdiff += step
+    if nibble & 2:
+        vpdiff += step >> 1
+    if nibble & 1:
+        vpdiff += step >> 2
+    predictor = predictor - vpdiff if nibble & 8 else predictor + vpdiff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return predictor, index
+
+
+def adpcm_compress(pcm, block_samples: int = 505) -> list[bytes]:
+    """IMA-ADPCM encode of a mono int16 array into MS-IMA WAV blocks:
+    each block is a 4-byte header (first sample verbatim as the seed
+    predictor int16-LE, step index, reserved 0) + two nibbles per byte
+    (LOW nibble = earlier sample) for the remaining block_samples−1
+    samples — 4 bits/sample, ~4× compression. The step index carries
+    ACROSS blocks (each block re-seeds only the predictor), matching
+    the common encoder convention; the index byte in every header makes
+    blocks independently decodable regardless."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(pcm, dtype=np.int16).reshape(-1)
+    blocks: list[bytes] = []
+    index = 0
+    for b0 in range(0, len(s), block_samples):
+        chunk = s[b0 : b0 + block_samples]
+        predictor = int(chunk[0])
+        out = bytearray(struct.pack("<hBB", predictor, index, 0))
+        nibbles: list[int] = []
+        for v in chunk[1:]:
+            nib, predictor, index = _ima_step(int(v), predictor, index)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        blocks.append(bytes(out))
+    return blocks
+
+
+def adpcm_expand(block: bytes, n_samples: int):
+    """Decode one MS-IMA mono block → int16 array of n_samples."""
+    import struct
+
+    import numpy as np
+
+    predictor, index, _r = struct.unpack_from("<hBB", block, 0)
+    if not 0 <= index <= 88:
+        raise ValueError(f"ADPCM step index {index} out of range")
+    out = [predictor]
+    for byte in block[4:]:
+        for nib in (byte & 0xF, byte >> 4):
+            if len(out) >= n_samples:
+                break
+            predictor, index = _ima_decode_nibble(nib, predictor, index)
+            out.append(predictor)
+    if len(out) < n_samples:
+        raise ValueError(
+            f"ADPCM block holds {len(out)} samples, {n_samples} declared"
+        )
+    return np.array(out[:n_samples], dtype=np.int16)
 
 
 def mulaw_compress(pcm):
@@ -691,6 +823,7 @@ def decode_audio(payload: bytes):
         )
     pos, end = 12, len(payload)
     n_ch = rate = bits = audio_fmt = None
+    block_align = samples_per_block = n_samples = None
     data = None
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
@@ -698,12 +831,19 @@ def decode_audio(payload: bytes):
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
-            bits = struct.unpack_from("<H", body, 14)[0]
-            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
+            block_align, bits = struct.unpack_from("<HH", body, 12)
+            if (audio_fmt, bits) not in ((1, 16), (7, 8), (0x11, 4)):
                 raise NotImplementedError(
-                    f"only PCM16 (fmt=1) and mu-law (fmt=7) WAV are decoded "
-                    f"here (fmt={audio_fmt}, bits={bits})"
+                    f"only PCM16 (fmt=1), mu-law (fmt=7) and IMA-ADPCM "
+                    f"(fmt=0x11) WAV are decoded here (fmt={audio_fmt}, "
+                    f"bits={bits})"
                 )
+            if audio_fmt == 0x11:
+                if n_ch != 1:
+                    raise NotImplementedError("IMA-ADPCM decode is mono only")
+                samples_per_block = struct.unpack_from("<H", body, 18)[0]
+        elif cid == b"fact":
+            n_samples = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             if len(body) != size:
                 raise ValueError(
@@ -716,6 +856,22 @@ def decode_audio(payload: bytes):
         raise ValueError("WAV missing fmt or data chunk")
     if audio_fmt == 7:
         arr = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_fmt == 0x11:
+        if n_samples is None:
+            raise ValueError("IMA-ADPCM WAV missing the fact chunk")
+        chunks = []
+        left = n_samples
+        for at in range(0, len(data), block_align):
+            if left <= 0:
+                break
+            take = min(samples_per_block, left)
+            chunks.append(adpcm_expand(data[at : at + block_align], take))
+            left -= take
+        if left > 0:
+            raise ValueError(
+                f"IMA-ADPCM data exhausted with {left} samples outstanding"
+            )
+        arr = np.concatenate(chunks)
     else:
         arr = np.frombuffer(data, dtype="<i2")
     return arr.reshape(-1, n_ch), rate
@@ -754,7 +910,7 @@ def audio_decode_stats(
 
     import numpy as np
 
-    if n_samples % 2 != 0:
+    if codec != "adpcm" and n_samples % 2 != 0:
         # the payload bytes interleave as stereo L/R frames below
         # (reshape(-1, 2)); fail fast at plan-build time instead of with
         # an executor-side reshape ValueError mid-job
@@ -770,14 +926,17 @@ def audio_decode_stats(
                 pcm = (
                     (np.resize(src, n_samples).astype(np.int32) - 128) * 256
                 ).astype(np.int16)
-                dec, rate = decode_audio(encode_wav(pcm.reshape(-1, 2), codec=codec))
+                framed = pcm if codec == "adpcm" else pcm.reshape(-1, 2)
+                dec, rate = decode_audio(encode_wav(framed, codec=codec))
                 flat = dec.reshape(-1)
                 out["media_id"].append(int(mid))
                 out["n_frames"].append(int(dec.shape[0]))
                 out["n_channels"].append(int(dec.shape[1]))
                 out["sample_rate"].append(int(rate))
                 out["l_sum"].append(int(dec[:, 0].sum(dtype=np.int64)))
-                out["r_sum"].append(int(dec[:, 1].sum(dtype=np.int64)))
+                out["r_sum"].append(
+                    int(dec[:, 1].sum(dtype=np.int64)) if dec.shape[1] > 1 else 0
+                )
                 out["samples_md5"].append(
                     hashlib.md5(
                         ",".join(str(int(v)) for v in flat).encode()

@@ -428,3 +428,101 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mjpeg_roundtrip_stats(
         media, n_frames=2, width=5, height=4, fps=10, quality=95
     )
+
+
+def _adpcm_oracle_sql() -> str:
+    """Recursive-CTE restatement of the IMA-ADPCM encode∘decode chain
+    (operators/multimodal.py `_ima_step`): the decoded sample i IS the
+    encoder's predictor after step i (sample 0 rides the block header
+    verbatim), so one recurrence over (predictor, step_index) yields
+    the exact companded stream — a STATEFUL lossy codec paired exactly,
+    one step beyond μ-law's stateless compand. The 89-entry step table
+    is generated from the same public IMA constant both sides use."""
+    from ..operators.multimodal import _IMA_STEP
+
+    steps = ", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEP))
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(48.0 / octet_length(encode(text))) AS INT)),
+                    1, 48) AS pix
+      FROM documents
+      WHERE octet_length(encode(text)) > 0 AND {_ASCII_SQL}
+    ),
+    px AS (
+      SELECT doc_id, i,
+             (ascii(substr(pix, CAST(i + 1 AS INT), 1)) - 128) * 256 AS s
+      FROM d, UNNEST(range(0, 48)) AS t(i)
+    ),
+    steps(si, step) AS (VALUES {steps}),
+    rec AS (
+      SELECT doc_id, 0 AS i, s AS pred, 0 AS idx
+      FROM px WHERE i = 0
+      UNION ALL
+      SELECT doc_id, i,
+             GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN sgn THEN -vpdiff ELSE vpdiff END)) AS pred,
+             GREATEST(0, LEAST(88, idx + CASE nib3
+               WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+               ELSE -1 END)) AS idx
+      FROM (
+        SELECT doc_id, i, pred, idx, sgn,
+               (step // 8)
+                 + CASE WHEN d4 THEN step ELSE 0 END
+                 + CASE WHEN d2 THEN step // 2 ELSE 0 END
+                 + CASE WHEN d1 THEN step // 4 ELSE 0 END AS vpdiff,
+               CAST(d4 AS INT) * 4 + CAST(d2 AS INT) * 2 + CAST(d1 AS INT)
+                 AS nib3
+        FROM (
+          SELECT *, (rem1 >= step // 4) AS d1
+          FROM (
+            SELECT *,
+                   (rem2 >= step // 2) AS d2,
+                   rem2 - CASE WHEN rem2 >= step // 2
+                               THEN step // 2 ELSE 0 END AS rem1
+            FROM (
+              SELECT *, (adiff >= step) AS d4,
+                     adiff - CASE WHEN adiff >= step
+                                  THEN step ELSE 0 END AS rem2
+              FROM (
+                SELECT r.doc_id, p.i, r.pred, r.idx, st.step,
+                       (p.s < r.pred) AS sgn, abs(p.s - r.pred) AS adiff
+                FROM rec r
+                JOIN px p ON p.doc_id = r.doc_id AND p.i = r.i + 1
+                JOIN steps st ON st.si = r.idx
+              )
+            )
+          )
+        )
+      )
+    )
+    SELECT doc_id AS media_id,
+           CAST(48 AS INT) AS n_frames,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(sum(pred) AS BIGINT) AS l_sum,
+           CAST(0 AS BIGINT) AS r_sum,
+           md5(string_agg(pred::VARCHAR, ',' ORDER BY i)) AS samples_md5
+    FROM rec GROUP BY doc_id
+    """
+
+
+@register("multimodal_audio_adpcm", oracle=_adpcm_oracle_sql())
+def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful compressed-audio codec, oracle-verified EXACTLY:
+    the document's 48 mono samples are IMA/DVI-ADPCM encoded (4
+    bits/sample, ~4× compression) into an MS-IMA WAV block (format tag
+    0x11, fact chunk, header-seeded predictor) and decoded back. ADPCM
+    is lossy AND stateful — each step's quantization depends on the
+    running (predictor, step-index) state — yet encode∘decode is a pure
+    integer recurrence of the input, which the oracle re-states as a
+    RECURSIVE CTE over the same public step tables, so the pairing is a
+    hash-exact match like μ-law's, one difficulty class up. The Spark
+    kernel's core recurrence is additionally pinned bit-for-bit against
+    CPython's audioop in unit tests.
+
+    100 TB: partition-local mapInPandas over Arrow batches — no
+    shuffle, per-blob CPU only. ASCII-scoped (see _ASCII_SQL)."""
+    d = _ascii_docs(spark, sf_dir).filter(F.octet_length("text") > 0)
+    media = as_media_table(d, "doc_id", "text")
+    return audio_decode_stats(media, n_samples=48, codec="adpcm")

@@ -864,3 +864,108 @@ def test_png_trns_palette_alpha_decodes_rgba():
     at2 = buf2.index(b"tEXt") - 4
     with pytest.raises(NotImplementedError, match="palette"):
         decode_image(bytes(buf2[:at2]) + trns + bytes(buf2[at2:]))
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM: stateful 4-bit compressed audio
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_core_matches_cpython_audioop():
+    """The compand recurrence must be bit-identical to the stdlib's C
+    implementation over a long mixed signal (import-gated: audioop is
+    removed in 3.13; the recursive-CTE lane oracle keeps independent
+    verification either way)."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import _ima_step
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        pytest.skip("stdlib audioop not available")
+    s = ((np.arange(4000, dtype=np.int64) * 977 - 23000) % 65536 - 32768).astype(
+        np.int16
+    )
+    enc, _state = audioop.lin2adpcm(s.tobytes(), 2, None)
+    ref = np.frombuffer(enc, np.uint8)
+    ref_nibs = np.empty(len(ref) * 2, np.uint8)
+    ref_nibs[0::2] = ref >> 4  # audioop packs the earlier sample HIGH
+    ref_nibs[1::2] = ref & 0xF
+    pred = idx = 0
+    mine = []
+    for v in s:
+        nib, pred, idx = _ima_step(int(v), pred, idx)
+        mine.append(nib)
+    assert list(ref_nibs[: len(mine)]) == mine
+
+
+def test_adpcm_wav_roundtrip_multiblock():
+    """Container path across multiple 505-sample blocks: the decoded
+    stream equals the core recurrence output sample-for-sample, the
+    first sample of each block verbatim, 4×-ish compression."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        adpcm_compress,
+        adpcm_expand,
+        decode_audio,
+        encode_wav,
+    )
+
+    s = ((np.arange(1200, dtype=np.int64) * 433 - 9000) % 65536 - 32768).astype(
+        np.int16
+    )
+    buf = encode_wav(s, sample_rate=8000, codec="adpcm")
+    dec, rate = decode_audio(buf)
+    assert rate == 8000 and dec.shape == (1200, 1)
+    want = np.concatenate(
+        [
+            adpcm_expand(b, min(505, 1200 - i * 505))
+            for i, b in enumerate(adpcm_compress(s, 505))
+        ]
+    )
+    assert np.array_equal(dec[:, 0], want)
+    assert dec[0, 0] == s[0]  # header seed is verbatim
+    assert len(buf) < len(encode_wav(s, codec="pcm16")) // 2
+
+
+def test_adpcm_tracks_smooth_signals():
+    """On a smooth signal (the codec's design regime) the reconstruction
+    error stays small; wild per-sample jumps slope-overload by design
+    and are NOT asserted tight."""
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    t = np.arange(800)
+    s = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int16)
+    dec, _ = decode_audio(encode_wav(s, codec="adpcm"))
+    err = np.abs(dec[:, 0].astype(int) - s.astype(int))
+    assert int(err[8:].max()) <= 400  # after the attack ramp
+    assert float(err.mean()) < 100
+
+
+def test_adpcm_guards():
+    import numpy as np
+
+    from hybrid_data_lakehouse_lab_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError, match="mono"):
+        encode_wav(np.zeros((4, 2), dtype=np.int16), codec="adpcm")
+    buf = bytearray(encode_wav(np.zeros(8, dtype=np.int16), codec="adpcm"))
+    at = buf.index(b"fact")
+    # strip the fact chunk (overwrite its id): decoder must refuse
+    buf[at : at + 4] = b"junk"
+    with pytest.raises(ValueError, match="fact"):
+        decode_audio(bytes(buf))
