@@ -10,8 +10,9 @@ arithmetic over uint8 arrays.
 Scope (same honest-slot contract as the other media codecs in
 operators/multimodal.py):
 
-- ENCODER: baseline DCT (SOF0), 8-bit, 4:4:4 (no chroma subsampling),
-  3-component YCbCr (JFIF BT.601) or 1-component grayscale. The Huffman
+- ENCODER: baseline DCT (SOF0), 8-bit, 3-component YCbCr (JFIF
+  BT.601) at 4:4:4, 4:2:2, or 4:2:0 chroma subsampling (box-mean
+  downsample, interleaved v×h MCU blocks) or 1-component grayscale. The Huffman
   tables are CUSTOM spec-valid canonical tables declared in DHT —
   fixed-length 4-bit DC / 8-bit AC codes (12 and 162 symbols: neither
   fills its length class, so the reserved all-ones code never occurs,
@@ -20,9 +21,11 @@ operators/multimodal.py):
   rather than assume Annex K.
 - DECODER: baseline sequential only. Any spec-valid DHT (including
   Annex K files from other encoders), multiple DQT/DHT segments,
-  grayscale or 4:4:4 color, dimensions that aren't multiples of 8.
-  Progressive (SOF2), arithmetic coding, subsampled chroma, 12-bit
-  precision, and restart markers raise NotImplementedError.
+  grayscale or color at any sampling factors in {1,2}×{1,2} (4:4:4 /
+  4:2:2 / 4:4:0 / 4:2:0 — replication upsample), dimensions that
+  aren't multiples of the MCU. Progressive (SOF2), arithmetic coding,
+  12-bit precision, factor >2, and restart markers raise
+  NotImplementedError.
 
 JPEG is lossy, so — unlike the BMP/PNG/PPM/AVI/μ-law lanes — the
 driver-visible lane (`multimodal_image_jpeg` in plans/multimodal.py)
@@ -233,29 +236,57 @@ def _entropy_code_block(
     return int(zz[0])
 
 
-def encode_jpeg(pixels, quality: int = 90) -> bytes:
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def encode_jpeg(pixels, quality: int = 90, subsampling: str = "444") -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
-    baseline JFIF JPEG (SOF0, 8-bit, 4:4:4). Quantization = Annex K
-    tables at IJG `quality`; entropy tables are the module's canonical
-    fixed-length codes, declared in DHT. Deterministic: float64 DCT and
-    round-half-even quantization have no platform-dependent paths."""
+    baseline JFIF JPEG (SOF0, 8-bit). ``subsampling`` picks the chroma
+    layout: "444" (every component full-resolution), "422" (chroma
+    halved horizontally), or "420" (halved both ways — the layout
+    nearly every camera/web JPEG uses; chroma is box-mean downsampled
+    and the MCU interleave becomes 4 luma + 1 Cb + 1 Cr blocks).
+    Quantization = Annex K tables at IJG `quality`; entropy tables are
+    the module's canonical fixed-length codes, declared in DHT.
+    Deterministic: float64 DCT and round-half-even quantization have no
+    platform-dependent paths."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
     qt_l = _quality_scaled(STD_LUMINANCE_Q, quality)
     qt_c = _quality_scaled(STD_CHROMINANCE_Q, quality)
 
-    pad_h, pad_w = (-h) % 8, (-w) % 8
+    factors = ((1, 1),) if gray else _SUBSAMPLING[subsampling]
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+    mcu_cols = (w + 8 * maxh - 1) // (8 * maxh)
+    mcu_rows = (h + 8 * maxv - 1) // (8 * maxv)
+    full_h, full_w = mcu_rows * 8 * maxv, mcu_cols * 8 * maxh
     if gray:
-        planes = [arr.astype(np.float64)]
+        full = [np.asarray(arr, dtype=np.float64)]
     else:
         ycc = _rgb_to_ycbcr(arr)
-        planes = [ycc[..., i] for i in range(3)]
-    planes = [
-        np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") for p in planes
+        full = [ycc[..., i] for i in range(3)]
+    full = [
+        np.pad(p, ((0, full_h - h), (0, full_w - w)), mode="edge") for p in full
     ]
+    planes = []
+    for p, (fh_, fv_) in zip(full, factors):
+        fx, fy = maxh // fh_, maxv // fv_
+        if fx == fy == 1:
+            planes.append(p)
+        else:  # box-mean chroma downsample
+            planes.append(
+                p.reshape(full_h // fy, fy, full_w // fx, fx).mean(axis=(1, 3))
+            )
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -270,11 +301,14 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
         out += seg(
             0xFFDB, bytes([1]) + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8))
         )
-    # SOF0: baseline, 8-bit, 1x1 sampling on every component (4:4:4)
+    # SOF0: baseline, 8-bit, per-component sampling factors
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        fh_, fv_ = factors[ci]
+        sof += struct.pack(
+            ">BBB", ci + 1, (fh_ << 4) | fv_, 0 if ci == 0 else 1
+        )
     out += seg(0xFFC0, sof)
     # DHT: DC table 0, AC table 0 (+ DC 1 / AC 1 for chroma, same codes —
     # declared separately so the decoder's table-id routing is exercised)
@@ -299,21 +333,25 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     out += seg(0xFFDA, sos)
 
     writer = _BitWriter()
-    # baseline interleaved MCU order: with 1x1 sampling each MCU holds
-    # one block of every component, row-major over the block grid
-    h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    # baseline interleaved MCU order: each MCU holds v×h blocks of every
+    # component (raster order within the MCU), row-major over MCUs
     comps = [
         _quantized_blocks(p, qt)
         for p, qt in zip(planes, (qt_l, qt_c, qt_c))
     ]
     prev = [0] * ncomp
-    for by in range(h8):
-        for bx in range(w8):
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
             for ci in range(ncomp):
-                zz = comps[ci][by, bx].reshape(64)[ZIGZAG]
-                prev[ci] = _entropy_code_block(
-                    zz, _ENC_DC, _ENC_AC, writer, prev[ci]
-                )
+                fh_, fv_ = factors[ci]
+                for by in range(fv_):
+                    for bx in range(fh_):
+                        zz = comps[ci][my * fv_ + by, mx * fh_ + bx].reshape(
+                            64
+                        )[ZIGZAG]
+                        prev[ci] = _entropy_code_block(
+                            zz, _ENC_DC, _ENC_AC, writer, prev[ci]
+                        )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -442,11 +480,13 @@ def decode_jpeg(payload: bytes):
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
+                sh, sv = hv >> 4, hv & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise NotImplementedError(
-                        "only 4:4:4 (1x1 sampling) is decoded here"
+                        f"sampling factors {sh}x{sv} are not decoded here "
+                        f"(1 and 2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, sh, sv))
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
             frame = (fh, fw, comps)
@@ -470,47 +510,68 @@ def decode_jpeg(payload: bytes):
     fh, fw, comps = frame
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan (non-interleaved) JPEG")
-    h8, w8 = (fh + 7) // 8, (fw + 7) // 8
+    maxh = max(c[2] for c in comps)
+    maxv = max(c[3] for c in comps)
+    mcu_cols = (fw + 8 * maxh - 1) // (8 * maxh)
+    mcu_rows = (fh + 8 * maxv - 1) // (8 * maxv)
     reader = _BitReader(payload, pos)
-    planes = [np.zeros((h8 * 8, w8 * 8)) for _ in comps]
+    planes = [
+        np.zeros((mcu_rows * 8 * c[3], mcu_cols * 8 * c[2])) for c in comps
+    ]
     prev = [0] * len(comps)
     # map scan-component id -> (frame index, qtable, dc table, ac table)
     lookup = []
     for cs, td_ta in scan:
-        idx = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+        idx = next(i for i, c in enumerate(comps) if c[0] == cs)
         qt = qtables[comps[idx][1]]
         lookup.append(
             (idx, qt, htables[(0, td_ta >> 4)], htables[(1, td_ta & 0xF)])
         )
-    for by in range(h8):
-        for bx in range(w8):
+
+    def decode_block(qt, dc_t, ac_t, idx):
+        zz = np.zeros(64, np.int32)
+        s = _read_symbol(reader, dc_t)
+        diff = _extend(reader.read_bits(s), s)
+        prev[idx] += diff
+        zz[0] = prev[idx]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(reader, ac_t)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        block = np.zeros(64, np.float64)
+        block[ZIGZAG] = zz * qt.reshape(64)[ZIGZAG]
+        return _C.T @ block.reshape(8, 8) @ _C + 128.0
+
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
             for idx, qt, dc_t, ac_t in lookup:
-                zz = np.zeros(64, np.int32)
-                s = _read_symbol(reader, dc_t)
-                diff = _extend(reader.read_bits(s), s)
-                prev[idx] += diff
-                zz[0] = prev[idx]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(reader, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                block = np.zeros(64, np.float64)
-                block[ZIGZAG] = zz * qt.reshape(64)[ZIGZAG]
-                block = block.reshape(8, 8)
-                pix = _C.T @ block @ _C + 128.0
-                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    planes = [p[:fh, :fw] for p in planes]
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+                sh, sv = comps[idx][2], comps[idx][3]
+                for by in range(sv):
+                    for bx in range(sh):
+                        pix = decode_block(qt, dc_t, ac_t, idx)
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        planes[idx][y0 : y0 + 8, x0 : x0 + 8] = pix
+    # upsample subsampled components to full resolution, crop padding
+    up = []
+    for p, c in zip(planes, comps):
+        fy, fx = maxv // c[3], maxh // c[2]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        up.append(p[:fh, :fw])
+    if len(up) == 1:
+        return np.clip(np.round(up[0]), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(up, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -113,12 +113,12 @@ def test_progressive_rejected():
         decode_jpeg(bytes(buf))
 
 
-def test_subsampled_chroma_rejected():
+def test_unsupported_sampling_factor_rejected():
     buf = bytearray(encode_jpeg(_noise(8, 8)))
     at = buf.index(b"\xff\xc0") + 4  # marker + length
     # component 0 h/v sampling byte sits at SOF body offset 7
-    buf[at + 7] = 0x22  # 2x2 (4:2:0)
-    with pytest.raises(NotImplementedError, match="4:4:4"):
+    buf[at + 7] = 0x31  # 3x1: legal in the spec's grammar, out of envelope
+    with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(buf))
 
 
@@ -155,3 +155,47 @@ def test_jpeg_roundtrip_stats_lane(spark):
         95,
         True,
     )
+
+
+def test_chroma_subsampling_roundtrips():
+    """4:2:0 and 4:2:2: box-mean chroma downsample + MCU interleave +
+    replication upsample. Near-exact on smooth content (the codec's
+    regime), exact on flat color, structurally correct SOF factors."""
+    g = np.linspace(0, 255, 24 * 28 * 3).astype(np.uint8).reshape(24, 28, 3)
+    flat = np.full((20, 21, 3), 130, np.uint8)
+    for ss, hv in (("420", 0x22), ("422", 0x21)):
+        buf = encode_jpeg(g, quality=95, subsampling=ss)
+        at = buf.index(b"\xff\xc0") + 4
+        assert buf[at + 7] == hv  # luma sampling factors in SOF
+        assert buf[at + 10] == 0x11  # chroma stays 1x1
+        d = decode_jpeg(buf)
+        assert d.shape == g.shape
+        assert int(np.abs(d.astype(int) - g.astype(int)).max()) <= 4, ss
+        df = decode_jpeg(encode_jpeg(flat, quality=90, subsampling=ss))
+        assert int(np.abs(df.astype(int) - flat.astype(int)).max()) <= 1, ss
+
+
+def test_chroma_subsampling_luma_stays_sharp():
+    """Subsampling loses CHROMA only: a grayscale-content RGB image
+    (R=G=B, so Cb=Cr=128 everywhere) must round-trip through 4:2:0 as
+    tightly as through 4:4:4."""
+    base = _noise(16, 16, ch=0)
+    a = np.dstack([base, base, base])
+    d444 = decode_jpeg(encode_jpeg(a, quality=95))
+    d420 = decode_jpeg(encode_jpeg(a, quality=95, subsampling="420"))
+    e444 = int(np.abs(d444.astype(int) - a.astype(int)).max())
+    e420 = int(np.abs(d420.astype(int) - a.astype(int)).max())
+    assert e420 <= e444 + 2, (e420, e444)
+
+
+def test_subsampling_odd_dimensions():
+    for ss in ("420", "422"):
+        a = _noise(5, 4)
+        assert decode_jpeg(encode_jpeg(a, subsampling=ss)).shape == (5, 4, 3)
+        b = _noise(17, 19)
+        assert decode_jpeg(encode_jpeg(b, subsampling=ss)).shape == (17, 19, 3)
+
+
+def test_unknown_subsampling_rejected():
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_noise(8, 8), subsampling="411")
