@@ -22,10 +22,12 @@ operators/multimodal.py):
 - DECODER: baseline sequential only. Any spec-valid DHT (including
   Annex K files from other encoders), multiple DQT/DHT segments,
   grayscale or color at any sampling factors in {1,2}×{1,2} (4:4:4 /
-  4:2:2 / 4:4:0 / 4:2:0 — replication upsample), dimensions that
-  aren't multiples of the MCU. Progressive (SOF2), arithmetic coding,
-  12-bit precision, factor >2, and restart markers raise
-  NotImplementedError.
+  4:2:2 / 4:4:0 / 4:2:0 — replication upsample), restart intervals
+  (DRI/RSTn — the splittable-scan hook: byte-aligned marker cycling
+  and per-segment DC reset, so each restart segment decodes
+  independently), and dimensions that aren't multiples of the MCU.
+  Progressive (SOF2), arithmetic coding, 12-bit precision, and
+  sampling factors >2 raise NotImplementedError.
 
 JPEG is lossy, so — unlike the BMP/PNG/PPM/AVI/μ-law lanes — the
 driver-visible lane (`multimodal_image_jpeg` in plans/multimodal.py)
@@ -243,7 +245,12 @@ _SUBSAMPLING = {
 }
 
 
-def encode_jpeg(pixels, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
     baseline JFIF JPEG (SOF0, 8-bit). ``subsampling`` picks the chroma
     layout: "444" (every component full-resolution), "422" (chroma
@@ -324,6 +331,8 @@ def encode_jpeg(pixels, quality: int = 90, subsampling: str = "444") -> bytes:
         )
     ):
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -334,14 +343,27 @@ def encode_jpeg(pixels, quality: int = 90, subsampling: str = "444") -> bytes:
 
     writer = _BitWriter()
     # baseline interleaved MCU order: each MCU holds v×h blocks of every
-    # component (raster order within the MCU), row-major over MCUs
+    # component (raster order within the MCU), row-major over MCUs. With
+    # a restart interval, every `restart_interval` MCUs the bit stream
+    # pads to a byte boundary, an RSTn marker (n cycling 0..7) is
+    # emitted, and DC prediction resets — each segment then decodes
+    # INDEPENDENTLY, which is the format's own splittable-scan hook (at
+    # 100 TB, the property that lets one huge image decode in parallel).
     comps = [
         _quantized_blocks(p, qt)
         for p, qt in zip(planes, (qt_l, qt_c, qt_c))
     ]
     prev = [0] * ncomp
+    mcu_index = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                out += writer.flush()
+                out += bytes(
+                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]
+                )
+                writer = _BitWriter()
+                prev = [0] * ncomp
             for ci in range(ncomp):
                 fh_, fv_ = factors[ci]
                 for by in range(fv_):
@@ -352,6 +374,7 @@ def encode_jpeg(pixels, quality: int = 90, subsampling: str = "444") -> bytes:
                         prev[ci] = _entropy_code_block(
                             zz, _ENC_DC, _ENC_AC, writer, prev[ci]
                         )
+            mcu_index += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -379,8 +402,9 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "restart markers (DRI/RSTn) are not decoded here"
+                raise ValueError(
+                    "restart marker hit mid-segment (corrupt stream or "
+                    "wrong DRI interval)"
                 )
             else:
                 raise ValueError(
@@ -400,6 +424,17 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, expected: int) -> None:
+        """Consume an RSTn at a restart boundary: discard pad bits to
+        the byte boundary, then the 2-byte marker (n must cycle 0..7)."""
+        self.acc = self.nbits = 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expected:
+            raise ValueError(
+                f"expected RST{expected} at byte {self.pos}, found "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
 
 
 def _build_decode_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
@@ -441,6 +476,7 @@ def decode_jpeg(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos = 2
+    restart_interval = 0
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
@@ -496,8 +532,7 @@ def decode_jpeg(payload: bytes):
                 f"0xff{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise NotImplementedError("restart intervals are not decoded here")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
@@ -552,8 +587,13 @@ def decode_jpeg(payload: bytes):
         block[ZIGZAG] = zz * qt.reshape(64)[ZIGZAG]
         return _C.T @ block.reshape(8, 8) @ _C + 128.0
 
+    mcu_index = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.sync_restart((mcu_index // restart_interval - 1) % 8)
+                for i in range(len(prev)):
+                    prev[i] = 0
             for idx, qt, dc_t, ac_t in lookup:
                 sh, sv = comps[idx][2], comps[idx][3]
                 for by in range(sv):
@@ -562,6 +602,7 @@ def decode_jpeg(payload: bytes):
                         y0 = (my * sv + by) * 8
                         x0 = (mx * sh + bx) * 8
                         planes[idx][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_index += 1
     # upsample subsampled components to full resolution, crop padding
     up = []
     for p, c in zip(planes, comps):

@@ -199,3 +199,37 @@ def test_subsampling_odd_dimensions():
 def test_unknown_subsampling_rejected():
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_noise(8, 8), subsampling="411")
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn: the restarted stream must decode to EXACTLY the same
+    pixels as the unrestarted one (restarts change framing, not data),
+    with cycling RST0..7 markers and a DRI segment present."""
+    a = _noise(24, 40)  # 15 MCUs at 4:4:4
+    base = decode_jpeg(encode_jpeg(a, quality=95))
+    for ri in (1, 2, 4, 7):
+        buf = encode_jpeg(a, quality=95, restart_interval=ri)
+        assert b"\xff\xdd" in buf
+        assert np.array_equal(decode_jpeg(buf), base), ri
+    buf = encode_jpeg(a, quality=95, restart_interval=4)
+    rst_counts = [buf.count(bytes([0xFF, 0xD0 + k])) for k in range(8)]
+    assert sum(rst_counts) == 3  # 15 MCUs / 4 per segment → 3 boundaries
+    assert rst_counts[0] == rst_counts[1] == rst_counts[2] == 1  # cycling
+
+
+def test_restart_with_subsampling():
+    a = _noise(24, 40)
+    want = decode_jpeg(encode_jpeg(a, quality=95, subsampling="420"))
+    got = decode_jpeg(
+        encode_jpeg(a, quality=95, subsampling="420", restart_interval=2)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_restart_interval_mismatch_detected():
+    """Lying DRI (wrong interval) must fail loudly, not desync."""
+    buf = bytearray(encode_jpeg(_noise(24, 40), quality=95, restart_interval=4))
+    at = buf.index(b"\xff\xdd") + 4
+    struct.pack_into(">H", buf, at, 3)  # claim 3 while markers sit at 4
+    with pytest.raises(ValueError, match="RST|marker"):
+        decode_jpeg(bytes(buf))
