@@ -10,24 +10,29 @@ arithmetic over uint8 arrays.
 Scope (same honest-slot contract as the other media codecs in
 operators/multimodal.py):
 
-- ENCODER: baseline DCT (SOF0), 8-bit, 3-component YCbCr (JFIF
-  BT.601) at 4:4:4, 4:2:2, or 4:2:0 chroma subsampling (box-mean
-  downsample, interleaved v×h MCU blocks) or 1-component grayscale. The Huffman
+- ENCODER: 8-bit, 3-component YCbCr (JFIF BT.601) at 4:4:4, 4:2:2,
+  or 4:2:0 chroma subsampling (box-mean downsample, interleaved v×h
+  MCU blocks) or 1-component grayscale; baseline DCT (SOF0, optionally
+  with restart intervals) or PROGRESSIVE spectral selection (SOF2:
+  one interleaved DC scan + per-component full-band AC scans with
+  EOBn run coding across blocks; 4:4:4/gray). The Huffman
   tables are CUSTOM spec-valid canonical tables declared in DHT —
   fixed-length 4-bit DC / 8-bit AC codes (12 and 162 symbols: neither
   fills its length class, so the reserved all-ones code never occurs,
   per T.81 C.2). Declaring tables in-stream is exactly what the format
   is for, and it forces the decoder below to BUILD tables from DHT
   rather than assume Annex K.
-- DECODER: baseline sequential only. Any spec-valid DHT (including
+- DECODER: baseline sequential AND progressive spectral selection
+  (coefficients accumulate across any number of scans; EOBn runs,
+  non-interleaved component scans). Any spec-valid DHT (including
   Annex K files from other encoders), multiple DQT/DHT segments,
   grayscale or color at any sampling factors in {1,2}×{1,2} (4:4:4 /
   4:2:2 / 4:4:0 / 4:2:0 — replication upsample), restart intervals
   (DRI/RSTn — the splittable-scan hook: byte-aligned marker cycling
   and per-segment DC reset, so each restart segment decodes
   independently), and dimensions that aren't multiples of the MCU.
-  Progressive (SOF2), arithmetic coding, 12-bit precision, and
-  sampling factors >2 raise NotImplementedError.
+  Successive approximation (Ah/Al ≠ 0), arithmetic coding, 12-bit
+  precision, and sampling factors >2 raise NotImplementedError.
 
 JPEG is lossy, so — unlike the BMP/PNG/PPM/AVI/μ-law lanes — the
 driver-visible lane (`multimodal_image_jpeg` in plans/multimodal.py)
@@ -104,15 +109,17 @@ _C = np.array(
 # --- custom spec-valid Huffman tables (fixed-length canonical codes) --------
 
 _DC_SYMBOLS = list(range(12))  # magnitude categories 0..11
-_AC_SYMBOLS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]  # EOB, ZRL, (run, size): 162 symbols
+_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
+)  # EOB/EOB0, ZRL, (run, size), EOB1..EOB14 (progressive): 176 symbols
 
 # BITS[i] = number of codes of length i+1 (T.81 DHT payload shape)
 _DC_BITS = [0] * 16
 _DC_BITS[3] = len(_DC_SYMBOLS)  # all DC codes are 4 bits (12 < 15 used)
 _AC_BITS = [0] * 16
-_AC_BITS[7] = len(_AC_SYMBOLS)  # all AC codes are 8 bits (162 < 255 used)
+_AC_BITS[7] = len(_AC_SYMBOLS)  # all AC codes are 8 bits (176 < 255 used)
 
 
 def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
@@ -250,6 +257,7 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
     baseline JFIF JPEG (SOF0, 8-bit). ``subsampling`` picks the chroma
@@ -268,6 +276,12 @@ def encode_jpeg(
         raise ValueError("empty image")
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    if progressive and restart_interval:
+        raise ValueError("progressive encoding here does not emit restarts")
+    if progressive and not gray and subsampling != "444":
+        raise NotImplementedError(
+            "progressive encoding here is 4:4:4/grayscale only"
+        )
     qt_l = _quality_scaled(STD_LUMINANCE_Q, quality)
     qt_c = _quality_scaled(STD_CHROMINANCE_Q, quality)
 
@@ -316,7 +330,7 @@ def encode_jpeg(
         sof += struct.pack(
             ">BBB", ci + 1, (fh_ << 4) | fv_, 0 if ci == 0 else 1
         )
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     # DHT: DC table 0, AC table 0 (+ DC 1 / AC 1 for chroma, same codes —
     # declared separately so the decoder's table-id routing is exercised)
     for tc_th, bits, vals in (
@@ -333,13 +347,88 @@ def encode_jpeg(
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
-    # SOS
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        td_ta = 0 if ci == 0 else 0x11
-        sos += bytes([ci + 1, td_ta])
-    sos += bytes([0, 63, 0])  # spectral selection / approximation (baseline)
-    out += seg(0xFFDA, sos)
+    def sos_seg(comp_ids, ss, se) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0 if ci == 0 else 0x11])
+        body += bytes([ss, se, 0])  # spectral band; Ah/Al = 0
+        return seg(0xFFDA, body)
+
+    if progressive:
+        # Spectral-selection script: one interleaved DC scan, then one
+        # full-band AC scan per component (non-interleaved, per spec) —
+        # the shape every progressive web JPEG starts from. Blocks with
+        # an all-zero band accumulate into EOBn run codes across blocks.
+        comps_zz = [
+            _quantized_blocks(p, qt)
+            .reshape(p.shape[0] // 8, p.shape[1] // 8, 64)[..., ZIGZAG]
+            for p, qt in zip(planes, (qt_l, qt_c, qt_c))
+        ]
+        out += sos_seg(range(ncomp), 0, 0)
+        writer = _BitWriter()
+        prev = [0] * ncomp
+        h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+        for by in range(h8):
+            for bx in range(w8):
+                for ci in range(ncomp):
+                    s0, bits = _magnitude(int(comps_zz[ci][by, bx, 0]) - prev[ci])
+                    code, ln = _ENC_DC[s0]
+                    writer.write(code, ln)
+                    if s0:
+                        writer.write(bits, s0)
+                    prev[ci] = int(comps_zz[ci][by, bx, 0])
+        out += writer.flush()
+        for ci in range(ncomp):
+            out += sos_seg([ci], 1, 63)
+            writer = _BitWriter()
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                while eobrun:
+                    chunk = min(eobrun, 32767)
+                    r = chunk.bit_length() - 1
+                    code, ln = _ENC_AC[r << 4]
+                    writer.write(code, ln)
+                    if r:
+                        writer.write(chunk - (1 << r), r)
+                    eobrun -= chunk
+
+            cz = comps_zz[ci]
+            for by in range(cz.shape[0]):
+                for bx in range(cz.shape[1]):
+                    band = cz[by, bx, 1:]
+                    nz = np.nonzero(band)[0]
+                    if len(nz) == 0:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    last = int(nz[-1])
+                    run = 0
+                    for k in range(last + 1):
+                        v = int(band[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = _ENC_AC[0xF0]
+                            writer.write(code, ln)
+                            run -= 16
+                        s1, bits = _magnitude(v)
+                        code, ln = _ENC_AC[(run << 4) | s1]
+                        writer.write(code, ln)
+                        writer.write(bits, s1)
+                        run = 0
+                    if last < 62:
+                        eobrun += 1
+            flush_eobrun()
+            out += writer.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    out += sos_seg(range(ncomp), 0, 63)
 
     writer = _BitWriter()
     # baseline interleaved MCU order: each MCU holds v×h blocks of every
@@ -469,10 +558,15 @@ def _extend(bits: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JFIF JPEG → (h, w, 3) RGB or (h, w)
-    grayscale uint8 array. See module docstring for the supported
-    envelope; progressive / subsampled / 12-bit / restart-interval
-    streams raise NotImplementedError, malformed streams ValueError."""
+    """Decode a JFIF JPEG → (h, w, 3) RGB or (h, w) grayscale uint8
+    array: baseline sequential (SOF0, interleaved or per-component
+    scans) AND progressive spectral selection (SOF2 — DC scan + per-
+    component AC band scans with EOBn run coding), with restart
+    intervals in either mode. Coefficients accumulate across scans and
+    dequantize + IDCT once at EOI. See the module docstring for the
+    envelope; successive approximation (Ah/Al ≠ 0), arithmetic coding,
+    12-bit precision, and sampling factors > 2 raise
+    NotImplementedError, malformed streams ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos = 2
@@ -480,11 +574,16 @@ def decode_jpeg(payload: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
-    scan = None
-    while pos + 4 <= len(payload):
+    progressive = False
+    coeffs: list[np.ndarray] = []
+    scans_seen = 0
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
@@ -509,7 +608,8 @@ def decode_jpeg(payload: bytes):
                 vals = body[at + 17 : at + 17 + n]
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 at += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
@@ -526,93 +626,161 @@ def decode_jpeg(payload: bytes):
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            maxh = max(c[2] for c in comps)
+            maxv = max(c[3] for c in comps)
+            mcu_cols = (fw + 8 * maxh - 1) // (8 * maxh)
+            mcu_rows = (fh + 8 * maxv - 1) // (8 * maxv)
+            # zigzag-ordered coefficient store, accumulated across scans
+            coeffs = [
+                np.zeros((mcu_rows * c[3], mcu_cols * c[2], 64), np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline SOF0 is decoded here (got SOF marker "
-                f"0xff{marker:02x})"
+                f"only baseline SOF0 and progressive SOF2 are decoded here "
+                f"(got SOF marker 0xff{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
-            pos = pos + 2 + seg_len
-            break
+            sc = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            ss, se, ah_al = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if ah_al != 0:
+                raise NotImplementedError(
+                    "progressive successive approximation (Ah/Al != 0) is "
+                    "not decoded here — spectral selection only"
+                )
+            if not progressive and (ss, se) != (0, 63):
+                raise ValueError("baseline scan must cover band 0..63")
+            pos = _decode_scan(
+                payload, pos + 2 + seg_len, frame, sc, ss, se,
+                htables, coeffs, restart_interval,
+            )
+            scans_seen += 1
+            continue
         # APPn / COM / others: skipped
         pos += 2 + seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0 or SOS")
+    if frame is None or scans_seen == 0:
+        raise ValueError("JPEG missing SOF or SOS")
     fh, fw, comps = frame
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
     maxh = max(c[2] for c in comps)
     maxv = max(c[3] for c in comps)
-    mcu_cols = (fw + 8 * maxh - 1) // (8 * maxh)
-    mcu_rows = (fh + 8 * maxv - 1) // (8 * maxv)
-    reader = _BitReader(payload, pos)
-    planes = [
-        np.zeros((mcu_rows * 8 * c[3], mcu_cols * 8 * c[2])) for c in comps
-    ]
-    prev = [0] * len(comps)
-    # map scan-component id -> (frame index, qtable, dc table, ac table)
-    lookup = []
-    for cs, td_ta in scan:
-        idx = next(i for i, c in enumerate(comps) if c[0] == cs)
-        qt = qtables[comps[idx][1]]
-        lookup.append(
-            (idx, qt, htables[(0, td_ta >> 4)], htables[(1, td_ta & 0xF)])
-        )
-
-    def decode_block(qt, dc_t, ac_t, idx):
-        zz = np.zeros(64, np.int32)
-        s = _read_symbol(reader, dc_t)
-        diff = _extend(reader.read_bits(s), s)
-        prev[idx] += diff
-        zz[0] = prev[idx]
-        k = 1
-        while k < 64:
-            sym = _read_symbol(reader, ac_t)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            k += run
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zz[k] = _extend(reader.read_bits(size), size)
-            k += 1
-        block = np.zeros(64, np.float64)
-        block[ZIGZAG] = zz * qt.reshape(64)[ZIGZAG]
-        return _C.T @ block.reshape(8, 8) @ _C + 128.0
-
-    mcu_index = 0
-    for my in range(mcu_rows):
-        for mx in range(mcu_cols):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.sync_restart((mcu_index // restart_interval - 1) % 8)
-                for i in range(len(prev)):
-                    prev[i] = 0
-            for idx, qt, dc_t, ac_t in lookup:
-                sh, sv = comps[idx][2], comps[idx][3]
-                for by in range(sv):
-                    for bx in range(sh):
-                        pix = decode_block(qt, dc_t, ac_t, idx)
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        planes[idx][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu_index += 1
-    # upsample subsampled components to full resolution, crop padding
+    # dequantize + IDCT every block at once, per component
     up = []
-    for p, c in zip(planes, comps):
+    qtz = {tq: qt.reshape(64)[ZIGZAG] for tq, qt in qtables.items()}
+    for cz, c in zip(coeffs, comps):
+        bh, bw = cz.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[..., ZIGZAG] = cz * qtz[c[1]]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", _C, blocks, _C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         fy, fx = maxv // c[3], maxh // c[2]
         if fy > 1:
-            p = np.repeat(p, fy, axis=0)
+            plane = np.repeat(plane, fy, axis=0)
         if fx > 1:
-            p = np.repeat(p, fx, axis=1)
-        up.append(p[:fh, :fw])
+            plane = np.repeat(plane, fx, axis=1)
+        up.append(plane[:fh, :fw])
     if len(up) == 1:
         return np.clip(np.round(up[0]), 0, 255).astype(np.uint8)
     rgb = _ycbcr_to_rgb(np.stack(up, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    payload, data_pos, frame, sc, ss, se, htables, coeffs, restart_interval
+):
+    """Decode one scan's entropy data into the zigzag coefficient
+    store; returns the byte position after the scan. Interleaved scans
+    walk MCUs (v×h blocks per component); single-component scans walk
+    that component's own block raster (the progressive AC case, and
+    legal for baseline too). Restart markers reset DC prediction and
+    EOB runs every `restart_interval` data units."""
+    fh, fw, comps = frame
+    maxh = max(c[2] for c in comps)
+    maxv = max(c[3] for c in comps)
+    reader = _BitReader(payload, data_pos)
+    lookup = []
+    for cs, td_ta in sc:
+        idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+        dc_t = htables.get((0, td_ta >> 4)) if ss == 0 else None
+        ac_t = htables.get((1, td_ta & 0xF)) if se > 0 else None
+        lookup.append((idx, dc_t, ac_t))
+    prev = {idx: 0 for idx, _d, _a in lookup}
+    state = {"eobrun": 0}
+
+    def decode_dc(idx, dc_t, zz):
+        s = _read_symbol(reader, dc_t)
+        prev[idx] += _extend(reader.read_bits(s), s)
+        zz[0] = prev[idx]
+
+    def decode_ac_band(ac_t, zz, k0, k1):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = k0
+        while k <= k1:
+            sym = _read_symbol(reader, ac_t)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: this block ends; 2^run - 1 + bits more follow
+                state["eobrun"] = (1 << run) - 1 + reader.read_bits(run)
+                return
+            k += run
+            if k > k1:
+                raise ValueError("AC run past end of band")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+
+    def maybe_restart(unit_index):
+        if (
+            restart_interval
+            and unit_index
+            and unit_index % restart_interval == 0
+        ):
+            reader.sync_restart((unit_index // restart_interval - 1) % 8)
+            for i in prev:
+                prev[i] = 0
+            state["eobrun"] = 0
+
+    if len(sc) > 1:  # interleaved MCU scan
+        mcu_cols = (fw + 8 * maxh - 1) // (8 * maxh)
+        mcu_rows = (fh + 8 * maxv - 1) // (8 * maxv)
+        unit = 0
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                maybe_restart(unit)
+                for idx, dc_t, ac_t in lookup:
+                    sh, sv = comps[idx][2], comps[idx][3]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = coeffs[idx][my * sv + by, mx * sh + bx]
+                            if ss == 0:
+                                decode_dc(idx, dc_t, zz)
+                            if se > 0:
+                                decode_ac_band(ac_t, zz, max(1, ss), se)
+                unit += 1
+    else:  # non-interleaved: the component's own block raster
+        idx, dc_t, ac_t = lookup[0]
+        sh, sv = comps[idx][2], comps[idx][3]
+        bw = (fw * sh + 8 * maxh - 1) // (8 * maxh)
+        bh = (fh * sv + 8 * maxv - 1) // (8 * maxv)
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(unit)
+                zz = coeffs[idx][by, bx]
+                if ss == 0:
+                    decode_dc(idx, dc_t, zz)
+                if se > 0:
+                    decode_ac_band(ac_t, zz, max(1, ss), se)
+                unit += 1
+    if reader.nbits:
+        reader.acc = reader.nbits = 0  # discard pad bits
+    return reader.pos

@@ -105,10 +105,22 @@ def test_byte_stuffing_roundtrip():
     pytest.fail("no seed produced a stuffed byte — widen the hunt")
 
 
-def test_progressive_rejected():
+def test_successive_approximation_rejected():
+    """SOF2 spectral selection decodes (see the progressive tests); the
+    remaining honest slot is successive approximation, signalled by a
+    nonzero Ah/Al byte in SOS."""
+    buf = bytearray(encode_jpeg(_noise(4, 5)))
+    at = buf.index(b"\xff\xda") + 4  # SOS body
+    ns = buf[at]
+    buf[at + 1 + 2 * ns + 2] = 0x01  # Al = 1
+    with pytest.raises(NotImplementedError, match="approximation"):
+        decode_jpeg(bytes(buf))
+
+
+def test_lossless_sof_rejected():
     buf = bytearray(encode_jpeg(_noise(4, 5)))
     at = buf.index(b"\xff\xc0")
-    buf[at + 1] = 0xC2  # SOF2 progressive
+    buf[at + 1] = 0xC3  # SOF3 lossless
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(buf))
 
@@ -233,3 +245,40 @@ def test_restart_interval_mismatch_detected():
     struct.pack_into(">H", buf, at, 3)  # claim 3 while markers sit at 4
     with pytest.raises(ValueError, match="RST|marker"):
         decode_jpeg(bytes(buf))
+
+
+def test_progressive_spectral_selection_roundtrip():
+    """SOF2 spectral selection: one interleaved DC scan + per-component
+    AC band scans. Same quantized coefficients as baseline, different
+    framing — so the decoded pixels must be IDENTICAL to the baseline
+    stream's, color and gray, across shapes."""
+    for shape in ((20, 29, 3), (8, 8, 3), (5, 4, 3), (9, 7, 0)):
+        a = _noise(*shape[:2]) if shape[2] else _noise(*shape[:2], ch=0)
+        buf = encode_jpeg(a, quality=95, progressive=True)
+        assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf[2:4]
+        n_scans = buf.count(b"\xff\xda")
+        assert n_scans == (4 if shape[2] else 2)  # DC + AC per component
+        assert np.array_equal(
+            decode_jpeg(buf), decode_jpeg(encode_jpeg(a, quality=95))
+        ), shape
+
+
+def test_progressive_eobrun_engages():
+    """A mostly-flat image makes nearly every AC band all-zero: the AC
+    scans collapse into EOBn run codes (stream much smaller than the
+    baseline equivalent), and still decode exactly."""
+    a = np.full((40, 48, 3), 128, np.uint8)
+    a[0, 0] = 255  # one impulse so the stream isn't degenerate
+    prog = encode_jpeg(a, quality=75, progressive=True)
+    base = encode_jpeg(a, quality=75)
+    # EOBn collapses whole runs of blocks into one code; even with the
+    # extra SOS headers the progressive stream comes out smaller
+    assert len(prog) < len(base)
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+
+def test_progressive_encode_guards():
+    with pytest.raises(NotImplementedError, match="4:4:4"):
+        encode_jpeg(_noise(8, 8), progressive=True, subsampling="420")
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_noise(8, 8), progressive=True, restart_interval=2)
