@@ -13,26 +13,30 @@ operators/multimodal.py):
 - ENCODER: 8-bit, 3-component YCbCr (JFIF BT.601) at 4:4:4, 4:2:2,
   or 4:2:0 chroma subsampling (box-mean downsample, interleaved v×h
   MCU blocks) or 1-component grayscale; baseline DCT (SOF0, optionally
-  with restart intervals) or PROGRESSIVE spectral selection (SOF2:
-  one interleaved DC scan + per-component full-band AC scans with
-  EOBn run coding across blocks; 4:4:4/gray). The Huffman
+  with restart intervals) or PROGRESSIVE (SOF2: spectral selection —
+  one interleaved DC scan + per-component full-band AC scans with EOBn
+  run coding — optionally with SUCCESSIVE APPROXIMATION: Al=1 first
+  passes plus Ah=1/Al=0 refinement passes whose correction bits buffer
+  through EOB runs; 4:4:4/gray). The Huffman
   tables are CUSTOM spec-valid canonical tables declared in DHT —
   fixed-length 4-bit DC / 8-bit AC codes (12 and 162 symbols: neither
   fills its length class, so the reserved all-ones code never occurs,
   per T.81 C.2). Declaring tables in-stream is exactly what the format
   is for, and it forces the decoder below to BUILD tables from DHT
   rather than assume Annex K.
-- DECODER: baseline sequential AND progressive spectral selection
-  (coefficients accumulate across any number of scans; EOBn runs,
-  non-interleaved component scans). Any spec-valid DHT (including
+- DECODER: baseline sequential AND progressive — spectral selection
+  and successive approximation (coefficients accumulate across any
+  number of scans; EOBn runs, non-interleaved component scans, point
+  transforms, per-coefficient refinement with correction bits flowing
+  through EOB runs per T.81 G.1.2.3). Any spec-valid DHT (including
   Annex K files from other encoders), multiple DQT/DHT segments,
   grayscale or color at any sampling factors in {1,2}×{1,2} (4:4:4 /
   4:2:2 / 4:4:0 / 4:2:0 — replication upsample), restart intervals
   (DRI/RSTn — the splittable-scan hook: byte-aligned marker cycling
   and per-segment DC reset, so each restart segment decodes
   independently), and dimensions that aren't multiples of the MCU.
-  Successive approximation (Ah/Al ≠ 0), arithmetic coding, 12-bit
-  precision, and sampling factors >2 raise NotImplementedError.
+  Arithmetic coding, 12-bit precision, and sampling factors >2 raise
+  NotImplementedError.
 
 JPEG is lossy, so — unlike the BMP/PNG/PPM/AVI/μ-law lanes — the
 driver-visible lane (`multimodal_image_jpeg` in plans/multimodal.py)
@@ -258,6 +262,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
     baseline JFIF JPEG (SOF0, 8-bit). ``subsampling`` picks the chroma
@@ -282,6 +287,8 @@ def encode_jpeg(
         raise NotImplementedError(
             "progressive encoding here is 4:4:4/grayscale only"
         )
+    if successive and not progressive:
+        raise ValueError("successive approximation requires progressive=True")
     qt_l = _quality_scaled(STD_LUMINANCE_Q, quality)
     qt_c = _quality_scaled(STD_CHROMINANCE_Q, quality)
 
@@ -347,39 +354,59 @@ def encode_jpeg(
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
-    def sos_seg(comp_ids, ss, se) -> bytes:
+    def sos_seg(comp_ids, ss, se, ah=0, al=0) -> bytes:
         body = bytes([len(comp_ids)])
         for ci in comp_ids:
             body += bytes([ci + 1, 0 if ci == 0 else 0x11])
-        body += bytes([ss, se, 0])  # spectral band; Ah/Al = 0
+        body += bytes([ss, se, (ah << 4) | al])
         return seg(0xFFDA, body)
 
     if progressive:
-        # Spectral-selection script: one interleaved DC scan, then one
-        # full-band AC scan per component (non-interleaved, per spec) —
-        # the shape every progressive web JPEG starts from. Blocks with
-        # an all-zero band accumulate into EOBn run codes across blocks.
+        # Scan script: one interleaved DC scan, then one full-band AC
+        # scan per component (non-interleaved, per spec). With
+        # successive approximation, each of those runs twice — a first
+        # pass at Al=1 (point-transformed values) and a refinement pass
+        # at Ah=1/Al=0 that appends the final magnitude bit — the shape
+        # real progressive web JPEGs use. All-zero bands accumulate into
+        # EOBn run codes across blocks; refinement correction bits are
+        # buffered through runs per T.81 G.1.2.3.
         comps_zz = [
             _quantized_blocks(p, qt)
             .reshape(p.shape[0] // 8, p.shape[1] // 8, 64)[..., ZIGZAG]
             for p, qt in zip(planes, (qt_l, qt_c, qt_c))
         ]
-        out += sos_seg(range(ncomp), 0, 0)
-        writer = _BitWriter()
-        prev = [0] * ncomp
         h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
-        for by in range(h8):
-            for bx in range(w8):
-                for ci in range(ncomp):
-                    s0, bits = _magnitude(int(comps_zz[ci][by, bx, 0]) - prev[ci])
-                    code, ln = _ENC_DC[s0]
-                    writer.write(code, ln)
-                    if s0:
-                        writer.write(bits, s0)
-                    prev[ci] = int(comps_zz[ci][by, bx, 0])
-        out += writer.flush()
-        for ci in range(ncomp):
-            out += sos_seg([ci], 1, 63)
+
+        def dc_scan(al):
+            nonlocal out
+            out += sos_seg(range(ncomp), 0, 0, 0, al)
+            writer = _BitWriter()
+            prev = [0] * ncomp
+            for by in range(h8):
+                for bx in range(w8):
+                    for ci in range(ncomp):
+                        v = int(comps_zz[ci][by, bx, 0]) >> al  # arithmetic
+                        s0, bits = _magnitude(v - prev[ci])
+                        code, ln = _ENC_DC[s0]
+                        writer.write(code, ln)
+                        if s0:
+                            writer.write(bits, s0)
+                        prev[ci] = v
+            out += writer.flush()
+
+        def dc_refine(al):
+            nonlocal out
+            out += sos_seg(range(ncomp), 0, 0, al + 1, al)
+            writer = _BitWriter()
+            for by in range(h8):
+                for bx in range(w8):
+                    for ci in range(ncomp):
+                        writer.write((int(comps_zz[ci][by, bx, 0]) >> al) & 1, 1)
+            out += writer.flush()
+
+        def ac_first(ci, al):
+            nonlocal out
+            out += sos_seg([ci], 1, 63, 0, al)
             writer = _BitWriter()
             eobrun = 0
 
@@ -397,18 +424,22 @@ def encode_jpeg(
             cz = comps_zz[ci]
             for by in range(cz.shape[0]):
                 for bx in range(cz.shape[1]):
-                    band = cz[by, bx, 1:]
-                    nz = np.nonzero(band)[0]
-                    if len(nz) == 0:
+                    # point transform: magnitude shift (toward zero)
+                    band = [
+                        (abs(int(v)) >> al) * (1 if v >= 0 else -1)
+                        for v in cz[by, bx, 1:]
+                    ]
+                    nz = [k for k, v in enumerate(band) if v != 0]
+                    if not nz:
                         eobrun += 1
                         if eobrun == 32767:
                             flush_eobrun()
                         continue
                     flush_eobrun()
-                    last = int(nz[-1])
+                    last = nz[-1]
                     run = 0
                     for k in range(last + 1):
-                        v = int(band[k])
+                        v = band[k]
                         if v == 0:
                             run += 1
                             continue
@@ -425,6 +456,86 @@ def encode_jpeg(
                         eobrun += 1
             flush_eobrun()
             out += writer.flush()
+
+        def ac_refine(ci, al):
+            nonlocal out
+            out += sos_seg([ci], 1, 63, al + 1, al)
+            writer = _BitWriter()
+            eobrun = 0
+            be_bits: list[int] = []  # correction bits buffered over EOB runs
+
+            def flush_eobrun():
+                nonlocal eobrun
+                while eobrun or be_bits:
+                    if eobrun:
+                        chunk = min(eobrun, 32767)
+                        r = chunk.bit_length() - 1
+                        code, ln = _ENC_AC[r << 4]
+                        writer.write(code, ln)
+                        if r:
+                            writer.write(chunk - (1 << r), r)
+                        eobrun -= chunk
+                    for b in be_bits:
+                        writer.write(b, 1)
+                    be_bits.clear()
+                    if not eobrun:
+                        break
+
+            cz = comps_zz[ci]
+            for by in range(cz.shape[0]):
+                for bx in range(cz.shape[1]):
+                    vals = [int(v) for v in cz[by, bx, 1:]]
+                    absv = [abs(v) >> al for v in vals]
+                    eob = 0  # index past the last NEWLY-significant coef
+                    for k, t in enumerate(absv):
+                        if t == 1:
+                            eob = k + 1
+                    r = 0
+                    br: list[int] = []  # this block's pending correction bits
+                    for k, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        if t > 1:  # already significant: correction bit
+                            br.append(t & 1)
+                            continue
+                        # newly significant (t == 1)
+                        while r > 15:
+                            flush_eobrun()
+                            code, ln = _ENC_AC[0xF0]
+                            writer.write(code, ln)
+                            r -= 16
+                            for b in br:
+                                writer.write(b, 1)
+                            br.clear()
+                        flush_eobrun()
+                        code, ln = _ENC_AC[(r << 4) | 1]
+                        writer.write(code, ln)
+                        writer.write(1 if vals[k] > 0 else 0, 1)
+                        for b in br:
+                            writer.write(b, 1)
+                        br.clear()
+                        r = 0
+                        _ = eob  # (kept for clarity with the T.81 flow)
+                    if r > 0 or br:
+                        eobrun += 1
+                        be_bits.extend(br)
+                        if eobrun == 32767:
+                            flush_eobrun()
+            flush_eobrun()
+            out += writer.flush()
+
+        if successive:
+            dc_scan(1)
+            for ci in range(ncomp):
+                ac_first(ci, 1)
+            dc_refine(0)
+            for ci in range(ncomp):
+                ac_refine(ci, 0)
+        else:
+            dc_scan(0)
+            for ci in range(ncomp):
+                ac_first(ci, 0)
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
@@ -648,15 +759,11 @@ def decode_jpeg(payload: bytes):
             ns = body[0]
             sc = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
             ss, se, ah_al = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            if ah_al != 0:
-                raise NotImplementedError(
-                    "progressive successive approximation (Ah/Al != 0) is "
-                    "not decoded here — spectral selection only"
-                )
-            if not progressive and (ss, se) != (0, 63):
+            ah, al = ah_al >> 4, ah_al & 0xF
+            if not progressive and (ss, se, ah_al) != (0, 63, 0):
                 raise ValueError("baseline scan must cover band 0..63")
             pos = _decode_scan(
-                payload, pos + 2 + seg_len, frame, sc, ss, se,
+                payload, pos + 2 + seg_len, frame, sc, ss, se, ah, al,
                 htables, coeffs, restart_interval,
             )
             scans_seen += 1
@@ -691,14 +798,19 @@ def decode_jpeg(payload: bytes):
 
 
 def _decode_scan(
-    payload, data_pos, frame, sc, ss, se, htables, coeffs, restart_interval
+    payload, data_pos, frame, sc, ss, se, ah, al,
+    htables, coeffs, restart_interval,
 ):
     """Decode one scan's entropy data into the zigzag coefficient
-    store; returns the byte position after the scan. Interleaved scans
-    walk MCUs (v×h blocks per component); single-component scans walk
-    that component's own block raster (the progressive AC case, and
-    legal for baseline too). Restart markers reset DC prediction and
-    EOB runs every `restart_interval` data units."""
+    store; returns the byte position after the scan. Handles baseline
+    interleaved scans, progressive spectral selection, and progressive
+    SUCCESSIVE APPROXIMATION (Ah/Al): first scans store point-
+    transformed values shifted left by Al; refinement scans (Ah = Al+1)
+    append one magnitude bit per already-significant coefficient and
+    insert newly-significant ±2^Al values, with correction bits flowing
+    through EOB runs (T.81 G.1.2; same control flow as libjpeg's
+    decode_mcu_AC_refine). Restart markers reset DC prediction and EOB
+    runs every `restart_interval` data units."""
     fh, fw, comps = frame
     maxh = max(c[2] for c in comps)
     maxv = max(c[3] for c in comps)
@@ -706,18 +818,24 @@ def _decode_scan(
     lookup = []
     for cs, td_ta in sc:
         idx = next(i for i, c in enumerate(comps) if c[0] == cs)
-        dc_t = htables.get((0, td_ta >> 4)) if ss == 0 else None
+        dc_t = htables.get((0, td_ta >> 4)) if ss == 0 and ah == 0 else None
         ac_t = htables.get((1, td_ta & 0xF)) if se > 0 else None
         lookup.append((idx, dc_t, ac_t))
     prev = {idx: 0 for idx, _d, _a in lookup}
     state = {"eobrun": 0}
+    p1 = 1 << al
+    m1 = -p1
 
     def decode_dc(idx, dc_t, zz):
-        s = _read_symbol(reader, dc_t)
-        prev[idx] += _extend(reader.read_bits(s), s)
-        zz[0] = prev[idx]
+        if ah == 0:  # first DC scan: diff-coded point-transformed value
+            sym = _read_symbol(reader, dc_t)
+            prev[idx] += _extend(reader.read_bits(sym), sym)
+            zz[0] = prev[idx] << al
+        else:  # refinement: one bit, OR'd at position al
+            if reader.read_bit():
+                zz[0] = int(zz[0]) | p1
 
-    def decode_ac_band(ac_t, zz, k0, k1):
+    def decode_ac_first(ac_t, zz, k0, k1):
         if state["eobrun"] > 0:
             state["eobrun"] -= 1
             return
@@ -729,14 +847,70 @@ def _decode_scan(
                 if run == 15:  # ZRL
                     k += 16
                     continue
-                # EOBn: this block ends; 2^run - 1 + bits more follow
                 state["eobrun"] = (1 << run) - 1 + reader.read_bits(run)
                 return
             k += run
             if k > k1:
                 raise ValueError("AC run past end of band")
-            zz[k] = _extend(reader.read_bits(size), size)
+            zz[k] = _extend(reader.read_bits(size), size) << al
             k += 1
+
+    def refine_nonzero(zz, k):
+        """Correction bit for an already-significant coefficient."""
+        if reader.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def decode_ac_refine(ac_t, zz, k0, k1):
+        k = k0
+        if state["eobrun"] == 0:
+            while k <= k1:
+                sym = _read_symbol(reader, ac_t)
+                run, size = sym >> 4, sym & 0xF
+                newval = 0
+                if size == 0:
+                    if run != 15:
+                        state["eobrun"] = (1 << run) + (
+                            reader.read_bits(run) if run else 0
+                        )
+                        break  # EOB region handled below
+                    # ZRL: run of 16 zero-HISTORY coefficients
+                else:
+                    if size != 1:
+                        raise ValueError(
+                            "refinement scan coded a multi-bit coefficient"
+                        )
+                    newval = p1 if reader.read_bit() else m1
+                # advance past `run` zero-history coefficients, applying
+                # correction bits to nonzero-history ones along the way
+                while k <= k1:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval:
+                    if k > k1:
+                        raise ValueError("refinement run past end of band")
+                    zz[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            # inside an EOB run: only correction bits for the remainder
+            while k <= k1:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_unit(idx, dc_t, ac_t, zz):
+        if ss == 0:
+            decode_dc(idx, dc_t, zz)
+        if se > 0:
+            if ah == 0:
+                decode_ac_first(ac_t, zz, max(1, ss), se)
+            else:
+                decode_ac_refine(ac_t, zz, max(1, ss), se)
 
     def maybe_restart(unit_index):
         if (
@@ -760,11 +934,10 @@ def _decode_scan(
                     sh, sv = comps[idx][2], comps[idx][3]
                     for by in range(sv):
                         for bx in range(sh):
-                            zz = coeffs[idx][my * sv + by, mx * sh + bx]
-                            if ss == 0:
-                                decode_dc(idx, dc_t, zz)
-                            if se > 0:
-                                decode_ac_band(ac_t, zz, max(1, ss), se)
+                            decode_unit(
+                                idx, dc_t, ac_t,
+                                coeffs[idx][my * sv + by, mx * sh + bx],
+                            )
                 unit += 1
     else:  # non-interleaved: the component's own block raster
         idx, dc_t, ac_t = lookup[0]
@@ -775,11 +948,7 @@ def _decode_scan(
         for by in range(bh):
             for bx in range(bw):
                 maybe_restart(unit)
-                zz = coeffs[idx][by, bx]
-                if ss == 0:
-                    decode_dc(idx, dc_t, zz)
-                if se > 0:
-                    decode_ac_band(ac_t, zz, max(1, ss), se)
+                decode_unit(idx, dc_t, ac_t, coeffs[idx][by, bx])
                 unit += 1
     if reader.nbits:
         reader.acc = reader.nbits = 0  # discard pad bits

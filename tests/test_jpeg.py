@@ -105,15 +105,14 @@ def test_byte_stuffing_roundtrip():
     pytest.fail("no seed produced a stuffed byte — widen the hunt")
 
 
-def test_successive_approximation_rejected():
-    """SOF2 spectral selection decodes (see the progressive tests); the
-    remaining honest slot is successive approximation, signalled by a
-    nonzero Ah/Al byte in SOS."""
+def test_baseline_with_point_transform_rejected():
+    """A BASELINE stream claiming a nonzero Ah/Al is malformed (the
+    point transform belongs to progressive scans)."""
     buf = bytearray(encode_jpeg(_noise(4, 5)))
     at = buf.index(b"\xff\xda") + 4  # SOS body
     ns = buf[at]
     buf[at + 1 + 2 * ns + 2] = 0x01  # Al = 1
-    with pytest.raises(NotImplementedError, match="approximation"):
+    with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(buf))
 
 
@@ -282,3 +281,38 @@ def test_progressive_encode_guards():
         encode_jpeg(_noise(8, 8), progressive=True, subsampling="420")
     with pytest.raises(ValueError, match="restart"):
         encode_jpeg(_noise(8, 8), progressive=True, restart_interval=2)
+
+
+def test_successive_approximation_roundtrip():
+    """Full successive approximation (the script real progressive web
+    JPEGs use): DC/AC first passes at Al=1, refinement passes at
+    Ah=1/Al=0 with correction bits buffered through EOB runs. SA is a
+    lossless re-framing of the same quantized coefficients, so decoded
+    pixels must be IDENTICAL to the baseline stream's — any desync in
+    the refinement bit flow breaks this immediately."""
+    for seed in range(6):
+        a = _noise(20, 29, seed=seed)
+        base = decode_jpeg(encode_jpeg(a, quality=95))
+        sa = decode_jpeg(
+            encode_jpeg(a, quality=95, progressive=True, successive=True)
+        )
+        assert np.array_equal(sa, base), seed
+    g = _noise(9, 7, ch=0)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=95, progressive=True, successive=True)),
+        decode_jpeg(encode_jpeg(g, quality=95)),
+    )
+    # EOBRUN-heavy: correction bits must flow through long EOB runs
+    flat = np.full((40, 40, 3), 128, np.uint8)
+    flat[3, 3] = 200
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=60, progressive=True, successive=True)),
+        decode_jpeg(encode_jpeg(flat, quality=60)),
+    )
+
+
+def test_sa_scan_structure():
+    buf = encode_jpeg(_noise(16, 16), quality=90, progressive=True, successive=True)
+    assert buf.count(b"\xff\xda") == 8  # (DC + 3×AC) first + refine
+    with pytest.raises(ValueError, match="progressive"):
+        encode_jpeg(_noise(8, 8), successive=True)
