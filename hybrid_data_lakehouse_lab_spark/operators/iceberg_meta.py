@@ -39,6 +39,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import urllib.parse
 import uuid
 
 from .avro_io import read_avro, write_avro
@@ -230,8 +231,6 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
         files = _snapshot_files(table.root, snap["path"])
         entries = []
         for f in files:
-            import urllib.parse
-
             rel = urllib.parse.unquote(f["path"])
             full = os.path.join(table.root, rel)
             entries.append(

@@ -726,6 +726,8 @@ def adpcm_compress(pcm, block_samples: int = 505) -> list[bytes]:
     import numpy as np
 
     s = np.asarray(pcm, dtype=np.int16).reshape(-1)
+    if len(s) == 0:
+        raise ValueError("cannot ADPCM-encode an empty sample array")
     blocks: list[bytes] = []
     index = 0
     for b0 in range(0, len(s), block_samples):
