@@ -10,7 +10,9 @@ via stdlib zlib — the COMPLETE PNG matrix: every color type
 (1/2/4/8/16 — sub-byte rows MSB-first bit-unpacked, 16-bit pairs
 big-endian recombined), sequential or Adam7-interlaced (CRC-checked
 chunk walk, multi-IDAT reassembly, all five row unfilters, PLTE
-lookup, per-pass unfilter + scatter) with pure numpy;
+lookup, per-pass unfilter + scatter), and single-frame GIF87a/89a
+(real variable-width LZW — the dictionary-coder family — global/local
+color tables, interlacing; operators/gif.py) with pure numpy;
 `decode_video_frames` really decodes AVI — uncompressed 24-bit DIB
 (word-aligned RIFF walk, per-frame BMP-layout rasters) and Motion-JPEG
 ('MJPG', one baseline JPEG per frame); baseline JPEG itself rides
@@ -553,6 +555,10 @@ def decode_image(payload: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         "only BMP/PPM/PGM/PNG(8-bit gray/RGB/palette)/baseline-JPEG are "
         "decoded natively; other formats need PIL/opencv — not available "
@@ -965,11 +971,11 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> DataFrame:
-    """Encode each payload's bytes as real BMP, PNG (truecolor AND
-    palettized — the 5×4 raster has ≤ 20 unique colors, so the indexed
-    path always engages), and PPM images (pixels = payload cycled to
-    width*height*3), decode them back through ``decode_image``, and emit
-    stats OF THE DECODED ARRAY.
+    """Encode each payload's bytes as real BMP, GIF (LZW — the 5×4
+    raster has ≤ 20 unique colors, so the palette always fits), PNG
+    (truecolor AND palettized), and PPM images (pixels = payload cycled
+    to width*height*3), decode them back through ``decode_image``, and
+    emit stats OF THE DECODED ARRAY.
 
     The stats are chosen so encoder/decoder bugs cannot cancel out when
     checked against a payload-derived oracle: ``pix_md5`` is the decoded
@@ -998,8 +1004,11 @@ def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> Dat
                 if src.size == 0:
                     continue
                 px = np.resize(src, n_px).reshape(height, width, 3)
+                from .gif import encode_gif
+
                 for fmt, enc in (
                     ("bmp", encode_bmp),
+                    ("gif", encode_gif),
                     ("png", encode_png),
                     ("png_pal", lambda p: encode_png(p, palette=True)),
                     ("ppm", encode_ppm),

@@ -160,16 +160,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.g_sum AS BIGINT) AS g_sum,
            CAST(s.b_sum AS BIGINT) AS b_sum
     FROM d JOIN stats s USING (doc_id),
-         (VALUES ('bmp'), ('png'), ('png_pal'), ('ppm')) AS f(fmt)
+         (VALUES ('bmp'), ('gif'), ('png'), ('png_pal'), ('ppm')) AS f(fmt)
     """,
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-verified end-to-end: each document's
     bytes (cycled to a 5x4 RGB raster) are encoded as an actual 24-bit
-    BMP, an 8-bit truecolor PNG (stdlib-zlib deflate, per-row filter
-    cycle over all five types), a PALETTIZED PNG (color type 3: the same
-    raster indexed through a deterministic PLTE — exercises the indexed-
-    color decode path on every blob), and a binary PPM, decoded back through
+    BMP, a GIF89a (real variable-width LZW over palette indices — the
+    dictionary-coder decode path engages on every blob), an 8-bit
+    truecolor PNG (stdlib-zlib deflate, per-row filter cycle over all
+    five types), a PALETTIZED PNG (color type 3), and a binary PPM,
+    decoded back through
     ``decode_image``'s pure-numpy header/stride/BGR/bottom-up/unfilter
     parsing, and the DECODED array's stats are compared against DuckDB's
     independent derivation from the text construction. The oracle never

@@ -200,3 +200,25 @@ def test_png_adam7_roundtrip_exact(h, w, ch, seed):
     dec = decode_image(encode_png(a, interlace=True))
     assert dec.shape == a.shape
     assert np.array_equal(dec, a)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    nlevels=st.sampled_from([2, 4, 16, 64]),
+    seed=st.integers(0, 10_000),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_exact(h, w, nlevels, seed, interlace):
+    from hybrid_data_lakehouse_lab_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    a = (_pixels(h, w, 3, seed) // (256 // nlevels) * (256 // nlevels)).astype(
+        np.uint8
+    )
+    dec = decode_gif(encode_gif(a, interlace=interlace))
+    assert dec.shape == a.shape
+    assert np.array_equal(dec, a)

@@ -44,11 +44,11 @@ def test_feature_extraction_deterministic(spark, sf_dir):
 
 
 def test_decode_stub_contract():
-    # unknown magic stays an honest NotImplementedError (JPEG/PNG are
-    # real as of r6); a JPEG-looking but malformed payload is a
+    # unknown magic stays an honest NotImplementedError (JPEG/PNG/GIF
+    # are real as of r6); a JPEG-looking but malformed payload is a
     # ValueError from the real decoder, not a missing feature
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a....")
+        decode_image(b"II*\x00tiff-ish")
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
 
@@ -324,9 +324,9 @@ def test_image_decode_stats_lane(spark):
         "media_id long, payload binary, media_type string, n_bytes int",
     )
     rows = {r["fmt"]: r for r in image_decode_stats(df).collect()}
-    assert set(rows) == {"bmp", "png", "png_pal", "ppm"}
+    assert set(rows) == {"bmp", "gif", "png", "png_pal", "ppm"}
     px = np.resize(np.frombuffer(text.encode(), dtype=np.uint8), 60)
-    for fmt in ("bmp", "png", "png_pal", "ppm"):
+    for fmt in ("bmp", "gif", "png", "png_pal", "ppm"):
         r = rows[fmt]
         assert (r["width"], r["height"]) == (5, 4)
         assert r["pix_md5"] == hashlib.md5(px.tobytes()).hexdigest()
