@@ -73,17 +73,42 @@ class _LsbBitReader:
 
 def lzw_compress(indices, min_code_size: int) -> bytes:
     """GIF-variant LZW: variable code width starting at min_code_size+1,
-    clear/EOI codes, dictionary reset at 4096 entries. The width bump
-    mirrors the decoder's next_code == 2^width rule (GIF does NOT use
-    TIFF's early-change)."""
+    clear/EOI codes, dictionary reset at 4096 entries. The code width is
+    driven by a MODEL OF THE DECODER's table: the decoder adds one entry
+    per code received after the first since a clear — including the
+    final data code before EOI — and bumps width when its table reaches
+    2^width (GIF does NOT use TIFF's early-change). Tying the width to
+    the encoder's own add count instead desyncs exactly when the last
+    data code crosses a width boundary (the decoder would then expect
+    EOI one bit wider) — hypothesis found that case."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = _LsbBitWriter()
+    table: dict = {}
+    next_code = 0
+    width = min_code_size + 1
+    dec_len = 0
+    first_since_clear = True
 
     def reset():
-        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+        nonlocal table, next_code, width, dec_len, first_since_clear
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+        dec_len = eoi + 1
+        first_since_clear = True
 
-    table, next_code, width = reset()
+    def emit(code: int) -> None:
+        nonlocal dec_len, width, first_since_clear
+        out.write(code, width)
+        if first_since_clear:
+            first_since_clear = False
+            return
+        dec_len += 1  # the decoder grows its table on this code
+        if dec_len == (1 << width) and width < 12:
+            width += 1
+
+    reset()
     out.write(clear, width)
     w: tuple = ()
     for c in map(int, indices):
@@ -91,20 +116,17 @@ def lzw_compress(indices, min_code_size: int) -> bytes:
         if wc in table:
             w = wc
             continue
-        out.write(table[w], width)
+        emit(table[w])
         table[wc] = next_code
         next_code += 1
-        # the decoder adds ITS entry one code later, so it bumps width
-        # when its next_code hits 2^width; that corresponds to the
-        # encoder bumping as soon as next_code EXCEEDS the width's range
-        if next_code == (1 << width) + 1 and width < 12:
-            width += 1
         if next_code > 4095:
+            # the decoder resets on CLEAR instead of adding an entry,
+            # so write it directly (no dec_len growth)
             out.write(clear, width)
-            table, next_code, width = reset()
+            reset()
         w = (c,)
     if w:
-        out.write(table[w], width)
+        emit(table[w])
     out.write(eoi, width)
     return out.flush()
 
