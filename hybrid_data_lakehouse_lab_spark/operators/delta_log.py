@@ -178,6 +178,15 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
         if f.endswith(".json") and f.split(".")[0].isdigit():
             if int(f.split(".")[0]) > last:
                 os.remove(os.path.join(log_dir, f))
+        elif ".checkpoint" in f and f.endswith(".parquet"):
+            # External readers (delta-spark, delta-rs) discover
+            # checkpoints by LISTING _delta_log, not only via
+            # _last_checkpoint — an orphaned {v}.checkpoint*.parquet
+            # past the new log end would seed a reader with vacuumed
+            # state referencing deleted data files (ADVICE r6).
+            v = f.split(".")[0]
+            if v.isdigit() and int(v) > last:
+                os.remove(os.path.join(log_dir, f))
     cp = _load_last_checkpoint(log_dir)
     if cp is not None and cp["version"] > last:
         os.remove(os.path.join(log_dir, "_last_checkpoint"))

@@ -496,11 +496,13 @@ def encode_jpeg(
                         if t == 0:
                             r += 1
                             continue
-                        if t > 1:  # already significant: correction bit
-                            br.append(t & 1)
-                            continue
-                        # newly significant (t == 1)
-                        while r > 15:
+                        # Emit pending ZRLs at EVERY nonzero coefficient
+                        # (not only newly-significant ones), so correction
+                        # bits for already-significant coefficients beyond
+                        # a ZRL's 16-zero span stay associated with the
+                        # right Huffman code (T.81 G.7 / jcphuff.c order).
+                        # `k < eob` folds trailing ZRLs into the EOB run.
+                        while r > 15 and k < eob:
                             flush_eobrun()
                             code, ln = _ENC_AC[0xF0]
                             writer.write(code, ln)
@@ -508,6 +510,10 @@ def encode_jpeg(
                             for b in br:
                                 writer.write(b, 1)
                             br.clear()
+                        if t > 1:  # already significant: correction bit
+                            br.append(t & 1)
+                            continue
+                        # newly significant (t == 1)
                         flush_eobrun()
                         code, ln = _ENC_AC[(r << 4) | 1]
                         writer.write(code, ln)
@@ -516,7 +522,6 @@ def encode_jpeg(
                             writer.write(b, 1)
                         br.clear()
                         r = 0
-                        _ = eob  # (kept for clarity with the T.81 flow)
                     if r > 0 or br:
                         eobrun += 1
                         be_bits.extend(br)

@@ -541,10 +541,13 @@ def decode_image(payload: bytes):
     Real formats, really decoded (header parse, BGR swap, bottom-up row
     flip, stride padding, zlib inflate + the five PNG unfilters, PLTE
     palette lookup — all the places a cargo-cult decoder goes wrong), no
-    codec libraries needed: PNG rides stdlib zlib. JPEG (and PNG's
-    16-bit/interlaced/sub-byte-palette variants) stay honest
-    NotImplementedError slots until PIL/opencv exists in the
-    environment; alpha (color types 4/6) decodes natively."""
+    codec libraries needed: PNG rides stdlib zlib and covers the full
+    matrix (8/16-bit, Adam7 interlace, sub-byte palettes, alpha color
+    types 4/6); JPEG covers baseline AND progressive (spectral selection
+    + successive approximation + restart markers) via operators/jpeg.py;
+    GIF87a/89a via operators/gif.py. What still raises
+    NotImplementedError: JPEG arithmetic coding / 12-bit precision /
+    hierarchical mode, and non-raster containers (TIFF, WebP, …)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
@@ -560,9 +563,11 @@ def decode_image(payload: bytes):
 
         return decode_gif(payload)
     raise NotImplementedError(
-        "only BMP/PPM/PGM/PNG(8-bit gray/RGB/palette)/baseline-JPEG are "
-        "decoded natively; other formats need PIL/opencv — not available "
-        "in this environment"
+        "unrecognized image signature: BMP/PPM/PGM, PNG (full matrix: "
+        "8/16-bit, interlaced, sub-byte palette, alpha), JPEG (baseline "
+        "+ progressive/SA/restart), and GIF87a/89a decode natively; "
+        "other containers (TIFF, WebP, …) need PIL/opencv — not "
+        "available in this environment"
     )
 
 

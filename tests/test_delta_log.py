@@ -466,3 +466,54 @@ def test_reexport_after_vacuum_drops_stale_tail(spark, tmp_path):
     assert not os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
     got = sorted((r["id"], r["v"]) for r in read_delta_table(spark, t.root).collect())
     assert got == [(i, i * 3) for i in range(3)]
+
+
+def test_reexport_after_vacuum_drops_orphaned_checkpoint_parquet(spark, tmp_path):
+    """Round-7 regression (ADVICE r6): the vacuum cleanup removed stale
+    N.json commits and a regressed _last_checkpoint pointer but left the
+    {v}.checkpoint[.i.n].parquet files themselves. External Delta
+    readers discover checkpoints by LISTING _delta_log, so an orphaned
+    checkpoint past the new log end could seed them with vacuumed state
+    referencing deleted data files. Both single-file and multi-part
+    orphans must be removed; a checkpoint at or below the new end
+    survives."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import write_checkpoint
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        vacuum_snapshots,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "vac_cp"))
+    t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.write(spark.range(7).selectExpr("id", "id * 2 AS v"), committed_at_ms=2000)
+    t.write(spark.range(3).selectExpr("id", "id * 3 AS v"), committed_at_ms=3000)
+    log_dir = export_delta_log(t)
+    write_checkpoint(log_dir, version=1)          # single-file at v1
+    write_checkpoint(log_dir, version=2, parts=2)  # multi-part at v2
+    vacuum_snapshots(t, older_than_ms=3000, keep_last=1)
+    export_delta_log(t)  # history is now a single commit: v0
+    left = sorted(
+        f for f in os.listdir(log_dir)
+        if ".checkpoint" in f and f.endswith(".parquet")
+    )
+    assert left == [], left
+    assert not os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+
+
+def test_checkpoint_at_log_end_survives_reexport(spark, tmp_path):
+    """A checkpoint at a version the shrunken log still contains is NOT
+    an orphan — re-export must keep both the parquet and the pointer."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+        write_checkpoint,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "keep_cp"))
+    t.write(spark.range(4).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.write(spark.range(3).selectExpr("id", "id * 3 AS v"), committed_at_ms=2000)
+    log_dir = export_delta_log(t)
+    write_checkpoint(log_dir, version=1)
+    export_delta_log(t)  # no vacuum: same 2-commit history
+    assert os.path.exists(os.path.join(log_dir, f"{1:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    got = sorted((r["id"], r["v"]) for r in read_delta_table(spark, t.root).collect())
+    assert got == [(i, i * 3) for i in range(3)]

@@ -316,3 +316,21 @@ def test_sa_scan_structure():
     assert buf.count(b"\xff\xda") == 8  # (DC + 3×AC) first + refine
     with pytest.raises(ValueError, match="progressive"):
         encode_jpeg(_noise(8, 8), successive=True)
+
+def test_sa_refine_zrl_correction_bit_order():
+    """Round-7 regression (ADVICE r6, jpeg.py ac_refine): pending ZRLs
+    must be emitted — and buffered correction bits flushed — at EVERY
+    nonzero coefficient before the already-significant branch, exactly
+    as jcphuff.c does, not only at newly-significant (t==1) ones.
+    Otherwise a correction bit for a coefficient beyond a ZRL's 16-zero
+    span lands before the next Huffman code and the decoder consumes it
+    as code bits (~2% of random grayscale images failed). A 120-image
+    grayscale fuzz at the failing shape regime must round-trip
+    bit-identically to the non-SA progressive stream."""
+    rng = np.random.default_rng(99)
+    for _ in range(120):
+        h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        sa = decode_jpeg(encode_jpeg(img, progressive=True, successive=True))
+        base = decode_jpeg(encode_jpeg(img, progressive=True, successive=False))
+        assert np.array_equal(sa, base)
