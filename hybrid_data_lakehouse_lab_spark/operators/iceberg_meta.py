@@ -1,4 +1,4 @@
-"""Apache Iceberg (spec v1) metadata interop for `SnapshotTable`.
+"""Apache Iceberg (spec v1 + v2) metadata interop for `SnapshotTable`.
 
 The reference's lakehouse format IS Iceberg — its SCD2 processor
 commits Iceberg snapshots through a Nessie catalog (reference
@@ -28,10 +28,33 @@ per snapshot; the exporter writes one manifest per snapshot (full-
 rewrite model) and the metadata tree's size tracks file COUNT, never
 data size.
 
+Format-version 2 (`format_version=2`) adds the spec's merge-on-read
+surface — the mode the REFERENCE configures on its SCD2 table
+(`write.delete.mode=merge-on-read`, libs/scd2_spark_processor.py:155):
+sequence numbers (metadata `last-sequence-number`, per-snapshot
+`sequence-number`, manifest-list `sequence_number`/`min_sequence_number`
+/`content`, entry-level `data_sequence_number` with the spec's
+inheritance rule for ADDED entries), and POSITIONAL DELETE FILES.
+When a v2 export finds a snapshot whose rows are a sub-multiset of its
+parent's (a pure delete — retention purge, GDPR erasure), it does NOT
+re-list rewritten files: it reuses the parent's data manifest verbatim
+in the new manifest list (Iceberg's manifest-reuse model) and adds a
+content=1 delete manifest pointing at parquet position-delete files
+(`file_path` field-id 2147483546, `pos` 2147483545, sorted by both —
+the spec's delete-file schema), written DISTRIBUTED by Spark with
+parquet field-ids attached. The sub-multiset diff itself is a Spark
+plan (row_number over a full-row struct key vs child multiplicities),
+so export-time delete detection scales with the cluster, not the
+driver. Chained deletes accumulate delete manifests in the manifest
+list exactly as real Iceberg MoR commits do. Field names follow the
+published spec tables (iceberg.apache.org/spec/): `data_sequence_number`
+(id 3), `added_files_count` (id 504) etc.
+
 Verified in tests/test_iceberg_meta.py with an INDEPENDENT from-scratch
 Avro + metadata parse (importing neither this module nor avro_io), plus
 a DuckDB read of the resolved live file set value-matched against
-`SnapshotTable.read()`.
+`SnapshotTable.read()` — for v2, DuckDB applies the positional delete
+masks itself from the independently-parsed manifests.
 """
 
 from __future__ import annotations
@@ -101,10 +124,14 @@ def _partition_value(iceberg_type: str, raw: str | None):
     raise NotImplementedError(iceberg_type)
 
 
-def _entry_schema(partition_fields: list[dict]) -> dict:
-    """Iceberg v1 manifest_entry Avro schema with the spec's field-ids
+def _entry_schema(partition_fields: list[dict], format_version: int = 1) -> dict:
+    """Iceberg manifest_entry Avro schema with the spec's field-ids
     (status 0, snapshot_id 1, data_file 2; file fields 100+; partition
-    fields carry their spec field-ids 1000+)."""
+    fields carry their spec field-ids 1000+). v2 adds the optional
+    `data_sequence_number` (3) / `file_sequence_number` (4) — null on
+    ADDED entries so readers must apply the spec's inheritance rule —
+    plus the required data_file `content` (134), and drops the
+    v1-legacy `block_size_in_bytes` (105)."""
     partition_record = {
         "type": "record",
         "name": "r102",
@@ -118,49 +145,203 @@ def _entry_schema(partition_fields: list[dict]) -> dict:
             for f in partition_fields
         ],
     }
-    data_file = {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": partition_record, "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
-        ],
-    }
+    file_fields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_record, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    if format_version == 1:
+        file_fields.append(
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105}
+        )
+    else:
+        # content: 0=DATA, 1=POSITION DELETES, 2=EQUALITY DELETES
+        file_fields.insert(0, {"name": "content", "type": "int", "field-id": 134})
+    data_file = {"type": "record", "name": "r2", "fields": file_fields}
+    entry_fields = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+    ]
+    if format_version >= 2:
+        entry_fields += [
+            {
+                "name": "data_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+        ]
+    entry_fields.append({"name": "data_file", "type": data_file, "field-id": 2})
     return {
         "type": "record",
         "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int", "field-id": 0},
-            {
-                "name": "snapshot_id",
-                "type": ["null", "long"],
-                "default": None,
-                "field-id": 1,
-            },
-            {"name": "data_file", "type": data_file, "field-id": 2},
-        ],
+        "fields": entry_fields,
     }
 
 
-_MANIFEST_LIST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
+def _manifest_list_schema(format_version: int = 1) -> dict:
+    """manifest_file Avro schema. v2 adds the required `content` (517:
+    0=data, 1=deletes), `sequence_number` (515), `min_sequence_number`
+    (516) and the six file/row count fields the spec promotes from
+    optional to required."""
+    fields = [
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
-        {
-            "name": "added_snapshot_id",
-            "type": ["null", "long"],
-            "default": None,
-            "field-id": 503,
-        },
-    ],
-}
+    ]
+    if format_version >= 2:
+        fields += [
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        ]
+    else:
+        fields.append(
+            {
+                "name": "added_snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 503,
+            }
+        )
+    return {"type": "record", "name": "manifest_file", "fields": fields}
+
+
+# Kept for external callers/tests that import the v1 constant directly.
+_MANIFEST_LIST_SCHEMA = _manifest_list_schema(1)
+
+# Spec-reserved field ids of the position-delete file schema.
+POS_DELETE_FILE_PATH_ID = 2147483546
+POS_DELETE_POS_ID = 2147483545
+
+_SCHEME_RE = "^[a-zA-Z0-9+.-]+:/+"
+
+
+def _position_delete_diff(spark, base_dir: str, delete_dirs: list[str], child_dir: str):
+    """If `child_dir`'s rows are a sub-multiset of the MASKED base
+    (base_dir's files minus positions already deleted by `delete_dirs`),
+    return a DataFrame(file_path STRING, pos BIGINT) of the NEW
+    positions to delete; else return None (the transition needs a
+    rewrite, not a delete).
+
+    Distributed by construction — no driver-side row materialization:
+    one shuffle groups base rows by a full-row struct key (null-safe),
+    `row_number()` over (file, pos) ranks duplicate occurrences
+    deterministically, and occurrences ranked past the child's
+    multiplicity for that value are the deleted positions. The
+    sub-multiset check is the same join read the other way (any child
+    value with multiplicity above the base's ⇒ not delete-expressible).
+    Cost is one scan of parent + child per exported delete snapshot —
+    the export-time price of MoR re-expression, and it scales with the
+    cluster."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = (
+        spark.read.parquet(base_dir)
+        .withColumn(
+            "_f", F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
+        )
+        .withColumn("_p", F.col("_metadata.row_index"))
+    )
+    if delete_dirs:
+        dels = spark.read.parquet(*delete_dirs).select(
+            F.col("file_path").alias("_f"), F.col("pos").alias("_p")
+        )
+        base = base.join(F.broadcast(dels), ["_f", "_p"], "left_anti")
+    child = spark.read.parquet(child_dir)
+    cols = sorted(c for c in base.columns if c not in ("_f", "_p"))
+    if sorted(child.columns) != cols:
+        return None  # schema changed: not expressible as deletes
+    key = F.struct(*[F.col(c) for c in cols])
+    b = base.withColumn("_k", key).select("_k", "_f", "_p")
+    child_counts = (
+        child.withColumn("_k", key)
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    base_counts = b.groupBy("_k").agg(F.count(F.lit(1)).alias("_nb"))
+    cc, bc = child_counts.alias("cc"), base_counts.alias("bc")
+    excess = (
+        cc.join(bc, F.col("cc._k").eqNullSafe(F.col("bc._k")), "left")
+        .where(F.col("_nb").isNull() | (F.col("_nc") > F.col("_nb")))
+        .limit(1)
+        .count()
+    )
+    if excess:
+        return None
+    w = Window.partitionBy("_k").orderBy("_f", "_p")
+    ranked = b.withColumn("_r", F.row_number().over(w)).alias("rk")
+    return (
+        ranked.join(cc, F.col("rk._k").eqNullSafe(F.col("cc._k")), "left")
+        .where(F.col("_nc").isNull() | (F.col("_r") > F.col("_nc")))
+        .select(F.col("_f").alias("file_path"), F.col("_p").alias("pos"))
+    )
+
+
+def _write_position_deletes(spark, deleted, out_dir: str) -> list[dict]:
+    """Write a position-delete DataFrame as spec-shaped parquet under
+    `out_dir`: columns `file_path`/`pos` carrying the spec's reserved
+    parquet field-ids, globally sorted by (file_path, pos) as the spec
+    requires. Written by Spark (scales past driver memory); files are
+    renamed to deterministic `delete-NNNNN.parquet` names so re-exports
+    reference stable paths. Returns [{path, record_count, size}].
+
+    Scale note: `repartitionByRange(1, ...)` assumes the per-commit
+    delete set fits one task (true for retention/erasure commits); a
+    bulk delete raises the partition count — every resulting part file
+    simply becomes one more manifest entry."""
+    import pyarrow.parquet as pq
+
+    (
+        deleted.repartitionByRange(1, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .withMetadata("file_path", {"parquet.field.id": POS_DELETE_FILE_PATH_ID})
+        .withMetadata("pos", {"parquet.field.id": POS_DELETE_POS_ID})
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    out = []
+    parts = sorted(
+        f
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    for j, part in enumerate(parts):
+        dst = os.path.join(out_dir, f"delete-{j:05d}.parquet")
+        os.replace(os.path.join(out_dir, part), dst)
+        md = pq.ParquetFile(dst).metadata
+        out.append(
+            {
+                "path": dst,
+                "record_count": md.num_rows,
+                "size": os.path.getsize(dst),
+            }
+        )
+    for f in os.listdir(out_dir):  # _SUCCESS & friends
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
+    return out
 
 
 def _parquet_row_count(path: str) -> int:
@@ -169,13 +350,34 @@ def _parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
-    """Emit an Iceberg v1 `metadata/` tree under the table root for
+def export_iceberg_metadata(
+    table: SnapshotTable, branch: str = "main", format_version: int = 1
+) -> str:
+    """Emit an Iceberg `metadata/` tree under the table root for
     `branch`'s pointer history; returns the metadata directory.
     Idempotent full regeneration (deterministic snapshot ids = history
     index + 1, stable table-uuid via uuid5 of the root, byte-stable
     Avro), so re-export after new commits extends the tree in place and
-    bumps `version-hint.text`."""
+    bumps `version-hint.text`.
+
+    With `format_version=2`, pure-delete transitions on UNPARTITIONED
+    tables (child rows ⊆ parent rows as a multiset — the cheap parquet
+    footer row-count precheck gates the distributed diff) are exported
+    merge-on-read: the parent's data manifest is REUSED in the new
+    manifest list (carrying its original sequence number, so entry
+    inheritance resolves to the parent's sequence) and a content=1
+    delete manifest adds positional delete files. Everything else —
+    and every v1 export — is the full-rewrite ADDED model. Partitioned
+    tables always take the rewrite path (spec position deletes are
+    partition-scoped; a cross-partition delete file would need
+    per-partition splitting — an honest non-goal here). v2 delete
+    snapshots are content-deterministic but not byte-stable (Spark task
+    file layout); manifests reference the deterministic renamed
+    delete-file paths, so re-export converges."""
+    if format_version not in (1, 2):
+        raise NotImplementedError(
+            f"format_version {format_version!r} (only 1 and 2)"
+        )
     m = table._load_manifest()
     events = m["history"].get(branch, [])
     if not events:
@@ -217,56 +419,161 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
         }
         for k, c in enumerate(pcols)
     ]
-    entry_schema = _entry_schema(spec_fields)
+    entry_schema = _entry_schema(spec_fields, format_version)
+    list_schema = _manifest_list_schema(format_version)
 
     snapshots = []
     snapshot_log = []
+    # MoR export state (v2): the physical dir + manifest-list rows of
+    # the last full-rewrite snapshot, the delete dirs stacked on it
+    # since, and its current LOGICAL row count under those masks.
+    prev_rows: list[dict] = []
+    base_dir: str | None = None
+    delete_dirs: list[str] = []
+    base_live_rows: int | None = None
+    written_delete_dirs: set[str] = set()
+    written_manifests: set[str] = set()
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         snapshot_id = i + 1
-        manifest_path = os.path.join(meta_dir, f"m-{i:05d}.avro")
+        seq = i + 1
         list_path = os.path.join(
             meta_dir, f"snap-{snapshot_id}-1-manifest-list.avro"
         )
         files = _snapshot_files(table.root, snap["path"])
-        entries = []
+        file_rc = {}
         for f in files:
             rel = urllib.parse.unquote(f["path"])
             full = os.path.join(table.root, rel)
-            entries.append(
+            file_rc[full] = (f, _parquet_row_count(full))
+        total_rc = sum(rc for _, rc in file_rc.values())
+
+        deleted = None
+        if (
+            format_version == 2
+            and not spec_fields  # partition-scoped deletes: rewrite instead
+            and base_dir is not None
+            and os.path.isdir(base_dir)
+            and base_live_rows is not None
+            and total_rc < base_live_rows
+        ):
+            deleted = _position_delete_diff(
+                table.spark, base_dir, delete_dirs, snap["path"]
+            )
+
+        if deleted is not None:
+            # --- merge-on-read delete snapshot ---
+            ddir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
+            dfiles = _write_position_deletes(table.spark, deleted, ddir)
+            manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
+            entries = [
                 {
-                    "status": 1,  # ADDED (full-rewrite model)
-                    "snapshot_id": snapshot_id,
+                    "status": 1,  # ADDED
+                    "snapshot_id": None,  # inherited from manifest list
+                    "data_sequence_number": None,  # inherited (spec rule)
+                    "file_sequence_number": None,
                     "data_file": {
-                        "file_path": full,
+                        "content": 1,  # POSITION DELETES
+                        "file_path": d["path"],
                         "file_format": "PARQUET",
-                        "partition": {
-                            sf["name"]: _partition_value(
-                                sf["type"],
-                                f["partitionValues"].get(sf["name"]),
-                            )
-                            for sf in spec_fields
-                        },
-                        "record_count": _parquet_row_count(full),
-                        "file_size_in_bytes": f["size"],
-                        "block_size_in_bytes": 67108864,
+                        "partition": {},
+                        "record_count": d["record_count"],
+                        "file_size_in_bytes": d["size"],
                     },
                 }
-            )
-        write_avro(manifest_path, entry_schema, entries)
-        write_avro(
-            list_path,
-            _MANIFEST_LIST_SCHEMA,
-            [
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
-                    "added_snapshot_id": snapshot_id,
+                for d in dfiles
+            ]
+            write_avro(manifest_path, entry_schema, entries)
+            row = {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(dfiles),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(d["record_count"] for d in dfiles),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+            # manifest REUSE: the parent's manifests ride along verbatim,
+            # keeping their original sequence numbers for inheritance
+            manifest_rows = prev_rows + [row]
+            delete_dirs.append(ddir)
+            written_delete_dirs.add(os.path.basename(ddir))
+            base_live_rows = total_rc
+            operation = "delete"
+        else:
+            # --- full-rewrite snapshot (always, for v1) ---
+            manifest_path = os.path.join(meta_dir, f"m-{i:05d}.avro")
+            entries = []
+            for full, (f, rc) in file_rc.items():
+                data_file = {
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        sf["name"]: _partition_value(
+                            sf["type"],
+                            f["partitionValues"].get(sf["name"]),
+                        )
+                        for sf in spec_fields
+                    },
+                    "record_count": rc,
+                    "file_size_in_bytes": f["size"],
                 }
-            ],
+                if format_version == 1:
+                    data_file["block_size_in_bytes"] = 67108864
+                    entry = {
+                        "status": 1,  # ADDED (full-rewrite model)
+                        "snapshot_id": snapshot_id,
+                        "data_file": data_file,
+                    }
+                else:
+                    data_file["content"] = 0
+                    entry = {
+                        "status": 1,
+                        "snapshot_id": None,  # inherited
+                        "data_sequence_number": None,  # inherited
+                        "file_sequence_number": None,
+                        "data_file": data_file,
+                    }
+                entries.append(entry)
+            write_avro(manifest_path, entry_schema, entries)
+            row = {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+            }
+            if format_version >= 2:
+                row.update(
+                    {
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_files_count": len(entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": total_rc,
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                )
+            manifest_rows = [row]
+            base_dir = snap["path"]
+            delete_dirs = []
+            base_live_rows = total_rc
+            operation = "overwrite"
+
+        write_avro(list_path, list_schema, manifest_rows)
+        written_manifests.update(
+            os.path.basename(r["manifest_path"]) for r in manifest_rows
         )
-        summary = {"operation": "overwrite"}
+        prev_rows = manifest_rows
+        summary = {"operation": operation}
         for k, v in (snap.get("properties") or {}).items():
             summary[str(k)] = str(v)
         s = {
@@ -276,6 +583,8 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
             "manifest-list": list_path,
             "schema-id": 0,
         }
+        if format_version >= 2:
+            s["sequence-number"] = seq
         if i > 0:
             s["parent-snapshot-id"] = i
         snapshots.append(s)
@@ -284,7 +593,7 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
         )
 
     metadata = {
-        "format-version": 1,
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.root)),
         "location": table.root,
         "last-updated-ms": events[-1]["at_ms"],
@@ -312,6 +621,10 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
         "snapshot-log": snapshot_log,
         "metadata-log": [],
     }
+    if format_version >= 2:
+        metadata["last-sequence-number"] = len(events)
+        metadata["sort-orders"] = [{"order-id": 0, "fields": []}]
+        metadata["default-sort-order-id"] = 0
     n = len(events)
     meta_path = os.path.join(meta_dir, f"v{n}.metadata.json")
     tmp = meta_path + ".tmp"
@@ -327,10 +640,11 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
     # snapshots) are unreferenced by the new hint but would reference
     # deleted data — remove them, the catalog-GC step a real Iceberg
     # deployment runs.
+    import re
+
     for f in os.listdir(meta_dir):
         stale = (
-            (f.startswith("m-") and f.endswith(".avro")
-             and int(f[2:-5]) >= len(events))
+            (re.match(r"^m-\d+(-del)?\.avro$", f) and f not in written_manifests)
             or (f.startswith("snap-") and f.endswith(".avro")
                 and int(f.split("-")[1]) > len(events))
             or (f.startswith("v") and f.endswith(".metadata.json")
@@ -338,6 +652,18 @@ def export_iceberg_metadata(table: SnapshotTable, branch: str = "main") -> str:
         )
         if stale:
             os.remove(os.path.join(meta_dir, f))
+    # Delete-file dirs not referenced by THIS export (history shrunk by
+    # a vacuum, or a snapshot that re-exported as a rewrite) would
+    # reference vacuumed data files — same GC contract as the manifests.
+    deletes_root = os.path.join(table.root, "deletes")
+    if os.path.isdir(deletes_root):
+        import shutil
+
+        for d in os.listdir(deletes_root):
+            if d.startswith("s") and d not in written_delete_dirs:
+                shutil.rmtree(os.path.join(deletes_root, d), ignore_errors=True)
+        if not os.listdir(deletes_root):
+            os.rmdir(deletes_root)
     return meta_dir
 
 
@@ -365,17 +691,29 @@ def _spark_type(iceberg_type: str):
 
 
 def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
-    """Read an Iceberg v1 table at `snapshot_id` (None = current) with
-    plain Spark parquet scans — the consumer half, no iceberg jar:
+    """Read an Iceberg v1/v2 table at `snapshot_id` (None = current)
+    with plain Spark parquet scans — the consumer half, no iceberg jar:
     version-hint → metadata.json → manifest list (Avro) → manifests →
     live file set; partition values come from the manifests' typed
     partition structs (the Iceberg rule — paths are opaque).
 
-    Scope: format-version 1, identity partitions, no deletes (v2 merge-
-    on-read raises honestly). 100 TB plan shape: metadata resolution is
-    driver-side and proportional to file count; the data read is ONE
-    parquet scan with a broadcast file→partition-values join, identical
-    to read_delta_table."""
+    v2 merge-on-read: the reader applies the spec's sequence-number
+    inheritance (a null entry `data_sequence_number` on an ADDED entry
+    inherits the manifest-list row's `sequence_number`; EXISTING/DELETED
+    entries must carry it explicitly), collects content=1 delete
+    manifests, and masks positional deletes with ONE extra broadcast
+    anti-join: data rows get `(file, _metadata.row_index)` and drop
+    pairs named by any position-delete file whose sequence number is >=
+    the data file's (the spec's applies-to rule). Equality deletes
+    (content=2) raise honestly.
+
+    100 TB plan shape: metadata resolution is driver-side and
+    proportional to file count; the data read is ONE parquet scan with a
+    broadcast file→partition-values join (identical to
+    read_delta_table) plus, under MoR, a broadcast left-anti join
+    against the delete set — fine while per-snapshot deletes are small
+    relative to data (the MoR design point; a compaction rewrites when
+    they are not)."""
     import urllib.parse
 
     from pyspark.sql import functions as F
@@ -386,10 +724,10 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
         n = int(fh.read().strip())
     with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
         metadata = json.load(fh)
-    if metadata.get("format-version", 1) != 1:
+    fv = metadata.get("format-version", 1)
+    if fv not in (1, 2):
         raise NotImplementedError(
-            f"only Iceberg format-version 1 is read here "
-            f"(got {metadata.get('format-version')})"
+            f"only Iceberg format-versions 1 and 2 are read here (got {fv})"
         )
     sid = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
     snap = next(
@@ -399,18 +737,54 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
         raise ValueError(f"snapshot {sid} not found in {meta_dir}")
     _, manifest_files = read_avro(snap["manifest-list"])
     files: dict[str, dict] = {}
+    file_seq: dict[str, int] = {}
+    pos_deletes: list[tuple[str, int]] = []  # (delete file path, its seq)
     for mf in manifest_files:
+        m_seq = mf.get("sequence_number")
+        m_content = mf.get("content") or 0
+        if fv == 2 and m_seq is None:
+            raise ValueError(
+                "v2 manifest-list row missing required sequence_number: "
+                + mf.get("manifest_path", "?")
+            )
         _, entries = read_avro(mf["manifest_path"])
         for e in entries:
-            if e["status"] == 2:  # DELETED
-                files.pop(e["data_file"]["file_path"], None)
-                continue
             df_rec = e["data_file"]
+            seq = e.get("data_sequence_number")
+            if seq is None:
+                if e["status"] == 1:  # ADDED: inherit (spec rule)
+                    seq = m_seq if m_seq is not None else 0
+                elif fv == 2:
+                    raise ValueError(
+                        "v2 EXISTING/DELETED entry missing explicit "
+                        f"data_sequence_number: {df_rec.get('file_path')}"
+                    )
+                else:
+                    seq = 0
+            if m_content == 1:  # delete manifest
+                if e["status"] == 2:
+                    continue
+                if df_rec.get("content") == 2:
+                    raise NotImplementedError(
+                        "equality deletes are not supported here"
+                    )
+                pos_deletes.append((df_rec["file_path"], seq))
+                continue
+            if e["status"] == 2:  # DELETED
+                files.pop(df_rec["file_path"], None)
+                file_seq.pop(df_rec["file_path"], None)
+                continue
+            if fv == 2 and df_rec.get("content", 0) != 0:
+                raise ValueError(
+                    "delete file listed in a content=0 data manifest: "
+                    + df_rec["file_path"]
+                )
             if df_rec["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"file format {df_rec['file_format']!r}"
                 )
             files[df_rec["file_path"]] = df_rec
+            file_seq[df_rec["file_path"]] = seq
     schema_fields = metadata["schema"]["fields"]
     spec = {
         f["name"]: f
@@ -435,6 +809,42 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
         return spark.createDataFrame([], full_schema)
     paths = {os.path.abspath(p): rec for p, rec in files.items()}
     df = spark.read.schema(data_schema).parquet(*paths)
+    if pos_deletes or pcols:
+        df = df.withColumn(
+            "_file", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
+        )
+    if pos_deletes:
+        # one scan over every referenced delete file; each row is tagged
+        # with its delete file's sequence number via a broadcast map so
+        # the spec's applies-to rule (delete.seq >= data.seq) holds
+        # per data file, then the (file, pos) pairs mask the data scan
+        df = df.withColumn("_pos", F.col("_metadata.row_index"))
+        dseq_by_path = {os.path.abspath(p): s for p, s in pos_deletes}
+        dmap = spark.createDataFrame(
+            list(dseq_by_path.items()), "_dfile STRING, _dseq BIGINT"
+        )
+        seq_map = spark.createDataFrame(
+            [(os.path.abspath(p), s) for p, s in file_seq.items()],
+            "_tfile STRING, _tseq BIGINT",
+        )
+        mask = (
+            spark.read.parquet(*dseq_by_path)
+            .withColumn(
+                "_dfile", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
+            )
+            .join(F.broadcast(dmap), "_dfile")
+            .join(
+                F.broadcast(seq_map),
+                F.col("file_path") == F.col("_tfile"),
+            )
+            .where(F.col("_dseq") >= F.col("_tseq"))
+            .select(
+                F.col("file_path").alias("_file"), F.col("pos").alias("_pos")
+            )
+        )
+        df = df.join(F.broadcast(mask), ["_file", "_pos"], "left_anti").drop(
+            "_pos"
+        )
     if pcols:
         iceberg_types = {
             f["name"]: f["type"] for f in schema_fields if f["name"] in pcols
@@ -460,12 +870,5 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
                 ]
             ),
         )
-        df = (
-            df.withColumn(
-                "_file",
-                F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"),
-            )
-            .join(F.broadcast(mapping), "_file")
-            .drop("_file")
-        )
+        df = df.join(F.broadcast(mapping), "_file")
     return df.select(*[f.name for f in full_schema.fields])

@@ -71,6 +71,7 @@ _PRIORITY = [
     "config_current_state_view",
     # --- end-to-end machinery round-trips (sinks / time travel / streams) ---
     "timetravel_versions_demo",
+    "iceberg_v2_metadata_roundtrip",
     "streaming_bronze_roundtrip",
     "streaming_upsert_roundtrip",
     # --- LLM training-data pipeline flagships ---
@@ -83,7 +84,6 @@ _PRIORITY = [
     "dedup_cluster_assignments",
     "corpus_curation_pipeline",
     "similarity_cosine_topk",
-    "similarity_cosine_topk_pandas",
     "text_tfidf_top_terms",
     "text_lang_id",
     "text_quality_score",
@@ -114,6 +114,10 @@ _PRIORITY = [
     #   6. Text pipeline + streaming round-trips (stream==batch
     #      equivalence tests).
     # =====================================================================
+    # --- slot 51: the pandas twin of similarity_cosine_topk (displaced
+    # from the 50-window by iceberg_v2_metadata_roundtrip in round 7;
+    # its JVM twin shares the same oracle and stays pinned) ---
+    "similarity_cosine_topk_pandas",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -305,3 +305,75 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "snapshot_id INT, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "iceberg_v2_metadata_roundtrip",
+    oracle="""
+    SELECT 1 AS snapshot_id, event_type, count(*) AS n
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 2 AS snapshot_id, event_type, count(*) AS n
+    FROM events WHERE user_id % 7 <> 0 GROUP BY 2
+    UNION ALL
+    SELECT 3 AS snapshot_id, event_type, count(*) AS n
+    FROM events WHERE user_id % 7 <> 0 AND user_id % 11 <> 0 GROUP BY 2
+    """,
+)
+def iceberg_v2_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 2 interop round-trip, driver-visible —
+    the reference's own table mode is merge-on-read Iceberg
+    (`write.delete.mode=merge-on-read`, reference
+    libs/scd2_spark_processor.py:155), which v1 metadata cannot
+    express. Three commits (full table, then two successive pure
+    deletes); `export_iceberg_metadata(format_version=2)` detects the
+    delete transitions with a DISTRIBUTED sub-multiset diff and exports
+    them merge-on-read: the first snapshot's data manifest is REUSED
+    (sequence-number inheritance) and each delete commit adds a
+    content=1 manifest of spec-shaped positional delete parquet
+    (field-ids 2147483546/2147483545, sorted). `read_iceberg_table`
+    resolves sequence numbers per the spec's inheritance rule and masks
+    deletes with one broadcast anti-join on (file, row position).
+    A hash match therefore proves the MoR read path — delete-file
+    discovery, the applies-to rule (delete.seq >= data.seq), position
+    masking — reconstructs exactly the committed data at every
+    snapshot. In-lane asserts pin that snapshots 2 and 3 really took
+    the delete path (otherwise this would silently degrade to the v1
+    rewrite test). An independent from-scratch Avro + pyarrow + DuckDB
+    mask implementation lives in tests/test_iceberg_meta.py.
+
+    Output is |event types| × 3 rows regardless of scale; the heavy ops
+    (snapshot writes, the export-time diff, masked parquet scans) run
+    distributed."""
+    from ..operators.iceberg_meta import export_iceberg_metadata, read_iceberg_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="iceberg_v2_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 7 != 0), committed_at_ms=2)
+        t.write(
+            ev.filter((F.col("user_id") % 7 != 0) & (F.col("user_id") % 11 != 0)),
+            committed_at_ms=3,
+        )
+        meta_dir = export_iceberg_metadata(t, format_version=2)
+        import json as _json
+
+        md = _json.load(open(os.path.join(meta_dir, "v3.metadata.json")))
+        ops = [s["summary"]["operation"] for s in md["snapshots"]]
+        assert ops == ["overwrite", "delete", "delete"], ops
+        rows = []
+        for sid in (1, 2, 3):
+            got = (
+                read_iceberg_table(spark, t.root, snapshot_id=sid)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((sid, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "snapshot_id INT, event_type STRING, n BIGINT"
+    )

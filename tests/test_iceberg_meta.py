@@ -298,17 +298,23 @@ def test_export_idempotent_and_extendable(spark, tmp_path):
     assert "v2.metadata.json" in extended and "v1.metadata.json" in extended
 
 
-def test_reader_rejects_unknown_snapshot_and_v2(table, spark, tmp_path):
+def test_reader_rejects_unknown_snapshot_and_v3(table, spark, tmp_path):
     export_iceberg_metadata(table)
     with pytest.raises(ValueError, match="snapshot 99"):
         read_iceberg_table(spark, table.root, snapshot_id=99)
-    # bump format-version: reader must refuse, not mis-read
     meta_dir = os.path.join(table.root, "metadata")
     p = os.path.join(meta_dir, "v3.metadata.json")
     m = json.load(open(p))
+    # a v1-shaped tree relabeled v2 is MALFORMED v2 (manifest-list rows
+    # lack the required sequence_number): refuse, never mis-read
     m["format-version"] = 2
     json.dump(m, open(p, "w"))
-    with pytest.raises(NotImplementedError, match="format-version 1"):
+    with pytest.raises(ValueError, match="sequence_number"):
+        read_iceberg_table(spark, table.root)
+    # format-version 3 (row lineage, deletion vectors) is not supported
+    m["format-version"] = 3
+    json.dump(m, open(p, "w"))
+    with pytest.raises(NotImplementedError, match="format-version"):
         read_iceberg_table(spark, table.root)
 
 
@@ -339,3 +345,287 @@ def test_reexport_after_vacuum_drops_stale_metadata(spark, tmp_path):
         (r["id"], r["v"]) for r in read_iceberg_table(spark, t.root).collect()
     )
     assert got == [(i, i * 3) for i in range(3)]
+
+
+# --- format-version 2: sequence numbers + positional delete files ----------
+
+
+def v2_snapshot_state(root, snapshot, fv=2):
+    """From-scratch v2 resolution: live data files with INHERITED
+    sequence numbers, plus (delete_file_path, seq) pairs, straight from
+    the independent Avro parse."""
+    _, manifests = read_avro_file(snapshot["manifest-list"])
+    data, deletes = {}, []
+    for mf in manifests:
+        m_seq = mf.get("sequence_number")
+        assert m_seq is not None, "v2 manifest-list row must carry sequence_number"
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            seq = e.get("data_sequence_number")
+            if seq is None:
+                assert e["status"] == 1, "only ADDED entries may inherit"
+                seq = m_seq
+            if mf["content"] == 1:
+                assert e["data_file"]["content"] == 1  # position deletes
+                deletes.append((e["data_file"]["file_path"], seq))
+            else:
+                assert e["data_file"]["content"] == 0
+                if e["status"] != 2:
+                    data[e["data_file"]["file_path"]] = seq
+    return data, deletes
+
+
+def v2_masked_rows(root, snapshot):
+    """Independently reconstruct a v2 snapshot's logical rows: pyarrow
+    row-order reads of the data files, minus positions named by any
+    delete file whose sequence number >= the data file's (the spec's
+    applies-to rule)."""
+    import pyarrow.parquet as pq
+
+    data, deletes = v2_snapshot_state(root, snapshot)
+    del_by_target = {}
+    for dpath, dseq in deletes:
+        tbl = pq.read_table(dpath)
+        for fp, pos in zip(
+            tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
+        ):
+            del_by_target.setdefault(fp, []).append((pos, dseq))
+    rows = []
+    for fpath, fseq in data.items():
+        dead = {
+            pos
+            for pos, dseq in del_by_target.get(fpath, [])
+            if dseq >= fseq
+        }
+        tbl = pq.read_table(fpath)
+        for i, row in enumerate(tbl.to_pylist()):
+            if i not in dead:
+                rows.append(tuple(row[c] for c in sorted(tbl.column_names)))
+    return sorted(rows)
+
+
+@pytest.fixture()
+def v2_table(spark, tmp_path):
+    """overwrite → pure delete → chained pure delete → rewrite."""
+    t = SnapshotTable(spark, str(tmp_path / "v2tbl"))
+    df = spark.range(40).selectExpr("id", "id % 5 AS g")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 3 != 0"), committed_at_ms=2000)
+    t.write(df.filter("id % 3 != 0 AND id % 4 != 0"), committed_at_ms=3000)
+    t.write(spark.range(10).selectExpr("id", "id % 2 AS g"), committed_at_ms=4000)
+    return t
+
+
+def test_v2_mor_export_shape(v2_table):
+    export_iceberg_metadata(v2_table, format_version=2)
+    md = load_metadata(v2_table.root)
+    assert md["format-version"] == 2
+    assert md["last-sequence-number"] == 4
+    assert md["default-sort-order-id"] == 0
+    assert [s["sequence-number"] for s in md["snapshots"]] == [1, 2, 3, 4]
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite", "delete", "delete", "overwrite",
+    ]
+    # delete snapshot 3 must REUSE snapshot 1's data manifest (same path,
+    # original sequence number) and stack TWO delete manifests
+    _, m3 = read_avro_file(md["snapshots"][2]["manifest-list"])
+    assert [r["content"] for r in m3] == [0, 1, 1]
+    assert [r["sequence_number"] for r in m3] == [1, 2, 3]
+    assert [r["min_sequence_number"] for r in m3] == [1, 2, 3]
+    _, m1 = read_avro_file(md["snapshots"][0]["manifest-list"])
+    assert m3[0]["manifest_path"] == m1[0]["manifest_path"]
+    # rewrite snapshot 4 references ONLY its own data manifest
+    _, m4 = read_avro_file(md["snapshots"][3]["manifest-list"])
+    assert [r["content"] for r in m4] == [0]
+    assert m4[0]["sequence_number"] == 4
+    # counts are real
+    assert m3[1]["added_rows_count"] > 0 and m3[1]["added_files_count"] >= 1
+
+
+def test_v2_masked_rows_match_snapshot_reads(v2_table):
+    """The from-scratch parse + mask (importing nothing from the
+    exporter) reconstructs every snapshot's logical rows exactly."""
+    export_iceberg_metadata(v2_table, format_version=2)
+    md = load_metadata(v2_table.root)
+    for snap, version in zip(md["snapshots"], (1, 2, 3, 4)):
+        got = v2_masked_rows(v2_table.root, snap)
+        want = sorted(
+            (r["g"], r["id"])  # sorted(column_names) == [g, id]
+            for r in v2_table.read(version=version).collect()
+        )
+        assert got == want, f"snapshot {snap['snapshot-id']}"
+
+
+def test_v2_reader_matches_snapshot_reads(v2_table, spark):
+    export_iceberg_metadata(v2_table, format_version=2)
+    for sid in (1, 2, 3, 4):
+        got = sorted(
+            (r["id"], r["g"])
+            for r in read_iceberg_table(
+                spark, v2_table.root, snapshot_id=sid
+            ).collect()
+        )
+        want = sorted(
+            (r["id"], r["g"]) for r in v2_table.read(version=sid).collect()
+        )
+        assert got == want, f"snapshot {sid}"
+
+
+def test_v2_duckdb_reads_masked_live_set(v2_table):
+    """DuckDB applies the independently-parsed delete masks: the MoR
+    snapshot's logical rows via anti-join of (filename, file_row_number)
+    against the delete parquet — a THIRD implementation of the mask."""
+    export_iceberg_metadata(v2_table, format_version=2)
+    md = load_metadata(v2_table.root)
+    snap = md["snapshots"][2]  # chained-delete snapshot
+    data, deletes = v2_snapshot_state(v2_table.root, snap)
+    got = duckdb.sql(
+        f"""
+        WITH d AS (
+          SELECT filename AS f, file_row_number AS p, id, g
+          FROM read_parquet({sorted(data)!r}, filename=true, file_row_number=true)
+        ),
+        del AS (SELECT file_path, pos FROM read_parquet({sorted(p for p, _ in deletes)!r}))
+        SELECT id, g FROM d ANTI JOIN del ON d.f = del.file_path AND d.p = del.pos
+        ORDER BY id
+        """
+    ).fetchall()
+    want = sorted(
+        (r["id"], r["g"]) for r in v2_table.read(version=3).collect()
+    )
+    assert got == want
+
+
+def test_v2_duplicate_rows_multiset_delete(spark, tmp_path):
+    """Duplicates: deleting SOME occurrences of a duplicated row must
+    keep the remaining multiplicity exactly."""
+    t = SnapshotTable(spark, str(tmp_path / "dup"))
+    base = spark.createDataFrame(
+        [(1, "a")] * 5 + [(2, "b")] * 3 + [(3, "c")], "id long, s string"
+    )
+    child = spark.createDataFrame(
+        [(1, "a")] * 2 + [(2, "b")] * 3, "id long, s string"
+    )
+    t.write(base, committed_at_ms=1000)
+    t.write(child, committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2)
+    md = load_metadata(t.root)
+    assert md["snapshots"][1]["summary"]["operation"] == "delete"
+    got = sorted(
+        (r["id"], r["s"])
+        for r in read_iceberg_table(spark, t.root, snapshot_id=2).collect()
+    )
+    assert got == [(1, "a")] * 2 + [(2, "b")] * 3
+
+
+def test_v2_non_subset_falls_back_to_rewrite(spark, tmp_path):
+    """Fewer rows but changed values is NOT a delete: rewrite."""
+    t = SnapshotTable(spark, str(tmp_path / "nonsub"))
+    t.write(spark.range(20).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.write(spark.range(10).selectExpr("id", "id * 2 AS v"), committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2)
+    md = load_metadata(t.root)
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite", "overwrite",
+    ]
+    assert not os.path.isdir(os.path.join(t.root, "deletes"))
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_iceberg_table(spark, t.root, snapshot_id=2).collect()
+    )
+    assert got == [(i, i * 2) for i in range(10)]
+
+
+def test_v2_partitioned_table_always_rewrites(spark, tmp_path):
+    """Spec position deletes are partition-scoped; this exporter keeps
+    partitioned tables on the rewrite path (documented non-goal)."""
+    t = SnapshotTable(spark, str(tmp_path / "part2"))
+    df = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (1 + i % 2)) for i in range(12)], "id long, dt string"
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    t.write(df.filter("id % 3 != 0"), partition_by=["dt"], committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2)
+    md = load_metadata(t.root)
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite", "overwrite",
+    ]
+    got = sorted(
+        (r["id"], str(r["dt"]))
+        for r in read_iceberg_table(spark, t.root, snapshot_id=2).collect()
+    )
+    want = sorted(
+        (r["id"], str(r["dt"])) for r in t.read(version=2).collect()
+    )
+    assert got == want
+
+
+def test_v2_delete_files_spec_shape(v2_table):
+    """Delete parquet: spec-reserved field-ids on file_path/pos, rows
+    sorted by (file_path, pos), paths name live data files."""
+    import pyarrow.parquet as pq
+
+    export_iceberg_metadata(v2_table, format_version=2)
+    md = load_metadata(v2_table.root)
+    data, deletes = v2_snapshot_state(v2_table.root, md["snapshots"][1])
+    assert deletes
+    for dpath, _ in deletes:
+        sch = pq.read_schema(dpath)
+        ids = {
+            f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in sch
+        }
+        assert ids["file_path"] == b"2147483546", ids
+        assert ids["pos"] == b"2147483545", ids
+        tbl = pq.read_table(dpath)
+        pairs = list(
+            zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist())
+        )
+        assert pairs == sorted(pairs)
+        assert {p for p, _ in pairs} <= set(data)
+
+
+def test_v2_export_after_vacuum_gc_deletes(spark, tmp_path):
+    """Vacuum shrinks history → re-export drops now-unreferenced delete
+    dirs and delete manifests (same GC contract as v1 metadata)."""
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        vacuum_snapshots,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "vac2"))
+    df = spark.range(30).selectExpr("id", "id AS v")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 2 = 0"), committed_at_ms=2000)
+    t.write(df.filter("id % 6 = 0"), committed_at_ms=3000)
+    meta_dir = export_iceberg_metadata(t, format_version=2)
+    assert sorted(os.listdir(os.path.join(t.root, "deletes"))) == [
+        "s00002", "s00003",
+    ]
+    assert vacuum_snapshots(t, older_than_ms=3000, keep_last=1) == [1, 2]
+    export_iceberg_metadata(t, format_version=2)
+    # one surviving snapshot: no deletes, no delete manifests
+    assert not os.path.isdir(os.path.join(t.root, "deletes"))
+    assert not [f for f in os.listdir(meta_dir) if f.endswith("-del.avro")]
+    md = load_metadata(t.root)
+    assert len(md["snapshots"]) == 1
+    got = sorted(r["id"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == [0, 6, 12, 18, 24]
+
+
+def test_v2_reexport_converges_and_extends(spark, tmp_path):
+    """Re-export with no new commits converges (same live results,
+    stable delete-file names); a new commit extends the tree."""
+    t = SnapshotTable(spark, str(tmp_path / "idem2"))
+    df = spark.range(20).selectExpr("id", "id AS v")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id < 15"), committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2)
+    first = sorted(os.listdir(os.path.join(t.root, "deletes", "s00002")))
+    export_iceberg_metadata(t, format_version=2)
+    assert sorted(os.listdir(os.path.join(t.root, "deletes", "s00002"))) == first
+    t.write(df.filter("id < 10"), committed_at_ms=3000)
+    export_iceberg_metadata(t, format_version=2)
+    md = load_metadata(t.root)
+    assert len(md["snapshots"]) == 3
+    got = sorted(r["id"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == list(range(10))
