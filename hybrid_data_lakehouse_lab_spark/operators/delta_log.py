@@ -49,6 +49,16 @@ import uuid
 from .timetravel import SnapshotTable
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# Deletion vectors are a reader/writer table FEATURE (PROTOCOL.md):
+# tables carrying them must declare reader v3 / writer v7 with the
+# feature named, and old readers must refuse rather than return
+# undeleted rows.
+DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
 
 
 def _snapshot_files(root: str, snapshot_path: str) -> list[dict]:
@@ -83,12 +93,30 @@ def _snapshot_files(root: str, snapshot_path: str) -> list[dict]:
     return out
 
 
-def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
+def export_delta_log(
+    table: SnapshotTable, branch: str = "main", mor_deletes: bool = False
+) -> str:
     """Emit `_delta_log/` under the table root for `branch`'s pointer
     history. Idempotent full regeneration: commit files are rewritten
     deterministically (stable metaData id via uuid5 of the root), so
     re-export after new commits extends the log in place, and a SHRUNK
     history (vacuum) drops the stale tail + checkpoint pointer.
+
+    With `mor_deletes=True`, pure-delete transitions on UNPARTITIONED
+    tables export as DELETION-VECTOR commits (PROTOCOL.md "Deletion
+    Vectors"): the shared distributed diff (operators/mor_diff.py)
+    derives deleted (file, row-position) pairs, each touched file gets
+    `remove` + re-`add` with a `deletionVector` descriptor (storageType
+    "u"), and the positions serialize as 64-bit roaring bitmaps
+    (operators/roaring.py) into a `deletion_vector_<uuid>.bin` at the
+    table root (version byte, size-framed, CRC-checked blobs). Chained
+    deletes REPLACE a file's descriptor with the cumulative bitmap, as
+    the spec requires. The protocol action declares reader v3 /
+    writer v7 + the deletionVectors feature. DV bitmaps are
+    materialized driver-side per file — the spec's own design point
+    (a DV indexes rows of ONE parquet file, ≤ 2^31 positions, and real
+    writers compact files whose DVs grow large); the diff that finds
+    the positions stays fully distributed.
 
     SOLE-WRITER assumption: this exporter owns `_delta_log/` — the
     regeneration (and especially the stale-tail cleanup) would
@@ -112,6 +140,13 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
 
     prev_files: list[dict] = []
     prev_schema: str | None = None
+    # DV export state: physical dir of the last rewrite commit, the
+    # cumulative deleted positions per (absolute) data file path, and
+    # the base's logical row count under those masks.
+    base_dir: str | None = None
+    dv_positions: dict[str, list[int]] = {}
+    base_live_rows: int | None = None
+    referenced_dv_files: set[str] = set()
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         files = _snapshot_files(table.root, snap["path"])
@@ -121,22 +156,71 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
         partition_cols = next(
             (list(f["partitionValues"]) for f in files if f["partitionValues"]), []
         )
+
+        new_by_file: dict[str, list[int]] | None = None
+        if (
+            mor_deletes
+            and not partition_cols
+            and base_dir is not None
+            and os.path.isdir(base_dir)
+            and base_live_rows is not None
+            and schema_str == prev_schema
+        ):
+            from .mor_diff import _parquet_row_count, _position_delete_diff
+
+            total_rc = sum(
+                _parquet_row_count(
+                    os.path.join(table.root, urllib.parse.unquote(f["path"]))
+                )
+                for f in files
+            )
+            if total_rc < base_live_rows:
+                prior = None
+                if dv_positions:
+                    prior = table.spark.createDataFrame(
+                        [
+                            (f, p)
+                            for f, ps in dv_positions.items()
+                            for p in ps
+                        ],
+                        "file_path string, pos bigint",
+                    )
+                deleted = _position_delete_diff(
+                    table.spark, base_dir, prior, snap["path"]
+                )
+                if deleted is not None:
+                    new_by_file = {}
+                    for r in deleted.collect():
+                        new_by_file.setdefault(r["file_path"], []).append(
+                            r["pos"]
+                        )
+                    base_live_rows = total_rc
+
         actions: list[dict] = []
         commit_info = {
             "timestamp": ev["at_ms"],
-            "operation": "WRITE",
-            "operationParameters": {
-                "mode": "Overwrite",
-                "partitionBy": json.dumps(partition_cols),
-            },
+            "operation": "DELETE" if new_by_file is not None else "WRITE",
+            "operationParameters": (
+                {"predicate": "[]"}
+                if new_by_file is not None
+                else {
+                    "mode": "Overwrite",
+                    "partitionBy": json.dumps(partition_cols),
+                }
+            ),
             "engineInfo": "hybrid_data_lakehouse_lab_spark SnapshotTable exporter",
         }
         if snap.get("properties"):
             commit_info["userMetadata"] = json.dumps(snap["properties"])
         actions.append({"commitInfo": commit_info})
         if i == 0:
-            actions.append({"protocol": PROTOCOL})
+            actions.append(
+                {"protocol": dict(DV_PROTOCOL) if mor_deletes else PROTOCOL}
+            )
         if schema_str != prev_schema:
+            configuration = (
+                {"delta.enableDeletionVectors": "true"} if mor_deletes else {}
+            )
             actions.append(
                 {
                     "metaData": {
@@ -144,30 +228,103 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_str,
                         "partitionColumns": partition_cols,
-                        "configuration": {},
+                        "configuration": configuration,
                         "createdTime": events[0]["at_ms"],
                     }
                 }
             )
-        current_paths = {f["path"] for f in files}
-        for f in prev_files:
-            if f["path"] not in current_paths:
+
+        if new_by_file is not None:
+            # --- deletion-vector commit: touched files get remove +
+            # re-add with the CUMULATIVE bitmap (a descriptor replaces
+            # any prior one for that file, per the spec) ---
+            from .roaring import dv_blob, encode_dv_uuid, write_dv_file
+
+            by_abs = {
+                os.path.abspath(
+                    os.path.join(table.root, urllib.parse.unquote(f["path"]))
+                ): f
+                for f in prev_files
+            }
+            changed = sorted(new_by_file)
+            unknown = [p for p in changed if p not in by_abs]
+            if unknown:
+                raise RuntimeError(
+                    f"diff produced positions for unknown files: {unknown}"
+                )
+            dv_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table.root}#dv{i}")
+            blobs = []
+            for p in changed:
+                cum = sorted(set(dv_positions.get(p, [])) | set(new_by_file[p]))
+                dv_positions[p] = cum
+                blobs.append(dv_blob(cum))
+            dv_name = f"deletion_vector_{dv_uuid}.bin"
+            descs = write_dv_file(os.path.join(table.root, dv_name), blobs)
+            referenced_dv_files.add(dv_name)
+            new_prev = []
+            updated = {}
+            for p, (off, sz) in zip(changed, descs):
+                old = by_abs[p]
+                add = dict(old)
+                add["deletionVector"] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": encode_dv_uuid(dv_uuid),
+                    "offset": off,
+                    "sizeInBytes": sz,
+                    "cardinality": len(dv_positions[p]),
+                }
+                updated[old["path"]] = add
                 actions.append(
                     {
                         "remove": {
-                            "path": f["path"],
+                            "path": old["path"],
                             "deletionTimestamp": ev["at_ms"],
                             "dataChange": True,
                         }
                     }
                 )
-        actions.extend({"add": f} for f in files)
+                actions.append({"add": add})
+            for f in prev_files:
+                new_prev.append(updated.get(f["path"], f))
+            prev_files = new_prev
+        else:
+            # --- full-rewrite commit (always, without mor_deletes) ---
+            # a DV'd base file keeps its descriptor in referenced state
+            # until rewritten here, at which point DV state resets
+            current_paths = {f["path"] for f in files}
+            for f in prev_files:
+                if f["path"] not in current_paths:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": f["path"],
+                                "deletionTimestamp": ev["at_ms"],
+                                "dataChange": True,
+                            }
+                        }
+                    )
+            actions.extend({"add": f} for f in files)
+            prev_files = files
+            base_dir = snap["path"]
+            dv_positions = {}
+            if mor_deletes:
+                from .mor_diff import _parquet_row_count
+
+                base_live_rows = sum(
+                    _parquet_row_count(
+                        os.path.join(
+                            table.root, urllib.parse.unquote(f["path"])
+                        )
+                    )
+                    for f in files
+                )
+
         tmp = os.path.join(log_dir, f".{i:020d}.json.tmp")
         with open(tmp, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
         os.replace(tmp, os.path.join(log_dir, f"{i:020d}.json"))
-        prev_files, prev_schema = files, schema_str
+        prev_schema = schema_str
     # A vacuum can SHRINK the pointer history (it rewrites the manifest
     # without the vacuumed versions). Any previously-exported commit
     # files past the new end would otherwise still replay — referencing
@@ -190,6 +347,16 @@ def export_delta_log(table: SnapshotTable, branch: str = "main") -> str:
     cp = _load_last_checkpoint(log_dir)
     if cp is not None and cp["version"] > last:
         os.remove(os.path.join(log_dir, "_last_checkpoint"))
+    # DV files not referenced by THIS export (shrunk history, or a
+    # transition that re-exported as a rewrite) would outlive the adds
+    # naming them — same GC contract as the stale commit tail.
+    for f in os.listdir(table.root):
+        if (
+            f.startswith("deletion_vector_")
+            and f.endswith(".bin")
+            and f not in referenced_dv_files
+        ):
+            os.remove(os.path.join(table.root, f))
     return log_dir
 
 
@@ -360,7 +527,12 @@ def write_checkpoint(
             (
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             (
@@ -385,6 +557,21 @@ def write_checkpoint(
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # deletionVector rides the checkpoint too — a
+                        # reader seeding from the checkpoint alone must
+                        # still see (and mask) the DV'd files
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -395,6 +582,8 @@ def write_checkpoint(
             "protocol": {
                 "minReaderVersion": protocol.get("minReaderVersion", 1),
                 "minWriterVersion": protocol.get("minWriterVersion", 2),
+                "readerFeatures": protocol.get("readerFeatures"),
+                "writerFeatures": protocol.get("writerFeatures"),
             }
         },
         {
@@ -418,6 +607,7 @@ def write_checkpoint(
                     "size": add.get("size"),
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": bool(add.get("dataChange", True)),
+                    "deletionVector": add.get("deletionVector"),
                 }
             }
         )
@@ -469,14 +659,58 @@ def clean_log_commits(log_dir: str) -> list[int]:
     return removed
 
 
+def _resolve_dv(root: str, dv: dict) -> list[int]:
+    """Decode one `deletionVector` descriptor to its deleted row
+    positions: storageType 'u' (uuid-derived file under the table
+    root), 'p' (absolute path), or 'i' (inline base85). Size, CRC and
+    cardinality are all verified — a truncated or corrupt DV must fail
+    loudly, never silently resurrect deleted rows."""
+    import base64
+
+    from .roaring import decode_dv_blob, dv_relative_path, read_dv_at
+
+    st = dv["storageType"]
+    if st == "u":
+        prefix, fname = dv_relative_path(dv["pathOrInlineDv"])
+        path = os.path.join(root, prefix, fname) if prefix else os.path.join(
+            root, fname
+        )
+        positions = read_dv_at(path, dv["offset"], dv["sizeInBytes"])
+    elif st == "p":
+        positions = read_dv_at(
+            dv["pathOrInlineDv"], dv["offset"], dv["sizeInBytes"]
+        )
+    elif st == "i":
+        data = base64.b85decode(dv["pathOrInlineDv"].encode())
+        if len(data) != dv["sizeInBytes"]:
+            raise ValueError(
+                f"inline DV size {len(data)} != sizeInBytes "
+                f"{dv['sizeInBytes']}"
+            )
+        positions = decode_dv_blob(data)
+    else:
+        raise NotImplementedError(f"deletionVector storageType {st!r}")
+    if len(positions) != dv["cardinality"]:
+        raise ValueError(
+            f"deletionVector cardinality mismatch: descriptor says "
+            f"{dv['cardinality']}, bitmap holds {len(positions)}"
+        )
+    return positions
+
+
 def read_delta_table(spark, root: str, version: int | None = None):
     """Read a Delta table (ours or an external writer's) at `version`
     (0-based, None = latest) with plain Spark parquet reads — the
     consumer half of the interop story, no delta-spark jar needed.
 
-    Scope (honest slots, same contract as the media decoders): basic
-    protocol only — minReaderVersion 1, no deletion vectors / column
-    mapping / reader table features. Partition column VALUES come from
+    Protocol scope: minReaderVersion 1, plus minReaderVersion 3 when
+    `readerFeatures` asks only for `deletionVectors` — DV'd adds are
+    masked by decoding each descriptor's roaring bitmap
+    (operators/roaring.py; 'u'/'p'/'i' storage, CRC + cardinality
+    verified) and anti-joining (file, `_metadata.row_index`) against
+    the broadcast delete set, the same MoR shape as the Iceberg v2
+    reader. Column mapping and any other reader feature still refuse
+    honestly. Partition column VALUES come from
     the log's add actions (the Delta rule — paths are opaque), cast to
     the schemaString's declared types; data files are read with the
     non-partition schema so a file that physically contains the
@@ -496,10 +730,23 @@ def read_delta_table(spark, root: str, version: int | None = None):
 
     state = replay_delta_log(os.path.join(root, "_delta_log"), version)
     protocol = state["protocol"] or {}
-    if protocol.get("minReaderVersion", 1) > 1 or protocol.get("readerFeatures"):
+    reader_v = protocol.get("minReaderVersion", 1)
+    feats = set(protocol.get("readerFeatures") or [])
+    if reader_v == 3:
+        if protocol.get("readerFeatures") is None:
+            raise NotImplementedError(
+                f"minReaderVersion 3 without readerFeatures is malformed; "
+                f"refusing to guess, got {protocol}"
+            )
+        unsupported = feats - {"deletionVectors"}
+        if unsupported:
+            raise NotImplementedError(
+                f"unsupported Delta reader features {sorted(unsupported)}"
+            )
+    elif reader_v > 1 or (feats and reader_v != 3):
         raise NotImplementedError(
-            f"only basic Delta protocol (minReaderVersion 1) is supported "
-            f"here, got {protocol}"
+            f"only Delta minReaderVersion 1 or 3 (deletionVectors) is "
+            f"supported here, got {protocol}"
         )
     meta = state["metaData"]
     if meta is None:
@@ -514,6 +761,23 @@ def read_delta_table(spark, root: str, version: int | None = None):
     if not files:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(data_schema).parquet(*files)
+    dv_pairs = [
+        (path, pos)
+        for path, add in files.items()
+        if add.get("deletionVector")
+        for pos in _resolve_dv(root, add["deletionVector"])
+    ]
+    if dv_pairs:
+        mask = spark.createDataFrame(dv_pairs, "_file STRING, _pos BIGINT")
+        df = (
+            df.withColumn(
+                "_file",
+                F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"),
+            )
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(mask), ["_file", "_pos"], "left_anti")
+            .drop("_file", "_pos")
+        )
     if pcols:
         # input_file_name() is a URI (file:/..., hdfs://host/..., s3a://
         # bucket/...); normalize both sides to the bare path for the join

@@ -66,6 +66,7 @@ import urllib.parse
 import uuid
 
 from .avro_io import read_avro, write_avro
+from .mor_diff import _SCHEME_RE, _parquet_row_count, _position_delete_diff
 from .delta_log import _snapshot_files
 from .timetravel import SnapshotTable
 
@@ -234,69 +235,7 @@ _MANIFEST_LIST_SCHEMA = _manifest_list_schema(1)
 POS_DELETE_FILE_PATH_ID = 2147483546
 POS_DELETE_POS_ID = 2147483545
 
-_SCHEME_RE = "^[a-zA-Z0-9+.-]+:/+"
 
-
-def _position_delete_diff(spark, base_dir: str, delete_dirs: list[str], child_dir: str):
-    """If `child_dir`'s rows are a sub-multiset of the MASKED base
-    (base_dir's files minus positions already deleted by `delete_dirs`),
-    return a DataFrame(file_path STRING, pos BIGINT) of the NEW
-    positions to delete; else return None (the transition needs a
-    rewrite, not a delete).
-
-    Distributed by construction — no driver-side row materialization:
-    one shuffle groups base rows by a full-row struct key (null-safe),
-    `row_number()` over (file, pos) ranks duplicate occurrences
-    deterministically, and occurrences ranked past the child's
-    multiplicity for that value are the deleted positions. The
-    sub-multiset check is the same join read the other way (any child
-    value with multiplicity above the base's ⇒ not delete-expressible).
-    Cost is one scan of parent + child per exported delete snapshot —
-    the export-time price of MoR re-expression, and it scales with the
-    cluster."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    base = (
-        spark.read.parquet(base_dir)
-        .withColumn(
-            "_f", F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
-        )
-        .withColumn("_p", F.col("_metadata.row_index"))
-    )
-    if delete_dirs:
-        dels = spark.read.parquet(*delete_dirs).select(
-            F.col("file_path").alias("_f"), F.col("pos").alias("_p")
-        )
-        base = base.join(F.broadcast(dels), ["_f", "_p"], "left_anti")
-    child = spark.read.parquet(child_dir)
-    cols = sorted(c for c in base.columns if c not in ("_f", "_p"))
-    if sorted(child.columns) != cols:
-        return None  # schema changed: not expressible as deletes
-    key = F.struct(*[F.col(c) for c in cols])
-    b = base.withColumn("_k", key).select("_k", "_f", "_p")
-    child_counts = (
-        child.withColumn("_k", key)
-        .groupBy("_k")
-        .agg(F.count(F.lit(1)).alias("_nc"))
-    )
-    base_counts = b.groupBy("_k").agg(F.count(F.lit(1)).alias("_nb"))
-    cc, bc = child_counts.alias("cc"), base_counts.alias("bc")
-    excess = (
-        cc.join(bc, F.col("cc._k").eqNullSafe(F.col("bc._k")), "left")
-        .where(F.col("_nb").isNull() | (F.col("_nc") > F.col("_nb")))
-        .limit(1)
-        .count()
-    )
-    if excess:
-        return None
-    w = Window.partitionBy("_k").orderBy("_f", "_p")
-    ranked = b.withColumn("_r", F.row_number().over(w)).alias("rk")
-    return (
-        ranked.join(cc, F.col("rk._k").eqNullSafe(F.col("cc._k")), "left")
-        .where(F.col("_nc").isNull() | (F.col("_r") > F.col("_nc")))
-        .select(F.col("_f").alias("file_path"), F.col("_p").alias("pos"))
-    )
 
 
 def _write_position_deletes(spark, deleted, out_dir: str) -> list[dict]:
@@ -342,12 +281,6 @@ def _write_position_deletes(spark, deleted, out_dir: str) -> list[dict]:
         if not f.endswith(".parquet"):
             os.remove(os.path.join(out_dir, f))
     return out
-
-
-def _parquet_row_count(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
 
 
 def export_iceberg_metadata(
@@ -457,8 +390,13 @@ def export_iceberg_metadata(
             and base_live_rows is not None
             and total_rc < base_live_rows
         ):
+            prior = (
+                table.spark.read.parquet(*delete_dirs).select("file_path", "pos")
+                if delete_dirs
+                else None
+            )
             deleted = _position_delete_diff(
-                table.spark, base_dir, delete_dirs, snap["path"]
+                table.spark, base_dir, prior, snap["path"]
             )
 
         if deleted is not None:

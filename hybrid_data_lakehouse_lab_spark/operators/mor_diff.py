@@ -1,0 +1,81 @@
+"""Shared merge-on-read position diff for the table-format exporters.
+
+Both the Iceberg v2 exporter (operators/iceberg_meta.py, positional
+delete files) and the Delta exporter (operators/delta_log.py, deletion
+vectors) re-express a pure-delete snapshot transition as "parent's
+files + deleted (file, row-position) pairs". This module holds the one
+distributed diff both share.
+"""
+
+from __future__ import annotations
+
+_SCHEME_RE = "^[a-zA-Z0-9+.-]+:/+"
+
+
+def _position_delete_diff(spark, base_dir: str, deleted_so_far, child_dir: str):
+    """If `child_dir`'s rows are a sub-multiset of the MASKED base
+    (base_dir's files minus the already-deleted positions in
+    `deleted_so_far` — a DataFrame(file_path, pos) or None), return a
+    DataFrame(file_path STRING, pos BIGINT) of the NEW positions to
+    delete; else return None (the transition needs a rewrite, not a
+    delete).
+
+    Distributed by construction — no driver-side row materialization:
+    one shuffle groups base rows by a full-row struct key (null-safe),
+    `row_number()` over (file, pos) ranks duplicate occurrences
+    deterministically, and occurrences ranked past the child's
+    multiplicity for that value are the deleted positions. The
+    sub-multiset check is the same join read the other way (any child
+    value with multiplicity above the base's ⇒ not delete-expressible).
+    Cost is one scan of parent + child per exported delete snapshot —
+    the export-time price of MoR re-expression, and it scales with the
+    cluster."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = (
+        spark.read.parquet(base_dir)
+        .withColumn(
+            "_f", F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
+        )
+        .withColumn("_p", F.col("_metadata.row_index"))
+    )
+    if deleted_so_far is not None:
+        dels = deleted_so_far.select(
+            F.col("file_path").alias("_f"), F.col("pos").alias("_p")
+        )
+        base = base.join(F.broadcast(dels), ["_f", "_p"], "left_anti")
+    child = spark.read.parquet(child_dir)
+    cols = sorted(c for c in base.columns if c not in ("_f", "_p"))
+    if sorted(child.columns) != cols:
+        return None  # schema changed: not expressible as deletes
+    key = F.struct(*[F.col(c) for c in cols])
+    b = base.withColumn("_k", key).select("_k", "_f", "_p")
+    child_counts = (
+        child.withColumn("_k", key)
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    base_counts = b.groupBy("_k").agg(F.count(F.lit(1)).alias("_nb"))
+    cc, bc = child_counts.alias("cc"), base_counts.alias("bc")
+    excess = (
+        cc.join(bc, F.col("cc._k").eqNullSafe(F.col("bc._k")), "left")
+        .where(F.col("_nb").isNull() | (F.col("_nc") > F.col("_nb")))
+        .limit(1)
+        .count()
+    )
+    if excess:
+        return None
+    w = Window.partitionBy("_k").orderBy("_f", "_p")
+    ranked = b.withColumn("_r", F.row_number().over(w)).alias("rk")
+    return (
+        ranked.join(cc, F.col("rk._k").eqNullSafe(F.col("cc._k")), "left")
+        .where(F.col("_nc").isNull() | (F.col("_r") > F.col("_nc")))
+        .select(F.col("_f").alias("file_path"), F.col("_p").alias("pos"))
+    )
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows

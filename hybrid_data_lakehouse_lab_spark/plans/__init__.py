@@ -118,6 +118,9 @@ _PRIORITY = [
     # from the 50-window by iceberg_v2_metadata_roundtrip in round 7;
     # its JVM twin shares the same oracle and stays pinned) ---
     "similarity_cosine_topk_pandas",
+    # --- slot 52: Delta deletion-vector sibling of the pinned iceberg-v2
+    # lane (round 7) ---
+    "delta_dv_roundtrip",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -377,3 +377,74 @@ def iceberg_v2_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         sorted(rows), "snapshot_id INT, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "delta_dv_roundtrip",
+    oracle="""
+    SELECT 0 AS delta_version, event_type, count(*) AS n
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 1 AS delta_version, event_type, count(*) AS n
+    FROM events WHERE user_id % 5 <> 0 GROUP BY 2
+    UNION ALL
+    SELECT 2 AS delta_version, event_type, count(*) AS n
+    FROM events WHERE user_id % 5 <> 0 AND user_id % 9 <> 0 GROUP BY 2
+    """,
+)
+def delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION-VECTOR round-trip, driver-visible — the most
+    common advanced feature in real `_delta_log`s (delta-spark writes
+    DVs by default on DELETE/UPDATE/MERGE since 3.x), and the Delta
+    sibling of `iceberg_v2_metadata_roundtrip`. Three commits (full
+    events table, then two successive pure deletes);
+    `export_delta_log(mor_deletes=True)` re-expresses the deletes as
+    DV commits — remove + re-add of each touched file with a
+    `deletionVector` descriptor (storageType "u"), positions serialized
+    as 64-bit roaring bitmaps per the public PROTOCOL.md (version-byte
+    file, size-framed CRC-checked blobs, base85 uuid path derivation),
+    protocol reader v3 / writer v7 + deletionVectors feature — and
+    `read_delta_table` masks them via one broadcast anti-join on
+    (file, `_metadata.row_index`). A hash match proves the DV read
+    path (descriptor resolution, bitmap decode, cumulative-descriptor
+    replacement on the chained delete) reconstructs exactly the
+    committed data at every version. In-lane asserts pin that commits
+    1 and 2 really exported as DELETE (not rewrites). An independent
+    from-scratch DV decoder lives in tests/test_delta_log.py.
+
+    Output is |event types| × 3 rows regardless of scale; the export
+    diff and the masked reads run distributed."""
+    import json as _json
+
+    from ..operators.delta_log import export_delta_log, read_delta_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="delta_dv_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 5 != 0), committed_at_ms=2)
+        t.write(
+            ev.filter((F.col("user_id") % 5 != 0) & (F.col("user_id") % 9 != 0)),
+            committed_at_ms=3,
+        )
+        log_dir = export_delta_log(t, mor_deletes=True)
+        for v in (1, 2):
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+                first = _json.loads(fh.readline())
+            op = first["commitInfo"]["operation"]
+            assert op == "DELETE", (v, op)
+        rows = []
+        for v in (0, 1, 2):
+            got = (
+                read_delta_table(spark, t.root, version=v)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((v, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "delta_version INT, event_type STRING, n BIGINT"
+    )

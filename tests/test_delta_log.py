@@ -321,7 +321,14 @@ def test_checkpoint_state_equals_json_replay(table):
     for p, add in live.items():
         assert add["size"] == final["files"][p]["size"]
     assert meta["schemaString"] == final["metaData"]["schemaString"]
-    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # the checkpoint schema carries the (null-for-basic-tables) feature
+    # columns so DV'd tables round-trip through checkpoints too
+    assert protocol == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+        "readerFeatures": None,
+        "writerFeatures": None,
+    }
     # _last_checkpoint pointer shape
     ptr = json.loads(open(os.path.join(log_dir, "_last_checkpoint")).read())
     assert ptr == {"version": 2, "size": len(live) + 2}
@@ -517,3 +524,397 @@ def test_checkpoint_at_log_end_survives_reexport(spark, tmp_path):
     assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
     got = sorted((r["id"], r["v"]) for r in read_delta_table(spark, t.root).collect())
     assert got == [(i, i * 3) for i in range(3)]
+
+
+# --- deletion vectors (merge-on-read) ---------------------------------------
+
+
+def _independent_dv_decode(path, offset, size):
+    """From-scratch DV decode for the independence contract: version
+    byte, BE size framing, CRC, magic, then the portable 64-bit roaring
+    layout (int64 LE count + per-bitmap cookie/header/containers) —
+    implemented here without importing operators/roaring."""
+    import struct as _st
+    import zlib as _zl
+
+    raw = open(path, "rb").read()
+    assert raw[0:1] == b"\x01"
+    (n,) = _st.unpack_from(">i", raw, offset)
+    assert n == size
+    data = raw[offset + 4 : offset + 4 + n]
+    (crc,) = _st.unpack_from(">I", raw, offset + 4 + n)
+    assert _zl.crc32(data) == crc
+    (magic,) = _st.unpack_from("<i", data, 0)
+    assert magic == 1681511377
+    (nmaps,) = _st.unpack_from("<q", data, 4)
+    pos, out = 12, []
+    for hi in range(nmaps):
+        (cookie, cnt) = _st.unpack_from("<ii", data, pos)
+        assert cookie == 12346  # our writer: no run containers
+        pos += 8
+        hdr = []
+        for _ in range(cnt):
+            k, c = _st.unpack_from("<HH", data, pos)
+            hdr.append((k, c + 1))
+            pos += 4
+        pos += 4 * cnt  # offsets
+        for k, card in hdr:
+            if card <= 4096:
+                vals = _st.unpack_from(f"<{card}H", data, pos)
+                pos += 2 * card
+            else:
+                bits = data[pos : pos + 8192]
+                pos += 8192
+                vals = [
+                    (i << 3) + b
+                    for i in range(8192)
+                    for b in range(8)
+                    if bits[i] & (1 << b)
+                ]
+            out.extend((hi << 32) | (k << 16) | v for v in vals)
+    return out
+
+
+@pytest.fixture()
+def dv_table(spark, tmp_path):
+    """overwrite → pure delete → chained pure delete → rewrite."""
+    t = SnapshotTable(spark, str(tmp_path / "dvt"))
+    df = spark.range(60).selectExpr("id", "id % 5 AS g")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 3 != 0"), committed_at_ms=2000)
+    t.write(df.filter("id % 3 != 0 AND id % 4 != 0"), committed_at_ms=3000)
+    t.write(spark.range(9).selectExpr("id", "id AS g"), committed_at_ms=4000)
+    return t
+
+
+def test_dv_export_matches_all_versions(dv_table, spark):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    log_dir = export_delta_log(dv_table, mor_deletes=True)
+    ops = []
+    for v in range(4):
+        acts = [
+            json.loads(line)
+            for line in open(os.path.join(log_dir, f"{v:020d}.json"))
+        ]
+        ops.append(acts[0]["commitInfo"]["operation"])
+        if v == 0:
+            proto = next(a["protocol"] for a in acts if "protocol" in a)
+            assert proto["minReaderVersion"] == 3
+            assert proto["readerFeatures"] == ["deletionVectors"]
+    assert ops == ["WRITE", "DELETE", "DELETE", "WRITE"]
+    for v in range(4):
+        got = sorted(
+            (r["id"], r["g"])
+            for r in read_delta_table(spark, dv_table.root, version=v).collect()
+        )
+        want = sorted(
+            (r["id"], r["g"]) for r in dv_table.read(version=v + 1).collect()
+        )
+        assert got == want, f"version {v}"
+
+
+def test_dv_independent_decode_matches(dv_table, spark):
+    """Parse the DELETE commit's descriptors straight from the JSON and
+    decode the bitmaps with the from-scratch decoder above; masked
+    pyarrow reads must equal SnapshotTable.read()."""
+    import base64 as _b64
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    log_dir = export_delta_log(dv_table, mor_deletes=True)
+    # replay v0..v2 by hand: path -> add
+    live = {}
+    for v in range(3):
+        for line in open(os.path.join(log_dir, f"{v:020d}.json")):
+            a = json.loads(line)
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    rows = []
+    for rel, add in live.items():
+        fpath = os.path.join(dv_table.root, rel)
+        dead = set()
+        dv = add.get("deletionVector")
+        if dv:
+            assert dv["storageType"] == "u"
+            u = uuid.UUID(bytes=_b64.b85decode(dv["pathOrInlineDv"]))
+            dv_path = os.path.join(
+                dv_table.root, f"deletion_vector_{u}.bin"
+            )
+            positions = _independent_dv_decode(
+                dv_path, dv["offset"], dv["sizeInBytes"]
+            )
+            assert len(positions) == dv["cardinality"]
+            dead = set(positions)
+        tbl = pq.read_table(fpath)
+        for i, row in enumerate(tbl.to_pylist()):
+            if i not in dead:
+                rows.append((row["id"], row["g"]))
+    want = sorted(
+        (r["id"], r["g"]) for r in dv_table.read(version=3).collect()
+    )
+    assert sorted(rows) == want
+
+
+def test_dv_cumulative_descriptor_replaces(dv_table):
+    """Chained deletes must leave the LATEST DELETE version's adds with
+    cumulative cardinality covering both delete commits."""
+    log_dir = export_delta_log(dv_table, mor_deletes=True)
+
+    def cards(v):
+        total = 0
+        for line in open(os.path.join(log_dir, f"{v:020d}.json")):
+            a = json.loads(line)
+            if "add" in a and a["add"].get("deletionVector"):
+                total += a["add"]["deletionVector"]["cardinality"]
+        return total
+
+    assert cards(1) == 20  # 60 - 40 multiples of 3 removed
+    # v2 re-adds touched files with cumulative bitmaps; summing the
+    # LIVE adds after replay gives all 25 deleted positions
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        replay_delta_log,
+    )
+
+    state = replay_delta_log(log_dir, 2)
+    total = sum(
+        a["deletionVector"]["cardinality"]
+        for a in state["files"].values()
+        if a.get("deletionVector")
+    )
+    assert total == 30  # |%3==0 ∪ %4==0| in 0..59 = 20 + 15 - 5
+
+
+def test_dv_bitmap_container_large_delete(spark, tmp_path):
+    """>4096 deleted rows in ONE parquet file forces the 8 KiB bitmap
+    container encoding; the read must still match."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "big"))
+    df = spark.range(10000).selectExpr("id").coalesce(1)
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 5 = 0"), committed_at_ms=2000)  # delete 8000
+    log_dir = export_delta_log(t, mor_deletes=True)
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(log_dir, f"{1:020d}.json"))
+    ]
+    dv = next(
+        a["add"]["deletionVector"]
+        for a in acts
+        if "add" in a and a["add"].get("deletionVector")
+    )
+    assert dv["cardinality"] == 8000
+    got = sorted(
+        r["id"] for r in read_delta_table(spark, t.root, version=1).collect()
+    )
+    assert got == list(range(0, 10000, 5))
+
+
+def test_dv_inline_and_absolute_storage(spark, tmp_path):
+    """Hand-build a log with storageType 'i' (inline base85) and 'p'
+    (absolute path) descriptors: the reader must honor both."""
+    import base64 as _b64
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.roaring import (
+        dv_blob,
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "hand")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    spark.range(10).selectExpr("id").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "data")
+    )
+    files = [
+        f
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    rel = f"data/{files[0]}"
+    # inline DV deleting rows 0,1; then a 'p' DV file deleting row 9
+    inline = dv_blob([0, 1])
+    dv_file = os.path.join(root, "aux.bin")
+    ((off, sz),) = write_dv_file(dv_file, [dv_blob([0, 1, 9])])
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "m",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "i",
+                    "pathOrInlineDv": _b64.b85encode(inline).decode(),
+                    "sizeInBytes": len(inline),
+                    "cardinality": 2,
+                },
+            }
+        },
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == list(range(2, 10))
+    # second commit swaps in the 'p' descriptor
+    actions2 = [
+        {"remove": {"path": rel, "deletionTimestamp": 1, "dataChange": True}},
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_file,
+                    "offset": off,
+                    "sizeInBytes": sz,
+                    "cardinality": 3,
+                },
+            }
+        },
+    ]
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        for a in actions2:
+            fh.write(json.dumps(a) + "\n")
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == list(range(2, 9))
+
+
+def test_dv_checkpoint_preserves_descriptors(dv_table, spark):
+    """Checkpoint at the chained-delete version, clean the JSON tail:
+    the checkpoint-seeded read must still mask."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        clean_log_commits,
+        read_delta_table,
+        write_checkpoint,
+    )
+
+    log_dir = export_delta_log(dv_table, mor_deletes=True)
+    write_checkpoint(log_dir, version=2)
+    assert clean_log_commits(log_dir) == [0, 1, 2]
+    got = sorted(
+        (r["id"], r["g"])
+        for r in read_delta_table(spark, dv_table.root, version=2).collect()
+    )
+    want = sorted(
+        (r["id"], r["g"]) for r in dv_table.read(version=3).collect()
+    )
+    assert got == want
+
+
+def test_dv_gc_and_default_export_unchanged(dv_table, spark):
+    """A later mor_deletes=False re-export regenerates a basic log and
+    removes the now-unreferenced DV files; vacuum + re-export GCs too."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        vacuum_snapshots,
+    )
+
+    export_delta_log(dv_table, mor_deletes=True)
+    assert [
+        f for f in os.listdir(dv_table.root) if f.startswith("deletion_vector_")
+    ]
+    export_delta_log(dv_table)  # plain rewrite log
+    assert not [
+        f for f in os.listdir(dv_table.root) if f.startswith("deletion_vector_")
+    ]
+    got = sorted(
+        (r["id"], r["g"])
+        for r in read_delta_table(spark, dv_table.root, version=2).collect()
+    )
+    want = sorted(
+        (r["id"], r["g"]) for r in dv_table.read(version=3).collect()
+    )
+    assert got == want
+    export_delta_log(dv_table, mor_deletes=True)
+    vacuum_snapshots(dv_table, older_than_ms=4000, keep_last=1)
+    export_delta_log(dv_table, mor_deletes=True)
+    assert not [
+        f for f in os.listdir(dv_table.root) if f.startswith("deletion_vector_")
+    ]
+
+
+def test_dv_corrupt_bitmap_refuses(dv_table, spark):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    export_delta_log(dv_table, mor_deletes=True)
+    dv_files = [
+        f for f in os.listdir(dv_table.root) if f.startswith("deletion_vector_")
+    ]
+    p = os.path.join(dv_table.root, sorted(dv_files)[0])
+    data = bytearray(open(p, "rb").read())
+    data[10] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError):
+        read_delta_table(spark, dv_table.root, version=1).collect()
+
+
+def test_reader_rejects_other_v3_features(dv_table, spark, tmp_path):
+    import shutil as _sh
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    export_delta_log(dv_table, mor_deletes=True)
+    root = str(tmp_path / "cm")
+    _sh.copytree(dv_table.root, root)
+    p0 = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    out = []
+    for line in open(p0).read().splitlines():
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = [
+                "deletionVectors",
+                "columnMapping",
+            ]
+        out.append(json.dumps(a))
+    open(p0, "w").write("\n".join(out) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta_table(spark, root)
