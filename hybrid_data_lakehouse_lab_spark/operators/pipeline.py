@@ -32,6 +32,25 @@ from pyspark.sql import functions as F
 from .merge import merge_scd2_batch
 from .timetravel import SnapshotTable
 
+# Safe widening chains per the Delta type-widening feature / Iceberg
+# primitive-promotion rules (both public specs). Keys/values are Spark
+# simpleString names; decimals are handled structurally.
+_WIDENING_CHAIN = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _is_safe_widening(src, dst) -> bool:
+    """True when every `src` value is exactly representable as `dst`."""
+    from pyspark.sql import types as T
+
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return dst.scale == src.scale and dst.precision >= src.precision
+    return dst.simpleString() in _WIDENING_CHAIN.get(src.simpleString(), ())
+
 
 @dataclass
 class Scd2Pipeline:
@@ -130,7 +149,7 @@ class Scd2Pipeline:
             if n == 0:
                 return 0
             existing = self.table.read() if self.table.exists() else None
-            existing = self._evolve_schema(existing, cdc)
+            existing, cdc = self._evolve_schema(existing, cdc)
             merged = merge_scd2_batch(
                 existing,
                 cdc,
@@ -156,9 +175,12 @@ class Scd2Pipeline:
         finally:
             cdc.unpersist()
 
-    # -- schema evolution (add-only) -----------------------------------------
-    def _evolve_schema(self, existing: DataFrame | None, cdc: DataFrame) -> DataFrame | None:
-        """Widen an existing SCD2 table to this pipeline's attr_cols.
+    # -- schema evolution (add-only + safe widening) -------------------------
+    def _evolve_schema(
+        self, existing: DataFrame | None, cdc: DataFrame
+    ) -> tuple[DataFrame | None, DataFrame]:
+        """Evolve an existing SCD2 table to this pipeline's attr_cols;
+        returns (evolved existing, possibly-upcast cdc batch).
 
         ADD-ONLY evolution (the Delta/Iceberg mergeSchema contract): an
         attr column new to the table is backfilled as typed NULL on all
@@ -166,11 +188,23 @@ class Scd2Pipeline:
         so a key whose new column arrives non-null gets a genuine new
         version, while a key whose values (including the still-null new
         column) are unchanged is hash-suppressed — no spurious
-        version storm. Dropping or retyping a column is refused: silent
-        drops corrupt the hash chain (every key would version-bump).
-        """
+        version storm.
+
+        TYPE WIDENING (the Delta type-widening / Iceberg promotion
+        rules: tinyint→smallint→int→bigint, float→double, decimal
+        precision growth at fixed scale): a batch arriving with a WIDER
+        type than the table — the reference's own sale_date INT-vs-
+        BIGINT schizophrenia (SURVEY §1.2) — widens the table with a
+        typed backfill cast, so the next snapshot carries the wide type
+        everywhere; a batch arriving NARROWER is simply upcast to the
+        table's type (input coercion, not evolution). Change
+        suppression is unaffected either way because `record_hash`
+        stringifies values before hashing (5 renders "5" as int or
+        bigint). Any other retype — and dropping a column — is refused:
+        silent drops corrupt the hash chain (every key would
+        version-bump)."""
         if existing is None:
-            return None
+            return None, cdc
         for c in self.attr_cols:
             if c not in cdc.columns:
                 raise ValueError(f"attr column {c!r} missing from the batch")
@@ -178,13 +212,22 @@ class Scd2Pipeline:
                 existing = existing.withColumn(
                     c, F.lit(None).cast(cdc.schema[c].dataType)
                 )
-            elif existing.schema[c].dataType != cdc.schema[c].dataType:
+                continue
+            et, bt = existing.schema[c].dataType, cdc.schema[c].dataType
+            if et == bt:
+                continue
+            if _is_safe_widening(et, bt):
+                existing = existing.withColumn(c, F.col(c).cast(bt))
+            elif _is_safe_widening(bt, et):
+                cdc = cdc.withColumn(c, F.col(c).cast(et))
+            else:
                 raise ValueError(
                     f"attr column {c!r} retyped: table has "
-                    f"{existing.schema[c].dataType.simpleString()}, batch has "
-                    f"{cdc.schema[c].dataType.simpleString()}"
+                    f"{et.simpleString()}, batch has {bt.simpleString()}; "
+                    "only safe widenings (tinyint→smallint→int→bigint, "
+                    "float→double, decimal precision growth) evolve"
                 )
-        return existing
+        return existing, cdc
 
     # -- reads ---------------------------------------------------------------
     def scd2(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:

@@ -98,3 +98,117 @@ def test_missing_attr_column_refused(spark, tmp_path_factory):
             "event_timestamp",
             F.col("event_timestamp") + F.expr("INTERVAL 2 day"),
         ))
+
+
+# --- safe type widening (round 7: Delta type-widening / Iceberg promotion) --
+
+
+def _int_df(spark, rows, price_type):
+    return spark.createDataFrame(
+        rows, f"id BIGINT, product_name STRING, qty {price_type}, "
+        "event_timestamp STRING, op STRING"
+    ).withColumn("event_timestamp", F.col("event_timestamp").cast("timestamp"))
+
+
+def test_widening_batch_promotes_table(spark, tmp_path_factory):
+    """Batch arrives BIGINT where the table is INT (the reference's
+    sale_date case): the table widens with a typed backfill; unchanged
+    values stay hash-suppressed; the new snapshot carries the wide type."""
+    root = str(tmp_path_factory.mktemp("widen"))
+    p = Scd2Pipeline(
+        spark, root, key_cols=["id"], attr_cols=["product_name", "qty"],
+        lsn_col=None, order_cols=["event_timestamp"],
+    )
+    b1 = [(1, "widget", 10, "2024-01-01 10:00:00", "c"),
+          (2, "bolt", 5, "2024-01-01 10:00:00", "c")]
+    assert p.process_batch(_int_df(spark, b1, "INT")) == 2
+    assert dict(p.scd2().dtypes)["qty"] == "int"
+    # id=1 changes value AND type widens; id=2 unchanged (same int value
+    # now arriving as bigint) must be suppressed, not version-bumped
+    b2 = [(1, "widget", 2**40, "2024-01-02 10:00:00", "u"),
+          (2, "bolt", 5, "2024-01-02 10:00:00", "u")]
+    assert p.process_batch(_int_df(spark, b2, "BIGINT")) == 2
+    assert dict(p.scd2().dtypes)["qty"] == "bigint"
+    assert p.scd2().filter(F.col("id") == 1).count() == 2
+    assert p.scd2().filter(F.col("id") == 2).count() == 1
+    cur = {r["id"]: r["qty"] for r in p.current().collect()}
+    assert cur == {1: 2**40, 2: 5}
+    # historical version readable under the widened type
+    hist = p.scd2().filter((F.col("id") == 1) & ~F.col("is_current")).collect()
+    assert hist[0]["qty"] == 10
+
+
+def test_narrower_batch_upcast_to_table(spark, tmp_path_factory):
+    """Batch arrives INT where the table is BIGINT: plain input
+    coercion — the batch upcasts, the table type is unchanged."""
+    root = str(tmp_path_factory.mktemp("narrow"))
+    p = Scd2Pipeline(
+        spark, root, key_cols=["id"], attr_cols=["product_name", "qty"],
+        lsn_col=None, order_cols=["event_timestamp"],
+    )
+    b1 = [(1, "widget", 10, "2024-01-01 10:00:00", "c")]
+    assert p.process_batch(_int_df(spark, b1, "BIGINT")) == 1
+    b2 = [(1, "widget", 11, "2024-01-02 10:00:00", "u")]
+    assert p.process_batch(_int_df(spark, b2, "INT")) == 1
+    assert dict(p.scd2().dtypes)["qty"] == "bigint"
+    assert p.current().collect()[0]["qty"] == 11
+
+
+def test_float_to_double_and_decimal_precision(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fd"))
+    p = Scd2Pipeline(
+        spark, root, key_cols=["id"], attr_cols=["v", "d"],
+        lsn_col=None, order_cols=["event_timestamp"],
+    )
+
+    def df(rows, vt, dt):
+        return spark.createDataFrame(
+            rows, f"id BIGINT, v {vt}, d {dt}, event_timestamp STRING, op STRING"
+        ).withColumn("event_timestamp", F.col("event_timestamp").cast("timestamp"))
+
+    from decimal import Decimal
+
+    b1 = [(1, 1.5, Decimal("12.34"), "2024-01-01 10:00:00", "c")]
+    assert p.process_batch(df(b1, "FLOAT", "DECIMAL(10,2)")) == 1
+    b2 = [(1, 2.5, Decimal("99999999.99"), "2024-01-02 10:00:00", "u")]
+    assert p.process_batch(df(b2, "DOUBLE", "DECIMAL(20,2)")) == 1
+    types = dict(p.scd2().dtypes)
+    assert types["v"] == "double" and types["d"] == "decimal(20,2)"
+
+
+def test_unsafe_widenings_still_refused(spark, tmp_path_factory):
+    """bigint→int narrowing of the TABLE is coercion (allowed), but
+    genuinely unsafe retypes — string↔numeric, double→float table,
+    decimal scale change — refuse."""
+    from decimal import Decimal
+
+    root = str(tmp_path_factory.mktemp("unsafe"))
+    p = Scd2Pipeline(
+        spark, root, key_cols=["id"], attr_cols=["product_name", "qty"],
+        lsn_col=None, order_cols=["event_timestamp"],
+    )
+    b1 = [(1, "widget", 10, "2024-01-01 10:00:00", "c")]
+    assert p.process_batch(_int_df(spark, b1, "INT")) == 1
+    bad = spark.createDataFrame(
+        [(1, "widget", "ten", "2024-01-02 10:00:00", "u")],
+        "id BIGINT, product_name STRING, qty STRING, "
+        "event_timestamp STRING, op STRING",
+    ).withColumn("event_timestamp", F.col("event_timestamp").cast("timestamp"))
+    with pytest.raises(ValueError, match="retyped"):
+        p.process_batch(bad)
+    # decimal scale change is NOT a safe widening
+    root2 = str(tmp_path_factory.mktemp("unsafe2"))
+    p2 = Scd2Pipeline(
+        spark, root2, key_cols=["id"], attr_cols=["d"],
+        lsn_col=None, order_cols=["event_timestamp"],
+    )
+    mk = lambda dt, val: spark.createDataFrame(
+        [(1, Decimal(val), "2024-01-01 10:00:00", "c")],
+        f"id BIGINT, d {dt}, event_timestamp STRING, op STRING",
+    ).withColumn("event_timestamp", F.col("event_timestamp").cast("timestamp"))
+    assert p2.process_batch(mk("DECIMAL(10,2)", "1.25")) == 1
+    b = mk("DECIMAL(10,4)", "1.2500").withColumn(
+        "event_timestamp", F.col("event_timestamp") + F.expr("INTERVAL 1 day")
+    )
+    with pytest.raises(ValueError, match="retyped"):
+        p2.process_batch(b)
