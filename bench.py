@@ -58,6 +58,19 @@ HEADLINE = [
     "corpus_pack_sequences",
 ]
 
+# Media codec lanes measured at 10× in the scale gate (BENCH_DETAIL's
+# `sf1r_multimodal`): the mapInPandas Arrow kernels whose no-shuffle,
+# per-blob scaling claim is otherwise only documented.
+MULTIMODAL_10X = [
+    "multimodal_image_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "multimodal_audio_mulaw",
+    "multimodal_audio_adpcm",
+    "multimodal_image_jpeg",
+    "multimodal_video_mjpeg",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -114,37 +127,40 @@ def main() -> None:
     # warmup: spin up executors / codegen on a trivial plan (untimed)
     materialize(QUERIES["group_count_ops"](spark, sf_dir))
 
-    # Each query runs at least three times: the first (cold) run pays
-    # whole-stage-codegen JIT, which bleeds across queries and makes
-    # per-query attribution noisy; the warm number is the per-query MIN
-    # across warm sweeps. Sweeps are ADAPTIVE: shared hosts throttle in
-    # multi-second-to-multi-minute windows (observed: identical code
-    # swinging 1.3→28.6 s run-to-run inside one session), so a fixed two
-    # sweeps can both land inside one throttle window and record a 7×
-    # phantom regression — as round 2/early round 3 did. We keep sweeping
-    # (min 2, max 5) until the total of per-query minima stops improving
-    # by >2%, i.e. until at least one throttle-free pass exists per
-    # query. `value` is the min-warm total; `warm` records the sweep
-    # count actually used.
+    # Each query runs six times: one cold pass (pays whole-stage-codegen
+    # JIT, recorded separately) then a FIXED FIVE warm sweeps — VERDICT
+    # r6 item 4 restored the fixed count after two rounds where adaptive
+    # early-stop (min 2) recorded throttle-window noise as phantom
+    # regressions (19.80→19.93→21.70 s, each adjudicated as sampling).
+    # The per-query number is the MIN across the five warm sweeps
+    # (shared hosts throttle in multi-second windows; the min is the
+    # throttle-free estimate), and the headline line now publishes the
+    # sweep-total CV + median so a reviewer can read the variance band
+    # directly instead of adjudicating (accept band in BASELINE.md).
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    sweep_totals: list[float] = []
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
-    sweeps = 0
-    prev_total = float("inf")
-    while sweeps < 5:
+    N_SWEEPS = 5
+    for _ in range(N_SWEEPS):
+        sweep_total = 0.0
         for name in HEADLINE:
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
+            sweep_total += dt
             timings[name] = min(timings.get(name, dt), dt)
-        sweeps += 1
-        total = sum(timings.values())
-        if sweeps >= 2 and total > prev_total * 0.98:
-            break
-        prev_total = total
+        sweep_totals.append(round(sweep_total, 3))
+    mean = sum(sweep_totals) / len(sweep_totals)
+    warm_cv = round(
+        (sum((t - mean) ** 2 for t in sweep_totals) / len(sweep_totals)) ** 0.5
+        / mean,
+        3,
+    )
+    warm_median = round(sorted(sweep_totals)[len(sweep_totals) // 2], 3)
 
     # Same estimator philosophy as warm: keep draining (min 2, max 4)
     # until the best rate stops improving by >5%, so a throttle window
@@ -178,6 +194,11 @@ def main() -> None:
     # for the default sf0.1 corpus.
     sf1r_total = None
     sf1r_queries: dict[str, float] = {}
+    sf1r_mm: dict[str, float] = {}
+    sf01_mm: dict[str, float] = {}
+    sf1r_skew_queries: dict[str, float] = {}
+    sf1r_skew_total = None
+    sf1r_skew_max_ratio = None
     if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1R"):
         import shutil
         import tempfile
@@ -186,6 +207,13 @@ def main() -> None:
             0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
         )
         from make_scaled_slice import build
+
+        # 1× anchor for the codec lanes so the 10× ratio below reads as
+        # a scaling measurement, not a lone number
+        for name in MULTIMODAL_10X:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            sf01_mm[name] = round(time.perf_counter() - t0, 3)
 
         root = tempfile.mkdtemp(prefix="sf1r_gate_")
         slice_dir = os.path.join(root, "slice")
@@ -196,23 +224,63 @@ def main() -> None:
                 materialize(QUERIES[name](spark, slice_dir))
                 sf1r_queries[name] = round(time.perf_counter() - t0, 3)
             sf1r_total = round(sum(sf1r_queries.values()), 3)
+            # The codec lanes' scaling claim (mapInPandas per-blob Arrow
+            # kernels: no shuffle, wall tracks blob count) was documented
+            # but unmeasured at 10× until round 7 (VERDICT item 6) —
+            # record the media lanes on the same uniform slice.
+            for name in MULTIMODAL_10X:
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, slice_dir))
+                sf1r_mm[name] = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+        # Skewed-key 10× gate (VERDICT r6 item 3): the uniform slice
+        # never exercises AQE skew handling, so replicate again with
+        # Zipf(≈1) join/agg keys (events.user_id, orders.o_custkey,
+        # lineitem.l_partkey — FK domains preserved) and require no
+        # headline query to blow up vs its uniform-slice time. The
+        # max ratio is RECORDED on the headline line; the accept bar
+        # (≤2× per query) is documented in BASELINE.md.
+        skew_root = tempfile.mkdtemp(prefix="sf1r_skew_")
+        skew_dir = os.path.join(skew_root, "slice")
+        try:
+            build(sf_dir, skew_dir, 10, skewed=True)
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, skew_dir))
+                sf1r_skew_queries[name] = round(time.perf_counter() - t0, 3)
+            sf1r_skew_total = round(sum(sf1r_skew_queries.values()), 3)
+            ratios = {
+                n: round(sf1r_skew_queries[n] / max(sf1r_queries[n], 0.05), 2)
+                for n in HEADLINE
+            }
+            worst = max(ratios, key=ratios.get)
+            sf1r_skew_max_ratio = ratios[worst]
+        finally:
+            shutil.rmtree(skew_root, ignore_errors=True)
 
     headline = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "warm": f"min-of-{sweeps}",
+        "warm": f"min-of-{N_SWEEPS}",
+        "warm_cv": warm_cv,
+        "warm_median_sec": warm_median,
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": ingest,
         "ingest": f"best-of-{ingest_runs}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if sf1r_total is not None:
-        # one compact key on the stdout line; per-query detail in the file
+        # one compact key each on the stdout line; per-query detail in
+        # the file
         headline["sf1r_total_sec"] = sf1r_total
+        headline["sf1r_mm_total_sec"] = round(sum(sf1r_mm.values()), 3)
+    if sf1r_skew_total is not None:
+        headline["sf1r_skew_total_sec"] = sf1r_skew_total
+        headline["sf1r_skew_max_ratio"] = sf1r_skew_max_ratio
     # Full per-query detail goes to a file; stdout carries only the compact
     # headline object as the LAST line. The driver captures a bounded tail
     # of stdout — round 2's single giant line (warm + cold dicts) overflowed
@@ -223,7 +291,16 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(
-            {**headline, "queries_cold": cold, "queries_sf1r": sf1r_queries}, f,
+            {
+                **headline,
+                "queries_cold": cold,
+                "warm_sweep_totals": sweep_totals,
+                "queries_sf1r": sf1r_queries,
+                "sf01_multimodal": sf01_mm,
+                "sf1r_multimodal": sf1r_mm,
+                "queries_sf1r_skew": sf1r_skew_queries,
+            },
+            f,
             indent=1,
         )
     sys.stdout.flush()

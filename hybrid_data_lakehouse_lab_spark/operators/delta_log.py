@@ -32,11 +32,21 @@ Nessie (README.MD:308-313); this exporter gives the SnapshotTable the
 interop half of that story — the format an external engine can read —
 while staying pure stdlib (json/os/uuid), no jars.
 
+Round 7 adds the spec's DELETION VECTORS (PROTOCOL.md "Deletion
+Vectors") on both sides: `export_delta_log(mor_deletes=True)`
+re-expresses pure-delete transitions as DV commits (roaring bitmaps via
+operators/roaring.py, remove + re-add with cumulative descriptors,
+reader v3 / writer v7 feature protocol), and `read_delta_table` masks
+DV'd files — 'u'/'p'/'i' storage, CRC + cardinality verified — with one
+broadcast anti-join on (file, `_metadata.row_index`). Checkpoints carry
+descriptors so checkpoint-seeded reads still mask.
+
 Verified by `tests/test_delta_log.py` with an INDEPENDENT pure-Python
 log replay (spec semantics re-implemented from scratch in the test, not
 imported from here) proving version-N live-file sets equal the
 manifest's snapshot directories, plus a DuckDB read of the final live
-set value-matched against `SnapshotTable.read()`.
+set value-matched against `SnapshotTable.read()`, plus a from-scratch
+DV bitmap decoder cross-checking the masked state.
 """
 
 from __future__ import annotations
@@ -102,8 +112,9 @@ def export_delta_log(
     re-export after new commits extends the log in place, and a SHRUNK
     history (vacuum) drops the stale tail + checkpoint pointer.
 
-    With `mor_deletes=True`, pure-delete transitions on UNPARTITIONED
-    tables export as DELETION-VECTOR commits (PROTOCOL.md "Deletion
+    With `mor_deletes=True`, pure-delete transitions (partitioned or
+    not — a DV targets one data file, so partitioning is orthogonal)
+    export as DELETION-VECTOR commits (PROTOCOL.md "Deletion
     Vectors"): the shared distributed diff (operators/mor_diff.py)
     derives deleted (file, row-position) pairs, each touched file gets
     `remove` + re-`add` with a `deletionVector` descriptor (storageType
@@ -157,10 +168,14 @@ def export_delta_log(
             (list(f["partitionValues"]) for f in files if f["partitionValues"]), []
         )
 
+        # Unlike Iceberg positional delete files (partition-scoped per
+        # the spec, so our Iceberg exporter rewrites partitioned
+        # tables), a Delta DV is attached to ONE data file and carries
+        # no partition tuple of its own — partitioned tables take the
+        # DV path too; the re-added file keeps its partitionValues.
         new_by_file: dict[str, list[int]] | None = None
         if (
             mor_deletes
-            and not partition_cols
             and base_dir is not None
             and os.path.isdir(base_dir)
             and base_live_rows is not None

@@ -46,7 +46,11 @@ parquet field-ids attached. The sub-multiset diff itself is a Spark
 plan (row_number over a full-row struct key vs child multiplicities),
 so export-time delete detection scales with the cluster, not the
 driver. Chained deletes accumulate delete manifests in the manifest
-list exactly as real Iceberg MoR commits do. Field names follow the
+list exactly as real Iceberg MoR commits do; partitioned tables get
+partition-scoped delete files, and the READ side additionally applies
+EQUALITY deletes (null-safe equality_ids match, strictly-older rule) so
+externally-written Flink-style upsert tables resolve too. Field names
+follow the
 published spec tables (iceberg.apache.org/spec/): `data_sequence_number`
 (id 3), `added_files_count` (id 504) etc.
 
@@ -238,48 +242,74 @@ POS_DELETE_POS_ID = 2147483545
 
 
 
-def _write_position_deletes(spark, deleted, out_dir: str) -> list[dict]:
+def _write_position_deletes(
+    spark, deleted, out_dir: str, file_partitions=None, pcols=None
+) -> list[dict]:
     """Write a position-delete DataFrame as spec-shaped parquet under
     `out_dir`: columns `file_path`/`pos` carrying the spec's reserved
-    parquet field-ids, globally sorted by (file_path, pos) as the spec
-    requires. Written by Spark (scales past driver memory); files are
-    renamed to deterministic `delete-NNNNN.parquet` names so re-exports
-    reference stable paths. Returns [{path, record_count, size}].
+    parquet field-ids, sorted by (file_path, pos) within each file as
+    the spec requires. Written by Spark (scales past driver memory);
+    files are renamed to deterministic `delete-NNNNN.parquet` names so
+    re-exports reference stable paths.
+
+    For identity-PARTITIONED tables, pass `file_partitions` — a small
+    DataFrame (file_path, *pcols raw-string values) built from the base
+    manifest — and `pcols`: delete rows join it (broadcast) and write
+    `partitionBy(pcols)`, yielding PARTITION-SCOPED delete files as the
+    spec requires (a position delete may only target data files of its
+    own partition). Returns [{path, record_count, size, partition}]
+    with raw partition-value strings (empty dict when unpartitioned).
 
     Scale note: `repartitionByRange(1, ...)` assumes the per-commit
     delete set fits one task (true for retention/erasure commits); a
     bulk delete raises the partition count — every resulting part file
     simply becomes one more manifest entry."""
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
-    (
-        deleted.repartitionByRange(1, "file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
+    pcols = pcols or []
+    if pcols:
+        deleted = deleted.join(F.broadcast(file_partitions), "file_path")
+    writer = (
+        deleted.repartitionByRange(1, *pcols, "file_path", "pos")
+        .sortWithinPartitions(*pcols, "file_path", "pos")
         .withMetadata("file_path", {"parquet.field.id": POS_DELETE_FILE_PATH_ID})
         .withMetadata("pos", {"parquet.field.id": POS_DELETE_POS_ID})
         .write.mode("overwrite")
-        .parquet(out_dir)
     )
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(out_dir)
     out = []
-    parts = sorted(
-        f
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
-    for j, part in enumerate(parts):
-        dst = os.path.join(out_dir, f"delete-{j:05d}.parquet")
-        os.replace(os.path.join(out_dir, part), dst)
+    part_files = []  # (dirpath, filename) in sorted walk order
+    for dirpath, dirnames, filenames in os.walk(out_dir):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                part_files.append((dirpath, fn))
+            elif not fn.endswith(".parquet"):
+                os.remove(os.path.join(dirpath, fn))  # _SUCCESS & friends
+    for j, (dirpath, part) in enumerate(part_files):
+        dst = os.path.join(dirpath, f"delete-{j:05d}.parquet")
+        os.replace(os.path.join(dirpath, part), dst)
+        partition = {}
+        for seg in os.path.relpath(dirpath, out_dir).split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                partition[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
         md = pq.ParquetFile(dst).metadata
         out.append(
             {
                 "path": dst,
                 "record_count": md.num_rows,
                 "size": os.path.getsize(dst),
+                "partition": partition,
             }
         )
-    for f in os.listdir(out_dir):  # _SUCCESS & friends
-        if not f.endswith(".parquet"):
-            os.remove(os.path.join(out_dir, f))
     return out
 
 
@@ -293,17 +323,18 @@ def export_iceberg_metadata(
     Avro), so re-export after new commits extends the tree in place and
     bumps `version-hint.text`.
 
-    With `format_version=2`, pure-delete transitions on UNPARTITIONED
-    tables (child rows ⊆ parent rows as a multiset — the cheap parquet
-    footer row-count precheck gates the distributed diff) are exported
-    merge-on-read: the parent's data manifest is REUSED in the new
-    manifest list (carrying its original sequence number, so entry
-    inheritance resolves to the parent's sequence) and a content=1
-    delete manifest adds positional delete files. Everything else —
-    and every v1 export — is the full-rewrite ADDED model. Partitioned
-    tables always take the rewrite path (spec position deletes are
-    partition-scoped; a cross-partition delete file would need
-    per-partition splitting — an honest non-goal here). v2 delete
+    With `format_version=2`, pure-delete transitions (child rows ⊆
+    parent rows as a multiset — the cheap parquet footer row-count
+    precheck gates the distributed diff) are exported merge-on-read:
+    the parent's data manifest is REUSED in the new manifest list
+    (carrying its original sequence number, so entry inheritance
+    resolves to the parent's sequence) and a content=1 delete manifest
+    adds positional delete files. On identity-PARTITIONED tables the
+    delete files are PARTITION-SCOPED as the spec requires (delete rows
+    route through partitionBy on the base files' partition values; each
+    manifest entry carries its partition's typed tuple). Everything
+    else — and every v1 export — is the full-rewrite ADDED model. v2
+    delete
     snapshots are content-deterministic but not byte-stable (Spark task
     file layout); manifests reference the deterministic renamed
     delete-file paths, so re-export converges."""
@@ -384,7 +415,6 @@ def export_iceberg_metadata(
         deleted = None
         if (
             format_version == 2
-            and not spec_fields  # partition-scoped deletes: rewrite instead
             and base_dir is not None
             and os.path.isdir(base_dir)
             and base_live_rows is not None
@@ -402,7 +432,40 @@ def export_iceberg_metadata(
         if deleted is not None:
             # --- merge-on-read delete snapshot ---
             ddir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
-            dfiles = _write_position_deletes(table.spark, deleted, ddir)
+            file_partitions = None
+            if spec_fields:
+                # partition-scoped delete files (the spec's rule): map
+                # each base data file to its raw partition values so the
+                # delete rows can be routed by partitionBy
+                base_files = _snapshot_files(table.root, base_dir)
+                rows = [
+                    tuple(
+                        [
+                            os.path.join(
+                                table.root, urllib.parse.unquote(f["path"])
+                            )
+                        ]
+                        + [
+                            f["partitionValues"].get(sf["name"])
+                            for sf in spec_fields
+                        ]
+                    )
+                    for f in base_files
+                ]
+                file_partitions = table.spark.createDataFrame(
+                    rows,
+                    ", ".join(
+                        ["file_path string"]
+                        + [f"{sf['name']} string" for sf in spec_fields]
+                    ),
+                )
+            dfiles = _write_position_deletes(
+                table.spark,
+                deleted,
+                ddir,
+                file_partitions=file_partitions,
+                pcols=[sf["name"] for sf in spec_fields],
+            )
             manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
             entries = [
                 {
@@ -414,7 +477,12 @@ def export_iceberg_metadata(
                         "content": 1,  # POSITION DELETES
                         "file_path": d["path"],
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": {
+                            sf["name"]: _partition_value(
+                                sf["type"], d["partition"].get(sf["name"])
+                            )
+                            for sf in spec_fields
+                        },
                         "record_count": d["record_count"],
                         "file_size_in_bytes": d["size"],
                     },
@@ -639,11 +707,13 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
     inheritance (a null entry `data_sequence_number` on an ADDED entry
     inherits the manifest-list row's `sequence_number`; EXISTING/DELETED
     entries must carry it explicitly), collects content=1 delete
-    manifests, and masks positional deletes with ONE extra broadcast
-    anti-join: data rows get `(file, _metadata.row_index)` and drop
-    pairs named by any position-delete file whose sequence number is >=
-    the data file's (the spec's applies-to rule). Equality deletes
-    (content=2) raise honestly.
+    manifests, and masks BOTH delete flavors with broadcast anti-joins:
+    positional delete files drop (file, `_metadata.row_index`) pairs
+    where delete.seq >= data.seq, and equality delete files (what
+    streaming upsert writers like Flink emit; matched null-safe on the
+    `equality_ids` columns) drop strictly-older rows where
+    delete.seq > data.seq — the spec's asymmetry. Equality deletes on
+    partition columns refuse honestly.
 
     100 TB plan shape: metadata resolution is driver-side and
     proportional to file count; the data read is ONE parquet scan with a
@@ -677,6 +747,7 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
     files: dict[str, dict] = {}
     file_seq: dict[str, int] = {}
     pos_deletes: list[tuple[str, int]] = []  # (delete file path, its seq)
+    eq_deletes: list[tuple[str, int, tuple]] = []  # (+ equality field ids)
     for mf in manifest_files:
         m_seq = mf.get("sequence_number")
         m_content = mf.get("content") or 0
@@ -703,9 +774,16 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
                 if e["status"] == 2:
                     continue
                 if df_rec.get("content") == 2:
-                    raise NotImplementedError(
-                        "equality deletes are not supported here"
+                    ids = df_rec.get("equality_ids")
+                    if not ids:
+                        raise ValueError(
+                            "equality delete file without equality_ids: "
+                            + df_rec["file_path"]
+                        )
+                    eq_deletes.append(
+                        (df_rec["file_path"], seq, tuple(ids))
                     )
+                    continue
                 pos_deletes.append((df_rec["file_path"], seq))
                 continue
             if e["status"] == 2:  # DELETED
@@ -747,23 +825,27 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
         return spark.createDataFrame([], full_schema)
     paths = {os.path.abspath(p): rec for p, rec in files.items()}
     df = spark.read.schema(data_schema).parquet(*paths)
-    if pos_deletes or pcols:
+    if pos_deletes or eq_deletes or pcols:
         df = df.withColumn(
             "_file", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
         )
-    if pos_deletes:
-        # one scan over every referenced delete file; each row is tagged
-        # with its delete file's sequence number via a broadcast map so
-        # the spec's applies-to rule (delete.seq >= data.seq) holds
-        # per data file, then the (file, pos) pairs mask the data scan
+    if pos_deletes or eq_deletes:
+        # attach each data row's (inherited) sequence number via the
+        # broadcast |files|-row map — BOTH delete flavors compare
+        # against it: positional applies at delete.seq >= data.seq,
+        # equality at delete.seq > data.seq (the spec's asymmetry:
+        # a positional delete can target rows of its own commit, an
+        # equality delete only strictly older data)
         df = df.withColumn("_pos", F.col("_metadata.row_index"))
+        fseq_map = spark.createDataFrame(
+            [(os.path.abspath(p), s) for p, s in file_seq.items()],
+            "_file STRING, _fseq BIGINT",
+        )
+        df = df.join(F.broadcast(fseq_map), "_file")
+    if pos_deletes:
         dseq_by_path = {os.path.abspath(p): s for p, s in pos_deletes}
         dmap = spark.createDataFrame(
             list(dseq_by_path.items()), "_dfile STRING, _dseq BIGINT"
-        )
-        seq_map = spark.createDataFrame(
-            [(os.path.abspath(p), s) for p, s in file_seq.items()],
-            "_tfile STRING, _tseq BIGINT",
         )
         mask = (
             spark.read.parquet(*dseq_by_path)
@@ -771,18 +853,60 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
                 "_dfile", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
             )
             .join(F.broadcast(dmap), "_dfile")
-            .join(
-                F.broadcast(seq_map),
-                F.col("file_path") == F.col("_tfile"),
-            )
-            .where(F.col("_dseq") >= F.col("_tseq"))
-            .select(
-                F.col("file_path").alias("_file"), F.col("pos").alias("_pos")
-            )
+            .select("file_path", "pos", "_dseq")
+            .alias("m")
         )
-        df = df.join(F.broadcast(mask), ["_file", "_pos"], "left_anti").drop(
-            "_pos"
+        d = df.alias("d")
+        df = d.join(
+            F.broadcast(mask),
+            (F.col("d._file") == F.col("m.file_path"))
+            & (F.col("d._pos") == F.col("m.pos"))
+            & (F.col("m._dseq") >= F.col("d._fseq")),
+            "left_anti",
         )
+    if eq_deletes:
+        # equality deletes (what streaming upsert writers like Flink
+        # emit): each delete row removes every strictly-older data row
+        # matching on the equality_ids columns (null-safe, per spec).
+        # One broadcast anti-join per distinct equality_ids set.
+        id_to_name = {f["id"]: f["name"] for f in schema_fields}
+        groups: dict[tuple, list[tuple[str, int]]] = {}
+        for p, s, ids in eq_deletes:
+            groups.setdefault(ids, []).append((p, s))
+        for ids, plist in groups.items():
+            try:
+                names = [id_to_name[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"equality_ids {ids} reference unknown field id {exc}"
+                ) from None
+            if any(nm in pcols for nm in names):
+                raise NotImplementedError(
+                    "equality delete on a partition column is not "
+                    f"supported here (columns {names})"
+                )
+            dmap2 = spark.createDataFrame(
+                [(os.path.abspath(p), s) for p, s in plist],
+                "_dfile STRING, _dseq BIGINT",
+            )
+            ddf = (
+                spark.read.parquet(*{os.path.abspath(p) for p, _ in plist})
+                .select(
+                    *names,
+                    F.regexp_replace(
+                        F.input_file_name(), _SCHEME_RE, "/"
+                    ).alias("_dfile"),
+                )
+                .join(F.broadcast(dmap2), "_dfile")
+                .alias("e")
+            )
+            d = df.alias("d")
+            cond = F.col("e._dseq") > F.col("d._fseq")
+            for nm in names:
+                cond = cond & F.col(f"d.{nm}").eqNullSafe(F.col(f"e.{nm}"))
+            df = d.join(F.broadcast(ddf), cond, "left_anti")
+    if pos_deletes or eq_deletes:
+        df = df.drop("_pos", "_fseq")
     if pcols:
         iceberg_types = {
             f["name"]: f["type"] for f in schema_fields if f["name"] in pcols

@@ -887,12 +887,21 @@ def test_dv_corrupt_bitmap_refuses(dv_table, spark):
     dv_files = [
         f for f in os.listdir(dv_table.root) if f.startswith("deletion_vector_")
     ]
-    p = os.path.join(dv_table.root, sorted(dv_files)[0])
-    data = bytearray(open(p, "rb").read())
-    data[10] ^= 0xFF
-    open(p, "wb").write(bytes(data))
+    assert len(dv_files) == 2
+    # corrupt the payload of BOTH dv files (uuid5 names depend on the
+    # table root, so which commit's file sorts first varies per run —
+    # flipping one byte of one file could land in a blob the read
+    # version no longer references)
+    for f in dv_files:
+        p = os.path.join(dv_table.root, f)
+        data = bytearray(open(p, "rb").read())
+        for i in range(5, len(data)):
+            data[i] ^= 0xFF
+        open(p, "wb").write(bytes(data))
     with pytest.raises(ValueError):
         read_delta_table(spark, dv_table.root, version=1).collect()
+    with pytest.raises(ValueError):
+        read_delta_table(spark, dv_table.root, version=2).collect()
 
 
 def test_reader_rejects_other_v3_features(dv_table, spark, tmp_path):
@@ -918,3 +927,40 @@ def test_reader_rejects_other_v3_features(dv_table, spark, tmp_path):
     open(p0, "w").write("\n".join(out) + "\n")
     with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta_table(spark, root)
+
+
+def test_dv_partitioned_table(spark, tmp_path):
+    """DVs are per-file, so partitioned tables take the DV path too:
+    the re-added file keeps its partitionValues, the masked read still
+    attaches partition columns, every version value-matches."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "pdv"))
+    df = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (1 + i % 3)) for i in range(30)],
+        "id long, dt string",
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    t.write(df.filter("id % 4 != 0"), partition_by=["dt"], committed_at_ms=2000)
+    log_dir = export_delta_log(t, mor_deletes=True)
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(log_dir, f"{1:020d}.json"))
+    ]
+    assert acts[0]["commitInfo"]["operation"] == "DELETE"
+    dv_adds = [
+        a["add"] for a in acts if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv_adds and all(a["partitionValues"].get("dt") for a in dv_adds)
+    assert sum(a["deletionVector"]["cardinality"] for a in dv_adds) == 8
+    for v, version in ((0, 1), (1, 2)):
+        got = sorted(
+            (r["id"], str(r["dt"]))
+            for r in read_delta_table(spark, t.root, version=v).collect()
+        )
+        want = sorted(
+            (r["id"], str(r["dt"])) for r in t.read(version=version).collect()
+        )
+        assert got == want, v

@@ -536,9 +536,11 @@ def test_v2_non_subset_falls_back_to_rewrite(spark, tmp_path):
     assert got == [(i, i * 2) for i in range(10)]
 
 
-def test_v2_partitioned_table_always_rewrites(spark, tmp_path):
-    """Spec position deletes are partition-scoped; this exporter keeps
-    partitioned tables on the rewrite path (documented non-goal)."""
+def test_v2_partitioned_table_partition_scoped_deletes(spark, tmp_path):
+    """Spec position deletes are partition-scoped: a partitioned pure
+    delete exports MoR with one-or-more delete files PER partition,
+    each manifest entry carrying that partition's typed values, and the
+    masked read still attaches partition columns correctly."""
     t = SnapshotTable(spark, str(tmp_path / "part2"))
     df = spark.createDataFrame(
         [(i, "2024-01-0%d" % (1 + i % 2)) for i in range(12)], "id long, dt string"
@@ -548,16 +550,48 @@ def test_v2_partitioned_table_always_rewrites(spark, tmp_path):
     export_iceberg_metadata(t, format_version=2)
     md = load_metadata(t.root)
     assert [s["summary"]["operation"] for s in md["snapshots"]] == [
-        "overwrite", "overwrite",
+        "overwrite", "delete",
     ]
-    got = sorted(
-        (r["id"], str(r["dt"]))
-        for r in read_iceberg_table(spark, t.root, snapshot_id=2).collect()
-    )
-    want = sorted(
-        (r["id"], str(r["dt"])) for r in t.read(version=2).collect()
-    )
-    assert got == want
+    # delete manifest entries are partition-scoped with typed values,
+    # and each delete file only names data files of its own partition
+    _, m2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    del_rows = [r for r in m2 if r["content"] == 1]
+    assert len(del_rows) == 1
+    _, entries = read_avro_file(del_rows[0]["manifest_path"])
+    import pyarrow.parquet as pq
+
+    data_partition = {}  # data file path -> dt raw value (from dir name)
+    for r in m2:
+        if r["content"] == 0:
+            _, des = read_avro_file(r["manifest_path"])
+            for e in des:
+                p = e["data_file"]["file_path"]
+                seg = [s for s in p.split(os.sep) if s.startswith("dt=")]
+                data_partition[p] = seg[0][3:]
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    seen_partitions = set()
+    for e in entries:
+        assert e["data_file"]["content"] == 1
+        # dt partition dirs type-infer as DATE → typed value = epoch days
+        days = e["data_file"]["partition"]["dt"]
+        iso = (epoch + _dt.timedelta(days=days)).isoformat()
+        assert iso in ("2024-01-01", "2024-01-02"), days
+        seen_partitions.add(iso)
+        tbl = pq.read_table(e["data_file"]["file_path"])
+        targets = set(tbl.column("file_path").to_pylist())
+        assert targets and all(data_partition[t] == iso for t in targets)
+    assert seen_partitions == {"2024-01-01", "2024-01-02"}
+    for sid, version in ((1, 1), (2, 2)):
+        got = sorted(
+            (r["id"], str(r["dt"]))
+            for r in read_iceberg_table(spark, t.root, snapshot_id=sid).collect()
+        )
+        want = sorted(
+            (r["id"], str(r["dt"])) for r in t.read(version=version).collect()
+        )
+        assert got == want, sid
 
 
 def test_v2_delete_files_spec_shape(v2_table):
@@ -629,3 +663,180 @@ def test_v2_reexport_converges_and_extends(spark, tmp_path):
     assert len(md["snapshots"]) == 3
     got = sorted(r["id"] for r in read_iceberg_table(spark, t.root).collect())
     assert got == list(range(10))
+
+
+# --- equality deletes: read-side support over a hand-built v2 tree ----------
+
+
+def _hand_v2_tree(spark, root, eq_ids, eq_rows, eq_schema):
+    """Build a v2 tree by hand: snapshot 1 adds one data file (seq 1),
+    snapshot 2 adds one EQUALITY delete file (content=2, seq 2) over
+    `eq_ids`. The exporter never writes equality deletes (streaming
+    upsert writers like Flink do) — this simulates such a tree for the
+    reader."""
+    from hybrid_data_lakehouse_lab_spark.operators.avro_io import write_avro
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+        _manifest_list_schema,
+    )
+
+    os.makedirs(os.path.join(root, "metadata"))
+    meta_dir = os.path.join(root, "metadata")
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(
+        os.path.join(root, "data")
+    )
+    (data_file,) = [
+        os.path.join(root, "data", f)
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    ]
+    spark.createDataFrame(eq_rows, eq_schema).coalesce(1).write.parquet(
+        os.path.join(root, "eqdel")
+    )
+    (del_file,) = [
+        os.path.join(root, "eqdel", f)
+        for f in os.listdir(os.path.join(root, "eqdel"))
+        if f.endswith(".parquet")
+    ]
+    entry_schema = _entry_schema([], 2)
+    # extend data_file with the spec's equality_ids (field-id 135)
+    for f in entry_schema["fields"]:
+        if f["name"] == "data_file":
+            f["type"]["fields"].append(
+                {
+                    "name": "equality_ids",
+                    "type": ["null", {"type": "array", "items": "int"}],
+                    "default": None,
+                    "field-id": 135,
+                }
+            )
+
+    def entry(path, content, ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "data_sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": ids,
+            },
+        }
+
+    m_data = os.path.join(meta_dir, "m-00000.avro")
+    m_del = os.path.join(meta_dir, "m-00001-del.avro")
+    write_avro(m_data, entry_schema, [entry(data_file, 0)])
+    write_avro(m_del, entry_schema, [entry(del_file, 2, list(eq_ids))])
+
+    def row(path, content, seq, sid):
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": sid,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    ls = _manifest_list_schema(2)
+    l1 = os.path.join(meta_dir, "snap-1-1-manifest-list.avro")
+    l2 = os.path.join(meta_dir, "snap-2-1-manifest-list.avro")
+    write_avro(l1, ls, [row(m_data, 0, 1, 1)])
+    write_avro(l2, ls, [row(m_data, 0, 1, 1), row(m_del, 1, 2, 2)])
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 2,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "long"},
+            ],
+        },
+        "schemas": [],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 1,
+                "summary": {"operation": "append"},
+                "manifest-list": l1,
+                "schema-id": 0,
+            },
+            {
+                "snapshot-id": 2,
+                "sequence-number": 2,
+                "timestamp-ms": 2,
+                "summary": {"operation": "delete"},
+                "manifest-list": l2,
+                "schema-id": 0,
+            },
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+
+def test_v2_equality_deletes_masked(spark, tmp_path):
+    """Reader applies equality deletes: rows matching the equality_ids
+    columns of any delete row with seq > data seq disappear; the
+    pre-delete snapshot is untouched (strictly-older rule)."""
+    root = str(tmp_path / "eq")
+    _hand_v2_tree(spark, root, (1,), [(3,), (7,)], "id long")
+    got = sorted(r["id"] for r in read_iceberg_table(spark, root).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+    got1 = sorted(
+        r["id"] for r in read_iceberg_table(spark, root, snapshot_id=1).collect()
+    )
+    assert got1 == list(range(10))
+
+
+def test_v2_equality_deletes_multi_column_null_safe(spark, tmp_path):
+    """Multi-column equality_ids; matching is null-safe per spec."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    root = str(tmp_path / "eq2")
+    # delete (id=2, v=4) and (id=5, v=10): both real rows; plus a
+    # non-matching pair (id=3, v=999) that must delete nothing
+    _hand_v2_tree(
+        spark, root, (1, 2), [(2, 4), (5, 10), (3, 999)], "id long, v long"
+    )
+    got = sorted(r["id"] for r in read_iceberg_table(spark, root).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_v2_equality_delete_unknown_field_refused(spark, tmp_path):
+    root = str(tmp_path / "eq3")
+    _hand_v2_tree(spark, root, (99,), [(3,)], "id long")
+    with pytest.raises(ValueError, match="unknown field id"):
+        read_iceberg_table(spark, root).collect()

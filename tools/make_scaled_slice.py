@@ -29,14 +29,37 @@ import duckdb
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def build(src: str, dst: str, k: int, doc_limit: int | None = None) -> None:
+def build(
+    src: str,
+    dst: str,
+    k: int,
+    doc_limit: int | None = None,
+    skewed: bool = False,
+) -> None:
     """doc_limit keeps only the first N base documents before
     replication — used by tests/test_engaged_caps.py to build a slice
-    whose caps engage in seconds instead of minutes."""
+    whose caps engage in seconds instead of minutes.
+
+    skewed=True additionally redraws the three hottest join/agg keys —
+    events.user_id, orders.o_custkey, lineitem.l_partkey — from a
+    Zipf(≈1) distribution over their ORIGINAL FK domain (floor(N^u)
+    with u uniform from a deterministic hash is log-uniform, i.e.
+    frequency ∝ 1/key): the heaviest user/customer/part absorbs a
+    constant fraction of all rows no matter the scale, which is the
+    regime where a uniform-slice gate silently under-tests shuffles,
+    windows, and AQE skew-join handling (VERDICT r6 item 3). FK
+    integrity is preserved because draws stay inside [1, max(base key)]
+    and dimensions are copied 1:1."""
     out = Path(dst)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
+
+    def zipf(seed_expr: str, n: int) -> str:
+        """Deterministic Zipf(≈1) draw in [1, n]: hash → u ∈ [0,1) →
+        floor(n^u) (log-uniform ⇒ P(key) ∝ 1/key)."""
+        u = f"((hash({seed_expr}) % 1048576) / 1048576.0)"
+        return f"LEAST({n}, GREATEST(1, CAST(floor(power({n}, {u})) AS BIGINT)))"
 
     def write(table: str, sql: str) -> None:
         con.execute(
@@ -52,15 +75,25 @@ def build(src: str, dst: str, k: int, doc_limit: int | None = None) -> None:
         write(t, f"SELECT * FROM {p(t)}")
 
     ok = con.sql(f"SELECT max(o_orderkey) + 1 FROM {p('orders')}").fetchone()[0]
+    custkey = "o_custkey"
+    partkey = "l_partkey"
+    if skewed:
+        maxcust = con.sql(f"SELECT max(c_custkey) FROM {p('customer')}").fetchone()[0]
+        maxpart = con.sql(f"SELECT max(p_partkey) FROM {p('part')}").fetchone()[0]
+        custkey = zipf(f"o_orderkey + r.k * {ok}", maxcust) + " AS o_custkey"
+        partkey = (
+            zipf(f"(l_orderkey + r.k * {ok}) * 16 + l_linenumber", maxpart)
+            + " AS l_partkey"
+        )
     write(
         "orders",
-        f"""SELECT o_orderkey + r.k * {ok} AS o_orderkey, o_custkey,
+        f"""SELECT o_orderkey + r.k * {ok} AS o_orderkey, {custkey},
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM {p('orders')}, range({k}) AS r(k)""",
     )
     write(
         "lineitem",
-        f"""SELECT l_orderkey + r.k * {ok} AS l_orderkey, l_partkey, l_suppkey,
+        f"""SELECT l_orderkey + r.k * {ok} AS l_orderkey, {partkey}, l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
                    l_tax, l_returnflag, l_linestatus, l_shipdate
             FROM {p('lineitem')}, range({k}) AS r(k)""",
@@ -68,10 +101,15 @@ def build(src: str, dst: str, k: int, doc_limit: int | None = None) -> None:
 
     ev = con.sql(f"SELECT max(event_id) + 1 FROM {p('events')}").fetchone()[0]
     uid = con.sql(f"SELECT max(user_id) + 1 FROM {p('events')}").fetchone()[0]
+    userkey = (
+        zipf(f"event_id + r.k * {ev}", uid - 1) + " AS user_id"
+        if skewed
+        else f"user_id + r.k * {uid} AS user_id"
+    )
     write(
         "events",
         f"""SELECT event_id + r.k * {ev} AS event_id, ts,
-                   user_id + r.k * {uid} AS user_id, event_type, value, props
+                   {userkey}, event_type, value, props
             FROM {p('events')}, range({k}) AS r(k)""",
     )
 
