@@ -314,7 +314,10 @@ def _write_position_deletes(
 
 
 def export_iceberg_metadata(
-    table: SnapshotTable, branch: str = "main", format_version: int = 1
+    table: SnapshotTable,
+    branch: str = "main",
+    format_version: int = 1,
+    hidden_partitions: dict | None = None,
 ) -> str:
     """Emit an Iceberg `metadata/` tree under the table root for
     `branch`'s pointer history; returns the metadata directory.
@@ -353,6 +356,7 @@ def export_iceberg_metadata(
 
     # schema + partition spec from the LATEST snapshot's files/reader
     # (ADD-only evolution keeps older files readable under it)
+    hidden_partitions = hidden_partitions or {}
     latest = by_version[events[-1]["version"]]
     df = table.spark.read.parquet(latest["path"])
     latest_files = _snapshot_files(table.root, latest["path"])
@@ -360,9 +364,24 @@ def export_iceberg_metadata(
         (list(f["partitionValues"]) for f in latest_files if f["partitionValues"]),
         [],
     )
+    unknown_hidden = set(hidden_partitions) - set(pcols)
+    if unknown_hidden:
+        raise ValueError(
+            f"hidden_partitions name non-partition columns: "
+            f"{sorted(unknown_hidden)} (partition dirs: {pcols})"
+        )
     fields = []
     col_ids: dict[str, int] = {}
-    for i, f in enumerate(df.schema.fields, start=1):
+    i = 0
+    for f in df.schema.fields:
+        if f.name in hidden_partitions:
+            # HIDDEN partitioning (the Iceberg model the reference's
+            # `PARTITIONED BY (days(effective_start_ts))` uses,
+            # libs/scd2_spark_processor.py:151): the directory column is
+            # NOT a table column — it is a transform of a source column
+            # and lives only in the partition spec
+            continue
+        i += 1
         col_ids[f.name] = i
         fields.append(
             {
@@ -373,16 +392,41 @@ def export_iceberg_metadata(
             }
         )
     type_of = {f["name"]: f["type"] for f in fields}
-    spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": col_ids[c],
-            "field-id": 1000 + k,
-            "type": type_of[c],  # convenience for _entry_schema; stripped below
-        }
-        for k, c in enumerate(pcols)
-    ]
+    _TRANSFORM_TYPES = {"day": "date", "month": "int", "year": "int"}
+    spec_fields = []
+    for k, c in enumerate(pcols):
+        if c in hidden_partitions:
+            source_col, transform = hidden_partitions[c]
+            if transform not in _TRANSFORM_TYPES:
+                raise NotImplementedError(
+                    f"partition transform {transform!r} (only "
+                    f"{sorted(_TRANSFORM_TYPES)})"
+                )
+            if source_col not in col_ids:
+                raise ValueError(
+                    f"hidden partition {c!r} names unknown source column "
+                    f"{source_col!r}"
+                )
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": transform,
+                    "source-id": col_ids[source_col],
+                    "field-id": 1000 + k,
+                    "type": _TRANSFORM_TYPES[transform],
+                }
+            )
+        else:
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": col_ids[c],
+                    "field-id": 1000 + k,
+                    # convenience for _entry_schema; stripped below
+                    "type": type_of[c],
+                }
+            )
     entry_schema = _entry_schema(spec_fields, format_version)
     list_schema = _manifest_list_schema(format_version)
 
@@ -807,11 +851,15 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
         for f in metadata["partition-specs"][0]["fields"]
     }
     for f in spec.values():
-        if f["transform"] != "identity":
+        if f["transform"] not in ("identity", "day", "month", "year"):
             raise NotImplementedError(
                 f"partition transform {f['transform']!r}"
             )
-    pcols = list(spec)
+    # identity fields attach as real columns; day/month/year transforms
+    # are HIDDEN partitioning (the partition value is derived from a
+    # source column that IS in the schema) — nothing to attach, the
+    # manifests' typed values exist for pruning only
+    pcols = [n for n, f in spec.items() if f["transform"] == "identity"]
     full_schema = T.StructType(
         [
             T.StructField(f["name"], _spark_type(f["type"]), True)

@@ -840,3 +840,101 @@ def test_v2_equality_delete_unknown_field_refused(spark, tmp_path):
     _hand_v2_tree(spark, root, (99,), [(3,)], "id long")
     with pytest.raises(ValueError, match="unknown field id"):
         read_iceberg_table(spark, root).collect()
+
+
+# --- hidden partitioning: days(ts) — the reference's own table mode ---------
+
+
+def test_hidden_day_partition_export_and_read(spark, tmp_path):
+    """The reference's SCD2 table is `PARTITIONED BY
+    (days(effective_start_ts))` (libs/scd2_spark_processor.py:151) —
+    Iceberg HIDDEN partitioning: the partition value is a transform of
+    a source column, not a table column. Exporting with
+    hidden_partitions={'dt': ('ts', 'day')} must (a) exclude dt from
+    the schema, (b) emit a spec field with transform 'day' and the ts
+    source-id, (c) carry typed epoch-day partition values in the
+    manifests, and (d) read back WITHOUT a dt column, values matching
+    the snapshot on the real columns."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "hid"))
+    df = (
+        spark.range(20)
+        .selectExpr(
+            "id",
+            "timestamp'2024-01-01 06:00:00' + make_interval(0,0,0,CAST(id%3 AS INT),0,0,0) AS ts",
+        )
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "day")})
+    md = load_metadata(t.root)
+    assert [f["name"] for f in md["schema"]["fields"]] == ["id", "ts"]
+    (sf,) = md["partition-specs"][0]["fields"]
+    assert sf["transform"] == "day" and sf["name"] == "dt"
+    assert sf["source-id"] == 2  # ts
+    files = snapshot_files(t.root, md["snapshots"][0])
+    days = {f["partition"]["dt"] for f in files.values()}
+    assert days == {19723, 19724, 19725}
+    got = read_iceberg_table(spark, t.root)
+    assert got.columns == ["id", "ts"]  # hidden: dt is NOT a column
+    assert sorted((r["id"], str(r["ts"])) for r in got.collect()) == sorted(
+        (r["id"], str(r["ts"])) for r in t.read().select("id", "ts").collect()
+    )
+
+
+def test_hidden_day_partition_v2_mor_deletes(spark, tmp_path):
+    """Hidden day partitioning composes with v2 merge-on-read: the
+    delete snapshot exports partition-scoped delete files whose
+    manifest entries carry epoch-day values, and the masked read
+    matches."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "hid2"))
+    df = (
+        spark.range(30)
+        .selectExpr(
+            "id",
+            "timestamp'2024-01-01 06:00:00' + make_interval(0,0,0,CAST(id%2 AS INT),0,0,0) AS ts",
+        )
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    t.write(df.filter("id % 5 != 0"), partition_by=["dt"], committed_at_ms=2000)
+    export_iceberg_metadata(
+        t, format_version=2, hidden_partitions={"dt": ("ts", "day")}
+    )
+    md = load_metadata(t.root)
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite", "delete",
+    ]
+    _, m2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    (del_row,) = [r for r in m2 if r["content"] == 1]
+    _, entries = read_avro_file(del_row["manifest_path"])
+    assert {e["data_file"]["partition"]["dt"] for e in entries} == {19723, 19724}
+    for sid, version in ((1, 1), (2, 2)):
+        got = sorted(
+            (r["id"], str(r["ts"]))
+            for r in read_iceberg_table(spark, t.root, snapshot_id=sid).collect()
+        )
+        want = sorted(
+            (r["id"], str(r["ts"]))
+            for r in t.read(version=version).select("id", "ts").collect()
+        )
+        assert got == want, sid
+
+
+def test_hidden_partition_validation(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "hid3"))
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).selectExpr("id", "timestamp'2024-01-01' AS ts").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    with pytest.raises(ValueError, match="non-partition"):
+        export_iceberg_metadata(t, hidden_partitions={"nope": ("ts", "day")})
+    with pytest.raises(NotImplementedError, match="transform"):
+        export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "bucket")})
+    with pytest.raises(ValueError, match="unknown source"):
+        export_iceberg_metadata(t, hidden_partitions={"dt": ("missing", "day")})
