@@ -66,6 +66,14 @@ class Scd2Pipeline:
     #: hot-key skew mitigation (operators/scd2.py:scd2_from_changes_chunked).
     #: Identical output; enable for corpora with heartbeat-heavy entities.
     chunked: bool = False
+    #: Partition the SCD2 snapshots by effective-start DAY — the
+    #: reference's own table layout (`PARTITIONED BY
+    #: (days(effective_start_ts))`, libs/scd2_spark_processor.py:151).
+    #: Adds a derived `dt` directory column (date_format of
+    #: effective_start_ts) to every commit; pair with
+    #: `export_iceberg_metadata(..., hidden_partitions={"dt":
+    #: ("effective_start_ts", "day")})` for spec-exact Iceberg interop.
+    partition_by_start_day: bool = False
     table: SnapshotTable = field(init=False)
 
     def __post_init__(self) -> None:
@@ -149,6 +157,10 @@ class Scd2Pipeline:
             if n == 0:
                 return 0
             existing = self.table.read() if self.table.exists() else None
+            if existing is not None and self.partition_by_start_day:
+                # dt is a derived DIRECTORY column, not SCD2 state —
+                # recomputed fresh on every write
+                existing = existing.drop("dt")
             existing, cdc = self._evolve_schema(existing, cdc)
             merged = merge_scd2_batch(
                 existing,
@@ -160,9 +172,16 @@ class Scd2Pipeline:
                 self.order_cols,
                 chunked=self.chunked,
             )
+            partition_by = None
+            if self.partition_by_start_day:
+                merged = merged.withColumn(
+                    "dt", F.date_format("effective_start_ts", "yyyy-MM-dd")
+                )
+                partition_by = ["dt"]
             # data + checkpoint in ONE atomic manifest swap
             self.table.write(
                 merged,
+                partition_by=partition_by,
                 committed_at_ms=committed_at_ms,
                 properties={
                     "last_processed_us": ts_us,
