@@ -103,6 +103,73 @@ def _snapshot_files(root: str, snapshot_path: str) -> list[dict]:
     return out
 
 
+def _delta_stats(path: str) -> str | None:
+    """Per-file statistics JSON for the `add.stats` field
+    (numRecords / minValues / maxValues / nullCount — the shape
+    delta-spark writes and reads for DATA SKIPPING), computed from the
+    parquet FOOTER only. At 100 TB these are what let an external Delta
+    engine prune files by predicate instead of scanning the table.
+    Values serialize as JSON-native types (dates/timestamps ISO-8601);
+    columns whose footer lacks statistics are simply omitted."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    def conv(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep="T", timespec="microseconds")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, bool) or isinstance(v, (int, float, str)):
+            return v
+        return None
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            ent = agg.setdefault(
+                name, {"nulls": 0, "min": None, "max": None, "ok": st is not None}
+            )
+            if st is None or not st.has_min_max or st.null_count is None:
+                ent["ok"] = False
+                continue
+            ent["nulls"] += st.null_count
+            ent["min"] = st.min if ent["min"] is None else min(ent["min"], st.min)
+            ent["max"] = st.max if ent["max"] is None else max(ent["max"], st.max)
+    mins, maxs, nulls = {}, {}, {}
+    for name, ent in agg.items():
+        if not ent["ok"]:
+            continue
+        nulls[name] = ent["nulls"]
+        lo, hi = conv(ent["min"]), conv(ent["max"])
+        if lo is not None and hi is not None:
+            mins[name] = lo
+            maxs[name] = hi
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def export_delta_log(
     table: SnapshotTable, branch: str = "main", mor_deletes: bool = False
 ) -> str:
@@ -318,8 +385,17 @@ def export_delta_log(
                             }
                         }
                     )
-            actions.extend({"add": f} for f in files)
-            prev_files = files
+            stat_files = []
+            for f in files:
+                f2 = dict(f)
+                st = _delta_stats(
+                    os.path.join(table.root, urllib.parse.unquote(f["path"]))
+                )
+                if st:
+                    f2["stats"] = st
+                stat_files.append(f2)
+            actions.extend({"add": f} for f in stat_files)
+            prev_files = stat_files
             base_dir = snap["path"]
             dv_positions = {}
             if mor_deletes:
@@ -572,6 +648,7 @@ def write_checkpoint(
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                         # deletionVector rides the checkpoint too — a
                         # reader seeding from the checkpoint alone must
                         # still see (and mask) the DV'd files
@@ -622,6 +699,7 @@ def write_checkpoint(
                     "size": add.get("size"),
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": bool(add.get("dataChange", True)),
+                    "stats": add.get("stats"),
                     "deletionVector": add.get("deletionVector"),
                 }
             }

@@ -129,6 +129,25 @@ def _partition_value(iceberg_type: str, raw: str | None):
     raise NotImplementedError(iceberg_type)
 
 
+def _int_map_schema(name: str, key_id: int, value_id: int, value_type: str) -> dict:
+    """Iceberg's Avro encoding for map<int, X>: Avro maps require string
+    keys, so the spec stores them as an ARRAY of key/value records
+    (logicalType "map") with per-field ids — e.g. lower_bounds is
+    k126_v127."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }
+
+
 def _entry_schema(partition_fields: list[dict], format_version: int = 1) -> dict:
     """Iceberg manifest_entry Avro schema with the spec's field-ids
     (status 0, snapshot_id 1, data_file 2; file fields 100+; partition
@@ -136,7 +155,12 @@ def _entry_schema(partition_fields: list[dict], format_version: int = 1) -> dict
     `data_sequence_number` (3) / `file_sequence_number` (4) — null on
     ADDED entries so readers must apply the spec's inheritance rule —
     plus the required data_file `content` (134), and drops the
-    v1-legacy `block_size_in_bytes` (105)."""
+    v1-legacy `block_size_in_bytes` (105). Data files carry the
+    optional per-column stats maps (value_counts 109, null_value_counts
+    110, lower_bounds 125, upper_bounds 128 — int-keyed maps in the
+    spec's array-of-record Avro encoding) — the metadata real engines
+    use for FILE SKIPPING, which at 100 TB is the difference between
+    reading a partition and reading everything."""
     partition_record = {
         "type": "record",
         "name": "r102",
@@ -156,6 +180,30 @@ def _entry_schema(partition_fields: list[dict], format_version: int = 1) -> dict
         {"name": "partition", "type": partition_record, "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "value_counts",
+            "type": ["null", _int_map_schema("k119_v120", 119, 120, "long")],
+            "default": None,
+            "field-id": 109,
+        },
+        {
+            "name": "null_value_counts",
+            "type": ["null", _int_map_schema("k121_v122", 121, 122, "long")],
+            "default": None,
+            "field-id": 110,
+        },
+        {
+            "name": "lower_bounds",
+            "type": ["null", _int_map_schema("k126_v127", 126, 127, "bytes")],
+            "default": None,
+            "field-id": 125,
+        },
+        {
+            "name": "upper_bounds",
+            "type": ["null", _int_map_schema("k129_v130", 129, 130, "bytes")],
+            "default": None,
+            "field-id": 128,
+        },
     ]
     if format_version == 1:
         file_fields.append(
@@ -311,6 +359,94 @@ def _write_position_deletes(
             }
         )
     return out
+
+
+def _bound_bytes(iceberg_type: str, v):
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    lower/upper bounds; None for unsupported types (omit the bound)."""
+    import struct
+
+    if v is None:
+        return None
+    try:
+        if iceberg_type == "int":
+            return struct.pack("<i", int(v))
+        if iceberg_type == "long":
+            return struct.pack("<q", int(v))
+        if iceberg_type == "float":
+            return struct.pack("<f", float(v))
+        if iceberg_type == "double":
+            return struct.pack("<d", float(v))
+        if iceberg_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if iceberg_type == "date":
+            d = v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
+            return struct.pack("<i", (d - _EPOCH).days)
+        if iceberg_type in ("timestamp", "timestamptz"):
+            if isinstance(v, datetime.datetime):
+                epoch = (
+                    datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                    if v.tzinfo
+                    else datetime.datetime(1970, 1, 1)
+                )
+                micros = (v - epoch) // datetime.timedelta(microseconds=1)
+                return struct.pack("<q", micros)
+            return None
+        if iceberg_type == "string":
+            s = v.decode("utf-8") if isinstance(v, bytes) else str(v)
+            return s.encode("utf-8")
+    except (ValueError, OverflowError, UnicodeDecodeError):
+        return None
+    return None  # decimal / binary / nested: omit
+
+
+def _file_column_stats(path: str, col_ids: dict[str, int], type_of: dict[str, str]):
+    """Per-column stats straight from the parquet FOOTER (no data
+    read): returns the four spec maps (value_counts 109,
+    null_value_counts 110, lower_bounds 125, upper_bounds 128) in the
+    array-of-record Avro shape, or Nones where the footer lacks
+    statistics. Bounds use the spec's single-value binary form — the
+    metadata that lets an engine skip files by predicate, the operation
+    that makes a 100 TB scan read only the files it must."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in col_ids:
+                continue  # nested or non-schema column
+            st = col.statistics
+            ent = agg.setdefault(
+                name, {"nulls": 0, "min": None, "max": None, "ok": st is not None}
+            )
+            if st is None or not st.has_min_max or st.null_count is None:
+                ent["ok"] = False
+                continue
+            ent["nulls"] += st.null_count
+            ent["min"] = st.min if ent["min"] is None else min(ent["min"], st.min)
+            ent["max"] = st.max if ent["max"] is None else max(ent["max"], st.max)
+    value_counts, null_counts, lower, upper = [], [], [], []
+    for name, ent in agg.items():
+        fid = col_ids[name]
+        value_counts.append({"key": fid, "value": md.num_rows})
+        if not ent["ok"]:
+            continue
+        null_counts.append({"key": fid, "value": ent["nulls"]})
+        lo = _bound_bytes(type_of[name], ent["min"])
+        hi = _bound_bytes(type_of[name], ent["max"])
+        if lo is not None and hi is not None:
+            lower.append({"key": fid, "value": lo})
+            upper.append({"key": fid, "value": hi})
+    return (
+        sorted(value_counts, key=lambda r: r["key"]) or None,
+        sorted(null_counts, key=lambda r: r["key"]) or None,
+        sorted(lower, key=lambda r: r["key"]) or None,
+        sorted(upper, key=lambda r: r["key"]) or None,
+    )
 
 
 def export_iceberg_metadata(
@@ -561,6 +697,9 @@ def export_iceberg_metadata(
             manifest_path = os.path.join(meta_dir, f"m-{i:05d}.avro")
             entries = []
             for full, (f, rc) in file_rc.items():
+                vcounts, ncounts, lower, upper = _file_column_stats(
+                    full, col_ids, type_of
+                )
                 data_file = {
                     "file_path": full,
                     "file_format": "PARQUET",
@@ -573,6 +712,10 @@ def export_iceberg_metadata(
                     },
                     "record_count": rc,
                     "file_size_in_bytes": f["size"],
+                    "value_counts": vcounts,
+                    "null_value_counts": ncounts,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
                 }
                 if format_version == 1:
                     data_file["block_size_in_bytes"] = 67108864

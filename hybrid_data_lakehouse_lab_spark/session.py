@@ -52,6 +52,11 @@ def get_spark(
         # rejects; read as long and normalize in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # int64 micros, not the deprecated INT96: INT96 columns carry no
+        # parquet min/max statistics (killing timestamp data-skipping in
+        # the exported Delta/Iceberg metadata) and both table-format
+        # specs require int64-encoded timestamps in data files.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -964,3 +964,61 @@ def test_dv_partitioned_table(spark, tmp_path):
             (r["id"], str(r["dt"])) for r in t.read(version=version).collect()
         )
         assert got == want, v
+
+
+def test_add_stats_enable_data_skipping(table, spark):
+    """Every rewrite add carries the spec's stats JSON (numRecords /
+    minValues / maxValues / nullCount) computed from parquet footers;
+    sums and bounds must equal DuckDB's ground truth, and checkpoints
+    must preserve the stats."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        replay_delta_log as module_replay,
+        write_checkpoint,
+    )
+
+    log_dir = export_delta_log(table)
+    state = module_replay(log_dir)
+    adds = list(state["files"].values())
+    assert all(a.get("stats") for a in adds)
+    stats = [json.loads(a["stats"]) for a in adds]
+    assert sum(s["numRecords"] for s in stats) == 3  # final snapshot rows
+    paths = [
+        os.path.join(table.root, urllib.parse.unquote(p)) for p in state["files"]
+    ]
+    lo, hi = duckdb.connect().execute(
+        "SELECT min(v), max(v) FROM read_parquet(?)", [paths]
+    ).fetchone()
+    assert min(s["minValues"]["v"] for s in stats if "v" in s["minValues"]) == lo
+    assert max(s["maxValues"]["v"] for s in stats if "v" in s["maxValues"]) == hi
+    write_checkpoint(log_dir)
+    import pyarrow.parquet as pq
+
+    cp = pq.read_table(
+        os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
+    ).to_pylist()
+    cp_stats = [r["add"]["stats"] for r in cp if r.get("add")]
+    assert cp_stats and all(json.loads(s)["numRecords"] >= 0 for s in cp_stats)
+
+
+def test_add_stats_timestamp_iso(spark, tmp_path):
+    """Timestamp/date min/max serialize ISO-8601 in stats JSON."""
+    t = SnapshotTable(spark, str(tmp_path / "ts"))
+    t.write(
+        spark.sql(
+            "SELECT id, timestamp'2024-03-01 10:00:00' + "
+            "make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts, "
+            "date'2024-03-01' + CAST(id AS INT) AS d FROM range(5)"
+        ).coalesce(1),
+        committed_at_ms=1000,
+    )
+    log_dir = export_delta_log(t)
+    (add,) = [
+        json.loads(line)["add"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if "add" in json.loads(line)
+    ]
+    st = json.loads(add["stats"])
+    assert st["minValues"]["ts"].startswith("2024-03-01T10:00:00")
+    assert st["maxValues"]["ts"].startswith("2024-03-01T10:04:00")
+    assert st["minValues"]["d"] == "2024-03-01"
+    assert st["maxValues"]["d"] == "2024-03-05"

@@ -1024,3 +1024,45 @@ def test_scd2_pipeline_day_partitioned_iceberg_export(spark, tmp_path):
     # the pipeline surface still works under partitioning
     cur = {r["id"]: r["price"] for r in p.current().collect()}
     assert cur == {1: 12.5}
+
+
+def test_data_file_stats_bounds(table):
+    """Data-file stats (value_counts / null_value_counts /
+    lower_bounds / upper_bounds) ride the manifests in the spec's
+    int-keyed array-of-record encoding with Appendix-D binary bounds;
+    the independent parse must decode them to the table's true
+    min/max."""
+    import struct as _st
+
+    export_iceberg_metadata(table, format_version=2)
+    md = load_metadata(table.root)
+    files = snapshot_files(table.root, md["snapshots"][-1])
+    los, his, rows = [], [], 0
+    for f in files.values():
+        if f["record_count"] == 0:
+            # empty part files legitimately have no footer stats
+            assert f["value_counts"] is None
+            continue
+        vc = {r["key"]: r["value"] for r in f["value_counts"]}
+        rows += vc[1]
+        nc = {r["key"]: r["value"] for r in f["null_value_counts"]}
+        assert set(nc.values()) == {0}
+        lo = {r["key"]: r["value"] for r in f["lower_bounds"]}
+        hi = {r["key"]: r["value"] for r in f["upper_bounds"]}
+        los.append(_st.unpack("<q", lo[2])[0])  # v column, id 2
+        his.append(_st.unpack("<q", hi[2])[0])
+    assert rows == 3  # last snapshot rows
+    want = sorted(r["v"] for r in table.read().collect())
+    assert min(los) == want[0] and max(his) == want[-1]
+
+
+def test_delete_manifest_entries_have_no_stats(v2_table):
+    """Positional delete entries leave the stats maps null — their
+    record_count is the position count, not data rows."""
+    export_iceberg_metadata(v2_table, format_version=2)
+    md = load_metadata(v2_table.root)
+    _, m2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    (del_row,) = [r for r in m2 if r["content"] == 1]
+    _, entries = read_avro_file(del_row["manifest_path"])
+    assert all(e["data_file"]["lower_bounds"] is None for e in entries)
+    assert all(e["data_file"]["value_counts"] is None for e in entries)
