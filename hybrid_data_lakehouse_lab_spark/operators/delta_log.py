@@ -791,7 +791,76 @@ def _resolve_dv(root: str, dv: dict) -> list[int]:
     return positions
 
 
-def read_delta_table(spark, root: str, version: int | None = None):
+def _delta_prune_may_match(add: dict, pcols: list[str], prune) -> bool:
+    """Can this add-action's file hold a row matching every (col, op,
+    value) conjunct? Uses the stats JSON (minValues/maxValues) and the
+    partition values; files lacking the needed stat are kept. ISO-8601
+    date/timestamp strings compare lexicographically in chronological
+    order, so date predicates work over the JSON string domain."""
+    import datetime as _dt
+
+    def domain(stored, v):
+        # align user value with the stored JSON/partition domain;
+        # None = incomparable (keep the file)
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            v = v.isoformat()
+        if isinstance(stored, bool) or isinstance(v, bool):
+            return (stored, v) if isinstance(stored, bool) and isinstance(v, bool) else None
+        if isinstance(stored, (int, float)) and isinstance(v, (int, float)):
+            return stored, v
+        if isinstance(stored, str):
+            if isinstance(v, (int, float)):
+                try:
+                    return float(stored), float(v)
+                except ValueError:
+                    return None
+            return stored, str(v)
+        return None
+
+    stats = None
+    if add.get("stats"):
+        try:
+            stats = json.loads(add["stats"])
+        except ValueError:
+            stats = None
+    for col, op, val in prune:
+        if col in pcols:
+            pv = (add.get("partitionValues") or {}).get(col)
+            if pv is None:
+                continue
+            d = domain(pv, val)
+            if d is None:
+                continue
+            lo = hi = d[0]
+            v = d[1]
+        else:
+            if not stats:
+                continue
+            lo_raw = stats.get("minValues", {}).get(col)
+            hi_raw = stats.get("maxValues", {}).get(col)
+            if lo_raw is None or hi_raw is None:
+                continue
+            d1, d2 = domain(lo_raw, val), domain(hi_raw, val)
+            if d1 is None or d2 is None:
+                continue
+            lo, v = d1
+            hi, _ = d2
+        if op == "=" and not (lo <= v <= hi):
+            return False
+        if op == "<" and not (lo < v):
+            return False
+        if op == "<=" and not (lo <= v):
+            return False
+        if op == ">" and not (hi > v):
+            return False
+        if op == ">=" and not (hi >= v):
+            return False
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise ValueError(f"unsupported prune op {op!r}")
+    return True
+
+
+def read_delta_table(spark, root: str, version: int | None = None, prune=None):
     """Read a Delta table (ours or an external writer's) at `version`
     (0-based, None = latest) with plain Spark parquet reads — the
     consumer half of the interop story, no delta-spark jar needed.
@@ -851,6 +920,16 @@ def read_delta_table(spark, root: str, version: int | None = None):
         os.path.abspath(os.path.join(root, urllib.parse.unquote(p))): add
         for p, add in state["files"].items()
     }
+    if prune:
+        # advisory file skipping off add.stats + partitionValues — the
+        # result is a SUPERSET of matching rows; the caller still
+        # applies the real filter (which Catalyst pushes into the
+        # surviving scans)
+        files = {
+            p: add
+            for p, add in files.items()
+            if _delta_prune_may_match(add, pcols, prune)
+        }
     if not files:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(data_schema).parquet(*files)

@@ -883,7 +883,72 @@ def _spark_type(iceberg_type: str):
     raise NotImplementedError(f"iceberg type {iceberg_type!r}")
 
 
-def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
+def _decode_bound(iceberg_type: str, b: bytes):
+    """Inverse of _bound_bytes for the comparable domain used in
+    pruning (dates stay epoch-days, timestamps epoch-micros)."""
+    import struct
+
+    if iceberg_type in ("int", "date"):
+        return struct.unpack("<i", b)[0]
+    if iceberg_type in ("long", "timestamp", "timestamptz"):
+        return struct.unpack("<q", b)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", b)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", b)[0]
+    if iceberg_type == "boolean":
+        return b == b"\x01"
+    if iceberg_type == "string":
+        return b.decode("utf-8")
+    return None
+
+
+def _pred_value(iceberg_type: str, v):
+    """Normalize a user predicate value into the bound domain."""
+    if iceberg_type == "date":
+        if isinstance(v, str):
+            v = datetime.date.fromisoformat(v)
+        if isinstance(v, datetime.date):
+            return (v - _EPOCH).days
+        return int(v)
+    if iceberg_type in ("timestamp", "timestamptz"):
+        if isinstance(v, str):
+            v = datetime.datetime.fromisoformat(v)
+        if isinstance(v, datetime.datetime):
+            epoch = (
+                datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                if v.tzinfo
+                else datetime.datetime(1970, 1, 1)
+            )
+            return (v - epoch) // datetime.timedelta(microseconds=1)
+        return int(v)
+    if iceberg_type in ("int", "long"):
+        return int(v)
+    if iceberg_type in ("float", "double"):
+        return float(v)
+    if iceberg_type == "string":
+        return str(v)
+    return v
+
+
+def _range_may_match(lo, hi, op: str, v) -> bool:
+    """Can any value in [lo, hi] satisfy `value op v`?"""
+    if op == "=":
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    raise ValueError(f"unsupported prune op {op!r}")
+
+
+def read_iceberg_table(
+    spark, root: str, snapshot_id: int | None = None, prune=None
+):
     """Read an Iceberg v1/v2 table at `snapshot_id` (None = current)
     with plain Spark parquet scans — the consumer half, no iceberg jar:
     version-hint → metadata.json → manifest list (Avro) → manifests →
@@ -901,6 +966,16 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
     `equality_ids` columns) drop strictly-older rows where
     delete.seq > data.seq — the spec's asymmetry. Equality deletes on
     partition columns refuse honestly.
+
+    `prune` is an ADVISORY list of (column, op, value) conjuncts with
+    op in =, <, <=, >, >= : files whose stats (manifest
+    lower/upper_bounds, Appendix-D decoded) or identity partition
+    values prove no row can match are dropped BEFORE the scan — the
+    driver-side file-skipping step real Iceberg engines run, and at
+    100 TB the difference between reading the matching files and
+    reading the table. The result is a SUPERSET of matching rows
+    (files without stats are kept); the caller still applies the real
+    filter — which Catalyst then also pushes into the surviving scans.
 
     100 TB plan shape: metadata resolution is driver-side and
     proportional to file count; the data read is ONE parquet scan with a
@@ -1003,6 +1078,49 @@ def read_iceberg_table(spark, root: str, snapshot_id: int | None = None):
     # source column that IS in the schema) — nothing to attach, the
     # manifests' typed values exist for pruning only
     pcols = [n for n, f in spec.items() if f["transform"] == "identity"]
+    if prune:
+        by_name = {f["name"]: f for f in schema_fields}
+
+        def may_match(rec) -> bool:
+            for col, op, val in prune:
+                if col in pcols:
+                    pv = (rec.get("partition") or {}).get(col)
+                    if pv is None:
+                        continue  # null/absent partition value: keep
+                    ptype = by_name[col]["type"] if col in by_name else "string"
+                    try:
+                        v = _pred_value(ptype, val)
+                    except (ValueError, TypeError):
+                        continue
+                    if not _range_may_match(pv, pv, op, v):
+                        return False
+                    continue
+                f = by_name.get(col)
+                if f is None:
+                    raise ValueError(f"prune column {col!r} not in schema")
+                fid = f["id"]
+                lob = {
+                    r["key"]: r["value"] for r in rec.get("lower_bounds") or []
+                }.get(fid)
+                hib = {
+                    r["key"]: r["value"] for r in rec.get("upper_bounds") or []
+                }.get(fid)
+                if lob is None or hib is None:
+                    continue  # no stats: cannot prune, keep
+                lo = _decode_bound(f["type"], lob)
+                hi = _decode_bound(f["type"], hib)
+                if lo is None or hi is None:
+                    continue
+                try:
+                    v = _pred_value(f["type"], val)
+                except (ValueError, TypeError):
+                    continue
+                if not _range_may_match(lo, hi, op, v):
+                    return False
+            return True
+
+        files = {p: rec for p, rec in files.items() if may_match(rec)}
+        file_seq = {p: s for p, s in file_seq.items() if p in files}
     full_schema = T.StructType(
         [
             T.StructField(f["name"], _spark_type(f["type"]), True)

@@ -1022,3 +1022,41 @@ def test_add_stats_timestamp_iso(spark, tmp_path):
     assert st["maxValues"]["ts"].startswith("2024-03-01T10:04:00")
     assert st["minValues"]["d"] == "2024-03-01"
     assert st["maxValues"]["d"] == "2024-03-05"
+
+
+def test_prune_skips_files_by_stats_and_partition(spark, tmp_path):
+    """Advisory prune: files whose stats or partition values preclude a
+    match are dropped BEFORE the scan — row counts prove the skip, and
+    filtering the pruned read equals the unpruned truth (superset
+    semantics)."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "prune"))
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id AS DOUBLE) / 2 AS v",
+        "CASE WHEN id < 50 THEN 'a' ELSE 'b' END AS part",
+    ).repartitionByRange(4, "id")
+    t.write(df, partition_by=["part"], committed_at_ms=1000)
+    export_delta_log(t)
+    full = read_delta_table(spark, t.root)
+    assert full.count() == 100
+    # stats prune on a data column: only files overlapping id >= 90 stay
+    pruned = read_delta_table(spark, t.root, prune=[("id", ">=", 90)])
+    assert 0 < pruned.count() < 100
+    got = sorted(r["id"] for r in pruned.where("id >= 90").collect())
+    assert got == list(range(90, 100))
+    # partition prune
+    ppart = read_delta_table(spark, t.root, prune=[("part", "=", "a")])
+    assert sorted(r["id"] for r in ppart.collect()) == list(range(50))
+    # conjunct of both; numeric-vs-string partition compare stays safe
+    both = read_delta_table(
+        spark, t.root, prune=[("part", "=", "b"), ("id", "<", 55)]
+    )
+    vals = sorted(r["id"] for r in both.where("id < 55").collect())
+    assert vals == list(range(50, 55))
+    # files without stats are kept (prune on unknown-stat column)
+    assert read_delta_table(
+        spark, t.root, prune=[("v", ">", 49.0)]
+    ).where("v > 49").count() == 1

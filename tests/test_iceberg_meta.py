@@ -1066,3 +1066,31 @@ def test_delete_manifest_entries_have_no_stats(v2_table):
     _, entries = read_avro_file(del_row["manifest_path"])
     assert all(e["data_file"]["lower_bounds"] is None for e in entries)
     assert all(e["data_file"]["value_counts"] is None for e in entries)
+
+
+def test_prune_skips_files_by_bounds_and_partition(spark, tmp_path):
+    """Advisory prune off the manifest bounds + identity partition
+    values: fewer rows come back (skipped files), and filtering the
+    pruned read equals the unpruned truth."""
+    t = SnapshotTable(spark, str(tmp_path / "prune"))
+    df = spark.range(100).selectExpr(
+        "id",
+        "date'2024-01-01' + CAST(id % 2 AS INT) AS dt",
+    ).repartitionByRange(4, "id")
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    export_iceberg_metadata(t, format_version=2)
+    full = read_iceberg_table(spark, t.root)
+    assert full.count() == 100
+    pruned = read_iceberg_table(spark, t.root, prune=[("id", ">=", 90)])
+    assert 0 < pruned.count() < 100
+    assert sorted(
+        r["id"] for r in pruned.where("id >= 90").collect()
+    ) == list(range(90, 100))
+    # identity DATE partition prune accepts iso strings and date objects
+    import datetime as _dt
+
+    for v in ("2024-01-02", _dt.date(2024, 1, 2)):
+        p = read_iceberg_table(spark, t.root, prune=[("dt", "=", v)])
+        assert sorted(r["id"] for r in p.collect()) == list(range(1, 100, 2))
+    with pytest.raises(ValueError, match="not in schema"):
+        read_iceberg_table(spark, t.root, prune=[("nope", "=", 1)]).collect()
