@@ -860,7 +860,46 @@ def _delta_prune_may_match(add: dict, pcols: list[str], prune) -> bool:
     return True
 
 
-def read_delta_table(spark, root: str, version: int | None = None, prune=None):
+def version_at_timestamp(log_dir: str, ts_ms: int) -> int:
+    """Delta TIMESTAMP AS OF: the last commit whose commitInfo
+    timestamp is <= ts_ms (this exporter stamps every commit; external
+    logs without commitInfo fall back to file mtime, the same fallback
+    delta-spark uses). Raises if ts_ms predates the earliest REPLAYABLE
+    commit (checkpoint cleaning moves the horizon up)."""
+    best = None
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".")[0].isdigit()):
+            continue
+        v = int(f.split(".")[0])
+        ts = None
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ts = a["commitInfo"].get("timestamp")
+                    break
+        if ts is None:
+            ts = int(os.stat(os.path.join(log_dir, f)).st_mtime * 1000)
+        if ts <= ts_ms:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no replayable commit at or before timestamp {ts_ms} in {log_dir}"
+        )
+    return best
+
+
+def read_delta_table(
+    spark,
+    root: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+    prune=None,
+):
     """Read a Delta table (ours or an external writer's) at `version`
     (0-based, None = latest) with plain Spark parquet reads — the
     consumer half of the interop story, no delta-spark jar needed.
@@ -890,6 +929,12 @@ def read_delta_table(spark, root: str, version: int | None = None, prune=None):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if version is not None and as_of_ms is not None:
+        raise ValueError("pass version OR as_of_ms, not both")
+    if as_of_ms is not None:
+        version = version_at_timestamp(
+            os.path.join(root, "_delta_log"), as_of_ms
+        )
     state = replay_delta_log(os.path.join(root, "_delta_log"), version)
     protocol = state["protocol"] or {}
     reader_v = protocol.get("minReaderVersion", 1)

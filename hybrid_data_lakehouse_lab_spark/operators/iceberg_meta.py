@@ -947,7 +947,11 @@ def _range_may_match(lo, hi, op: str, v) -> bool:
 
 
 def read_iceberg_table(
-    spark, root: str, snapshot_id: int | None = None, prune=None
+    spark,
+    root: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    prune=None,
 ):
     """Read an Iceberg v1/v2 table at `snapshot_id` (None = current)
     with plain Spark parquet scans — the consumer half, no iceberg jar:
@@ -999,7 +1003,27 @@ def read_iceberg_table(
         raise NotImplementedError(
             f"only Iceberg format-versions 1 and 2 are read here (got {fv})"
         )
-    sid = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
+    if snapshot_id is not None and as_of_ms is not None:
+        raise ValueError("pass snapshot_id OR as_of_ms, not both")
+    if as_of_ms is not None:
+        # TIMESTAMP AS OF per the spec: the snapshot-log records every
+        # current-snapshot change in time order; resolve to the last
+        # entry at or before the requested instant
+        eligible = [
+            e for e in metadata.get("snapshot-log", [])
+            if e["timestamp-ms"] <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before timestamp {as_of_ms} in {meta_dir}"
+            )
+        sid = eligible[-1]["snapshot-id"]
+    else:
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else metadata["current-snapshot-id"]
+        )
     snap = next(
         (s for s in metadata["snapshots"] if s["snapshot-id"] == sid), None
     )

@@ -1060,3 +1060,27 @@ def test_prune_skips_files_by_stats_and_partition(spark, tmp_path):
     assert read_delta_table(
         spark, t.root, prune=[("v", ">", 49.0)]
     ).where("v > 49").count() == 1
+
+
+def test_timestamp_as_of_read(table, spark):
+    """TIMESTAMP AS OF resolves to the last commit at or before the
+    instant (commitInfo timestamps: 1000/2000/3000)."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+        version_at_timestamp,
+    )
+
+    log_dir = export_delta_log(table)
+    assert version_at_timestamp(log_dir, 1000) == 0
+    assert version_at_timestamp(log_dir, 2999) == 1
+    assert version_at_timestamp(log_dir, 99999) == 2
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_table(spark, table.root, as_of_ms=2500).collect()
+    )
+    want = sorted((r["id"], r["v"]) for r in table.read(version=2).collect())
+    assert got == want
+    with pytest.raises(ValueError, match="at or before"):
+        read_delta_table(spark, table.root, as_of_ms=500)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_table(spark, table.root, version=1, as_of_ms=2500)

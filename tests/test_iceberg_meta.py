@@ -1094,3 +1094,28 @@ def test_prune_skips_files_by_bounds_and_partition(spark, tmp_path):
         assert sorted(r["id"] for r in p.collect()) == list(range(1, 100, 2))
     with pytest.raises(ValueError, match="not in schema"):
         read_iceberg_table(spark, t.root, prune=[("nope", "=", 1)]).collect()
+
+
+def test_timestamp_as_of_read(table, spark):
+    """TIMESTAMP AS OF via the snapshot-log (commit times 1000/2000/
+    3000), matching the SnapshotTable's own as-of resolution."""
+    export_iceberg_metadata(table)
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_iceberg_table(spark, table.root, as_of_ms=2500).collect()
+    )
+    want = sorted(
+        (r["id"], r["v"]) for r in table.read(as_of_ms=2500).collect()
+    )
+    assert got == want
+    latest = sorted(
+        (r["id"], r["v"])
+        for r in read_iceberg_table(spark, table.root, as_of_ms=9999).collect()
+    )
+    assert latest == sorted(
+        (r["id"], r["v"]) for r in table.read().collect()
+    )
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg_table(spark, table.root, as_of_ms=1)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_table(spark, table.root, snapshot_id=1, as_of_ms=2500)
