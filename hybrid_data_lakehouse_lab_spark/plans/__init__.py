@@ -121,6 +121,8 @@ _PRIORITY = [
     # --- slot 52: Delta deletion-vector sibling of the pinned iceberg-v2
     # lane (round 7) ---
     "delta_dv_roundtrip",
+    # --- slot 53: stats-based file skipping over the v2 tree (round 7) ---
+    "iceberg_stats_prune_scan",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

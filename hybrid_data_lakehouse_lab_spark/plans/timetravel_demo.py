@@ -448,3 +448,60 @@ def delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "delta_version INT, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "iceberg_stats_prune_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderkey >= 3000
+    """,
+)
+def iceberg_stats_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping round-trip, driver-visible: commit the orders
+    table range-partitioned on o_orderkey (files get disjoint key
+    ranges), export Iceberg v2 — whose manifests now carry per-file
+    lower/upper bounds — and read back with
+    `prune=[("o_orderkey", ">=", 3000)]`: the reader drops every file
+    whose bounds preclude a match BEFORE the scan (the in-lane assert
+    pins that files were really skipped, not just filtered), then the
+    residual filter + aggregate run on the survivors. A hash match
+    proves the pruned read is a correct superset — the 100 TB
+    behavior: answer the predicate from the files that can match, not
+    the table.
+
+    Output is 1 row regardless of scale; the writes, the footer-stats
+    export, and the pruned scan run distributed."""
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="iceberg_prune_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(orders.repartitionByRange(8, "o_orderkey"), committed_at_ms=1)
+        export_iceberg_metadata(t, format_version=2)
+        total = orders.count()
+        pruned = read_iceberg_table(
+            spark, t.root, prune=[("o_orderkey", ">=", 3000)]
+        )
+        kept = pruned.count()
+        assert 0 < kept < total, (kept, total)  # files REALLY skipped
+        row = (
+            pruned.filter(F.col("o_orderkey") >= 3000)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+            )
+            .collect()[0]
+        )
+        rows = [(row["n"], row["total_cents"])]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "n BIGINT, total_cents BIGINT")
