@@ -752,6 +752,49 @@ def clean_log_commits(log_dir: str) -> list[int]:
     return removed
 
 
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _physical_type(dt, where="table"):
+    """The PHYSICAL shape of a column-mapping table's type: every
+    struct field (top-level or nested inside struct/array/map) renamed
+    to its `delta.columnMapping.physicalName` from the schemaString
+    field metadata (PROTOCOL.md "Column Mapping": data files are
+    written under the physical names, which stay static across logical
+    renames). A mapped table whose field lacks a physical name is
+    malformed — refuse rather than guess."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            phys = (f.metadata or {}).get(_CM_PHYS)
+            if not phys:
+                raise ValueError(
+                    f"column-mapping table field {where}.{f.name} lacks "
+                    f"{_CM_PHYS} in its schema metadata"
+                )
+            fields.append(
+                T.StructField(
+                    phys,
+                    _physical_type(f.dataType, f"{where}.{f.name}"),
+                    f.nullable,
+                )
+            )
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _physical_type(dt.elementType, where + "[]"), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType, where + "{k}"),
+            _physical_type(dt.valueType, where + "{v}"),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _resolve_dv(root: str, dv: dict) -> list[int]:
     """Decode one `deletionVector` descriptor to its deleted row
     positions: storageType 'u' (uuid-derived file under the table
@@ -904,14 +947,27 @@ def read_delta_table(
     (0-based, None = latest) with plain Spark parquet reads — the
     consumer half of the interop story, no delta-spark jar needed.
 
-    Protocol scope: minReaderVersion 1, plus minReaderVersion 3 when
-    `readerFeatures` asks only for `deletionVectors` — DV'd adds are
-    masked by decoding each descriptor's roaring bitmap
+    Protocol scope: minReaderVersion 1; minReaderVersion 2 (the legacy
+    column-mapping protocol version); and minReaderVersion 3 when
+    `readerFeatures` ⊆ {`deletionVectors`, `columnMapping`}. DV'd adds
+    are masked by decoding each descriptor's roaring bitmap
     (operators/roaring.py; 'u'/'p'/'i' storage, CRC + cardinality
     verified) and anti-joining (file, `_metadata.row_index`) against
     the broadcast delete set, the same MoR shape as the Iceberg v2
-    reader. Column mapping and any other reader feature still refuse
-    honestly. Partition column VALUES come from
+    reader. COLUMN MAPPING (`delta.columnMapping.mode` = `name` or
+    `id`) resolves data columns by each field's
+    `delta.columnMapping.physicalName` — the name the spec requires
+    writers to use INSIDE the data files in both modes (`id` mode
+    additionally stamps parquet field_ids, but the physical name is
+    always present and static, so name resolution is exact for
+    spec-conformant files) — then renames back to the logical schema;
+    nested struct fields rename via a positional struct cast.
+    Partition values and file statistics are keyed by PHYSICAL name in
+    mapped logs (the spec's writer rule), and `prune` conjuncts are
+    translated accordingly; `metaData.partitionColumns` is accepted in
+    either name space (delta-spark records logical names there).
+    Any other reader feature still refuses honestly.
+    Partition column VALUES come from
     the log's add actions (the Delta rule — paths are opaque), cast to
     the schemaString's declared types; data files are read with the
     non-partition schema so a file that physically contains the
@@ -945,22 +1001,50 @@ def read_delta_table(
                 f"minReaderVersion 3 without readerFeatures is malformed; "
                 f"refusing to guess, got {protocol}"
             )
-        unsupported = feats - {"deletionVectors"}
+        unsupported = feats - {"deletionVectors", "columnMapping"}
         if unsupported:
             raise NotImplementedError(
                 f"unsupported Delta reader features {sorted(unsupported)}"
             )
-    elif reader_v > 1 or (feats and reader_v != 3):
+    elif reader_v == 2:
+        pass  # the legacy (pre-table-features) column-mapping version
+    elif reader_v > 1 or feats:
         raise NotImplementedError(
-            f"only Delta minReaderVersion 1 or 3 (deletionVectors) is "
-            f"supported here, got {protocol}"
+            f"only Delta minReaderVersion 1, 2 (columnMapping) or 3 "
+            f"(deletionVectors/columnMapping) is supported here, got "
+            f"{protocol}"
         )
     meta = state["metaData"]
     if meta is None:
         raise ValueError(f"{root}: log has no metaData action")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = meta.get("partitionColumns", [])
-    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm_mode not in ("none", "name", "id"):
+        raise NotImplementedError(
+            f"unknown delta.columnMapping.mode {cm_mode!r}"
+        )
+    if cm_mode != "none":
+        phys_schema = _physical_type(schema)
+        phys_of = {
+            lf.name: pf.name
+            for lf, pf in zip(schema.fields, phys_schema.fields)
+        }
+    else:
+        phys_schema = schema
+        phys_of = {}
+    logical_of = {v: k for k, v in phys_of.items()}
+    # partitionColumns may carry logical names (delta-spark) or physical
+    # ones; normalize to logical for the output, physical for lookups
+    pcols = [logical_of.get(c, c) for c in meta.get("partitionColumns", [])]
+    data_schema = T.StructType(
+        [
+            pf
+            for lf, pf in zip(schema.fields, phys_schema.fields)
+            if lf.name not in pcols
+        ]
+    )
     files = {
         os.path.abspath(os.path.join(root, urllib.parse.unquote(p))): add
         for p, add in state["files"].items()
@@ -969,11 +1053,14 @@ def read_delta_table(
         # advisory file skipping off add.stats + partitionValues — the
         # result is a SUPERSET of matching rows; the caller still
         # applies the real filter (which Catalyst pushes into the
-        # surviving scans)
+        # surviving scans). In mapped logs stats and partitionValues
+        # are keyed by PHYSICAL name, so translate the conjuncts.
+        prune_phys = [(phys_of.get(c, c), op, v) for c, op, v in prune]
+        pcols_phys = [phys_of.get(c, c) for c in pcols]
         files = {
             p: add
             for p, add in files.items()
-            if _delta_prune_may_match(add, pcols, prune)
+            if _delta_prune_may_match(add, pcols_phys, prune_phys)
         }
     if not files:
         return spark.createDataFrame([], schema)
@@ -998,9 +1085,14 @@ def read_delta_table(
     if pcols:
         # input_file_name() is a URI (file:/..., hdfs://host/..., s3a://
         # bucket/...); normalize both sides to the bare path for the join
+        def _pv(add, c):
+            pv = add.get("partitionValues") or {}
+            v = pv.get(phys_of.get(c, c))
+            return pv.get(c) if v is None else v
+
         mapping = spark.createDataFrame(
             [
-                (path, *[(add.get("partitionValues") or {}).get(c) for c in pcols])
+                (path, *[_pv(add, c) for c in pcols])
                 for path, add in files.items()
             ],
             T.StructType(
@@ -1018,4 +1110,15 @@ def read_delta_table(
         )
         for c in pcols:
             df = df.withColumn(c, F.col(c).cast(schema[c].dataType))
-    return df.select(*[f.name for f in schema.fields])
+    out = []
+    for lf in schema.fields:
+        if lf.name in pcols or cm_mode == "none":
+            out.append(F.col(lf.name))
+        else:
+            # physical → logical rename; the cast also renames NESTED
+            # struct fields back to their logical names (struct casts
+            # resolve positionally)
+            out.append(
+                F.col(phys_of[lf.name]).cast(lf.dataType).alias(lf.name)
+            )
+    return df.select(*out)

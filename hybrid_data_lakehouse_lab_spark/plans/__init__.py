@@ -123,6 +123,9 @@ _PRIORITY = [
     "delta_dv_roundtrip",
     # --- slot 53: stats-based file skipping over the v2 tree (round 7) ---
     "iceberg_stats_prune_scan",
+    # --- slot 54: Delta column-mapping read (physical-name resolution;
+    # round 7) ---
+    "delta_column_mapping_roundtrip",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

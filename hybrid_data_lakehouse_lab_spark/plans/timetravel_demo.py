@@ -505,3 +505,134 @@ def iceberg_stats_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "n BIGINT, total_cents BIGINT")
+
+
+@register(
+    "delta_column_mapping_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def delta_column_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING read, driver-visible: the lane hand-builds
+    an external-writer-shaped `_delta_log` (nothing from the exporter)
+    whose data files carry static PHYSICAL column names — the layout
+    every delta-spark table with `delta.columnMapping.mode=name|id`
+    uses (PROTOCOL.md "Column Mapping"; enabled by default on newer
+    Databricks runtimes, so this is the second-most-common advanced
+    feature in real logs after deletion vectors). Events are written
+    partitioned by the PHYSICAL partition name, add-actions carry
+    physically-keyed partitionValues (the spec's writer rule), and the
+    logical schema rides only in schemaString field metadata.
+    `read_delta_table` resolves the scan by physical name, attaches
+    partition values, and renames back to the logical schema; the hash
+    match proves the logical rows are exactly the events table.
+
+    Output is |event types| rows regardless of scale; the partitioned
+    write and the mapped read run distributed."""
+    import json as _json
+    import urllib.parse as _up
+
+    from ..operators.delta_log import read_delta_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="delta_cm_demo_")
+    try:
+        root = os.path.join(tmp, "t")
+        data_dir = os.path.join(root, "data")
+        (
+            ev.selectExpr(
+                "event_id AS `col-eid`",
+                "value AS `col-val`",
+                "event_type AS `col-et`",
+            )
+            .repartition("col-et")
+            .write.partitionBy("col-et")
+            .parquet(data_dir)
+        )
+        adds = []
+        for dirpath, _dn, fns in os.walk(data_dir):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(dirpath, fn), root
+                ).replace(os.sep, "/")
+                seg = next(s for s in rel.split("/") if s.startswith("col-et="))
+                adds.append(
+                    {
+                        "add": {
+                            "path": _up.quote(rel, safe="/=-._"),
+                            "partitionValues": {
+                                "col-et": _up.unquote(seg.split("=", 1)[1])
+                            },
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        def _f(name, typ, fid, phys):
+            return {
+                "name": name,
+                "type": typ,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": fid,
+                    "delta.columnMapping.physicalName": phys,
+                },
+            }
+
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm-demo",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": [
+                                _f("event_id", "long", 1, "col-eid"),
+                                _f("value", "double", 2, "col-val"),
+                                _f("event_type", "string", 3, "col-et"),
+                            ],
+                        }
+                    ),
+                    "partitionColumns": ["event_type"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                    "createdTime": 0,
+                }
+            },
+            *adds,
+        ]
+        log_dir = os.path.join(root, "_delta_log")
+        os.makedirs(log_dir)
+        with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        df = read_delta_table(spark, root)
+        assert df.columns == ["event_id", "value", "event_type"], df.columns
+        rows = (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["event_type"], r["n"], r["value_cents"]) for r in rows),
+        "event_type STRING, n BIGINT, value_cents BIGINT",
+    )

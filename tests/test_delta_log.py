@@ -921,12 +921,25 @@ def test_reader_rejects_other_v3_features(dv_table, spark, tmp_path):
         if "protocol" in a:
             a["protocol"]["readerFeatures"] = [
                 "deletionVectors",
-                "columnMapping",
+                "v2Checkpoint",
             ]
         out.append(json.dumps(a))
     open(p0, "w").write("\n".join(out) + "\n")
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta_table(spark, root)
+    # columnMapping, by contrast, is now a SUPPORTED reader feature:
+    # declaring it with mode unset still reads (mode defaults to none)
+    out2 = []
+    for line in open(p0).read().splitlines():
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = [
+                "deletionVectors",
+                "columnMapping",
+            ]
+        out2.append(json.dumps(a))
+    open(p0, "w").write("\n".join(out2) + "\n")
+    assert read_delta_table(spark, root, version=0).count() > 0
 
 
 def test_dv_partitioned_table(spark, tmp_path):
@@ -1084,3 +1097,364 @@ def test_timestamp_as_of_read(table, spark):
         read_delta_table(spark, table.root, as_of_ms=500)
     with pytest.raises(ValueError, match="not both"):
         read_delta_table(spark, table.root, version=1, as_of_ms=2500)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (PROTOCOL.md "Column Mapping"): external logs whose data
+# files use static PHYSICAL column names, with the logical schema carried in
+# schemaString field metadata. All logs below are hand-built in the spec's
+# own shape — nothing from the exporter — so the reader is tested against the
+# wire format, not against this repo's writer.
+# ---------------------------------------------------------------------------
+
+
+def _cm_field(name, typ, fid, phys, nullable=True):
+    return {
+        "name": name,
+        "type": typ,
+        "nullable": nullable,
+        "metadata": {
+            "delta.columnMapping.id": fid,
+            "delta.columnMapping.physicalName": phys,
+        },
+    }
+
+
+def _write_commits(root, *commits):
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    for i, actions in enumerate(commits):
+        with open(os.path.join(log, f"{i:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+
+def _one_parquet(spark, root, sub, df):
+    d = os.path.join(root, sub)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    (f,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    return f"{sub}/{f}"
+
+
+def _cm_meta(fields, mode, partition_columns=()):
+    return {
+        "metaData": {
+            "id": "m",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": list(partition_columns),
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            },
+            "createdTime": 0,
+        }
+    }
+
+
+def _add(path, partition_values=None, **extra):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": partition_values or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            **extra,
+        }
+    }
+
+
+CM_V2 = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+CM_V3 = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping"],
+    }
+}
+
+
+@pytest.mark.parametrize(
+    "mode,protocol", [("name", CM_V2), ("id", CM_V3)]
+)
+def test_column_mapping_flat_read(spark, tmp_path, mode, protocol):
+    """Both modes, both protocol spellings (legacy reader v2, and v3 +
+    columnMapping feature): data files carry physical names (the spec's
+    writer rule in BOTH modes); the read comes back under logical names
+    with logical types."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / f"cm_{mode}")
+    os.makedirs(root)
+    rel = _one_parquet(
+        spark,
+        root,
+        "data",
+        spark.range(6).selectExpr(
+            "id AS `col-aaa`", "CAST(id * 10 AS INT) AS `col-bbb`"
+        ),
+    )
+    fields = [
+        _cm_field("id", "long", 1, "col-aaa"),
+        _cm_field("v", "integer", 2, "col-bbb"),
+    ]
+    _write_commits(root, [protocol, _cm_meta(fields, mode), _add(rel)])
+    df = read_delta_table(spark, root)
+    assert df.columns == ["id", "v"]
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == [(i, i * 10) for i in range(6)]
+
+
+def test_column_mapping_partitioned_both_namespaces(spark, tmp_path):
+    """partitionValues are keyed by PHYSICAL name (the spec's writer
+    rule); metaData.partitionColumns may be logical (delta-spark) or
+    physical — both normalize to the logical output column."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    for pc_name in ("pk", "col-ppp"):
+        root = str(tmp_path / f"cm_part_{pc_name.replace('-', '_')}")
+        os.makedirs(root)
+        rels = {
+            k: _one_parquet(
+                spark,
+                root,
+                f"d{k}",
+                spark.range(3).selectExpr(f"id + {10 * k} AS `col-aaa`"),
+            )
+            for k in (1, 2)
+        }
+        fields = [
+            _cm_field("id", "long", 1, "col-aaa"),
+            _cm_field("pk", "integer", 2, "col-ppp"),
+        ]
+        _write_commits(
+            root,
+            [
+                CM_V2,
+                _cm_meta(fields, "name", partition_columns=[pc_name]),
+                _add(rels[1], {"col-ppp": "1"}),
+                _add(rels[2], {"col-ppp": "2"}),
+            ],
+        )
+        df = read_delta_table(spark, root)
+        assert df.columns == ["id", "pk"]
+        assert dict(df.dtypes)["pk"] == "int"
+        got = sorted((r["id"], r["pk"]) for r in df.collect())
+        assert got == [(i + 10 * k, k) for k in (1, 2) for i in range(3)]
+
+
+def test_column_mapping_nested_struct_rename(spark, tmp_path):
+    """Nested struct fields rename physical→logical too (positional
+    struct cast), including structs inside arrays."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "cm_nested")
+    os.makedirs(root)
+    rel = _one_parquet(
+        spark,
+        root,
+        "data",
+        spark.range(4).selectExpr(
+            "named_struct('col-x', id, 'col-y', CAST(id AS STRING)) AS `col-s`",
+            "array(named_struct('col-z', id * 2)) AS `col-arr`",
+        ),
+    )
+    fields = [
+        _cm_field(
+            "s",
+            {
+                "type": "struct",
+                "fields": [
+                    _cm_field("a", "long", 2, "col-x"),
+                    _cm_field("b", "string", 3, "col-y"),
+                ],
+            },
+            1,
+            "col-s",
+        ),
+        _cm_field(
+            "arr",
+            {
+                "type": "array",
+                "elementType": {
+                    "type": "struct",
+                    "fields": [_cm_field("c", "long", 5, "col-z")],
+                },
+                "containsNull": True,
+            },
+            4,
+            "col-arr",
+        ),
+    ]
+    _write_commits(root, [CM_V2, _cm_meta(fields, "name"), _add(rel)])
+    df = read_delta_table(spark, root)
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in df.selectExpr("s.a", "s.b", "arr[0].c AS c").collect()
+    )
+    assert got == [(i, str(i), i * 2) for i in range(4)]
+
+
+def test_column_mapping_with_deletion_vectors(spark, tmp_path):
+    """v3 with BOTH features: the DV mask applies on the physical scan,
+    then the rename-back restores the logical schema."""
+    import base64 as _b64
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.roaring import dv_blob
+
+    root = str(tmp_path / "cm_dv")
+    os.makedirs(root)
+    rel = _one_parquet(
+        spark, root, "data", spark.range(8).selectExpr("id AS `col-aaa`")
+    )
+    inline = dv_blob([0, 3, 7])
+    fields = [_cm_field("id", "long", 1, "col-aaa")]
+    protocol = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "writerFeatures": ["deletionVectors", "columnMapping"],
+        }
+    }
+    _write_commits(
+        root,
+        [
+            protocol,
+            _cm_meta(fields, "name"),
+            _add(
+                rel,
+                deletionVector={
+                    "storageType": "i",
+                    "pathOrInlineDv": _b64.b85encode(inline).decode(),
+                    "sizeInBytes": len(inline),
+                    "cardinality": 3,
+                },
+            ),
+        ],
+    )
+    df = read_delta_table(spark, root)
+    assert df.columns == ["id"]
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 4, 5, 6]
+
+
+def test_column_mapping_stats_prune_physical_keys(spark, tmp_path):
+    """add.stats in mapped logs are keyed by PHYSICAL name; a prune on
+    the LOGICAL column must still skip files (proven by row count: the
+    unfiltered pruned read returns only the surviving file's rows)."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "cm_prune")
+    os.makedirs(root)
+    rels = {}
+    for k, (lo, hi) in {1: (0, 50), 2: (100, 150)}.items():
+        rels[k] = _one_parquet(
+            spark,
+            root,
+            f"d{k}",
+            spark.range(lo, hi).selectExpr("id AS `col-aaa`"),
+        )
+    fields = [_cm_field("id", "long", 1, "col-aaa")]
+    stats = {
+        1: json.dumps(
+            {
+                "numRecords": 50,
+                "minValues": {"col-aaa": 0},
+                "maxValues": {"col-aaa": 49},
+                "nullCount": {"col-aaa": 0},
+            }
+        ),
+        2: json.dumps(
+            {
+                "numRecords": 50,
+                "minValues": {"col-aaa": 100},
+                "maxValues": {"col-aaa": 149},
+                "nullCount": {"col-aaa": 0},
+            }
+        ),
+    }
+    _write_commits(
+        root,
+        [
+            CM_V2,
+            _cm_meta(fields, "name"),
+            _add(rels[1], stats=stats[1]),
+            _add(rels[2], stats=stats[2]),
+        ],
+    )
+    pruned = read_delta_table(spark, root, prune=[("id", ">=", 100)])
+    assert pruned.count() == 50  # file 1 skipped entirely
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(100, 150))
+
+
+def test_column_mapping_malformed_and_unknown_mode(spark, tmp_path):
+    """A mapped table whose field lacks physicalName is malformed
+    (refuse, don't guess); an unknown mode refuses honestly; reader v2
+    with mode none still reads."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "cm_bad")
+    os.makedirs(root)
+    rel = _one_parquet(
+        spark, root, "data", spark.range(3).selectExpr("id AS `col-aaa`")
+    )
+    bad_fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+    ]
+    _write_commits(root, [CM_V2, _cm_meta(bad_fields, "name"), _add(rel)])
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta_table(spark, root).collect()
+
+    root2 = str(tmp_path / "cm_unknown")
+    os.makedirs(root2)
+    rel2 = _one_parquet(
+        spark, root2, "data", spark.range(3).selectExpr("id AS `col-aaa`")
+    )
+    fields = [_cm_field("id", "long", 1, "col-aaa")]
+    _write_commits(root2, [CM_V2, _cm_meta(fields, "weird"), _add(rel2)])
+    with pytest.raises(NotImplementedError, match="columnMapping.mode"):
+        read_delta_table(spark, root2)
+
+    root3 = str(tmp_path / "v2_plain")
+    os.makedirs(root3)
+    rel3 = _one_parquet(
+        spark, root3, "data", spark.range(3).selectExpr("id")
+    )
+    plain = [{"name": "id", "type": "long", "nullable": True, "metadata": {}}]
+    _write_commits(
+        root3,
+        [
+            CM_V2,
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": plain}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+            _add(rel3),
+        ],
+    )
+    assert sorted(
+        r["id"] for r in read_delta_table(spark, root3).collect()
+    ) == [0, 1, 2]
