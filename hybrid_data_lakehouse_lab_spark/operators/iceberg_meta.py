@@ -532,24 +532,51 @@ def export_iceberg_metadata(
     spec_fields = []
     for k, c in enumerate(pcols):
         if c in hidden_partitions:
-            source_col, transform = hidden_partitions[c]
-            if transform not in _TRANSFORM_TYPES:
-                raise NotImplementedError(
-                    f"partition transform {transform!r} (only "
-                    f"{sorted(_TRANSFORM_TYPES)})"
-                )
+            # (source, transform) for the date binners, or
+            # (source, "bucket"|"truncate", param) for the parameterized
+            # transforms (spec: bucket[N] = murmur3 & MAX % N,
+            # truncate[W] = floor-to-W / first-W-chars)
+            hp = tuple(hidden_partitions[c])
+            source_col, transform = hp[0], hp[1]
+            param = hp[2] if len(hp) > 2 else None
             if source_col not in col_ids:
                 raise ValueError(
                     f"hidden partition {c!r} names unknown source column "
                     f"{source_col!r}"
                 )
+            if transform in _TRANSFORM_TYPES:
+                tname, ttype = transform, _TRANSFORM_TYPES[transform]
+            elif transform == "bucket":
+                if not isinstance(param, int) or param <= 0:
+                    raise ValueError(
+                        f"bucket transform for {c!r} needs a positive "
+                        f"bucket count, got {param!r}"
+                    )
+                tname, ttype = f"bucket[{param}]", "int"
+            elif transform == "truncate":
+                if not isinstance(param, int) or param <= 0:
+                    raise ValueError(
+                        f"truncate transform for {c!r} needs a positive "
+                        f"width, got {param!r}"
+                    )
+                src_type = type_of[source_col]
+                if src_type not in ("int", "long", "string"):
+                    raise NotImplementedError(
+                        f"truncate over source type {src_type!r}"
+                    )
+                tname, ttype = f"truncate[{param}]", src_type
+            else:
+                raise NotImplementedError(
+                    f"partition transform {transform!r} (only "
+                    f"{sorted(_TRANSFORM_TYPES) + ['bucket', 'truncate']})"
+                )
             spec_fields.append(
                 {
                     "name": c,
-                    "transform": transform,
+                    "transform": tname,
                     "source-id": col_ids[source_col],
                     "field-id": 1000 + k,
-                    "type": _TRANSFORM_TYPES[transform],
+                    "type": ttype,
                 }
             )
         else:
@@ -1092,18 +1119,58 @@ def read_iceberg_table(
         f["name"]: f
         for f in metadata["partition-specs"][0]["fields"]
     }
+    import re as _re
+
+    _PARAM_RE = _re.compile(r"(bucket|truncate)\[(\d+)\]")
     for f in spec.values():
-        if f["transform"] not in ("identity", "day", "month", "year"):
-            raise NotImplementedError(
-                f"partition transform {f['transform']!r}"
-            )
-    # identity fields attach as real columns; day/month/year transforms
-    # are HIDDEN partitioning (the partition value is derived from a
-    # source column that IS in the schema) — nothing to attach, the
-    # manifests' typed values exist for pruning only
+        t = f["transform"]
+        if t not in ("identity", "day", "month", "year") and not _PARAM_RE.fullmatch(t):
+            raise NotImplementedError(f"partition transform {t!r}")
+    # identity fields attach as real columns; day/month/year and
+    # bucket[N]/truncate[W] transforms are HIDDEN partitioning (the
+    # partition value is derived from a source column that IS in the
+    # schema) — nothing to attach, the manifests' typed values exist
+    # for pruning only
     pcols = [n for n, f in spec.items() if f["transform"] == "identity"]
     if prune:
+        from .iceberg_transforms import bucket_value, truncate_value
+
         by_name = {f["name"]: f for f in schema_fields}
+
+        def _hidden_may_match(rec, sname, sf, f, op, val) -> bool:
+            """Can this file's bucket/truncate partition value hold a
+            row matching `source op val`? bucket prunes equality
+            (hash the predicate value, compare buckets); truncate[W]
+            over ints covers [t, t+W-1] so all range ops prune, over
+            strings equality prunes by prefix. day/month/year binners
+            stay unpruned here — the column stats bounds already cover
+            them."""
+            pv = (rec.get("partition") or {}).get(sname)
+            if pv is None:
+                return True
+            m = _PARAM_RE.fullmatch(sf["transform"])
+            if not m:
+                return True
+            kind, param = m.group(1), int(m.group(2))
+            if kind == "bucket":
+                if op != "=":
+                    return True
+                try:
+                    return bucket_value(val, param, f["type"]) == pv
+                except (NotImplementedError, ValueError, TypeError):
+                    return True
+            if f["type"] in ("int", "long"):
+                try:
+                    v = _pred_value(f["type"], val)
+                except (ValueError, TypeError):
+                    return True
+                return _range_may_match(pv, pv + param - 1, op, v)
+            if f["type"] == "string" and op == "=":
+                try:
+                    return truncate_value(val, param, "string") == pv
+                except (ValueError, TypeError):
+                    return True
+            return True
 
         def may_match(rec) -> bool:
             for col, op, val in prune:
@@ -1122,6 +1189,10 @@ def read_iceberg_table(
                 f = by_name.get(col)
                 if f is None:
                     raise ValueError(f"prune column {col!r} not in schema")
+                for sname, sf in spec.items():
+                    if sf.get("source-id") == f["id"] and sf["transform"] != "identity":
+                        if not _hidden_may_match(rec, sname, sf, f, op, val):
+                            return False
                 fid = f["id"]
                 lob = {
                     r["key"]: r["value"] for r in rec.get("lower_bounds") or []

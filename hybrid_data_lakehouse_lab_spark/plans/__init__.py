@@ -126,6 +126,9 @@ _PRIORITY = [
     # --- slot 54: Delta column-mapping read (physical-name resolution;
     # round 7) ---
     "delta_column_mapping_roundtrip",
+    # --- slot 55: bucket[16] hidden partitioning + murmur3 point-lookup
+    # pruning (round 7) ---
+    "iceberg_bucket_prune_scan",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

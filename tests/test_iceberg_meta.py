@@ -935,7 +935,13 @@ def test_hidden_partition_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="non-partition"):
         export_iceberg_metadata(t, hidden_partitions={"nope": ("ts", "day")})
     with pytest.raises(NotImplementedError, match="transform"):
+        export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "hour")})
+    with pytest.raises(ValueError, match="positive bucket count"):
         export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "bucket")})
+    with pytest.raises(ValueError, match="positive width"):
+        export_iceberg_metadata(t, hidden_partitions={"dt": ("id", "truncate", 0)})
+    with pytest.raises(NotImplementedError, match="truncate over source"):
+        export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "truncate", 4)})
     with pytest.raises(ValueError, match="unknown source"):
         export_iceberg_metadata(t, hidden_partitions={"dt": ("missing", "day")})
 
@@ -1119,3 +1125,179 @@ def test_timestamp_as_of_read(table, spark):
         read_iceberg_table(spark, table.root, as_of_ms=1)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg_table(spark, table.root, snapshot_id=1, as_of_ms=2500)
+
+
+# --- hidden partitioning: bucket[N] / truncate[W] ----------------------------
+
+
+def test_murmur3_appendix_b_vectors():
+    """The spec's own published hash requirements (Appendix B) — the
+    contract that makes our bucket values interchangeable with every
+    other Iceberg writer's."""
+    import datetime
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+        _hash_long,
+        bucket_value,
+        murmur3_32,
+        truncate_value,
+    )
+
+    assert _hash_long(34) == 2017239379  # int and long hash identically
+    assert murmur3_32(b"iceberg") == 1210000089
+    days = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert _hash_long(days) == -653330422
+    micros = int(
+        (
+            datetime.datetime(2017, 11, 16, 22, 31, 8)
+            - datetime.datetime(1970, 1, 1)
+        ).total_seconds()
+        * 1_000_000
+    )
+    assert _hash_long(micros) == -2047944441
+    assert murmur3_32(bytes([0, 1, 2, 3])) == -188683207
+    # bucket/truncate semantics
+    assert bucket_value(None, 8, "long") is None
+    assert bucket_value("iceberg", 16, "string") == (1210000089 & 0x7FFFFFFF) % 16
+    assert truncate_value(-1, 10, "long") == -10  # floor toward -inf
+    assert truncate_value(7, 10, "int") == 0
+    assert truncate_value("iceberg", 3, "string") == "ice"
+
+
+def test_bucket_col_matches_python_twin(spark):
+    """The JVM expression kernel (masked-bigint murmur3, no UDF) must
+    agree with the Python twin on every hashable domain, including
+    negatives and extremes."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+        bucket_col,
+        bucket_value,
+    )
+
+    vals = [0, 1, -1, 34, 255, -256, 2**31, -(2**31), 2**62, -(2**62), 987654321012345]
+    df = spark.createDataFrame([(v,) for v in vals], "k BIGINT").withColumn(
+        "b", bucket_col(F.col("k"), 16, "long")
+    )
+    for r in df.collect():
+        assert r["b"] == bucket_value(r["k"], 16, "long"), r["k"]
+    # timestamp + date domains
+    df2 = spark.sql(
+        """
+        SELECT timestamp'2017-11-16 22:31:08' AS ts,
+               date'2017-11-16' AS d
+        """
+    ).select(
+        bucket_col(F.col("ts"), 100, "timestamp").alias("bts"),
+        bucket_col(F.col("d"), 100, "date").alias("bd"),
+    )
+    row = df2.collect()[0]
+    assert row["bts"] == ((-2047944441) & 0x7FFFFFFF) % 100
+    assert row["bd"] == ((-653330422) & 0x7FFFFFFF) % 100
+    # null -> null partition
+    dfn = spark.createDataFrame([(None,)], "k BIGINT").select(
+        bucket_col(F.col("k"), 8, "long").alias("b")
+    )
+    assert dfn.collect()[0]["b"] is None
+
+
+def test_hidden_bucket_partition_export_read_prune(spark, tmp_path):
+    """bucket[8] hidden partitioning end-to-end: the engine writes the
+    bucket dir with the JVM kernel, the export declares bucket[8] with
+    the source column's id, the read hides the bucket column, and an
+    equality prune on the SOURCE column skips every other bucket's
+    files (proven by unfiltered row count)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+        bucket_col,
+        bucket_value,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "bkt"))
+    df = spark.range(400).selectExpr("id", "id * 7 AS k").withColumn(
+        "b", bucket_col(F.col("k"), 8, "long")
+    )
+    t.write(df, partition_by=["b"], committed_at_ms=1000)
+    export_iceberg_metadata(
+        t, format_version=2, hidden_partitions={"b": ("k", "bucket", 8)}
+    )
+    md = load_metadata(t.root)
+    assert [f["name"] for f in md["schema"]["fields"]] == ["id", "k"]
+    (sf,) = md["partition-specs"][0]["fields"]
+    assert sf["transform"] == "bucket[8]" and sf["source-id"] == 2
+    files = snapshot_files(t.root, md["snapshots"][0])
+    assert {f["partition"]["b"] for f in files.values()} == set(range(8))
+    got = read_iceberg_table(spark, t.root)
+    assert got.columns == ["id", "k"]
+    assert got.count() == 400
+    # equality prune: only bucket_value(301*7)'s files survive
+    target = 301 * 7
+    pruned = read_iceberg_table(spark, t.root, prune=[("k", "=", target)])
+    assert pruned.count() < 400  # files skipped, not just filtered
+    want_bucket = bucket_value(target, 8, "long")
+    got_buckets = {
+        bucket_value(r["k"], 8, "long") for r in pruned.collect()
+    }
+    assert got_buckets == {want_bucket}
+    assert [r["id"] for r in pruned.where(F.col("k") == target).collect()] == [301]
+    # bucket cannot prune ranges, but the SUPERSET contract must hold:
+    # every qualifying row survives a range prune (file stats may still
+    # legitimately skip non-matching files)
+    rng = read_iceberg_table(spark, t.root, prune=[("k", ">", target)])
+    assert sorted(r["k"] for r in rng.where(F.col("k") > target).collect()) == [
+        i * 7 for i in range(302, 400)
+    ]
+
+
+def test_hidden_truncate_partition_export_read_prune(spark, tmp_path):
+    """truncate[100] over a long: a file's partition value t covers
+    [t, t+99], so every range op prunes; and truncate[1] over strings
+    prunes equality by prefix."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+        truncate_col,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "trunc"))
+    df = spark.range(300).selectExpr("id", "CAST(id AS BIGINT) AS k").withColumn(
+        "tk", truncate_col(F.col("k"), 100, "long")
+    )
+    t.write(df, partition_by=["tk"], committed_at_ms=1000)
+    export_iceberg_metadata(t, hidden_partitions={"tk": ("k", "truncate", 100)})
+    md = load_metadata(t.root)
+    (sf,) = md["partition-specs"][0]["fields"]
+    assert sf["transform"] == "truncate[100]"
+    pruned = read_iceberg_table(spark, t.root, prune=[("k", ">=", 200)])
+    # truncate rule drops partitions 0 and 100 entirely; every
+    # qualifying row survives, and no survivor can come from a dropped
+    # partition — so the result is exactly [200, 300)
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(200, 300))
+    eq = read_iceberg_table(spark, t.root, prune=[("k", "=", 150)])
+    ks = {r["k"] for r in eq.collect()}
+    assert 150 in ks and {k // 100 for k in ks} == {1}
+
+    t2 = SnapshotTable(spark, str(tmp_path / "truncs"))
+    df2 = spark.createDataFrame(
+        [("apple",), ("apricot",), ("banana",), ("blueberry",), ("cherry",)],
+        "w STRING",
+    ).withColumn("p", truncate_col(F.col("w"), 1, "string"))
+    t2.write(df2, partition_by=["p"], committed_at_ms=1000)
+    export_iceberg_metadata(t2, hidden_partitions={"p": ("w", "truncate", 1)})
+    pr = read_iceberg_table(spark, t2.root, prune=[("w", "=", "apple")])
+    ws = sorted(r["w"] for r in pr.collect())
+    # the matching row survives; every survivor is from the 'a' prefix
+    # partition (file stats may skip non-matching 'a' files too)
+    assert "apple" in ws and all(w.startswith("a") for w in ws)
+    # prefix-rule skipping proven without stats interference: a value
+    # whose prefix partition doesn't exist prunes everything
+    assert read_iceberg_table(
+        spark, t2.root, prune=[("w", "=", "zebra")]
+    ).count() == 0
