@@ -70,7 +70,12 @@ import urllib.parse
 import uuid
 
 from .avro_io import read_avro, write_avro
-from .mor_diff import _SCHEME_RE, _parquet_row_count, _position_delete_diff
+from .mor_diff import (
+    _SCHEME_RE,
+    _parquet_row_count,
+    _position_delete_diff,
+    _upsert_diff,
+)
 from .delta_log import _snapshot_files
 from .timetravel import SnapshotTable
 
@@ -212,6 +217,16 @@ def _entry_schema(partition_fields: list[dict], format_version: int = 1) -> dict
     else:
         # content: 0=DATA, 1=POSITION DELETES, 2=EQUALITY DELETES
         file_fields.insert(0, {"name": "content", "type": "int", "field-id": 134})
+        # equality_ids (135): the schema field ids an EQUALITY delete
+        # file matches on; null on data/position-delete files
+        file_fields.append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            }
+        )
     data_file = {"type": "record", "name": "r2", "fields": file_fields}
     entry_fields = [
         {"name": "status", "type": "int", "field-id": 0},
@@ -361,6 +376,43 @@ def _write_position_deletes(
     return out
 
 
+def _write_upsert_files(spark, df, out_dir: str, prefix: str) -> list[dict]:
+    """Write `df` as parquet under `out_dir` with deterministic
+    `{prefix}-NNNNN.parquet` names (stable re-export references), drop
+    zero-row parts, return [{path, record_count, size}]. Used by the
+    equality-delete upsert export for both the appended data files and
+    the key-tuple delete files; written BY SPARK so a bulk upsert
+    scales past driver memory — every part file becomes one manifest
+    entry."""
+    import pyarrow.parquet as pq
+
+    df.write.mode("overwrite").parquet(out_dir)
+    out = []
+    j = 0
+    for fn in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, fn)
+        if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+            if os.path.isfile(full):
+                os.remove(full)  # _SUCCESS & friends
+            continue
+        rc = pq.ParquetFile(full).metadata.num_rows
+        if rc == 0:
+            os.remove(full)
+            continue
+        dst = os.path.join(out_dir, f"{prefix}-{j:05d}.parquet")
+        os.replace(full, dst)
+        out.append(
+            {"path": dst, "record_count": rc, "size": os.path.getsize(dst)}
+        )
+        j += 1
+    if not out:
+        # nothing survived; leave no empty dir behind
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 def _bound_bytes(iceberg_type: str, v):
     """Iceberg single-value binary serialization (spec Appendix D) for
     lower/upper bounds; None for unsupported types (omit the bound)."""
@@ -454,6 +506,7 @@ def export_iceberg_metadata(
     branch: str = "main",
     format_version: int = 1,
     hidden_partitions: dict | None = None,
+    upsert_key: list[str] | None = None,
 ) -> str:
     """Emit an Iceberg `metadata/` tree under the table root for
     `branch`'s pointer history; returns the metadata directory.
@@ -476,11 +529,30 @@ def export_iceberg_metadata(
     delete
     snapshots are content-deterministic but not byte-stable (Spark task
     file layout); manifests reference the deterministic renamed
-    delete-file paths, so re-export converges."""
+    delete-file paths, so re-export converges.
+
+    With `upsert_key` (requires format_version=2, unpartitioned), every
+    transition exports in the EQUALITY-DELETE dialect — the commit
+    shape streaming upsert writers (Flink, the mode the reference's
+    merge-on-read config targets) produce: the distributed PK diff
+    (operators/mor_diff.py `_upsert_diff`) finds changed-or-new rows
+    (appended as a content=0 data manifest at the new sequence) and
+    replaced-or-deleted keys (written as key-tuple parquet referenced by
+    a content=2 delete manifest with `equality_ids`); parent manifests
+    are reused with their original sequence numbers. The reader's
+    strictly-older rule (delete.seq > data.seq) makes the same-commit
+    append survive its own delete file. Raises if `upsert_key` is not
+    unique in a snapshot (equality deletes are only sound against a
+    PK); a schema-changing transition falls back to the rewrite
+    model."""
     if format_version not in (1, 2):
         raise NotImplementedError(
             f"format_version {format_version!r} (only 1 and 2)"
         )
+    if upsert_key is not None:
+        upsert_key = list(upsert_key)
+        if format_version != 2:
+            raise ValueError("upsert_key requires format_version=2")
     m = table._load_manifest()
     events = m["history"].get(branch, [])
     if not events:
@@ -590,6 +662,17 @@ def export_iceberg_metadata(
                     "type": type_of[c],
                 }
             )
+    if upsert_key is not None:
+        if spec_fields:
+            raise NotImplementedError(
+                "equality-delete upsert export supports unpartitioned "
+                f"tables only (partition dirs: {pcols}); the reader-side "
+                "refusal of equality deletes on partition columns is the "
+                "same boundary"
+            )
+        bad = [k for k in upsert_key if k not in col_ids]
+        if bad:
+            raise ValueError(f"upsert_key columns {bad} not in table schema")
     entry_schema = _entry_schema(spec_fields, format_version)
     list_schema = _manifest_list_schema(format_version)
 
@@ -603,6 +686,7 @@ def export_iceberg_metadata(
     delete_dirs: list[str] = []
     base_live_rows: int | None = None
     written_delete_dirs: set[str] = set()
+    written_upsert_dirs: set[str] = set()
     written_manifests: set[str] = set()
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
@@ -619,9 +703,20 @@ def export_iceberg_metadata(
             file_rc[full] = (f, _parquet_row_count(full))
         total_rc = sum(rc for _, rc in file_rc.values())
 
+        upsert = None
+        if upsert_key is not None and i > 0:
+            parent_dir = by_version[events[i - 1]["version"]]["path"]
+            if os.path.isdir(parent_dir):
+                changed, del_keys = _upsert_diff(
+                    table.spark, parent_dir, snap["path"], upsert_key
+                )
+                if changed is not None:
+                    upsert = (changed, del_keys)
+
         deleted = None
         if (
-            format_version == 2
+            upsert_key is None
+            and format_version == 2
             and base_dir is not None
             and os.path.isdir(base_dir)
             and base_live_rows is not None
@@ -636,7 +731,114 @@ def export_iceberg_metadata(
                 table.spark, base_dir, prior, snap["path"]
             )
 
-        if deleted is not None:
+        if upsert is not None:
+            # --- equality-delete upsert commit (Flink dialect) ---
+            changed, del_keys = upsert
+            ups_dir = os.path.join(table.root, "upserts", f"s{snapshot_id:05d}")
+            data_files = _write_upsert_files(
+                table.spark, changed, os.path.join(ups_dir, "data"), "data"
+            )
+            del_files = _write_upsert_files(
+                table.spark, del_keys, os.path.join(ups_dir, "eqdel"), "eqdel"
+            )
+            if os.path.isdir(ups_dir):
+                written_upsert_dirs.add(f"s{snapshot_id:05d}")
+            manifest_rows = list(prev_rows)
+            if data_files:
+                manifest_path = os.path.join(meta_dir, f"m-{i:05d}-ups.avro")
+                entries = []
+                for d in data_files:
+                    vcounts, ncounts, lower, upper = _file_column_stats(
+                        d["path"], col_ids, type_of
+                    )
+                    entries.append(
+                        {
+                            "status": 1,
+                            "snapshot_id": None,
+                            "data_sequence_number": None,  # inherited
+                            "file_sequence_number": None,
+                            "data_file": {
+                                "content": 0,
+                                "file_path": d["path"],
+                                "file_format": "PARQUET",
+                                "partition": {},
+                                "record_count": d["record_count"],
+                                "file_size_in_bytes": d["size"],
+                                "value_counts": vcounts,
+                                "null_value_counts": ncounts,
+                                "lower_bounds": lower,
+                                "upper_bounds": upper,
+                                "equality_ids": None,
+                            },
+                        }
+                    )
+                write_avro(manifest_path, entry_schema, entries)
+                manifest_rows.append(
+                    {
+                        "manifest_path": manifest_path,
+                        "manifest_length": os.path.getsize(manifest_path),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": len(entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            d["record_count"] for d in data_files
+                        ),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                )
+            if del_files:
+                eq_ids = [col_ids[k] for k in upsert_key]
+                manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
+                entries = [
+                    {
+                        "status": 1,
+                        "snapshot_id": None,
+                        "data_sequence_number": None,  # inherited
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 2,  # EQUALITY DELETES
+                            "file_path": d["path"],
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": d["record_count"],
+                            "file_size_in_bytes": d["size"],
+                            "value_counts": None,
+                            "null_value_counts": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": eq_ids,
+                        },
+                    }
+                    for d in del_files
+                ]
+                write_avro(manifest_path, entry_schema, entries)
+                manifest_rows.append(
+                    {
+                        "manifest_path": manifest_path,
+                        "manifest_length": os.path.getsize(manifest_path),
+                        "partition_spec_id": 0,
+                        "content": 1,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": len(entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            d["record_count"] for d in del_files
+                        ),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                )
+            operation = "overwrite" if del_files else "append"
+        elif deleted is not None:
             # --- merge-on-read delete snapshot ---
             ddir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
             file_partitions = None
@@ -864,7 +1066,7 @@ def export_iceberg_metadata(
 
     for f in os.listdir(meta_dir):
         stale = (
-            (re.match(r"^m-\d+(-del)?\.avro$", f) and f not in written_manifests)
+            (re.match(r"^m-\d+(-del|-ups)?\.avro$", f) and f not in written_manifests)
             or (f.startswith("snap-") and f.endswith(".avro")
                 and int(f.split("-")[1]) > len(events))
             or (f.startswith("v") and f.endswith(".metadata.json")
@@ -884,6 +1086,15 @@ def export_iceberg_metadata(
                 shutil.rmtree(os.path.join(deletes_root, d), ignore_errors=True)
         if not os.listdir(deletes_root):
             os.rmdir(deletes_root)
+    upserts_root = os.path.join(table.root, "upserts")
+    if os.path.isdir(upserts_root):
+        import shutil
+
+        for d in os.listdir(upserts_root):
+            if d.startswith("s") and d not in written_upsert_dirs:
+                shutil.rmtree(os.path.join(upserts_root, d), ignore_errors=True)
+        if not os.listdir(upserts_root):
+            os.rmdir(upserts_root)
     return meta_dir
 
 

@@ -79,3 +79,52 @@ def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _upsert_diff(spark, parent_dir: str, child_dir: str, key: list[str]):
+    """Diff two snapshot directories under PRIMARY-KEY semantics for
+    equality-delete (Flink-style upsert) export: returns
+    (changed_or_new_rows, deleted_or_replaced_keys) — the rows a MoR
+    writer appends as a new data file, and the key tuples it writes to
+    an equality delete file. `(None, None)` if the schemas differ (the
+    transition needs a rewrite). Raises if `key` is not unique in
+    either snapshot — equality deletes are only sound against a PK.
+
+    Fully distributed: two key-uniqueness probes (groupBy + limit 1)
+    and two null-safe full-row anti-joins; one scan of parent + child
+    per exported commit, same cost envelope as the positional diff."""
+    from pyspark.sql import functions as F
+
+    parent = spark.read.parquet(parent_dir)
+    child = spark.read.parquet(child_dir)
+    if sorted(parent.columns) != sorted(child.columns):
+        return None, None
+    missing = [k for k in key if k not in child.columns]
+    if missing:
+        raise ValueError(f"upsert_key columns {missing} not in snapshot schema")
+    for name, df, d in (("parent", parent, parent_dir), ("child", child, child_dir)):
+        if (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where("_n > 1")
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"upsert_key {key} is not unique in the {name} snapshot ({d})"
+            )
+    cols = sorted(child.columns)
+    rowkey = F.struct(*[F.col(c) for c in cols])
+    p = parent.withColumn("_rk", rowkey)
+    c = child.withColumn("_rk", rowkey)
+    changed = (
+        c.alias("c")
+        .join(p.alias("p"), F.col("c._rk").eqNullSafe(F.col("p._rk")), "left_anti")
+        .drop("_rk")
+    )
+    del_keys = (
+        p.alias("p")
+        .join(c.alias("c"), F.col("p._rk").eqNullSafe(F.col("c._rk")), "left_anti")
+        .select(*key)
+    )
+    return changed, del_keys

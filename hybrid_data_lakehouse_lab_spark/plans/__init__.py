@@ -129,6 +129,9 @@ _PRIORITY = [
     # --- slot 55: bucket[16] hidden partitioning + murmur3 point-lookup
     # pruning (round 7) ---
     "iceberg_bucket_prune_scan",
+    # --- slot 56: equality-delete (Flink upsert dialect) write+read
+    # (round 7) ---
+    "iceberg_equality_delete_roundtrip",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

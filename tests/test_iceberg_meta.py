@@ -699,17 +699,10 @@ def _hand_v2_tree(spark, root, eq_ids, eq_rows, eq_schema):
         if f.endswith(".parquet")
     ]
     entry_schema = _entry_schema([], 2)
-    # extend data_file with the spec's equality_ids (field-id 135)
-    for f in entry_schema["fields"]:
-        if f["name"] == "data_file":
-            f["type"]["fields"].append(
-                {
-                    "name": "equality_ids",
-                    "type": ["null", {"type": "array", "items": "int"}],
-                    "default": None,
-                    "field-id": 135,
-                }
-            )
+    # the spec's equality_ids (field-id 135) is part of the v2 entry
+    # schema the exporter emits; assert rather than re-append
+    (df_field,) = [f for f in entry_schema["fields"] if f["name"] == "data_file"]
+    assert any(f["name"] == "equality_ids" for f in df_field["type"]["fields"])
 
     def entry(path, content, ids=None):
         return {
@@ -1301,3 +1294,171 @@ def test_hidden_truncate_partition_export_read_prune(spark, tmp_path):
     assert read_iceberg_table(
         spark, t2.root, prune=[("w", "=", "zebra")]
     ).count() == 0
+
+
+# --- equality-delete WRITE path (upsert_key export) --------------------------
+
+
+def test_upsert_export_equality_delete_chain(spark, tmp_path):
+    """Three snapshots under PK semantics — update+insert+delete, then
+    a second update of the same key. The export must reuse the parent
+    data manifest (original sequence), add a content=0 data manifest
+    and a content=2 equality-delete manifest per commit, and every
+    snapshot must read back exactly as SnapshotTable.read()."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ups"))
+    t.write(spark.range(10).selectExpr("id", "id * 2 AS v"), committed_at_ms=1000)
+    v2 = spark.sql(
+        "SELECT id, CASE WHEN id = 3 THEN 100 ELSE id * 2 END AS v "
+        "FROM range(11) WHERE id != 7"
+    )
+    t.write(v2, committed_at_ms=2000)
+    v3 = spark.sql(
+        "SELECT id, CASE WHEN id = 3 THEN 200 ELSE id * 2 END AS v "
+        "FROM range(11) WHERE id != 7"
+    )
+    t.write(v3, committed_at_ms=3000)
+    export_iceberg_metadata(t, format_version=2, upsert_key=["id"])
+    md = load_metadata(t.root)
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite", "overwrite", "overwrite",
+    ]
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    assert sorted((r["content"], r["sequence_number"]) for r in rows2) == [
+        (0, 1), (0, 2), (1, 2),
+    ]
+    (del_row,) = [r for r in rows2 if r["content"] == 1]
+    _, del_entries = read_avro_file(del_row["manifest_path"])
+    assert del_entries and all(
+        e["data_file"]["content"] == 2 and e["data_file"]["equality_ids"] == [1]
+        for e in del_entries
+    )
+    # delete file holds exactly the replaced/removed keys {3, 7}
+    del_paths = [e["data_file"]["file_path"] for e in del_entries]
+    got_keys = sorted(r["id"] for r in spark.read.parquet(*del_paths).collect())
+    assert got_keys == [3, 7]
+    # snapshot 3 stacks a second delete manifest at seq 3
+    _, rows3 = read_avro_file(md["snapshots"][2]["manifest-list"])
+    assert sorted((r["content"], r["sequence_number"]) for r in rows3) == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+    ]
+    for sid, version in ((1, 1), (2, 2), (3, 3)):
+        got = sorted(
+            (r["id"], r["v"])
+            for r in read_iceberg_table(spark, t.root, snapshot_id=sid).collect()
+        )
+        want = sorted((r["id"], r["v"]) for r in t.read(version=version).collect())
+        assert got == want, sid
+
+
+def test_upsert_export_insert_only_and_noop(spark, tmp_path):
+    """Insert-only transitions emit no delete manifest (operation
+    'append'); a no-change transition adds no manifests at all."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ins"))
+    t.write(spark.range(5).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    t.write(spark.range(8).selectExpr("id", "id AS v"), committed_at_ms=2000)
+    t.write(spark.range(8).selectExpr("id", "id AS v"), committed_at_ms=3000)
+    export_iceberg_metadata(t, format_version=2, upsert_key=["id"])
+    md = load_metadata(t.root)
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite", "append", "append",
+    ]
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    assert sorted(r["content"] for r in rows2) == [0, 0]  # no delete manifest
+    _, rows3 = read_avro_file(md["snapshots"][2]["manifest-list"])
+    assert len(rows3) == len(rows2)  # no-op: same manifests
+    got = sorted(r["id"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == list(range(8))
+
+
+def test_upsert_export_validation(spark, tmp_path):
+    """v1 refuses, partitioned refuses, unknown key refuses, duplicate
+    key raises (equality deletes are only sound against a PK)."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "bad"))
+    t.write(spark.range(5).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    with pytest.raises(ValueError, match="format_version"):
+        export_iceberg_metadata(t, upsert_key=["id"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        export_iceberg_metadata(t, format_version=2, upsert_key=["nope"])
+
+    tp = SnapshotTable(spark, str(tmp_path / "badp"))
+    dfp = spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    tp.write(dfp, partition_by=["p"], committed_at_ms=1000)
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        export_iceberg_metadata(tp, format_version=2, upsert_key=["id"])
+
+    td = SnapshotTable(spark, str(tmp_path / "dup"))
+    td.write(spark.range(5).selectExpr("id", "id AS v"), committed_at_ms=1000)
+    td.write(
+        spark.range(4).selectExpr("id % 2 AS id", "id AS v"),
+        committed_at_ms=2000,
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        export_iceberg_metadata(td, format_version=2, upsert_key=["id"])
+
+
+def test_upsert_export_duckdb_independent_read(spark, tmp_path):
+    """Third-implementation check: reconstruct the final MoR state in
+    DuckDB from the manifests alone (data files minus equality-delete
+    anti-join under the strictly-older rule) and value-match."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "dd"))
+    t.write(spark.range(12).selectExpr("id", "id * 3 AS v"), committed_at_ms=1000)
+    t.write(
+        spark.sql(
+            "SELECT id, CASE WHEN id % 4 = 0 THEN -1 ELSE id * 3 END AS v "
+            "FROM range(12) WHERE id % 5 != 0"
+        ),
+        committed_at_ms=2000,
+    )
+    export_iceberg_metadata(t, format_version=2, upsert_key=["id"])
+    md = load_metadata(t.root)
+    _, rows = read_avro_file(md["snapshots"][1]["manifest-list"])
+    data_seq, del_seq = {}, {}
+    for r in rows:
+        _, entries = read_avro_file(r["manifest_path"])
+        for e in entries:
+            p = e["data_file"]["file_path"]
+            if r["content"] == 0:
+                data_seq[p] = r["sequence_number"]
+            else:
+                del_seq[p] = r["sequence_number"]
+    con = duckdb.connect()
+    pieces = []
+    for p, s in data_seq.items():
+        pieces.append(
+            f"SELECT id, v, {s} AS seq FROM read_parquet('{p}')"
+        )
+    union = " UNION ALL ".join(pieces)
+    dparts = " UNION ALL ".join(
+        f"SELECT id, {s} AS dseq FROM read_parquet('{p}')"
+        for p, s in del_seq.items()
+    )
+    got = con.sql(
+        f"""
+        WITH d AS ({union}), del AS ({dparts})
+        SELECT id, v FROM d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM del WHERE del.id = d.id AND del.dseq > d.seq
+        )
+        ORDER BY id
+        """
+    ).fetchall()
+    want = sorted(
+        (r["id"], r["v"])
+        for r in read_iceberg_table(spark, t.root).collect()
+    )
+    assert got == want
+    assert got == sorted((r["id"], r["v"]) for r in t.read(version=2).collect())
