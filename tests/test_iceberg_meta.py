@@ -1462,3 +1462,81 @@ def test_upsert_export_duckdb_independent_read(spark, tmp_path):
     )
     assert got == want
     assert got == sorted((r["id"], r["v"]) for r in t.read(version=2).collect())
+
+
+def test_scd2_pipeline_equality_delete_export(spark, tmp_path):
+    """The streaming-upsert dialect over the REAL SCD2 pipeline: the
+    SCD2 table's PK is (id, effective_start_ts) — a version close-out
+    UPDATES an existing row in place, so the export writes multi-column
+    equality deletes plus the corrected rows, exactly a Flink CDC
+    writer's commit shape. Every snapshot must read back identically."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.pipeline import Scd2Pipeline
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "id BIGINT, product_name STRING, price DOUBLE, "
+            "event_timestamp STRING, op STRING",
+        ).withColumn(
+            "event_timestamp", F.col("event_timestamp").cast("timestamp")
+        )
+
+    p = Scd2Pipeline(
+        spark,
+        str(tmp_path / "scd2eq"),
+        key_cols=["id"],
+        attr_cols=["product_name", "price"],
+        lsn_col=None,
+        order_cols=["event_timestamp"],
+    )
+    p.process_batch(
+        batch(
+            [
+                (1, "widget", 10.0, "2024-01-01 10:00:00", "c"),
+                (2, "bolt", 5.0, "2024-01-02 10:00:00", "c"),
+            ]
+        ),
+        committed_at_ms=1000,
+    )
+    p.process_batch(
+        batch(
+            [
+                (1, "widget", 12.5, "2024-01-03 10:00:00", "u"),
+                (3, "nut", 1.0, "2024-01-03 12:00:00", "c"),
+            ]
+        ),
+        committed_at_ms=2000,
+    )
+    meta_dir = export_iceberg_metadata(
+        p.table,
+        format_version=2,
+        upsert_key=["id", "effective_start_ts"],
+    )
+    md = load_metadata(p.table.root)
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    (del_row,) = [r for r in rows2 if r["content"] == 1]
+    _, del_entries = read_avro_file(del_row["manifest_path"])
+    id_of = {f["name"]: f["id"] for f in md["schema"]["fields"]}
+    want_ids = [id_of["id"], id_of["effective_start_ts"]]
+    assert all(
+        e["data_file"]["equality_ids"] == want_ids for e in del_entries
+    )
+    cols = [f["name"] for f in md["schema"]["fields"]]
+    for sid, version in ((1, 1), (2, 2)):
+        got = sorted(
+            tuple(str(r[c]) for c in cols)
+            for r in read_iceberg_table(
+                spark, p.table.root, snapshot_id=sid
+            ).collect()
+        )
+        want = sorted(
+            tuple(str(r[c]) for c in cols)
+            for r in p.table.read(version=version).select(*cols).collect()
+        )
+        assert got == want, sid
+    assert meta_dir.endswith("metadata")
