@@ -170,8 +170,96 @@ def _delta_stats(path: str) -> str | None:
     )
 
 
+def _write_change_data(
+    spark, root: str, version: int, new_by_file: dict, pv_of: dict
+) -> list[dict]:
+    """Materialize THIS commit's newly-deleted rows as `_change_data/`
+    cdc parquet (`_change_type='delete'`) and return the `cdc` actions.
+    Distributed: one scan of the touched files semi-joined to the
+    broadcast (file, pos) set; partitioned tables attach their partition
+    values (broadcast file→values map) and route through partitionBy so
+    change files mirror the data layout. Files are renamed
+    deterministically (`cdc-NNNNN.parquet`) so re-exports reference
+    stable paths."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(f, p) for f, ps in new_by_file.items() for p in ps],
+        "_f STRING, _p BIGINT",
+    )
+    rows = (
+        spark.read.parquet(*new_by_file)
+        .withColumn(
+            "_f",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+            ),
+        )
+        .withColumn("_p", F.col("_metadata.row_index"))
+        .join(F.broadcast(pairs), ["_f", "_p"], "left_semi")
+    )
+    pcols = next((list(pv) for pv in pv_of.values() if pv), [])
+    if pcols:
+        mapping = spark.createDataFrame(
+            [(f, *[pv_of[f].get(c) for c in pcols]) for f in new_by_file],
+            ", ".join(["_f STRING"] + [f"`{c}` STRING" for c in pcols]),
+        )
+        rows = rows.join(F.broadcast(mapping), "_f")
+    rows = rows.drop("_f", "_p").withColumn("_change_type", F.lit("delete"))
+    out_dir = os.path.join(root, "_change_data", f"v{version:020d}")
+    writer = rows.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    actions = []
+    part_files = []
+    for dirpath, dirnames, filenames in os.walk(out_dir):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            full = os.path.join(dirpath, fn)
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                part_files.append((dirpath, fn))
+            elif os.path.isfile(full) and not fn.endswith(".parquet"):
+                os.remove(full)  # _SUCCESS & friends
+    j = 0
+    for dirpath, fn in part_files:
+        full = os.path.join(dirpath, fn)
+        if pq.ParquetFile(full).metadata.num_rows == 0:
+            os.remove(full)
+            continue
+        dst = os.path.join(dirpath, f"cdc-{j:05d}.parquet")
+        os.replace(full, dst)
+        rel = os.path.relpath(dst, root).replace(os.sep, "/")
+        partition_values = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                partition_values[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+        actions.append(
+            {
+                "cdc": {
+                    "path": urllib.parse.quote(rel, safe="/=-._"),
+                    "partitionValues": partition_values,
+                    "size": os.path.getsize(dst),
+                    "dataChange": False,
+                }
+            }
+        )
+        j += 1
+    return actions
+
+
 def export_delta_log(
-    table: SnapshotTable, branch: str = "main", mor_deletes: bool = False
+    table: SnapshotTable,
+    branch: str = "main",
+    mor_deletes: bool = False,
+    change_data: bool = False,
 ) -> str:
     """Emit `_delta_log/` under the table root for `branch`'s pointer
     history. Idempotent full regeneration: commit files are rewritten
@@ -195,6 +283,21 @@ def export_delta_log(
     (a DV indexes rows of ONE parquet file, ≤ 2^31 positions, and real
     writers compact files whose DVs grow large); the diff that finds
     the positions stays fully distributed.
+
+    With `change_data=True`, the table declares CHANGE DATA FEED
+    (PROTOCOL.md "Change Data Files"): `delta.enableChangeDataFeed` in
+    the table configuration, writer version 4 (or the `changeDataFeed`
+    writer feature when DVs already force the feature protocol), and
+    every DV delete commit ALSO writes its deleted rows as
+    `_change_data/` cdc parquet (`_change_type='delete'`) referenced by
+    `cdc` actions — the authoritative row-level changes a CDF reader
+    consumes for that commit. Full-rewrite commits write no cdc files;
+    CDF readers derive insert/delete rows from their add/remove actions,
+    the same rule delta-spark applies to overwrites. The deleted rows
+    are materialized DISTRIBUTED (one scan of the touched files
+    semi-joined to the broadcast position set); partitioned tables
+    route cdc rows through partitionBy so change files live beside the
+    data layout.
 
     SOLE-WRITER assumption: this exporter owns `_delta_log/` — the
     regeneration (and especially the stale-tail cleanup) would
@@ -225,6 +328,7 @@ def export_delta_log(
     dv_positions: dict[str, list[int]] = {}
     base_live_rows: int | None = None
     referenced_dv_files: set[str] = set()
+    referenced_cdc_dirs: set[str] = set()
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         files = _snapshot_files(table.root, snap["path"])
@@ -296,13 +400,25 @@ def export_delta_log(
             commit_info["userMetadata"] = json.dumps(snap["properties"])
         actions.append({"commitInfo": commit_info})
         if i == 0:
-            actions.append(
-                {"protocol": dict(DV_PROTOCOL) if mor_deletes else PROTOCOL}
-            )
+            if mor_deletes:
+                proto = {k: list(v) if isinstance(v, list) else v
+                         for k, v in DV_PROTOCOL.items()}
+                if change_data:
+                    proto["writerFeatures"] = sorted(
+                        set(proto["writerFeatures"]) | {"changeDataFeed"}
+                    )
+            elif change_data:
+                # legacy CDF protocol: no reader requirement, writer 4
+                proto = {"minReaderVersion": 1, "minWriterVersion": 4}
+            else:
+                proto = PROTOCOL
+            actions.append({"protocol": proto})
         if schema_str != prev_schema:
             configuration = (
                 {"delta.enableDeletionVectors": "true"} if mor_deletes else {}
             )
+            if change_data:
+                configuration["delta.enableChangeDataFeed"] = "true"
             actions.append(
                 {
                     "metaData": {
@@ -369,6 +485,20 @@ def export_delta_log(
             for f in prev_files:
                 new_prev.append(updated.get(f["path"], f))
             prev_files = new_prev
+            if change_data:
+                actions.extend(
+                    _write_change_data(
+                        table.spark,
+                        table.root,
+                        i,
+                        new_by_file,
+                        {
+                            p: by_abs[p].get("partitionValues") or {}
+                            for p in changed
+                        },
+                    )
+                )
+                referenced_cdc_dirs.add(f"v{i:020d}")
         else:
             # --- full-rewrite commit (always, without mor_deletes) ---
             # a DV'd base file keeps its descriptor in referenced state
@@ -448,6 +578,17 @@ def export_delta_log(
             and f not in referenced_dv_files
         ):
             os.remove(os.path.join(table.root, f))
+    # _change_data dirs not referenced by THIS export (shrunk history,
+    # or change_data turned off) — same GC contract as DV bins.
+    cdc_root = os.path.join(table.root, "_change_data")
+    if os.path.isdir(cdc_root):
+        import shutil
+
+        for d in os.listdir(cdc_root):
+            if d not in referenced_cdc_dirs:
+                shutil.rmtree(os.path.join(cdc_root, d), ignore_errors=True)
+        if not os.listdir(cdc_root):
+            os.rmdir(cdc_root)
     return log_dir
 
 
@@ -752,6 +893,35 @@ def clean_log_commits(log_dir: str) -> list[int]:
     return removed
 
 
+def _check_reader_protocol(protocol: dict) -> None:
+    """The shared read-side protocol gate: minReaderVersion 1; 2 (the
+    legacy column-mapping version); or 3 with readerFeatures ⊆
+    {deletionVectors, columnMapping}. Anything else refuses honestly —
+    returning rows while ignoring an unknown reader feature is how a
+    reader silently resurrects deleted data."""
+    reader_v = protocol.get("minReaderVersion", 1)
+    feats = set(protocol.get("readerFeatures") or [])
+    if reader_v == 3:
+        if protocol.get("readerFeatures") is None:
+            raise NotImplementedError(
+                f"minReaderVersion 3 without readerFeatures is malformed; "
+                f"refusing to guess, got {protocol}"
+            )
+        unsupported = feats - {"deletionVectors", "columnMapping"}
+        if unsupported:
+            raise NotImplementedError(
+                f"unsupported Delta reader features {sorted(unsupported)}"
+            )
+    elif reader_v == 2:
+        pass  # the legacy (pre-table-features) column-mapping version
+    elif reader_v > 1 or feats:
+        raise NotImplementedError(
+            f"only Delta minReaderVersion 1, 2 (columnMapping) or 3 "
+            f"(deletionVectors/columnMapping) is supported here, got "
+            f"{protocol}"
+        )
+
+
 _CM_PHYS = "delta.columnMapping.physicalName"
 
 
@@ -992,28 +1162,7 @@ def read_delta_table(
             os.path.join(root, "_delta_log"), as_of_ms
         )
     state = replay_delta_log(os.path.join(root, "_delta_log"), version)
-    protocol = state["protocol"] or {}
-    reader_v = protocol.get("minReaderVersion", 1)
-    feats = set(protocol.get("readerFeatures") or [])
-    if reader_v == 3:
-        if protocol.get("readerFeatures") is None:
-            raise NotImplementedError(
-                f"minReaderVersion 3 without readerFeatures is malformed; "
-                f"refusing to guess, got {protocol}"
-            )
-        unsupported = feats - {"deletionVectors", "columnMapping"}
-        if unsupported:
-            raise NotImplementedError(
-                f"unsupported Delta reader features {sorted(unsupported)}"
-            )
-    elif reader_v == 2:
-        pass  # the legacy (pre-table-features) column-mapping version
-    elif reader_v > 1 or feats:
-        raise NotImplementedError(
-            f"only Delta minReaderVersion 1, 2 (columnMapping) or 3 "
-            f"(deletionVectors/columnMapping) is supported here, got "
-            f"{protocol}"
-        )
+    _check_reader_protocol(state["protocol"] or {})
     meta = state["metaData"]
     if meta is None:
         raise ValueError(f"{root}: log has no metaData action")
@@ -1122,3 +1271,238 @@ def read_delta_table(
                 F.col(phys_of[lf.name]).cast(lf.dataType).alias(lf.name)
             )
     return df.select(*out)
+
+
+def read_delta_changes(
+    spark,
+    root: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+):
+    """Read the CHANGE DATA FEED of a Delta table for the commit range
+    [starting_version, ending_version] — the consumer of
+    `delta.enableChangeDataFeed` tables (PROTOCOL.md "Change Data
+    Files"), mirroring delta-spark's `readChangeFeed`: returns the table
+    columns plus `_change_type` (insert / delete / update_preimage /
+    update_postimage), `_commit_version`, `_commit_timestamp`.
+
+    Per the spec's rule, a commit's `cdc` actions are AUTHORITATIVE when
+    present (their parquet carries `_change_type` per row); commits
+    without cdc actions derive changes from their add/remove actions —
+    adds read as inserts, removed files re-read as deletes (their
+    partition values from the remove action or the pre-commit state),
+    and files carrying a deletion-vector descriptor contribute only
+    their unmasked rows. A no-cdc commit that rewrites a file IN PLACE
+    (remove + re-add of the same path — a DV update) cannot be derived
+    and refuses honestly.
+
+    100 TB plan shape: the log walk is driver-side metadata; the data
+    read is at most THREE parquet scans (cdc / inserts / deletes),
+    each joined to a broadcast file→(version, timestamp, partitions)
+    map — a file changed in several commits fans out per commit through
+    the join, never through repeated scans. CDF ranges are bounded by
+    construction (a consumer reads since its last checkpoint); versions
+    cleaned past the checkpoint horizon refuse with the earliest
+    replayable version."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    log_dir = os.path.join(root, "_delta_log")
+    commit_files = {
+        int(f.split(".")[0]): f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    }
+    if not commit_files:
+        raise FileNotFoundError(f"no commit files in {log_dir}")
+    last = max(commit_files)
+    if ending_version is None:
+        ending_version = last
+    if not 0 <= starting_version <= ending_version <= last:
+        raise ValueError(
+            f"invalid CDF range [{starting_version}, {ending_version}] "
+            f"(log ends at {last})"
+        )
+    if starting_version < min(commit_files):
+        raise ValueError(
+            f"CDF needs the JSON commits: versions before "
+            f"{min(commit_files)} have been cleaned from {log_dir}"
+        )
+    end_state = replay_delta_log(log_dir, ending_version)
+    _check_reader_protocol(end_state["protocol"] or {})
+    meta = end_state["metaData"]
+    if meta is None:
+        raise ValueError(f"{root}: log has no metaData action")
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise NotImplementedError(
+            "change-data-feed read over a column-mapping table"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    cdc_schema = T.StructType(
+        data_schema.fields + [T.StructField("_change_type", T.StringType())]
+    )
+
+    prior = (
+        replay_delta_log(log_dir, starting_version - 1)["files"]
+        if starting_version > 0
+        else {}
+    )
+    groups: dict[str, list] = {"cdc": [], "insert": [], "delete": []}
+    for v in range(starting_version, ending_version + 1):
+        adds, removes, cdcs, ts = [], [], [], None
+        with open(os.path.join(log_dir, commit_files[v])) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds.append(a["add"])
+                elif "remove" in a:
+                    removes.append(a["remove"])
+                elif "cdc" in a:
+                    cdcs.append(a["cdc"])
+                elif "commitInfo" in a and ts is None:
+                    ts = a["commitInfo"].get("timestamp")
+        if ts is None:
+            ts = int(
+                os.stat(os.path.join(log_dir, commit_files[v])).st_mtime * 1000
+            )
+
+        def _abs(p):
+            return os.path.abspath(
+                os.path.join(root, urllib.parse.unquote(p))
+            )
+
+        if cdcs:
+            for c in cdcs:
+                groups["cdc"].append(
+                    (_abs(c["path"]), v, ts, c.get("partitionValues") or {}, None)
+                )
+        else:
+            data_adds = [a for a in adds if a.get("dataChange", True)]
+            data_removes = [r for r in removes if r.get("dataChange", True)]
+            readded = {a["path"] for a in data_adds} & {
+                r["path"] for r in data_removes
+            }
+            if readded:
+                # remove + re-add of the same path in one commit is an
+                # in-place row change (a deletion-vector update); its
+                # row-level effect cannot be derived from the actions
+                raise NotImplementedError(
+                    f"commit {v} rewrites files in place (deletion "
+                    f"vectors) but wrote no cdc files; its CDF cannot "
+                    f"be derived from add/remove actions"
+                )
+            # files carrying a DV contribute only their UNMASKED rows —
+            # the descriptor's positions are excluded from the derived
+            # insert/delete rows, matching what was logically live
+            for a in data_adds:
+                groups["insert"].append(
+                    (
+                        _abs(a["path"]),
+                        v,
+                        ts,
+                        a.get("partitionValues") or {},
+                        a.get("deletionVector"),
+                    )
+                )
+            for r in data_removes:
+                pa = prior.get(r["path"]) or {}
+                pv = r.get("partitionValues") or pa.get("partitionValues") or {}
+                groups["delete"].append(
+                    (_abs(r["path"]), v, ts, pv, pa.get("deletionVector"))
+                )
+        for r in removes:
+            prior.pop(r["path"], None)
+        for a in adds:
+            prior[a["path"]] = a
+
+    map_schema = T.StructType(
+        [
+            T.StructField("_file", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+            T.StructField("_ts", T.LongType()),
+        ]
+        + [T.StructField(c, T.StringType()) for c in pcols]
+    )
+
+    def attach(df, rows):
+        mapping = spark.createDataFrame(
+            [
+                (p, v, ts, *[pv.get(c) for c in pcols])
+                for p, v, ts, pv, _dv in rows
+            ],
+            map_schema,
+        )
+        dv_masks = [
+            (p, v, pos)
+            for p, v, _ts, _pv, dv in rows
+            if dv
+            for pos in _resolve_dv(root, dv)
+        ]
+        df = df.withColumn(
+            "_file",
+            F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"),
+        )
+        if dv_masks:
+            # the metadata pseudo-column must be captured AT the scan
+            df = df.withColumn("_pos", F.col("_metadata.row_index"))
+        df = df.join(F.broadcast(mapping), "_file")
+        if dv_masks:
+            mdf = spark.createDataFrame(
+                dv_masks, "_file STRING, _commit_version BIGINT, _pos BIGINT"
+            )
+            df = df.join(
+                F.broadcast(mdf),
+                ["_file", "_commit_version", "_pos"],
+                "left_anti",
+            ).drop("_pos")
+        df = df.drop("_file")
+        for c in pcols:
+            df = df.withColumn(c, F.col(c).cast(schema[c].dataType))
+        return df
+
+    parts = []
+    if groups["cdc"]:
+        df = spark.read.schema(cdc_schema).parquet(
+            *{p for p, *_ in groups["cdc"]}
+        )
+        parts.append(attach(df, groups["cdc"]))
+    for kind in ("insert", "delete"):
+        if groups[kind]:
+            df = spark.read.schema(data_schema).parquet(
+                *{p for p, *_ in groups[kind]}
+            )
+            parts.append(
+                attach(df, groups[kind]).withColumn(
+                    "_change_type", F.lit(kind)
+                )
+            )
+    out_cols = [f.name for f in schema.fields] + [
+        "_change_type",
+        "_commit_version",
+        "_commit_timestamp",
+    ]
+    if not parts:
+        empty = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    res = reduce(lambda a, b: a.unionByName(b), parts)
+    res = res.withColumn(
+        "_commit_timestamp", F.timestamp_millis(F.col("_ts"))
+    ).drop("_ts")
+    return res.select(*out_cols)

@@ -132,6 +132,8 @@ _PRIORITY = [
     # --- slot 56: equality-delete (Flink upsert dialect) write+read
     # (round 7) ---
     "iceberg_equality_delete_roundtrip",
+    # --- slot 57: Delta change data feed write+read (round 7) ---
+    "delta_cdf_roundtrip",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

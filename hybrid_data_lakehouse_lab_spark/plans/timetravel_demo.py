@@ -805,3 +805,63 @@ def iceberg_equality_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     return spark.createDataFrame(
         sorted(out), "snap INT, event_type STRING, n BIGINT, value_cents BIGINT"
     )
+
+
+@register(
+    "delta_cdf_roundtrip",
+    oracle="""
+    SELECT 0 AS v, 'insert' AS change_type, event_type, count(*) AS n
+    FROM events GROUP BY 3
+    UNION ALL
+    SELECT 1 AS v, 'delete' AS change_type, event_type, count(*) AS n
+    FROM events WHERE user_id % 5 = 0 GROUP BY 3
+    UNION ALL
+    SELECT 2 AS v, 'delete' AS change_type, event_type, count(*) AS n
+    FROM events WHERE user_id % 5 <> 0 AND user_id % 9 = 0 GROUP BY 3
+    """,
+)
+def delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED round-trip, driver-visible: three commits
+    (full events; two successive pure deletes) exported with
+    `export_delta_log(mor_deletes=True, change_data=True)` — each DV
+    delete commit also materializes its deleted rows as `_change_data/`
+    cdc parquet (`_change_type='delete'`, PROTOCOL.md "Change Data
+    Files", delta.enableChangeDataFeed + the changeDataFeed writer
+    feature) — and read back with `read_delta_changes`, the
+    `readChangeFeed` consumer: commit 0 derives inserts from its add
+    actions, commits 1-2 read their authoritative cdc files. The hash
+    match proves the row-level change history reconstructs exactly:
+    per-commit change counts by event type equal the declarative
+    restatement of the same deletes.
+
+    Output is |event types| × 3 rows regardless of scale; the cdc
+    materialization (scan + broadcast semi-join) and the three-scan
+    CDF read run distributed."""
+    from ..operators.delta_log import export_delta_log, read_delta_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="delta_cdf_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 5 != 0), committed_at_ms=2)
+        t.write(
+            ev.filter((F.col("user_id") % 5 != 0) & (F.col("user_id") % 9 != 0)),
+            committed_at_ms=3,
+        )
+        export_delta_log(t, mor_deletes=True, change_data=True)
+        rows = (
+            read_delta_changes(spark, t.root)
+            .groupBy("_commit_version", "_change_type", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        out = sorted(
+            (r["_commit_version"], r["_change_type"], r["event_type"], r["n"])
+            for r in rows
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "v INT, change_type STRING, event_type STRING, n BIGINT"
+    )

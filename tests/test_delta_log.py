@@ -1458,3 +1458,158 @@ def test_column_mapping_malformed_and_unknown_mode(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_delta_table(spark, root3).collect()
     ) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Change data feed (PROTOCOL.md "Change Data Files"): cdc actions +
+# _change_data parquet on the write side, readChangeFeed semantics on the
+# read side (cdc authoritative; add/remove derivation otherwise).
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_export_dv_chain_and_read(dv_table, spark):
+    """DV deletes with change_data: commits 1-2 write cdc delete files;
+    the CDF read returns v0 inserts, v1/v2 cdc deletes, and v3's
+    rewrite-derived delete+insert — exactly the row-level history."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_changes,
+    )
+
+    log_dir = export_delta_log(dv_table, mor_deletes=True, change_data=True)
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        acts = [json.loads(x) for x in fh.read().splitlines()]
+    (proto,) = [a["protocol"] for a in acts if "protocol" in a]
+    assert "changeDataFeed" in proto["writerFeatures"]
+    (meta,) = [a["metaData"] for a in acts if "metaData" in a]
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+    for v in (1, 2):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            assert any(
+                "cdc" in json.loads(x) for x in fh.read().splitlines()
+            ), v
+
+    ch = read_delta_changes(spark, dv_table.root)
+    rows = [
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    ]
+    by = {}
+    for rid, ct, cv in rows:
+        by.setdefault((cv, ct), set()).add(rid)
+    assert by[(0, "insert")] == set(range(60))
+    assert by[(1, "delete")] == {i for i in range(60) if i % 3 == 0}
+    assert by[(2, "delete")] == {
+        i for i in range(60) if i % 3 != 0 and i % 4 == 0
+    }
+    # v3 is a rewrite: derived delete of the masked survivors + insert
+    assert by[(3, "delete")] == {
+        i for i in range(60) if i % 3 != 0 and i % 4 != 0
+    }
+    assert by[(3, "insert")] == set(range(9))
+    # bounded range read
+    sub = read_delta_changes(spark, dv_table.root, 1, 2)
+    assert {r["_commit_version"] for r in sub.collect()} == {1, 2}
+    # timestamps carried from commitInfo
+    ts = {r["_commit_version"]: r["_commit_timestamp"] for r in ch.collect()}
+    assert ts[0] < ts[1] < ts[2] < ts[3]
+
+
+def test_cdf_derive_plain_overwrites(table, spark):
+    """No cdc actions anywhere (plain export): every commit derives from
+    add/remove — overwrite N = delete of commit N-1's rows + insert of
+    commit N's."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_changes,
+    )
+
+    export_delta_log(table)
+    ch = read_delta_changes(spark, table.root)
+    by = {}
+    for r in ch.collect():
+        by.setdefault((r["_commit_version"], r["_change_type"]), set()).add(
+            (r["id"], r["v"])
+        )
+    assert by[(0, "insert")] == {(i, i * 2) for i in range(5)}
+    assert by[(1, "delete")] == {(i, i * 2) for i in range(5)}
+    assert by[(1, "insert")] == {(i, i * 3) for i in range(8)}
+    assert by[(2, "delete")] == {(i, i * 3) for i in range(8)}
+    assert by[(2, "insert")] == {(i, i * 5) for i in range(3)}
+
+
+def test_cdf_partitioned_dv(spark, tmp_path):
+    """Partitioned table: cdc files route through partitionBy, actions
+    carry partitionValues, and the read attaches + casts them."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_changes,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cdfp"))
+    df = spark.range(40).selectExpr("id", "CAST(id % 4 AS INT) AS p")
+    t.write(df, partition_by=["p"], committed_at_ms=1000)
+    t.write(df.filter("id % 5 != 0"), partition_by=["p"], committed_at_ms=2000)
+    export_delta_log(t, mor_deletes=True, change_data=True)
+    cdc_root = os.path.join(t.root, "_change_data")
+    assert any(
+        "p=" in dp
+        for dp, _dn, _fn in os.walk(cdc_root)
+    )
+    ch = read_delta_changes(spark, t.root, 1, 1)
+    got = sorted((r["id"], r["p"]) for r in ch.collect())
+    assert got == [(i, i % 4) for i in range(40) if i % 5 == 0]
+    assert dict(ch.dtypes)["p"] == "int"
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+
+
+def test_cdf_dv_without_cdc_refuses_and_gc(dv_table, spark):
+    """A DV commit without cdc files cannot be derived (raw files would
+    double-count masked rows) — refuse. Re-export without change_data
+    GCs the stale _change_data dirs."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_changes,
+    )
+
+    export_delta_log(dv_table, mor_deletes=True, change_data=True)
+    assert os.path.isdir(os.path.join(dv_table.root, "_change_data"))
+    export_delta_log(dv_table, mor_deletes=True)  # change_data off
+    assert not os.path.isdir(os.path.join(dv_table.root, "_change_data"))
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        read_delta_changes(spark, dv_table.root).collect()
+
+
+def test_cdf_range_validation(table, spark):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        clean_log_commits,
+        read_delta_changes,
+        write_checkpoint,
+    )
+
+    export_delta_log(table)
+    with pytest.raises(ValueError, match="invalid CDF range"):
+        read_delta_changes(spark, table.root, 2, 1)
+    with pytest.raises(ValueError, match="invalid CDF range"):
+        read_delta_changes(spark, table.root, 0, 99)
+    write_checkpoint(os.path.join(table.root, "_delta_log"), version=1)
+    clean_log_commits(os.path.join(table.root, "_delta_log"))
+    with pytest.raises(ValueError, match="cleaned"):
+        read_delta_changes(spark, table.root, 0)
+    # the surviving tail still reads
+    got = read_delta_changes(spark, table.root, 2, 2)
+    assert {r["_change_type"] for r in got.collect()} == {"delete", "insert"}
+
+
+def test_cdf_column_mapping_refuses(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_changes,
+    )
+
+    root = str(tmp_path / "cm_cdf")
+    os.makedirs(root)
+    rel = _one_parquet(
+        spark, root, "data", spark.range(3).selectExpr("id AS `col-aaa`")
+    )
+    fields = [_cm_field("id", "long", 1, "col-aaa")]
+    _write_commits(root, [CM_V2, _cm_meta(fields, "name"), _add(rel)])
+    with pytest.raises(NotImplementedError, match="column-mapping"):
+        read_delta_changes(spark, root)
