@@ -1047,6 +1047,25 @@ def export_iceberg_metadata(
         metadata["last-sequence-number"] = len(events)
         metadata["sort-orders"] = [{"order-id": 0, "fields": []}]
         metadata["default-sort-order-id"] = 0
+    # branch refs (spec `refs`): the exported branch tracks the current
+    # snapshot under its own name, and every OTHER SnapshotTable branch
+    # whose head version exists in this exported chain gets a branch
+    # ref at that snapshot — the Iceberg spelling of the Nessie-style
+    # zero-copy branches (reference README.MD:308-313). A branch whose
+    # head is NOT in the chain (an unpublished WAP stage) is simply
+    # absent, preserving WAP invisibility.
+    version_to_sid = {ev["version"]: i + 1 for i, ev in enumerate(events)}
+    refs = {branch: {"snapshot-id": snapshots[-1]["snapshot-id"], "type": "branch"}}
+    all_heads = dict(m.get("branches") or {})
+    if m.get("current") is not None:
+        all_heads["main"] = m["current"]
+    for b, head in all_heads.items():
+        if b == branch:
+            continue
+        sid = version_to_sid.get(head)
+        if sid is not None:
+            refs[b] = {"snapshot-id": sid, "type": "branch"}
+    metadata["refs"] = refs
     n = len(events)
     meta_path = os.path.join(meta_dir, f"v{n}.metadata.json")
     tmp = meta_path + ".tmp"
@@ -1190,6 +1209,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     prune=None,
+    ref: str | None = None,
 ):
     """Read an Iceberg v1/v2 table at `snapshot_id` (None = current)
     with plain Spark parquet scans — the consumer half, no iceberg jar:
@@ -1241,8 +1261,18 @@ def read_iceberg_table(
         raise NotImplementedError(
             f"only Iceberg format-versions 1 and 2 are read here (got {fv})"
         )
-    if snapshot_id is not None and as_of_ms is not None:
-        raise ValueError("pass snapshot_id OR as_of_ms, not both")
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id, as_of_ms, ref")
+    if ref is not None:
+        # named refs (spec `refs`): branches and tags both resolve to a
+        # snapshot id — the read-side of the Nessie-style branch story
+        r = (metadata.get("refs") or {}).get(ref)
+        if r is None:
+            raise ValueError(
+                f"ref {ref!r} not found in {meta_dir} "
+                f"(refs: {sorted(metadata.get('refs') or {})})"
+            )
+        snapshot_id = r["snapshot-id"]
     if as_of_ms is not None:
         # TIMESTAMP AS OF per the spec: the snapshot-log records every
         # current-snapshot change in time order; resolve to the last

@@ -1116,7 +1116,7 @@ def test_timestamp_as_of_read(table, spark):
     )
     with pytest.raises(ValueError, match="at or before"):
         read_iceberg_table(spark, table.root, as_of_ms=1)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         read_iceberg_table(spark, table.root, snapshot_id=1, as_of_ms=2500)
 
 
@@ -1540,3 +1540,55 @@ def test_scd2_pipeline_equality_delete_export(spark, tmp_path):
         )
         assert got == want, sid
     assert meta_dir.endswith("metadata")
+
+
+# --- branch refs (spec `refs`): the Nessie-parity surface --------------------
+
+
+def test_refs_export_and_read(spark, tmp_path):
+    """WAP flow: a staged branch is invisible in the export until
+    published; after fast_forward its ref appears and reads by name.
+    Tag-type refs (hand-added, as catalogs write) also resolve."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "refs"))
+    t.write(spark.range(5).selectExpr("id"), committed_at_ms=1000)
+    t.create_branch("audit", at_ms=1500)
+    t.write(spark.range(9).selectExpr("id"), branch="audit", committed_at_ms=2000)
+    export_iceberg_metadata(t)
+    md = load_metadata(t.root)
+    # the staged audit head (version 2) is not in main's chain: absent
+    assert set(md["refs"]) == {"main"}
+    assert md["refs"]["main"] == {
+        "snapshot-id": md["current-snapshot-id"],
+        "type": "branch",
+    }
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_table(spark, t.root, ref="audit")
+    # publish, re-export: audit's ref appears at the published snapshot
+    t.fast_forward("main", "audit", at_ms=3000)
+    export_iceberg_metadata(t)
+    md = load_metadata(t.root)
+    assert set(md["refs"]) == {"main", "audit"}
+    assert (
+        md["refs"]["audit"]["snapshot-id"] == md["refs"]["main"]["snapshot-id"]
+    )
+    got = sorted(
+        r["id"] for r in read_iceberg_table(spark, t.root, ref="audit").collect()
+    )
+    assert got == list(range(9))
+    # a hand-added tag ref resolves too (read side is type-agnostic)
+    hint = int(open(os.path.join(t.root, "metadata", "version-hint.text")).read())
+    mp = os.path.join(t.root, "metadata", f"v{hint}.metadata.json")
+    md2 = json.load(open(mp))
+    md2["refs"]["v1-tag"] = {"snapshot-id": 1, "type": "tag"}
+    json.dump(md2, open(mp, "w"))
+    got1 = sorted(
+        r["id"]
+        for r in read_iceberg_table(spark, t.root, ref="v1-tag").collect()
+    )
+    assert got1 == list(range(5))
+    with pytest.raises(ValueError, match="at most one"):
+        read_iceberg_table(spark, t.root, ref="main", snapshot_id=1)
