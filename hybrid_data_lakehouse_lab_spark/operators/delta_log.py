@@ -71,6 +71,17 @@ DV_PROTOCOL = {
 }
 
 
+def _is_commit_file(f: str) -> bool:
+    """A {version}.json commit file — NOT a v2 checkpoint manifest,
+    whose uuid-named form `{v}.checkpoint.{u}.json` would otherwise
+    match the same suffix test."""
+    return (
+        f.endswith(".json")
+        and f.split(".")[0].isdigit()
+        and ".checkpoint" not in f
+    )
+
+
 def _snapshot_files(root: str, snapshot_path: str) -> list[dict]:
     """Data files of one snapshot directory as Delta `add`-action dicts
     (path relative to the table root, percent-encoded per the spec)."""
@@ -553,10 +564,10 @@ def export_delta_log(
     # _last_checkpoint that points past the new end for the same reason.
     last = len(events) - 1
     for f in os.listdir(log_dir):
-        if f.endswith(".json") and f.split(".")[0].isdigit():
+        if _is_commit_file(f):
             if int(f.split(".")[0]) > last:
                 os.remove(os.path.join(log_dir, f))
-        elif ".checkpoint" in f and f.endswith(".parquet"):
+        elif ".checkpoint" in f and f.endswith((".parquet", ".json")):
             # External readers (delta-spark, delta-rs) discover
             # checkpoints by LISTING _delta_log, not only via
             # _last_checkpoint — an orphaned {v}.checkpoint*.parquet
@@ -601,9 +612,11 @@ def _load_last_checkpoint(log_dir: str) -> dict | None:
 
 
 def _checkpoint_paths(log_dir: str, cp: dict) -> list[str]:
-    """Resolve the parquet file(s) of a `_last_checkpoint` pointer:
-    single-file `{v}.checkpoint.parquet` or multi-part
-    `{v}.checkpoint.{i}.{n}.parquet` per the spec's checkpoint naming."""
+    """Resolve the file(s) of a `_last_checkpoint` pointer: single-file
+    `{v}.checkpoint.parquet`, multi-part
+    `{v}.checkpoint.{i}.{n}.parquet`, or a V2 CHECKPOINT manifest
+    `{v}.checkpoint.{uniqueStr}.{json|parquet}` (discovered by listing
+    when the classic name is absent), per the spec's naming."""
     v = cp["version"]
     parts = cp.get("parts")
     if parts:
@@ -612,7 +625,24 @@ def _checkpoint_paths(log_dir: str, cp: dict) -> list[str]:
             for i in range(1, parts + 1)
         ]
     else:
-        names = [f"{v:020d}.checkpoint.parquet"]
+        classic = f"{v:020d}.checkpoint.parquet"
+        if os.path.exists(os.path.join(log_dir, classic)):
+            names = [classic]
+        else:
+            # v2 manifest: 4 dot-segments ({v}.checkpoint.{u}.{ext})
+            cands = sorted(
+                f
+                for f in os.listdir(log_dir)
+                if f.startswith(f"{v:020d}.checkpoint.")
+                and f.endswith((".parquet", ".json"))
+                and len(f.split(".")) == 4
+            )
+            if not cands:
+                raise FileNotFoundError(
+                    f"_last_checkpoint points at version {v} but no "
+                    f"checkpoint file found in {log_dir}"
+                )
+            names = [cands[-1]]  # any one manifest is complete; pick one
     paths = [os.path.join(log_dir, n) for n in names]
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:
@@ -624,27 +654,71 @@ def _checkpoint_paths(log_dir: str, cp: dict) -> list[str]:
 
 
 def _read_checkpoint(log_dir: str, cp: dict) -> tuple[dict, dict | None, dict | None]:
-    """Load checkpoint parquet rows back into replay state
-    (live add-actions by path, metaData, protocol). Arrow returns map
-    columns as key/value tuple lists — normalize them back to dicts."""
+    """Load checkpoint rows back into replay state (live add-actions by
+    path, metaData, protocol). Handles classic single/multi-part
+    parquet checkpoints AND V2 CHECKPOINTS (PROTOCOL.md "V2 Spec
+    Checkpoints"): a json- or parquet-format manifest carrying
+    `checkpointMetadata` plus `sidecar` actions whose parquet files
+    (under `_delta_log/_sidecars/`) hold the file actions; remove rows
+    in any checkpoint are vacuum tombstones and never enter live state.
+    Arrow returns map columns as key/value tuple lists — normalize them
+    back to dicts."""
     import pyarrow.parquet as pq
 
     def _demap(v):
         return dict(v) if isinstance(v, list) else v
 
+    def _rows(path):
+        if path.endswith(".json"):
+            with open(path) as fh:
+                return [json.loads(ln) for ln in fh if ln.strip()]
+        return pq.read_table(path).to_pylist()
+
     live: dict[str, dict] = {}
     meta = protocol = None
+    sidecars: list[str] = []
+
+    def _apply(row):
+        nonlocal meta, protocol
+        if row.get("add"):
+            add = dict(row["add"])
+            add["partitionValues"] = _demap(add.get("partitionValues")) or {}
+            dv = add.get("deletionVector")
+            if dv is not None and not dv:
+                add.pop("deletionVector")  # all-null struct from parquet
+            live[add["path"]] = add
+        elif row.get("metaData"):
+            meta = dict(row["metaData"])
+            meta["configuration"] = _demap(meta.get("configuration")) or {}
+        elif row.get("protocol"):
+            protocol = dict(row["protocol"])
+
     for path in _checkpoint_paths(log_dir, cp):
-        for row in pq.read_table(path).to_pylist():
-            if row.get("add"):
-                add = dict(row["add"])
-                add["partitionValues"] = _demap(add.get("partitionValues")) or {}
-                live[add["path"]] = add
-            elif row.get("metaData"):
-                meta = dict(row["metaData"])
-                meta["configuration"] = _demap(meta.get("configuration")) or {}
-            elif row.get("protocol"):
-                protocol = dict(row["protocol"])
+        for row in _rows(path):
+            if row.get("checkpointMetadata"):
+                cm = row["checkpointMetadata"]
+                if cm.get("version") not in (None, cp["version"]):
+                    raise ValueError(
+                        f"v2 checkpoint manifest {os.path.basename(path)} "
+                        f"declares version {cm.get('version')}, "
+                        f"_last_checkpoint says {cp['version']}"
+                    )
+            elif row.get("sidecar"):
+                sidecars.append(row["sidecar"]["path"])
+            else:
+                _apply(row)
+    for sc in sidecars:
+        scp = (
+            sc
+            if os.path.isabs(sc)
+            else os.path.join(log_dir, "_sidecars", sc)
+        )
+        if not os.path.exists(scp):
+            raise FileNotFoundError(
+                f"v2 checkpoint sidecar missing: {scp}"
+            )
+        for row in pq.read_table(scp).to_pylist():
+            _apply(row)
     return live, meta, protocol
 
 
@@ -664,7 +738,7 @@ def replay_delta_log(log_dir: str, version: int | None = None) -> dict:
     commit_files = {
         int(f.split(".")[0]): f
         for f in os.listdir(log_dir)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
+        if _is_commit_file(f)
     }
     cp = _load_last_checkpoint(log_dir)
     live: dict[str, dict] = {}
@@ -885,7 +959,7 @@ def clean_log_commits(log_dir: str) -> list[int]:
         raise ValueError(f"{log_dir}: refusing to clean commits without a checkpoint")
     removed = []
     for f in sorted(os.listdir(log_dir)):
-        if f.endswith(".json") and f.split(".")[0].isdigit():
+        if _is_commit_file(f):
             v = int(f.split(".")[0])
             if v <= cp["version"]:
                 os.remove(os.path.join(log_dir, f))
@@ -896,9 +970,9 @@ def clean_log_commits(log_dir: str) -> list[int]:
 def _check_reader_protocol(protocol: dict) -> None:
     """The shared read-side protocol gate: minReaderVersion 1; 2 (the
     legacy column-mapping version); or 3 with readerFeatures ⊆
-    {deletionVectors, columnMapping}. Anything else refuses honestly —
-    returning rows while ignoring an unknown reader feature is how a
-    reader silently resurrects deleted data."""
+    {deletionVectors, columnMapping, v2Checkpoint}. Anything else
+    refuses honestly — returning rows while ignoring an unknown reader
+    feature is how a reader silently resurrects deleted data."""
     reader_v = protocol.get("minReaderVersion", 1)
     feats = set(protocol.get("readerFeatures") or [])
     if reader_v == 3:
@@ -907,7 +981,7 @@ def _check_reader_protocol(protocol: dict) -> None:
                 f"minReaderVersion 3 without readerFeatures is malformed; "
                 f"refusing to guess, got {protocol}"
             )
-        unsupported = feats - {"deletionVectors", "columnMapping"}
+        unsupported = feats - {"deletionVectors", "columnMapping", "v2Checkpoint"}
         if unsupported:
             raise NotImplementedError(
                 f"unsupported Delta reader features {sorted(unsupported)}"
@@ -917,8 +991,8 @@ def _check_reader_protocol(protocol: dict) -> None:
     elif reader_v > 1 or feats:
         raise NotImplementedError(
             f"only Delta minReaderVersion 1, 2 (columnMapping) or 3 "
-            f"(deletionVectors/columnMapping) is supported here, got "
-            f"{protocol}"
+            f"(deletionVectors/columnMapping/v2Checkpoint) is supported "
+            f"here, got {protocol}"
         )
 
 
@@ -1081,7 +1155,7 @@ def version_at_timestamp(log_dir: str, ts_ms: int) -> int:
     commit (checkpoint cleaning moves the horizon up)."""
     best = None
     for f in sorted(os.listdir(log_dir)):
-        if not (f.endswith(".json") and f.split(".")[0].isdigit()):
+        if not _is_commit_file(f):
             continue
         v = int(f.split(".")[0])
         ts = None
@@ -1313,7 +1387,7 @@ def read_delta_changes(
     commit_files = {
         int(f.split(".")[0]): f
         for f in os.listdir(log_dir)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
+        if _is_commit_file(f)
     }
     if not commit_files:
         raise FileNotFoundError(f"no commit files in {log_dir}")

@@ -921,11 +921,11 @@ def test_reader_rejects_other_v3_features(dv_table, spark, tmp_path):
         if "protocol" in a:
             a["protocol"]["readerFeatures"] = [
                 "deletionVectors",
-                "v2Checkpoint",
+                "typeWidening",
             ]
         out.append(json.dumps(a))
     open(p0, "w").write("\n".join(out) + "\n")
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_table(spark, root)
     # columnMapping, by contrast, is now a SUPPORTED reader feature:
     # declaring it with mode unset still reads (mode defaults to none)
@@ -1613,3 +1613,177 @@ def test_cdf_column_mapping_refuses(spark, tmp_path):
     _write_commits(root, [CM_V2, _cm_meta(fields, "name"), _add(rel)])
     with pytest.raises(NotImplementedError, match="column-mapping"):
         read_delta_changes(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# V2 checkpoints (PROTOCOL.md "V2 Spec Checkpoints"): uuid-named manifest
+# (json or parquet) + sidecar parquet files under _delta_log/_sidecars/.
+# ---------------------------------------------------------------------------
+
+
+def _build_v2_checkpoint_table(spark, root, manifest_format):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+    rel1 = _one_parquet(spark, root, "d1", spark.range(0, 10).selectExpr("id"))
+    rel2 = _one_parquet(spark, root, "d2", spark.range(10, 20).selectExpr("id"))
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta = {
+        "id": "m",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            }
+        ),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _write_commits(
+        root,
+        [{"protocol": proto}, {"metaData": meta}, _add(rel1)],
+        [_add(rel2)],
+        [{"remove": {"path": rel1, "deletionTimestamp": 2, "dataChange": True}}],
+    )
+    # v2 checkpoint at version 1: manifest + one sidecar with both adds
+    sc_name = "sc-1.parquet"
+    side_rows = [
+        {"add": {"path": rel1, "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": rel2, "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    pqw.write_table(
+        pa.Table.from_pylist(side_rows),
+        os.path.join(log, "_sidecars", sc_name),
+    )
+    sc_size = os.path.getsize(os.path.join(log, "_sidecars", sc_name))
+    manifest_actions = [
+        {"checkpointMetadata": {"version": 1}},
+        {"sidecar": {"path": sc_name, "sizeInBytes": sc_size}},
+        {"protocol": proto},
+        {"metaData": meta},
+    ]
+    mf = os.path.join(log, f"{1:020d}.checkpoint.80a083e8.{manifest_format}")
+    if manifest_format == "json":
+        with open(mf, "w") as fh:
+            for a in manifest_actions:
+                fh.write(json.dumps(a) + "\n")
+    else:
+        # explicit unified schema: from_pylist infers from the first
+        # row only, which would null out the other action columns
+        str_map = pa.map_(pa.string(), pa.string())
+        manifest_schema = pa.schema(
+            [
+                (
+                    "checkpointMetadata",
+                    pa.struct([("version", pa.int64())]),
+                ),
+                (
+                    "sidecar",
+                    pa.struct(
+                        [("path", pa.string()), ("sizeInBytes", pa.int64())]
+                    ),
+                ),
+                (
+                    "protocol",
+                    pa.struct(
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
+                        ]
+                    ),
+                ),
+                (
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            (
+                                "format",
+                                pa.struct(
+                                    [
+                                        ("provider", pa.string()),
+                                        ("options", str_map),
+                                    ]
+                                ),
+                            ),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", str_map),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        pqw.write_table(
+            pa.Table.from_pylist(manifest_actions, schema=manifest_schema), mf
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(manifest_actions)}, fh)
+    return log
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_v2_checkpoint_seeded_read(spark, tmp_path, fmt):
+    """Delete the pre-checkpoint JSON commits: reads can only succeed by
+    resolving the uuid-named manifest, following its sidecar actions,
+    and replaying the JSON tail on top."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / f"v2cp_{fmt}")
+    os.makedirs(root)
+    log = _build_v2_checkpoint_table(spark, root, fmt)
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == list(range(10, 20))  # v2: d1 removed by the JSON tail
+    got1 = sorted(
+        r["id"] for r in read_delta_table(spark, root, version=1).collect()
+    )
+    assert got1 == list(range(20))  # checkpoint state itself
+    # the manifest json must NOT be mistaken for a commit file
+    with pytest.raises(FileNotFoundError):
+        read_delta_table(spark, root, version=0)
+
+
+def test_v2_checkpoint_validation(spark, tmp_path):
+    """Version-mismatched manifests and missing sidecars refuse."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "v2bad")
+    os.makedirs(root)
+    log = _build_v2_checkpoint_table(spark, root, "json")
+    mf = os.path.join(log, f"{1:020d}.checkpoint.80a083e8.json")
+    lines = [json.loads(x) for x in open(mf).read().splitlines()]
+    lines[0]["checkpointMetadata"]["version"] = 7
+    with open(mf, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises(ValueError, match="declares version 7"):
+        read_delta_table(spark, root)
+    lines[0]["checkpointMetadata"]["version"] = 1
+    lines[1]["sidecar"]["path"] = "nope.parquet"
+    with open(mf, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(FileNotFoundError, match="sidecar missing"):
+        read_delta_table(spark, root)
