@@ -970,7 +970,8 @@ def clean_log_commits(log_dir: str) -> list[int]:
 def _check_reader_protocol(protocol: dict) -> None:
     """The shared read-side protocol gate: minReaderVersion 1; 2 (the
     legacy column-mapping version); or 3 with readerFeatures ⊆
-    {deletionVectors, columnMapping, v2Checkpoint}. Anything else
+    {deletionVectors, columnMapping, v2Checkpoint, timestampNtz}.
+    Anything else
     refuses honestly — returning rows while ignoring an unknown reader
     feature is how a reader silently resurrects deleted data."""
     reader_v = protocol.get("minReaderVersion", 1)
@@ -981,7 +982,12 @@ def _check_reader_protocol(protocol: dict) -> None:
                 f"minReaderVersion 3 without readerFeatures is malformed; "
                 f"refusing to guess, got {protocol}"
             )
-        unsupported = feats - {"deletionVectors", "columnMapping", "v2Checkpoint"}
+        unsupported = feats - {
+        "deletionVectors",
+        "columnMapping",
+        "v2Checkpoint",
+        "timestampNtz",  # TIMESTAMP_NTZ is native in Spark 4; just allow it
+    }
         if unsupported:
             raise NotImplementedError(
                 f"unsupported Delta reader features {sorted(unsupported)}"

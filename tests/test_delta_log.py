@@ -1787,3 +1787,59 @@ def test_v2_checkpoint_validation(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(FileNotFoundError, match="sidecar missing"):
         read_delta_table(spark, root)
+
+
+def test_timestamp_ntz_feature_read(spark, tmp_path):
+    """timestampNtz is a marker feature — Spark 4 reads TIMESTAMP_NTZ
+    natively, so a v3 log declaring it must read with the ntz type and
+    exact values."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "ntz")
+    os.makedirs(root)
+    rel = _one_parquet(
+        spark,
+        root,
+        "data",
+        spark.sql(
+            "SELECT id, timestamp_ntz'2024-06-01 12:00:00' + "
+            "make_interval(0,0,0,0,0,0,id) AS ts FROM range(4)"
+        ),
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "ts", "type": "timestamp_ntz", "nullable": True, "metadata": {}},
+    ]
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"],
+        }
+    }
+    _write_commits(
+        root,
+        [
+            proto,
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+            _add(rel),
+        ],
+    )
+    df = read_delta_table(spark, root)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = sorted(str(r["ts"]) for r in df.collect())
+    assert got == [f"2024-06-01 12:00:0{i}" for i in range(4)]
