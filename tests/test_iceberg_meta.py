@@ -1168,7 +1168,11 @@ def test_bucket_col_matches_python_twin(spark):
         bucket_value,
     )
 
+    import random
+
+    rng = random.Random(7)
     vals = [0, 1, -1, 34, 255, -256, 2**31, -(2**31), 2**62, -(2**62), 987654321012345]
+    vals += [rng.randint(-(2**63), 2**63 - 1) for _ in range(64)]
     df = spark.createDataFrame([(v,) for v in vals], "k BIGINT").withColumn(
         "b", bucket_col(F.col("k"), 16, "long")
     )
