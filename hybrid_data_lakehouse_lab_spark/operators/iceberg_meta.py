@@ -1054,6 +1054,23 @@ def export_iceberg_metadata(
     # zero-copy branches (reference README.MD:308-313). A branch whose
     # head is NOT in the chain (an unpublished WAP stage) is simply
     # absent, preserving WAP invisibility.
+    # metadata-log (spec): pointers to the PREVIOUS metadata files still
+    # on disk, oldest first — how external engines walk table-metadata
+    # history. Each entry's timestamp is that file's own last-updated-ms.
+    n_events = len(events)
+    mlog = []
+    for k in range(1, n_events):
+        prev_path = os.path.join(meta_dir, f"v{k}.metadata.json")
+        if os.path.exists(prev_path):
+            try:
+                with open(prev_path) as fh:
+                    prev_ts = json.load(fh).get("last-updated-ms", 0)
+            except ValueError:
+                continue
+            mlog.append(
+                {"timestamp-ms": prev_ts, "metadata-file": prev_path}
+            )
+    metadata["metadata-log"] = mlog
     version_to_sid = {ev["version"]: i + 1 for i, ev in enumerate(events)}
     refs = {branch: {"snapshot-id": snapshots[-1]["snapshot-id"], "type": "branch"}}
     all_heads = dict(m.get("branches") or {})

@@ -456,7 +456,9 @@ def delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS total_cents
-    FROM orders WHERE o_orderkey >= 3000
+    FROM orders
+    WHERE o_orderkey >=
+      (SELECT CAST(floor(max(o_orderkey) * 0.6) AS BIGINT) FROM orders)
     """,
 )
 def iceberg_stats_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,13 +488,18 @@ def iceberg_stats_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.write(orders.repartitionByRange(8, "o_orderkey"), committed_at_ms=1)
         export_iceberg_metadata(t, format_version=2)
         total = orders.count()
+        # scale-relative cut (60% of the key domain) so the skip assert
+        # holds at every SF; the oracle computes the same floor(max*0.6)
+        cut = orders.agg(
+            F.floor(F.max("o_orderkey") * 0.6).cast("bigint").alias("c")
+        ).collect()[0]["c"]
         pruned = read_iceberg_table(
-            spark, t.root, prune=[("o_orderkey", ">=", 3000)]
+            spark, t.root, prune=[("o_orderkey", ">=", cut)]
         )
         kept = pruned.count()
-        assert 0 < kept < total, (kept, total)  # files REALLY skipped
+        assert 0 < kept < total, (kept, total, cut)  # files REALLY skipped
         row = (
-            pruned.filter(F.col("o_orderkey") >= 3000)
+            pruned.filter(F.col("o_orderkey") >= cut)
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(

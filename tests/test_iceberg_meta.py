@@ -1596,3 +1596,25 @@ def test_refs_export_and_read(spark, tmp_path):
     assert got1 == list(range(5))
     with pytest.raises(ValueError, match="at most one"):
         read_iceberg_table(spark, t.root, ref="main", snapshot_id=1)
+
+
+def test_metadata_log_tracks_previous_exports(spark, tmp_path):
+    """Re-exports append spec `metadata-log` entries pointing at the
+    previous metadata files (oldest first, each stamped with its own
+    last-updated-ms); the first export has none."""
+    t = SnapshotTable(spark, str(tmp_path / "mlog"))
+    t.write(spark.range(3).selectExpr("id"), committed_at_ms=1000)
+    export_iceberg_metadata(t)
+    md1 = load_metadata(t.root)
+    assert md1["metadata-log"] == []
+    t.write(spark.range(5).selectExpr("id"), committed_at_ms=2000)
+    export_iceberg_metadata(t)
+    t.write(spark.range(7).selectExpr("id"), committed_at_ms=3000)
+    export_iceberg_metadata(t)
+    md3 = load_metadata(t.root)
+    files = [e["metadata-file"] for e in md3["metadata-log"]]
+    assert [os.path.basename(f) for f in files] == [
+        "v1.metadata.json", "v2.metadata.json",
+    ]
+    assert [e["timestamp-ms"] for e in md3["metadata-log"]] == [1000, 2000]
+    assert all(os.path.exists(f) for f in files)
