@@ -1205,6 +1205,40 @@ def _pred_value(iceberg_type: str, v):
     return v
 
 
+_DAY_MICROS = 86_400_000_000
+
+
+def _transform_range(transform: str, source_type: str, pv: int):
+    """The [lo, hi] interval (inclusive, in the source column's
+    comparable domain: epoch days for dates, epoch micros for
+    timestamps) covered by a day/month/year partition value — the
+    spec's time binners count days/months/years since epoch (negative
+    before 1970; divmod handles the month wrap). None when the source
+    type isn't a time type."""
+    if source_type not in ("date", "timestamp", "timestamptz"):
+        return None
+    pv = int(pv)
+    if transform == "day":
+        start_day, end_day = pv, pv + 1
+    elif transform == "month":
+        y, m = divmod(pv, 12)
+        start = datetime.date(1970 + y, m + 1, 1)
+        end = (
+            datetime.date(1970 + y + 1, 1, 1)
+            if m == 11
+            else datetime.date(1970 + y, m + 2, 1)
+        )
+        start_day, end_day = (start - _EPOCH).days, (end - _EPOCH).days
+    elif transform == "year":
+        start_day = (datetime.date(1970 + pv, 1, 1) - _EPOCH).days
+        end_day = (datetime.date(1971 + pv, 1, 1) - _EPOCH).days
+    else:
+        return None
+    if source_type == "date":
+        return start_day, end_day - 1
+    return start_day * _DAY_MICROS, end_day * _DAY_MICROS - 1
+
+
 def _range_may_match(lo, hi, op: str, v) -> bool:
     """Can any value in [lo, hi] satisfy `value op v`?"""
     if op == "=":
@@ -1396,19 +1430,27 @@ def read_iceberg_table(
         by_name = {f["name"]: f for f in schema_fields}
 
         def _hidden_may_match(rec, sname, sf, f, op, val) -> bool:
-            """Can this file's bucket/truncate partition value hold a
-            row matching `source op val`? bucket prunes equality
-            (hash the predicate value, compare buckets); truncate[W]
-            over ints covers [t, t+W-1] so all range ops prune, over
-            strings equality prunes by prefix. day/month/year binners
-            stay unpruned here — the column stats bounds already cover
-            them."""
+            """Can this file's hidden partition value hold a row
+            matching `source op val`? bucket prunes equality (hash the
+            predicate value, compare buckets); truncate[W] over ints
+            covers [t, t+W-1] so all range ops prune, over strings
+            equality prunes by prefix; day/month/year binners cover a
+            calendar interval in the source domain, so every range op
+            prunes — the path that matters on external trees whose
+            manifests lack column stats."""
             pv = (rec.get("partition") or {}).get(sname)
             if pv is None:
                 return True
             m = _PARAM_RE.fullmatch(sf["transform"])
             if not m:
-                return True
+                rng = _transform_range(sf["transform"], f["type"], pv)
+                if rng is None:
+                    return True
+                try:
+                    v = _pred_value(f["type"], val)
+                except (ValueError, TypeError):
+                    return True
+                return _range_may_match(rng[0], rng[1], op, v)
             kind, param = m.group(1), int(m.group(2))
             if kind == "bucket":
                 if op != "=":

@@ -1618,3 +1618,95 @@ def test_metadata_log_tracks_previous_exports(spark, tmp_path):
     ]
     assert [e["timestamp-ms"] for e in md3["metadata-log"]] == [1000, 2000]
     assert all(os.path.exists(f) for f in files)
+
+
+def test_transform_range_units():
+    """The calendar intervals behind day/month/year partition pruning:
+    inclusive bounds in the source domain (epoch days for dates, epoch
+    micros for timestamps), correct across month wraps, leap years and
+    pre-epoch values."""
+    import datetime
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _DAY_MICROS,
+        _transform_range,
+    )
+
+    e = datetime.date(1970, 1, 1)
+
+    def days(y, m, d):
+        return (datetime.date(y, m, d) - e).days
+
+    assert _transform_range("day", "date", 19723) == (19723, 19723)
+    assert _transform_range("day", "timestamp", 0) == (0, _DAY_MICROS - 1)
+    # month 0 = 1970-01; month 11 wraps into 1971-01; month -1 = 1969-12
+    assert _transform_range("month", "date", 0) == (0, 30)
+    assert _transform_range("month", "date", 11) == (
+        days(1970, 12, 1), days(1971, 1, 1) - 1,
+    )
+    assert _transform_range("month", "date", -1) == (
+        days(1969, 12, 1), -1,
+    )
+    # leap february 2024 = month (2024-1970)*12 + 1
+    feb24 = (2024 - 1970) * 12 + 1
+    assert _transform_range("month", "date", feb24) == (
+        days(2024, 2, 1), days(2024, 2, 29),
+    )
+    assert _transform_range("year", "timestamp", 54) == (
+        days(2024, 1, 1) * _DAY_MICROS, days(2025, 1, 1) * _DAY_MICROS - 1,
+    )
+    assert _transform_range("year", "long", 1) is None
+    assert _transform_range("identity", "date", 1) is None
+
+
+def test_hidden_day_partition_prunes_without_stats(spark, tmp_path):
+    """Strip the column stats from the day-partition manifests: a
+    timestamp range prune must still skip files purely from the typed
+    day partition values — the path external trees without stats
+    exercise."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.avro_io import (
+        read_avro,
+        write_avro,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "hidp"))
+    df = (
+        spark.range(30)
+        .selectExpr(
+            "id",
+            "timestamp'2024-01-01 06:00:00' + make_interval(0,0,0,CAST(id%3 AS INT),0,0,0) AS ts",
+        )
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    t.write(df, partition_by=["dt"], committed_at_ms=1000)
+    export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "day")})
+    md = load_metadata(t.root)
+    # strip stats from every manifest entry (simulate a stats-less tree)
+    _, rows = read_avro_file(md["snapshots"][0]["manifest-list"])
+    spec_fields = [
+        {**f, "type": "date"} for f in md["partition-specs"][0]["fields"]
+    ]
+    schema = _entry_schema(spec_fields, 1)
+    for r in rows:
+        _, entries = read_avro_file(r["manifest_path"])
+        for ent in entries:
+            for k in (
+                "value_counts",
+                "null_value_counts",
+                "lower_bounds",
+                "upper_bounds",
+            ):
+                ent["data_file"][k] = None
+        write_avro(r["manifest_path"], schema, entries)
+    pruned = read_iceberg_table(
+        spark, t.root, prune=[("ts", ">=", "2024-01-03 00:00:00")]
+    )
+    got = sorted(r["id"] for r in pruned.collect())
+    # only the dt=2024-01-03 files survive: ids with id%3 == 2
+    assert got == [i for i in range(30) if i % 3 == 2]
