@@ -71,6 +71,20 @@ MULTIMODAL_10X = [
     "multimodal_video_mjpeg",
 ]
 
+# The merge-on-read interop family at 10×: each lane commits three
+# versions of the (replicated) events table, exports the full metadata
+# dialect (Iceberg v2 positional deletes / Delta DVs / equality deletes
+# / change data feed), and reads every version back masked — so this
+# section measures the distributed diffs, the spec-file writers, and
+# the broadcast-anti-join readers under 10× data, not just the query
+# layer. ~75 s total at 10× on local[32].
+LAKEHOUSE_10X = [
+    "iceberg_v2_metadata_roundtrip",
+    "delta_dv_roundtrip",
+    "iceberg_equality_delete_roundtrip",
+    "delta_cdf_roundtrip",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -196,6 +210,7 @@ def main() -> None:
     sf1r_queries: dict[str, float] = {}
     sf1r_mm: dict[str, float] = {}
     sf01_mm: dict[str, float] = {}
+    sf1r_lh: dict[str, float] = {}
     sf1r_skew_queries: dict[str, float] = {}
     sf1r_skew_total = None
     sf1r_skew_max_ratio = None
@@ -232,6 +247,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, slice_dir))
                 sf1r_mm[name] = round(time.perf_counter() - t0, 3)
+            # Table-format MoR interop under 10× data (round 7): the
+            # position/PK diffs, DV/delete-file writers and masked
+            # readers, measured end-to-end.
+            for name in LAKEHOUSE_10X:
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, slice_dir))
+                sf1r_lh[name] = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
@@ -278,6 +300,7 @@ def main() -> None:
         # the file
         headline["sf1r_total_sec"] = sf1r_total
         headline["sf1r_mm_total_sec"] = round(sum(sf1r_mm.values()), 3)
+        headline["sf1r_lh_total_sec"] = round(sum(sf1r_lh.values()), 3)
     if sf1r_skew_total is not None:
         headline["sf1r_skew_total_sec"] = sf1r_skew_total
         headline["sf1r_skew_max_ratio"] = sf1r_skew_max_ratio
@@ -298,6 +321,7 @@ def main() -> None:
                 "queries_sf1r": sf1r_queries,
                 "sf01_multimodal": sf01_mm,
                 "sf1r_multimodal": sf1r_mm,
+                "sf1r_lakehouse": sf1r_lh,
                 "queries_sf1r_skew": sf1r_skew_queries,
             },
             f,

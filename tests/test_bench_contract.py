@@ -28,9 +28,14 @@ def test_bench_names_are_registered():
     from hybrid_data_lakehouse_lab_spark.plans import QUERIES
 
     bench = _load(os.path.join(REPO, "bench.py"), "bench_mod")
-    missing = [n for n in bench.HEADLINE + bench.MULTIMODAL_10X if n not in QUERIES]
+    missing = [
+        n
+        for n in bench.HEADLINE + bench.MULTIMODAL_10X + bench.LAKEHOUSE_10X
+        if n not in QUERIES
+    ]
     assert not missing, missing
     assert len(bench.MULTIMODAL_10X) == 7
+    assert len(bench.LAKEHOUSE_10X) == 4
 
 
 @pytest.fixture(scope="module")
