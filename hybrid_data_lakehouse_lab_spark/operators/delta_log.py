@@ -1171,7 +1171,12 @@ def version_at_timestamp(log_dir: str, ts_ms: int) -> int:
                     continue
                 a = json.loads(line)
                 if "commitInfo" in a:
-                    ts = a["commitInfo"].get("timestamp")
+                    # inCommitTimestamp (the ICT writer feature) is the
+                    # authoritative commit time when present — the spec
+                    # requires time travel to prefer it over the file's
+                    # timestamp, which clock skew can reorder
+                    ci = a["commitInfo"]
+                    ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
                     break
         if ts is None:
             ts = int(os.stat(os.path.join(log_dir, f)).st_mtime * 1000)
@@ -1450,7 +1455,8 @@ def read_delta_changes(
                 elif "cdc" in a:
                     cdcs.append(a["cdc"])
                 elif "commitInfo" in a and ts is None:
-                    ts = a["commitInfo"].get("timestamp")
+                    ci = a["commitInfo"]
+                    ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
         if ts is None:
             ts = int(
                 os.stat(os.path.join(log_dir, commit_files[v])).st_mtime * 1000

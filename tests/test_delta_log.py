@@ -1843,3 +1843,54 @@ def test_timestamp_ntz_feature_read(spark, tmp_path):
     assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     got = sorted(str(r["ts"]) for r in df.collect())
     assert got == [f"2024-06-01 12:00:0{i}" for i in range(4)]
+
+
+def test_in_commit_timestamp_preferred(spark, tmp_path):
+    """When commitInfo carries inCommitTimestamp (the ICT writer
+    feature), TIMESTAMP AS OF and CDF timestamps must use it over the
+    plain timestamp field — the spec's clock-skew-proof commit time."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_changes,
+        version_at_timestamp,
+    )
+
+    root = str(tmp_path / "ict")
+    os.makedirs(root)
+    rels = {
+        k: _one_parquet(
+            spark, root, f"d{k}", spark.range(3 * k, 3 * k + 3).selectExpr("id")
+        )
+        for k in (0, 1)
+    }
+    plain = [{"name": "id", "type": "long", "nullable": True, "metadata": {}}]
+    meta = {
+        "metaData": {
+            "id": "m",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": plain}),
+            "partitionColumns": [],
+            "configuration": {"delta.enableInCommitTimestamps": "true"},
+            "createdTime": 0,
+        }
+    }
+    # wall-clock timestamps are SKEWED (later commit has earlier wall
+    # time); inCommitTimestamp is monotonic
+    _write_commits(
+        root,
+        [
+            {"commitInfo": {"timestamp": 5000, "inCommitTimestamp": 1000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            _add(rels[0]),
+        ],
+        [
+            {"commitInfo": {"timestamp": 500, "inCommitTimestamp": 2000}},
+            _add(rels[1]),
+        ],
+    )
+    log = os.path.join(root, "_delta_log")
+    assert version_at_timestamp(log, 1500) == 0
+    assert version_at_timestamp(log, 2000) == 1
+    ch = read_delta_changes(spark, root)
+    ts_by_v = {r["_commit_version"]: r["_commit_timestamp"] for r in ch.collect()}
+    assert ts_by_v[0] < ts_by_v[1]  # ICT order, not wall-clock order
