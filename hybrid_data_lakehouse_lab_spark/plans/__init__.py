@@ -134,6 +134,9 @@ _PRIORITY = [
     "iceberg_equality_delete_roundtrip",
     # --- slot 57: Delta change data feed write+read (round 7) ---
     "delta_cdf_roundtrip",
+    # --- slot 58: UniForm-style dual-format facade over one data copy
+    # (round 7) ---
+    "uniform_dual_export_roundtrip",
     # --- tier 1: remaining TPC-H ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -872,3 +872,64 @@ def delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "v INT, change_type STRING, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "uniform_dual_export_roundtrip",
+    oracle="""
+    SELECT 'delta' AS fmt, event_type, count(*) AS n
+    FROM events WHERE user_id % 4 <> 0 GROUP BY 2
+    UNION ALL
+    SELECT 'iceberg' AS fmt, event_type, count(*) AS n
+    FROM events WHERE user_id % 4 <> 0 GROUP BY 2
+    """,
+)
+def uniform_dual_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm-style DUAL metadata export, driver-visible: ONE copy of
+    the data files (two SnapshotTable commits: full events, then a
+    delete) gets BOTH table-format facades — `export_delta_log` (with
+    deletion vectors) and `export_iceberg_metadata` (format-version 2,
+    positional delete files) — and both independent readers
+    (`read_delta_table`, `read_iceberg_table`) must reconstruct the
+    same committed state from their own metadata alone. This is the
+    same one-copy/two-catalogs design Databricks UniForm ships: the
+    parquet is written once, each format's metadata tree points at it,
+    and MoR deletes are re-expressed per dialect (roaring-bitmap DV
+    blobs for Delta, spec-shaped positional delete parquet for
+    Iceberg). A hash match on both facades proves the two metadata
+    stacks agree with each other and with the declarative oracle.
+
+    Output is |event types| × 2 rows regardless of scale; the exports'
+    distributed diffs and both masked reads run distributed."""
+    from ..operators.delta_log import export_delta_log, read_delta_table
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="uniform_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 4 != 0), committed_at_ms=2)
+        export_delta_log(t, mor_deletes=True)
+        export_iceberg_metadata(t, format_version=2)
+        assert os.path.isdir(os.path.join(t.root, "_delta_log"))
+        assert os.path.isdir(os.path.join(t.root, "metadata"))
+        rows = []
+        for fmt, df in (
+            ("delta", read_delta_table(spark, t.root)),
+            ("iceberg", read_iceberg_table(spark, t.root)),
+        ):
+            got = (
+                df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((fmt, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "fmt STRING, event_type STRING, n BIGINT"
+    )
