@@ -1710,3 +1710,51 @@ def test_hidden_day_partition_prunes_without_stats(spark, tmp_path):
     got = sorted(r["id"] for r in pruned.collect())
     # only the dt=2024-01-03 files survive: ids with id%3 == 2
     assert got == [i for i in range(30) if i % 3 == 2]
+
+
+def test_upsert_export_null_key_values(spark, tmp_path):
+    """NULL in the PK domain: the diff's full-row struct keys and the
+    reader's equality match are both null-safe, so a row keyed NULL
+    deletes and re-inserts correctly through the equality-delete
+    dialect."""
+    from pyspark.sql import types as T
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = SnapshotTable(spark, str(tmp_path / "nullk"))
+    t.write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (None, "n1")], schema),
+        committed_at_ms=1000,
+    )
+    # the NULL-keyed row changes value; id 2 is deleted
+    t.write(
+        spark.createDataFrame([(1, "a"), (None, "n2")], schema),
+        committed_at_ms=2000,
+    )
+    export_iceberg_metadata(t, format_version=2, upsert_key=["id"])
+    md = load_metadata(t.root)
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    assert any(r["content"] == 1 for r in rows2)  # equality path taken
+    for sid, version in ((1, 1), (2, 2)):
+        got = sorted(
+            [
+                (r["id"], r["v"])
+                for r in read_iceberg_table(
+                    spark, t.root, snapshot_id=sid
+                ).collect()
+            ],
+            key=str,
+        )
+        want = sorted(
+            [(r["id"], r["v"]) for r in t.read(version=version).collect()],
+            key=str,
+        )
+        assert got == want, sid
