@@ -56,6 +56,7 @@ import os
 import urllib.parse
 import uuid
 
+from .mor_diff import _SCHEME_RE
 from .timetravel import SnapshotTable
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -72,14 +73,13 @@ DV_PROTOCOL = {
 
 
 def _is_commit_file(f: str) -> bool:
-    """A {version}.json commit file — NOT a v2 checkpoint manifest,
-    whose uuid-named form `{v}.checkpoint.{u}.json` would otherwise
-    match the same suffix test."""
-    return (
-        f.endswith(".json")
-        and f.split(".")[0].isdigit()
-        and ".checkpoint" not in f
-    )
+    """A {version}.json commit file: exactly two dot segments with a
+    numeric version. Anything with more segments is NOT a commit — a v2
+    checkpoint manifest (`{v}.checkpoint.{u}.json`) or a log-compaction
+    file (`{lo}.{hi}.compacted.json`) replayed as a commit would
+    corrupt version resolution."""
+    parts = f.split(".")
+    return len(parts) == 2 and parts[1] == "json" and parts[0].isdigit()
 
 
 def _snapshot_files(root: str, snapshot_path: str) -> list[dict]:
@@ -203,7 +203,7 @@ def _write_change_data(
         .withColumn(
             "_f",
             F.regexp_replace(
-                F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+                F.col("_metadata.file_path"), _SCHEME_RE, "/"
             ),
         )
         .withColumn("_p", F.col("_metadata.row_index"))
@@ -222,48 +222,22 @@ def _write_change_data(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(out_dir)
-    import pyarrow.parquet as pq
+    from .mor_diff import finalize_spark_parts
 
-    actions = []
-    part_files = []
-    for dirpath, dirnames, filenames in os.walk(out_dir):
-        dirnames.sort()
-        for fn in sorted(filenames):
-            full = os.path.join(dirpath, fn)
-            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
-                part_files.append((dirpath, fn))
-            elif os.path.isfile(full) and not fn.endswith(".parquet"):
-                os.remove(full)  # _SUCCESS & friends
-    j = 0
-    for dirpath, fn in part_files:
-        full = os.path.join(dirpath, fn)
-        if pq.ParquetFile(full).metadata.num_rows == 0:
-            os.remove(full)
-            continue
-        dst = os.path.join(dirpath, f"cdc-{j:05d}.parquet")
-        os.replace(full, dst)
-        rel = os.path.relpath(dst, root).replace(os.sep, "/")
-        partition_values = {}
-        for seg in rel.split("/")[:-1]:
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                partition_values[k] = (
-                    None
-                    if v == "__HIVE_DEFAULT_PARTITION__"
-                    else urllib.parse.unquote(v)
-                )
-        actions.append(
-            {
-                "cdc": {
-                    "path": urllib.parse.quote(rel, safe="/=-._"),
-                    "partitionValues": partition_values,
-                    "size": os.path.getsize(dst),
-                    "dataChange": False,
-                }
+    return [
+        {
+            "cdc": {
+                "path": urllib.parse.quote(
+                    os.path.relpath(p["path"], root).replace(os.sep, "/"),
+                    safe="/=-._",
+                ),
+                "partitionValues": p["partition"],
+                "size": p["size"],
+                "dataChange": False,
             }
-        )
-        j += 1
-    return actions
+        }
+        for p in finalize_spark_parts(out_dir, "cdc")
+    ]
 
 
 def export_delta_log(
@@ -1310,7 +1284,7 @@ def read_delta_table(
         df = (
             df.withColumn(
                 "_file",
-                F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"),
+                F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/"),
             )
             .withColumn("_pos", F.col("_metadata.row_index"))
             .join(F.broadcast(mask), ["_file", "_pos"], "left_anti")
@@ -1337,7 +1311,7 @@ def read_delta_table(
         df = (
             df.withColumn(
                 "_file",
-                F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"),
+                F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/"),
             )
             .join(F.broadcast(mapping), "_file")
             .drop("_file")
@@ -1536,7 +1510,7 @@ def read_delta_changes(
         ]
         df = df.withColumn(
             "_file",
-            F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"),
+            F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/"),
         )
         if dv_masks:
             # the metadata pseudo-column must be captured AT the scan

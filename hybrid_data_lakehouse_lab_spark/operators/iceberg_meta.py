@@ -75,6 +75,7 @@ from .mor_diff import (
     _parquet_row_count,
     _position_delete_diff,
     _upsert_diff,
+    finalize_spark_parts,
 )
 from .delta_log import _snapshot_files
 from .timetravel import SnapshotTable
@@ -343,74 +344,19 @@ def _write_position_deletes(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(out_dir)
-    out = []
-    part_files = []  # (dirpath, filename) in sorted walk order
-    for dirpath, dirnames, filenames in os.walk(out_dir):
-        dirnames.sort()
-        for fn in sorted(filenames):
-            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
-                part_files.append((dirpath, fn))
-            elif not fn.endswith(".parquet"):
-                os.remove(os.path.join(dirpath, fn))  # _SUCCESS & friends
-    for j, (dirpath, part) in enumerate(part_files):
-        dst = os.path.join(dirpath, f"delete-{j:05d}.parquet")
-        os.replace(os.path.join(dirpath, part), dst)
-        partition = {}
-        for seg in os.path.relpath(dirpath, out_dir).split(os.sep):
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                partition[k] = (
-                    None
-                    if v == "__HIVE_DEFAULT_PARTITION__"
-                    else urllib.parse.unquote(v)
-                )
-        md = pq.ParquetFile(dst).metadata
-        out.append(
-            {
-                "path": dst,
-                "record_count": md.num_rows,
-                "size": os.path.getsize(dst),
-                "partition": partition,
-            }
-        )
-    return out
+    return finalize_spark_parts(out_dir, "delete")
 
 
 def _write_upsert_files(spark, df, out_dir: str, prefix: str) -> list[dict]:
     """Write `df` as parquet under `out_dir` with deterministic
     `{prefix}-NNNNN.parquet` names (stable re-export references), drop
-    zero-row parts, return [{path, record_count, size}]. Used by the
-    equality-delete upsert export for both the appended data files and
-    the key-tuple delete files; written BY SPARK so a bulk upsert
-    scales past driver memory — every part file becomes one manifest
-    entry."""
-    import pyarrow.parquet as pq
-
+    zero-row parts, return [{path, record_count, size, partition}].
+    Used by the equality-delete upsert export for both the appended
+    data files and the key-tuple delete files; written BY SPARK so a
+    bulk upsert scales past driver memory — every part file becomes one
+    manifest entry."""
     df.write.mode("overwrite").parquet(out_dir)
-    out = []
-    j = 0
-    for fn in sorted(os.listdir(out_dir)):
-        full = os.path.join(out_dir, fn)
-        if not fn.endswith(".parquet") or fn.startswith((".", "_")):
-            if os.path.isfile(full):
-                os.remove(full)  # _SUCCESS & friends
-            continue
-        rc = pq.ParquetFile(full).metadata.num_rows
-        if rc == 0:
-            os.remove(full)
-            continue
-        dst = os.path.join(out_dir, f"{prefix}-{j:05d}.parquet")
-        os.replace(full, dst)
-        out.append(
-            {"path": dst, "record_count": rc, "size": os.path.getsize(dst)}
-        )
-        j += 1
-    if not out:
-        # nothing survived; leave no empty dir behind
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+    return finalize_spark_parts(out_dir, prefix)
 
 
 def _bound_bytes(iceberg_type: str, v):
@@ -688,6 +634,7 @@ def export_iceberg_metadata(
     written_delete_dirs: set[str] = set()
     written_upsert_dirs: set[str] = set()
     written_manifests: set[str] = set()
+    verified_unique: set[str] = set()  # PK-probed snapshot dirs (upserts)
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         snapshot_id = i + 1
@@ -696,22 +643,32 @@ def export_iceberg_metadata(
             meta_dir, f"snap-{snapshot_id}-1-manifest-list.avro"
         )
         files = _snapshot_files(table.root, snap["path"])
-        file_rc = {}
-        for f in files:
-            rel = urllib.parse.unquote(f["path"])
-            full = os.path.join(table.root, rel)
-            file_rc[full] = (f, _parquet_row_count(full))
-        total_rc = sum(rc for _, rc in file_rc.values())
 
         upsert = None
         if upsert_key is not None and i > 0:
             parent_dir = by_version[events[i - 1]["version"]]["path"]
             if os.path.isdir(parent_dir):
                 changed, del_keys = _upsert_diff(
-                    table.spark, parent_dir, snap["path"], upsert_key
+                    table.spark,
+                    parent_dir,
+                    snap["path"],
+                    upsert_key,
+                    verified_unique=verified_unique,
                 )
                 if changed is not None:
                     upsert = (changed, del_keys)
+
+        # per-file footer row counts feed only the positional-delete
+        # precheck and the rewrite branch's record_count — skip the
+        # O(files) driver-side footer reads on upsert commits
+        file_rc = {}
+        total_rc = 0
+        if upsert is None:
+            for f in files:
+                rel = urllib.parse.unquote(f["path"])
+                full = os.path.join(table.root, rel)
+                file_rc[full] = (f, _parquet_row_count(full))
+            total_rc = sum(rc for _, rc in file_rc.values())
 
         deleted = None
         if (
@@ -1222,16 +1179,24 @@ def _transform_range(transform: str, source_type: str, pv: int):
         start_day, end_day = pv, pv + 1
     elif transform == "month":
         y, m = divmod(pv, 12)
-        start = datetime.date(1970 + y, m + 1, 1)
-        end = (
-            datetime.date(1970 + y + 1, 1, 1)
-            if m == 11
-            else datetime.date(1970 + y, m + 2, 1)
-        )
+        try:
+            start = datetime.date(1970 + y, m + 1, 1)
+            end = (
+                datetime.date(1970 + y + 1, 1, 1)
+                if m == 11
+                else datetime.date(1970 + y, m + 2, 1)
+            )
+        except ValueError:
+            # sentinel bins past datetime's range (e.g. an SCD2
+            # 9999-12-31 end-date partition): cannot bound, keep
+            return None
         start_day, end_day = (start - _EPOCH).days, (end - _EPOCH).days
     elif transform == "year":
-        start_day = (datetime.date(1970 + pv, 1, 1) - _EPOCH).days
-        end_day = (datetime.date(1971 + pv, 1, 1) - _EPOCH).days
+        try:
+            start_day = (datetime.date(1970 + pv, 1, 1) - _EPOCH).days
+            end_day = (datetime.date(1971 + pv, 1, 1) - _EPOCH).days
+        except ValueError:
+            return None
     else:
         return None
     if source_type == "date":

@@ -81,7 +81,74 @@ def _parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def _upsert_diff(spark, parent_dir: str, child_dir: str, key: list[str]):
+def finalize_spark_parts(
+    out_dir: str, prefix: str, drop_empty: bool = True
+) -> list[dict]:
+    """Post-process a Spark parquet output directory into deterministic
+    spec-file references: remove _SUCCESS and friends, drop zero-row
+    part files (optional), rename parts to `{prefix}-NNNNN.parquet` in
+    sorted walk order (stable names across re-exports), and decode hive
+    partition dirs into raw-string partition values. One implementation
+    shared by the position-delete, equality-delete/upsert and
+    change-data writers — the rename/cleanup contract must not drift
+    between them. Returns [{path, record_count, size, partition}];
+    removes `out_dir` entirely when nothing survives."""
+    import os
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    part_files = []
+    for dirpath, dirnames, filenames in os.walk(out_dir):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            full = os.path.join(dirpath, fn)
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                part_files.append((dirpath, fn))
+            elif os.path.isfile(full) and not fn.endswith(".parquet"):
+                os.remove(full)  # _SUCCESS & friends
+    out = []
+    j = 0
+    for dirpath, fn in part_files:
+        full = os.path.join(dirpath, fn)
+        md = pq.ParquetFile(full).metadata
+        if drop_empty and md.num_rows == 0:
+            os.remove(full)
+            continue
+        dst = os.path.join(dirpath, f"{prefix}-{j:05d}.parquet")
+        os.replace(full, dst)
+        partition = {}
+        for seg in os.path.relpath(dirpath, out_dir).split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                partition[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+        out.append(
+            {
+                "path": dst,
+                "record_count": md.num_rows,
+                "size": os.path.getsize(dst),
+                "partition": partition,
+            }
+        )
+        j += 1
+    if not out:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def _upsert_diff(
+    spark,
+    parent_dir: str,
+    child_dir: str,
+    key: list[str],
+    verified_unique: set | None = None,
+):
     """Diff two snapshot directories under PRIMARY-KEY semantics for
     equality-delete (Flink-style upsert) export: returns
     (changed_or_new_rows, deleted_or_replaced_keys) — the rows a MoR
@@ -92,7 +159,10 @@ def _upsert_diff(spark, parent_dir: str, child_dir: str, key: list[str]):
 
     Fully distributed: two key-uniqueness probes (groupBy + limit 1)
     and two null-safe full-row anti-joins; one scan of parent + child
-    per exported commit, same cost envelope as the positional diff."""
+    per exported commit, same cost envelope as the positional diff.
+    Pass `verified_unique` (a mutable set of already-probed snapshot
+    dirs) when diffing a chain — each dir is the child of one commit
+    and the parent of the next, so caching halves the probe jobs."""
     from pyspark.sql import functions as F
 
     parent = spark.read.parquet(parent_dir)
@@ -103,6 +173,8 @@ def _upsert_diff(spark, parent_dir: str, child_dir: str, key: list[str]):
     if missing:
         raise ValueError(f"upsert_key columns {missing} not in snapshot schema")
     for name, df, d in (("parent", parent, parent_dir), ("child", child, child_dir)):
+        if verified_unique is not None and d in verified_unique:
+            continue
         if (
             df.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -113,6 +185,8 @@ def _upsert_diff(spark, parent_dir: str, child_dir: str, key: list[str]):
             raise ValueError(
                 f"upsert_key {key} is not unique in the {name} snapshot ({d})"
             )
+        if verified_unique is not None:
+            verified_unique.add(d)
     cols = sorted(child.columns)
     rowkey = F.struct(*[F.col(c) for c in cols])
     p = parent.withColumn("_rk", rowkey)

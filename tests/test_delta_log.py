@@ -1894,3 +1894,19 @@ def test_in_commit_timestamp_preferred(spark, tmp_path):
     ch = read_delta_changes(spark, root)
     ts_by_v = {r["_commit_version"]: r["_commit_timestamp"] for r in ch.collect()}
     assert ts_by_v[0] < ts_by_v[1]  # ICT order, not wall-clock order
+
+
+def test_commit_file_detection():
+    """Only {version}.json is a commit: v2 checkpoint manifests and
+    log-compaction files (`{lo}.{hi}.compacted.json`, which merge a
+    RANGE of commits) must never replay as single commits."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        _is_commit_file,
+    )
+
+    assert _is_commit_file(f"{5:020d}.json")
+    assert not _is_commit_file(f"{5:020d}.checkpoint.80a083e8.json")
+    assert not _is_commit_file(f"{5:020d}.{9:020d}.compacted.json")
+    assert not _is_commit_file(f"{5:020d}.checkpoint.parquet")
+    assert not _is_commit_file("_last_checkpoint")
+    assert not _is_commit_file("foo.json")

@@ -1758,3 +1758,18 @@ def test_upsert_export_null_key_values(spark, tmp_path):
             key=str,
         )
         assert got == want, sid
+
+
+def test_transform_range_far_future_sentinels():
+    """Year/month bins past datetime's range (SCD2 9999-12-31 style
+    sentinels) must return None (keep the file), not crash the pruned
+    read."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _transform_range,
+    )
+
+    assert _transform_range("year", "timestamp", 8029) is None  # year 9999
+    assert _transform_range("month", "date", 8029 * 12 + 11) is None
+    assert _transform_range("year", "date", -1970) is None  # year 0
+    # in-range years still bound
+    assert _transform_range("year", "date", 54) is not None
