@@ -120,20 +120,30 @@ def _delta_stats(path: str) -> str | None:
     delta-spark writes and reads for DATA SKIPPING), computed from the
     parquet FOOTER only. At 100 TB these are what let an external Delta
     engine prune files by predicate instead of scanning the table.
-    Values serialize as JSON-native types (dates/timestamps ISO-8601);
-    columns whose footer lacks statistics are simply omitted."""
+    Values serialize as JSON-native types; timestamps in the
+    delta-spark stats format — UTC, millisecond precision, 'Z' suffix
+    (yyyy-MM-dd'T'HH:mm:ss.SSS'Z') — so external engines parse and
+    order the bounds; minima truncate to the millisecond and maxima
+    round UP, keeping [min, max] a superset of the true range (a
+    tightened bound could make an engine skip a file it needs).
+    Columns whose footer lacks statistics are simply omitted."""
     import datetime as _dt
 
     import pyarrow.parquet as pq
 
-    def conv(v):
+    def conv(v, round_up=False):
         if isinstance(v, bytes):
             try:
                 return v.decode("utf-8")
             except UnicodeDecodeError:
                 return None
         if isinstance(v, _dt.datetime):
-            return v.isoformat(sep="T", timespec="microseconds")
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            us = v.microsecond
+            if round_up and us % 1000:
+                v += _dt.timedelta(microseconds=1000 - us % 1000)
+            return v.strftime("%Y-%m-%dT%H:%M:%S.") + f"{v.microsecond // 1000:03d}Z"
         if isinstance(v, _dt.date):
             return v.isoformat()
         if isinstance(v, bool) or isinstance(v, (int, float, str)):
@@ -167,7 +177,7 @@ def _delta_stats(path: str) -> str | None:
         if not ent["ok"]:
             continue
         nulls[name] = ent["nulls"]
-        lo, hi = conv(ent["min"]), conv(ent["max"])
+        lo, hi = conv(ent["min"]), conv(ent["max"], round_up=True)
         if lo is not None and hi is not None:
             mins[name] = lo
             maxs[name] = hi
@@ -1022,12 +1032,15 @@ def _physical_type(dt, where="table"):
 def _resolve_dv(root: str, dv: dict) -> list[int]:
     """Decode one `deletionVector` descriptor to its deleted row
     positions: storageType 'u' (uuid-derived file under the table
-    root), 'p' (absolute path), or 'i' (inline base85). Size, CRC and
+    root), 'p' (absolute path), or 'i' (inline Z85). Size, CRC and
     cardinality are all verified — a truncated or corrupt DV must fail
     loudly, never silently resurrect deleted rows."""
-    import base64
-
-    from .roaring import decode_dv_blob, dv_relative_path, read_dv_at
+    from .roaring import (
+        decode_dv_blob,
+        dv_relative_path,
+        read_dv_at,
+        z85_decode,
+    )
 
     st = dv["storageType"]
     if st == "u":
@@ -1041,12 +1054,7 @@ def _resolve_dv(root: str, dv: dict) -> list[int]:
             dv["pathOrInlineDv"], dv["offset"], dv["sizeInBytes"]
         )
     elif st == "i":
-        data = base64.b85decode(dv["pathOrInlineDv"].encode())
-        if len(data) != dv["sizeInBytes"]:
-            raise ValueError(
-                f"inline DV size {len(data)} != sizeInBytes "
-                f"{dv['sizeInBytes']}"
-            )
+        data = z85_decode(dv["pathOrInlineDv"], dv["sizeInBytes"])
         positions = decode_dv_blob(data)
     else:
         raise NotImplementedError(f"deletionVector storageType {st!r}")
@@ -1069,7 +1077,21 @@ def _delta_prune_may_match(add: dict, pcols: list[str], prune) -> bool:
     def domain(stored, v):
         # align user value with the stored JSON/partition domain;
         # None = incomparable (keep the file)
-        if isinstance(v, (_dt.datetime, _dt.date)):
+        if isinstance(v, _dt.datetime):
+            # stats timestamps are UTC 'Z'-suffixed (delta-spark
+            # format); compare in the datetime domain, not as strings
+            if not isinstance(stored, str):
+                return None
+            try:
+                s = _dt.datetime.fromisoformat(stored.replace("Z", "+00:00"))
+            except ValueError:
+                return None
+            if s.tzinfo is not None:
+                s = s.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return s, v
+        if isinstance(v, _dt.date):
             v = v.isoformat()
         if isinstance(stored, bool) or isinstance(v, bool):
             return (stored, v) if isinstance(stored, bool) and isinstance(v, bool) else None
@@ -1131,9 +1153,15 @@ def version_at_timestamp(log_dir: str, ts_ms: int) -> int:
     """Delta TIMESTAMP AS OF: the last commit whose commitInfo
     timestamp is <= ts_ms (this exporter stamps every commit; external
     logs without commitInfo fall back to file mtime, the same fallback
-    delta-spark uses). Raises if ts_ms predates the earliest REPLAYABLE
-    commit (checkpoint cleaning moves the horizon up)."""
+    delta-spark uses). Clock skew in an external log can record a later
+    commit with an earlier raw timestamp; like delta-spark's
+    monotonization, each commit's EFFECTIVE timestamp is bumped to
+    (previous effective + 1 ms) when the raw value does not increase,
+    so the scan never resolves to a too-early version. Raises if ts_ms
+    predates the earliest REPLAYABLE commit (checkpoint cleaning moves
+    the horizon up)."""
     best = None
+    prev_eff = None
     for f in sorted(os.listdir(log_dir)):
         if not _is_commit_file(f):
             continue
@@ -1154,10 +1182,11 @@ def version_at_timestamp(log_dir: str, ts_ms: int) -> int:
                     break
         if ts is None:
             ts = int(os.stat(os.path.join(log_dir, f)).st_mtime * 1000)
+        if prev_eff is not None and ts <= prev_eff:
+            ts = prev_eff + 1
+        prev_eff = ts
         if ts <= ts_ms:
             best = v
-        else:
-            break
     if best is None:
         raise ValueError(
             f"no replayable commit at or before timestamp {ts_ms} in {log_dir}"
@@ -1279,6 +1308,14 @@ def read_delta_table(
         if add.get("deletionVector")
         for pos in _resolve_dv(root, add["deletionVector"])
     ]
+    if dv_pairs or pcols:
+        from .mor_diff import guard_reserved_columns
+
+        guard_reserved_columns(
+            [f.name for f in schema.fields],
+            ("_file", "_pos"),
+            f"read_delta_table({root})",
+        )
     if dv_pairs:
         mask = spark.createDataFrame(dv_pairs, "_file STRING, _pos BIGINT")
         df = (
@@ -1485,6 +1522,14 @@ def read_delta_changes(
         for a in adds:
             prior[a["path"]] = a
 
+    from .mor_diff import guard_reserved_columns
+
+    guard_reserved_columns(
+        [f.name for f in schema.fields],
+        ("_file", "_pos", "_commit_version", "_ts", "_change_type",
+         "_commit_timestamp"),
+        f"read_delta_changes({root})",
+    )
     map_schema = T.StructType(
         [
             T.StructField("_file", T.StringType()),

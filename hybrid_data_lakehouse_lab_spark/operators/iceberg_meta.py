@@ -1495,6 +1495,13 @@ def read_iceberg_table(
     paths = {os.path.abspath(p): rec for p, rec in files.items()}
     df = spark.read.schema(data_schema).parquet(*paths)
     if pos_deletes or eq_deletes or pcols:
+        from .mor_diff import guard_reserved_columns
+
+        guard_reserved_columns(
+            [f.name for f in full_schema.fields],
+            ("_file", "_pos", "_fseq"),
+            "read_iceberg_table",
+        )
         df = df.withColumn(
             "_file", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
         )

@@ -12,6 +12,36 @@ from __future__ import annotations
 _SCHEME_RE = "^[a-zA-Z0-9+.-]+:/+"
 
 
+def _fresh_names(taken, *bases) -> list[str]:
+    """Working-column names guaranteed absent from `taken` (a table with
+    a real `_f`/`_rk`/... column must not have it silently replaced by
+    `withColumn` and then excluded from the identity key — that would
+    corrupt the exported diff). Prepends underscores until unique."""
+    taken = set(taken)
+    out = []
+    for b in bases:
+        n = b
+        while n in taken:
+            n = "_" + n
+        taken.add(n)
+        out.append(n)
+    return out
+
+
+def guard_reserved_columns(columns, reserved, context: str) -> None:
+    """Refuse loudly when a snapshot schema collides with a reader's
+    internal working columns (`withColumn` would silently replace the
+    data column). Readers that join against literal-schema mapping
+    frames can't rename on the fly, so an explicit error beats silent
+    column loss."""
+    clash = sorted(set(columns) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"{context}: table schema contains reserved working column"
+            f" name(s) {clash}; rename the column(s) to read this table"
+        )
+
+
 def _position_delete_diff(spark, base_dir: str, deleted_so_far, child_dir: str):
     """If `child_dir`'s rows are a sub-multiset of the MASKED base
     (base_dir's files minus the already-deleted positions in
@@ -33,45 +63,45 @@ def _position_delete_diff(spark, base_dir: str, deleted_so_far, child_dir: str):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    base = (
-        spark.read.parquet(base_dir)
-        .withColumn(
-            "_f", F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
-        )
-        .withColumn("_p", F.col("_metadata.row_index"))
+    raw = spark.read.parquet(base_dir)
+    _f, _p, _k, _r, _nc, _nb = _fresh_names(
+        raw.columns, "_f", "_p", "_k", "_r", "_nc", "_nb"
     )
+    base = raw.withColumn(
+        _f, F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
+    ).withColumn(_p, F.col("_metadata.row_index"))
     if deleted_so_far is not None:
         dels = deleted_so_far.select(
-            F.col("file_path").alias("_f"), F.col("pos").alias("_p")
+            F.col("file_path").alias(_f), F.col("pos").alias(_p)
         )
-        base = base.join(F.broadcast(dels), ["_f", "_p"], "left_anti")
+        base = base.join(F.broadcast(dels), [_f, _p], "left_anti")
     child = spark.read.parquet(child_dir)
-    cols = sorted(c for c in base.columns if c not in ("_f", "_p"))
+    cols = sorted(c for c in base.columns if c not in (_f, _p))
     if sorted(child.columns) != cols:
         return None  # schema changed: not expressible as deletes
     key = F.struct(*[F.col(c) for c in cols])
-    b = base.withColumn("_k", key).select("_k", "_f", "_p")
+    b = base.withColumn(_k, key).select(_k, _f, _p)
     child_counts = (
-        child.withColumn("_k", key)
-        .groupBy("_k")
-        .agg(F.count(F.lit(1)).alias("_nc"))
+        child.withColumn(_k, key)
+        .groupBy(_k)
+        .agg(F.count(F.lit(1)).alias(_nc))
     )
-    base_counts = b.groupBy("_k").agg(F.count(F.lit(1)).alias("_nb"))
+    base_counts = b.groupBy(_k).agg(F.count(F.lit(1)).alias(_nb))
     cc, bc = child_counts.alias("cc"), base_counts.alias("bc")
     excess = (
-        cc.join(bc, F.col("cc._k").eqNullSafe(F.col("bc._k")), "left")
-        .where(F.col("_nb").isNull() | (F.col("_nc") > F.col("_nb")))
+        cc.join(bc, F.col(f"cc.{_k}").eqNullSafe(F.col(f"bc.{_k}")), "left")
+        .where(F.col(_nb).isNull() | (F.col(_nc) > F.col(_nb)))
         .limit(1)
         .count()
     )
     if excess:
         return None
-    w = Window.partitionBy("_k").orderBy("_f", "_p")
-    ranked = b.withColumn("_r", F.row_number().over(w)).alias("rk")
+    w = Window.partitionBy(_k).orderBy(_f, _p)
+    ranked = b.withColumn(_r, F.row_number().over(w)).alias("rk")
     return (
-        ranked.join(cc, F.col("rk._k").eqNullSafe(F.col("cc._k")), "left")
-        .where(F.col("_nc").isNull() | (F.col("_r") > F.col("_nc")))
-        .select(F.col("_f").alias("file_path"), F.col("_p").alias("pos"))
+        ranked.join(cc, F.col(f"rk.{_k}").eqNullSafe(F.col(f"cc.{_k}")), "left")
+        .where(F.col(_nc).isNull() | (F.col(_r) > F.col(_nc)))
+        .select(F.col(_f).alias("file_path"), F.col(_p).alias("pos"))
     )
 
 
@@ -172,13 +202,14 @@ def _upsert_diff(
     missing = [k for k in key if k not in child.columns]
     if missing:
         raise ValueError(f"upsert_key columns {missing} not in snapshot schema")
+    (_n, _rk) = _fresh_names(child.columns, "_n", "_rk")
     for name, df, d in (("parent", parent, parent_dir), ("child", child, child_dir)):
         if verified_unique is not None and d in verified_unique:
             continue
         if (
             df.groupBy(*key)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where("_n > 1")
+            .agg(F.count(F.lit(1)).alias(_n))
+            .where(F.col(_n) > 1)
             .limit(1)
             .count()
         ):
@@ -189,16 +220,24 @@ def _upsert_diff(
             verified_unique.add(d)
     cols = sorted(child.columns)
     rowkey = F.struct(*[F.col(c) for c in cols])
-    p = parent.withColumn("_rk", rowkey)
-    c = child.withColumn("_rk", rowkey)
+    p = parent.withColumn(_rk, rowkey)
+    c = child.withColumn(_rk, rowkey)
     changed = (
         c.alias("c")
-        .join(p.alias("p"), F.col("c._rk").eqNullSafe(F.col("p._rk")), "left_anti")
-        .drop("_rk")
+        .join(
+            p.alias("p"),
+            F.col(f"c.{_rk}").eqNullSafe(F.col(f"p.{_rk}")),
+            "left_anti",
+        )
+        .drop(_rk)
     )
     del_keys = (
         p.alias("p")
-        .join(c.alias("c"), F.col("p._rk").eqNullSafe(F.col("c._rk")), "left_anti")
+        .join(
+            c.alias("c"),
+            F.col(f"p.{_rk}").eqNullSafe(F.col(f"c.{_rk}")),
+            "left_anti",
+        )
         .select(*key)
     )
     return changed, del_keys

@@ -31,16 +31,20 @@ A Delta DV blob wraps the bitmap as ``<magic: int32 LE = 1681511377>
 <RoaringBitmapArray>``; in a DV FILE (storageType "u"/"p") the blob
 sits at the descriptor's ``offset`` framed as ``<dataSize: int32 BE>
 <blob> <crc32(blob): int32 BE>`` in a file starting with a single
-format-version byte ``1``. storageType "i" carries base85(blob)
-inline (RFC 1924 alphabet — Python's ``base64.b85encode``), and "u"
-path derivation is ``deletion_vector_<uuid>.bin`` from the base85 of
-the UUID's 16 bytes. All implemented here from the public spec; no
-Delta code consulted.
+format-version byte ``1``. storageType "i" carries Z85(blob) inline,
+and "u" path derivation is ``deletion_vector_<uuid>.bin`` from the
+Z85 of the UUID's 16 bytes. The base-85 variant is the ZeroMQ **Z85**
+alphabet (spec rfc.zeromq.org/spec/32) — NOT Python's RFC-1924
+``base64.b85encode``: PROTOCOL.md's own example payload
+``ab^-aqEH.-t@S}K{vb[*k^`` contains ``.`` and ``[``, which only the
+Z85 set has. Inputs whose length is not a multiple of 4 are
+zero-padded before encoding and truncated back via the caller's known
+output length, matching delta-spark's Base85Codec. All implemented
+here from the public spec; no Delta code consulted.
 """
 
 from __future__ import annotations
 
-import base64
 import struct
 import uuid as _uuid
 import zlib
@@ -165,6 +169,65 @@ def deserialize_roaring64(buf: bytes) -> list[int]:
     return values
 
 
+# --- Z85 (ZeroMQ base-85) ---------------------------------------------------
+#
+# Delta's Base85Codec uses the Z85 alphabet, 4 bytes -> 5 chars,
+# big-endian within each 4-byte block, most-significant digit first.
+
+Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode, zero-padding to a 4-byte multiple (delta-spark
+    Base85Codec semantics — the decoder truncates via a known output
+    length)."""
+    pad = (-len(data)) % 4
+    if pad:
+        data = data + b"\x00" * pad
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        block = []
+        for _ in range(5):
+            n, d = divmod(n, 85)
+            block.append(Z85_ALPHABET[d])
+        out.extend(reversed(block))
+    return "".join(out)
+
+
+def z85_decode(s: str, out_len: int | None = None) -> bytes:
+    """Decode Z85; with `out_len`, strip the zero padding the encoder
+    added (must drop fewer than 4 bytes, all zero)."""
+    if len(s) % 5:
+        raise ValueError(f"Z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        n = 0
+        for c in s[i : i + 5]:
+            try:
+                n = n * 85 + _Z85_DECODE[c]
+            except KeyError:
+                raise ValueError(f"invalid Z85 character {c!r}") from None
+        if n > 0xFFFFFFFF:
+            raise ValueError(f"Z85 block {s[i:i + 5]!r} overflows 32 bits")
+        out += n.to_bytes(4, "big")
+    if out_len is not None:
+        dropped = len(out) - out_len
+        if dropped < 0 or dropped >= 4:
+            raise ValueError(
+                f"Z85 payload decodes to {len(out)} bytes; cannot "
+                f"truncate to {out_len}"
+            )
+        if any(out[out_len:]):
+            raise ValueError("Z85 padding bytes are not zero")
+        del out[out_len:]
+    return bytes(out)
+
+
 # --- Delta DV blob / file framing ------------------------------------------
 
 
@@ -217,13 +280,13 @@ def read_dv_at(path: str, offset: int, size_in_bytes: int) -> list[int]:
 
 
 def encode_dv_uuid(u: _uuid.UUID) -> str:
-    """base85 (RFC 1924) of the UUID's 16 bytes — the `pathOrInlineDv`
-    payload for storageType 'u' (20 characters)."""
-    return base64.b85encode(u.bytes).decode()
+    """Z85 of the UUID's 16 bytes — the `pathOrInlineDv` payload for
+    storageType 'u' (20 characters)."""
+    return z85_encode(u.bytes)
 
 
 def decode_dv_uuid(s: str) -> _uuid.UUID:
-    return _uuid.UUID(bytes=base64.b85decode(s.encode()))
+    return _uuid.UUID(bytes=z85_decode(s, 16))
 
 
 def dv_relative_path(path_or_inline: str) -> tuple[str, str]:

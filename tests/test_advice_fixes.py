@@ -162,3 +162,120 @@ def test_asof_reserved_column_clash_refused(spark):
     )
     with pytest.raises(ValueError, match="_side"):
         asof_join(left, right, ["k"], "lts", "rts")
+
+
+# -- round-7 advisory findings --------------------------------------------
+
+
+def test_mor_diff_survives_reserved_data_columns(spark, tmp_path):
+    """A table whose DATA schema uses the diff's old working names
+    (_f/_p/_k/_rk) must still export correct MoR deletes — working
+    columns are now generated collision-free instead of silently
+    replacing (and then excluding) the data column."""
+    import os
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "resv"))
+    df = spark.range(40).selectExpr(
+        "id", "id % 7 AS _f", "id % 3 AS _p", "CAST(id AS STRING) AS _k",
+        "id * 2 AS _rk",
+    )
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 4 != 0"), committed_at_ms=2000)
+    log_dir = export_delta_log(t, mor_deletes=True)
+    # the pure-delete transition exported as a DV commit (not a rewrite)
+    import json as _json
+
+    dv_adds = [
+        a["add"]
+        for line in open(os.path.join(log_dir, f"{1:020d}.json"))
+        for a in [_json.loads(line)]
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv_adds, "reserved-name table fell back to rewrite"
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    got = sorted(
+        (r["id"], r["_f"], r["_p"], r["_k"], r["_rk"])
+        for r in read_delta_table(spark, t.root).collect()
+    )
+    want = sorted(
+        (r["id"], r["_f"], r["_p"], r["_k"], r["_rk"])
+        for r in t.read().collect()
+    )
+    assert got == want
+
+
+def test_upsert_diff_reserved_columns(spark, tmp_path):
+    """_upsert_diff with data columns named _rk/_n still computes the
+    exact changed/deleted sets."""
+    from hybrid_data_lakehouse_lab_spark.operators.mor_diff import (
+        _upsert_diff,
+    )
+
+    p1 = str(tmp_path / "p1")
+    p2 = str(tmp_path / "p2")
+    spark.range(10).selectExpr("id", "id AS _rk", "id + 1 AS _n").write.parquet(p1)
+    spark.range(12).filter("id != 3").selectExpr(
+        "id", "id * 10 AS _rk", "id + 1 AS _n"
+    ).write.parquet(p2)
+    changed, del_keys = _upsert_diff(spark, p1, p2, ["id"])
+    # every surviving row changed (_rk differs except id=0), plus 10/11 new
+    assert sorted(r["id"] for r in changed.collect()) == [
+        i for i in range(1, 12) if i != 3
+    ]
+    assert sorted(r["id"] for r in del_keys.collect()) == [
+        i for i in range(10) if i != 0
+    ]
+
+
+def test_reader_refuses_reserved_file_pos_columns(spark, tmp_path):
+    """read_delta_table must refuse (not silently drop) a data column
+    named _file/_pos when the read needs those working columns."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "clash"))
+    df = spark.range(20).selectExpr("id", "CAST(id AS STRING) AS _file")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 2 = 0"), committed_at_ms=2000)
+    export_delta_log(t, mor_deletes=True)
+    with pytest.raises(ValueError, match="reserved working column"):
+        read_delta_table(spark, t.root)
+    # without DVs or partitions the same schema reads fine
+    t2 = SnapshotTable(spark, str(tmp_path / "noclash"))
+    t2.write(df, committed_at_ms=1000)
+    export_delta_log(t2)
+    assert read_delta_table(spark, t2.root).count() == 20
+
+
+def test_version_at_timestamp_clock_skew_monotonized(tmp_path):
+    """An external log with non-monotone commit timestamps resolves
+    TIMESTAMP AS OF against delta-spark-style monotonized effective
+    times (each commit >= previous + 1 ms), not raw values."""
+    import json as _json
+    import os
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        version_at_timestamp,
+    )
+
+    log = tmp_path / "_delta_log"
+    log.mkdir()
+    for v, ts in [(0, 3000), (1, 1000), (2, 3500)]:
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"commitInfo": {"timestamp": ts}}) + "\n")
+    # effective: v0=3000, v1=3001 (bumped), v2=3500
+    assert version_at_timestamp(str(log), 3000) == 0
+    assert version_at_timestamp(str(log), 3001) == 1
+    assert version_at_timestamp(str(log), 3499) == 1
+    assert version_at_timestamp(str(log), 3500) == 2
+    with pytest.raises(ValueError, match="no replayable commit"):
+        version_at_timestamp(str(log), 2999)

@@ -528,6 +528,38 @@ def test_checkpoint_at_log_end_survives_reexport(spark, tmp_path):
 
 # --- deletion vectors (merge-on-read) ---------------------------------------
 
+# Independent Z85 codec (ZeroMQ alphabet, the one delta-spark's
+# Base85Codec uses) — straight positional base-85 math, no shared code
+# with operators/roaring.
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+
+
+def _z85_dec(s, out_len):
+    out = b""
+    for i in range(0, len(s), 5):
+        n = 0
+        for c in s[i : i + 5]:
+            n = n * 85 + _Z85.index(c)
+        out += n.to_bytes(4, "big")
+    assert all(b == 0 for b in out[out_len:])
+    return out[:out_len]
+
+
+def _z85_enc(data):
+    data = data + b"\x00" * ((-len(data)) % 4)
+    s = ""
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        blk = ""
+        for _ in range(5):
+            blk = _Z85[n % 85] + blk
+            n //= 85
+        s += blk
+    return s
+
 
 def _independent_dv_decode(path, offset, size):
     """From-scratch DV decode for the independence contract: version
@@ -620,7 +652,6 @@ def test_dv_independent_decode_matches(dv_table, spark):
     """Parse the DELETE commit's descriptors straight from the JSON and
     decode the bitmaps with the from-scratch decoder above; masked
     pyarrow reads must equal SnapshotTable.read()."""
-    import base64 as _b64
     import uuid
 
     import pyarrow.parquet as pq
@@ -642,7 +673,7 @@ def test_dv_independent_decode_matches(dv_table, spark):
         dv = add.get("deletionVector")
         if dv:
             assert dv["storageType"] == "u"
-            u = uuid.UUID(bytes=_b64.b85decode(dv["pathOrInlineDv"]))
+            u = uuid.UUID(bytes=_z85_dec(dv["pathOrInlineDv"], 16))
             dv_path = os.path.join(
                 dv_table.root, f"deletion_vector_{u}.bin"
             )
@@ -721,7 +752,6 @@ def test_dv_bitmap_container_large_delete(spark, tmp_path):
 def test_dv_inline_and_absolute_storage(spark, tmp_path):
     """Hand-build a log with storageType 'i' (inline base85) and 'p'
     (absolute path) descriptors: the reader must honor both."""
-    import base64 as _b64
 
     from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
         read_delta_table,
@@ -783,7 +813,7 @@ def test_dv_inline_and_absolute_storage(spark, tmp_path):
                 "dataChange": True,
                 "deletionVector": {
                     "storageType": "i",
-                    "pathOrInlineDv": _b64.b85encode(inline).decode(),
+                    "pathOrInlineDv": _z85_enc(inline),
                     "sizeInBytes": len(inline),
                     "cardinality": 2,
                 },
@@ -1031,10 +1061,63 @@ def test_add_stats_timestamp_iso(spark, tmp_path):
         if "add" in json.loads(line)
     ]
     st = json.loads(add["stats"])
-    assert st["minValues"]["ts"].startswith("2024-03-01T10:00:00")
-    assert st["maxValues"]["ts"].startswith("2024-03-01T10:04:00")
+    # the delta-spark stats timestamp format: UTC, millis, 'Z' suffix
+    assert st["minValues"]["ts"] == "2024-03-01T10:00:00.000Z"
+    assert st["maxValues"]["ts"] == "2024-03-01T10:04:00.000Z"
     assert st["minValues"]["d"] == "2024-03-01"
     assert st["maxValues"]["d"] == "2024-03-05"
+
+
+def test_add_stats_timestamp_prune_and_round_up(spark, tmp_path):
+    """Z-suffixed stats bounds still drive datetime-predicate pruning
+    (compared in the datetime domain, not as strings), and a max with
+    sub-millisecond precision rounds UP so [min, max] stays a superset
+    of the file's true range."""
+    import datetime as _dt
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        _delta_stats,
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tsp"))
+    df = spark.sql(
+        "SELECT id, timestamp'2024-03-01 10:00:00' + "
+        "make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts FROM range(100)"
+    ).repartitionByRange(4, "id")
+    t.write(df, committed_at_ms=1000)
+    export_delta_log(t)
+    # prune on ts >= 10:58 keeps only the tail file(s), result unchanged
+    cut = _dt.datetime(2024, 3, 1, 10, 58)
+    pruned = read_delta_table(spark, t.root, prune=[("ts", ">=", cut)])
+    assert 0 < pruned.count() < 100
+    got = sorted(
+        r["id"] for r in pruned.where(f"ts >= timestamp'{cut}'").collect()
+    )
+    assert got == list(range(58, 100))
+    # equality at the global max survives pruning
+    mx = _dt.datetime(2024, 3, 1, 11, 39)
+    assert read_delta_table(
+        spark, t.root, prune=[("ts", "=", mx)]
+    ).where(f"ts = timestamp'{mx}'").count() == 1
+    # round-up: a file whose max has odd microseconds reports a max >=
+    # the true value, never a truncated (tightened) one
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "us.parquet")
+    pq.write_table(
+        pa.table(
+            {"ts": pa.array(
+                [_dt.datetime(2024, 3, 1, 10, 0, 0, 123_456)],
+                type=pa.timestamp("us"),
+            )}
+        ),
+        p,
+    )
+    st = json.loads(_delta_stats(p))
+    assert st["minValues"]["ts"] == "2024-03-01T10:00:00.123Z"
+    assert st["maxValues"]["ts"] == "2024-03-01T10:00:00.124Z"
 
 
 def test_prune_skips_files_by_stats_and_partition(spark, tmp_path):
@@ -1306,7 +1389,6 @@ def test_column_mapping_nested_struct_rename(spark, tmp_path):
 def test_column_mapping_with_deletion_vectors(spark, tmp_path):
     """v3 with BOTH features: the DV mask applies on the physical scan,
     then the rename-back restores the logical schema."""
-    import base64 as _b64
 
     from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
         read_delta_table,
@@ -1337,7 +1419,7 @@ def test_column_mapping_with_deletion_vectors(spark, tmp_path):
                 rel,
                 deletionVector={
                     "storageType": "i",
-                    "pathOrInlineDv": _b64.b85encode(inline).decode(),
+                    "pathOrInlineDv": _z85_enc(inline),
                     "sizeInBytes": len(inline),
                     "cardinality": 3,
                 },

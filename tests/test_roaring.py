@@ -87,3 +87,36 @@ def test_uuid_base85_path():
     assert prefix == "xy/" and fname == f"deletion_vector_{u}.bin"
     prefix, fname = R.dv_relative_path(enc)
     assert prefix == "" and fname == f"deletion_vector_{u}.bin"
+
+
+def test_z85_spec_vector_and_alphabet():
+    """Pin the ZeroMQ Z85 alphabet (rfc.zeromq.org/spec/32) so the
+    writer/reader pair can't drift to another base-85 variant together:
+    the spec's own test vector and the Delta PROTOCOL.md example
+    payload (contains '.', '[' — not in the RFC-1924 set) must decode."""
+    assert (
+        R.z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]))
+        == "HelloWorld"
+    )
+    # PROTOCOL.md "Deletion Vector Descriptor Schema" example:
+    # pathOrInlineDv "ab^-aqEH.-t@S}K{vb[*k^" = prefix "ab" + 20-char uuid
+    u = R.decode_dv_uuid("^-aqEH.-t@S}K{vb[*k^")
+    assert R.encode_dv_uuid(u) == "^-aqEH.-t@S}K{vb[*k^"
+
+
+def test_z85_padding_and_errors():
+    import os as _os
+
+    for n in range(17):
+        data = _os.urandom(n)
+        enc = R.z85_encode(data)
+        assert len(enc) % 5 == 0
+        assert R.z85_decode(enc, n) == data
+    with pytest.raises(ValueError, match="multiple of 5"):
+        R.z85_decode("abc")
+    with pytest.raises(ValueError, match="invalid Z85"):
+        R.z85_decode("abcd~", 4)
+    with pytest.raises(ValueError, match="overflows"):
+        R.z85_decode("#####", 4)  # 84 in every digit > 2^32-1
+    with pytest.raises(ValueError, match="truncate"):
+        R.z85_decode(R.z85_encode(b"12345678"), 2)
