@@ -339,9 +339,16 @@ def export_delta_log(
         # tables), a Delta DV is attached to ONE data file and carries
         # no partition tuple of its own — partitioned tables take the
         # DV path too; the re-added file keeps its partitionValues.
+        # compaction snapshots (operators/maintenance.py compact_snapshot)
+        # rewrite the SAME rows into right-sized files: always the
+        # rewrite branch, exported with OPTIMIZE semantics below
+        is_compaction = (
+            (snap.get("properties") or {}).get("operation") == "compaction"
+        )
         new_by_file: dict[str, list[int]] | None = None
         if (
             mor_deletes
+            and not is_compaction
             and base_dir is not None
             and os.path.isdir(base_dir)
             and base_live_rows is not None
@@ -378,17 +385,21 @@ def export_delta_log(
                     base_live_rows = total_rc
 
         actions: list[dict] = []
+        if new_by_file is not None:
+            op, op_params = "DELETE", {"predicate": "[]"}
+        elif is_compaction:
+            # delta-spark OPTIMIZE: a logical no-op rewrite; dataChange
+            # false on every action so CDF/streaming consumers skip it
+            op, op_params = "OPTIMIZE", {"predicate": "[]", "auto": "false"}
+        else:
+            op, op_params = "WRITE", {
+                "mode": "Overwrite",
+                "partitionBy": json.dumps(partition_cols),
+            }
         commit_info = {
             "timestamp": ev["at_ms"],
-            "operation": "DELETE" if new_by_file is not None else "WRITE",
-            "operationParameters": (
-                {"predicate": "[]"}
-                if new_by_file is not None
-                else {
-                    "mode": "Overwrite",
-                    "partitionBy": json.dumps(partition_cols),
-                }
-            ),
+            "operation": op,
+            "operationParameters": op_params,
             "engineInfo": "hybrid_data_lakehouse_lab_spark SnapshotTable exporter",
         }
         if snap.get("properties"):
@@ -498,6 +509,39 @@ def export_delta_log(
             # --- full-rewrite commit (always, without mor_deletes) ---
             # a DV'd base file keeps its descriptor in referenced state
             # until rewritten here, at which point DV state resets
+            if is_compaction and i > 0:
+                # OPTIMIZE must be a logical no-op: the rewritten files
+                # must hold exactly the pre-compaction live row count
+                # (= the previous snapshot's rows). A wrong flag would
+                # poison CDF/streaming consumers that skip
+                # dataChange=false commits.
+                from .mor_diff import _parquet_row_count
+
+                prev_dir = by_version[events[i - 1]["version"]]["path"]
+                if os.path.isdir(prev_dir):
+                    want = sum(
+                        _parquet_row_count(
+                            os.path.join(
+                                table.root, urllib.parse.unquote(f["path"])
+                            )
+                        )
+                        for f in _snapshot_files(table.root, prev_dir)
+                    )
+                    got_rc = sum(
+                        _parquet_row_count(
+                            os.path.join(
+                                table.root, urllib.parse.unquote(f["path"])
+                            )
+                        )
+                        for f in files
+                    )
+                    if got_rc != want:
+                        raise ValueError(
+                            f"snapshot v{ev['version']} is flagged "
+                            f"operation=compaction but changes the row "
+                            f"count ({want} -> {got_rc}); OPTIMIZE "
+                            "commits must preserve the table's rows"
+                        )
             current_paths = {f["path"] for f in files}
             for f in prev_files:
                 if f["path"] not in current_paths:
@@ -506,13 +550,15 @@ def export_delta_log(
                             "remove": {
                                 "path": f["path"],
                                 "deletionTimestamp": ev["at_ms"],
-                                "dataChange": True,
+                                "dataChange": not is_compaction,
                             }
                         }
                     )
             stat_files = []
             for f in files:
                 f2 = dict(f)
+                if is_compaction:
+                    f2["dataChange"] = False
                 st = _delta_stats(
                     os.path.join(table.root, urllib.parse.unquote(f["path"]))
                 )

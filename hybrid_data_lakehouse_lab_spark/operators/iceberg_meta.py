@@ -228,6 +228,39 @@ def _entry_schema(partition_fields: list[dict], format_version: int = 1) -> dict
                 "field-id": 135,
             }
         )
+    if format_version >= 3:
+        # v3 row lineage: first_row_id (142) — the starting _row_id of
+        # an ADDED data file; and the DELETION VECTOR reference triple
+        # (spec v3 "Deletion Vectors"): referenced_data_file (143) names
+        # the ONE data file a DV applies to, content_offset (144) /
+        # content_size_in_bytes (145) locate the framed blob inside its
+        # Puffin file
+        file_fields += [
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 142,
+            },
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
+        ]
     data_file = {"type": "record", "name": "r2", "fields": file_fields}
     entry_fields = [
         {"name": "status", "type": "int", "field-id": 0},
@@ -284,6 +317,17 @@ def _manifest_list_schema(format_version: int = 1) -> dict:
             {"name": "existing_rows_count", "type": "long", "field-id": 513},
             {"name": "deleted_rows_count", "type": "long", "field-id": 514},
         ]
+        if format_version >= 3:
+            # v3 row lineage: the starting _row_id assigned to rows of
+            # this manifest's ADDED data files (null on delete manifests)
+            fields.append(
+                {
+                    "name": "first_row_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 520,
+                }
+            )
     else:
         fields.append(
             {
@@ -490,15 +534,31 @@ def export_iceberg_metadata(
     append survive its own delete file. Raises if `upsert_key` is not
     unique in a snapshot (equality deletes are only sound against a
     PK); a schema-changing transition falls back to the rewrite
-    model."""
-    if format_version not in (1, 2):
+    model.
+
+    With `format_version=3`, pure-delete transitions export as
+    DELETION VECTORS (spec v3: positional-delete parquet must not be
+    written): one cumulative deletion-vector-v1 blob per touched data
+    file in a Puffin container (operators/puffin.py), referenced by a
+    content=1 manifest whose entries carry the spec's
+    `referenced_data_file` / `content_offset` / `content_size_in_bytes`
+    triple — and each delete snapshot's manifest REPLACES the prior
+    delete manifests (at most one DV per data file, Delta-style
+    cumulative replacement, vs v2's stacking). v3 ROW LINEAGE is
+    emitted too: table `next-row-id`, snapshot `first-row-id`, manifest
+    `first_row_id` (520) and per-data-file `first_row_id` (142).
+    Re-exporting an existing v2 tree with format_version=3 upgrades it
+    in place (same root, regenerated metadata); the reader accepts
+    mixed external v3 trees where a DV supersedes older positional
+    delete files for its data file."""
+    if format_version not in (1, 2, 3):
         raise NotImplementedError(
-            f"format_version {format_version!r} (only 1 and 2)"
+            f"format_version {format_version!r} (only 1, 2 and 3)"
         )
     if upsert_key is not None:
         upsert_key = list(upsert_key)
-        if format_version != 2:
-            raise ValueError("upsert_key requires format_version=2")
+        if format_version < 2:
+            raise ValueError("upsert_key requires format_version >= 2")
     m = table._load_manifest()
     events = m["history"].get(branch, [])
     if not events:
@@ -631,6 +691,13 @@ def export_iceberg_metadata(
     base_dir: str | None = None
     delete_dirs: list[str] = []
     base_live_rows: int | None = None
+    # v3 DV state: cumulative deleted positions per absolute data-file
+    # path (a new DV REPLACES the prior one for that file, per the
+    # spec's at-most-one-DV-per-data-file rule — same replace semantics
+    # as Delta's cumulative descriptors)
+    dv_positions: dict[str, list[int]] = {}
+    # v3 row lineage: the table's next _row_id to assign
+    next_row_id = 0
     written_delete_dirs: set[str] = set()
     written_upsert_dirs: set[str] = set()
     written_manifests: set[str] = set()
@@ -639,13 +706,21 @@ def export_iceberg_metadata(
         snap = by_version[ev["version"]]
         snapshot_id = i + 1
         seq = i + 1
+        snap_first_row_id = next_row_id  # v3 row lineage
         list_path = os.path.join(
             meta_dir, f"snap-{snapshot_id}-1-manifest-list.avro"
         )
         files = _snapshot_files(table.root, snap["path"])
 
+        # compaction snapshots (operators/maintenance.py compact_snapshot)
+        # fold accumulated delete files back into rewritten data: always
+        # the full-rewrite branch, summary operation "replace" (what
+        # Iceberg's rewrite_data_files emits), never a diffed commit
+        is_compaction = (
+            (snap.get("properties") or {}).get("operation") == "compaction"
+        )
         upsert = None
-        if upsert_key is not None and i > 0:
+        if upsert_key is not None and i > 0 and not is_compaction:
             parent_dir = by_version[events[i - 1]["version"]]["path"]
             if os.path.isdir(parent_dir):
                 changed, del_keys = _upsert_diff(
@@ -673,17 +748,34 @@ def export_iceberg_metadata(
         deleted = None
         if (
             upsert_key is None
-            and format_version == 2
+            and not is_compaction
+            and format_version >= 2
             and base_dir is not None
             and os.path.isdir(base_dir)
             and base_live_rows is not None
             and total_rc < base_live_rows
         ):
-            prior = (
-                table.spark.read.parquet(*delete_dirs).select("file_path", "pos")
-                if delete_dirs
-                else None
-            )
+            if format_version >= 3:
+                prior = (
+                    table.spark.createDataFrame(
+                        [
+                            (f, p)
+                            for f, ps in dv_positions.items()
+                            for p in ps
+                        ],
+                        "file_path string, pos bigint",
+                    )
+                    if dv_positions
+                    else None
+                )
+            else:
+                prior = (
+                    table.spark.read.parquet(*delete_dirs).select(
+                        "file_path", "pos"
+                    )
+                    if delete_dirs
+                    else None
+                )
             deleted = _position_delete_diff(
                 table.spark, base_dir, prior, snap["path"]
             )
@@ -703,52 +795,58 @@ def export_iceberg_metadata(
             manifest_rows = list(prev_rows)
             if data_files:
                 manifest_path = os.path.join(meta_dir, f"m-{i:05d}-ups.avro")
+                manifest_first_row_id = next_row_id
                 entries = []
                 for d in data_files:
                     vcounts, ncounts, lower, upper = _file_column_stats(
                         d["path"], col_ids, type_of
                     )
+                    data_file = {
+                        "content": 0,
+                        "file_path": d["path"],
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": d["record_count"],
+                        "file_size_in_bytes": d["size"],
+                        "value_counts": vcounts,
+                        "null_value_counts": ncounts,
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
+                        "equality_ids": None,
+                    }
+                    if format_version >= 3:
+                        data_file["first_row_id"] = next_row_id
+                        next_row_id += d["record_count"]
                     entries.append(
                         {
                             "status": 1,
                             "snapshot_id": None,
                             "data_sequence_number": None,  # inherited
                             "file_sequence_number": None,
-                            "data_file": {
-                                "content": 0,
-                                "file_path": d["path"],
-                                "file_format": "PARQUET",
-                                "partition": {},
-                                "record_count": d["record_count"],
-                                "file_size_in_bytes": d["size"],
-                                "value_counts": vcounts,
-                                "null_value_counts": ncounts,
-                                "lower_bounds": lower,
-                                "upper_bounds": upper,
-                                "equality_ids": None,
-                            },
+                            "data_file": data_file,
                         }
                     )
                 write_avro(manifest_path, entry_schema, entries)
-                manifest_rows.append(
-                    {
-                        "manifest_path": manifest_path,
-                        "manifest_length": os.path.getsize(manifest_path),
-                        "partition_spec_id": 0,
-                        "content": 0,
-                        "sequence_number": seq,
-                        "min_sequence_number": seq,
-                        "added_snapshot_id": snapshot_id,
-                        "added_files_count": len(entries),
-                        "existing_files_count": 0,
-                        "deleted_files_count": 0,
-                        "added_rows_count": sum(
-                            d["record_count"] for d in data_files
-                        ),
-                        "existing_rows_count": 0,
-                        "deleted_rows_count": 0,
-                    }
-                )
+                ups_row = {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        d["record_count"] for d in data_files
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+                if format_version >= 3:
+                    ups_row["first_row_id"] = manifest_first_row_id
+                manifest_rows.append(ups_row)
             if del_files:
                 eq_ids = [col_ids[k] for k in upsert_key]
                 manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
@@ -795,6 +893,108 @@ def export_iceberg_metadata(
                     }
                 )
             operation = "overwrite" if del_files else "append"
+        elif deleted is not None and format_version >= 3:
+            # --- v3 merge-on-read delete snapshot: DELETION VECTORS in
+            # a Puffin file (spec v3 forbids new positional-delete
+            # parquet). One cumulative DV per touched data file; the
+            # new delete manifest REPLACES all prior delete manifests
+            # in the manifest list (at most one DV per data file). DV
+            # bitmaps are materialized driver-side per file — the
+            # spec's own design point (a DV indexes rows of ONE parquet
+            # file; compaction rewrites files whose DVs grow large);
+            # the diff that finds the positions stays distributed. ---
+            from .puffin import DELETION_VECTOR_V1, dv_v1_blob, write_puffin
+
+            for r in deleted.collect():
+                cur = dv_positions.setdefault(r["file_path"], [])
+                cur.append(r["pos"])
+            dv_positions = {
+                p: sorted(set(ps)) for p, ps in dv_positions.items()
+            }
+            base_by_abs = {
+                os.path.abspath(
+                    os.path.join(table.root, urllib.parse.unquote(f["path"]))
+                ): f
+                for f in _snapshot_files(table.root, base_dir)
+            }
+            sdir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
+            os.makedirs(sdir, exist_ok=True)
+            puffin_path = os.path.join(sdir, f"dv-{snapshot_id:05d}.puffin")
+            touched = sorted(dv_positions)
+            blobs = [
+                {
+                    "type": DELETION_VECTOR_V1,
+                    "data": dv_v1_blob(dv_positions[p]),
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": p,
+                        "cardinality": str(len(dv_positions[p])),
+                    },
+                }
+                for p in touched
+            ]
+            blob_metas = write_puffin(puffin_path, blobs)
+            puffin_size = os.path.getsize(puffin_path)
+            entries = []
+            for p, bm in zip(touched, blob_metas):
+                bf = base_by_abs.get(p)
+                if bf is None:
+                    raise RuntimeError(
+                        f"diff produced positions for unknown file {p}"
+                    )
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": None,
+                        "data_sequence_number": None,  # inherited
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # POSITION DELETES (as a DV)
+                            "file_path": puffin_path,
+                            "file_format": "PUFFIN",
+                            "partition": {
+                                sf["name"]: _partition_value(
+                                    sf["type"],
+                                    bf["partitionValues"].get(sf["name"]),
+                                )
+                                for sf in spec_fields
+                            },
+                            "record_count": len(dv_positions[p]),
+                            "file_size_in_bytes": puffin_size,
+                            "referenced_data_file": p,
+                            "content_offset": bm["offset"],
+                            "content_size_in_bytes": bm["length"],
+                        },
+                    }
+                )
+            manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
+            write_avro(manifest_path, entry_schema, entries)
+            row = {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    len(dv_positions[p]) for p in touched
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+            # REPLACE semantics: parent DATA manifests ride along, prior
+            # delete manifests are dropped (their DVs are superseded)
+            manifest_rows = [
+                r for r in prev_rows if (r.get("content") or 0) == 0
+            ] + [row]
+            written_delete_dirs.add(os.path.basename(sdir))
+            base_live_rows = total_rc
+            operation = "delete"
         elif deleted is not None:
             # --- merge-on-read delete snapshot ---
             ddir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
@@ -880,7 +1080,29 @@ def export_iceberg_metadata(
             operation = "delete"
         else:
             # --- full-rewrite snapshot (always, for v1) ---
+            if is_compaction and i > 0:
+                # a compaction must preserve the live row count of the
+                # previous snapshot — a wrong flag would silently turn a
+                # data change into a "replace" no external consumer
+                # re-reads
+                prev_dir = by_version[events[i - 1]["version"]]["path"]
+                if os.path.isdir(prev_dir):
+                    want = sum(
+                        _parquet_row_count(
+                            os.path.join(
+                                table.root, urllib.parse.unquote(f["path"])
+                            )
+                        )
+                        for f in _snapshot_files(table.root, prev_dir)
+                    )
+                    if total_rc != want:
+                        raise ValueError(
+                            f"snapshot v{ev['version']} is flagged "
+                            f"operation=compaction but changes the row "
+                            f"count ({want} -> {total_rc})"
+                        )
             manifest_path = os.path.join(meta_dir, f"m-{i:05d}.avro")
+            manifest_first_row_id = next_row_id
             entries = []
             for full, (f, rc) in file_rc.items():
                 vcounts, ncounts, lower, upper = _file_column_stats(
@@ -912,6 +1134,12 @@ def export_iceberg_metadata(
                     }
                 else:
                     data_file["content"] = 0
+                    if format_version >= 3:
+                        # v3 row lineage: every ADDED data file gets an
+                        # explicit starting _row_id; the table counter
+                        # advances by its record count
+                        data_file["first_row_id"] = next_row_id
+                        next_row_id += rc
                     entry = {
                         "status": 1,
                         "snapshot_id": None,  # inherited
@@ -941,11 +1169,14 @@ def export_iceberg_metadata(
                         "deleted_rows_count": 0,
                     }
                 )
+            if format_version >= 3:
+                row["first_row_id"] = manifest_first_row_id
             manifest_rows = [row]
             base_dir = snap["path"]
             delete_dirs = []
+            dv_positions = {}
             base_live_rows = total_rc
-            operation = "overwrite"
+            operation = "replace" if is_compaction else "overwrite"
 
         write_avro(list_path, list_schema, manifest_rows)
         written_manifests.update(
@@ -954,6 +1185,8 @@ def export_iceberg_metadata(
         prev_rows = manifest_rows
         summary = {"operation": operation}
         for k, v in (snap.get("properties") or {}).items():
+            if k == "operation":
+                continue  # internal flag; the spec operation is computed
             summary[str(k)] = str(v)
         s = {
             "snapshot-id": snapshot_id,
@@ -964,6 +1197,9 @@ def export_iceberg_metadata(
         }
         if format_version >= 2:
             s["sequence-number"] = seq
+        if format_version >= 3:
+            s["first-row-id"] = snap_first_row_id
+            s["added-rows"] = next_row_id - snap_first_row_id
         if i > 0:
             s["parent-snapshot-id"] = i
         snapshots.append(s)
@@ -1004,6 +1240,9 @@ def export_iceberg_metadata(
         metadata["last-sequence-number"] = len(events)
         metadata["sort-orders"] = [{"order-id": 0, "fields": []}]
         metadata["default-sort-order-id"] = 0
+    if format_version >= 3:
+        # v3 row lineage: the next _row_id a future commit may assign
+        metadata["next-row-id"] = next_row_id
     # branch refs (spec `refs`): the exported branch tracks the current
     # snapshot under its own name, and every OTHER SnapshotTable branch
     # whose head version exists in this exported chain gets a branch
@@ -1273,9 +1512,9 @@ def read_iceberg_table(
     with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
         metadata = json.load(fh)
     fv = metadata.get("format-version", 1)
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise NotImplementedError(
-            f"only Iceberg format-versions 1 and 2 are read here (got {fv})"
+            f"only Iceberg format-versions 1-3 are read here (got {fv})"
         )
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id, as_of_ms, ref")
@@ -1318,10 +1557,13 @@ def read_iceberg_table(
     file_seq: dict[str, int] = {}
     pos_deletes: list[tuple[str, int]] = []  # (delete file path, its seq)
     eq_deletes: list[tuple[str, int, tuple]] = []  # (+ equality field ids)
+    # v3 deletion vectors: (puffin path, offset, size, referenced data
+    # file, seq, cardinality)
+    dv_deletes: list[tuple[str, int, int, str, int, int]] = []
     for mf in manifest_files:
         m_seq = mf.get("sequence_number")
         m_content = mf.get("content") or 0
-        if fv == 2 and m_seq is None:
+        if fv >= 2 and m_seq is None:
             raise ValueError(
                 "v2 manifest-list row missing required sequence_number: "
                 + mf.get("manifest_path", "?")
@@ -1333,9 +1575,9 @@ def read_iceberg_table(
             if seq is None:
                 if e["status"] == 1:  # ADDED: inherit (spec rule)
                     seq = m_seq if m_seq is not None else 0
-                elif fv == 2:
+                elif fv >= 2:
                     raise ValueError(
-                        "v2 EXISTING/DELETED entry missing explicit "
+                        "v2+ EXISTING/DELETED entry missing explicit "
                         f"data_sequence_number: {df_rec.get('file_path')}"
                     )
                 else:
@@ -1354,13 +1596,44 @@ def read_iceberg_table(
                         (df_rec["file_path"], seq, tuple(ids))
                     )
                     continue
+                is_dv = (
+                    str(df_rec.get("file_format", "")).upper() == "PUFFIN"
+                    or df_rec.get("referenced_data_file") is not None
+                )
+                if is_dv:
+                    if fv < 3:
+                        raise ValueError(
+                            f"deletion-vector entry in a v{fv} table: "
+                            + df_rec["file_path"]
+                        )
+                    if (
+                        df_rec.get("content_offset") is None
+                        or df_rec.get("content_size_in_bytes") is None
+                        or df_rec.get("referenced_data_file") is None
+                    ):
+                        raise ValueError(
+                            "deletion-vector entry missing referenced_"
+                            "data_file/content_offset/content_size_in_"
+                            "bytes: " + df_rec["file_path"]
+                        )
+                    dv_deletes.append(
+                        (
+                            df_rec["file_path"],
+                            df_rec["content_offset"],
+                            df_rec["content_size_in_bytes"],
+                            df_rec["referenced_data_file"],
+                            seq,
+                            df_rec["record_count"],
+                        )
+                    )
+                    continue
                 pos_deletes.append((df_rec["file_path"], seq))
                 continue
             if e["status"] == 2:  # DELETED
                 files.pop(df_rec["file_path"], None)
                 file_seq.pop(df_rec["file_path"], None)
                 continue
-            if fv == 2 and df_rec.get("content", 0) != 0:
+            if fv >= 2 and df_rec.get("content", 0) != 0:
                 raise ValueError(
                     "delete file listed in a content=0 data manifest: "
                     + df_rec["file_path"]
@@ -1494,7 +1767,7 @@ def read_iceberg_table(
         return spark.createDataFrame([], full_schema)
     paths = {os.path.abspath(p): rec for p, rec in files.items()}
     df = spark.read.schema(data_schema).parquet(*paths)
-    if pos_deletes or eq_deletes or pcols:
+    if pos_deletes or eq_deletes or dv_deletes or pcols:
         from .mor_diff import guard_reserved_columns
 
         guard_reserved_columns(
@@ -1505,7 +1778,7 @@ def read_iceberg_table(
         df = df.withColumn(
             "_file", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
         )
-    if pos_deletes or eq_deletes:
+    if pos_deletes or eq_deletes or dv_deletes:
         # attach each data row's (inherited) sequence number via the
         # broadcast |files|-row map — BOTH delete flavors compare
         # against it: positional applies at delete.seq >= data.seq,
@@ -1518,6 +1791,31 @@ def read_iceberg_table(
             "_file STRING, _fseq BIGINT",
         )
         df = df.join(F.broadcast(fseq_map), "_file")
+    dv_files: set[str] = set()
+    dv_rows: list[tuple[str, int, int]] = []
+    if dv_deletes:
+        # v3 DELETION VECTORS (Puffin): decode driver-side — bounded by
+        # each DV's cardinality, the spec's design point (a DV indexes
+        # rows of ONE data file; compaction folds large ones) — then
+        # mask with the same broadcast anti-join as positional deletes
+        # (applies at dv.seq >= data.seq).
+        from .puffin import read_dv
+
+        for path, off, size, ref, dseq, card in dv_deletes:
+            ref_abs = os.path.abspath(ref)
+            if ref_abs in dv_files:
+                raise ValueError(
+                    f"multiple deletion vectors reference data file "
+                    f"{ref}: invalid v3 table (at most one DV per file)"
+                )
+            positions = read_dv(path, off, size)
+            if len(positions) != card:
+                raise ValueError(
+                    f"deletion-vector cardinality mismatch for {ref}: "
+                    f"entry says {card}, bitmap holds {len(positions)}"
+                )
+            dv_files.add(ref_abs)
+            dv_rows.extend((ref_abs, p, dseq) for p in positions)
     if pos_deletes:
         dseq_by_path = {os.path.abspath(p): s for p, s in pos_deletes}
         dmap = spark.createDataFrame(
@@ -1530,14 +1828,31 @@ def read_iceberg_table(
             )
             .join(F.broadcast(dmap), "_dfile")
             .select("file_path", "pos", "_dseq")
-            .alias("m")
         )
+        if dv_files:
+            # the spec's upgrade rule: a data file that has a DV must
+            # IGNORE its (older, v2-era) positional delete files — the
+            # DV supersedes them
+            mask = mask.where(~F.col("file_path").isin(sorted(dv_files)))
+        mask = mask.alias("m")
         d = df.alias("d")
         df = d.join(
             F.broadcast(mask),
             (F.col("d._file") == F.col("m.file_path"))
             & (F.col("d._pos") == F.col("m.pos"))
             & (F.col("m._dseq") >= F.col("d._fseq")),
+            "left_anti",
+        )
+    if dv_rows:
+        vmask = spark.createDataFrame(
+            dv_rows, "file_path STRING, pos BIGINT, _dseq BIGINT"
+        ).alias("v")
+        d = df.alias("d")
+        df = d.join(
+            F.broadcast(vmask),
+            (F.col("d._file") == F.col("v.file_path"))
+            & (F.col("d._pos") == F.col("v.pos"))
+            & (F.col("v._dseq") >= F.col("d._fseq")),
             "left_anti",
         )
     if eq_deletes:
@@ -1581,7 +1896,7 @@ def read_iceberg_table(
             for nm in names:
                 cond = cond & F.col(f"d.{nm}").eqNullSafe(F.col(f"e.{nm}"))
             df = d.join(F.broadcast(ddf), cond, "left_anti")
-    if pos_deletes or eq_deletes:
+    if pos_deletes or eq_deletes or dv_deletes:
         df = df.drop("_pos", "_fseq")
     if pcols:
         iceberg_types = {

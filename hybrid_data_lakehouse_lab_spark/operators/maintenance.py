@@ -127,3 +127,85 @@ def vacuum_snapshots(
     for s in expired:
         shutil.rmtree(s["path"], ignore_errors=True)
     return [s["version"] for s in expired]
+
+
+def compact_snapshot(
+    table: SnapshotTable,
+    branch: str = "main",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    committed_at_ms: int | None = None,
+):
+    """MERGE-ON-READ COMPACTION: fold accumulated deletes back into
+    rewritten data files (Iceberg `rewrite_data_files` +
+    `rewrite_position_delete_files`; Delta `OPTIMIZE`, which purges
+    deletion vectors).
+
+    The reference's table is merge-on-read
+    (reference libs/scd2_spark_processor.py:155); run its SCD2 batches
+    for a year and every read re-applies an ever-growing stack of
+    positional deletes / DVs. This job commits a new snapshot whose
+    data equals the branch head, rewritten into ceil(size/target)
+    right-sized files and flagged `operation=compaction` in the
+    snapshot properties. The format exporters recognize the flag and
+    emit it as a REWRITE commit that carries ZERO live delete entries
+    (Iceberg: summary operation `replace`, fresh data manifest only;
+    Delta: `OPTIMIZE` commitInfo with `dataChange: false` on every
+    add/remove, so streaming/CDF consumers skip it — real OPTIMIZE
+    semantics). Time travel to pre-compaction snapshots still resolves
+    their masked reads; a later `vacuum_snapshots` + re-export garbage-
+    collects the folded delete files.
+
+    Partitioning is preserved: each hive partition of the head rewrites
+    into its own right-sized files (the layout partition pruning
+    depends on must survive compaction). Returns the new SnapshotInfo,
+    or None when the head is already a compaction commit with no
+    sibling writes after it (idempotence: re-running is a no-op, not an
+    identical-content commit chain).
+
+    100 TB shape: one distributed scan of the head + one shuffle-free
+    coalesce-style write per partition; the decision metadata (file
+    sizes) comes from the manifest, driver-side O(files)."""
+    m = table._load_manifest()
+    head = table.branch_head(branch)
+    if head is None:
+        raise ValueError(f"branch {branch!r} has no snapshots to compact")
+    by_version = {s["version"]: s for s in m["snapshots"]}
+    snap = by_version[head]
+    if (snap.get("properties") or {}).get("operation") == "compaction":
+        return None  # already compacted; nothing accreted since
+    head_dir = snap["path"]
+    # partition layout of the head (nested dirs like part=a/dt=.../...)
+    pcols: list[str] = []
+    d = head_dir
+    while True:
+        subs = sorted(
+            e
+            for e in os.listdir(d)
+            if "=" in e and os.path.isdir(os.path.join(d, e))
+        )
+        if not subs:
+            break
+        pcols.append(subs[0].split("=", 1)[0])
+        d = os.path.join(d, subs[0])
+    df = table.spark.read.parquet(head_dir)
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(head_dir)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    if pcols:
+        # per-partition right-sizing: repartition by the partition
+        # columns so each hive dir gets contiguous writers, bounded by
+        # n_files total
+        df = df.repartition(n_files, *pcols)
+    else:
+        df = df.repartition(n_files)
+    return table.write(
+        df,
+        partition_by=pcols or None,
+        committed_at_ms=committed_at_ms,
+        branch=branch,
+        properties={"operation": "compaction", "compacted-from": head},
+    )

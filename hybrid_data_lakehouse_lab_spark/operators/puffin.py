@@ -1,0 +1,181 @@
+"""Puffin file format + Iceberg v3 deletion-vector blobs — from scratch.
+
+Puffin (public spec: iceberg.apache.org/puffin-spec/) is Iceberg's
+container for statistics and, since format-version 3, DELETION VECTORS.
+Layout:
+
+    Magic Blob_1 ... Blob_n Footer
+    Magic  = 0x50 0x46 0x41 0x31 ("PFA1")
+    Footer = Magic FooterPayload FooterPayloadSize Flags Magic
+    FooterPayloadSize: int32 LE = byte length of FooterPayload
+    Flags: 4 bytes; byte 0 bit 0 = FooterPayload is LZ4-compressed
+           (this writer always emits uncompressed, flag bytes all 0;
+           the reader refuses the compressed bit honestly — no lz4 in
+           this environment)
+    FooterPayload: UTF-8 JSON FileMetadata:
+        {"blobs": [BlobMetadata...], "properties": {...}}
+    BlobMetadata: {"type", "fields", "snapshot-id", "sequence-number",
+                   "offset", "length", "compression-codec"?, "properties"?}
+
+The `deletion-vector-v1` blob type (Iceberg spec v3, "Deletion
+Vectors") frames a 64-bit roaring bitmap in the SAME byte layout Delta
+uses — the cross-format compatibility was the design goal — so the
+bitmap machinery is shared with operators/roaring.py:
+
+    <len: int32 BE = len(magic + vector)>
+    <magic: bytes D1 D3 39 64>
+    <vector: portable RoaringBitmapArray (int64 LE count + 32-bit
+             roaring bitmaps)>
+    <crc: int32 BE = CRC-32 of (magic + vector)>
+
+Blob properties carry `referenced-data-file` and `cardinality`; the
+manifest entry referencing the blob stores `content_offset` (of the
+blob, i.e. the length field) and `content_size_in_bytes` (the full
+framed length). All implemented from the public specs; no Iceberg code
+consulted.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+MAGIC = b"PFA1"
+DV_MAGIC_BYTES = bytes([0xD1, 0xD3, 0x39, 0x64])
+DELETION_VECTOR_V1 = "deletion-vector-v1"
+
+
+def dv_v1_blob(positions: list[int]) -> bytes:
+    """Frame sorted unique row positions as a deletion-vector-v1 blob."""
+    from .roaring import serialize_roaring64
+
+    body = DV_MAGIC_BYTES + serialize_roaring64(positions)
+    return (
+        struct.pack(">i", len(body))
+        + body
+        + struct.pack(">I", zlib.crc32(body))
+    )
+
+
+def decode_dv_v1_blob(blob: bytes) -> list[int]:
+    """Decode + verify one deletion-vector-v1 blob (length, magic, CRC
+    all checked — a truncated DV must fail loudly, never resurrect
+    deleted rows)."""
+    from .roaring import deserialize_roaring64
+
+    (n,) = struct.unpack_from(">i", blob, 0)
+    if 4 + n + 4 != len(blob):
+        raise ValueError(
+            f"deletion-vector blob length field {n} inconsistent with "
+            f"blob size {len(blob)}"
+        )
+    body = blob[4 : 4 + n]
+    if body[:4] != DV_MAGIC_BYTES:
+        raise ValueError(f"bad deletion-vector magic {body[:4].hex()}")
+    (crc,) = struct.unpack_from(">I", blob, 4 + n)
+    if zlib.crc32(body) != crc:
+        raise ValueError("deletion-vector CRC mismatch")
+    return deserialize_roaring64(body[4:])
+
+
+def write_puffin(
+    path: str,
+    blobs: list[dict],
+    properties: dict | None = None,
+) -> list[dict]:
+    """Write a Puffin file. Each input blob dict needs `type`, `data`
+    (bytes), `snapshot-id`, `sequence-number`, and optionally `fields`
+    and `properties`. Returns the BlobMetadata list (with offsets) as
+    written to the footer."""
+    metas = []
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        off = len(MAGIC)
+        for b in blobs:
+            data = b["data"]
+            metas.append(
+                {
+                    "type": b["type"],
+                    "fields": list(b.get("fields", [])),
+                    "snapshot-id": b["snapshot-id"],
+                    "sequence-number": b["sequence-number"],
+                    "offset": off,
+                    "length": len(data),
+                    **(
+                        {"properties": dict(b["properties"])}
+                        if b.get("properties")
+                        else {}
+                    ),
+                }
+            )
+            fh.write(data)
+            off += len(data)
+        payload = json.dumps(
+            {"blobs": metas, "properties": properties or {}},
+            sort_keys=True,
+        ).encode()
+        fh.write(MAGIC)
+        fh.write(payload)
+        fh.write(struct.pack("<i", len(payload)))
+        fh.write(b"\x00\x00\x00\x00")  # flags: uncompressed footer
+        fh.write(MAGIC)
+    return metas
+
+
+def read_puffin_footer(path: str) -> dict:
+    """Parse a Puffin file's FileMetadata (footer JSON). Verifies all
+    three magics and the footer framing."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+        if head != MAGIC:
+            raise ValueError(f"{path}: not a Puffin file (head {head!r})")
+        fh.seek(0, 2)
+        size = fh.tell()
+        if size < 4 + 4 + 4 + 4 + 4:
+            raise ValueError(f"{path}: truncated Puffin file ({size} bytes)")
+        fh.seek(size - 4)
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad trailing Puffin magic")
+        fh.seek(size - 12)
+        (payload_size,) = struct.unpack("<i", fh.read(4))
+        flags = fh.read(4)
+        if flags[0] & 0x01:
+            raise NotImplementedError(
+                f"{path}: LZ4-compressed Puffin footer payload "
+                "(no lz4 codec in this environment)"
+            )
+        if any(flags[1:]) or flags[0] & ~0x01:
+            raise NotImplementedError(
+                f"{path}: unknown Puffin footer flags {flags.hex()}"
+            )
+        payload_start = size - 12 - payload_size
+        fh.seek(payload_start - 4)
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad footer-start Puffin magic")
+        payload = fh.read(payload_size)
+    meta = json.loads(payload.decode())
+    if "blobs" not in meta:
+        raise ValueError(f"{path}: Puffin FileMetadata missing 'blobs'")
+    return meta
+
+
+def read_blob(path: str, offset: int, length: int) -> bytes:
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        data = fh.read(length)
+    if len(data) != length:
+        raise ValueError(
+            f"{path}@{offset}: blob truncated ({len(data)}/{length} bytes)"
+        )
+    return data
+
+
+def read_dv(path: str, offset: int, length: int) -> list[int]:
+    """Read + decode one deletion vector given the manifest entry's
+    content_offset / content_size_in_bytes."""
+    # compression-codec, when present in the footer, would apply here;
+    # this reader resolves blobs by offset without re-reading the
+    # footer, and the writer never compresses DV blobs (roaring bitmaps
+    # don't benefit — the spec's own guidance).
+    return decode_dv_v1_blob(read_blob(path, offset, length))

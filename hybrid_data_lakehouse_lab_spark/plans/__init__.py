@@ -49,7 +49,6 @@ _PRIORITY = [
     "count_sum_by_group",
     "group_count_ops",
     "global_max_checkpoint",
-    "json_extract_typed",
     "malformed_and_whitelist_filter",
     "op_split_union",
     "incremental_filter",
@@ -57,8 +56,6 @@ _PRIORITY = [
     "broadcast_dim_join",
     "lead_window",
     "latest_per_key",
-    "distinct_projection",
-    "top_orders_preview",
     "scalar_functions",
     "op_decode_5arm",
     "scd2_build",
@@ -70,8 +67,17 @@ _PRIORITY = [
     "envelope_flatten_roundtrip",
     "config_current_state_view",
     # --- end-to-end machinery round-trips (sinks / time travel / streams) ---
+    # Round-8 rotation (VERDICT r7 item 4): the two highest-binary-risk
+    # interop lanes (delta_dv_roundtrip, iceberg_equality_delete_roundtrip)
+    # plus the new mor_compaction_roundtrip are pinned in-window;
+    # displaced to slots 51-53: json_extract_typed, distinct_projection,
+    # top_orders_preview (trivial operators, each with dedicated pytest
+    # coverage and sweep verification since round 1).
     "timetravel_versions_demo",
     "iceberg_v2_metadata_roundtrip",
+    "delta_dv_roundtrip",
+    "iceberg_equality_delete_roundtrip",
+    "mor_compaction_roundtrip",
     "streaming_bronze_roundtrip",
     "streaming_upsert_roundtrip",
     # --- LLM training-data pipeline flagships ---
@@ -114,27 +120,30 @@ _PRIORITY = [
     #   6. Text pipeline + streaming round-trips (stream==batch
     #      equivalence tests).
     # =====================================================================
-    # --- slot 51: the pandas twin of similarity_cosine_topk (displaced
+    # --- slots 51-53: displaced by the round-8 interop rotation (see the
+    # in-window note above); all green since round 1 with dedicated tests
+    # (test_oracle_queries / test_sql_surface) ---
+    "json_extract_typed",
+    "distinct_projection",
+    "top_orders_preview",
+    # --- slot 54: Iceberg format-version 3 deletion vectors in Puffin
+    # (round 8) ---
+    "iceberg_v3_dv_roundtrip",
+    # --- slot 55: the pandas twin of similarity_cosine_topk (displaced
     # from the 50-window by iceberg_v2_metadata_roundtrip in round 7;
     # its JVM twin shares the same oracle and stays pinned) ---
     "similarity_cosine_topk_pandas",
-    # --- slot 52: Delta deletion-vector sibling of the pinned iceberg-v2
-    # lane (round 7) ---
-    "delta_dv_roundtrip",
-    # --- slot 53: stats-based file skipping over the v2 tree (round 7) ---
+    # --- slot 56: stats-based file skipping over the v2 tree (round 7) ---
     "iceberg_stats_prune_scan",
-    # --- slot 54: Delta column-mapping read (physical-name resolution;
+    # --- slot 57: Delta column-mapping read (physical-name resolution;
     # round 7) ---
     "delta_column_mapping_roundtrip",
-    # --- slot 55: bucket[16] hidden partitioning + murmur3 point-lookup
+    # --- slot 58: bucket[16] hidden partitioning + murmur3 point-lookup
     # pruning (round 7) ---
     "iceberg_bucket_prune_scan",
-    # --- slot 56: equality-delete (Flink upsert dialect) write+read
-    # (round 7) ---
-    "iceberg_equality_delete_roundtrip",
-    # --- slot 57: Delta change data feed write+read (round 7) ---
+    # --- slot 59: Delta change data feed write+read (round 7) ---
     "delta_cdf_roundtrip",
-    # --- slot 58: UniForm-style dual-format facade over one data copy
+    # --- slot 60: UniForm-style dual-format facade over one data copy
     # (round 7) ---
     "uniform_dual_export_roundtrip",
     # --- tier 1: remaining TPC-H ---

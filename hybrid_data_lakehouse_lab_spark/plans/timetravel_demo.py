@@ -933,3 +933,199 @@ def uniform_dual_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         sorted(rows), "fmt STRING, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "mor_compaction_roundtrip",
+    oracle="""
+    SELECT fmt, snapshot_id, event_type, n FROM (
+      SELECT f.fmt, s.snapshot_id, e.event_type, count(*) AS n
+      FROM events e
+      CROSS JOIN (SELECT 'delta' AS fmt UNION ALL SELECT 'iceberg') f
+      CROSS JOIN (SELECT 1 AS snapshot_id UNION ALL SELECT 4) s
+      WHERE e.user_id % 6 <> 0 AND e.user_id % 10 <> 0
+      GROUP BY 1, 2, 3
+    ) q
+    """,
+)
+def mor_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ COMPACTION round-trip, driver-visible — the
+    maintenance job every long-lived MoR table needs (Iceberg
+    `rewrite_data_files` + `rewrite_position_delete_files`; Delta
+    OPTIMIZE purging deletion vectors). The reference's table mode is
+    merge-on-read (reference libs/scd2_spark_processor.py:155); run its
+    SCD2 batches for a year and read amplification grows unboundedly
+    without this fold.
+
+    Chain: full events table, two successive pure deletes (exported as
+    positional-delete / DV commits), then `compact_snapshot`
+    (operators/maintenance.py) — a flagged rewrite of the masked head
+    into right-sized files. In-lane asserts pin the contract: the
+    Iceberg export ends with a summary-operation `replace` snapshot
+    whose manifest list carries ZERO delete manifests (the
+    pre-compaction head still carries them); the Delta export ends with
+    an OPTIMIZE commit, dataChange=false on every action and no
+    deletionVector on any live add. The output compares the
+    POST-compaction head read against the PRE-compaction masked head
+    read in BOTH formats — a hash match proves folding the deletes
+    into data files changed nothing (and both reads equal the oracle's
+    doubly-filtered events).
+
+    Output is |event types| × 2 snapshots × 2 formats regardless of
+    scale; the export diffs, the compaction rewrite and the masked /
+    folded reads all run distributed."""
+    import json as _json
+
+    from ..operators.delta_log import export_delta_log, read_delta_table
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.maintenance import compact_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.filter(
+        (F.col("user_id") % 6 != 0) & (F.col("user_id") % 10 != 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="mor_compaction_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 6 != 0), committed_at_ms=2)
+        t.write(masked, committed_at_ms=3)
+        info = compact_snapshot(t, committed_at_ms=4)
+        assert info is not None and info.version == 4
+
+        meta_dir = export_iceberg_metadata(t, format_version=2)
+        md = _json.load(open(os.path.join(meta_dir, "v4.metadata.json")))
+        ops = [s["summary"]["operation"] for s in md["snapshots"]]
+        assert ops == ["overwrite", "delete", "delete", "replace"], ops
+        from ..operators.avro_io import read_avro
+
+        heads = {s["snapshot-id"]: s["manifest-list"] for s in md["snapshots"]}
+        _, head_rows = read_avro(heads[4])
+        assert all(r.get("content", 0) == 0 for r in head_rows), "live deletes"
+        _, pre_rows = read_avro(heads[3])
+        assert any(r.get("content") == 1 for r in pre_rows)
+
+        log_dir = export_delta_log(t, mor_deletes=True)
+        v3 = [
+            _json.loads(x)
+            for x in open(os.path.join(log_dir, f"{3:020d}.json"))
+        ]
+        ci = next(a["commitInfo"] for a in v3 if "commitInfo" in a)
+        assert ci["operation"] == "OPTIMIZE", ci
+        assert all(
+            not a["add"]["dataChange"] and not a["add"].get("deletionVector")
+            for a in v3
+            if "add" in a
+        )
+
+        rows = []
+        # snapshot 1 = masked pre-compaction head (deletes applied at
+        # read), snapshot 4 = folded post-compaction head; both must
+        # equal the doubly-filtered events in both formats
+        for fmt, reader in (
+            ("iceberg", lambda s: read_iceberg_table(spark, t.root, snapshot_id=s)),
+            ("delta", lambda s: read_delta_table(spark, t.root, version=s - 1)),
+        ):
+            for sid in (3, 4):
+                got = (
+                    reader(sid)
+                    .groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                out_sid = 1 if sid == 3 else 4
+                rows.extend(
+                    (fmt, out_sid, r["event_type"], r["n"]) for r in got
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "fmt STRING, snapshot_id INT, event_type STRING, n BIGINT",
+    )
+
+
+@register(
+    "iceberg_v3_dv_roundtrip",
+    oracle="""
+    SELECT 1 AS snapshot_id, event_type, count(*) AS n
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 2 AS snapshot_id, event_type, count(*) AS n
+    FROM events WHERE user_id % 8 <> 0 GROUP BY 2
+    UNION ALL
+    SELECT 3 AS snapshot_id, event_type, count(*) AS n
+    FROM events WHERE user_id % 8 <> 0 AND user_id % 13 <> 0 GROUP BY 2
+    """,
+)
+def iceberg_v3_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 round-trip, driver-visible — the
+    ecosystem's current spec replaces positional-delete parquet with
+    DELETION VECTORS in Puffin containers. Three commits (full events,
+    two successive pure deletes); `export_iceberg_metadata(
+    format_version=3)` writes one cumulative deletion-vector-v1 blob
+    per touched data file (operators/puffin.py: PFA1 container, framed
+    D1D33964-magic CRC-checked roaring bitmap — the same byte layout
+    Delta DVs use, the cross-format design goal) referenced via the
+    spec's referenced_data_file/content_offset/content_size_in_bytes
+    manifest triple, REPLACING prior delete manifests (at most one DV
+    per data file), plus v3 row lineage (next-row-id / first-row-id /
+    first_row_id 520/142). `read_iceberg_table` decodes the DVs and
+    masks with the same broadcast anti-join as v2. A hash match proves
+    the whole v3 write+read path; in-lane asserts pin that both delete
+    snapshots really exported as single-delete-manifest DV commits.
+    Independent from-scratch Puffin/DV parsers live in
+    tests/test_puffin_fv3.py.
+
+    Output is |event types| × 3 rows regardless of scale; snapshot
+    writes, export diffs and masked reads run distributed."""
+    import json as _json
+
+    from ..operators.avro_io import read_avro
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="iceberg_v3_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 8 != 0), committed_at_ms=2)
+        t.write(
+            ev.filter(
+                (F.col("user_id") % 8 != 0) & (F.col("user_id") % 13 != 0)
+            ),
+            committed_at_ms=3,
+        )
+        meta_dir = export_iceberg_metadata(t, format_version=3)
+        md = _json.load(open(os.path.join(meta_dir, "v3.metadata.json")))
+        assert md["format-version"] == 3
+        ops = [s["summary"]["operation"] for s in md["snapshots"]]
+        assert ops == ["overwrite", "delete", "delete"], ops
+        for s in md["snapshots"][1:]:
+            _, rows = read_avro(s["manifest-list"])
+            dels = [r for r in rows if r.get("content") == 1]
+            assert len(dels) == 1, "DV manifest must REPLACE, not stack"
+            _, entries = read_avro(dels[0]["manifest_path"])
+            assert all(
+                e["data_file"]["file_format"] == "PUFFIN" for e in entries
+            )
+        rows = []
+        for sid in (1, 2, 3):
+            got = (
+                read_iceberg_table(spark, t.root, snapshot_id=sid)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((sid, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "snapshot_id INT, event_type STRING, n BIGINT"
+    )

@@ -1,0 +1,200 @@
+"""Merge-on-read COMPACTION (round-8 item 1): fold accumulated
+positional deletes / deletion vectors back into rewritten data files.
+
+Real Iceberg runs `rewrite_data_files` + `rewrite_position_delete_files`
+when deletes grow large relative to data; real Delta's OPTIMIZE purges
+deletion vectors. `compact_snapshot` (operators/maintenance.py) commits
+a flagged rewrite of the branch head; the format exporters emit it as a
+zero-delete rewrite (Iceberg summary `replace`; Delta `OPTIMIZE` with
+dataChange=false) while pre-compaction time travel keeps resolving the
+masked reads, and vacuum + re-export garbage-collects the folded delete
+files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.operators.avro_io import read_avro
+from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+    export_delta_log,
+    read_delta_changes,
+    read_delta_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    export_iceberg_metadata,
+    read_iceberg_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+    compact_snapshot,
+    vacuum_snapshots,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def mor_chain(spark, tmp_path):
+    """base → two pure deletes (exported merge-on-read) → compaction."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(200).selectExpr("id", "id % 9 AS g")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 4 != 0"), committed_at_ms=2000)
+    t.write(df.filter("id % 4 != 0 AND id % 5 != 0"), committed_at_ms=3000)
+    info = compact_snapshot(t, target_file_bytes=1 << 20, committed_at_ms=4000)
+    assert info is not None and info.version == 4
+    return t
+
+
+def test_compact_snapshot_idempotent(spark, mor_chain):
+    assert compact_snapshot(mor_chain) is None  # head already compacted
+    assert mor_chain.branch_head() == 4
+
+
+def test_delta_optimize_roundtrip(spark, mor_chain):
+    t = mor_chain
+    log_dir = export_delta_log(t, mor_deletes=True, change_data=True)
+    # pre-compaction commits really took the DV path
+    v1 = [json.loads(x) for x in open(os.path.join(log_dir, f"{1:020d}.json"))]
+    assert any(a.get("add", {}).get("deletionVector") for a in v1)
+    # the compaction commit: OPTIMIZE, dataChange=false everywhere,
+    # and the resulting head state carries ZERO deletion vectors
+    v3 = [json.loads(x) for x in open(os.path.join(log_dir, f"{3:020d}.json"))]
+    ci = next(a["commitInfo"] for a in v3 if "commitInfo" in a)
+    assert ci["operation"] == "OPTIMIZE"
+    assert all(not a["add"]["dataChange"] for a in v3 if "add" in a)
+    assert all(not a["remove"]["dataChange"] for a in v3 if "remove" in a)
+    assert all(not a["add"].get("deletionVector") for a in v3 if "add" in a)
+    # head == pre-compaction head, and every version still time-travels
+    want_head = _rows(t.read(version=3))
+    assert _rows(read_delta_table(spark, t.root)) == want_head
+    for dv, ver in ((0, 1), (1, 2), (2, 3), (3, 4)):
+        assert _rows(read_delta_table(spark, t.root, version=dv)) == _rows(
+            t.read(version=ver)
+        )
+    # CDF: the OPTIMIZE commit contributes no changes
+    cdf = read_delta_changes(spark, t.root, 0, 3)
+    assert cdf.where("_commit_version = 3").count() == 0
+    assert cdf.where("_change_type = 'delete'").count() == 200 - len(want_head)
+
+
+def test_delta_vacuum_gc_folds_dv_files(spark, mor_chain):
+    t = mor_chain
+    export_delta_log(t, mor_deletes=True)
+    assert any(
+        f.startswith("deletion_vector_") for f in os.listdir(t.root)
+    )
+    # expire everything pre-compaction, re-export: DV bins are GC'd and
+    # the log replays from the compaction state without them
+    assert vacuum_snapshots(t, older_than_ms=3500, keep_last=1) == [1, 2, 3]
+    export_delta_log(t, mor_deletes=True)
+    assert not any(
+        f.startswith("deletion_vector_") for f in os.listdir(t.root)
+    )
+    assert read_delta_table(spark, t.root).count() == t.read().count()
+
+
+def test_iceberg_v2_replace_roundtrip(spark, mor_chain):
+    t = mor_chain
+    meta_dir = export_iceberg_metadata(t, format_version=2)
+    md = json.load(open(os.path.join(meta_dir, "v4.metadata.json")))
+    ops = [s["summary"]["operation"] for s in md["snapshots"]]
+    assert ops == ["overwrite", "delete", "delete", "replace"]
+    # the replace snapshot's manifest list holds NO delete manifests
+    head = next(s for s in md["snapshots"] if s["snapshot-id"] == 4)
+    _, rows = read_avro(head["manifest-list"])
+    assert all(r.get("content", 0) == 0 for r in rows)
+    # pre-compaction snapshots still hold live delete manifests
+    _, rows3 = read_avro(
+        next(s for s in md["snapshots"] if s["snapshot-id"] == 3)[
+            "manifest-list"
+        ]
+    )
+    assert any(r.get("content") == 1 for r in rows3)
+    for sid, ver in ((1, 1), (2, 2), (3, 3), (4, 4)):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == _rows(t.read(version=ver))
+
+
+def test_iceberg_vacuum_gc_folds_delete_files(spark, mor_chain):
+    t = mor_chain
+    export_iceberg_metadata(t, format_version=2)
+    assert os.path.isdir(os.path.join(t.root, "deletes"))
+    assert vacuum_snapshots(t, older_than_ms=3500, keep_last=1) == [1, 2, 3]
+    export_iceberg_metadata(t, format_version=2)
+    assert not os.path.isdir(os.path.join(t.root, "deletes"))
+    assert read_iceberg_table(spark, t.root).count() == t.read().count()
+
+
+def test_iceberg_equality_delete_compaction(spark, tmp_path):
+    """The Flink-dialect chain compacts too: upsert commits stack data +
+    equality-delete manifests; the replace snapshot folds them into one
+    fresh data manifest."""
+    t = SnapshotTable(spark, str(tmp_path / "eq"))
+    df = spark.range(100).selectExpr("id", "id * 10 AS v")
+    t.write(df, committed_at_ms=1000)
+    t.write(
+        df.withColumn("v", df.v + (df.id % 3 == 0).cast("long")),
+        committed_at_ms=2000,
+    )
+    t.write(
+        spark.range(90).selectExpr("id", "id * 7 AS v"), committed_at_ms=3000
+    )
+    compact_snapshot(t, committed_at_ms=4000)
+    meta_dir = export_iceberg_metadata(
+        t, format_version=2, upsert_key=["id"]
+    )
+    md = json.load(open(os.path.join(meta_dir, "v4.metadata.json")))
+    ops = [s["summary"]["operation"] for s in md["snapshots"]]
+    assert ops[-1] == "replace" and "overwrite" in ops[1:3]
+    head = next(s for s in md["snapshots"] if s["snapshot-id"] == 4)
+    _, rows = read_avro(head["manifest-list"])
+    assert len(rows) == 1 and rows[0].get("content", 0) == 0
+    for sid in (1, 2, 3, 4):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == _rows(t.read(version=sid))
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    df = spark.range(60).selectExpr(
+        "id", "CASE WHEN id < 30 THEN 'a' ELSE 'b' END AS part"
+    )
+    t.write(df, partition_by=["part"], committed_at_ms=1000)
+    t.write(
+        df.filter("id % 2 = 0"), partition_by=["part"], committed_at_ms=2000
+    )
+    info = compact_snapshot(t, committed_at_ms=3000)
+    assert sorted(
+        e for e in os.listdir(info.path) if e.startswith("part=")
+    ) == ["part=a", "part=b"]
+    log_dir = export_delta_log(t, mor_deletes=True)
+    assert _rows(read_delta_table(spark, t.root)) == _rows(t.read())
+    v2 = [json.loads(x) for x in open(os.path.join(log_dir, f"{2:020d}.json"))]
+    adds = [a["add"] for a in v2 if "add" in a]
+    assert adds and all(a["partitionValues"].get("part") for a in adds)
+
+
+def test_misflagged_compaction_refused(spark, tmp_path):
+    """A snapshot flagged operation=compaction that CHANGES rows must be
+    refused at export — a silent dataChange=false data change would
+    poison CDF and streaming consumers."""
+    t = SnapshotTable(spark, str(tmp_path / "bad"))
+    t.write(spark.range(50).selectExpr("id"), committed_at_ms=1000)
+    t.write(
+        spark.range(40).selectExpr("id"),
+        committed_at_ms=2000,
+        properties={"operation": "compaction"},
+    )
+    with pytest.raises(ValueError, match="row count"):
+        export_delta_log(t, mor_deletes=True)
+    with pytest.raises(ValueError, match="row count"):
+        export_iceberg_metadata(t, format_version=2)

@@ -311,8 +311,14 @@ def test_reader_rejects_unknown_snapshot_and_v3(table, spark, tmp_path):
     json.dump(m, open(p, "w"))
     with pytest.raises(ValueError, match="sequence_number"):
         read_iceberg_table(spark, table.root)
-    # format-version 3 (row lineage, deletion vectors) is not supported
+    # a v1-shaped tree relabeled v3 is MALFORMED v3 for the same reason
+    # (fv3 itself is supported since round 8 — tests/test_puffin_fv3.py)
     m["format-version"] = 3
+    json.dump(m, open(p, "w"))
+    with pytest.raises(ValueError, match="sequence_number"):
+        read_iceberg_table(spark, table.root)
+    # format-version 4 does not exist: refuse
+    m["format-version"] = 4
     json.dump(m, open(p, "w"))
     with pytest.raises(NotImplementedError, match="format-version"):
         read_iceberg_table(spark, table.root)

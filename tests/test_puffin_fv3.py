@@ -1,0 +1,680 @@
+"""Iceberg FORMAT-VERSION 3 deletion vectors in Puffin files (round-8
+item 2): export/read round-trip with the same independent-parser
+contract as tests/test_iceberg_meta.py, plus fv2→fv3 upgrade-in-place
+and the spec's DV-supersedes-positional-deletes rule for mixed tables.
+
+Puffin container + deletion-vector-v1 blob framing implemented from the
+public specs (iceberg.apache.org/puffin-spec, Iceberg table spec v3);
+the independent decoders in this file share no code with
+operators/puffin.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import pytest
+
+from hybrid_data_lakehouse_lab_spark.operators import puffin as P
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    export_iceberg_metadata,
+    read_iceberg_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+    compact_snapshot,
+    vacuum_snapshots,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+from test_iceberg_meta import read_avro_file
+
+
+# --- independent decoders (no operators/puffin import path) -----------------
+
+
+def _ind_read_puffin_footer(path):
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+    (psize,) = struct.unpack("<i", raw[-12:-8])
+    flags = raw[-8:-4]
+    assert flags == b"\x00\x00\x00\x00"  # uncompressed footer
+    payload = raw[-12 - psize : -12]
+    assert raw[-12 - psize - 4 : -12 - psize] == b"PFA1"
+    return json.loads(payload.decode())
+
+
+def _ind_decode_dv(blob):
+    (n,) = struct.unpack_from(">i", blob, 0)
+    body = blob[4 : 4 + n]
+    assert body[:4] == bytes([0xD1, 0xD3, 0x39, 0x64])
+    (crc,) = struct.unpack_from(">I", blob, 4 + n)
+    assert zlib.crc32(body) == crc
+    buf = body[4:]
+    (nmaps,) = struct.unpack_from("<q", buf, 0)
+    pos, out = 8, []
+    for hi in range(nmaps):
+        (cookie,) = struct.unpack_from("<i", buf, pos)
+        assert cookie == 12346  # this writer: no run containers
+        (ncont,) = struct.unpack_from("<i", buf, pos + 4)
+        pos += 8
+        hdr = []
+        for _ in range(ncont):
+            key, card_m1 = struct.unpack_from("<HH", buf, pos)
+            pos += 4
+            hdr.append((key, card_m1 + 1))
+        pos += 4 * ncont  # offset header
+        for key, card in hdr:
+            if card <= 4096:
+                vals = struct.unpack_from(f"<{card}H", buf, pos)
+                pos += 2 * card
+            else:
+                bits = buf[pos : pos + 8192]
+                pos += 8192
+                vals = [
+                    (i << 3) + b
+                    for i in range(8192)
+                    for b in range(8)
+                    if bits[i] & (1 << b)
+                ]
+            out.extend((hi << 32) | (key << 16) | v for v in vals)
+    return out
+
+
+# --- puffin container unit tests ---------------------------------------------
+
+
+def test_puffin_container_independent_parse(tmp_path):
+    p = str(tmp_path / "x.puffin")
+    vals = [0, 3, 65536, (2 << 32) + 7]
+    metas = P.write_puffin(
+        p,
+        [
+            {
+                "type": P.DELETION_VECTOR_V1,
+                "data": P.dv_v1_blob(vals),
+                "snapshot-id": 9,
+                "sequence-number": 9,
+                "properties": {
+                    "referenced-data-file": "/d/a.parquet",
+                    "cardinality": "4",
+                },
+            }
+        ],
+        properties={"created-by": "test"},
+    )
+    meta = _ind_read_puffin_footer(p)
+    assert meta["blobs"] == metas
+    assert meta["properties"] == {"created-by": "test"}
+    b = meta["blobs"][0]
+    blob = open(p, "rb").read()[b["offset"] : b["offset"] + b["length"]]
+    assert _ind_decode_dv(blob) == vals
+    # package reader agrees
+    assert P.read_dv(p, b["offset"], b["length"]) == vals
+
+
+def test_puffin_refusals(tmp_path):
+    p = str(tmp_path / "bad.puffin")
+    P.write_puffin(p, [])
+    raw = bytearray(open(p, "rb").read())
+    raw[-8] |= 0x01  # claim compressed footer
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="LZ4"):
+        P.read_puffin_footer(p)
+    open(p, "wb").write(b"NOPE" + bytes(raw)[4:])
+    with pytest.raises(ValueError, match="not a Puffin"):
+        P.read_puffin_footer(p)
+    # corrupt DV blob CRC
+    blob = bytearray(P.dv_v1_blob([1, 2, 3]))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        P.decode_dv_v1_blob(bytes(blob))
+    with pytest.raises(ValueError, match="magic"):
+        P.decode_dv_v1_blob(blob[:4] + b"\x00\x00\x00\x00" + blob[8:])
+
+
+# --- fv3 export / read -------------------------------------------------------
+
+
+@pytest.fixture()
+def fv3_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(300).selectExpr("id", "id % 9 AS g")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 3 != 0"), committed_at_ms=2000)
+    t.write(df.filter("id % 3 != 0 AND id % 5 != 0"), committed_at_ms=3000)
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fv3_dv_roundtrip_and_replace_semantics(spark, fv3_table):
+    t = fv3_table
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v3.metadata.json")))
+    assert md["format-version"] == 3
+    ops = [s["summary"]["operation"] for s in md["snapshots"]]
+    assert ops == ["overwrite", "delete", "delete"]
+    lists = {s["snapshot-id"]: s["manifest-list"] for s in md["snapshots"]}
+    # REPLACE semantics: each delete snapshot's list has EXACTLY ONE
+    # delete manifest (the cumulative DVs), not a stack
+    for sid in (2, 3):
+        _, rows = read_avro_file(lists[sid])
+        del_manifests = [r for r in rows if r.get("content") == 1]
+        assert len(del_manifests) == 1, (sid, len(del_manifests))
+        _, entries = read_avro_file(del_manifests[0]["manifest_path"])
+        # every entry is a PUFFIN DV with the reference triple set, at
+        # most one per data file
+        refs = [e["data_file"]["referenced_data_file"] for e in entries]
+        assert all(r is not None for r in refs)
+        assert len(refs) == len(set(refs))
+        assert all(
+            e["data_file"]["file_format"] == "PUFFIN"
+            and e["data_file"]["content"] == 1
+            and e["data_file"]["content_offset"] is not None
+            and e["data_file"]["content_size_in_bytes"] is not None
+            for e in entries
+        )
+    # snapshot 3's DVs are cumulative: total cardinality grows
+    def total_card(sid):
+        _, rows = read_avro_file(lists[sid])
+        dm = next(r for r in rows if r.get("content") == 1)
+        _, entries = read_avro_file(dm["manifest_path"])
+        return sum(e["data_file"]["record_count"] for e in entries)
+
+    assert total_card(3) > total_card(2)
+    # reads match the committed data at every snapshot
+    for sid in (1, 2, 3):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == _rows(t.read(version=sid))
+
+
+def test_fv3_independent_mask_reconstruction(spark, fv3_table):
+    """Third-implementation contract: parse the manifest chain, Puffin
+    footers and DV bitmaps with the independent decoders only, apply
+    the mask by hand over pyarrow row indexes, and reproduce the head."""
+    import pyarrow.parquet as pq
+
+    t = fv3_table
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v3.metadata.json")))
+    head = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, rows = read_avro_file(head["manifest-list"])
+    data_files, dv_of = [], {}
+    for r in rows:
+        _, entries = read_avro_file(r["manifest_path"])
+        for e in entries:
+            dfr = e["data_file"]
+            if r.get("content") == 1:
+                blob = open(dfr["file_path"], "rb").read()[
+                    dfr["content_offset"] : dfr["content_offset"]
+                    + dfr["content_size_in_bytes"]
+                ]
+                dv_of[dfr["referenced_data_file"]] = set(
+                    _ind_decode_dv(blob)
+                )
+            else:
+                data_files.append(dfr["file_path"])
+    got = []
+    for p in data_files:
+        dead = dv_of.get(p, set())
+        for i, row in enumerate(pq.read_table(p).to_pylist()):
+            if i not in dead:
+                got.append((row["id"], row["g"]))
+    assert sorted(got) == _rows(t.read())
+
+
+def test_fv3_row_lineage(spark, fv3_table):
+    t = fv3_table
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v3.metadata.json")))
+    # only snapshot 1 adds data rows; deletes add none
+    firsts = [s["first-row-id"] for s in md["snapshots"]]
+    assert firsts == [0, 300, 300]
+    assert md["next-row-id"] == 300
+    lists = {s["snapshot-id"]: s["manifest-list"] for s in md["snapshots"]}
+    _, rows = read_avro_file(lists[1])
+    dm = next(r for r in rows if (r.get("content") or 0) == 0)
+    assert dm["first_row_id"] == 0
+    _, entries = read_avro_file(dm["manifest_path"])
+    # per-file first_row_id tiles [0, 300) exactly by record counts
+    spans = sorted(
+        (e["data_file"]["first_row_id"], e["data_file"]["record_count"])
+        for e in entries
+    )
+    nxt = 0
+    for first, rc in spans:
+        assert first == nxt
+        nxt += rc
+    assert nxt == 300
+
+
+def test_fv2_to_fv3_upgrade_in_place(spark, fv3_table):
+    """Re-exporting a v2 tree as v3 upgrades it in place: same root,
+    version-hint metadata now fv3, positional-delete parquet superseded
+    by Puffin DVs, and every snapshot still reads identically."""
+    t = fv3_table
+    export_iceberg_metadata(t, format_version=2)
+    want = {sid: _rows(t.read(version=sid)) for sid in (1, 2, 3)}
+    for sid in (1, 2, 3):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == want[sid]
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v3.metadata.json")))
+    assert md["format-version"] == 3
+    for sid in (1, 2, 3):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == want[sid]
+    import glob
+
+    assert glob.glob(os.path.join(t.root, "deletes", "*", "*.puffin"))
+
+
+def test_fv3_compaction_and_vacuum_gc(spark, fv3_table):
+    t = fv3_table
+    compact_snapshot(t, committed_at_ms=4000)
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v4.metadata.json")))
+    assert [s["summary"]["operation"] for s in md["snapshots"]][-1] == "replace"
+    head = next(s for s in md["snapshots"] if s["snapshot-id"] == 4)
+    _, rows = read_avro_file(head["manifest-list"])
+    assert all((r.get("content") or 0) == 0 for r in rows)
+    assert _rows(read_iceberg_table(spark, t.root)) == _rows(
+        t.read(version=3)
+    )
+    assert vacuum_snapshots(t, older_than_ms=3500, keep_last=1) == [1, 2, 3]
+    export_iceberg_metadata(t, format_version=3)
+    assert not os.path.isdir(os.path.join(t.root, "deletes"))
+    assert read_iceberg_table(spark, t.root).count() == t.read().count()
+
+
+def test_fv3_equality_delete_dialect(spark, tmp_path):
+    """Equality-delete (Flink upsert) export still works under fv3 —
+    v3 keeps equality delete files; only positional deletes moved into
+    DVs."""
+    t = SnapshotTable(spark, str(tmp_path / "eq"))
+    df = spark.range(80).selectExpr("id", "id * 3 AS v")
+    t.write(df, committed_at_ms=1000)
+    t.write(
+        spark.range(70).selectExpr("id", "id * 5 AS v"), committed_at_ms=2000
+    )
+    meta_dir = export_iceberg_metadata(t, format_version=3, upsert_key=["id"])
+    md = json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+    assert md["format-version"] == 3 and md["next-row-id"] > 0
+    for sid in (1, 2):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == _rows(t.read(version=sid))
+
+
+def test_fv3_dv_supersedes_positional_deletes(spark, tmp_path):
+    """The spec's mixed-table rule: a data file that has a DV must
+    IGNORE positional-delete parquet targeting it (the DV is the
+    superseding cumulative state); files WITHOUT a DV still apply
+    their positional deletes. Crafted the way a v2→v3 upgrade by an
+    external engine leaves the tree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+        _manifest_list_schema,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.avro_io import write_avro
+
+    root = str(tmp_path / "mixed")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    fa = os.path.join(root, "a.parquet")  # gets a DV *and* a pos-delete
+    fb = os.path.join(root, "b.parquet")  # pos-delete only
+    pq.write_table(pa.table({"id": list(range(10))}), fa)
+    pq.write_table(pa.table({"id": list(range(100, 110))}), fb)
+    # DV for fa: delete positions {0, 1}
+    puf = os.path.join(root, "dv.puffin")
+    (bm,) = P.write_puffin(
+        puf,
+        [
+            {
+                "type": P.DELETION_VECTOR_V1,
+                "data": P.dv_v1_blob([0, 1]),
+                "snapshot-id": 2,
+                "sequence-number": 2,
+                "properties": {
+                    "referenced-data-file": fa,
+                    "cardinality": "2",
+                },
+            }
+        ],
+    )
+    # positional delete parquet: fa pos 5 (must be IGNORED), fb pos 0
+    pd = os.path.join(root, "pd.parquet")
+    pq.write_table(
+        pa.table({"file_path": [fa, fb], "pos": [5, 0]}), pd
+    )
+    es = _entry_schema([], 3)
+    data_manifest = os.path.join(meta_dir, "m-data.avro")
+    write_avro(
+        data_manifest,
+        es,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 10,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in (fa, fb)
+        ],
+    )
+    del_manifest = os.path.join(meta_dir, "m-del.avro")
+    write_avro(
+        del_manifest,
+        es,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puf,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(puf),
+                    "referenced_data_file": fa,
+                    "content_offset": bm["offset"],
+                    "content_size_in_bytes": bm["length"],
+                },
+            },
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": pd,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(pd),
+                },
+            },
+        ],
+    )
+    mlist = os.path.join(meta_dir, "snap-2-1-manifest-list.avro")
+    ls = _manifest_list_schema(3)
+    common = {
+        "partition_spec_id": 0,
+        "added_snapshot_id": 2,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    write_avro(
+        mlist,
+        ls,
+        [
+            {
+                "manifest_path": data_manifest,
+                "manifest_length": os.path.getsize(data_manifest),
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_files_count": 2,
+                "added_rows_count": 20,
+                "first_row_id": 0,
+                **common,
+            },
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "content": 1,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_files_count": 2,
+                "added_rows_count": 4,
+                **common,
+            },
+        ],
+    )
+    metadata = {
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": root,
+        "last-updated-ms": 2,
+        "last-column-id": 1,
+        "schema": {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"}
+            ],
+        },
+        "schemas": [],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "properties": {},
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2,
+                "summary": {"operation": "delete"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+                "sequence-number": 2,
+                "first-row-id": 20,
+            }
+        ],
+        "snapshot-log": [{"snapshot-id": 2, "timestamp-ms": 2}],
+        "metadata-log": [],
+        "last-sequence-number": 2,
+        "next-row-id": 20,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    got = sorted(r["id"] for r in read_iceberg_table(spark, root).collect())
+    # fa: DV drops 0,1; positional delete of pos 5 IGNORED (DV wins)
+    # fb: positional delete drops pos 0 (id=100)
+    assert got == [2, 3, 4, 5, 6, 7, 8, 9] + list(range(101, 110))
+
+
+def test_fv3_duplicate_dv_reference_refused(spark, tmp_path):
+    """Two DVs referencing the same data file = invalid v3 table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybrid_data_lakehouse_lab_spark.operators.avro_io import write_avro
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+        _manifest_list_schema,
+    )
+
+    root = str(tmp_path / "dup")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    fa = os.path.join(root, "a.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3]}), fa)
+    puf = os.path.join(root, "dv.puffin")
+    metas = P.write_puffin(
+        puf,
+        [
+            {
+                "type": P.DELETION_VECTOR_V1,
+                "data": P.dv_v1_blob([0]),
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "properties": {
+                    "referenced-data-file": fa,
+                    "cardinality": "1",
+                },
+            },
+            {
+                "type": P.DELETION_VECTOR_V1,
+                "data": P.dv_v1_blob([1]),
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "properties": {
+                    "referenced-data-file": fa,
+                    "cardinality": "1",
+                },
+            },
+        ],
+    )
+    es = _entry_schema([], 3)
+
+    def dfile(p, extra):
+        return {
+            "content": 0,
+            "file_path": p,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 3,
+            "file_size_in_bytes": os.path.getsize(p),
+            **extra,
+        }
+
+    dm = os.path.join(meta_dir, "m-data.avro")
+    write_avro(
+        dm,
+        es,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": dfile(fa, {}),
+            }
+        ],
+    )
+    delm = os.path.join(meta_dir, "m-del.avro")
+    write_avro(
+        delm,
+        es,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puf,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(puf),
+                    "referenced_data_file": fa,
+                    "content_offset": m["offset"],
+                    "content_size_in_bytes": m["length"],
+                },
+            }
+            for m in metas
+        ],
+    )
+    mlist = os.path.join(meta_dir, "snap-1-1-manifest-list.avro")
+    common = {
+        "partition_spec_id": 0,
+        "added_snapshot_id": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    write_avro(
+        mlist,
+        _manifest_list_schema(3),
+        [
+            {
+                "manifest_path": dm,
+                "manifest_length": os.path.getsize(dm),
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_files_count": 1,
+                "added_rows_count": 3,
+                **common,
+            },
+            {
+                "manifest_path": delm,
+                "manifest_length": os.path.getsize(delm),
+                "content": 1,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_files_count": 2,
+                "added_rows_count": 2,
+                **common,
+            },
+        ],
+    )
+    metadata = {
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": root,
+        "last-updated-ms": 1,
+        "last-column-id": 1,
+        "schema": {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"}
+            ],
+        },
+        "schemas": [],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "summary": {"operation": "delete"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+                "sequence-number": 1,
+            }
+        ],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1}],
+        "metadata-log": [],
+        "last-sequence-number": 1,
+        "next-row-id": 3,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(ValueError, match="at most one DV"):
+        read_iceberg_table(spark, root).collect()
