@@ -175,18 +175,7 @@ def compact_snapshot(
         return None  # already compacted; nothing accreted since
     head_dir = snap["path"]
     # partition layout of the head (nested dirs like part=a/dt=.../...)
-    pcols: list[str] = []
-    d = head_dir
-    while True:
-        subs = sorted(
-            e
-            for e in os.listdir(d)
-            if "=" in e and os.path.isdir(os.path.join(d, e))
-        )
-        if not subs:
-            break
-        pcols.append(subs[0].split("=", 1)[0])
-        d = os.path.join(d, subs[0])
+    pcols = _partition_layout(head_dir)
     df = table.spark.read.parquet(head_dir)
     size = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -208,4 +197,73 @@ def compact_snapshot(
         committed_at_ms=committed_at_ms,
         branch=branch,
         properties={"operation": "compaction", "compacted-from": head},
+    )
+
+
+def _partition_layout(snapshot_dir: str) -> list[str]:
+    """Hive partition columns of a snapshot dir, outermost first."""
+    pcols: list[str] = []
+    d = snapshot_dir
+    while True:
+        subs = sorted(
+            e
+            for e in os.listdir(d)
+            if "=" in e and os.path.isdir(os.path.join(d, e))
+        )
+        if not subs:
+            return pcols
+        pcols.append(subs[0].split("=", 1)[0])
+        d = os.path.join(d, subs[0])
+
+
+def apply_retention(
+    table: SnapshotTable,
+    keep_predicate: str,
+    branch: str = "main",
+    committed_at_ms: int | None = None,
+):
+    """PHYSICAL retention enforcement (round-8 item 3): commit a new
+    snapshot holding only the rows matching `keep_predicate` — the
+    engine twin of Pinot's segment drops and Delta/Iceberg's
+    delete-where job, vs `TableSpec.retention_predicate`'s serving VIEW
+    (which filters at read time but deletes nothing).
+
+    The transition is a PURE DELETE, so the format exporters re-express
+    it merge-on-read automatically (Iceberg positional deletes / v3
+    DVs, Delta deletion vectors); time travel to pre-retention
+    snapshots still resolves the full history, and a later
+    `compact_snapshot` + `vacuum_snapshots` folds and then physically
+    frees the expired bytes. Returns the new SnapshotInfo, or None when
+    nothing is expired — so the job is IDEMPOTENT: running it twice
+    with the same predicate commits once.
+
+    Use a DETERMINISTIC predicate (a literal cutoff, not
+    current_timestamp()) — the snapshot must not depend on when the
+    export replays it. `TableSpec.retention_predicate(now_expr=...)`
+    with a pinned `now` produces exactly that.
+
+    100 TB shape: one partition-prunable scan of the head (a predicate
+    on the partition/time column prunes expired directories at the
+    source) and one write of the surviving rows; the exporters' diff
+    then runs distributed. Real engines drop whole expired partitions
+    metadata-only — this job trades that for exact row-level semantics
+    shared with every other lane; at petabyte scale, partition the
+    history table by day so the scan prunes to the retention boundary
+    day only."""
+    head = table.branch_head(branch)
+    if head is None:
+        raise ValueError(f"branch {branch!r} has no snapshots")
+    m = table._load_manifest()
+    snap = next(s for s in m["snapshots"] if s["version"] == head)
+    df = table.spark.read.parquet(snap["path"])
+    expired = df.where(f"NOT ({keep_predicate})").limit(1).count()
+    if not expired:
+        return None
+    pcols = _partition_layout(snap["path"])
+    return table.write(
+        df.where(keep_predicate),
+        partition_by=pcols or None,
+        committed_at_ms=committed_at_ms,
+        branch=branch,
+        properties={"operation": "retention", "predicate": keep_predicate},
     )

@@ -129,21 +129,23 @@ _PRIORITY = [
     # --- slot 54: Iceberg format-version 3 deletion vectors in Puffin
     # (round 8) ---
     "iceberg_v3_dv_roundtrip",
-    # --- slot 55: the pandas twin of similarity_cosine_topk (displaced
+    # --- slot 55: physical retention enforcement (round 8) ---
+    "retention_enforced_roundtrip",
+    # --- slot 56: the pandas twin of similarity_cosine_topk (displaced
     # from the 50-window by iceberg_v2_metadata_roundtrip in round 7;
     # its JVM twin shares the same oracle and stays pinned) ---
     "similarity_cosine_topk_pandas",
-    # --- slot 56: stats-based file skipping over the v2 tree (round 7) ---
+    # --- slot 57: stats-based file skipping over the v2 tree (round 7) ---
     "iceberg_stats_prune_scan",
-    # --- slot 57: Delta column-mapping read (physical-name resolution;
+    # --- slot 58: Delta column-mapping read (physical-name resolution;
     # round 7) ---
     "delta_column_mapping_roundtrip",
-    # --- slot 58: bucket[16] hidden partitioning + murmur3 point-lookup
+    # --- slot 59: bucket[16] hidden partitioning + murmur3 point-lookup
     # pruning (round 7) ---
     "iceberg_bucket_prune_scan",
-    # --- slot 59: Delta change data feed write+read (round 7) ---
+    # --- slot 60: Delta change data feed write+read (round 7) ---
     "delta_cdf_roundtrip",
-    # --- slot 60: UniForm-style dual-format facade over one data copy
+    # --- slot 61: UniForm-style dual-format facade over one data copy
     # (round 7) ---
     "uniform_dual_export_roundtrip",
     # --- tier 1: remaining TPC-H ---

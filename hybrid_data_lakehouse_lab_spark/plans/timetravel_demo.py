@@ -1129,3 +1129,95 @@ def iceberg_v3_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "snapshot_id INT, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "retention_enforced_roundtrip",
+    oracle="""
+    SELECT f.fmt, s.snapshot_id, q.event_type, q.n FROM (
+      SELECT 1 AS snapshot_id UNION ALL SELECT 2
+    ) s
+    CROSS JOIN (SELECT 'delta' AS fmt UNION ALL SELECT 'iceberg') f
+    JOIN (
+      SELECT 1 AS snapshot_id, event_type, count(*) AS n
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 2 AS snapshot_id, event_type, count(*) AS n
+      FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      GROUP BY 2
+    ) q ON q.snapshot_id = s.snapshot_id
+    """,
+)
+def retention_enforced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL retention round-trip, driver-visible — the enforcement
+    twin of `retention_window` (which only FILTERS at read time, the
+    reference's Pinot serving-retention view). `apply_retention`
+    (operators/maintenance.py) commits the expired rows as a PURE
+    DELETE with a deterministic cutoff (max(ts) - 7 days, pinned as a
+    literal so export replays are stable); both format exporters
+    re-express it merge-on-read (Delta deletion vectors; Iceberg v3
+    Puffin DVs here), pre-retention time travel still serves the full
+    history, and re-running the job is a no-op (in-lane assert). The
+    head reads from BOTH formats must hash-match the view-lane
+    semantics (the oracle's interval filter) — proving the physical
+    job and the serving view agree row-for-row.
+
+    Output is |event types| × 2 snapshots × 2 formats regardless of
+    scale; the retention scan, export diff and masked reads run
+    distributed (at scale the cutoff predicate prunes expired
+    partitions at the source)."""
+    import json as _json
+
+    from ..operators.delta_log import export_delta_log, read_delta_table
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.maintenance import apply_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.max("ts")).collect()[0][0] - __import__(
+        "datetime"
+    ).timedelta(days=7)
+    keep = f"ts >= timestamp'{cut}'"
+    tmp = tempfile.mkdtemp(prefix="retention_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        info = apply_retention(t, keep, committed_at_ms=2)
+        assert info is not None and info.version == 2
+        assert apply_retention(t, keep, committed_at_ms=3) is None  # no-op
+
+        meta_dir = export_iceberg_metadata(t, format_version=3)
+        md = _json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+        assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+            "overwrite",
+            "delete",
+        ], "retention must export as a MoR delete"
+        log_dir = export_delta_log(t, mor_deletes=True)
+        v1 = [
+            _json.loads(x)
+            for x in open(os.path.join(log_dir, f"{1:020d}.json"))
+        ]
+        assert any(a.get("add", {}).get("deletionVector") for a in v1)
+
+        rows = []
+        for fmt, reader in (
+            ("iceberg", lambda s: read_iceberg_table(spark, t.root, snapshot_id=s)),
+            ("delta", lambda s: read_delta_table(spark, t.root, version=s - 1)),
+        ):
+            for sid in (1, 2):
+                got = (
+                    reader(sid)
+                    .groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                rows.extend((fmt, sid, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "fmt STRING, snapshot_id INT, event_type STRING, n BIGINT",
+    )
