@@ -83,11 +83,81 @@ LAKEHOUSE_10X = [
     "delta_dv_roundtrip",
     "iceberg_equality_delete_roundtrip",
     "delta_cdf_roundtrip",
+    # round 8: the compaction fold and the v3 Puffin-DV dialect at 10×
+    "mor_compaction_roundtrip",
+    "iceberg_v3_dv_roundtrip",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def scd2_skew_gate(spark, sf_dir: str) -> dict:
+    """SCD2 build under CDC hot-key skew (VERDICT r7 item 5): a
+    heartbeat-heavy entity owning ~30% of a 10× event stream — the
+    realistic CDC skew the Zipf slice (which skews FK joins, not the
+    SCD2 window key) never exercises. Times the single-window build
+    (one task sorts the hot key's ~3M events) against the chunked
+    two-level chain (operators/scd2.py:scd2_from_changes_chunked: the
+    hot key's heartbeats collapse per day-chunk before the global
+    window). Returns {"plain": sec, "chunked": sec, "hot_rows": n} —
+    recorded per round so the chunked-default decision rests on data.
+    The 10× stream is synthesized by explode (no disk), distributed."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.scd2 import (
+        scd2_from_changes,
+        scd2_from_changes_chunked,
+    )
+    from hybrid_data_lakehouse_lab_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = (
+        ev.withColumn(
+            "_c", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        )
+        .select(
+            # ~30% of all events land on entity 1; the rest keep their
+            # (shifted) user id
+            F.when(
+                F.pmod(F.col("event_id") + F.col("_c"), F.lit(10)) < 3,
+                F.lit(1),
+            )
+            .otherwise(F.col("user_id") + 2)
+            .alias("id"),
+            F.col("ts"),
+            (F.col("event_id") * 10 + F.col("_c")).alias("lsn"),
+            F.lit("u").alias("op"),
+            # the hot entity is HEARTBEAT-heavy: content changes only
+            # every 16th event, everyone else changes every event
+            F.when(
+                F.pmod(F.col("event_id") + F.col("_c"), F.lit(10)) < 3,
+                F.when(
+                    F.pmod(F.col("event_id"), F.lit(16)) == 0,
+                    F.concat(F.lit("v"), F.col("event_id")),
+                ).otherwise(F.lit("heartbeat")),
+            )
+            .otherwise(F.col("event_type"))
+            .alias("payload"),
+            F.col("value"),
+        )
+        .localCheckpoint()  # freeze: both builds must time the window,
+        # not re-run the generator
+    )
+    hot_rows = changes.filter("id = 1").count()
+    out = {"hot_rows": hot_rows}
+    for label, fn in (
+        ("plain", scd2_from_changes),
+        ("chunked", scd2_from_changes_chunked),
+    ):
+        t0 = time.perf_counter()
+        materialize(
+            fn(changes, ["id"], ["payload", "value"], "ts", "op", ["ts", "lsn"])
+        )
+        out[label] = round(time.perf_counter() - t0, 3)
+    changes.unpersist()
+    return out
 
 
 def ingest_rows_per_sec(spark, n_copies: int = 1500) -> float:
@@ -213,6 +283,7 @@ def main() -> None:
     sf1r_lh: dict[str, float] = {}
     sf1r_skew_queries: dict[str, float] = {}
     sf1r_skew_total = None
+    scd2_skew: dict = {}
     sf1r_skew_max_ratio = None
     if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1R"):
         import shutil
@@ -282,6 +353,10 @@ def main() -> None:
         finally:
             shutil.rmtree(skew_root, ignore_errors=True)
 
+        # SCD2 hot-key gate (round 8): the window-on-CDC-id family under
+        # a 30%-hot heartbeat entity, plain vs chunked, both timed.
+        scd2_skew = scd2_skew_gate(spark, sf_dir)
+
     headline = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -304,6 +379,8 @@ def main() -> None:
     if sf1r_skew_total is not None:
         headline["sf1r_skew_total_sec"] = sf1r_skew_total
         headline["sf1r_skew_max_ratio"] = sf1r_skew_max_ratio
+        headline["scd2_skew_plain_sec"] = scd2_skew["plain"]
+        headline["scd2_skew_chunked_sec"] = scd2_skew["chunked"]
     # Full per-query detail goes to a file; stdout carries only the compact
     # headline object as the LAST line. The driver captures a bounded tail
     # of stdout — round 2's single giant line (warm + cold dicts) overflowed
@@ -323,6 +400,7 @@ def main() -> None:
                 "sf1r_multimodal": sf1r_mm,
                 "sf1r_lakehouse": sf1r_lh,
                 "queries_sf1r_skew": sf1r_skew_queries,
+                "scd2_skew": scd2_skew,
             },
             f,
             indent=1,
