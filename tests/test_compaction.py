@@ -198,3 +198,26 @@ def test_misflagged_compaction_refused(spark, tmp_path):
         export_delta_log(t, mor_deletes=True)
     with pytest.raises(ValueError, match="row count"):
         export_iceberg_metadata(t, format_version=2)
+
+
+def test_delta_checkpoint_after_optimize(spark, mor_chain):
+    """A parquet checkpoint written at the OPTIMIZE commit preserves the
+    folded state (no DV descriptors, dataChange=false adds); after
+    pre-checkpoint commits are cleaned, reads seed from the checkpoint
+    and still match."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        clean_log_commits,
+        write_checkpoint,
+    )
+
+    t = mor_chain
+    want = _rows(t.read(version=3))
+    log_dir = export_delta_log(t, mor_deletes=True)
+    write_checkpoint(log_dir, version=3)
+    cleaned = clean_log_commits(log_dir)
+    assert cleaned == [0, 1, 2, 3]  # checkpoint 3 covers its own commit
+    got = read_delta_table(spark, t.root)
+    assert _rows(got) == want
+    # pre-checkpoint versions are past the horizon: explicit refusal
+    with pytest.raises((ValueError, FileNotFoundError)):
+        read_delta_table(spark, t.root, version=1).collect()

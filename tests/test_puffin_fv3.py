@@ -678,3 +678,40 @@ def test_fv3_duplicate_dv_reference_refused(spark, tmp_path):
         fh.write("1")
     with pytest.raises(ValueError, match="at most one DV"):
         read_iceberg_table(spark, root).collect()
+
+
+def test_fv3_partitioned_table_dvs(spark, tmp_path):
+    """Identity-partitioned tables take the DV path too (a DV targets
+    ONE data file; the manifest entry carries that file's typed
+    partition tuple), and partition values still attach on read."""
+    t = SnapshotTable(spark, str(tmp_path / "pt"))
+    df = spark.range(120).selectExpr(
+        "id", "CASE WHEN id < 60 THEN 'a' ELSE 'b' END AS part"
+    )
+    t.write(df, partition_by=["part"], committed_at_ms=1000)
+    t.write(
+        df.filter("id % 4 != 0"), partition_by=["part"], committed_at_ms=2000
+    )
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite",
+        "delete",
+    ]
+    head = next(s for s in md["snapshots"] if s["snapshot-id"] == 2)
+    _, rows = read_avro_file(head["manifest-list"])
+    dm = next(r for r in rows if r.get("content") == 1)
+    _, entries = read_avro_file(dm["manifest_path"])
+    assert {e["data_file"]["partition"]["part"] for e in entries} <= {"a", "b"}
+    assert all(
+        e["data_file"]["file_format"] == "PUFFIN" for e in entries
+    )
+    for sid in (1, 2):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == _rows(t.read(version=sid))
+    # partition prune still skips the other partition's files under MoR
+    pruned = read_iceberg_table(spark, t.root, prune=[("part", "=", "a")])
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        i for i in range(60) if i % 4 != 0
+    ]
