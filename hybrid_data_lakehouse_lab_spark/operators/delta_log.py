@@ -341,8 +341,13 @@ def export_delta_log(
         # DV path too; the re-added file keeps its partitionValues.
         # compaction snapshots (operators/maintenance.py compact_snapshot)
         # rewrite the SAME rows into right-sized files: always the
-        # rewrite branch, exported with OPTIMIZE semantics below
-        is_compaction = (
+        # rewrite branch, exported with OPTIMIZE semantics below. A
+        # compaction that became the FIRST exported commit (vacuum
+        # expired its whole ancestry) exports as a normal creation
+        # WRITE instead — delta-spark never emits OPTIMIZE at version 0,
+        # and dataChange=false on a creation commit would hide the
+        # table's rows from CDF/streaming consumers.
+        is_compaction = i > 0 and (
             (snap.get("properties") or {}).get("operation") == "compaction"
         )
         new_by_file: dict[str, list[int]] | None = None

@@ -715,8 +715,11 @@ def export_iceberg_metadata(
         # compaction snapshots (operators/maintenance.py compact_snapshot)
         # fold accumulated delete files back into rewritten data: always
         # the full-rewrite branch, summary operation "replace" (what
-        # Iceberg's rewrite_data_files emits), never a diffed commit
-        is_compaction = (
+        # Iceberg's rewrite_data_files emits), never a diffed commit.
+        # If vacuum expired the whole ancestry, the compaction IS the
+        # first exported snapshot — a creation "overwrite", not a
+        # "replace" of nothing.
+        is_compaction = i > 0 and (
             (snap.get("properties") or {}).get("operation") == "compaction"
         )
         upsert = None
@@ -918,6 +921,13 @@ def export_iceberg_metadata(
                 for f in _snapshot_files(table.root, base_dir)
             }
             sdir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
+            if os.path.isdir(sdir):
+                # a prior v2 export of this snapshot left positional
+                # delete parquet here; the fv3 upgrade supersedes it —
+                # clear the dir so no orphaned delete files linger
+                import shutil as _shutil
+
+                _shutil.rmtree(sdir)
             os.makedirs(sdir, exist_ok=True)
             puffin_path = os.path.join(sdir, f"dv-{snapshot_id:05d}.puffin")
             touched = sorted(dv_positions)

@@ -221,3 +221,44 @@ def test_delta_checkpoint_after_optimize(spark, mor_chain):
     # pre-checkpoint versions are past the horizon: explicit refusal
     with pytest.raises((ValueError, FileNotFoundError)):
         read_delta_table(spark, t.root, version=1).collect()
+
+
+def test_vacuumed_to_only_compaction_exports_as_creation(spark, mor_chain):
+    """After vacuum expires the whole ancestry, the compaction snapshot
+    is the FIRST exported commit: it must export as a normal creation
+    commit (WRITE / overwrite, dataChange=true) — an all-dataChange=false
+    version 0 would hide the table's rows from CDF consumers."""
+    t = mor_chain
+    assert vacuum_snapshots(t, older_than_ms=3500, keep_last=1) == [1, 2, 3]
+    log_dir = export_delta_log(t, mor_deletes=True, change_data=True)
+    v0 = [json.loads(x) for x in open(os.path.join(log_dir, f"{0:020d}.json"))]
+    ci = next(a["commitInfo"] for a in v0 if "commitInfo" in a)
+    assert ci["operation"] == "WRITE"
+    assert all(a["add"]["dataChange"] for a in v0 if "add" in a)
+    n = t.read().count()
+    assert read_delta_changes(spark, t.root, 0, 0).where(
+        "_change_type = 'insert'"
+    ).count() == n
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == ["overwrite"]
+
+
+def test_fv2_then_fv3_reexport_clears_stale_positional_parquet(
+    spark, mor_chain
+):
+    """fv2→fv3 upgrade must not leave the old positional-delete parquet
+    orphaned inside the reused deletes/sNNNNN dirs."""
+    import glob
+
+    t = mor_chain
+    export_iceberg_metadata(t, format_version=2)
+    assert glob.glob(os.path.join(t.root, "deletes", "*", "*.parquet"))
+    export_iceberg_metadata(t, format_version=3)
+    assert not glob.glob(os.path.join(t.root, "deletes", "*", "*.parquet"))
+    assert glob.glob(os.path.join(t.root, "deletes", "*", "*.puffin"))
+    assert read_iceberg_table(spark, t.root).count() == t.read().count()
+    # and the downgrade direction clears the puffin (spark overwrite)
+    export_iceberg_metadata(t, format_version=2)
+    assert not glob.glob(os.path.join(t.root, "deletes", "*", "*.puffin"))
+    assert read_iceberg_table(spark, t.root).count() == t.read().count()
