@@ -347,8 +347,12 @@ def export_delta_log(
         # WRITE instead — delta-spark never emits OPTIMIZE at version 0,
         # and dataChange=false on a creation commit would hide the
         # table's rows from CDF/streaming consumers.
+        # "rewrite-deletes" (minor compaction) has no Delta-side minor
+        # form — DV descriptors already replace per file — so it exports
+        # with the same OPTIMIZE no-op semantics.
         is_compaction = i > 0 and (
-            (snap.get("properties") or {}).get("operation") == "compaction"
+            (snap.get("properties") or {}).get("operation")
+            in ("compaction", "rewrite-deletes")
         )
         new_by_file: dict[str, list[int]] | None = None
         if (

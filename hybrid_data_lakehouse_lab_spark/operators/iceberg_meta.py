@@ -722,6 +722,19 @@ def export_iceberg_metadata(
         is_compaction = i > 0 and (
             (snap.get("properties") or {}).get("operation") == "compaction"
         )
+        # rewrite-deletes snapshots (maintenance.py rewrite_delete_files)
+        # are MINOR compactions: data manifests reused untouched, the
+        # stacked delete state consolidated into ONE delete manifest —
+        # Iceberg's rewrite_position_delete_files. Only meaningful under
+        # a MoR dialect; v1 (no deletes) falls through to the rewrite
+        # branch.
+        is_minor = (
+            i > 0
+            and upsert_key is None
+            and format_version >= 2
+            and (snap.get("properties") or {}).get("operation")
+            == "rewrite-deletes"
+        )
         upsert = None
         if upsert_key is not None and i > 0 and not is_compaction:
             parent_dir = by_version[events[i - 1]["version"]]["path"]
@@ -748,10 +761,19 @@ def export_iceberg_metadata(
                 file_rc[full] = (f, _parquet_row_count(full))
             total_rc = sum(rc for _, rc in file_rc.values())
 
+        if is_minor and base_dir is not None and base_live_rows is not None:
+            if total_rc != base_live_rows:
+                raise ValueError(
+                    f"snapshot v{ev['version']} is flagged "
+                    f"operation=rewrite-deletes but changes the row "
+                    f"count ({base_live_rows} -> {total_rc}); minor "
+                    "compaction must not change the table's data"
+                )
         deleted = None
         if (
             upsert_key is None
             and not is_compaction
+            and not is_minor
             and format_version >= 2
             and base_dir is not None
             and os.path.isdir(base_dir)
@@ -896,7 +918,9 @@ def export_iceberg_metadata(
                     }
                 )
             operation = "overwrite" if del_files else "append"
-        elif deleted is not None and format_version >= 3:
+        elif format_version >= 3 and (
+            deleted is not None or (is_minor and dv_positions)
+        ):
             # --- v3 merge-on-read delete snapshot: DELETION VECTORS in
             # a Puffin file (spec v3 forbids new positional-delete
             # parquet). One cumulative DV per touched data file; the
@@ -908,12 +932,15 @@ def export_iceberg_metadata(
             # the diff that finds the positions stays distributed. ---
             from .puffin import DELETION_VECTOR_V1, dv_v1_blob, write_puffin
 
-            for r in deleted.collect():
-                cur = dv_positions.setdefault(r["file_path"], [])
-                cur.append(r["pos"])
-            dv_positions = {
-                p: sorted(set(ps)) for p, ps in dv_positions.items()
-            }
+            if deleted is not None:
+                for r in deleted.collect():
+                    cur = dv_positions.setdefault(r["file_path"], [])
+                    cur.append(r["pos"])
+                dv_positions = {
+                    p: sorted(set(ps)) for p, ps in dv_positions.items()
+                }
+            # else (minor compaction): re-emit the cumulative DV state
+            # as one fresh Puffin file — k stacked DV files become one
             base_by_abs = {
                 os.path.abspath(
                     os.path.join(table.root, urllib.parse.unquote(f["path"]))
@@ -1004,9 +1031,17 @@ def export_iceberg_metadata(
             ] + [row]
             written_delete_dirs.add(os.path.basename(sdir))
             base_live_rows = total_rc
-            operation = "delete"
-        elif deleted is not None:
-            # --- merge-on-read delete snapshot ---
+            operation = "replace" if is_minor else "delete"
+        elif deleted is not None or (
+            is_minor and delete_dirs and format_version == 2
+        ):
+            # --- merge-on-read delete snapshot (v2 positional), or its
+            # MINOR compaction: the stacked delete dirs rewritten into
+            # one consolidated, still-partition-scoped file set ---
+            if deleted is None:
+                deleted = table.spark.read.parquet(*delete_dirs).select(
+                    "file_path", "pos"
+                )
             ddir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
             file_partitions = None
             if spec_fields:
@@ -1082,12 +1117,27 @@ def export_iceberg_metadata(
                 "deleted_rows_count": 0,
             }
             # manifest REUSE: the parent's manifests ride along verbatim,
-            # keeping their original sequence numbers for inheritance
-            manifest_rows = prev_rows + [row]
-            delete_dirs.append(ddir)
+            # keeping their original sequence numbers for inheritance.
+            # A minor compaction instead REPLACES the stacked delete
+            # manifests with the consolidated one (data manifests only
+            # ride along).
+            if is_minor:
+                manifest_rows = [
+                    r for r in prev_rows if (r.get("content") or 0) == 0
+                ] + [row]
+                delete_dirs = [ddir]
+            else:
+                manifest_rows = prev_rows + [row]
+                delete_dirs.append(ddir)
             written_delete_dirs.add(os.path.basename(ddir))
             base_live_rows = total_rc
-            operation = "delete"
+            operation = "replace" if is_minor else "delete"
+        elif is_minor and base_dir is not None and prev_rows:
+            # minor compaction with nothing to consolidate (no live
+            # delete state): a pure metadata snapshot — parent manifests
+            # verbatim, no data movement
+            manifest_rows = list(prev_rows)
+            operation = "replace"
         else:
             # --- full-rewrite snapshot (always, for v1) ---
             if is_compaction and i > 0:

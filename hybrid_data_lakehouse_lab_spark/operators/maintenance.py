@@ -267,3 +267,49 @@ def apply_retention(
         branch=branch,
         properties={"operation": "retention", "predicate": keep_predicate},
     )
+
+
+def rewrite_delete_files(
+    table: SnapshotTable,
+    branch: str = "main",
+    committed_at_ms: int | None = None,
+):
+    """MINOR merge-on-read compaction: consolidate the accumulated
+    delete files WITHOUT rewriting data — Iceberg's
+    `rewrite_position_delete_files` (the cheap half of MoR maintenance;
+    `compact_snapshot` is the `rewrite_data_files` half).
+
+    Commits a data-identical snapshot flagged
+    `operation=rewrite-deletes`. The Iceberg exporter emits it as a
+    summary-operation `replace` snapshot whose manifest list reuses the
+    base DATA manifests untouched and carries ONE consolidated delete
+    manifest: under v2, the stacked positional-delete parquet of every
+    prior delete commit rewritten into a single sorted file set; under
+    v3, the per-file cumulative DVs re-emitted in a single fresh Puffin
+    file. Read amplification drops from k delete files per scan to one,
+    and no data bytes move. The Delta exporter has no stacked-delete
+    concept (descriptors already replace per file), so it exports the
+    flag with OPTIMIZE semantics — still a logical no-op.
+
+    Idempotent: returns None when the head is already a maintenance
+    commit (rewrite-deletes or compaction). At 100 TB: one scan of the
+    (small) delete files + one metadata commit — this is the job you
+    run NIGHTLY, with `compact_snapshot` weekly."""
+    head = table.branch_head(branch)
+    if head is None:
+        raise ValueError(f"branch {branch!r} has no snapshots")
+    m = table._load_manifest()
+    snap = next(s for s in m["snapshots"] if s["version"] == head)
+    if (snap.get("properties") or {}).get("operation") in (
+        "compaction",
+        "rewrite-deletes",
+    ):
+        return None
+    pcols = _partition_layout(snap["path"])
+    return table.write(
+        table.spark.read.parquet(snap["path"]),
+        partition_by=pcols or None,
+        committed_at_ms=committed_at_ms,
+        branch=branch,
+        properties={"operation": "rewrite-deletes", "rewritten-from": head},
+    )

@@ -1221,3 +1221,91 @@ def retention_enforced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "fmt STRING, snapshot_id INT, event_type STRING, n BIGINT",
     )
+
+
+@register(
+    "iceberg_rewrite_deletes_roundtrip",
+    oracle="""
+    SELECT 2 AS snapshot_id, event_type, count(*) AS n
+    FROM events WHERE user_id % 4 <> 0 GROUP BY 2
+    UNION ALL
+    SELECT 3 AS snapshot_id, event_type, count(*) AS n
+    FROM events WHERE user_id % 4 <> 0 AND user_id % 9 <> 0 GROUP BY 2
+    UNION ALL
+    SELECT 4 AS snapshot_id, event_type, count(*) AS n
+    FROM events WHERE user_id % 4 <> 0 AND user_id % 9 <> 0 GROUP BY 2
+    """,
+)
+def iceberg_rewrite_deletes_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MINOR MoR compaction round-trip — Iceberg's
+    `rewrite_position_delete_files`, the cheap nightly half of
+    maintenance (`mor_compaction_roundtrip` is the `rewrite_data_files`
+    half). Two stacked pure deletes, then `rewrite_delete_files`
+    (operators/maintenance.py): the head exports as a summary-operation
+    `replace` snapshot whose manifest list REUSES the base data
+    manifests untouched (in-lane assert: identical manifest paths — no
+    data bytes moved) and carries ONE consolidated delete manifest
+    instead of the stack (in-lane assert: 2 → 1). Reads at the stacked
+    head and the consolidated head must both hash-match the oracle's
+    doubly-filtered events — folding k delete files into one changed
+    nothing.
+
+    Output is |event types| × 3 snapshots regardless of scale; the
+    consolidation is one distributed scan of the (small) delete files
+    plus a metadata commit."""
+    import json as _json
+
+    from ..operators.avro_io import read_avro
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.maintenance import rewrite_delete_files
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="minor_compact_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 4 != 0), committed_at_ms=2)
+        t.write(
+            ev.filter(
+                (F.col("user_id") % 4 != 0) & (F.col("user_id") % 9 != 0)
+            ),
+            committed_at_ms=3,
+        )
+        info = rewrite_delete_files(t, committed_at_ms=4)
+        assert info is not None and info.version == 4
+
+        meta_dir = export_iceberg_metadata(t, format_version=2)
+        md = _json.load(open(os.path.join(meta_dir, "v4.metadata.json")))
+        ops = [s["summary"]["operation"] for s in md["snapshots"]]
+        assert ops == ["overwrite", "delete", "delete", "replace"], ops
+        lists = {s["snapshot-id"]: s["manifest-list"] for s in md["snapshots"]}
+        _, pre = read_avro(lists[3])
+        assert sum(1 for r in pre if r.get("content") == 1) == 2
+        _, post = read_avro(lists[4])
+        assert sum(1 for r in post if r.get("content") == 1) == 1
+        data_of = lambda rows: {  # noqa: E731
+            r["manifest_path"]
+            for r in rows
+            if (r.get("content") or 0) == 0
+        }
+        assert data_of(post) == data_of(read_avro(lists[1])[1])
+
+        rows = []
+        for sid in (2, 3, 4):
+            got = (
+                read_iceberg_table(spark, t.root, snapshot_id=sid)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((sid, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "snapshot_id INT, event_type STRING, n BIGINT"
+    )

@@ -262,3 +262,133 @@ def test_fv2_then_fv3_reexport_clears_stale_positional_parquet(
     export_iceberg_metadata(t, format_version=2)
     assert not glob.glob(os.path.join(t.root, "deletes", "*", "*.puffin"))
     assert read_iceberg_table(spark, t.root).count() == t.read().count()
+
+
+# --- MINOR compaction: rewrite_position_delete_files ------------------------
+
+
+@pytest.fixture()
+def stacked_chain(spark, tmp_path):
+    """base → THREE stacked pure deletes → rewrite_delete_files."""
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        rewrite_delete_files,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "st"))
+    df = spark.range(300).selectExpr("id", "id % 7 AS g")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 3 != 0"), committed_at_ms=2000)
+    t.write(df.filter("id % 3 != 0 AND id % 5 != 0"), committed_at_ms=3000)
+    t.write(
+        df.filter("id % 3 != 0 AND id % 5 != 0 AND id % 7 != 0"),
+        committed_at_ms=4000,
+    )
+    info = rewrite_delete_files(t, committed_at_ms=5000)
+    assert info is not None and info.version == 5
+    # idempotent
+    assert rewrite_delete_files(t) is None
+    return t
+
+
+def test_minor_compaction_v2_consolidates_positional(spark, stacked_chain):
+    """v2: three stacked delete manifests become ONE consolidated
+    manifest; the base DATA manifests are reused untouched (no data
+    bytes move) and every snapshot still reads exactly."""
+    t = stacked_chain
+    meta_dir = export_iceberg_metadata(t, format_version=2)
+    md = json.load(open(os.path.join(meta_dir, "v5.metadata.json")))
+    ops = [s["summary"]["operation"] for s in md["snapshots"]]
+    assert ops == ["overwrite", "delete", "delete", "delete", "replace"]
+    lists = {s["snapshot-id"]: s["manifest-list"] for s in md["snapshots"]}
+    _, pre = read_avro(lists[4])
+    assert sum(1 for r in pre if r.get("content") == 1) == 3  # stacked
+    _, post = read_avro(lists[5])
+    dels = [r for r in post if r.get("content") == 1]
+    assert len(dels) == 1  # consolidated
+    # the data manifests are the SAME files as the base snapshot's
+    base_data = {
+        r["manifest_path"] for r in read_avro(lists[1])[1] if (r.get("content") or 0) == 0
+    }
+    post_data = {
+        r["manifest_path"] for r in post if (r.get("content") or 0) == 0
+    }
+    assert post_data == base_data
+    # consolidated delete rows = union of the stack
+    _, entries = read_avro(dels[0]["manifest_path"])
+    total = sum(e["data_file"]["record_count"] for e in entries)
+    assert total == 300 - t.read().count()
+    for sid in (1, 2, 3, 4, 5):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == _rows(t.read(version=sid))
+
+
+def test_minor_compaction_v3_consolidates_puffins(spark, stacked_chain):
+    """v3: the per-commit Puffin files consolidate into one; the head's
+    delete manifest references a single Puffin, reads exact."""
+    import glob
+
+    t = stacked_chain
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    md = json.load(open(os.path.join(meta_dir, "v5.metadata.json")))
+    ops = [s["summary"]["operation"] for s in md["snapshots"]]
+    assert ops == ["overwrite", "delete", "delete", "delete", "replace"]
+    head = next(s for s in md["snapshots"] if s["snapshot-id"] == 5)
+    _, rows = read_avro(head["manifest-list"])
+    dels = [r for r in rows if r.get("content") == 1]
+    assert len(dels) == 1
+    _, entries = read_avro(dels[0]["manifest_path"])
+    puffins = {e["data_file"]["file_path"] for e in entries}
+    assert len(puffins) == 1 and "s00005" in next(iter(puffins))
+    for sid in (1, 2, 3, 4, 5):
+        assert _rows(
+            read_iceberg_table(spark, t.root, snapshot_id=sid)
+        ) == _rows(t.read(version=sid))
+    # all five snapshots' delete dirs remain referenced
+    assert len(glob.glob(os.path.join(t.root, "deletes", "*"))) == 4
+
+
+def test_minor_compaction_delta_optimize(spark, stacked_chain):
+    """Delta has no stacked-delete concept: the flag exports with
+    OPTIMIZE no-op semantics and reads stay exact."""
+    t = stacked_chain
+    log_dir = export_delta_log(t, mor_deletes=True)
+    v4 = [json.loads(x) for x in open(os.path.join(log_dir, f"{4:020d}.json"))]
+    ci = next(a["commitInfo"] for a in v4 if "commitInfo" in a)
+    assert ci["operation"] == "OPTIMIZE"
+    assert _rows(read_delta_table(spark, t.root)) == _rows(t.read())
+
+
+def test_minor_compaction_noop_without_deletes(spark, tmp_path):
+    """rewrite-deletes over a chain with no delete state exports as a
+    pure metadata replace (parent manifests verbatim)."""
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        rewrite_delete_files,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "nd"))
+    t.write(spark.range(50).selectExpr("id"), committed_at_ms=1000)
+    rewrite_delete_files(t, committed_at_ms=2000)
+    meta_dir = export_iceberg_metadata(t, format_version=2)
+    md = json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite",
+        "replace",
+    ]
+    lists = {s["snapshot-id"]: s["manifest-list"] for s in md["snapshots"]}
+    assert read_avro(lists[1])[1] == read_avro(lists[2])[1]
+    assert read_iceberg_table(spark, t.root).count() == 50
+
+
+def test_minor_compaction_misflag_refused(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "bad"))
+    df = spark.range(60).selectExpr("id")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 2 = 0"), committed_at_ms=2000)
+    t.write(
+        df.filter("id % 4 = 0"),
+        committed_at_ms=3000,
+        properties={"operation": "rewrite-deletes"},
+    )
+    with pytest.raises(ValueError, match="rewrite-deletes"):
+        export_iceberg_metadata(t, format_version=2)
