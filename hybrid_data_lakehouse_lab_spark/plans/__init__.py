@@ -134,21 +134,24 @@ _PRIORITY = [
     # --- slot 56: minor MoR compaction (rewrite_position_delete_files;
     # round 8) ---
     "iceberg_rewrite_deletes_roundtrip",
-    # --- slot 57: the pandas twin of similarity_cosine_topk (displaced
+    # --- slot 57: Iceberg table statistics — theta NDV sketches in
+    # Puffin, byte-validated against datasketches-java (round 8) ---
+    "iceberg_ndv_stats_roundtrip",
+    # --- slot 58: the pandas twin of similarity_cosine_topk (displaced
     # from the 50-window by iceberg_v2_metadata_roundtrip in round 7;
     # its JVM twin shares the same oracle and stays pinned) ---
     "similarity_cosine_topk_pandas",
-    # --- slot 58: stats-based file skipping over the v2 tree (round 7) ---
+    # --- slot 59: stats-based file skipping over the v2 tree (round 7) ---
     "iceberg_stats_prune_scan",
-    # --- slot 59: Delta column-mapping read (physical-name resolution;
+    # --- slot 60: Delta column-mapping read (physical-name resolution;
     # round 7) ---
     "delta_column_mapping_roundtrip",
-    # --- slot 60: bucket[16] hidden partitioning + murmur3 point-lookup
+    # --- slot 61: bucket[16] hidden partitioning + murmur3 point-lookup
     # pruning (round 7) ---
     "iceberg_bucket_prune_scan",
-    # --- slot 61: Delta change data feed write+read (round 7) ---
+    # --- slot 62: Delta change data feed write+read (round 7) ---
     "delta_cdf_roundtrip",
-    # --- slot 62: UniForm-style dual-format facade over one data copy
+    # --- slot 63: UniForm-style dual-format facade over one data copy
     # (round 7) ---
     "uniform_dual_export_roundtrip",
     # --- tier 1: remaining TPC-H ---

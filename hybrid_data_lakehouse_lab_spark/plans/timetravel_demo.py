@@ -1309,3 +1309,79 @@ def iceberg_rewrite_deletes_roundtrip(
     return spark.createDataFrame(
         sorted(rows), "snapshot_id INT, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "iceberg_ndv_stats_roundtrip",
+    oracle="""
+    SELECT 'doc_id' AS col, count(DISTINCT doc_id) AS exact_ndv,
+           TRUE AS within_bound FROM documents
+    UNION ALL
+    SELECT 'lang', count(DISTINCT lang), TRUE FROM documents
+    UNION ALL
+    SELECT 'source', count(DISTINCT source), TRUE FROM documents
+    """,
+)
+def iceberg_ndv_stats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TABLE STATISTICS round-trip, driver-visible — per-column
+    NDV as `apache-datasketches-theta-v1` sketches in a Puffin
+    statistics file referenced from the metadata `statistics` field:
+    what Trino (the reference's serving engine) feeds into NDV-driven
+    join planning at 100 TB. The sketches are REAL DataSketches compact
+    theta sketches built from scratch (operators/theta.py: MurmurHash3
+    x64_128 pinned by the public smhasher verification vector
+    0x6384BA69, KMV with the library's key canonicalization and
+    SerVer-3 layout) — verified BYTE-IDENTICAL to datasketches-java in
+    exact mode and heapified by the actual library in
+    tests/test_theta.py, the strongest external validation in the repo.
+
+    The lane commits the documents table, exports v2 metadata + the
+    statistics file, reads the sketches back, and emits per column the
+    EXACT NDV alongside a within-bound verdict (estimation-mode
+    estimate within 5 RSE = 5/sqrt(4096) ≈ 7.8% of exact; exact-mode
+    sketches must match exactly). Low-cardinality columns (lang,
+    source) exercise exact mode, doc_id exercises estimation at
+    sf >= 0.01. A wrong sketch flips the verdict and fails the hash.
+
+    100 TB shape: per column, Arrow-batched theta hashing + ONE
+    distinct and an ordered k+1 limit (map-side partial top-k), so the
+    driver sees k+1 longs per column regardless of table size."""
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        export_iceberg_statistics,
+        read_iceberg_statistics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="ndv_stats_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(docs.select("doc_id", "lang", "source"), committed_at_ms=1)
+        export_iceberg_metadata(t, format_version=2)
+        export_iceberg_statistics(t, columns=["doc_id", "lang", "source"])
+        stats = read_iceberg_statistics(spark, t.root)
+        exact = {
+            r["col"]: r["n"]
+            for r in docs.selectExpr(
+                "stack(3, 'doc_id', CAST(doc_id AS STRING), 'lang', lang, "
+                "'source', source) AS (col, v)"
+            )
+            .groupBy("col")
+            .agg(F.countDistinct("v").alias("n"))
+            .collect()
+        }
+        k = 4096
+        rows = []
+        for col in ("doc_id", "lang", "source"):
+            est = stats[col]["estimate"]
+            ex = exact[col]
+            if stats[col]["retained"] < k:  # exact mode: must be exact
+                ok = est == float(ex)
+            else:
+                ok = abs(est - ex) / ex < 5.0 / (k**0.5)
+            rows.append((col, ex, bool(ok)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "col STRING, exact_ndv BIGINT, within_bound BOOLEAN"
+    )

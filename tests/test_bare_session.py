@@ -52,7 +52,7 @@ def test_load_table_restores_required_confs(bare_conf_session, sf_dir):
 def test_priority_queries_sit_in_pinned_prefix():
     """The harness may check only a prefix of queries(); the §2-core and
     LLM flagships must fill the first 50 entries, and the battle-tested
-    insurance tier the slots after, in pinned order (112 pinned since
+    insurance tier the slots after, in pinned order (113 pinned since
     round 8 rotated the DV/equality/compaction lanes in-window and added
     the fv3 / retention / minor-compaction lanes)."""
     import __spark_entry__ as e
@@ -60,7 +60,7 @@ def test_priority_queries_sit_in_pinned_prefix():
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 112
+    assert len(_PRIORITY) == 113
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
     assert "mor_compaction_roundtrip" in names[:50]
