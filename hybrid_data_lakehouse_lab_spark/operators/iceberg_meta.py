@@ -2151,9 +2151,17 @@ def read_iceberg_statistics(spark, root: str) -> dict:
         for bm in st["blob-metadata"]:
             if bm["type"] != "apache-datasketches-theta-v1":
                 continue
-            sk = deserialize_compact(
-                read_blob(st["statistics-path"], bm["offset"], bm["length"])
-            )
+            raw = read_blob(st["statistics-path"], bm["offset"], bm["length"])
+            codec = bm.get("compression-codec")
+            if codec == "lz4":
+                from .lz4 import lz4_frame_decompress
+
+                raw = lz4_frame_decompress(raw)
+            elif codec not in (None, "none"):
+                raise NotImplementedError(
+                    f"statistics blob compression-codec {codec!r}"
+                )
+            sk = deserialize_compact(raw)
             (fid,) = bm["fields"]
             out[name_of[fid]] = {
                 "ndv": int((bm.get("properties") or {})["ndv"]),

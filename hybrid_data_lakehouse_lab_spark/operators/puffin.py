@@ -83,11 +83,14 @@ def write_puffin(
     path: str,
     blobs: list[dict],
     properties: dict | None = None,
+    compress_footer: bool = False,
 ) -> list[dict]:
     """Write a Puffin file. Each input blob dict needs `type`, `data`
     (bytes), `snapshot-id`, `sequence-number`, and optionally `fields`
     and `properties`. Returns the BlobMetadata list (with offsets) as
-    written to the footer."""
+    written to the footer. With `compress_footer`, the FooterPayload is
+    wrapped in an LZ4 frame (stored blocks — spec-valid, readable by
+    any conforming LZ4 decoder; operators/lz4.py) and flag bit 0 set."""
     metas = []
     with open(path, "wb") as fh:
         fh.write(MAGIC)
@@ -115,10 +118,16 @@ def write_puffin(
             {"blobs": metas, "properties": properties or {}},
             sort_keys=True,
         ).encode()
+        flags = b"\x00\x00\x00\x00"
+        if compress_footer:
+            from .lz4 import lz4_frame_store
+
+            payload = lz4_frame_store(payload)
+            flags = b"\x01\x00\x00\x00"
         fh.write(MAGIC)
         fh.write(payload)
         fh.write(struct.pack("<i", len(payload)))
-        fh.write(b"\x00\x00\x00\x00")  # flags: uncompressed footer
+        fh.write(flags)
         fh.write(MAGIC)
     return metas
 
@@ -140,11 +149,6 @@ def read_puffin_footer(path: str) -> dict:
         fh.seek(size - 12)
         (payload_size,) = struct.unpack("<i", fh.read(4))
         flags = fh.read(4)
-        if flags[0] & 0x01:
-            raise NotImplementedError(
-                f"{path}: LZ4-compressed Puffin footer payload "
-                "(no lz4 codec in this environment)"
-            )
         if any(flags[1:]) or flags[0] & ~0x01:
             raise NotImplementedError(
                 f"{path}: unknown Puffin footer flags {flags.hex()}"
@@ -154,6 +158,13 @@ def read_puffin_footer(path: str) -> dict:
         if fh.read(4) != MAGIC:
             raise ValueError(f"{path}: bad footer-start Puffin magic")
         payload = fh.read(payload_size)
+    if flags[0] & 0x01:
+        # LZ4-frame-compressed footer payload (operators/lz4.py —
+        # checksums verified); real writers (Trino, Iceberg-java) may
+        # set this
+        from .lz4 import lz4_frame_decompress
+
+        payload = lz4_frame_decompress(payload)
     meta = json.loads(payload.decode())
     if "blobs" not in meta:
         raise ValueError(f"{path}: Puffin FileMetadata missing 'blobs'")

@@ -206,3 +206,99 @@ def test_real_avro_reads_writer_types(spark, tmp_path):
     assert jrecs[1]["m"] is None
     assert jrecs[0]["f"] is True and jrecs[1]["f"] is False
     assert jrecs[0]["d"] == 2.5
+
+
+# --- LZ4 (Puffin compressed footers) -----------------------------------------
+
+
+def test_xxh32_matches_lz4_java(spark):
+    from hybrid_data_lakehouse_lab_spark.operators.lz4 import xxh32
+
+    xx = spark._jvm.net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+    for n in (0, 1, 3, 4, 15, 16, 17, 63, 100, 1000):
+        for seed in (0, 7, 2**31 - 1):
+            data = bytes((i * 37 + n) & 0xFF for i in range(n))
+            want = xx.hash(bytearray(data), 0, len(data), seed) & 0xFFFFFFFF
+            assert xxh32(data, seed) == want, (n, seed)
+
+
+def test_lz4_frame_mutual_readability(spark):
+    """Our decoder reads a frame lz4-java actually COMPRESSED (real
+    block sequences, not stored blocks); lz4-java reads our stored-block
+    frames; checksum tampering is caught."""
+    import pytest as _pytest
+
+    from hybrid_data_lakehouse_lab_spark.operators.lz4 import (
+        lz4_frame_decompress,
+        lz4_frame_store,
+    )
+
+    jvm = spark._jvm
+    payload = (b"iceberg puffin footer " * 500) + bytes(range(256)) * 20
+    baos = jvm.java.io.ByteArrayOutputStream()
+    fo = jvm.net.jpountz.lz4.LZ4FrameOutputStream(baos)
+    fo.write(bytearray(payload))
+    fo.close()
+    frame = bytes([b & 0xFF for b in baos.toByteArray()])
+    assert len(frame) < len(payload) // 10  # really compressed
+    assert lz4_frame_decompress(frame) == payload
+    mine = lz4_frame_store(payload)
+    fi = jvm.net.jpountz.lz4.LZ4FrameInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(mine))
+    )
+    assert bytes([b & 0xFF for b in fi.readAllBytes()]) == payload
+    bad = bytearray(mine)
+    bad[-1] ^= 0xFF  # content checksum
+    with _pytest.raises(ValueError, match="content checksum"):
+        lz4_frame_decompress(bytes(bad))
+    bad2 = bytearray(frame)
+    bad2[6 + (1 if frame[4] & 0x08 else 0) * 8] ^= 0xFF  # header checksum
+    with _pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(bad2))
+
+
+def test_puffin_compressed_footer_roundtrip(spark, tmp_path):
+    """A Puffin file with an LZ4-compressed footer (flag bit 0) — both
+    one we write (stored-block frame) and one whose payload lz4-java
+    compressed — parses to the same FileMetadata."""
+    import struct as _st
+
+    from hybrid_data_lakehouse_lab_spark.operators import puffin as P
+
+    blob = P.dv_v1_blob([1, 2, 3, 100000])
+    spec = [
+        {
+            "type": P.DELETION_VECTOR_V1,
+            "data": blob,
+            "snapshot-id": 1,
+            "sequence-number": 1,
+            "properties": {"referenced-data-file": "/x", "cardinality": "4"},
+        }
+    ]
+    plain = str(tmp_path / "plain.puffin")
+    comp = str(tmp_path / "comp.puffin")
+    m1 = P.write_puffin(plain, spec)
+    m2 = P.write_puffin(comp, spec, compress_footer=True)
+    assert m1 == m2
+    assert P.read_puffin_footer(plain) == P.read_puffin_footer(comp)
+    assert P.read_dv(comp, m2[0]["offset"], m2[0]["length"]) == [1, 2, 3, 100000]
+    # splice a REAL lz4-java-compressed payload into the footer
+    raw = open(plain, "rb").read()
+    (psize,) = _st.unpack("<i", raw[-12:-8])
+    payload = raw[-12 - psize : -12]
+    jvm = spark._jvm
+    baos = jvm.java.io.ByteArrayOutputStream()
+    fo = jvm.net.jpountz.lz4.LZ4FrameOutputStream(baos)
+    fo.write(bytearray(payload))
+    fo.close()
+    cpayload = bytes([b & 0xFF for b in baos.toByteArray()])
+    spliced = (
+        raw[: -12 - psize]
+        + cpayload
+        + _st.pack("<i", len(cpayload))
+        + b"\x01\x00\x00\x00"
+        + b"PFA1"
+    )
+    j = str(tmp_path / "java.puffin")
+    open(j, "wb").write(spliced)
+    assert P.read_puffin_footer(j) == P.read_puffin_footer(plain)

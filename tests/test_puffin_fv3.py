@@ -119,9 +119,13 @@ def test_puffin_refusals(tmp_path):
     p = str(tmp_path / "bad.puffin")
     P.write_puffin(p, [])
     raw = bytearray(open(p, "rb").read())
-    raw[-8] |= 0x01  # claim compressed footer
+    raw[-8] |= 0x01  # claims LZ4 footer but payload isn't a frame
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(NotImplementedError, match="LZ4"):
+    with pytest.raises(ValueError, match="not an LZ4 frame"):
+        P.read_puffin_footer(p)
+    raw[-8] = 0x02  # unknown flag bit
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="flags"):
         P.read_puffin_footer(p)
     open(p, "wb").write(b"NOPE" + bytes(raw)[4:])
     with pytest.raises(ValueError, match="not a Puffin"):
