@@ -1363,6 +1363,10 @@ def export_iceberg_metadata(
                 and int(f.split("-")[1]) > len(events))
             or (f.startswith("v") and f.endswith(".metadata.json")
                 and f[1:-14].isdigit() and int(f[1:-14]) > n)
+            # statistics puffins: regeneration drops the `statistics`
+            # field, so any stats file is now unreferenced — GC it;
+            # re-run export_iceberg_statistics to restore stats
+            or (f.startswith("stats-") and f.endswith(".puffin"))
         )
         if stale:
             os.remove(os.path.join(meta_dir, f))
@@ -2107,6 +2111,11 @@ def export_iceberg_statistics(
                 "properties": {"ndv": str(int(round(est)))},
             }
         )
+    for f in os.listdir(meta_dir):
+        # replace-on-rewrite: prior statistics files are superseded by
+        # this run (sole-writer assumption, same as the exporters)
+        if f.startswith("stats-") and f.endswith(".puffin"):
+            os.remove(os.path.join(meta_dir, f))
     stats_path = os.path.join(meta_dir, f"stats-{sid}-{n}.puffin")
     blob_metas = write_puffin(
         stats_path, blobs, properties={"created-by": "spark-graft theta"}
@@ -2162,7 +2171,10 @@ def read_iceberg_statistics(spark, root: str) -> dict:
                     f"statistics blob compression-codec {codec!r}"
                 )
             sk = deserialize_compact(raw)
-            (fid,) = bm["fields"]
+            fields = bm.get("fields") or []
+            if len(fields) != 1 or fields[0] not in name_of:
+                continue  # multi-column or unknown-field blob: skip
+            fid = fields[0]
             out[name_of[fid]] = {
                 "ndv": int((bm.get("properties") or {})["ndv"]),
                 "estimate": estimate(sk),

@@ -162,3 +162,26 @@ def test_statistics_unsupported_column_type(spark, tmp_path):
         export_iceberg_statistics(t, columns=["v"])
     # default column selection simply skips the double column
     assert set(export_iceberg_statistics(t)) == {"id"}
+
+
+def test_statistics_gc_on_reexport(spark, tmp_path):
+    """Metadata regeneration drops the `statistics` field, so the stats
+    Puffin must be GC'd (not orphaned); re-running the statistics
+    export restores it and replaces any prior stats file."""
+    import glob
+
+    t = SnapshotTable(spark, str(tmp_path / "g"))
+    t.write(spark.range(100).selectExpr("id"), committed_at_ms=1000)
+    export_iceberg_metadata(t, format_version=2)
+    export_iceberg_statistics(t)
+    meta_dir = os.path.join(t.root, "metadata")
+    assert glob.glob(os.path.join(meta_dir, "stats-*.puffin"))
+    t.write(spark.range(150).selectExpr("id"), committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2)
+    assert not glob.glob(os.path.join(meta_dir, "stats-*.puffin"))
+    md = json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+    assert "statistics" not in md
+    est = export_iceberg_statistics(t)
+    assert est["id"] == 150.0
+    assert len(glob.glob(os.path.join(meta_dir, "stats-*.puffin"))) == 1
+    assert read_iceberg_statistics(spark, t.root)["id"]["ndv"] == 150
