@@ -302,3 +302,22 @@ def test_puffin_compressed_footer_roundtrip(spark, tmp_path):
     j = str(tmp_path / "java.puffin")
     open(j, "wb").write(spliced)
     assert P.read_puffin_footer(j) == P.read_puffin_footer(plain)
+
+
+# --- Guava murmur3_32 (Iceberg bucket transform) ------------------------------
+
+
+def test_murmur3_32_matches_guava(spark):
+    """The bucket-transform hash (operators/iceberg_transforms.py
+    murmur3_32, seed 0) agrees with Guava's murmur3_32 across lengths —
+    on top of the spec Appendix-B vectors pinned in
+    tests/test_scale_toolkit.py."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+        murmur3_32,
+    )
+
+    g = spark._jvm.com.google.common.hash.Hashing.murmur3_32_fixed(0)
+    for n in range(0, 40):
+        data = bytes((i * 89 + n * 7) & 0xFF for i in range(n))
+        want = g.hashBytes(bytearray(data)).asInt()
+        assert murmur3_32(data) == want, n
