@@ -1660,9 +1660,16 @@ def read_iceberg_table(
                         (df_rec["file_path"], seq, tuple(ids))
                     )
                     continue
+                # DV classification: PUFFIN format (or a content_offset,
+                # which only DV blobs carry) marks a deletion vector.
+                # referenced_data_file alone does NOT — the spec allows
+                # it (field id 143) on v2 position-delete PARQUET
+                # entries as a single-file hint, and such files remain
+                # ordinary position deletes (also inside upgraded v3
+                # mixed trees).
                 is_dv = (
                     str(df_rec.get("file_format", "")).upper() == "PUFFIN"
-                    or df_rec.get("referenced_data_file") is not None
+                    or df_rec.get("content_offset") is not None
                 )
                 if is_dv:
                     if fv < 3:
@@ -2061,8 +2068,13 @@ def export_iceberg_statistics(
     # can't resolve inside a nested scope
     import struct as _st
 
+    # Arrow delivers a long column CONTAINING nulls as float64, which
+    # silently rounds |v| > 2^53 — so the plan below filters nulls
+    # BEFORE the UDF (the series arrives as exact int64), and the UDF
+    # additionally converts via pandas' nullable Int64 so a stray
+    # null-bearing batch can never hash rounded values.
     _theta_hash_long = F.pandas_udf(
-        lambda s: s.map(
+        lambda s: s.astype("Int64").map(
             lambda v: None
             if pd.isna(v)
             # Spark LongType is signed; pack signed, as the library does
@@ -2084,12 +2096,16 @@ def export_iceberg_statistics(
     for c in columns:
         kind = type_of[c]
         hcol = (
-            _theta_hash_str(F.col(c))
+            _theta_hash_str(F.col("_v"))
             if kind == "string"
-            else _theta_hash_long(F.col(c).cast("long"))
+            else _theta_hash_long(F.col("_v").cast("long"))
         )
         rows = (
-            df.select(hcol.alias("h"))
+            # null-filter BEFORE the hash UDF: a null-free long batch
+            # crosses Arrow as int64, never float64 (precision!)
+            df.select(F.col(c).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .select(hcol.alias("h"))
             .where(F.col("h").isNotNull())
             .distinct()
             .orderBy("h")
@@ -2175,9 +2191,14 @@ def read_iceberg_statistics(spark, root: str) -> dict:
             if len(fields) != 1 or fields[0] not in name_of:
                 continue  # multi-column or unknown-field blob: skip
             fid = fields[0]
+            props = bm.get("properties") or {}
+            est = estimate(sk)
             out[name_of[fid]] = {
-                "ndv": int((bm.get("properties") or {})["ndv"]),
-                "estimate": estimate(sk),
+                # the ndv property is optional on external blobs; fall
+                # back to the sketch's own estimate when absent
+                "ndv": int(props["ndv"]) if "ndv" in props
+                else int(round(est)),
+                "estimate": est,
                 "retained": len(sk["entries"]),
             }
     return out

@@ -86,6 +86,10 @@ def lz4_block_decompress(src: bytes, max_out: int | None = None) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if i >= n:
+                    raise ValueError(
+                        "LZ4 block: truncated literal-length extension"
+                    )
                 b = src[i]
                 i += 1
                 lit += b
@@ -106,6 +110,10 @@ def lz4_block_decompress(src: bytes, max_out: int | None = None) -> bytes:
         mlen = (token & 0xF) + 4
         if (token & 0xF) == 15:
             while True:
+                if i >= n:
+                    raise ValueError(
+                        "LZ4 block: truncated match-length extension"
+                    )
                 b = src[i]
                 i += 1
                 mlen += b
@@ -123,7 +131,13 @@ _FRAME_MAGIC = 0x184D2204
 _BLOCK_MAX = {4: 1 << 16, 5: 1 << 18, 6: 1 << 20, 7: 1 << 22}
 
 
+def _need(src: bytes, pos: int, count: int, what: str) -> None:
+    if pos + count > len(src):
+        raise ValueError(f"LZ4 frame: truncated {what}")
+
+
 def lz4_frame_decompress(src: bytes) -> bytes:
+    _need(src, 0, 7, "header")
     (magic,) = struct.unpack_from("<I", src, 0)
     if magic != _FRAME_MAGIC:
         raise ValueError(f"not an LZ4 frame (magic {magic:#010x})")
@@ -142,8 +156,10 @@ def lz4_frame_decompress(src: bytes) -> bytes:
     pos = 6
     content_size = None
     if content_size_flag:
+        _need(src, pos, 8, "content size")
         (content_size,) = struct.unpack_from("<Q", src, pos)
         pos += 8
+    _need(src, pos, 1, "header checksum")
     hc = src[pos]
     pos += 1
     want_hc = (xxh32(src[4:pos - 1]) >> 8) & 0xFF
@@ -153,6 +169,7 @@ def lz4_frame_decompress(src: bytes) -> bytes:
         )
     out = bytearray()
     while True:
+        _need(src, pos, 4, "block size")
         (bsize,) = struct.unpack_from("<I", src, pos)
         pos += 4
         if bsize == 0:  # EndMark
@@ -166,6 +183,7 @@ def lz4_frame_decompress(src: bytes) -> bytes:
             raise ValueError("LZ4 frame: truncated block")
         pos += bsize
         if block_checksum:
+            _need(src, pos, 4, "block checksum")
             (bc,) = struct.unpack_from("<I", src, pos)
             pos += 4
             if xxh32(block) != bc:
@@ -174,6 +192,7 @@ def lz4_frame_decompress(src: bytes) -> bytes:
             block, _BLOCK_MAX[bmax_id]
         )
     if content_checksum:
+        _need(src, pos, 4, "content checksum")
         (cc,) = struct.unpack_from("<I", src, pos)
         pos += 4
         if xxh32(bytes(out)) != cc:

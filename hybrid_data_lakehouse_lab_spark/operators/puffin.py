@@ -9,9 +9,10 @@ Layout:
     Footer = Magic FooterPayload FooterPayloadSize Flags Magic
     FooterPayloadSize: int32 LE = byte length of FooterPayload
     Flags: 4 bytes; byte 0 bit 0 = FooterPayload is LZ4-compressed
-           (this writer always emits uncompressed, flag bytes all 0;
-           the reader refuses the compressed bit honestly — no lz4 in
-           this environment)
+           (the writer emits it on request via `compress_footer` —
+           stored-block LZ4 frames from operators/lz4.py — and the
+           reader decompresses real LZ4 frames, checksums verified;
+           validated against lz4-java in tests/test_external_validation)
     FooterPayload: UTF-8 JSON FileMetadata:
         {"blobs": [BlobMetadata...], "properties": {...}}
     BlobMetadata: {"type", "fields", "snapshot-id", "sequence-number",
