@@ -568,21 +568,25 @@ def export_iceberg_metadata(
     meta_dir = os.path.join(table.root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
-    # schema + partition spec from the LATEST snapshot's files/reader
-    # (ADD-only evolution keeps older files readable under it)
+    # schema from the LATEST snapshot's reader (ADD-only evolution keeps
+    # older files readable under it); partition specs are resolved PER
+    # SNAPSHOT inside the loop — PARTITION-SPEC EVOLUTION: a full
+    # rewrite that changes the directory layout (the canonical year-2
+    # repartition of a long-lived table) becomes a NEW spec-id, and
+    # every manifest records the spec its files were written under
     hidden_partitions = hidden_partitions or {}
     latest = by_version[events[-1]["version"]]
     df = table.spark.read.parquet(latest["path"])
-    latest_files = _snapshot_files(table.root, latest["path"])
-    pcols = next(
-        (list(f["partitionValues"]) for f in latest_files if f["partitionValues"]),
-        [],
-    )
-    unknown_hidden = set(hidden_partitions) - set(pcols)
+    seen_dirs: set[str] = set()
+    for ev in events:
+        for f in _snapshot_files(table.root, by_version[ev["version"]]["path"]):
+            seen_dirs.update(f["partitionValues"])
+    unknown_hidden = set(hidden_partitions) - seen_dirs
     if unknown_hidden:
         raise ValueError(
             f"hidden_partitions name non-partition columns: "
-            f"{sorted(unknown_hidden)} (partition dirs: {pcols})"
+            f"{sorted(unknown_hidden)} (partition dirs ever used: "
+            f"{sorted(seen_dirs)})"
         )
     fields = []
     col_ids: dict[str, int] = {}
@@ -607,79 +611,117 @@ def export_iceberg_metadata(
         )
     type_of = {f["name"]: f["type"] for f in fields}
     _TRANSFORM_TYPES = {"day": "date", "month": "int", "year": "int"}
-    spec_fields = []
-    for k, c in enumerate(pcols):
-        if c in hidden_partitions:
-            # (source, transform) for the date binners, or
-            # (source, "bucket"|"truncate", param) for the parameterized
-            # transforms (spec: bucket[N] = murmur3 & MAX % N,
-            # truncate[W] = floor-to-W / first-W-chars)
-            hp = tuple(hidden_partitions[c])
-            source_col, transform = hp[0], hp[1]
-            param = hp[2] if len(hp) > 2 else None
-            if source_col not in col_ids:
-                raise ValueError(
-                    f"hidden partition {c!r} names unknown source column "
-                    f"{source_col!r}"
-                )
-            if transform in _TRANSFORM_TYPES:
-                tname, ttype = transform, _TRANSFORM_TYPES[transform]
-            elif transform == "bucket":
-                if not isinstance(param, int) or param <= 0:
+
+    def _spec_fields_for(pcols: list[str]) -> list[dict]:
+        spec_fields = []
+        for c in pcols:
+            if c in hidden_partitions:
+                # (source, transform) for the date binners, or
+                # (source, "bucket"|"truncate", param) for the
+                # parameterized transforms (spec: bucket[N] = murmur3 &
+                # MAX % N, truncate[W] = floor-to-W / first-W-chars)
+                hp = tuple(hidden_partitions[c])
+                source_col, transform = hp[0], hp[1]
+                param = hp[2] if len(hp) > 2 else None
+                if source_col not in col_ids:
                     raise ValueError(
-                        f"bucket transform for {c!r} needs a positive "
-                        f"bucket count, got {param!r}"
+                        f"hidden partition {c!r} names unknown source "
+                        f"column {source_col!r}"
                     )
-                tname, ttype = f"bucket[{param}]", "int"
-            elif transform == "truncate":
-                if not isinstance(param, int) or param <= 0:
-                    raise ValueError(
-                        f"truncate transform for {c!r} needs a positive "
-                        f"width, got {param!r}"
-                    )
-                src_type = type_of[source_col]
-                if src_type not in ("int", "long", "string"):
+                if transform in _TRANSFORM_TYPES:
+                    tname, ttype = transform, _TRANSFORM_TYPES[transform]
+                elif transform == "bucket":
+                    if not isinstance(param, int) or param <= 0:
+                        raise ValueError(
+                            f"bucket transform for {c!r} needs a positive "
+                            f"bucket count, got {param!r}"
+                        )
+                    tname, ttype = f"bucket[{param}]", "int"
+                elif transform == "truncate":
+                    if not isinstance(param, int) or param <= 0:
+                        raise ValueError(
+                            f"truncate transform for {c!r} needs a "
+                            f"positive width, got {param!r}"
+                        )
+                    src_type = type_of[source_col]
+                    if src_type not in ("int", "long", "string"):
+                        raise NotImplementedError(
+                            f"truncate over source type {src_type!r}"
+                        )
+                    tname, ttype = f"truncate[{param}]", src_type
+                else:
                     raise NotImplementedError(
-                        f"truncate over source type {src_type!r}"
+                        f"partition transform {transform!r} (only "
+                        f"{sorted(_TRANSFORM_TYPES) + ['bucket', 'truncate']})"
                     )
-                tname, ttype = f"truncate[{param}]", src_type
-            else:
-                raise NotImplementedError(
-                    f"partition transform {transform!r} (only "
-                    f"{sorted(_TRANSFORM_TYPES) + ['bucket', 'truncate']})"
+                spec_fields.append(
+                    {
+                        "name": c,
+                        "transform": tname,
+                        "source-id": col_ids[source_col],
+                        "type": ttype,
+                    }
                 )
-            spec_fields.append(
-                {
-                    "name": c,
-                    "transform": tname,
-                    "source-id": col_ids[source_col],
-                    "field-id": 1000 + k,
-                    "type": ttype,
-                }
-            )
-        else:
-            spec_fields.append(
-                {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": col_ids[c],
-                    "field-id": 1000 + k,
-                    # convenience for _entry_schema; stripped below
-                    "type": type_of[c],
-                }
-            )
+            else:
+                if c not in col_ids:
+                    raise ValueError(
+                        f"partition column {c!r} (used by an earlier "
+                        "snapshot's layout) is not in the latest "
+                        "schema; dropping a partitioned column is not "
+                        "supported"
+                    )
+                spec_fields.append(
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": col_ids[c],
+                        # convenience for _entry_schema; stripped below
+                        "type": type_of[c],
+                    }
+                )
+        return spec_fields
+
+    # SPEC REGISTRY: each distinct partition layout gets a spec-id in
+    # order of first appearance (chronological, like real Iceberg);
+    # partition field-ids start at 1000 and are NEVER reused for a
+    # different (name, transform, source) — and an equivalent field in
+    # a later spec KEEPS its id — the v2 rules for spec evolution
+    specs: list[list[dict]] = []
+    _spec_ids: dict[tuple, int] = {}
+    _pfield_ids: dict[tuple, int] = {}
+    _entry_schemas: dict[int, dict] = {}
+
+    def _resolve_spec(pcols: list[str]) -> int:
+        sfs = _spec_fields_for(list(pcols))
+        key = tuple((f["name"], f["transform"], f["source-id"]) for f in sfs)
+        sid = _spec_ids.get(key)
+        if sid is None:
+            for f in sfs:
+                fkey = (f["name"], f["transform"], f["source-id"])
+                if fkey not in _pfield_ids:
+                    _pfield_ids[fkey] = 1000 + len(_pfield_ids)
+                f["field-id"] = _pfield_ids[fkey]
+            sid = len(specs)
+            specs.append(sfs)
+            _spec_ids[key] = sid
+        return sid
+
+    def _entry_schema_of(sid: int) -> dict:
+        if sid not in _entry_schemas:
+            _entry_schemas[sid] = _entry_schema(specs[sid], format_version)
+        return _entry_schemas[sid]
+
     if upsert_key is not None:
-        if spec_fields:
+        if seen_dirs:
             raise NotImplementedError(
                 "equality-delete upsert export supports unpartitioned "
-                f"tables only (partition dirs: {pcols}); the reader-side "
-                "refusal of equality deletes on partition columns is the "
-                "same boundary"
+                f"tables only (partition dirs: {sorted(seen_dirs)}); the "
+                "reader-side refusal of equality deletes on partition "
+                "columns is the same boundary"
             )
         bad = [k for k in upsert_key if k not in col_ids]
         if bad:
             raise ValueError(f"upsert_key columns {bad} not in table schema")
-    entry_schema = _entry_schema(spec_fields, format_version)
     list_schema = _manifest_list_schema(format_version)
 
     snapshots = []
@@ -689,6 +731,7 @@ def export_iceberg_metadata(
     # since, and its current LOGICAL row count under those masks.
     prev_rows: list[dict] = []
     base_dir: str | None = None
+    base_spec_id: int = 0  # spec of the last full-rewrite snapshot
     delete_dirs: list[str] = []
     base_live_rows: int | None = None
     # v3 DV state: cumulative deleted positions per absolute data-file
@@ -851,11 +894,11 @@ def export_iceberg_metadata(
                             "data_file": data_file,
                         }
                     )
-                write_avro(manifest_path, entry_schema, entries)
+                write_avro(manifest_path, _entry_schema_of(base_spec_id), entries)
                 ups_row = {
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": base_spec_id,
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -897,12 +940,12 @@ def export_iceberg_metadata(
                     }
                     for d in del_files
                 ]
-                write_avro(manifest_path, entry_schema, entries)
+                write_avro(manifest_path, _entry_schema_of(base_spec_id), entries)
                 manifest_rows.append(
                     {
                         "manifest_path": manifest_path,
                         "manifest_length": os.path.getsize(manifest_path),
-                        "partition_spec_id": 0,
+                        "partition_spec_id": base_spec_id,
                         "content": 1,
                         "sequence_number": seq,
                         "min_sequence_number": seq,
@@ -973,6 +1016,7 @@ def export_iceberg_metadata(
             ]
             blob_metas = write_puffin(puffin_path, blobs)
             puffin_size = os.path.getsize(puffin_path)
+            base_spec_fields = specs[base_spec_id]
             entries = []
             for p, bm in zip(touched, blob_metas):
                 bf = base_by_abs.get(p)
@@ -995,7 +1039,7 @@ def export_iceberg_metadata(
                                     sf["type"],
                                     bf["partitionValues"].get(sf["name"]),
                                 )
-                                for sf in spec_fields
+                                for sf in base_spec_fields
                             },
                             "record_count": len(dv_positions[p]),
                             "file_size_in_bytes": puffin_size,
@@ -1006,11 +1050,11 @@ def export_iceberg_metadata(
                     }
                 )
             manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
-            write_avro(manifest_path, entry_schema, entries)
+            write_avro(manifest_path, _entry_schema_of(base_spec_id), entries)
             row = {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": base_spec_id,
                 "content": 1,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1043,8 +1087,9 @@ def export_iceberg_metadata(
                     "file_path", "pos"
                 )
             ddir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
+            base_spec_fields = specs[base_spec_id]
             file_partitions = None
-            if spec_fields:
+            if base_spec_fields:
                 # partition-scoped delete files (the spec's rule): map
                 # each base data file to its raw partition values so the
                 # delete rows can be routed by partitionBy
@@ -1058,7 +1103,7 @@ def export_iceberg_metadata(
                         ]
                         + [
                             f["partitionValues"].get(sf["name"])
-                            for sf in spec_fields
+                            for sf in base_spec_fields
                         ]
                     )
                     for f in base_files
@@ -1067,7 +1112,7 @@ def export_iceberg_metadata(
                     rows,
                     ", ".join(
                         ["file_path string"]
-                        + [f"{sf['name']} string" for sf in spec_fields]
+                        + [f"{sf['name']} string" for sf in base_spec_fields]
                     ),
                 )
             dfiles = _write_position_deletes(
@@ -1075,7 +1120,7 @@ def export_iceberg_metadata(
                 deleted,
                 ddir,
                 file_partitions=file_partitions,
-                pcols=[sf["name"] for sf in spec_fields],
+                pcols=[sf["name"] for sf in base_spec_fields],
             )
             manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
             entries = [
@@ -1092,7 +1137,7 @@ def export_iceberg_metadata(
                             sf["name"]: _partition_value(
                                 sf["type"], d["partition"].get(sf["name"])
                             )
-                            for sf in spec_fields
+                            for sf in base_spec_fields
                         },
                         "record_count": d["record_count"],
                         "file_size_in_bytes": d["size"],
@@ -1100,11 +1145,11 @@ def export_iceberg_metadata(
                 }
                 for d in dfiles
             ]
-            write_avro(manifest_path, entry_schema, entries)
+            write_avro(manifest_path, _entry_schema_of(base_spec_id), entries)
             row = {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": base_spec_id,
                 "content": 1,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1163,6 +1208,20 @@ def export_iceberg_metadata(
                         )
             manifest_path = os.path.join(meta_dir, f"m-{i:05d}.avro")
             manifest_first_row_id = next_row_id
+            # PARTITION-SPEC EVOLUTION: this snapshot's own directory
+            # layout decides its spec — a rewrite (or compaction) that
+            # repartitions the table registers a new spec-id; manifests
+            # of unchanged layout reuse the existing one
+            pcols_i = next(
+                (
+                    list(f["partitionValues"])
+                    for f in files
+                    if f["partitionValues"]
+                ),
+                [],
+            )
+            sid_spec = _resolve_spec(pcols_i)
+            spec_fields_i = specs[sid_spec]
             entries = []
             for full, (f, rc) in file_rc.items():
                 vcounts, ncounts, lower, upper = _file_column_stats(
@@ -1176,7 +1235,7 @@ def export_iceberg_metadata(
                             sf["type"],
                             f["partitionValues"].get(sf["name"]),
                         )
-                        for sf in spec_fields
+                        for sf in spec_fields_i
                     },
                     "record_count": rc,
                     "file_size_in_bytes": f["size"],
@@ -1208,11 +1267,11 @@ def export_iceberg_metadata(
                         "data_file": data_file,
                     }
                 entries.append(entry)
-            write_avro(manifest_path, entry_schema, entries)
+            write_avro(manifest_path, _entry_schema_of(sid_spec), entries)
             row = {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": sid_spec,
                 "added_snapshot_id": snapshot_id,
             }
             if format_version >= 2:
@@ -1233,6 +1292,7 @@ def export_iceberg_metadata(
                 row["first_row_id"] = manifest_first_row_id
             manifest_rows = [row]
             base_dir = snap["path"]
+            base_spec_id = sid_spec
             delete_dirs = []
             dv_positions = {}
             base_live_rows = total_rc
@@ -1276,20 +1336,26 @@ def export_iceberg_metadata(
         "schema": {"type": "struct", "schema-id": 0, "fields": fields},
         "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
         "current-schema-id": 0,
+        # default spec = the layout of the last full rewrite (the
+        # table's CURRENT write spec); all historical specs are listed
+        # so readers can type/prune each manifest under the spec its
+        # files were written with
         "partition-spec": [
-            {k: v for k, v in sf.items() if k != "type"} for sf in spec_fields
+            {k: v for k, v in sf.items() if k != "type"}
+            for sf in specs[base_spec_id]
         ],
         "partition-specs": [
             {
-                "spec-id": 0,
+                "spec-id": sid,
                 "fields": [
                     {k: v for k, v in sf.items() if k != "type"}
-                    for sf in spec_fields
+                    for sf in sfs
                 ],
             }
+            for sid, sfs in enumerate(specs)
         ],
-        "default-spec-id": 0,
-        "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
+        "default-spec-id": base_spec_id,
+        "last-partition-id": max(_pfield_ids.values(), default=999),
         "properties": {},
         "current-snapshot-id": snapshots[-1]["snapshot-id"],
         "snapshots": snapshots,
@@ -1545,8 +1611,14 @@ def read_iceberg_table(
     where delete.seq >= data.seq, and equality delete files (what
     streaming upsert writers like Flink emit; matched null-safe on the
     `equality_ids` columns) drop strictly-older rows where
-    delete.seq > data.seq — the spec's asymmetry. Equality deletes on
-    partition columns refuse honestly.
+    delete.seq > data.seq — the spec's asymmetry. Equality deletes may
+    reference identity partition columns (attached before masking).
+
+    PARTITION-SPEC EVOLUTION: every manifest's `partition_spec_id` is
+    resolved against the metadata's `partition-specs` list — files
+    written before a repartition are typed and pruned under THEIR spec,
+    not the current one; live files are scanned in one group per
+    distinct identity-column layout and unioned.
 
     `prune` is an ADVISORY list of (column, op, value) conjuncts with
     op in =, <, <=, >, >= : files whose stats (manifest
@@ -1619,6 +1691,13 @@ def read_iceberg_table(
     _, manifest_files = read_avro(snap["manifest-list"])
     files: dict[str, dict] = {}
     file_seq: dict[str, int] = {}
+    # PARTITION-SPEC EVOLUTION: each manifest's files carry partition
+    # values typed under the spec the manifest was written with
+    # (manifest-list field 502) — a long-lived table repartitioned over
+    # its life has manifests under several specs, and typing/pruning a
+    # file under the wrong spec corrupts reads
+    default_sid = metadata.get("default-spec-id", 0)
+    file_spec: dict[str, int] = {}
     pos_deletes: list[tuple[str, int]] = []  # (delete file path, its seq)
     eq_deletes: list[tuple[str, int, tuple]] = []  # (+ equality field ids)
     # v3 deletion vectors: (puffin path, offset, size, referenced data
@@ -1627,6 +1706,9 @@ def read_iceberg_table(
     for mf in manifest_files:
         m_seq = mf.get("sequence_number")
         m_content = mf.get("content") or 0
+        m_sid = mf.get("partition_spec_id")
+        if m_sid is None:
+            m_sid = default_sid
         if fv >= 2 and m_seq is None:
             raise ValueError(
                 "v2 manifest-list row missing required sequence_number: "
@@ -1703,6 +1785,7 @@ def read_iceberg_table(
             if e["status"] == 2:  # DELETED
                 files.pop(df_rec["file_path"], None)
                 file_seq.pop(df_rec["file_path"], None)
+                file_spec.pop(df_rec["file_path"], None)
                 continue
             if fv >= 2 and df_rec.get("content", 0) != 0:
                 raise ValueError(
@@ -1715,24 +1798,40 @@ def read_iceberg_table(
                 )
             files[df_rec["file_path"]] = df_rec
             file_seq[df_rec["file_path"]] = seq
+            file_spec[df_rec["file_path"]] = m_sid
     schema_fields = metadata["schema"]["fields"]
-    spec = {
-        f["name"]: f
-        for f in metadata["partition-specs"][0]["fields"]
+    all_specs = {
+        s["spec-id"]: s for s in metadata["partition-specs"]
     }
     import re as _re
 
     _PARAM_RE = _re.compile(r"(bucket|truncate)\[(\d+)\]")
-    for f in spec.values():
-        t = f["transform"]
-        if t not in ("identity", "day", "month", "year") and not _PARAM_RE.fullmatch(t):
-            raise NotImplementedError(f"partition transform {t!r}")
+    # resolve every spec REFERENCED BY A LIVE FILE (an abandoned
+    # historical spec with an exotic transform must not block the read)
+    used_sids = sorted(set(file_spec.values()))
+    specs_of: dict[int, dict] = {}
+    for sid in used_sids:
+        if sid not in all_specs:
+            raise ValueError(
+                f"manifest references partition-spec-id {sid}, absent "
+                f"from partition-specs (have {sorted(all_specs)})"
+            )
+        specs_of[sid] = {
+            f["name"]: f for f in all_specs[sid]["fields"]
+        }
+        for f in specs_of[sid].values():
+            t = f["transform"]
+            if t not in ("identity", "day", "month", "year") and not _PARAM_RE.fullmatch(t):
+                raise NotImplementedError(f"partition transform {t!r}")
     # identity fields attach as real columns; day/month/year and
     # bucket[N]/truncate[W] transforms are HIDDEN partitioning (the
     # partition value is derived from a source column that IS in the
     # schema) — nothing to attach, the manifests' typed values exist
-    # for pruning only
-    pcols = [n for n, f in spec.items() if f["transform"] == "identity"]
+    # for pruning only. Per spec, the identity set can DIFFER per file.
+    pcols_of = {
+        sid: [n for n, f in sp.items() if f["transform"] == "identity"]
+        for sid, sp in specs_of.items()
+    }
     if prune:
         from .iceberg_transforms import bucket_value, truncate_value
 
@@ -1781,7 +1880,7 @@ def read_iceberg_table(
                     return True
             return True
 
-        def may_match(rec) -> bool:
+        def may_match(rec, spec, pcols) -> bool:
             for col, op, val in prune:
                 if col in pcols:
                     pv = (rec.get("partition") or {}).get(col)
@@ -1823,7 +1922,13 @@ def read_iceberg_table(
                     return False
             return True
 
-        files = {p: rec for p, rec in files.items() if may_match(rec)}
+        files = {
+            p: rec
+            for p, rec in files.items()
+            if may_match(
+                rec, specs_of[file_spec[p]], pcols_of[file_spec[p]]
+            )
+        }
         file_seq = {p: s for p, s in file_seq.items() if p in files}
     full_schema = T.StructType(
         [
@@ -1831,14 +1936,25 @@ def read_iceberg_table(
             for f in schema_fields
         ]
     )
-    data_schema = T.StructType(
-        [f for f in full_schema.fields if f.name not in pcols]
-    )
     if not files:
         return spark.createDataFrame([], full_schema)
-    paths = {os.path.abspath(p): rec for p, rec in files.items()}
-    df = spark.read.schema(data_schema).parquet(*paths)
-    if pos_deletes or eq_deletes or dv_deletes or pcols:
+    any_deletes = bool(pos_deletes or eq_deletes or dv_deletes)
+    # group live files by their spec's IDENTITY column set: files of an
+    # identity-partitioned spec physically lack those columns (they are
+    # reconstructed from the manifests' typed partition values), so an
+    # evolved table needs one scan per distinct identity layout — a
+    # handful of unions, never per-file work
+    schema_order = [f.name for f in full_schema.fields]
+    groups: dict[tuple, dict[str, dict]] = {}
+    for p, rec in files.items():
+        gkey = tuple(
+            c for c in schema_order if c in pcols_of[file_spec[p]]
+        )
+        groups.setdefault(gkey, {})[os.path.abspath(p)] = rec
+    need_file = (
+        any_deletes or any(gkey for gkey in groups) or len(groups) > 1
+    )
+    if need_file:
         from .mor_diff import guard_reserved_columns
 
         guard_reserved_columns(
@@ -1846,17 +1962,61 @@ def read_iceberg_table(
             ("_file", "_pos", "_fseq"),
             "read_iceberg_table",
         )
-        df = df.withColumn(
-            "_file", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
+    iceberg_types = {f["name"]: f["type"] for f in schema_fields}
+
+    def from_typed(col: str, v):
+        if v is None:
+            return None
+        if iceberg_types[col] == "date":
+            return _EPOCH + datetime.timedelta(days=int(v))
+        return v
+
+    parts = []
+    for gkey, gpaths in groups.items():
+        data_schema = T.StructType(
+            [f for f in full_schema.fields if f.name not in gkey]
         )
-    if pos_deletes or eq_deletes or dv_deletes:
+        gdf = spark.read.schema(data_schema).parquet(*gpaths)
+        if need_file:
+            gdf = gdf.withColumn(
+                "_file",
+                F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/"),
+            )
+        if any_deletes:
+            gdf = gdf.withColumn("_pos", F.col("_metadata.row_index"))
+        if gkey:
+            # identity columns from the manifests' typed partition
+            # values — a |group files|-row broadcast mapping
+            mapping = spark.createDataFrame(
+                [
+                    (p, *[from_typed(c, rec["partition"].get(c)) for c in gkey])
+                    for p, rec in gpaths.items()
+                ],
+                T.StructType(
+                    [T.StructField("_file", T.StringType())]
+                    + [
+                        T.StructField(c, _spark_type(iceberg_types[c]), True)
+                        for c in gkey
+                    ]
+                ),
+            )
+            gdf = gdf.join(F.broadcast(mapping), "_file")
+        sel = list(schema_order)
+        if need_file:
+            sel.append("_file")
+        if any_deletes:
+            sel.append("_pos")
+        parts.append(gdf.select(*sel))
+    df = parts[0]
+    for p_df in parts[1:]:
+        df = df.unionByName(p_df)
+    if any_deletes:
         # attach each data row's (inherited) sequence number via the
         # broadcast |files|-row map — BOTH delete flavors compare
         # against it: positional applies at delete.seq >= data.seq,
         # equality at delete.seq > data.seq (the spec's asymmetry:
         # a positional delete can target rows of its own commit, an
         # equality delete only strictly older data)
-        df = df.withColumn("_pos", F.col("_metadata.row_index"))
         fseq_map = spark.createDataFrame(
             [(os.path.abspath(p), s) for p, s in file_seq.items()],
             "_file STRING, _fseq BIGINT",
@@ -1931,22 +2091,20 @@ def read_iceberg_table(
         # emit): each delete row removes every strictly-older data row
         # matching on the equality_ids columns (null-safe, per spec).
         # One broadcast anti-join per distinct equality_ids set.
+        # identity partition columns are already attached per group
+        # (before the masks), so equality deletes may reference them
+        # like any other column
         id_to_name = {f["id"]: f["name"] for f in schema_fields}
-        groups: dict[tuple, list[tuple[str, int]]] = {}
+        eq_groups: dict[tuple, list[tuple[str, int]]] = {}
         for p, s, ids in eq_deletes:
-            groups.setdefault(ids, []).append((p, s))
-        for ids, plist in groups.items():
+            eq_groups.setdefault(ids, []).append((p, s))
+        for ids, plist in eq_groups.items():
             try:
                 names = [id_to_name[i] for i in ids]
             except KeyError as exc:
                 raise ValueError(
                     f"equality_ids {ids} reference unknown field id {exc}"
                 ) from None
-            if any(nm in pcols for nm in names):
-                raise NotImplementedError(
-                    "equality delete on a partition column is not "
-                    f"supported here (columns {names})"
-                )
             dmap2 = spark.createDataFrame(
                 [(os.path.abspath(p), s) for p, s in plist],
                 "_dfile STRING, _dseq BIGINT",
@@ -1967,34 +2125,6 @@ def read_iceberg_table(
             for nm in names:
                 cond = cond & F.col(f"d.{nm}").eqNullSafe(F.col(f"e.{nm}"))
             df = d.join(F.broadcast(ddf), cond, "left_anti")
-    if pos_deletes or eq_deletes or dv_deletes:
-        df = df.drop("_pos", "_fseq")
-    if pcols:
-        iceberg_types = {
-            f["name"]: f["type"] for f in schema_fields if f["name"] in pcols
-        }
-
-        def from_typed(col: str, v):
-            if v is None:
-                return None
-            if iceberg_types[col] == "date":
-                return _EPOCH + datetime.timedelta(days=int(v))
-            return v
-
-        mapping = spark.createDataFrame(
-            [
-                (p, *[from_typed(c, rec["partition"].get(c)) for c in pcols])
-                for p, rec in paths.items()
-            ],
-            T.StructType(
-                [T.StructField("_file", T.StringType())]
-                + [
-                    T.StructField(c, _spark_type(iceberg_types[c]), True)
-                    for c in pcols
-                ]
-            ),
-        )
-        df = df.join(F.broadcast(mapping), "_file")
     return df.select(*[f.name for f in full_schema.fields])
 
 
