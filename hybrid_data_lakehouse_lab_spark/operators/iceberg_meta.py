@@ -18,15 +18,20 @@ interop in operators/delta_log.py, covering the OTHER major table
 format, and the one the reference actually uses. Mapping mirrors the
 Delta exporter: each pointer-history event becomes one snapshot (WAP
 branch writes stay invisible to main until `fast_forward`; a rollback
-becomes a new snapshot re-listing the old files), every snapshot is a
-full rewrite so all files are status=ADDED, and snapshot `properties`
-ride the snapshot summary.
+becomes a new snapshot re-listing the old files), and snapshot
+`properties` ride the snapshot summary. Layout-changing or mixed
+transitions export as full rewrites (all files status=ADDED); PURE
+APPENDS — child rows ⊇ masked parent rows as a multiset, detected by a
+distributed exceptAll diff — reuse the parent's manifests verbatim and
+add ONE delta manifest with only the appended files (written under
+`appends/sNNNNN/`, base-spec layout), in every format version
+INCLUDING v1; pure deletes export merge-on-read under v2/v3 (below).
 
 Avro manifests use the stdlib writer in operators/avro_io.py. Scale
 note: Iceberg's own answer to million-file tables is many manifests
-per snapshot; the exporter writes one manifest per snapshot (full-
-rewrite model) and the metadata tree's size tracks file COUNT, never
-data size.
+per snapshot; with manifest reuse an N-commit append history's
+metadata tree grows O(N + total delta files), and the tree's size
+tracks file COUNT, never data size.
 
 Format-version 2 (`format_version=2`) adds the spec's merge-on-read
 surface — the mode the REFERENCE configures on its SCD2 table
@@ -72,6 +77,7 @@ import uuid
 from .avro_io import read_avro, write_avro
 from .mor_diff import (
     _SCHEME_RE,
+    _append_diff,
     _parquet_row_count,
     _position_delete_diff,
     _upsert_diff,
@@ -401,6 +407,19 @@ def _write_upsert_files(spark, df, out_dir: str, prefix: str) -> list[dict]:
     manifest entry."""
     df.write.mode("overwrite").parquet(out_dir)
     return finalize_spark_parts(out_dir, prefix)
+
+
+def _write_append_files(df, out_dir: str, pcols: list[str]) -> list[dict]:
+    """Write an incremental-append delta under `out_dir`, laid out like
+    the base snapshot (partitionBy the base spec's directory columns,
+    so the delta manifest's entries carry the same typed partition
+    values a rewrite would). Deterministic `append-NNNNN.parquet`
+    names; returns [{path, record_count, size, partition}]."""
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(out_dir)
+    return finalize_spark_parts(out_dir, "append")
 
 
 def _bound_bytes(iceberg_type: str, v):
@@ -733,6 +752,9 @@ def export_iceberg_metadata(
     base_dir: str | None = None
     base_spec_id: int = 0  # spec of the last full-rewrite snapshot
     delete_dirs: list[str] = []
+    # incremental-append delta dirs stacked on the base since the last
+    # full rewrite — part of the live file set alongside base_dir
+    append_dirs: list[str] = []
     base_live_rows: int | None = None
     # v3 DV state: cumulative deleted positions per absolute data-file
     # path (a new DV REPLACES the prior one for that file, per the
@@ -743,6 +765,7 @@ def export_iceberg_metadata(
     next_row_id = 0
     written_delete_dirs: set[str] = set()
     written_upsert_dirs: set[str] = set()
+    written_append_dirs: set[str] = set()
     written_manifests: set[str] = set()
     verified_unique: set[str] = set()  # PK-probed snapshot dirs (upserts)
     for i, ev in enumerate(events):
@@ -812,19 +835,12 @@ def export_iceberg_metadata(
                     f"count ({base_live_rows} -> {total_rc}); minor "
                     "compaction must not change the table's data"
                 )
-        deleted = None
-        if (
-            upsert_key is None
-            and not is_compaction
-            and not is_minor
-            and format_version >= 2
-            and base_dir is not None
-            and os.path.isdir(base_dir)
-            and base_live_rows is not None
-            and total_rc < base_live_rows
-        ):
+        def _prior_deletes():
+            """The accumulated delete state as a (file_path, pos)
+            DataFrame, or None — the mask both incremental diffs apply
+            to the base before comparing against the child."""
             if format_version >= 3:
-                prior = (
+                return (
                     table.spark.createDataFrame(
                         [
                             (f, p)
@@ -836,16 +852,47 @@ def export_iceberg_metadata(
                     if dv_positions
                     else None
                 )
-            else:
-                prior = (
-                    table.spark.read.parquet(*delete_dirs).select(
-                        "file_path", "pos"
-                    )
-                    if delete_dirs
-                    else None
+            return (
+                table.spark.read.parquet(*delete_dirs).select(
+                    "file_path", "pos"
                 )
+                if delete_dirs
+                else None
+            )
+
+        deleted = None
+        appended = None
+        can_incremental = (
+            upsert_key is None
+            and not is_compaction
+            and not is_minor
+            and base_dir is not None
+            and os.path.isdir(base_dir)
+            and all(os.path.isdir(d) for d in append_dirs)
+            and base_live_rows is not None
+        )
+        if (
+            can_incremental
+            and format_version >= 2
+            and total_rc < base_live_rows
+        ):
             deleted = _position_delete_diff(
-                table.spark, base_dir, prior, snap["path"]
+                table.spark,
+                [base_dir, *append_dirs],
+                _prior_deletes(),
+                snap["path"],
+            )
+        elif can_incremental and total_rc > base_live_rows:
+            # incremental APPEND (all format versions, v1 included):
+            # if the child is the masked base plus new rows, export
+            # only the delta — killing the O(table-files)-per-commit
+            # metadata growth of the full-rewrite model on
+            # append-heavy histories
+            appended = _append_diff(
+                table.spark,
+                [base_dir, *append_dirs],
+                _prior_deletes(),
+                snap["path"],
             )
 
         if upsert is not None:
@@ -988,7 +1035,8 @@ def export_iceberg_metadata(
                 os.path.abspath(
                     os.path.join(table.root, urllib.parse.unquote(f["path"]))
                 ): f
-                for f in _snapshot_files(table.root, base_dir)
+                for d in [base_dir, *append_dirs]
+                for f in _snapshot_files(table.root, d)
             }
             sdir = os.path.join(table.root, "deletes", f"s{snapshot_id:05d}")
             if os.path.isdir(sdir):
@@ -1091,9 +1139,14 @@ def export_iceberg_metadata(
             file_partitions = None
             if base_spec_fields:
                 # partition-scoped delete files (the spec's rule): map
-                # each base data file to its raw partition values so the
-                # delete rows can be routed by partitionBy
-                base_files = _snapshot_files(table.root, base_dir)
+                # each live data file (base + append deltas) to its raw
+                # partition values so the delete rows can be routed by
+                # partitionBy
+                base_files = [
+                    f
+                    for d in [base_dir, *append_dirs]
+                    for f in _snapshot_files(table.root, d)
+                ]
                 rows = [
                     tuple(
                         [
@@ -1183,6 +1236,93 @@ def export_iceberg_metadata(
             # verbatim, no data movement
             manifest_rows = list(prev_rows)
             operation = "replace"
+        elif appended is not None:
+            # --- incremental APPEND commit (v1, v2 and v3): the
+            # parent's manifests ride along VERBATIM (keeping their
+            # sequence numbers / snapshot ids) and ONE delta manifest
+            # adds only the new rows, written under the base spec's
+            # layout. Metadata per commit is O(delta files), not
+            # O(table files) — an N-commit append history's tree grows
+            # O(N + total delta files). ---
+            adir = os.path.join(table.root, "appends", f"s{snapshot_id:05d}")
+            base_spec_fields = specs[base_spec_id]
+            afiles = _write_append_files(
+                appended, adir, [sf["name"] for sf in base_spec_fields]
+            )
+            manifest_path = os.path.join(meta_dir, f"m-{i:05d}-app.avro")
+            manifest_first_row_id = next_row_id
+            entries = []
+            for d in afiles:
+                vcounts, ncounts, lower, upper = _file_column_stats(
+                    d["path"], col_ids, type_of
+                )
+                data_file = {
+                    "file_path": d["path"],
+                    "file_format": "PARQUET",
+                    "partition": {
+                        sf["name"]: _partition_value(
+                            sf["type"], d["partition"].get(sf["name"])
+                        )
+                        for sf in base_spec_fields
+                    },
+                    "record_count": d["record_count"],
+                    "file_size_in_bytes": d["size"],
+                    "value_counts": vcounts,
+                    "null_value_counts": ncounts,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                }
+                if format_version == 1:
+                    data_file["block_size_in_bytes"] = 67108864
+                    entry = {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "data_file": data_file,
+                    }
+                else:
+                    data_file["content"] = 0
+                    if format_version >= 3:
+                        data_file["first_row_id"] = next_row_id
+                        next_row_id += d["record_count"]
+                    entry = {
+                        "status": 1,
+                        "snapshot_id": None,  # inherited
+                        "data_sequence_number": None,  # inherited
+                        "file_sequence_number": None,
+                        "data_file": data_file,
+                    }
+                entries.append(entry)
+            write_avro(manifest_path, _entry_schema_of(base_spec_id), entries)
+            row = {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": base_spec_id,
+                "added_snapshot_id": snapshot_id,
+            }
+            if format_version >= 2:
+                row.update(
+                    {
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_files_count": len(entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            d["record_count"] for d in afiles
+                        ),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                )
+            if format_version >= 3:
+                row["first_row_id"] = manifest_first_row_id
+            manifest_rows = prev_rows + [row]
+            if os.path.isdir(adir):
+                written_append_dirs.add(os.path.basename(adir))
+                append_dirs.append(adir)
+            base_live_rows = total_rc
+            operation = "append"
         else:
             # --- full-rewrite snapshot (always, for v1) ---
             if is_compaction and i > 0:
@@ -1294,6 +1434,7 @@ def export_iceberg_metadata(
             base_dir = snap["path"]
             base_spec_id = sid_spec
             delete_dirs = []
+            append_dirs = []
             dv_positions = {}
             base_live_rows = total_rc
             operation = "replace" if is_compaction else "overwrite"
@@ -1424,7 +1565,7 @@ def export_iceberg_metadata(
 
     for f in os.listdir(meta_dir):
         stale = (
-            (re.match(r"^m-\d+(-del|-ups)?\.avro$", f) and f not in written_manifests)
+            (re.match(r"^m-\d+(-del|-ups|-app)?\.avro$", f) and f not in written_manifests)
             or (f.startswith("snap-") and f.endswith(".avro")
                 and int(f.split("-")[1]) > len(events))
             or (f.startswith("v") and f.endswith(".metadata.json")
@@ -1457,6 +1598,15 @@ def export_iceberg_metadata(
                 shutil.rmtree(os.path.join(upserts_root, d), ignore_errors=True)
         if not os.listdir(upserts_root):
             os.rmdir(upserts_root)
+    appends_root = os.path.join(table.root, "appends")
+    if os.path.isdir(appends_root):
+        import shutil
+
+        for d in os.listdir(appends_root):
+            if d.startswith("s") and d not in written_append_dirs:
+                shutil.rmtree(os.path.join(appends_root, d), ignore_errors=True)
+        if not os.listdir(appends_root):
+            os.rmdir(appends_root)
     return meta_dir
 
 

@@ -42,10 +42,11 @@ def guard_reserved_columns(columns, reserved, context: str) -> None:
         )
 
 
-def _position_delete_diff(spark, base_dir: str, deleted_so_far, child_dir: str):
+def _position_delete_diff(spark, base_dirs, deleted_so_far, child_dir: str):
     """If `child_dir`'s rows are a sub-multiset of the MASKED base
-    (base_dir's files minus the already-deleted positions in
-    `deleted_so_far` — a DataFrame(file_path, pos) or None), return a
+    (the union of `base_dirs`' files — one dir or a [base, *append
+    delta] list — minus the already-deleted positions in
+    `deleted_so_far`, a DataFrame(file_path, pos) or None), return a
     DataFrame(file_path STRING, pos BIGINT) of the NEW positions to
     delete; else return None (the transition needs a rewrite, not a
     delete).
@@ -63,13 +64,20 @@ def _position_delete_diff(spark, base_dir: str, deleted_so_far, child_dir: str):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    raw = spark.read.parquet(base_dir)
+    dirs = [base_dirs] if isinstance(base_dirs, str) else list(base_dirs)
+    scans = [spark.read.parquet(d) for d in dirs]
     _f, _p, _k, _r, _nc, _nb = _fresh_names(
-        raw.columns, "_f", "_p", "_k", "_r", "_nc", "_nb"
+        scans[0].columns, "_f", "_p", "_k", "_r", "_nc", "_nb"
     )
-    base = raw.withColumn(
-        _f, F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
-    ).withColumn(_p, F.col("_metadata.row_index"))
+    parts = [
+        s.withColumn(
+            _f, F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
+        ).withColumn(_p, F.col("_metadata.row_index"))
+        for s in scans
+    ]
+    base = parts[0]
+    for x in parts[1:]:
+        base = base.unionByName(x)
     if deleted_so_far is not None:
         dels = deleted_so_far.select(
             F.col("file_path").alias(_f), F.col("pos").alias(_p)
@@ -103,6 +111,45 @@ def _position_delete_diff(spark, base_dir: str, deleted_so_far, child_dir: str):
         .where(F.col(_nc).isNull() | (F.col(_r) > F.col(_nc)))
         .select(F.col(_f).alias("file_path"), F.col(_p).alias("pos"))
     )
+
+
+def _append_diff(spark, base_dirs, deleted_so_far, child_dir: str):
+    """If `child_dir`'s rows are a super-multiset of the MASKED base
+    (the union of `base_dirs`' files minus the already-deleted
+    positions in `deleted_so_far` — a DataFrame(file_path, pos) or
+    None), return a DataFrame of the APPENDED rows (child exceptAll
+    base — exact multiset difference); else return None (the
+    transition needs a rewrite, not an append).
+
+    Mirror image of `_position_delete_diff`, same cost envelope: fully
+    distributed (two exceptAll shuffles of parent + child per exported
+    append commit), no driver-side row materialization."""
+    from pyspark.sql import functions as F
+
+    dirs = [base_dirs] if isinstance(base_dirs, str) else list(base_dirs)
+    scans = [spark.read.parquet(d) for d in dirs]
+    child = spark.read.parquet(child_dir)
+    if any(sorted(s.dtypes) != sorted(child.dtypes) for s in scans):
+        return None  # schema/layout changed: not expressible as appends
+    _f, _p = _fresh_names(child.columns, "_f", "_p")
+    parts = [
+        s.withColumn(
+            _f, F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
+        ).withColumn(_p, F.col("_metadata.row_index"))
+        for s in scans
+    ]
+    base = parts[0]
+    for x in parts[1:]:
+        base = base.unionByName(x)
+    if deleted_so_far is not None:
+        dels = deleted_so_far.select(
+            F.col("file_path").alias(_f), F.col("pos").alias(_p)
+        )
+        base = base.join(F.broadcast(dels), [_f, _p], "left_anti")
+    base = base.select(*child.columns)
+    if base.exceptAll(child).limit(1).count():
+        return None  # some base row missing from child: not an append
+    return child.exceptAll(base)
 
 
 def _parquet_row_count(path: str) -> int:

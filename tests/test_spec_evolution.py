@@ -90,20 +90,20 @@ def test_same_layout_reuses_spec_id(spark, tmp_path):
     a later return to an earlier layout reuses its id (and its
     partition field-ids)."""
     t = SnapshotTable(spark, str(tmp_path / "stable"))
-    df = spark.createDataFrame(
-        [(i, "ab"[i % 2]) for i in range(6)], "id long, region string"
-    )
-    # each commit GROWS the row count so every one is a full rewrite
-    # (a shrinking commit would export as a MoR delete riding the base
-    # spec — correct, but not what this test exercises)
-    t.write(df, partition_by=["region"], committed_at_ms=1000)
-    t.write(df.union(df), partition_by=["region"], committed_at_ms=2000)
-    t.write(df.union(df).union(df), committed_at_ms=3000)  # unpartitioned
-    t.write(
-        df.union(df).union(df).union(df),
-        partition_by=["region"],
-        committed_at_ms=4000,
-    )
+
+    def batch(lo):
+        return spark.createDataFrame(
+            [(lo + i, "ab"[i % 2]) for i in range(6)],
+            "id long, region string",
+        )
+
+    # DISJOINT row sets per commit: every transition is a genuine full
+    # rewrite (a subset would export as a MoR delete, a superset as an
+    # incremental append — both riding the base spec)
+    t.write(batch(0), partition_by=["region"], committed_at_ms=1000)
+    t.write(batch(10), partition_by=["region"], committed_at_ms=2000)
+    t.write(batch(20), committed_at_ms=3000)  # unpartitioned
+    t.write(batch(30), partition_by=["region"], committed_at_ms=4000)
     export_iceberg_metadata(t, format_version=2)
     md = load_metadata(t.root)
     assert [s["spec-id"] for s in md["partition-specs"]] == [0, 1]
