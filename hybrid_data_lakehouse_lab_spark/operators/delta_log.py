@@ -191,25 +191,102 @@ def _delta_stats(path: str) -> str | None:
     )
 
 
+def _dv_state_positions(spark, dv_state: dict):
+    """Expand the cumulative DV state ({abs path: (framed blob bytes,
+    cardinality)}) back into a (file_path, pos) DataFrame — decoded
+    EXECUTOR-side in an Arrow-batched kernel, so the driver ships only
+    the roaring-compressed blobs and never holds row positions."""
+
+    def _explode(batches):
+        import pandas as pd
+
+        from hybrid_data_lakehouse_lab_spark.operators.roaring import (
+            decode_dv_blob,
+        )
+
+        for pdf in batches:
+            for f, b in zip(pdf["file_path"], pdf["blob"]):
+                yield pd.DataFrame(
+                    {"file_path": f, "pos": decode_dv_blob(bytes(b))}
+                )
+
+    blob_df = spark.createDataFrame(
+        [(p, bytearray(b)) for p, (b, _c) in sorted(dv_state.items())],
+        "file_path string, blob binary",
+    )
+    return blob_df.mapInPandas(_explode, "file_path string, pos bigint")
+
+
+def _dv_blobs_by_file(spark, deleted, dv_state: dict) -> list:
+    """Fold this commit's (file_path, pos) delete diff into per-file
+    CUMULATIVE deletion-vector blobs, aggregated EXECUTOR-side: a
+    cogrouped Arrow kernel per touched file sorts its new positions,
+    merges them with the file's prior blob (decoded in the kernel) and
+    serializes the roaring bitmap there. The driver receives only
+    (file_path, blob, cardinality) rows — one per touched file, bounded
+    by compressed-bitmap bytes — never the positions themselves (a
+    single GDPR-scale delete commit of 1% of a 100 TB table would
+    otherwise materialize billions of Row objects on the driver)."""
+
+    def kernel(new_pdf, blob_pdf):
+        import pandas as pd
+
+        from hybrid_data_lakehouse_lab_spark.operators.roaring import (
+            decode_dv_blob,
+            dv_blob,
+        )
+
+        if new_pdf.empty:
+            # prior-state file untouched by this commit: no new blob
+            return pd.DataFrame(
+                {"file_path": [], "blob": [], "cardinality": []}
+            )
+        f = str(new_pdf["file_path"].iloc[0])
+        cum = set(int(x) for x in new_pdf["pos"])
+        if not blob_pdf.empty:
+            cum.update(decode_dv_blob(bytes(blob_pdf["blob"].iloc[0])))
+        cum = sorted(cum)
+        return pd.DataFrame(
+            {
+                "file_path": [f],
+                "blob": [dv_blob(cum)],
+                "cardinality": [len(cum)],
+            }
+        )
+
+    blob_df = spark.createDataFrame(
+        [(p, bytearray(b)) for p, (b, _c) in sorted(dv_state.items())],
+        "file_path string, blob binary",
+    )
+    return (
+        deleted.groupBy("file_path")
+        .cogroup(blob_df.groupBy("file_path"))
+        .applyInPandas(
+            kernel, "file_path string, blob binary, cardinality long"
+        )
+        .collect()
+    )
+
+
 def _write_change_data(
-    spark, root: str, version: int, new_by_file: dict, pv_of: dict
+    spark, root: str, version: int, deleted, touched: list, pv_of: dict
 ) -> list[dict]:
     """Materialize THIS commit's newly-deleted rows as `_change_data/`
     cdc parquet (`_change_type='delete'`) and return the `cdc` actions.
-    Distributed: one scan of the touched files semi-joined to the
-    broadcast (file, pos) set; partitioned tables attach their partition
+    Distributed: one scan of the `touched` files semi-joined to the
+    broadcast `deleted` (file_path, pos) DataFrame — the positions
+    never visit the driver; partitioned tables attach their partition
     values (broadcast file→values map) and route through partitionBy so
     change files mirror the data layout. Files are renamed
     deterministically (`cdc-NNNNN.parquet`) so re-exports reference
     stable paths."""
     from pyspark.sql import functions as F
 
-    pairs = spark.createDataFrame(
-        [(f, p) for f, ps in new_by_file.items() for p in ps],
-        "_f STRING, _p BIGINT",
+    pairs = deleted.select(
+        F.col("file_path").alias("_f"), F.col("pos").alias("_p")
     )
     rows = (
-        spark.read.parquet(*new_by_file)
+        spark.read.parquet(*touched)
         .withColumn(
             "_f",
             F.regexp_replace(
@@ -222,7 +299,7 @@ def _write_change_data(
     pcols = next((list(pv) for pv in pv_of.values() if pv), [])
     if pcols:
         mapping = spark.createDataFrame(
-            [(f, *[pv_of[f].get(c) for c in pcols]) for f in new_by_file],
+            [(f, *[pv_of[f].get(c) for c in pcols]) for f in touched],
             ", ".join(["_f STRING"] + [f"`{c}` STRING" for c in pcols]),
         )
         rows = rows.join(F.broadcast(mapping), "_f")
@@ -273,11 +350,14 @@ def export_delta_log(
     table root (version byte, size-framed, CRC-checked blobs). Chained
     deletes REPLACE a file's descriptor with the cumulative bitmap, as
     the spec requires. The protocol action declares reader v3 /
-    writer v7 + the deletionVectors feature. DV bitmaps are
-    materialized driver-side per file — the spec's own design point
-    (a DV indexes rows of ONE parquet file, ≤ 2^31 positions, and real
-    writers compact files whose DVs grow large); the diff that finds
-    the positions stays fully distributed.
+    writer v7 + the deletionVectors feature. DV construction is FULLY
+    DISTRIBUTED: the position diff is a Spark plan, per-file bitmaps
+    are sorted/merged/serialized in a cogrouped Arrow kernel on the
+    executors (prior state decoded there too), and the driver receives
+    only (file, blob bytes, cardinality) rows to frame into the .bin
+    file — it never materializes positions, so a GDPR-scale purge of a
+    100 TB table costs the driver compressed-bitmap bytes, not billions
+    of Row objects.
 
     With `change_data=True`, the table declares CHANGE DATA FEED
     (PROTOCOL.md "Change Data Files"): `delta.enableChangeDataFeed` in
@@ -317,10 +397,13 @@ def export_delta_log(
     prev_files: list[dict] = []
     prev_schema: str | None = None
     # DV export state: physical dir of the last rewrite commit, the
-    # cumulative deleted positions per (absolute) data file path, and
-    # the base's logical row count under those masks.
+    # cumulative deletion-vector state per (absolute) data file path —
+    # held as (framed blob bytes, cardinality), NEVER as positions (the
+    # driver's footprint is compressed-bitmap bytes; expansion and
+    # aggregation happen executor-side) — and the base's logical row
+    # count under those masks.
     base_dir: str | None = None
-    dv_positions: dict[str, list[int]] = {}
+    dv_state: dict[str, tuple[bytes, int]] = {}
     base_live_rows: int | None = None
     referenced_dv_files: set[str] = set()
     referenced_cdc_dirs: set[str] = set()
@@ -354,7 +437,8 @@ def export_delta_log(
             (snap.get("properties") or {}).get("operation")
             in ("compaction", "rewrite-deletes")
         )
-        new_by_file: dict[str, list[int]] | None = None
+        dv_rows = None  # [(file_path, framed blob, cardinality)]
+        deleted = None
         if (
             mor_deletes
             and not is_compaction
@@ -372,29 +456,26 @@ def export_delta_log(
                 for f in files
             )
             if total_rc < base_live_rows:
-                prior = None
-                if dv_positions:
-                    prior = table.spark.createDataFrame(
-                        [
-                            (f, p)
-                            for f, ps in dv_positions.items()
-                            for p in ps
-                        ],
-                        "file_path string, pos bigint",
-                    )
+                prior = (
+                    _dv_state_positions(table.spark, dv_state)
+                    if dv_state
+                    else None
+                )
                 deleted = _position_delete_diff(
                     table.spark, base_dir, prior, snap["path"]
                 )
                 if deleted is not None:
-                    new_by_file = {}
-                    for r in deleted.collect():
-                        new_by_file.setdefault(r["file_path"], []).append(
-                            r["pos"]
-                        )
+                    if change_data:
+                        # two consumers (DV fold + CDC writer): pin the
+                        # diff so it computes once
+                        deleted = deleted.localCheckpoint()
+                    dv_rows = _dv_blobs_by_file(
+                        table.spark, deleted, dv_state
+                    )
                     base_live_rows = total_rc
 
         actions: list[dict] = []
-        if new_by_file is not None:
+        if dv_rows is not None:
             op, op_params = "DELETE", {"predicate": "[]"}
         elif is_compaction:
             # delta-spark OPTIMIZE: a logical no-op rewrite; dataChange
@@ -447,11 +528,13 @@ def export_delta_log(
                 }
             )
 
-        if new_by_file is not None:
+        if dv_rows is not None:
             # --- deletion-vector commit: touched files get remove +
             # re-add with the CUMULATIVE bitmap (a descriptor replaces
-            # any prior one for that file, per the spec) ---
-            from .roaring import dv_blob, encode_dv_uuid, write_dv_file
+            # any prior one for that file, per the spec). The bitmaps
+            # arrive pre-serialized from the executors; the driver only
+            # frames them into the .bin file and the log actions. ---
+            from .roaring import encode_dv_uuid, write_dv_file
 
             by_abs = {
                 os.path.abspath(
@@ -459,20 +542,23 @@ def export_delta_log(
                 ): f
                 for f in prev_files
             }
-            changed = sorted(new_by_file)
+            blob_of = {
+                r["file_path"]: (bytes(r["blob"]), r["cardinality"])
+                for r in dv_rows
+            }
+            changed = sorted(blob_of)
             unknown = [p for p in changed if p not in by_abs]
             if unknown:
                 raise RuntimeError(
                     f"diff produced positions for unknown files: {unknown}"
                 )
             dv_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table.root}#dv{i}")
-            blobs = []
-            for p in changed:
-                cum = sorted(set(dv_positions.get(p, [])) | set(new_by_file[p]))
-                dv_positions[p] = cum
-                blobs.append(dv_blob(cum))
+            dv_state.update({p: blob_of[p] for p in changed})
             dv_name = f"deletion_vector_{dv_uuid}.bin"
-            descs = write_dv_file(os.path.join(table.root, dv_name), blobs)
+            descs = write_dv_file(
+                os.path.join(table.root, dv_name),
+                [blob_of[p][0] for p in changed],
+            )
             referenced_dv_files.add(dv_name)
             new_prev = []
             updated = {}
@@ -484,7 +570,7 @@ def export_delta_log(
                     "pathOrInlineDv": encode_dv_uuid(dv_uuid),
                     "offset": off,
                     "sizeInBytes": sz,
-                    "cardinality": len(dv_positions[p]),
+                    "cardinality": blob_of[p][1],
                 }
                 updated[old["path"]] = add
                 actions.append(
@@ -506,7 +592,8 @@ def export_delta_log(
                         table.spark,
                         table.root,
                         i,
-                        new_by_file,
+                        deleted,
+                        changed,
                         {
                             p: by_abs[p].get("partitionValues") or {}
                             for p in changed
@@ -577,7 +664,7 @@ def export_delta_log(
             actions.extend({"add": f} for f in stat_files)
             prev_files = stat_files
             base_dir = snap["path"]
-            dv_positions = {}
+            dv_state = {}
             if mor_deletes:
                 from .mor_diff import _parquet_row_count
 
