@@ -52,9 +52,9 @@ def test_load_table_restores_required_confs(bare_conf_session, sf_dir):
 def test_priority_queries_sit_in_pinned_prefix():
     """The harness may check only a prefix of queries(); the §2-core and
     LLM flagships must fill the first 50 entries, and the battle-tested
-    insurance tier the slots after, in pinned order (113 pinned since
-    round 8 rotated the DV/equality/compaction lanes in-window and added
-    the fv3 / retention / minor-compaction lanes)."""
+    insurance tier the slots after, in pinned order (113 pinned; round
+    9 rotated the fv3-DV / physical-retention / NDV-stats lanes
+    in-window, displacing three round-1 trivial lanes to slots 54-56)."""
     import __spark_entry__ as e
 
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
@@ -66,6 +66,10 @@ def test_priority_queries_sit_in_pinned_prefix():
     assert "mor_compaction_roundtrip" in names[:50]
     assert "delta_dv_roundtrip" in names[:50]
     assert "iceberg_equality_delete_roundtrip" in names[:50]
+    # round-9 rotation: the round-8 from-scratch binary formats
+    assert "iceberg_v3_dv_roundtrip" in names[:50]
+    assert "retention_enforced_roundtrip" in names[:50]
+    assert "iceberg_ndv_stats_roundtrip" in names[:50]
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES
 
