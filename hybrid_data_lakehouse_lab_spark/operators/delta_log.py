@@ -462,13 +462,22 @@ def export_delta_log(
                     else None
                 )
                 deleted = _position_delete_diff(
-                    table.spark, base_dir, prior, snap["path"]
+                    table.spark,
+                    base_dir,
+                    prior,
+                    snap["path"],
+                    check_excess=False,
                 )
                 if deleted is not None:
-                    if change_data:
-                        # two consumers (DV fold + CDC writer): pin the
-                        # diff so it computes once
-                        deleted = deleted.localCheckpoint()
+                    # pin the positions executor-side once (they feed
+                    # the count-identity validation, the DV fold and —
+                    # with CDC — the change-data writer), and validate
+                    # |masked base| − |positions| == |child| instead of
+                    # running the excess-probe job (round-9 item 5)
+                    deleted = deleted.localCheckpoint()
+                    if base_live_rows - deleted.count() != total_rc:
+                        deleted = None  # not a pure delete: rewrite
+                if deleted is not None:
                     dv_rows = _dv_blobs_by_file(
                         table.spark, deleted, dv_state
                     )

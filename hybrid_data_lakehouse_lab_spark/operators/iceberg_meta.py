@@ -881,7 +881,19 @@ def export_iceberg_metadata(
                 [base_dir, *append_dirs],
                 _prior_deletes(),
                 snap["path"],
+                check_excess=False,
             )
+            if deleted is not None:
+                # ONE action: materialize the (delete-set-sized)
+                # positions executor-side, then validate the count
+                # identity |masked base| − |positions| == |child| —
+                # replacing the separate excess-probe job, which was
+                # ~half of each export diff's scan+shuffle cost
+                # (round-9 item 5). Downstream delete writers reuse
+                # the checkpointed positions without recompute.
+                deleted = deleted.localCheckpoint()
+                if base_live_rows - deleted.count() != total_rc:
+                    deleted = None  # not a pure delete: rewrite
         elif can_incremental and total_rc > base_live_rows:
             # incremental APPEND (all format versions, v1 included):
             # if the child is the masked base plus new rows, export

@@ -42,7 +42,9 @@ def guard_reserved_columns(columns, reserved, context: str) -> None:
         )
 
 
-def _position_delete_diff(spark, base_dirs, deleted_so_far, child_dir: str):
+def _position_delete_diff(
+    spark, base_dirs, deleted_so_far, child_dir: str, check_excess: bool = True
+):
     """If `child_dir`'s rows are a sub-multiset of the MASKED base
     (the union of `base_dirs`' files — one dir or a [base, *append
     delta] list — minus the already-deleted positions in
@@ -55,12 +57,19 @@ def _position_delete_diff(spark, base_dirs, deleted_so_far, child_dir: str):
     one shuffle groups base rows by a full-row struct key (null-safe),
     `row_number()` over (file, pos) ranks duplicate occurrences
     deterministically, and occurrences ranked past the child's
-    multiplicity for that value are the deleted positions. The
-    sub-multiset check is the same join read the other way (any child
-    value with multiplicity above the base's ⇒ not delete-expressible).
-    Cost is one scan of parent + child per exported delete snapshot —
-    the export-time price of MoR re-expression, and it scales with the
-    cluster."""
+    multiplicity for that value are the deleted positions. With
+    `check_excess` the sub-multiset check runs as its own probe job
+    (the same join read the other way: any child value with
+    multiplicity above the base's ⇒ not delete-expressible).
+
+    `check_excess=False` SKIPS that probe — halving the diff's
+    scan+shuffle work — for callers that validate by count identity
+    instead: the returned positions are Σ_k max(0, base_k − child_k)
+    per row-value k, so the child is a sub-multiset iff
+    |masked base| − |positions| == |child|, and both exporters already
+    hold those totals from parquet footers. On that cheaper path a
+    count mismatch means "not a pure delete", and the caller falls
+    back to the rewrite model."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -94,16 +103,18 @@ def _position_delete_diff(spark, base_dirs, deleted_so_far, child_dir: str):
         .groupBy(_k)
         .agg(F.count(F.lit(1)).alias(_nc))
     )
-    base_counts = b.groupBy(_k).agg(F.count(F.lit(1)).alias(_nb))
-    cc, bc = child_counts.alias("cc"), base_counts.alias("bc")
-    excess = (
-        cc.join(bc, F.col(f"cc.{_k}").eqNullSafe(F.col(f"bc.{_k}")), "left")
-        .where(F.col(_nb).isNull() | (F.col(_nc) > F.col(_nb)))
-        .limit(1)
-        .count()
-    )
-    if excess:
-        return None
+    if check_excess:
+        base_counts = b.groupBy(_k).agg(F.count(F.lit(1)).alias(_nb))
+        cc, bc = child_counts.alias("cc"), base_counts.alias("bc")
+        excess = (
+            cc.join(bc, F.col(f"cc.{_k}").eqNullSafe(F.col(f"bc.{_k}")), "left")
+            .where(F.col(_nb).isNull() | (F.col(_nc) > F.col(_nb)))
+            .limit(1)
+            .count()
+        )
+        if excess:
+            return None
+    cc = child_counts.alias("cc")
     w = Window.partitionBy(_k).orderBy(_f, _p)
     ranked = b.withColumn(_r, F.row_number().over(w)).alias("rk")
     return (
