@@ -1,4 +1,4 @@
-"""Apache Iceberg (spec v1 + v2) metadata interop for `SnapshotTable`.
+"""Apache Iceberg (spec v1 + v2 + v3) metadata interop for `SnapshotTable`.
 
 The reference's lakehouse format IS Iceberg — its SCD2 processor
 commits Iceberg snapshots through a Nessie catalog (reference
@@ -533,12 +533,14 @@ def export_iceberg_metadata(
     adds positional delete files. On identity-PARTITIONED tables the
     delete files are PARTITION-SCOPED as the spec requires (delete rows
     route through partitionBy on the base files' partition values; each
-    manifest entry carries its partition's typed tuple). Everything
-    else — and every v1 export — is the full-rewrite ADDED model. v2
-    delete
-    snapshots are content-deterministic but not byte-stable (Spark task
-    file layout); manifests reference the deterministic renamed
-    delete-file paths, so re-export converges.
+    manifest entry carries its partition's typed tuple). PURE APPENDS
+    (child ⊇ masked parent as a multiset) also reuse the parent's
+    manifests and add one delta manifest, in EVERY format version
+    including v1 (see the module docstring); everything else is the
+    full-rewrite ADDED model. v2 delete and append-delta snapshots are
+    content-deterministic but not byte-stable (Spark task file
+    layout); manifests reference the deterministic renamed file paths,
+    so re-export converges.
 
     With `upsert_key` (requires format_version=2, unpartitioned), every
     transition exports in the EQUALITY-DELETE dialect — the commit
@@ -734,9 +736,9 @@ def export_iceberg_metadata(
         if seen_dirs:
             raise NotImplementedError(
                 "equality-delete upsert export supports unpartitioned "
-                f"tables only (partition dirs: {sorted(seen_dirs)}); the "
-                "reader-side refusal of equality deletes on partition "
-                "columns is the same boundary"
+                f"tables only (partition dirs: {sorted(seen_dirs)}); "
+                "partition-scoped equality-delete WRITING is the open "
+                "boundary (the reader applies them fine)"
             )
         bad = [k for k in upsert_key if k not in col_ids]
         if bad:
@@ -1336,7 +1338,8 @@ def export_iceberg_metadata(
             base_live_rows = total_rc
             operation = "append"
         else:
-            # --- full-rewrite snapshot (always, for v1) ---
+            # --- full-rewrite snapshot (layout changes, modified rows,
+            # compaction; v1 deletes) ---
             if is_compaction and i > 0:
                 # a compaction must preserve the live row count of the
                 # previous snapshot — a wrong flag would silently turn a
@@ -1758,7 +1761,7 @@ def read_iceberg_table(
     prune=None,
     ref: str | None = None,
 ):
-    """Read an Iceberg v1/v2 table at `snapshot_id` (None = current)
+    """Read an Iceberg v1/v2/v3 table at `snapshot_id` (None = current)
     with plain Spark parquet scans — the consumer half, no iceberg jar:
     version-hint → metadata.json → manifest list (Avro) → manifests →
     live file set; partition values come from the manifests' typed
@@ -1793,12 +1796,13 @@ def read_iceberg_table(
     filter — which Catalyst then also pushes into the surviving scans.
 
     100 TB plan shape: metadata resolution is driver-side and
-    proportional to file count; the data read is ONE parquet scan with a
-    broadcast file→partition-values join (identical to
-    read_delta_table) plus, under MoR, a broadcast left-anti join
-    against the delete set — fine while per-snapshot deletes are small
-    relative to data (the MoR design point; a compaction rewrites when
-    they are not)."""
+    proportional to file count; the data read is ONE parquet scan per
+    distinct identity-column layout (one scan for the common
+    single-spec table; a handful after spec evolution) with a broadcast
+    file→partition-values join (identical to read_delta_table) plus,
+    under MoR, a broadcast left-anti join against the delete set —
+    fine while per-snapshot deletes are small relative to data (the
+    MoR design point; a compaction rewrites when they are not)."""
     import urllib.parse
 
     from pyspark.sql import functions as F
