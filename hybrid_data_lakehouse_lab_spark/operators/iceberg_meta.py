@@ -115,6 +115,21 @@ def _iceberg_type(spark_type: str) -> str:
     return t
 
 
+def _promotion_ok(old: str, new: str) -> bool:
+    """The spec's type-promotion lattice (format v1/v2): int→long,
+    float→double, decimal precision widening at fixed scale. Anything
+    else — including demotions — is not a valid schema evolution."""
+    if old == new:
+        return True
+    if (old, new) in (("int", "long"), ("float", "double")):
+        return True
+    if old.startswith("decimal(") and new.startswith("decimal("):
+        po, so = (int(x) for x in old[8:-1].split(","))
+        pn, sn = (int(x) for x in new[8:-1].split(","))
+        return sn == so and pn >= po
+    return False
+
+
 def _avro_partition_type(iceberg_type: str):
     if iceberg_type == "string":
         return "string"
@@ -516,6 +531,7 @@ def export_iceberg_metadata(
     format_version: int = 1,
     hidden_partitions: dict | None = None,
     upsert_key: list[str] | None = None,
+    renamed_columns: dict[str, str] | None = None,
 ) -> str:
     """Emit an Iceberg `metadata/` tree under the table root for
     `branch`'s pointer history; returns the metadata directory.
@@ -571,7 +587,27 @@ def export_iceberg_metadata(
     Re-exporting an existing v2 tree with format_version=3 upgrades it
     in place (same root, regenerated metadata); the reader accepts
     mixed external v3 trees where a DV supersedes older positional
-    delete files for its data file."""
+    delete files for its data file.
+
+    SCHEMA EVOLUTION (spec "Schema Evolution" + "Name Mapping
+    Serialization"): the pointer history is walked chronologically and
+    every column gets a STABLE field id at first appearance — a column
+    present across snapshots keeps its id even as other columns come
+    and go, a column dropped and later re-added under the same name
+    gets a NEW id (the spec rule that stops re-adds from resurrecting
+    old data), and a type change is accepted only along the spec's
+    promotion lattice (int→long, float→double, decimal precision
+    widening at fixed scale). `renamed_columns` maps NEW name → OLD
+    name for transitions that rename a column: the field id transfers
+    and the old name is recorded as an alias. The metadata carries the
+    full `schemas` list with per-snapshot `schema-id` (time travel
+    reads each snapshot under ITS schema), a running `last-column-id`,
+    and — because Spark-written data files carry no parquet field ids —
+    a `schema.name-mapping.default` property listing every historical
+    alias per field id, the spec's mechanism for resolving id-less
+    files after a rename. Snapshots whose schema differs from the MoR
+    base always export as full rewrites (the incremental diffs require
+    schema equality)."""
     if format_version not in (1, 2, 3):
         raise NotImplementedError(
             f"format_version {format_version!r} (only 1, 2 and 3)"
@@ -589,15 +625,15 @@ def export_iceberg_metadata(
     meta_dir = os.path.join(table.root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
-    # schema from the LATEST snapshot's reader (ADD-only evolution keeps
-    # older files readable under it); partition specs are resolved PER
-    # SNAPSHOT inside the loop — PARTITION-SPEC EVOLUTION: a full
-    # rewrite that changes the directory layout (the canonical year-2
-    # repartition of a long-lived table) becomes a NEW spec-id, and
-    # every manifest records the spec its files were written under
+    # SCHEMA EVOLUTION: walk the pointer history chronologically and
+    # give every column a stable field id at first appearance. Partition
+    # specs are resolved PER SNAPSHOT inside the loop — PARTITION-SPEC
+    # EVOLUTION: a full rewrite that changes the directory layout (the
+    # canonical year-2 repartition of a long-lived table) becomes a NEW
+    # spec-id, and every manifest records the spec its files were
+    # written under
     hidden_partitions = hidden_partitions or {}
-    latest = by_version[events[-1]["version"]]
-    df = table.spark.read.parquet(latest["path"])
+    renamed_columns = dict(renamed_columns or {})
     seen_dirs: set[str] = set()
     for ev in events:
         for f in _snapshot_files(table.root, by_version[ev["version"]]["path"]):
@@ -609,28 +645,82 @@ def export_iceberg_metadata(
             f"{sorted(unknown_hidden)} (partition dirs ever used: "
             f"{sorted(seen_dirs)})"
         )
-    fields = []
-    col_ids: dict[str, int] = {}
-    i = 0
-    for f in df.schema.fields:
-        if f.name in hidden_partitions:
-            # HIDDEN partitioning (the Iceberg model the reference's
-            # `PARTITIONED BY (days(effective_start_ts))` uses,
-            # libs/scd2_spark_processor.py:151): the directory column is
-            # NOT a table column — it is a transform of a source column
-            # and lives only in the partition spec
-            continue
-        i += 1
-        col_ids[f.name] = i
-        fields.append(
-            {
-                "id": i,
-                "name": f.name,
-                "required": False,
-                "type": _iceberg_type(f.dataType.simpleString()),
-            }
-        )
-    type_of = {f["name"]: f["type"] for f in fields}
+    id_of: dict[str, int] = {}  # live name -> field id (retired on drop)
+    type_by_id: dict[int, str] = {}  # id -> latest (possibly promoted) type
+    aliases: dict[int, list[str]] = {}  # id -> names in order of use
+    last_column_id = 0
+    schemas: list[dict] = []  # distinct schemas, schema-id = list index
+    _schema_key_to_id: dict[tuple, int] = {}
+    event_schema_id: list[int] = []
+    col_ids_of: list[dict[str, int]] = []  # per event: name -> id
+    type_of_of: list[dict[str, str]] = []  # per event: name -> type
+    for ev in events:
+        snap_schema = table.spark.read.parquet(
+            by_version[ev["version"]]["path"]
+        ).schema
+        evf = []
+        for f in snap_schema.fields:
+            if f.name in hidden_partitions:
+                # HIDDEN partitioning (the Iceberg model the reference's
+                # `PARTITIONED BY (days(effective_start_ts))` uses,
+                # libs/scd2_spark_processor.py:151): the directory
+                # column is NOT a table column — it is a transform of a
+                # source column and lives only in the partition spec
+                continue
+            it = _iceberg_type(f.dataType.simpleString())
+            if f.name in id_of:
+                fid = id_of[f.name]
+            elif f.name in renamed_columns:
+                old = renamed_columns[f.name]
+                if old not in id_of:
+                    raise ValueError(
+                        f"renamed_columns maps {f.name!r} to {old!r}, "
+                        f"but no prior snapshot has a live column "
+                        f"{old!r} (live: {sorted(id_of)})"
+                    )
+                fid = id_of.pop(old)
+                id_of[f.name] = fid
+                aliases[fid].append(f.name)
+            else:
+                last_column_id += 1
+                fid = last_column_id
+                id_of[f.name] = fid
+                type_by_id[fid] = it
+                aliases[fid] = [f.name]
+            if it != type_by_id[fid]:
+                if not _promotion_ok(type_by_id[fid], it):
+                    raise ValueError(
+                        f"column {f.name!r} (field id {fid}) changes "
+                        f"type {type_by_id[fid]} -> {it} in snapshot "
+                        f"v{ev['version']}; Iceberg only allows "
+                        "int->long, float->double and decimal "
+                        "precision widening"
+                    )
+                type_by_id[fid] = it
+            evf.append(
+                {"id": fid, "name": f.name, "required": False, "type": it}
+            )
+        # a name absent from this snapshot is RETIRED: a later column
+        # re-added under the same name gets a fresh id, so old files'
+        # data for the dropped column can never resurface (spec rule)
+        live_names = {x["name"] for x in evf}
+        for n in list(id_of):
+            if n not in live_names:
+                del id_of[n]
+        key = tuple((x["id"], x["name"], x["type"]) for x in evf)
+        sid = _schema_key_to_id.get(key)
+        if sid is None:
+            sid = len(schemas)
+            schemas.append(
+                {"type": "struct", "schema-id": sid, "fields": evf}
+            )
+            _schema_key_to_id[key] = sid
+        event_schema_id.append(sid)
+        col_ids_of.append({x["name"]: x["id"] for x in evf})
+        type_of_of.append({x["name"]: x["type"] for x in evf})
+    fields = schemas[event_schema_id[-1]]["fields"]
+    col_ids = col_ids_of[-1]
+    type_of = type_of_of[-1]
     _TRANSFORM_TYPES = {"day": "date", "month": "int", "year": "int"}
 
     def _spec_fields_for(pcols: list[str]) -> list[dict]:
@@ -770,10 +860,16 @@ def export_iceberg_metadata(
     written_append_dirs: set[str] = set()
     written_manifests: set[str] = set()
     verified_unique: set[str] = set()  # PK-probed snapshot dirs (upserts)
+    base_schema_sid: int = 0  # schema of the last full-rewrite snapshot
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         snapshot_id = i + 1
         seq = i + 1
+        # stats / spec resolution / equality ids for files written in
+        # THIS event use the event's own schema (names may differ from
+        # the current schema after a rename); field ids are stable
+        col_ids = col_ids_of[i]
+        type_of = type_of_of[i]
         snap_first_row_id = next_row_id  # v3 row lineage
         list_path = os.path.join(
             meta_dir, f"snap-{snapshot_id}-1-manifest-list.avro"
@@ -872,6 +968,10 @@ def export_iceberg_metadata(
             and os.path.isdir(base_dir)
             and all(os.path.isdir(d) for d in append_dirs)
             and base_live_rows is not None
+            # SCHEMA EVOLUTION: the incremental diffs compare row
+            # multisets against the base — only sound under the base's
+            # exact schema; a schema-changing snapshot full-rewrites
+            and event_schema_id[i] == base_schema_sid
         )
         if (
             can_incremental
@@ -1448,6 +1548,7 @@ def export_iceberg_metadata(
             manifest_rows = [row]
             base_dir = snap["path"]
             base_spec_id = sid_spec
+            base_schema_sid = event_schema_id[i]
             delete_dirs = []
             append_dirs = []
             dv_positions = {}
@@ -1469,7 +1570,7 @@ def export_iceberg_metadata(
             "timestamp-ms": ev["at_ms"],
             "summary": summary,
             "manifest-list": list_path,
-            "schema-id": 0,
+            "schema-id": event_schema_id[i],
         }
         if format_version >= 2:
             s["sequence-number"] = seq
@@ -1483,15 +1584,33 @@ def export_iceberg_metadata(
             {"snapshot-id": snapshot_id, "timestamp-ms": ev["at_ms"]}
         )
 
+    # NAME MAPPING (spec "Name Mapping Serialization"): Spark-written
+    # data files carry no parquet field ids, so a rename would orphan
+    # the old files' columns — the mapping lists every historical alias
+    # per field id. A name reused by a DIFFERENT field later (drop +
+    # re-add) binds to its CURRENT field only; the retired alias is
+    # omitted (per-snapshot read schemas resolve those directly by
+    # name, and the re-add transition full-rewrote the live files).
+    name_mapping = []
+    claimed = {f["name"]: f["id"] for f in fields}
+    for fid in sorted(aliases):
+        names = []
+        for nm in aliases[fid]:
+            owner = claimed.get(nm)
+            if owner is None or owner == fid:
+                names.append(nm)
+                claimed[nm] = fid
+        if names:
+            name_mapping.append({"field-id": fid, "names": names})
     metadata = {
         "format-version": format_version,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.root)),
         "location": table.root,
         "last-updated-ms": events[-1]["at_ms"],
-        "last-column-id": len(fields),
-        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
-        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
-        "current-schema-id": 0,
+        "last-column-id": last_column_id,
+        "schema": schemas[event_schema_id[-1]],
+        "schemas": schemas,
+        "current-schema-id": event_schema_id[-1],
         # default spec = the layout of the last full rewrite (the
         # table's CURRENT write spec); all historical specs are listed
         # so readers can type/prune each manifest under the spec its
@@ -1512,7 +1631,9 @@ def export_iceberg_metadata(
         ],
         "default-spec-id": base_spec_id,
         "last-partition-id": max(_pfield_ids.values(), default=999),
-        "properties": {},
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping)
+        },
         "current-snapshot-id": snapshots[-1]["snapshot-id"],
         "snapshots": snapshots,
         "snapshot-log": snapshot_log,
@@ -1965,7 +2086,45 @@ def read_iceberg_table(
             files[df_rec["file_path"]] = df_rec
             file_seq[df_rec["file_path"]] = seq
             file_spec[df_rec["file_path"]] = m_sid
+    # SCHEMA EVOLUTION (read side): a snapshot is read under ITS schema
+    # (spec: snapshot `schema-id` resolves against the `schemas` list) —
+    # time travel across a rename/add/drop surfaces each era's own
+    # column set; a snapshot without a recorded schema-id falls back to
+    # the current schema
     schema_fields = metadata["schema"]["fields"]
+    all_schemas = metadata.get("schemas") or [metadata["schema"]]
+    if snap.get("schema-id") is not None:
+        _by_sid_schema = {s["schema-id"]: s for s in all_schemas}
+        if snap["schema-id"] in _by_sid_schema:
+            schema_fields = _by_sid_schema[snap["schema-id"]]["fields"]
+    _nm_raw = (metadata.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    name_mapping = json.loads(_nm_raw) if _nm_raw else []
+    if any(e.get("fields") for e in name_mapping):
+        raise NotImplementedError(
+            "nested name-mapping entries (field resolution here is "
+            "top-level; nested structs are matched by name)"
+        )
+    # by-NAME scans are sound iff no field was ever renamed or re-added:
+    # every id<->name binding must be unique across all schemas plus the
+    # name mapping. Otherwise each live file's columns are resolved by
+    # parquet field id (real-engine files) or via the name mapping
+    # (id-less files, e.g. plain-Spark-written ones) — the slow path,
+    # engaged only on evolved tables.
+    _id2names: dict[int, set] = {}
+    _name2ids: dict[str, set] = {}
+    for s in all_schemas:
+        for f in s["fields"]:
+            _id2names.setdefault(f["id"], set()).add(f["name"])
+            _name2ids.setdefault(f["name"], set()).add(f["id"])
+    for e in name_mapping:
+        for _nm in e.get("names") or []:
+            _id2names.setdefault(e["field-id"], set()).add(_nm)
+            _name2ids.setdefault(_nm, set()).add(e["field-id"])
+    by_name_safe = all(len(v) == 1 for v in _id2names.values()) and all(
+        len(v) == 1 for v in _name2ids.values()
+    )
     all_specs = {
         s["spec-id"]: s for s in metadata["partition-specs"]
     }
@@ -2111,14 +2270,101 @@ def read_iceberg_table(
     # evolved table needs one scan per distinct identity layout — a
     # handful of unions, never per-file work
     schema_order = [f.name for f in full_schema.fields]
+    # FIELD-ID RESOLUTION (slow path; evolved tables only): each live
+    # file's top-level columns are mapped to the read schema — by
+    # parquet field id when the file carries ids (what real Iceberg
+    # writers emit), else via the table's name mapping (id-less files
+    # after a rename), else by direct name. Footers are read
+    # EXECUTOR-parallel (one tiny tuple per file comes back — the same
+    # O(files) driver state the manifests already produced); files
+    # sharing a resolution signature scan together, so an evolved table
+    # costs one scan per (identity layout × column-name era), never
+    # per-file work.
+    field_ids = {f["name"]: f["id"] for f in schema_fields}
+    resolution_of: dict[str, tuple] = {}
+    if not by_name_safe and files:
+        alias_of: dict[int, list[str]] = {}
+        for e in name_mapping:
+            for _nm in e.get("names") or []:
+                alias_of.setdefault(e["field-id"], []).append(_nm)
+        paths = sorted({os.path.abspath(p) for p in files})
+
+        def _footer_cols(p):
+            import pyarrow.parquet as pq
+
+            out = []
+            for f in pq.read_schema(p):
+                md = f.metadata or {}
+                fid = md.get(b"PARQUET:field_id")
+                out.append((f.name, int(fid) if fid is not None else None))
+            return (p, tuple(out))
+
+        footers = dict(
+            spark.sparkContext.parallelize(
+                paths, max(1, min(len(paths), 256))
+            )
+            .map(_footer_cols)
+            .collect()
+        )
+        for p, cols in footers.items():
+            in_file = {n for n, _ in cols}
+            if any(fid is not None for _, fid in cols):
+                by_id = {fid: n for n, fid in cols if fid is not None}
+                resolved = {
+                    n: by_id.get(field_ids[n]) for n in schema_order
+                }
+            else:
+                # id-less file: each physical column may be claimed by
+                # a schema field directly (same name) or through a
+                # name-mapping alias; a column claimed by TWO fields
+                # (a swap-rename) is genuinely ambiguous — refuse
+                claims: dict[str, list[str]] = {}
+                for n in schema_order:
+                    fid = field_ids[n]
+                    cands = {
+                        a
+                        for a in (n, *alias_of.get(fid, ()))
+                        if a in in_file
+                    }
+                    for c in cands:
+                        claims.setdefault(c, []).append(n)
+                multi = {c: ns for c, ns in claims.items() if len(ns) > 1}
+                if multi:
+                    raise ValueError(
+                        "ambiguous column resolution in id-less file "
+                        f"{p}: {multi} — a swap-rename on files "
+                        "without parquet field ids cannot be read "
+                        "safely"
+                    )
+                owner = {ns[0]: c for c, ns in claims.items()}
+                resolved = {n: owner.get(n) for n in schema_order}
+            # REQUEST name per field: the resolved physical name; an
+            # unresolved field null-fills — requested under its own
+            # name unless the file binds that name to a DIFFERENT
+            # field (drop + re-add), where a synthetic surely-absent
+            # name is requested instead so old data never resurfaces
+            req = []
+            for n in schema_order:
+                src = resolved.get(n)
+                if src is None:
+                    src = n
+                    if n in in_file:
+                        src = f"{n}__absent_f{field_ids[n]}"
+                        while src in in_file:
+                            src += "_"
+                req.append(src)
+            resolution_of[p] = tuple(req)
     groups: dict[tuple, dict[str, dict]] = {}
     for p, rec in files.items():
-        gkey = tuple(
+        ap = os.path.abspath(p)
+        icols = tuple(
             c for c in schema_order if c in pcols_of[file_spec[p]]
         )
-        groups.setdefault(gkey, {})[os.path.abspath(p)] = rec
+        groups.setdefault((icols, resolution_of.get(ap)), {})[ap] = rec
     need_file = (
-        any_deletes or any(gkey for gkey in groups) or len(groups) > 1
+        any_deletes
+        or any(icols for icols, _ in groups)
+        or len(groups) > 1
     )
     if need_file:
         from .mor_diff import guard_reserved_columns
@@ -2138,11 +2384,39 @@ def read_iceberg_table(
         return v
 
     parts = []
-    for gkey, gpaths in groups.items():
-        data_schema = T.StructType(
-            [f for f in full_schema.fields if f.name not in gkey]
-        )
+    for (gkey, gres), gpaths in groups.items():
+        data_fields = [f for f in full_schema.fields if f.name not in gkey]
+        rename: dict[str, str] = {}
+        if gres is not None:
+            # read each table column under the FILE's name for it (an
+            # unresolved column is requested under its table name and
+            # null-fills — the add-column case); Spark's parquet reader
+            # natively widens int→long / float→double / decimal
+            # precision, so promoted columns need no cast
+            res_by_name = dict(zip(schema_order, gres))
+            read_fields = []
+            for f in data_fields:
+                src = res_by_name.get(f.name) or f.name
+                read_fields.append(T.StructField(src, f.dataType, True))
+                if src != f.name:
+                    rename[src] = f.name
+            req = [f.name for f in read_fields]
+            if len(set(req)) != len(req):
+                raise ValueError(
+                    "ambiguous column resolution (one file name serves "
+                    f"two schema fields): {sorted(req)} — a swap-rename "
+                    "on id-less files cannot be read safely"
+                )
+            data_fields = read_fields
+        data_schema = T.StructType(data_fields)
         gdf = spark.read.schema(data_schema).parquet(*gpaths)
+        if rename:
+            gdf = gdf.select(
+                *[
+                    F.col(f.name).alias(rename.get(f.name, f.name))
+                    for f in data_fields
+                ]
+            )
         if need_file:
             gdf = gdf.withColumn(
                 "_file",
