@@ -12,6 +12,15 @@ needs it spelled out.
 (the VACUUM / `expire_snapshots` analog): drop-and-delete all versions
 strictly older than the retention cutoff while always keeping the
 current snapshot (plus any floor of recent versions).
+
+`expire_iceberg_snapshots` is the same lifecycle step for an EXPORTED
+or EXTERNAL Iceberg `metadata/` tree (Iceberg's `expire_snapshots`
+action): drop expired snapshots from the metadata, then
+reachability-GC every manifest list, manifest, data/delete file and
+statistics Puffin referenced ONLY by them — never touching anything a
+surviving snapshot still reaches (MoR trees share data manifests
+across snapshots, so most of an expired snapshot's tree usually
+survives).
 """
 
 from __future__ import annotations
@@ -127,6 +136,139 @@ def vacuum_snapshots(
     for s in expired:
         shutil.rmtree(s["path"], ignore_errors=True)
     return [s["version"] for s in expired]
+
+
+def expire_iceberg_snapshots(
+    root: str,
+    older_than_ms: int | None = None,
+    keep_last: int = 1,
+) -> list[int]:
+    """Iceberg `expire_snapshots` for a `metadata/` tree on disk —
+    works on exported AND hand-built/external trees (anything
+    `read_iceberg_table` can read).
+
+    Retention rule (the spec action's): the current snapshot, every
+    snapshot a ref (branch/tag) points at, and the most recent
+    `keep_last` snapshots are always protected; everything else expires
+    when older than `older_than_ms` (or unconditionally when None).
+
+    GC is REACHABILITY-BASED: manifest lists, manifests, data/delete
+    files (parquet and Puffin DVs) and statistics Puffins referenced by
+    any surviving snapshot are kept; paths referenced only by expired
+    snapshots are deleted — but only under the table root (a tree
+    referencing files elsewhere, e.g. an `add_files`-migrated table,
+    never has those touched). Merge-on-read trees share data manifests
+    across snapshots via manifest reuse, so expiring an old MoR
+    snapshot typically deletes just its manifest list.
+
+    The surviving metadata is written as the NEXT metadata version
+    (v{N+1}.metadata.json, hint bumped), `snapshot-log` truncated to
+    surviving snapshots and `statistics` entries of expired snapshots
+    dropped. Time travel to an expired snapshot then fails loudly in
+    the reader ("snapshot not found"). For a SnapshotTable-backed tree
+    prefer `vacuum_snapshots` + re-export (the export regenerates the
+    whole tree from pointer history and owns the version numbering);
+    this action is for trees maintained in place.
+
+    Returns the expired snapshot ids.
+    """
+    import json
+
+    from .avro_io import read_avro
+
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        metadata = json.load(fh)
+    snaps = sorted(
+        metadata.get("snapshots") or [],
+        key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
+    )
+    protected = {metadata.get("current-snapshot-id")}
+    for r in (metadata.get("refs") or {}).values():
+        protected.add(r["snapshot-id"])
+    protected.update(
+        s["snapshot-id"] for s in snaps[max(0, len(snaps) - keep_last):]
+    )
+    expired = [
+        s
+        for s in snaps
+        if s["snapshot-id"] not in protected
+        and (older_than_ms is None or s.get("timestamp-ms", 0) < older_than_ms)
+    ]
+    if not expired:
+        return []
+    expired_ids = {s["snapshot-id"] for s in expired}
+    survivors = [s for s in snaps if s["snapshot-id"] not in expired_ids]
+
+    manifest_cache: dict[str, list[dict]] = {}
+
+    def _reach(snapshots: list[dict]) -> set[str]:
+        paths: set[str] = set()
+        for s in snapshots:
+            ml = os.path.abspath(s["manifest-list"])
+            paths.add(ml)
+            _, rows = read_avro(ml)
+            for r in rows:
+                mp = os.path.abspath(r["manifest_path"])
+                paths.add(mp)
+                if mp not in manifest_cache:
+                    _, manifest_cache[mp] = read_avro(mp)
+                for e in manifest_cache[mp]:
+                    paths.add(
+                        os.path.abspath(e["data_file"]["file_path"])
+                    )
+        return paths
+
+    keep = _reach(survivors)
+    drop = _reach(expired) - keep
+    stats_entries = metadata.get("statistics") or []
+    surviving_stats = [
+        st for st in stats_entries if st["snapshot-id"] not in expired_ids
+    ]
+    keep.update(
+        os.path.abspath(st["statistics-path"]) for st in surviving_stats
+    )
+    drop.update(
+        os.path.abspath(st["statistics-path"])
+        for st in stats_entries
+        if st["snapshot-id"] in expired_ids
+    )
+    drop -= keep
+
+    metadata["snapshots"] = survivors
+    metadata["snapshot-log"] = [
+        e
+        for e in metadata.get("snapshot-log") or []
+        if e["snapshot-id"] not in expired_ids
+    ]
+    if stats_entries:
+        metadata["statistics"] = surviving_stats
+    prev_path = os.path.join(meta_dir, f"v{n}.metadata.json")
+    metadata.setdefault("metadata-log", []).append(
+        {
+            "timestamp-ms": metadata.get("last-updated-ms", 0),
+            "metadata-file": prev_path,
+        }
+    )
+    # commit the new metadata version FIRST (readers holding the old
+    # hint can at worst hit a missing-path error for an expired
+    # snapshot — never silently wrong data), then GC
+    new_path = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
+    tmp = new_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=1, sort_keys=True)
+    os.replace(tmp, new_path)
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(n + 1))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    root_abs = os.path.abspath(root) + os.sep
+    for p in sorted(drop):
+        if p.startswith(root_abs) and os.path.isfile(p):
+            os.remove(p)
+    return sorted(expired_ids)
 
 
 def compact_snapshot(

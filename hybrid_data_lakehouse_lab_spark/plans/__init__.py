@@ -88,6 +88,12 @@ _PRIORITY = [
     "iceberg_v3_dv_roundtrip",
     "retention_enforced_roundtrip",
     "iceberg_ndv_stats_roundtrip",
+    # Round-9 addition: schema evolution is this round's new semantic
+    # risk (stable field ids, per-snapshot schemas, rename resolution)
+    # — pinned in-window; q6_forecast_revenue displaced to slot 51
+    # (single-table filter+agg, the same operator family as in-window
+    # q1, pytest-covered and sweep-green since round 1).
+    "iceberg_schema_evolution_roundtrip",
     "streaming_bronze_roundtrip",
     "streaming_upsert_roundtrip",
     # --- LLM training-data pipeline flagships ---
@@ -109,7 +115,6 @@ _PRIORITY = [
     "multimodal_metadata",
     "parts_pagerank",
     # --- hardest TPC-H plan shapes ---
-    "q6_forecast_revenue",
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "q21_single_return_supplier",
@@ -133,6 +138,9 @@ _PRIORITY = [
     # --- slots 51-53: displaced by the round-8 interop rotation (see the
     # in-window note above); all green since round 1 with dedicated tests
     # (test_oracle_queries / test_sql_surface) ---
+    # --- slot 51: displaced by the round-9 schema-evolution pin (see
+    # the in-window note above) ---
+    "q6_forecast_revenue",
     "json_extract_typed",
     "distinct_projection",
     "top_orders_preview",

@@ -1385,3 +1385,227 @@ def iceberg_ndv_stats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "col STRING, exact_ndv BIGINT, within_bound BOOLEAN"
     )
+
+
+@register(
+    "iceberg_schema_evolution_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT '__v1__' AS priority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    """,
+)
+def iceberg_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION round-trip, driver-visible — the canonical
+    year-2 lifecycle event on a long-lived table (reference anchor: the
+    day-partitioned Iceberg SCD2 store, libs/scd2_spark_processor.py:151
+    — renaming or adding a tracked attribute).
+
+    Chain: snapshot 1 of orders under (o_orderkey, o_orderpriority,
+    o_totalprice); snapshot 2 RENAMES o_totalprice -> total_price and
+    ADDS o_custkey; export v2 with the rename recorded. In-lane asserts
+    pin the spec surface: two schemas with per-snapshot schema-ids, a
+    stable field id across the rename, a `schema.name-mapping.default`
+    carrying both names (how id-less files stay resolvable), and time
+    travel to snapshot 1 surfacing the OLD column name. The output
+    reads the head under the NEW name (the old snapshot's values must
+    arrive through field-id/name-mapping resolution, not by column
+    name) plus a `__v1__` row aggregated from the time-traveled
+    snapshot — both must equal the oracle's plain-orders arithmetic.
+
+    Output is |priorities| + 1 rows regardless of scale; the evolved
+    read costs one footer probe per live file (executor-parallel) and
+    one scan per column-name era."""
+    import json as _json
+
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="schema_evo_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(
+            orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            committed_at_ms=1,
+        )
+        t.write(
+            orders.select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").alias("total_price"),
+                "o_custkey",
+            ),
+            committed_at_ms=2,
+        )
+        meta_dir = export_iceberg_metadata(
+            t,
+            format_version=2,
+            renamed_columns={"total_price": "o_totalprice"},
+        )
+        md = _json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+        assert len(md["schemas"]) == 2
+        assert [s["schema-id"] for s in md["snapshots"]] == [0, 1]
+        by_id = {
+            s["schema-id"]: {f["name"]: f["id"] for f in s["fields"]}
+            for s in md["schemas"]
+        }
+        assert by_id[0]["o_totalprice"] == by_id[1]["total_price"]
+        nm = _json.loads(md["properties"]["schema.name-mapping.default"])
+        assert {
+            "field-id": by_id[1]["total_price"],
+            "names": ["o_totalprice", "total_price"],
+        } in nm
+
+        head = read_iceberg_table(spark, t.root)
+        out = head.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("total_price"), 2).alias("total"),
+        )
+        v1 = read_iceberg_table(spark, t.root, snapshot_id=1)
+        assert v1.columns == ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        v1_row = v1.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit("__v1__").alias("priority"), "n", "total")
+        rows = [tuple(r) for r in out.unionByName(v1_row).collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "priority STRING, n BIGINT, total DOUBLE"
+    )
+
+
+@register(
+    "iceberg_expire_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE user_id % 4 <> 0 GROUP BY 1
+    """,
+)
+def iceberg_expire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRATION round-trip — Iceberg's `expire_snapshots`
+    over an exported tree: two full-rewrite commits, expire everything
+    but the head, then prove (a) the expired snapshot's manifest list
+    AND data files are physically gone, (b) time travel to it fails
+    loudly, (c) the head read is value-identical to the oracle. Runs
+    the v1 dialect (full-rewrite model) so the expired snapshot
+    actually owns unreachable files to GC — under MoR manifest reuse
+    an expire is mostly a metadata no-op (covered in pytest).
+
+    GC is reachability-based and driver-side over O(manifests);
+    deletion is one unlink per unreachable file."""
+    from ..operators.avro_io import read_avro
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.maintenance import expire_iceberg_snapshots
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="expire_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 4 != 0), committed_at_ms=2)
+        meta_dir = export_iceberg_metadata(t, format_version=1)
+        import json as _json
+
+        md = _json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+        snap1 = next(s for s in md["snapshots"] if s["snapshot-id"] == 1)
+        old_files = [
+            e["data_file"]["file_path"]
+            for r in read_avro(snap1["manifest-list"])[1]
+            for e in read_avro(r["manifest_path"])[1]
+        ]
+        assert old_files and all(os.path.isfile(p) for p in old_files)
+
+        assert expire_iceberg_snapshots(t.root) == [1]
+        assert not os.path.exists(snap1["manifest-list"])
+        assert all(not os.path.exists(p) for p in old_files)
+        try:
+            read_iceberg_table(spark, t.root, snapshot_id=1)
+            raise AssertionError("expired snapshot still readable")
+        except ValueError:
+            pass
+        got = (
+            read_iceberg_table(spark, t.root)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows = [(r["event_type"], r["n"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "event_type STRING, n BIGINT")
+
+
+@register(
+    "iceberg_files_inspection",
+    oracle="""
+    SELECT 'ancestors' AS metric, CAST(2 AS BIGINT) AS v
+    UNION ALL
+    SELECT 'data_rows', count(*) FROM events
+    UNION ALL
+    SELECT 'delete_rows', count(*) FROM events WHERE user_id % 6 = 0
+    UNION ALL
+    SELECT 'snapshots', CAST(2 AS BIGINT)
+    """,
+)
+def iceberg_files_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA TABLES round-trip — the `$snapshots`/`$files`/
+    `$manifests`/`$history` inspection surface engines expose over
+    Iceberg tables, driver-verified: a MoR head's files table must
+    account for every base data row (manifest reuse means the data
+    manifests are snapshot 1's verbatim — asserted) plus the delete
+    rows the second commit masked, and the history table's ancestry
+    walk must cover both snapshots. Metadata-table rows are O(files);
+    the aggregation over them is a DataFrame like any other."""
+    from ..operators.iceberg_inspect import (
+        files_table,
+        history_table,
+        manifests_table,
+        snapshots_table,
+    )
+    from ..operators.iceberg_meta import export_iceberg_metadata
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="inspect_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(ev.filter(F.col("user_id") % 6 != 0), committed_at_ms=2)
+        export_iceberg_metadata(t, format_version=2)
+
+        m1 = {r["path"] for r in manifests_table(spark, t.root, 1).collect()}
+        m2 = manifests_table(spark, t.root, 2).collect()
+        assert {r["path"] for r in m2 if r["content"] == 0} == m1
+
+        f = files_table(spark, t.root)
+        sums = {
+            r["content"]: r["rows"]
+            for r in f.groupBy("content")
+            .agg(F.sum("record_count").alias("rows"))
+            .collect()
+        }
+        hist = history_table(spark, t.root)
+        snaps = snapshots_table(spark, t.root)
+        rows = [
+            ("ancestors", hist.filter("is_current_ancestor").count()),
+            ("data_rows", int(sums.get(0, 0))),
+            ("delete_rows", int(sums.get(1, 0))),
+            ("snapshots", snaps.count()),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "metric STRING, v BIGINT")

@@ -52,15 +52,17 @@ def test_load_table_restores_required_confs(bare_conf_session, sf_dir):
 def test_priority_queries_sit_in_pinned_prefix():
     """The harness may check only a prefix of queries(); the §2-core and
     LLM flagships must fill the first 50 entries, and the battle-tested
-    insurance tier the slots after, in pinned order (113 pinned; round
+    insurance tier the slots after, in pinned order (114 pinned; round
     9 rotated the fv3-DV / physical-retention / NDV-stats lanes
-    in-window, displacing three round-1 trivial lanes to slots 54-56)."""
+    in-window, displacing three round-1 trivial lanes to slots 54-56,
+    then pinned the new schema-evolution lane, displacing
+    q6_forecast_revenue to slot 51)."""
     import __spark_entry__ as e
 
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 113
+    assert len(_PRIORITY) == 114
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
     assert "mor_compaction_roundtrip" in names[:50]
@@ -70,6 +72,8 @@ def test_priority_queries_sit_in_pinned_prefix():
     assert "iceberg_v3_dv_roundtrip" in names[:50]
     assert "retention_enforced_roundtrip" in names[:50]
     assert "iceberg_ndv_stats_roundtrip" in names[:50]
+    # round-9 new-feature pin: schema evolution
+    assert "iceberg_schema_evolution_roundtrip" in names[:50]
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES
 

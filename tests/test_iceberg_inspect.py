@@ -1,0 +1,94 @@
+"""Iceberg metadata tables (`$snapshots`/`$history`/`$manifests`/
+`$files`/`$partitions`) over exported trees."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_inspect import (
+    files_table,
+    history_table,
+    manifests_table,
+    partitions_table,
+    snapshots_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    export_iceberg_metadata,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def _mor_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    t.write(ev, partition_by=["g"], committed_at_ms=1)
+    t.write(
+        ev.filter(F.col("k") % 5 != 0), partition_by=["g"], committed_at_ms=2
+    )
+    export_iceberg_metadata(t, format_version=2)
+    return t
+
+
+def test_snapshots_and_history(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    snaps = snapshots_table(spark, t.root).orderBy("snapshot_id").collect()
+    assert [(r["snapshot_id"], r["operation"]) for r in snaps] == [
+        (1, "overwrite"),
+        (2, "delete"),
+    ]
+    assert snaps[1]["parent_id"] == 1
+    hist = history_table(spark, t.root).orderBy("snapshot_id").collect()
+    assert [(r["snapshot_id"], r["is_current_ancestor"]) for r in hist] == [
+        (1, True),
+        (2, True),
+    ]
+
+
+def test_manifests_reuse_visible(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    m1 = manifests_table(spark, t.root, snapshot_id=1).collect()
+    m2 = manifests_table(spark, t.root, snapshot_id=2).collect()
+    assert [r["content"] for r in m1] == [0]
+    assert sorted(r["content"] for r in m2) == [0, 1]
+    # MoR manifest reuse: the head's data manifest IS snapshot 1's
+    assert {r["path"] for r in m1} <= {r["path"] for r in m2}
+
+
+def test_files_and_partitions_match_source(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    f = files_table(spark, t.root)
+    data_rows = (
+        f.filter(F.col("content") == 0)
+        .agg(F.sum("record_count"))
+        .collect()[0][0]
+    )
+    del_rows = (
+        f.filter(F.col("content") == 1)
+        .agg(F.sum("record_count"))
+        .collect()[0][0]
+    )
+    assert data_rows == 90  # base manifests reused: full pre-delete set
+    assert del_rows == 18  # k % 5 == 0
+    assert all(
+        r["partition"] and "g" in r["partition"]
+        for r in f.collect()
+    )
+    parts = partitions_table(spark, t.root).collect()
+    assert sorted(p["partition"]["g"] for p in parts) == ["0", "1", "2"]
+    assert sum(p["record_count"] for p in parts) == 90
+    assert all(p["file_count"] >= 1 for p in parts)
+
+
+def test_files_table_unpartitioned_and_missing_snapshot(spark, tmp_path):
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1,)], "k INT"), committed_at_ms=1)
+    export_iceberg_metadata(t, format_version=2)
+    f = files_table(spark, t.root).collect()
+    assert len(f) >= 1 and all(r["partition"] is None for r in f)
+    with pytest.raises(ValueError, match="snapshot 99"):
+        files_table(spark, t.root, snapshot_id=99)
