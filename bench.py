@@ -86,6 +86,10 @@ LAKEHOUSE_10X = [
     # round 8: the compaction fold and the v3 Puffin-DV dialect at 10×
     "mor_compaction_roundtrip",
     "iceberg_v3_dv_roundtrip",
+    # round 9: schema evolution at 10× — the rename transition's full
+    # rewrite plus the evolved read's executor-parallel footer probes
+    # and per-era scan unions
+    "iceberg_schema_evolution_roundtrip",
 ]
 
 

@@ -2568,6 +2568,237 @@ def read_iceberg_table(
     return df.select(*[f.name for f in full_schema.fields])
 
 
+def migrate_parquet_dir(
+    spark,
+    root: str,
+    source_dir: str,
+    timestamp_ms: int = 0,
+) -> str:
+    """Iceberg `add_files` / snapshot-table MIGRATION: register the
+    parquet files of an existing (possibly Hive-partitioned `k=v`)
+    directory into a NEW Iceberg `metadata/` tree under `root` —
+    IN PLACE, zero data rewritten. This is how a plain parquet lake
+    adopts Iceberg: the tree's manifests point at the original files
+    (which may live OUTSIDE `root`; maintenance actions fence deletion
+    to the root, so originals are never GC'd).
+
+    Spec obligations honored: the migrated files carry no parquet field
+    ids, so the table gets a `schema.name-mapping.default` binding each
+    name to its assigned field id — the property that keeps these files
+    readable through later renames ("Name Mapping Serialization", the
+    round's schema-evolution reader applies it). Hive partition dirs
+    become an identity partition spec with typed per-file partition
+    values (partition columns are read from the directory names exactly
+    as Spark inferred their types), so partition pruning works from the
+    first read. Column stats come from the parquet FOOTERS, read
+    EXECUTOR-parallel — the driver receives one stats tuple per file,
+    the same O(files) state the manifest write needs anyway.
+
+    Returns the metadata directory. format-version 2, one `append`
+    snapshot."""
+    src_abs = os.path.abspath(source_dir)
+    paths_all = sorted(
+        os.path.join(dirpath, fn)
+        for dirpath, _d, fns in os.walk(src_abs)
+        for fn in fns
+        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+    )
+    if not paths_all:
+        raise ValueError(f"no parquet files under {source_dir}")
+    pcols: list[str] = []
+    part_of: dict[str, dict] = {}
+    for p in paths_all:
+        rel = os.path.relpath(p, src_abs)
+        vals = {}
+        for comp in rel.split(os.sep)[:-1]:
+            if "=" in comp:
+                k, v = comp.split("=", 1)
+                v = urllib.parse.unquote(v)
+                vals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+        part_of[p] = vals
+        for k in vals:
+            if k not in pcols:
+                pcols.append(k)
+    if any(sorted(part_of[p]) != sorted(pcols) for p in part_of):
+        raise ValueError(
+            f"inconsistent partition layout under {source_dir}: "
+            f"expected columns {pcols}"
+        )
+    df = spark.read.parquet(source_dir)  # schema analysis only, no scan
+    fields = []
+    col_ids: dict[str, int] = {}
+    for i, f in enumerate(df.schema.fields, start=1):
+        col_ids[f.name] = i
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType.simpleString()),
+            }
+        )
+    missing = [c for c in pcols if c not in col_ids]
+    if missing:
+        raise ValueError(f"partition dirs name unknown columns {missing}")
+    type_of = {f["name"]: f["type"] for f in fields}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": col_ids[c],
+            "type": type_of[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(pcols)
+    ]
+    # footer stats + row counts in ONE executor-parallel footer pass
+    # (data columns only — partition values live in the directory
+    # names, not the files); no data bytes are read anywhere
+    data_col_ids = {c: i for c, i in col_ids.items() if c not in pcols}
+    data_types = {c: type_of[c] for c in data_col_ids}
+    paths = paths_all
+
+    def _footer_stats(p):
+        import pyarrow.parquet as pq
+
+        return (
+            p,
+            _file_column_stats(p, data_col_ids, data_types),
+            pq.ParquetFile(p).metadata.num_rows,
+        )
+
+    rc_of: dict[str, int] = {}
+    stats_of: dict[str, tuple] = {}
+    for p, st, rc in (
+        spark.sparkContext.parallelize(
+            paths, max(1, min(len(paths), 256))
+        )
+        .map(_footer_stats)
+        .collect()
+    ):
+        stats_of[p] = st
+        rc_of[p] = rc
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    entry_schema = _entry_schema(spec_fields, 2)
+    entries = []
+    for p in paths:
+        vcounts, ncounts, lower, upper = stats_of[p]
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_sequence_number": None,  # inherited
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        sf["name"]: _partition_value(
+                            sf["type"], part_of[p].get(sf["name"])
+                        )
+                        for sf in spec_fields
+                    },
+                    "record_count": rc_of[p],
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "value_counts": vcounts,
+                    "null_value_counts": ncounts,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                },
+            }
+        )
+    mpath = os.path.join(meta_dir, "m-00000-migrate.avro")
+    write_avro(mpath, entry_schema, entries)
+    list_path = os.path.join(meta_dir, "snap-1-1-manifest-list.avro")
+    write_avro(
+        list_path,
+        _manifest_list_schema(2),
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(rc_of.values()),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+    )
+    name_mapping = [
+        {"field-id": f["id"], "names": [f["name"]]} for f in fields
+    ]
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, root)),
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": timestamp_ms,
+        "last-column-id": len(fields),
+        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": fields}
+        ],
+        "current-schema-id": 0,
+        "partition-spec": [
+            {k: v for k, v in sf.items() if k != "type"}
+            for sf in spec_fields
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {k: v for k, v in sf.items() if k != "type"}
+                    for sf in spec_fields
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping)
+        },
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": timestamp_ms,
+                "summary": {"operation": "append"},
+                "manifest-list": list_path,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 1, "timestamp-ms": timestamp_ms}
+        ],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": 1, "type": "branch"}},
+    }
+    meta_path = os.path.join(meta_dir, "v1.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=1, sort_keys=True)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write("1")
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return meta_dir
+
+
 def export_iceberg_statistics(
     table: SnapshotTable,
     columns: list[str] | None = None,

@@ -271,6 +271,330 @@ def expire_iceberg_snapshots(
     return sorted(expired_ids)
 
 
+def vacuum_delta_table(root: str, keep_versions: int = 1) -> list[str]:
+    """Delta VACUUM for an exported `_delta_log/` tree: physically
+    delete data files, DV `.bin` files and change-data files that the
+    log once referenced but that none of the RETAINED versions (the
+    last `keep_versions`, always including the current one) still
+    references. Time travel to vacuumed versions then fails on the
+    missing files — the stock VACUUM contract; pair with
+    `clean_log_commits` to also retire their JSON commits.
+
+    DELIBERATE DIVERGENCE from stock VACUUM, which directory-walks and
+    deletes any file it does not recognize: this implementation is
+    LOG-SCOPED — it deletes only paths the log itself referenced —
+    because an exported tree may share its data directory with an
+    Iceberg facade (the UniForm dual-export shape), whose
+    `metadata/` / `deletes/` files a directory walk would destroy.
+    Files outside the table root (absolute-path DVs, add_files-style
+    externals) are never touched.
+
+    Driver-side O(versions × files-per-version) log replay, one unlink
+    per dropped file. Returns the deleted paths.
+    """
+    import json
+    import urllib.parse
+
+    from .delta_log import (
+        _is_commit_file,
+        _load_last_checkpoint,
+        replay_delta_log,
+    )
+    from .roaring import dv_relative_path
+
+    log_dir = os.path.join(root, "_delta_log")
+    versions = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if _is_commit_file(f)
+    )
+    cp = _load_last_checkpoint(log_dir)
+    if cp is not None and cp["version"] not in versions:
+        versions = sorted({cp["version"], *versions})
+    if not versions:
+        raise FileNotFoundError(f"no commit files in {log_dir}")
+    current = versions[-1]
+    retained = {v for v in versions if v > current - keep_versions}
+
+    def _refs(state: dict) -> set[str]:
+        out = set()
+        for path, add in state["files"].items():
+            out.add(
+                os.path.abspath(
+                    os.path.join(root, urllib.parse.unquote(path))
+                )
+            )
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                prefix, fname = dv_relative_path(dv["pathOrInlineDv"])
+                out.add(
+                    os.path.abspath(
+                        os.path.join(root, prefix, fname)
+                        if prefix
+                        else os.path.join(root, fname)
+                    )
+                )
+            elif dv and dv.get("storageType") == "p":
+                out.add(os.path.abspath(dv["pathOrInlineDv"]))
+        return out
+
+    keep: set[str] = set()
+    ever: set[str] = set()
+    for v in versions:
+        refs = _refs(replay_delta_log(log_dir, version=v))
+        ever |= refs
+        if v in retained:
+            keep |= refs
+    # change-data files ride their commit's version
+    for v in versions:
+        f = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(f):
+            continue
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    p = os.path.abspath(
+                        os.path.join(
+                            root, urllib.parse.unquote(action["cdc"]["path"])
+                        )
+                    )
+                    ever.add(p)
+                    if v in retained:
+                        keep.add(p)
+    root_abs = os.path.abspath(root) + os.sep
+    dropped = []
+    for p in sorted(ever - keep):
+        if p.startswith(root_abs) and os.path.isfile(p):
+            os.remove(p)
+            dropped.append(p)
+    return dropped
+
+
+def rewrite_iceberg_manifests(root: str) -> dict:
+    """Iceberg `rewrite_manifests` for a `metadata/` tree on disk — the
+    METADATA-side compaction: after N incremental-append (or MoR
+    delete) commits the head's manifest list holds N small manifests,
+    and manifest-open cost starts to dominate planning. This action
+    consolidates the head's live DATA entries into ONE manifest per
+    partition spec (entries re-emitted status=EXISTING with their
+    EXPLICIT data sequence numbers and original snapshot ids, so v2+
+    inheritance and both delete-flavor masks resolve exactly as
+    before); delete manifests ride along untouched. The result is a new
+    `replace` snapshot — no data bytes move, older snapshots' manifest
+    lists still reference the old manifests (time travel intact; a
+    later `expire_iceberg_snapshots` GCs them).
+
+    Driver-side O(files) metadata work, zero data I/O — the same cost
+    class as the planning walk it accelerates. Returns
+    {manifests_before, manifests_after, files}.
+    """
+    import json
+    import re
+
+    from .avro_io import read_avro, write_avro
+    from .iceberg_meta import _entry_schema, _manifest_list_schema
+
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        metadata = json.load(fh)
+    fv = metadata.get("format-version", 1)
+    head = next(
+        s
+        for s in metadata["snapshots"]
+        if s["snapshot-id"] == metadata["current-snapshot-id"]
+    )
+    _, rows = read_avro(head["manifest-list"])
+    live: dict[str, dict] = {}
+    delete_rows: list[dict] = []
+    n_data = 0
+    for r in rows:
+        if (r.get("content") or 0) == 1:
+            delete_rows.append(r)
+            continue
+        n_data += 1
+        m_seq = r.get("sequence_number")
+        m_snap = r.get("added_snapshot_id")
+        spec_id = r.get("partition_spec_id") or 0
+        for e in read_avro(r["manifest_path"])[1]:
+            rec = e["data_file"]
+            p = rec["file_path"]
+            if e["status"] == 2:
+                live.pop(p, None)
+                continue
+            seq = e.get("data_sequence_number")
+            if seq is None:
+                if e["status"] == 1:
+                    seq = m_seq if m_seq is not None else 0
+                elif fv >= 2:
+                    raise ValueError(
+                        "EXISTING entry missing data_sequence_number: " + p
+                    )
+                else:
+                    seq = 0
+            fseq = e.get("file_sequence_number")
+            if fseq is None:
+                fseq = m_seq if e["status"] == 1 else seq
+            snap_id = e.get("snapshot_id")
+            if snap_id is None:
+                snap_id = m_snap
+            live[p] = {
+                "spec": spec_id,
+                "seq": seq,
+                "fseq": fseq,
+                "snap": snap_id,
+                "rec": rec,
+            }
+    if n_data <= 1:
+        return {
+            "manifests_before": n_data,
+            "manifests_after": n_data,
+            "files": len(live),
+        }
+    # partition value types per spec, reconstructed from the transforms
+    type_by_id: dict[int, str] = {}
+    for s in metadata.get("schemas") or [metadata["schema"]]:
+        for f in s["fields"]:
+            type_by_id.setdefault(f["id"], f["type"])
+    _PARAM = re.compile(r"(bucket|truncate)\[(\d+)\]")
+
+    def _ptype(sf: dict) -> str:
+        t = sf["transform"]
+        if t == "identity":
+            return type_by_id[sf["source-id"]]
+        if t == "day":
+            return "date"
+        if t in ("month", "year"):
+            return "int"
+        m = _PARAM.fullmatch(t)
+        if m:
+            return "int" if m.group(1) == "bucket" else type_by_id[sf["source-id"]]
+        raise NotImplementedError(f"partition transform {t!r}")
+
+    specs = {s["spec-id"]: s["fields"] for s in metadata["partition-specs"]}
+    by_spec: dict[int, list[dict]] = {}
+    for info in live.values():
+        by_spec.setdefault(info["spec"], []).append(info)
+    new_snapshot_id = (
+        max(s["snapshot-id"] for s in metadata["snapshots"]) + 1
+    )
+    new_seq = (metadata.get("last-sequence-number") or 0) + 1
+    new_rows: list[dict] = []
+    for spec_id, infos in sorted(by_spec.items()):
+        pf = [
+            {
+                "name": sf["name"],
+                "type": _ptype(sf),
+                "field-id": sf["field-id"],
+            }
+            for sf in specs[spec_id]
+        ]
+        entries = []
+        for info in sorted(infos, key=lambda x: x["rec"]["file_path"]):
+            entry = {
+                "status": 0,  # EXISTING (spec: carried forward)
+                "snapshot_id": info["snap"],
+                "data_file": info["rec"],
+            }
+            if fv >= 2:
+                entry["data_sequence_number"] = info["seq"]
+                entry["file_sequence_number"] = info["fseq"]
+            entries.append(entry)
+        mpath = os.path.join(
+            meta_dir, f"m-rw-{new_snapshot_id:05d}-{spec_id}.avro"
+        )
+        write_avro(mpath, _entry_schema(pf, fv), entries)
+        row = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": spec_id,
+            "added_snapshot_id": new_snapshot_id,
+        }
+        if fv >= 2:
+            row.update(
+                {
+                    "content": 0,
+                    "sequence_number": new_seq,
+                    "min_sequence_number": min(
+                        i["seq"] for i in infos
+                    ),
+                    "added_files_count": 0,
+                    "existing_files_count": len(entries),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        i["rec"].get("record_count") or 0 for i in infos
+                    ),
+                    "deleted_rows_count": 0,
+                }
+            )
+        if fv >= 3 and head.get("first-row-id") is not None:
+            row["first_row_id"] = metadata.get("next-row-id")
+        new_rows.append(row)
+    new_rows += delete_rows
+    list_path = os.path.join(
+        meta_dir, f"snap-{new_snapshot_id}-1-manifest-list.avro"
+    )
+    write_avro(list_path, _manifest_list_schema(fv), new_rows)
+    new_snap = {
+        "snapshot-id": new_snapshot_id,
+        "parent-snapshot-id": head["snapshot-id"],
+        # deterministic: metadata rewrites carry the head's instant + 1
+        "timestamp-ms": (head.get("timestamp-ms") or 0) + 1,
+        "summary": {"operation": "replace"},
+        "manifest-list": list_path,
+    }
+    if head.get("schema-id") is not None:
+        new_snap["schema-id"] = head["schema-id"]
+    if fv >= 2:
+        new_snap["sequence-number"] = new_seq
+        metadata["last-sequence-number"] = new_seq
+    if fv >= 3:
+        new_snap["first-row-id"] = metadata.get("next-row-id")
+        new_snap["added-rows"] = 0
+    metadata["snapshots"].append(new_snap)
+    metadata["current-snapshot-id"] = new_snapshot_id
+    metadata.setdefault("snapshot-log", []).append(
+        {
+            "snapshot-id": new_snapshot_id,
+            "timestamp-ms": new_snap["timestamp-ms"],
+        }
+    )
+    # refs tracking the old head follow it (the action commits to the
+    # branch, as the Spark procedure does on the current branch)
+    for ref in (metadata.get("refs") or {}).values():
+        if (
+            ref.get("type") == "branch"
+            and ref["snapshot-id"] == head["snapshot-id"]
+        ):
+            ref["snapshot-id"] = new_snapshot_id
+    metadata["last-updated-ms"] = new_snap["timestamp-ms"]
+    metadata.setdefault("metadata-log", []).append(
+        {
+            "timestamp-ms": head.get("timestamp-ms") or 0,
+            "metadata-file": os.path.join(meta_dir, f"v{n}.metadata.json"),
+        }
+    )
+    new_path = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
+    tmp = new_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=1, sort_keys=True)
+    os.replace(tmp, new_path)
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(n + 1))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "manifests_before": n_data,
+        "manifests_after": len(by_spec),
+        "files": len(live),
+    }
+
+
 def compact_snapshot(
     table: SnapshotTable,
     branch: str = "main",

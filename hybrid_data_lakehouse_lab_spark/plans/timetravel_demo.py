@@ -1609,3 +1609,179 @@ def iceberg_files_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(sorted(rows), "metric STRING, v BIGINT")
+
+
+@register(
+    "lakehouse_maintenance_roundtrip",
+    oracle="""
+    SELECT fmt, event_type, count(*) AS n
+    FROM events
+    CROSS JOIN (SELECT 'delta' AS fmt UNION ALL SELECT 'iceberg') f
+    WHERE user_id % 5 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def lakehouse_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-9 MAINTENANCE pair, driver-visible.
+
+    Iceberg `rewrite_manifests`: an incremental-append chain leaves the
+    head's manifest list with one small manifest per commit (the
+    planning-cost accumulation); the action consolidates the live data
+    entries into ONE status=EXISTING manifest with explicit sequence
+    numbers — asserted in-lane — and the consolidated head must still
+    read value-identical.
+
+    Delta VACUUM: a DV delete + OPTIMIZE chain leaves the
+    pre-compaction parquet and DV .bin files unreferenced by the head;
+    `vacuum_delta_table` (log-scoped, so an Iceberg facade sharing the
+    directory is never touched) must physically drop both — asserted —
+    while the head read stays value-identical.
+
+    Both sides must equal the oracle's masked-events counts. Metadata
+    work is driver-side O(files); the reads and the compaction rewrite
+    run distributed."""
+    from ..operators.avro_io import read_avro
+    from ..operators.delta_log import export_delta_log, read_delta_table
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.maintenance import (
+        compact_snapshot,
+        rewrite_iceberg_manifests,
+        vacuum_delta_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.filter(F.col("user_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="lakehouse_maint_demo_")
+    rows = []
+    try:
+        # --- Iceberg: append chain -> rewrite_manifests ---
+        ti = SnapshotTable(spark, os.path.join(tmp, "ice"))
+        ti.write(masked.filter(F.col("user_id") % 2 == 1), committed_at_ms=1)
+        ti.write(masked, committed_at_ms=2)  # pure append: delta manifest
+        meta_dir = export_iceberg_metadata(ti, format_version=2)
+        info = rewrite_iceberg_manifests(ti.root)
+        assert info["manifests_before"] == 2, info
+        assert info["manifests_after"] == 1, info
+        import json as _json
+
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            n = int(fh.read().strip())
+        md = _json.load(
+            open(os.path.join(meta_dir, f"v{n}.metadata.json"))
+        )
+        head = next(
+            s
+            for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        assert head["summary"]["operation"] == "replace"
+        (mrow,) = read_avro(head["manifest-list"])[1]
+        entries = read_avro(mrow["manifest_path"])[1]
+        assert all(
+            e["status"] == 0 and e["data_sequence_number"] is not None
+            for e in entries
+        )
+        got = (
+            read_iceberg_table(spark, ti.root)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows.extend(("iceberg", r["event_type"], r["n"]) for r in got)
+
+        # --- Delta: DV delete + OPTIMIZE -> vacuum ---
+        td = SnapshotTable(spark, os.path.join(tmp, "delta"))
+        td.write(ev, committed_at_ms=1)
+        td.write(masked, committed_at_ms=2)  # MoR delete -> DV commit
+        compact_snapshot(td, committed_at_ms=3)  # OPTIMIZE
+        export_delta_log(td, mor_deletes=True)
+        dropped = vacuum_delta_table(td.root, keep_versions=1)
+        assert any(p.endswith(".bin") for p in dropped), "DV not vacuumed"
+        assert any(p.endswith(".parquet") for p in dropped)
+        got = (
+            read_delta_table(spark, td.root)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows.extend(("delta", r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "fmt STRING, event_type STRING, n BIGINT"
+    )
+
+
+@register(
+    "iceberg_migrate_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE user_id % 3 <> 0 GROUP BY 1
+    """,
+)
+def iceberg_migrate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIGRATION round-trip — Iceberg `add_files` / snapshot-table
+    adoption: a plain Hive-partitioned parquet estate (what the
+    reference's bronze layer is before table formats) becomes an
+    Iceberg table IN PLACE — zero data rewritten, manifests pointing at
+    the original files, Hive dirs becoming an identity partition spec,
+    and a `schema.name-mapping.default` binding the id-less originals
+    to their assigned field ids (what keeps them readable through later
+    renames — the round's schema-evolution reader applies it).
+
+    In-lane asserts: every referenced file lives under the source dir
+    (nothing copied), the name-mapping property is present, and a
+    partition prune feeds fewer files than the full read. The migrated
+    read's counts must equal the oracle's. Migration cost is one
+    executor-parallel footer pass (stats + row counts) — no data
+    bytes."""
+    import json as _json
+
+    from ..operators.avro_io import read_avro
+    from ..operators.iceberg_meta import (
+        migrate_parquet_dir,
+        read_iceberg_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 3 != 0
+    )
+    tmp = tempfile.mkdtemp(prefix="migrate_demo_")
+    try:
+        lake = os.path.join(tmp, "lake")
+        ev.write.partitionBy("event_type").parquet(lake)
+        root = os.path.join(tmp, "iceberg")
+        meta_dir = migrate_parquet_dir(spark, root, lake, timestamp_ms=1)
+        md = _json.load(
+            open(os.path.join(meta_dir, "v1.metadata.json"))
+        )
+        assert "schema.name-mapping.default" in md["properties"]
+        (mrow,) = read_avro(md["snapshots"][0]["manifest-list"])[1]
+        entries = read_avro(mrow["manifest_path"])[1]
+        lake_abs = os.path.abspath(lake) + os.sep
+        assert entries and all(
+            e["data_file"]["file_path"].startswith(lake_abs)
+            for e in entries
+        ), "migration must reference files in place"
+        n_files = len(entries)
+        one_type = entries[0]["data_file"]["partition"]["event_type"]
+        pruned = read_iceberg_table(
+            spark, root, prune=[("event_type", "=", one_type)]
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(".parquet") < n_files, "prune did not skip files"
+        got = (
+            read_iceberg_table(spark, root)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows = [(r["event_type"], r["n"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "event_type STRING, n BIGINT")

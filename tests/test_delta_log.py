@@ -1992,3 +1992,47 @@ def test_commit_file_detection():
     assert not _is_commit_file(f"{5:020d}.checkpoint.parquet")
     assert not _is_commit_file("_last_checkpoint")
     assert not _is_commit_file("foo.json")
+
+
+def test_schema_change_versions_read_under_own_schema(spark, tmp_path):
+    """SCHEMA EVOLUTION in the Delta export: a commit that renames and
+    adds columns emits a NEW metaData action and full-rewrites (the
+    incremental path is gated on schema equality), and time travel
+    reads each version under the schemaString in force at that version
+    — the Delta sibling of the Iceberg per-snapshot schema-id rule."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, val INT"),
+        committed_at_ms=1000,
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, 10, "x"), (3, 30, "y")], "k INT, amount INT, note STRING"
+        ),
+        committed_at_ms=2000,
+    )
+    log_dir = export_delta_log(t)
+    states = replay_delta_log(log_dir)
+    # v1 carries its own metaData (schema change re-emitted)
+    v1_actions = [
+        json.loads(line)
+        for line in open(os.path.join(log_dir, f"{1:020d}.json"))
+    ]
+    assert any("metaData" in a for a in v1_actions)
+    s0 = json.loads(states[0]["metaData"]["schemaString"])
+    s1 = json.loads(states[1]["metaData"]["schemaString"])
+    assert [f["name"] for f in s0["fields"]] == ["k", "val"]
+    assert [f["name"] for f in s1["fields"]] == ["k", "amount", "note"]
+    v0 = read_delta_table(spark, t.root, version=0)
+    assert v0.columns == ["k", "val"]
+    assert {r["k"]: r["val"] for r in v0.collect()} == {1: 10, 2: 20}
+    v1 = read_delta_table(spark, t.root, version=1)
+    assert v1.columns == ["k", "amount", "note"]
+    assert {r["k"]: (r["amount"], r["note"]) for r in v1.collect()} == {
+        1: (10, "x"),
+        3: (30, "y"),
+    }

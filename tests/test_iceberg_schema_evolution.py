@@ -574,3 +574,70 @@ def test_single_schema_table_keeps_fast_path(spark, tmp_path):
     assert got.count() == 10
     # single schema in the metadata — the by-name safety precondition
     assert len(_meta(t.root)["schemas"]) == 1
+
+
+def test_fast_path_runs_no_footer_probes(spark, tmp_path, monkeypatch):
+    """Single-schema tables must keep the exact by-name plan: the
+    footer-probe fan-out (sc.parallelize) must never launch."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        committed_at_ms=1,
+    )
+    t.write(
+        spark.range(25).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        committed_at_ms=2,
+    )
+    export_iceberg_metadata(t, format_version=2)
+
+    def _boom(*a, **k):
+        raise AssertionError("footer probe ran on a single-schema table")
+
+    monkeypatch.setattr(spark.sparkContext, "parallelize", _boom)
+    assert read_iceberg_table(spark, t.root).count() == 25
+
+
+def test_evolved_read_is_one_scan_per_era(spark, tmp_path):
+    """The evolved read's plan shape: files group by resolution
+    signature, so a two-era table (pre/post rename) costs exactly two
+    parquet scans — never per-file work."""
+    root = str(tmp_path / "t")
+    olds = [
+        (
+            _write_pa(
+                os.path.join(root, "data", f"a{i}.parquet"),
+                {"id": [i], "total": [10 * i]},
+                field_ids={"id": 1, "total": 2},
+            ),
+            1,
+        )
+        for i in range(4)
+    ]
+    news = [
+        (
+            _write_pa(
+                os.path.join(root, "data", f"b{i}.parquet"),
+                {"id": [100 + i], "amount": [7 * i]},
+                field_ids={"id": 1, "amount": 2},
+            ),
+            1,
+        )
+        for i in range(4)
+    ]
+    _tree(
+        root,
+        [
+            _schema(0, (1, "id", "long"), (2, "total", "long")),
+            _schema(1, (1, "id", "long"), (2, "amount", "long")),
+        ],
+        1,
+        [(1, 0, olds), (2, 1, olds + news)],
+    )
+    df = read_iceberg_table(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 2, plan
+    assert df.count() == 8

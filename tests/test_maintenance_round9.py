@@ -1,0 +1,237 @@
+"""Round-9 maintenance actions: `rewrite_iceberg_manifests` (metadata
+compaction — the complement of incremental appends) and
+`vacuum_delta_table` (log-scoped physical file GC)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.avro_io import read_avro
+from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+    export_delta_log,
+    read_delta_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    export_iceberg_metadata,
+    read_iceberg_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+    compact_snapshot,
+    rewrite_iceberg_manifests,
+    vacuum_delta_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def _meta(root):
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def _head_rows(md):
+    head = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    return read_avro(head["manifest-list"])[1]
+
+
+@pytest.fixture()
+def append_chain(spark, tmp_path):
+    """Base + three incremental appends → the head manifest list holds
+    four data manifests (the accumulation rewrite_manifests fixes)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(80).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    for i, cut in enumerate((20, 40, 60, 80)):
+        t.write(ev.filter(F.col("k") < cut), committed_at_ms=i + 1)
+    export_iceberg_metadata(t, format_version=2)
+    return t
+
+
+def test_rewrite_manifests_consolidates_appends(spark, append_chain):
+    t = append_chain
+    md0 = _meta(t.root)
+    rows0 = _head_rows(md0)
+    assert len([r for r in rows0 if (r.get("content") or 0) == 0]) == 4
+    want = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+
+    info = rewrite_iceberg_manifests(t.root)
+    assert info == {"manifests_before": 4, "manifests_after": 1, "files": info["files"]}
+    md = _meta(t.root)
+    new_head = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert new_head["summary"]["operation"] == "replace"
+    assert new_head["parent-snapshot-id"] == md0["current-snapshot-id"]
+    rows = _head_rows(md)
+    assert len(rows) == 1 and (rows[0].get("content") or 0) == 0
+    assert rows[0]["existing_files_count"] == info["files"]
+    assert rows[0]["added_files_count"] == 0
+    # every consolidated entry is EXISTING with an explicit sequence
+    entries = read_avro(rows[0]["manifest_path"])[1]
+    assert all(e["status"] == 0 for e in entries)
+    assert all(e["data_sequence_number"] is not None for e in entries)
+    got = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == want
+    # time travel to a pre-rewrite snapshot is intact
+    assert read_iceberg_table(spark, t.root, snapshot_id=2).count() == 40
+
+
+def test_rewrite_manifests_preserves_delete_masks(spark, tmp_path):
+    """MoR tree: delete manifests ride along untouched and the masked
+    read is value-identical — the explicit sequence numbers keep the
+    delete.seq >= data.seq comparison exact."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    t.write(ev, committed_at_ms=1)
+    t.write(ev.filter(F.col("k") < 120), committed_at_ms=2)  # no-op append
+    t.write(ev.filter(F.col("k") % 5 != 0), committed_at_ms=3)  # MoR delete
+    export_iceberg_metadata(t, format_version=2)
+    want = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+    assert len(want) == 80
+
+    rewrite_iceberg_manifests(t.root)
+    md = _meta(t.root)
+    rows = _head_rows(md)
+    assert [r.get("content") or 0 for r in rows].count(1) >= 1
+    got = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == want
+
+
+def test_rewrite_manifests_partitioned_prune_survives(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    t.write(ev, partition_by=["g"], committed_at_ms=1)
+    t.write(
+        ev.unionByName(
+            spark.range(60, 90).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("g"),
+            )
+        ),
+        partition_by=["g"],
+        committed_at_ms=2,
+    )
+    export_iceberg_metadata(t, format_version=2)
+    rewrite_iceberg_manifests(t.root)
+    full = read_iceberg_table(spark, t.root)
+    assert full.count() == 90
+    pruned = read_iceberg_table(spark, t.root, prune=[("g", "=", "1")])
+    got = pruned.filter(F.col("g") == "1").count()
+    assert got == 30
+    # the prune actually skipped partitions: fewer files scanned
+    md = _meta(t.root)
+    entries = read_avro(_head_rows(md)[0]["manifest_path"])[1]
+    per_g = {}
+    for e in entries:
+        per_g.setdefault(e["data_file"]["partition"].get("g"), 0)
+    # partition dirs type-infer to int on snapshot re-read; the
+    # rewritten manifest must carry the same TYPED values
+    assert set(per_g) == {0, 1, 2}
+
+
+def test_rewrite_manifests_v1_and_noop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(30).select(F.col("id").alias("k"))
+    t.write(ev.filter(F.col("k") < 10), committed_at_ms=1)
+    t.write(ev.filter(F.col("k") < 20), committed_at_ms=2)
+    t.write(ev, committed_at_ms=3)
+    export_iceberg_metadata(t, format_version=1)
+    info = rewrite_iceberg_manifests(t.root)
+    assert info["manifests_before"] == 3 and info["manifests_after"] == 1
+    assert read_iceberg_table(spark, t.root).count() == 30
+    # second run: single manifest already — a no-op, no version bump
+    md1 = _meta(t.root)
+    info2 = rewrite_iceberg_manifests(t.root)
+    assert info2["manifests_before"] == 1
+    assert _meta(t.root) == md1
+
+
+def test_vacuum_delta_drops_old_rewrite_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    b = spark.createDataFrame([(3, "c"), (4, "d")], "k INT, v STRING")
+    t.write(a, committed_at_ms=1)
+    t.write(b, committed_at_ms=2)
+    log_dir = export_delta_log(t)
+    import urllib.parse
+
+    v0 = [
+        json.loads(x)
+        for x in open(os.path.join(log_dir, f"{0:020d}.json"))
+    ]
+    v0_files = [
+        os.path.join(t.root, urllib.parse.unquote(x["add"]["path"]))
+        for x in v0
+        if "add" in x
+    ]
+    assert v0_files and all(os.path.isfile(p) for p in v0_files)
+    dropped = vacuum_delta_table(t.root, keep_versions=1)
+    assert sorted(dropped) == sorted(os.path.abspath(p) for p in v0_files)
+    assert all(not os.path.exists(p) for p in v0_files)
+    got = read_delta_table(spark, t.root)
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+        (3, "c"),
+        (4, "d"),
+    ]
+    # vacuumed version: metadata still replays, the scan fails loudly
+    with pytest.raises(Exception):
+        read_delta_table(spark, t.root, version=0).collect()
+
+
+def test_vacuum_delta_dv_chain_after_optimize(spark, tmp_path):
+    """DV chain + OPTIMIZE: after compaction the head references only
+    the rewritten files; vacuum drops the pre-compaction parquet AND
+    the DV .bin files, and the head read is unchanged."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+    )
+    t.write(ev, committed_at_ms=1)
+    t.write(ev.filter(F.col("k") % 4 != 0), committed_at_ms=2)
+    compact_snapshot(t, committed_at_ms=3)
+    export_delta_log(t, mor_deletes=True)
+    want = sorted(r["k"] for r in read_delta_table(spark, t.root).collect())
+
+    dropped = vacuum_delta_table(t.root, keep_versions=1)
+    assert any(p.endswith(".bin") for p in dropped), dropped
+    assert any(p.endswith(".parquet") for p in dropped)
+    got = sorted(r["k"] for r in read_delta_table(spark, t.root).collect())
+    assert got == want
+
+
+def test_vacuum_delta_spares_iceberg_facade(spark, tmp_path):
+    """UniForm dual export: the log-scoped vacuum must not touch the
+    Iceberg facade's delete files, and the Iceberg HEAD read stays
+    correct (both facades share the same retained data files)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+    )
+    t.write(ev, committed_at_ms=1)
+    t.write(ev.filter(F.col("k") % 4 != 0), committed_at_ms=2)
+    export_iceberg_metadata(t, format_version=2)
+    export_delta_log(t, mor_deletes=True)
+    deletes_root = os.path.join(t.root, "deletes")
+    assert os.path.isdir(deletes_root)
+    want = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+
+    vacuum_delta_table(t.root, keep_versions=2)  # both versions retained
+    assert os.path.isdir(deletes_root)
+    got = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == want
