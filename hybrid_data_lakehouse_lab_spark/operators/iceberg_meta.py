@@ -1769,6 +1769,21 @@ def _spark_type(iceberg_type: str):
     raise NotImplementedError(f"iceberg type {iceberg_type!r}")
 
 
+def _default_value(iceberg_type: str, v):
+    """Deserialize a field's `initial-default` from the spec's JSON
+    single-value form into a Python literal for F.lit (spec v3
+    "Default values"): dates/timestamps arrive as ISO strings, numbers
+    and strings as themselves; decimals as strings (the lit's cast to
+    the table type finishes the job)."""
+    if v is None:
+        return None
+    if iceberg_type == "date":
+        return datetime.date.fromisoformat(v)
+    if iceberg_type in ("timestamp", "timestamptz"):
+        return datetime.datetime.fromisoformat(v)
+    return v
+
+
 def _decode_bound(iceberg_type: str, b: bytes):
     """Inverse of _bound_bytes for the comparable domain used in
     pruning (dates stay epoch-days, timestamps epoch-micros)."""
@@ -2122,8 +2137,20 @@ def read_iceberg_table(
         for _nm in e.get("names") or []:
             _id2names.setdefault(e["field-id"], set()).add(_nm)
             _name2ids.setdefault(_nm, set()).add(e["field-id"])
-    by_name_safe = all(len(v) == 1 for v in _id2names.values()) and all(
-        len(v) == 1 for v in _name2ids.values()
+    # v3 DEFAULT VALUES: a field's `initial-default` fills rows from
+    # files written before the column existed (spec "Default values");
+    # its presence forces per-file resolution — only the footer probes
+    # can tell which files lack the column (a stored NULL must stay
+    # NULL; only ABSENCE takes the default)
+    defaults = {
+        f["name"]: (f["type"], f["initial-default"])
+        for f in schema_fields
+        if f.get("initial-default") is not None
+    }
+    by_name_safe = (
+        all(len(v) == 1 for v in _id2names.values())
+        and all(len(v) == 1 for v in _name2ids.values())
+        and not defaults
     )
     all_specs = {
         s["spec-id"]: s for s in metadata["partition-specs"]
@@ -2338,7 +2365,8 @@ def read_iceberg_table(
                     )
                 owner = {ns[0]: c for c, ns in claims.items()}
                 resolved = {n: owner.get(n) for n in schema_order}
-            # REQUEST name per field: the resolved physical name; an
+            # REQUEST name per field (+ absent flag, which routes
+            # `initial-default` fills): the resolved physical name; an
             # unresolved field null-fills — requested under its own
             # name unless the file binds that name to a DIFFERENT
             # field (drop + re-add), where a synthetic surely-absent
@@ -2346,13 +2374,14 @@ def read_iceberg_table(
             req = []
             for n in schema_order:
                 src = resolved.get(n)
+                absent = src is None
                 if src is None:
                     src = n
                     if n in in_file:
                         src = f"{n}__absent_f{field_ids[n]}"
                         while src in in_file:
                             src += "_"
-                req.append(src)
+                req.append((src, absent))
             resolution_of[p] = tuple(req)
     groups: dict[tuple, dict[str, dict]] = {}
     for p, rec in files.items():
@@ -2387,16 +2416,25 @@ def read_iceberg_table(
     for (gkey, gres), gpaths in groups.items():
         data_fields = [f for f in full_schema.fields if f.name not in gkey]
         rename: dict[str, str] = {}
+        fills: dict[str, object] = {}
         if gres is not None:
             # read each table column under the FILE's name for it (an
             # unresolved column is requested under its table name and
-            # null-fills — the add-column case); Spark's parquet reader
-            # natively widens int→long / float→double / decimal
-            # precision, so promoted columns need no cast
+            # null-fills — the add-column case — unless the field
+            # carries an `initial-default`, which fills instead);
+            # Spark's parquet reader natively widens int→long /
+            # float→double / decimal precision, so promoted columns
+            # need no cast
             res_by_name = dict(zip(schema_order, gres))
             read_fields = []
             for f in data_fields:
-                src = res_by_name.get(f.name) or f.name
+                src, absent = res_by_name.get(f.name, (f.name, False))
+                if absent and f.name in defaults:
+                    it, dv = defaults[f.name]
+                    fills[f.name] = F.lit(_default_value(it, dv)).cast(
+                        f.dataType
+                    )
+                    continue
                 read_fields.append(T.StructField(src, f.dataType, True))
                 if src != f.name:
                     rename[src] = f.name
@@ -2417,6 +2455,8 @@ def read_iceberg_table(
                     for f in data_fields
                 ]
             )
+        for name, lit in fills.items():
+            gdf = gdf.withColumn(name, lit)
         if need_file:
             gdf = gdf.withColumn(
                 "_file",

@@ -641,3 +641,75 @@ def test_evolved_read_is_one_scan_per_era(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 2, plan
     assert df.count() == 8
+
+
+def test_initial_default_fills_absent_not_null(spark, tmp_path):
+    """Spec v3 "Default values": `initial-default` fills rows from
+    files written BEFORE the column existed — while a stored NULL in a
+    file that HAS the column stays NULL. (Applied leniently on any
+    format version: a default in the schema is an instruction to the
+    reader regardless of the tree's declared version.)"""
+    root = str(tmp_path / "t")
+    f_old = _write_pa(
+        os.path.join(root, "data", "a.parquet"),
+        {"id": [1, 2]},
+        field_ids={"id": 1},
+    )
+    f_new = _write_pa(
+        os.path.join(root, "data", "b.parquet"),
+        {"id": [3, 4], "score": [9, None]},
+        field_ids={"id": 1, "score": 2},
+    )
+    schema1 = {
+        "type": "struct",
+        "schema-id": 1,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {
+                "id": 2,
+                "name": "score",
+                "required": False,
+                "type": "long",
+                "initial-default": 7,
+            },
+        ],
+    }
+    _tree(
+        root,
+        [_schema(0, (1, "id", "long")), schema1],
+        1,
+        [(1, 0, [(f_old, 2)]), (2, 1, [(f_old, 2), (f_new, 2)])],
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in read_iceberg_table(spark, root).collect()
+    }
+    assert got == {1: 7, 2: 7, 3: 9, 4: None}
+
+
+def test_initial_default_date_typed(spark, tmp_path):
+    import datetime
+
+    root = str(tmp_path / "t")
+    f_old = _write_pa(
+        os.path.join(root, "data", "a.parquet"),
+        {"id": [1]},
+        field_ids={"id": 1},
+    )
+    schema1 = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {
+                "id": 2,
+                "name": "since",
+                "required": False,
+                "type": "date",
+                "initial-default": "2024-03-01",
+            },
+        ],
+    }
+    _tree(root, [schema1], 0, [(1, 0, [(f_old, 1)])])
+    (row,) = read_iceberg_table(spark, root).collect()
+    assert row["since"] == datetime.date(2024, 3, 1)
