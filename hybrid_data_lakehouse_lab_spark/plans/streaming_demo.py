@@ -371,3 +371,113 @@ def streaming_selection_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         sorted(rows), "verdict STRING, n_docs BIGINT, n_selected BIGINT"
     )
+
+
+@register(
+    "streaming_iceberg_sink_roundtrip",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN 'd'
+                    WHEN event_type = 'signup' THEN 'c'
+                    ELSE 'u' END AS op
+        FROM events),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM changes)
+        WHERE rn = 1)
+    SELECT (op = 'd') AS is_deleted,
+           count(*) AS n_keys
+    FROM latest GROUP BY 1
+    """,
+)
+def streaming_iceberg_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's FULL pipeline shape in one lane: CDC envelope
+    stream → per-micro-batch latest-wins MERGE commits → Iceberg
+    merge-on-read export in the streaming-upsert (Flink equality-
+    delete) dialect → the exported table read back through its own
+    metadata. This is what `Kafka → Flink upsert → Iceberg MoR →
+    Trino` computes end to end (reference scripts/cdc_to_parquet.py +
+    libs/scd2_spark_processor.py:155); here the exported tree is the
+    contract an external Trino would read.
+
+    The drop feed is split so the stream takes MULTIPLE micro-batches
+    (asserted: ≥2 snapshots in the exported chain, with at least one
+    equality-delete manifest — keys updated across batches must be
+    masked by the delete.seq > data.seq rule, not by rewrite). The
+    Iceberg head read must match BOTH the table's own read (asserted)
+    and the declarative upsert oracle."""
+    import json as _json
+
+    from ..operators.avro_io import read_avro
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.timetravel import SnapshotTable
+    from ..streaming.lanes import upsert_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_ice_")
+    try:
+        drop = os.path.join(tmp, "drop")
+        # 40 files at maxFilesPerTrigger=16 -> 3 micro-batches
+        _mixed_op_envelopes(ev).repartition(40).write.mode(
+            "overwrite"
+        ).text(drop)
+        table = SnapshotTable(spark, os.path.join(tmp, "t"))
+        q = upsert_stream(
+            read_envelope_stream(spark, drop),
+            table,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["key_id"],
+            ts_col="event_timestamp",
+            order_cols=["event_timestamp", "lsn"],
+        )
+        q.awaitTermination(600)
+        meta_dir = export_iceberg_metadata(
+            table, format_version=2, upsert_key=["key_id"]
+        )
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            n = int(fh.read().strip())
+        md = _json.load(
+            open(os.path.join(meta_dir, f"v{n}.metadata.json"))
+        )
+        assert len(md["snapshots"]) >= 2, "expected multi-batch commits"
+        head = next(
+            s
+            for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        rows_ml = read_avro(head["manifest-list"])[1]
+        has_eq = False
+        for r in rows_ml:
+            if (r.get("content") or 0) != 1:
+                continue
+            for e in read_avro(r["manifest_path"])[1]:
+                if e["data_file"].get("content") == 2:
+                    has_eq = True
+        assert has_eq, "expected equality-delete manifests in the chain"
+        ice = read_iceberg_table(spark, table.root)
+        got = (
+            ice.groupBy("is_deleted")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .collect()
+        )
+        want = {
+            bool(r["is_deleted"]): r["n_keys"]
+            for r in table.read()
+            .groupBy("is_deleted")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .collect()
+        }
+        rows = [(bool(r["is_deleted"]), r["n_keys"]) for r in got]
+        assert {k: v for k, v in rows} == want, (rows, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "is_deleted BOOLEAN, n_keys BIGINT")
