@@ -700,6 +700,20 @@ def export_iceberg_metadata(
             evf.append(
                 {"id": fid, "name": f.name, "required": False, "type": it}
             )
+        # a rename whose OLD name still exists in the same snapshot
+        # (rename a->b while adding a new a) would alias one id to two
+        # live columns — refuse; the caller must express it as two
+        # separate commits
+        ids_used = [x["id"] for x in evf]
+        if len(set(ids_used)) != len(ids_used):
+            dup = sorted(
+                {i for i in ids_used if ids_used.count(i) > 1}
+            )
+            raise ValueError(
+                f"snapshot v{ev['version']}: renamed_columns maps a "
+                f"column whose old name is still present — field ids "
+                f"{dup} would serve two columns at once"
+            )
         # a name absent from this snapshot is RETIRED: a later column
         # re-added under the same name gets a fresh id, so old files'
         # data for the dropped column can never resurface (spec rule)

@@ -321,3 +321,58 @@ def test_murmur3_32_matches_guava(spark):
         data = bytes((i * 89 + n * 7) & 0xFF for i in range(n))
         want = g.hashBytes(bytearray(data)).asInt()
         assert murmur3_32(data) == want, n
+
+
+def test_field_id_probe_reads_jvm_written_ids(spark, tmp_path):
+    """Cross-library anchor for the schema-evolution reader: the data
+    file is written by SPARK'S JVM parquet writer (schema metadata
+    `parquet.field.id` + spark.sql.parquet.fieldId.write.enabled, the
+    default), and the pyarrow footer probe + field-id resolution must
+    read the rename through those JVM-written ids — so the probe is
+    proven against an independent parquet producer, not just the
+    pyarrow files the schema-evolution tests hand-build."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+    from tests.test_iceberg_schema_evolution import _schema, _tree
+
+    root = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True, {"parquet.field.id": 1}),
+            T.StructField(
+                "total", T.LongType(), True, {"parquet.field.id": 2}
+            ),
+        ]
+    )
+    spark.createDataFrame([(1, 10), (2, 20)], schema).coalesce(
+        1
+    ).write.parquet(os.path.join(root, "data"))
+    (f_old,) = glob.glob(os.path.join(root, "data", "*.parquet"))
+    import pyarrow.parquet as pq
+
+    ids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+        for f in pq.read_schema(f_old)
+    }
+    assert ids == {"id": b"1", "total": b"2"}  # JVM writer emitted them
+    _tree(
+        root,
+        [
+            _schema(0, (1, "id", "long"), (2, "total", "long")),
+            _schema(1, (1, "id", "long"), (2, "amount", "long")),
+        ],
+        1,
+        [(1, 0, [(f_old, 2)]), (2, 1, [(f_old, 2)])],
+    )
+    got = {
+        r["id"]: r["amount"]
+        for r in read_iceberg_table(spark, root).collect()
+    }
+    assert got == {1: 10, 2: 20}

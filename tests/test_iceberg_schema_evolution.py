@@ -713,3 +713,19 @@ def test_initial_default_date_typed(spark, tmp_path):
     _tree(root, [schema1], 0, [(1, 0, [(f_old, 1)])])
     (row,) = read_iceberg_table(spark, root).collect()
     assert row["since"] == datetime.date(2024, 3, 1)
+
+
+def test_rename_with_old_name_still_live_refused(spark, tmp_path):
+    """Rename a->b while simultaneously adding a NEW column named a:
+    one field id would serve two live columns — refused; the caller
+    must split it into two commits."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 5)], "k INT, a INT"), committed_at_ms=1)
+    t.write(
+        spark.createDataFrame([(1, 5, 9)], "k INT, a INT, b INT"),
+        committed_at_ms=2,
+    )
+    with pytest.raises(ValueError, match="still present"):
+        export_iceberg_metadata(
+            t, format_version=2, renamed_columns={"b": "a"}
+        )

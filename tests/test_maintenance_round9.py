@@ -235,3 +235,39 @@ def test_vacuum_delta_spares_iceberg_facade(spark, tmp_path):
     assert os.path.isdir(deletes_root)
     got = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
     assert got == want
+
+
+def test_rewrite_manifests_date_partition_roundtrip(spark, tmp_path):
+    """Date-typed identity partition values (Avro logical date = int
+    days) must survive the read_avro -> write_avro consolidation."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-01")],
+        "k INT, dt STRING",
+    ).select("k", F.col("dt").cast("date").alias("dt"))
+    t.write(df, partition_by=["dt"], committed_at_ms=1)
+    t.write(
+        df.unionByName(
+            spark.createDataFrame(
+                [(4, "2024-01-03")], "k INT, dt STRING"
+            ).select("k", F.col("dt").cast("date").alias("dt"))
+        ),
+        partition_by=["dt"],
+        committed_at_ms=2,
+    )
+    export_iceberg_metadata(t, format_version=2)
+    want = sorted(
+        (r["k"], str(r["dt"]))
+        for r in read_iceberg_table(spark, t.root).collect()
+    )
+    info = rewrite_iceberg_manifests(t.root)
+    assert info["manifests_after"] == 1
+    got = sorted(
+        (r["k"], str(r["dt"]))
+        for r in read_iceberg_table(spark, t.root).collect()
+    )
+    assert got == want
+    pruned = read_iceberg_table(
+        spark, t.root, prune=[("dt", "=", "2024-01-03")]
+    )
+    assert pruned.filter(F.col("dt") == "2024-01-03").count() == 1
