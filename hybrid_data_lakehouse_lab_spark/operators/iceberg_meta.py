@@ -1910,6 +1910,7 @@ def read_iceberg_table(
     as_of_ms: int | None = None,
     prune=None,
     ref: str | None = None,
+    with_row_lineage: bool = False,
 ):
     """Read an Iceberg v1/v2/v3 table at `snapshot_id` (None = current)
     with plain Spark parquet scans — the consumer half, no iceberg jar:
@@ -1968,6 +1969,10 @@ def read_iceberg_table(
         raise NotImplementedError(
             f"only Iceberg format-versions 1-3 are read here (got {fv})"
         )
+    if with_row_lineage and fv < 3:
+        raise ValueError(
+            f"row lineage is a format-version 3 feature (table is v{fv})"
+        )
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id, as_of_ms, ref")
     if ref is not None:
@@ -2014,6 +2019,11 @@ def read_iceberg_table(
     # file under the wrong spec corrupts reads
     default_sid = metadata.get("default-spec-id", 0)
     file_spec: dict[str, int] = {}
+    # v3 ROW LINEAGE (consumer half): each data file's starting _row_id
+    # — explicit field 142, or assigned from the manifest's first_row_id
+    # plus the record counts of preceding null-first_row_id ADDED
+    # entries (the spec's inheritance rule)
+    file_first: dict[str, int | None] = {}
     pos_deletes: list[tuple[str, int]] = []  # (delete file path, its seq)
     eq_deletes: list[tuple[str, int, tuple]] = []  # (+ equality field ids)
     # v3 deletion vectors: (puffin path, offset, size, referenced data
@@ -2031,6 +2041,8 @@ def read_iceberg_table(
                 + mf.get("manifest_path", "?")
             )
         _, entries = read_avro(mf["manifest_path"])
+        m_first = mf.get("first_row_id")
+        m_assigned = 0
         for e in entries:
             df_rec = e["data_file"]
             seq = e.get("data_sequence_number")
@@ -2102,6 +2114,7 @@ def read_iceberg_table(
                 files.pop(df_rec["file_path"], None)
                 file_seq.pop(df_rec["file_path"], None)
                 file_spec.pop(df_rec["file_path"], None)
+                file_first.pop(df_rec["file_path"], None)
                 continue
             if fv >= 2 and df_rec.get("content", 0) != 0:
                 raise ValueError(
@@ -2115,6 +2128,11 @@ def read_iceberg_table(
             files[df_rec["file_path"]] = df_rec
             file_seq[df_rec["file_path"]] = seq
             file_spec[df_rec["file_path"]] = m_sid
+            frow = df_rec.get("first_row_id")
+            if frow is None and e["status"] == 1 and m_first is not None:
+                frow = m_first + m_assigned
+                m_assigned += df_rec.get("record_count") or 0
+            file_first[df_rec["file_path"]] = frow
     # SCHEMA EVOLUTION (read side): a snapshot is read under ITS schema
     # (spec: snapshot `schema-id` resolves against the `schemas` list) —
     # time travel across a rename/add/drop surfaces each era's own
@@ -2302,9 +2320,17 @@ def read_iceberg_table(
             for f in schema_fields
         ]
     )
+    if with_row_lineage:
+        full_schema = T.StructType(
+            list(full_schema.fields)
+            + [T.StructField("_row_id", T.LongType(), True)]
+        )
     if not files:
         return spark.createDataFrame([], full_schema)
+    if with_row_lineage:
+        full_schema = T.StructType(full_schema.fields[:-1])
     any_deletes = bool(pos_deletes or eq_deletes or dv_deletes)
+    need_pos = any_deletes or with_row_lineage
     # group live files by their spec's IDENTITY column set: files of an
     # identity-partitioned spec physically lack those columns (they are
     # reconstructed from the manifests' typed partition values), so an
@@ -2405,7 +2431,7 @@ def read_iceberg_table(
         )
         groups.setdefault((icols, resolution_of.get(ap)), {})[ap] = rec
     need_file = (
-        any_deletes
+        need_pos
         or any(icols for icols, _ in groups)
         or len(groups) > 1
     )
@@ -2414,7 +2440,7 @@ def read_iceberg_table(
 
         guard_reserved_columns(
             [f.name for f in full_schema.fields],
-            ("_file", "_pos", "_fseq"),
+            ("_file", "_pos", "_fseq", "_first", "_row_id"),
             "read_iceberg_table",
         )
     iceberg_types = {f["name"]: f["type"] for f in schema_fields}
@@ -2476,7 +2502,7 @@ def read_iceberg_table(
                 "_file",
                 F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/"),
             )
-        if any_deletes:
+        if need_pos:
             gdf = gdf.withColumn("_pos", F.col("_metadata.row_index"))
         if gkey:
             # identity columns from the manifests' typed partition
@@ -2498,7 +2524,7 @@ def read_iceberg_table(
         sel = list(schema_order)
         if need_file:
             sel.append("_file")
-        if any_deletes:
+        if need_pos:
             sel.append("_pos")
         parts.append(gdf.select(*sel))
     df = parts[0]
@@ -2619,7 +2645,24 @@ def read_iceberg_table(
             for nm in names:
                 cond = cond & F.col(f"d.{nm}").eqNullSafe(F.col(f"e.{nm}"))
             df = d.join(F.broadcast(ddf), cond, "left_anti")
-    return df.select(*[f.name for f in full_schema.fields])
+    out_cols = [f.name for f in full_schema.fields]
+    if with_row_lineage:
+        # v3 ROW LINEAGE: _row_id = the file's first_row_id + the row's
+        # position — STABLE across MoR deletes and metadata rewrites
+        # (surviving rows keep their ids; only a data-file rewrite
+        # re-assigns). A |files|-row broadcast map, one projection.
+        fmap = spark.createDataFrame(
+            [
+                (os.path.abspath(p), file_first.get(p))
+                for p in files
+            ],
+            "_file STRING, _first BIGINT",
+        )
+        df = df.join(F.broadcast(fmap), "_file").withColumn(
+            "_row_id", F.col("_first") + F.col("_pos")
+        )
+        out_cols.append("_row_id")
+    return df.select(*out_cols)
 
 
 def migrate_parquet_dir(

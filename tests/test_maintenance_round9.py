@@ -271,3 +271,29 @@ def test_rewrite_manifests_date_partition_roundtrip(spark, tmp_path):
         spark, t.root, prune=[("dt", "=", "2024-01-03")]
     )
     assert pruned.filter(F.col("dt") == "2024-01-03").count() == 1
+
+
+def test_rewrite_then_expire_gcs_old_manifests(spark, append_chain):
+    """The lifecycle chain: rewrite_manifests supersedes the N small
+    manifests, and a following expire (old snapshots now the only
+    referents) GCs them — while the consolidated head keeps reading."""
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        expire_iceberg_snapshots,
+    )
+
+    t = append_chain
+    md0 = _meta(t.root)
+    old_manifests = {
+        r["manifest_path"] for r in _head_rows(md0)
+    }
+    assert len(old_manifests) == 4
+    want = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+    rewrite_iceberg_manifests(t.root)
+    assert all(os.path.isfile(p) for p in old_manifests)  # still referenced
+    expired = expire_iceberg_snapshots(t.root, keep_last=1)
+    assert expired == [1, 2, 3, 4]
+    assert all(not os.path.exists(p) for p in old_manifests)
+    md = _meta(t.root)
+    assert [s["snapshot-id"] for s in md["snapshots"]] == [5]
+    got = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
+    assert got == want

@@ -719,3 +719,52 @@ def test_fv3_partitioned_table_dvs(spark, tmp_path):
     assert sorted(r["id"] for r in pruned.collect()) == [
         i for i in range(60) if i % 4 != 0
     ]
+
+
+def test_row_lineage_read_stable_across_deletes(spark, tmp_path):
+    """The v3 row-lineage CONSUMER half: read_iceberg_table(
+    with_row_lineage=True) surfaces _row_id = file first_row_id + row
+    position. The lineage property: after a MoR delete commit, every
+    SURVIVING row keeps exactly the _row_id it had before — deletes
+    mask rows, they never re-assign identity."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.timetravel import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.write(ev, committed_at_ms=1)
+    t.write(ev.filter(F.col("k") % 4 != 0), committed_at_ms=2)
+    export_iceberg_metadata(t, format_version=3)
+    before = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg_table(
+            spark, t.root, snapshot_id=1, with_row_lineage=True
+        ).collect()
+    }
+    # ids are assigned, unique and dense over the initial commit
+    assert sorted(before.values()) == list(range(50))
+    after = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg_table(
+            spark, t.root, with_row_lineage=True
+        ).collect()
+    }
+    assert set(after) == {k for k in before if k % 4 != 0}
+    assert all(after[k] == before[k] for k in after)
+    # v2 trees refuse the flag honestly
+    import pytest
+
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.write(ev, committed_at_ms=1)
+    export_iceberg_metadata(t2, format_version=2)
+    with pytest.raises(ValueError, match="format-version 3"):
+        read_iceberg_table(spark, t2.root, with_row_lineage=True)
