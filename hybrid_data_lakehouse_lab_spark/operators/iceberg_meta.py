@@ -59,6 +59,18 @@ follow the
 published spec tables (iceberg.apache.org/spec/): `data_sequence_number`
 (id 3), `added_files_count` (id 504) etc.
 
+SCHEMA EVOLUTION (round 9): the export walks the pointer history
+assigning stable field ids (renames via `renamed_columns` keep the id
+and land in `schema.name-mapping.default`; drop+re-add mints a new id;
+type changes follow the promotion lattice), emits the full `schemas`
+list with per-snapshot `schema-id`, and the reader resolves evolved
+files by parquet field id / name mapping (see `read_iceberg_table`).
+`migrate_parquet_dir` is the `add_files` adoption path — existing
+(possibly Hive-partitioned) parquet registered in place with footer
+stats and a name mapping, zero data rewritten. Lifecycle maintenance
+lives in operators/maintenance.py: `expire_iceberg_snapshots`,
+`rewrite_iceberg_manifests`, `vacuum_delta_table`.
+
 Verified in tests/test_iceberg_meta.py with an INDEPENDENT from-scratch
 Avro + metadata parse (importing neither this module nor avro_io), plus
 a DuckDB read of the resolved live file set value-matched against
@@ -1935,6 +1947,18 @@ def read_iceberg_table(
     written before a repartition are typed and pruned under THEIR spec,
     not the current one; live files are scanned in one group per
     distinct identity-column layout and unioned.
+
+    SCHEMA EVOLUTION: the snapshot is read under ITS schema (snapshot
+    `schema-id` against the `schemas` list). When any id↔name binding
+    is non-unique across schemas (a rename or re-add happened), each
+    live file's columns resolve per-file — by parquet field id when the
+    file carries ids, else through `schema.name-mapping.default` — via
+    executor-parallel footer probes, one scan per resolution signature;
+    otherwise the by-name fast path runs unchanged. Fields with a v3
+    `initial-default` fill that value for files written before the
+    column existed (stored NULLs stay NULL). `with_row_lineage=True`
+    (v3 only) appends `_row_id` = file first_row_id + position, stable
+    across MoR deletes.
 
     `prune` is an ADVISORY list of (column, op, value) conjuncts with
     op in =, <, <=, >, >= : files whose stats (manifest
