@@ -1585,12 +1585,70 @@ def export_iceberg_metadata(
         written_manifests.update(
             os.path.basename(r["manifest_path"]) for r in manifest_rows
         )
+        rows_before = prev_rows
         prev_rows = manifest_rows
         summary = {"operation": operation}
         for k, v in (snap.get("properties") or {}).items():
             if k == "operation":
                 continue  # internal flag; the spec operation is computed
             summary[str(k)] = str(v)
+        if format_version >= 2:
+            # spec-standard summary counters (what engines surface in
+            # DESCRIBE HISTORY / $snapshots): derived from the manifest
+            # rows' own counts — a manifest's live content is its
+            # added + existing entries
+            def _tot(rows_, content):
+                fs = rs = 0
+                for r in rows_:
+                    if (r.get("content") or 0) != content:
+                        continue
+                    fs += (r.get("added_files_count") or 0) + (
+                        r.get("existing_files_count") or 0
+                    )
+                    rs += (r.get("added_rows_count") or 0) + (
+                        r.get("existing_rows_count") or 0
+                    )
+                return fs, rs
+
+            def _added(rows_, content):
+                fs = rs = 0
+                for r in rows_:
+                    if (r.get("content") or 0) != content:
+                        continue
+                    if r.get("added_snapshot_id") != snapshot_id:
+                        continue
+                    fs += r.get("added_files_count") or 0
+                    rs += r.get("added_rows_count") or 0
+                return fs, rs
+
+            tdf, tdr = _tot(manifest_rows, 0)
+            tvf, tvr = _tot(manifest_rows, 1)
+            adf, adr = _added(manifest_rows, 0)
+            avf, avr = _added(manifest_rows, 1)
+            carried = {
+                r["manifest_path"] for r in manifest_rows
+            }
+            pdf, pdr = _tot(
+                [r for r in rows_before if r["manifest_path"] not in carried],
+                0,
+            )
+            flavor = (
+                "equality" if upsert_key is not None else "position"
+            )
+            summary.update(
+                {
+                    "added-data-files": str(adf),
+                    "added-records": str(adr),
+                    "added-delete-files": str(avf),
+                    f"added-{flavor}-deletes": str(avr),
+                    "deleted-data-files": str(pdf),
+                    "deleted-records": str(pdr),
+                    "total-data-files": str(tdf),
+                    "total-records": str(tdr),
+                    "total-delete-files": str(tvf),
+                    f"total-{flavor}-deletes": str(tvr),
+                }
+            )
         s = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": ev["at_ms"],

@@ -1,0 +1,106 @@
+"""Randomized schema-evolution × MoR interplay property.
+
+Each seed drives a random 4-commit history over {add column, drop
+column, rename column, re-add a dropped name, data-only change} and
+exports it; then EVERY snapshot's Iceberg and Delta reads must equal
+the snapshot's own parquet — a ground truth independent of the
+evolution machinery. Data-only steps exercise the incremental MoR
+paths (append/delete diffs) BETWEEN schema changes, so the
+rewrite-on-schema-change gates and the id registry are stressed
+together. Seeds are fixed (deterministic, no flaky shrinking)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+    export_delta_log,
+    read_delta_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    export_iceberg_metadata,
+    read_iceberg_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def _df(spark, cols, lo, hi):
+    """Deterministic frame: key k in [lo, hi) plus one long column per
+    name, value = k * (stable per-name factor)."""
+    out = spark.range(lo, hi).select(F.col("id").alias("k"))
+    for c in cols:
+        factor = (sum(ord(x) for x in c) % 7) + 2
+        out = out.withColumn(c, F.col("k") * factor)
+    return out
+
+
+def _history(seed):
+    """(ops applied, [(cols, lo, hi)] per commit, renames map)."""
+    rng = random.Random(seed)
+    cols = ["c0", "c1"]
+    next_id = 2
+    dropped: list[str] = []
+    renames: dict[str, str] = {}
+    lo, hi = 0, 40
+    commits = [(list(cols), lo, hi)]
+    ops = ["init"]
+    for _ in range(4):
+        op = rng.choice(["add", "drop", "rename", "readd", "data"])
+        if op == "add":
+            cols.append(f"c{next_id}")
+            next_id += 1
+        elif op == "drop" and len(cols) > 1:
+            dropped.append(cols.pop(rng.randrange(len(cols))))
+        elif op == "rename":
+            i = rng.randrange(len(cols))
+            old, new = cols[i], f"c{next_id}"
+            next_id += 1
+            cols[i] = new
+            renames[new] = old
+        elif op == "readd" and dropped:
+            name = dropped.pop(rng.randrange(len(dropped)))
+            if name not in cols:
+                cols.append(name)
+        else:
+            op = "data"
+            # shrink or grow the key range: same-schema transitions
+            # take the MoR append/delete paths
+            if rng.random() < 0.5:
+                lo += rng.randrange(1, 8)
+            else:
+                hi += rng.randrange(1, 8)
+            if lo >= hi:
+                lo = hi - 5
+        ops.append(op)
+        commits.append((list(cols), lo, hi))
+    return ops, commits, renames
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 5, 8, 13])
+def test_random_evolution_reads_match_ground_truth(spark, tmp_path, seed):
+    ops, commits, renames = _history(seed)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i, (cols, lo, hi) in enumerate(commits):
+        t.write(_df(spark, cols, lo, hi), committed_at_ms=i + 1)
+    fv = 3 if seed % 2 else 2
+    export_iceberg_metadata(t, format_version=fv, renamed_columns=renames)
+    export_delta_log(t, mor_deletes=True)
+    snaps = {s.version: s.path for s in t.snapshots()}
+    for i, (cols, lo, hi) in enumerate(commits):
+        truth = spark.read.parquet(snaps[i + 1])
+        want_cols = sorted(truth.columns)
+        want = sorted(
+            tuple(r[c] for c in want_cols) for r in truth.collect()
+        )
+        ice = read_iceberg_table(spark, t.root, snapshot_id=i + 1)
+        assert sorted(ice.columns) == want_cols, (seed, ops, i)
+        got = sorted(
+            tuple(r[c] for c in want_cols) for r in ice.collect()
+        )
+        assert got == want, (seed, ops, i, "iceberg")
+        dl = read_delta_table(spark, t.root, version=i)
+        got_d = sorted(
+            tuple(r[c] for c in want_cols) for r in dl.collect()
+        )
+        assert got_d == want, (seed, ops, i, "delta")

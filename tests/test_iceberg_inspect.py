@@ -92,3 +92,34 @@ def test_files_table_unpartitioned_and_missing_snapshot(spark, tmp_path):
     assert len(f) >= 1 and all(r["partition"] is None for r in f)
     with pytest.raises(ValueError, match="snapshot 99"):
         files_table(spark, t.root, snapshot_id=99)
+
+
+def test_snapshot_summary_counters(spark, tmp_path):
+    """The spec-standard summary counters engines show in DESCRIBE
+    HISTORY: a MoR chain's delete snapshot must report the delete
+    file/row adds and carry totals; the overwrite reports its own
+    adds and what it replaced."""
+    import json
+
+    t = _mor_table(spark, tmp_path)  # 90 rows, then delete 18 (k%5==0)
+    meta_dir = os.path.join(t.root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    s1, s2 = md["snapshots"]
+    assert s1["summary"]["operation"] == "overwrite"
+    assert s1["summary"]["added-records"] == "90"
+    assert s1["summary"]["total-records"] == "90"
+    assert s1["summary"]["total-delete-files"] == "0"
+    assert s2["summary"]["operation"] == "delete"
+    assert s2["summary"]["added-data-files"] == "0"
+    assert int(s2["summary"]["added-delete-files"]) >= 1
+    assert s2["summary"]["added-position-deletes"] == "18"
+    assert s2["summary"]["total-records"] == "90"  # physical, pre-mask
+    assert s2["summary"]["total-position-deletes"] == "18"
+    # the counters surface through the snapshots metadata table
+    got = {
+        r["snapshot_id"]: r["summary"]
+        for r in snapshots_table(spark, t.root).collect()
+    }
+    assert got[2]["added-position-deletes"] == "18"
