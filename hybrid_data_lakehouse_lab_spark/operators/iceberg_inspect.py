@@ -254,3 +254,57 @@ def partitions_table(
         (dict(k) or None, a[0], a[1]) for k, a in sorted(agg.items())
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def delta_history_table(spark: SparkSession, root: str) -> DataFrame:
+    """Delta DESCRIBE HISTORY: one row per commit from the
+    `_delta_log/` JSON files — (version, timestamp_ms, operation,
+    operation_parameters, user_metadata). Commits retired by
+    `clean_log_commits` are absent, exactly as in stock Delta (history
+    is bounded by log retention)."""
+    from .delta_log import _is_commit_file
+
+    log_dir = os.path.join(root, "_delta_log")
+    rows = []
+    for f in sorted(os.listdir(log_dir)):
+        if not _is_commit_file(f):
+            continue
+        v = int(f.split(".")[0])
+        ci = None
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    break
+        ci = ci or {}
+        rows.append(
+            (
+                v,
+                ci.get("timestamp"),
+                ci.get("operation"),
+                {
+                    k: str(val)
+                    for k, val in (
+                        ci.get("operationParameters") or {}
+                    ).items()
+                },
+                ci.get("userMetadata"),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("version", T.LongType()),
+            T.StructField("timestamp_ms", T.LongType(), True),
+            T.StructField("operation", T.StringType(), True),
+            T.StructField(
+                "operation_parameters",
+                T.MapType(T.StringType(), T.StringType()),
+                True,
+            ),
+            T.StructField("user_metadata", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -123,3 +123,29 @@ def test_snapshot_summary_counters(spark, tmp_path):
         for r in snapshots_table(spark, t.root).collect()
     }
     assert got[2]["added-position-deletes"] == "18"
+
+
+def test_delta_history_table(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_inspect import (
+        delta_history_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        compact_snapshot,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    t.write(ev, committed_at_ms=1000, properties={"checkpoint": "a"})
+    t.write(ev.filter(F.col("k") % 4 != 0), committed_at_ms=2000)
+    compact_snapshot(t, committed_at_ms=3000)
+    export_delta_log(t, mor_deletes=True)
+    h = delta_history_table(spark, t.root).orderBy("version").collect()
+    assert [r["version"] for r in h] == [0, 1, 2]
+    assert [r["timestamp_ms"] for r in h] == [1000, 2000, 3000]
+    assert h[2]["operation"] == "OPTIMIZE"
+    assert '"checkpoint": "a"' in (h[0]["user_metadata"] or "")
