@@ -2294,10 +2294,23 @@ def read_iceberg_table(
     # partition value is derived from a source column that IS in the
     # schema) — nothing to attach, the manifests' typed values exist
     # for pruning only. Per spec, the identity set can DIFFER per file.
-    pcols_of = {
-        sid: [n for n, f in sp.items() if f["transform"] == "identity"]
+    # SCHEMA × SPEC EVOLUTION: an identity spec field keeps its
+    # HISTORICAL name in old manifests' partition structs even after
+    # its source column is renamed — so identity columns resolve by
+    # SOURCE-ID against the read schema (ident_of maps read-schema name
+    # → the spec field name the values are stored under); a spec field
+    # whose source was dropped from the read schema simply detaches.
+    _id_to_read_name = {f["id"]: f["name"] for f in schema_fields}
+    ident_of: dict[int, dict[str, str]] = {
+        sid: {
+            _id_to_read_name[f["source-id"]]: n
+            for n, f in sp.items()
+            if f["transform"] == "identity"
+            and f.get("source-id") in _id_to_read_name
+        }
         for sid, sp in specs_of.items()
     }
+    pcols_of = {sid: list(m) for sid, m in ident_of.items()}
     if prune:
         from .iceberg_transforms import bucket_value, truncate_value
 
@@ -2346,10 +2359,14 @@ def read_iceberg_table(
                     return True
             return True
 
-        def may_match(rec, spec, pcols) -> bool:
+        def may_match(rec, spec, pcols, ident) -> bool:
             for col, op, val in prune:
                 if col in pcols:
-                    pv = (rec.get("partition") or {}).get(col)
+                    # values are stored under the spec field's
+                    # HISTORICAL name (pre-rename)
+                    pv = (rec.get("partition") or {}).get(
+                        ident.get(col, col)
+                    )
                     if pv is None:
                         continue  # null/absent partition value: keep
                     ptype = by_name[col]["type"] if col in by_name else "string"
@@ -2392,7 +2409,10 @@ def read_iceberg_table(
             p: rec
             for p, rec in files.items()
             if may_match(
-                rec, specs_of[file_spec[p]], pcols_of[file_spec[p]]
+                rec,
+                specs_of[file_spec[p]],
+                pcols_of[file_spec[p]],
+                ident_of[file_spec[p]],
             )
         }
         file_seq = {p: s for p, s in file_seq.items() if p in files}
@@ -2506,11 +2526,18 @@ def read_iceberg_table(
                 req.append((src, absent))
             resolution_of[p] = tuple(req)
     groups: dict[tuple, dict[str, dict]] = {}
+    ident_vals: dict[str, dict] = {}
     for p, rec in files.items():
         ap = os.path.abspath(p)
         icols = tuple(
             c for c in schema_order if c in pcols_of[file_spec[p]]
         )
+        ident_vals[ap] = {
+            c: (rec.get("partition") or {}).get(
+                ident_of[file_spec[p]][c]
+            )
+            for c in icols
+        }
         groups.setdefault((icols, resolution_of.get(ap)), {})[ap] = rec
     need_file = (
         need_pos
@@ -2591,8 +2618,8 @@ def read_iceberg_table(
             # values — a |group files|-row broadcast mapping
             mapping = spark.createDataFrame(
                 [
-                    (p, *[from_typed(c, rec["partition"].get(c)) for c in gkey])
-                    for p, rec in gpaths.items()
+                    (p, *[from_typed(c, ident_vals[p].get(c)) for c in gkey])
+                    for p in gpaths
                 ],
                 T.StructType(
                     [T.StructField("_file", T.StringType())]

@@ -729,3 +729,179 @@ def test_rename_with_old_name_still_live_refused(spark, tmp_path):
         export_iceberg_metadata(
             t, format_version=2, renamed_columns={"b": "a"}
         )
+
+
+def test_renamed_identity_partition_source_reconstructs(spark, tmp_path):
+    """SCHEMA × SPEC interplay: a real-Iceberg rename is metadata-only,
+    so an external tree has identity-partitioned files whose partition
+    struct still uses the HISTORICAL field name ('g') while the read
+    schema says 'region'. The identity column must reconstruct by
+    SOURCE-ID (values from the old name), and partition pruning must
+    translate the same way — a by-name lookup would null the column
+    and break the prune."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+        _manifest_list_schema,
+    )
+
+    root = str(tmp_path / "t")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    f_a = _write_pa(
+        os.path.join(root, "data", "a.parquet"),
+        {"id": [1, 2]},
+        field_ids={"id": 1},
+    )
+    pf = [{"name": "g", "type": "string", "field-id": 1000}]
+    entry_schema = _entry_schema(pf, 2)
+    mpath = os.path.join(meta_dir, "m-00000.avro")
+    write_avro(
+        mpath,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f_a,
+                    "file_format": "PARQUET",
+                    "partition": {"g": "west"},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(f_a),
+                },
+            }
+        ],
+    )
+    lpath = os.path.join(meta_dir, "snap-1-1-manifest-list.avro")
+    write_avro(
+        lpath,
+        _manifest_list_schema(2),
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 2,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000ee01",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schema": _schema(1, (1, "id", "long"), (2, "region", "string")),
+        "schemas": [
+            _schema(0, (1, "id", "long"), (2, "g", "string")),
+            _schema(1, (1, "id", "long"), (2, "region", "string")),
+        ],
+        "current-schema-id": 1,
+        "partition-spec": [
+            {
+                "name": "g",
+                "transform": "identity",
+                "source-id": 2,
+                "field-id": 1000,
+            }
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "g",
+                        "transform": "identity",
+                        "source-id": 2,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "last-partition-id": 1000,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 1,
+                "summary": {"operation": "append"},
+                "manifest-list": lpath,
+                "schema-id": 1,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg_table(spark, root)
+    assert sorted(got.columns) == ["id", "region"]
+    assert {(r["id"], r["region"]) for r in got.collect()} == {
+        (1, "west"),
+        (2, "west"),
+    }
+    # prune translates through the rename: 'east' drops the only file
+    assert (
+        read_iceberg_table(
+            spark, root, prune=[("region", "=", "east")]
+        ).count()
+        == 0
+    )
+    assert (
+        read_iceberg_table(
+            spark, root, prune=[("region", "=", "west")]
+        ).count()
+        == 2
+    )
+
+
+def test_export_rename_partition_source_time_travel(spark, tmp_path):
+    """Our exporter: renaming an identity partition source forces a
+    rewrite (new spec under the new name); time travel to the old
+    snapshot reconstructs the OLD column name from the old spec."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k INT, g STRING"
+    )
+    t.write(df1, partition_by=["g"], committed_at_ms=1)
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k INT, region STRING"
+    )
+    t.write(df2, partition_by=["region"], committed_at_ms=2)
+    export_iceberg_metadata(
+        t, format_version=2, renamed_columns={"region": "g"}
+    )
+    head = read_iceberg_table(spark, t.root)
+    assert sorted(head.columns) == ["k", "region"]
+    assert {(r["k"], r["region"]) for r in head.collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    old = read_iceberg_table(spark, t.root, snapshot_id=1)
+    assert sorted(old.columns) == ["g", "k"]
+    assert {(r["k"], r["g"]) for r in old.collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
