@@ -2738,13 +2738,95 @@ def read_iceberg_table(
                 [(os.path.abspath(p), s) for p, s in plist],
                 "_dfile STRING, _dseq BIGINT",
             )
+            dpaths = {os.path.abspath(p) for p, _ in plist}
+            if by_name_safe:
+                escan = spark.read.parquet(*dpaths).select(*names)
+            else:
+                # SCHEMA EVOLUTION: a delete file written BEFORE a
+                # rename carries the old column name (and, from real
+                # engines, parquet field ids) — resolve its columns the
+                # same way as data files: by id, else name mapping.
+                # Delete sets are small by design (the MoR design
+                # point), so footers probe driver-side.
+                import pyarrow.parquet as _pq
+
+                name_types = {
+                    f["name"]: _spark_type(f["type"])
+                    for f in schema_fields
+                }
+                egroups: dict[tuple, list[str]] = {}
+                for ap in sorted(dpaths):
+                    cols = [
+                        (
+                            fld.name,
+                            int(m[b"PARQUET:field_id"])
+                            if (m := fld.metadata or {}).get(
+                                b"PARQUET:field_id"
+                            )
+                            is not None
+                            else None,
+                        )
+                        for fld in _pq.read_schema(ap)
+                    ]
+                    if any(fid is not None for _, fid in cols):
+                        by_id = {
+                            fid: nm for nm, fid in cols if fid is not None
+                        }
+                        res = tuple(by_id.get(i) for i in ids)
+                    else:
+                        in_f = {nm for nm, _ in cols}
+                        alias_lists = {
+                            e["field-id"]: e.get("names") or []
+                            for e in name_mapping
+                        }
+                        res = tuple(
+                            next(
+                                (
+                                    a
+                                    for a in (
+                                        id_to_name.get(i, ""),
+                                        *alias_lists.get(i, ()),
+                                    )
+                                    if a in in_f
+                                ),
+                                None,
+                            )
+                            for i in ids
+                        )
+                    if any(r is None for r in res):
+                        raise ValueError(
+                            f"equality delete file {ap} does not "
+                            f"contain the equality_ids columns {ids} "
+                            f"(resolved: {res})"
+                        )
+                    egroups.setdefault(res, []).append(ap)
+                parts_e = []
+                for res, paths_e in egroups.items():
+                    sch = T.StructType(
+                        [
+                            T.StructField(src, name_types[tgt], True)
+                            for src, tgt in zip(res, names)
+                        ]
+                    )
+                    parts_e.append(
+                        spark.read.schema(sch)
+                        .parquet(*paths_e)
+                        .select(
+                            *[
+                                F.col(src).alias(tgt)
+                                for src, tgt in zip(res, names)
+                            ]
+                        )
+                    )
+                escan = parts_e[0]
+                for pe in parts_e[1:]:
+                    escan = escan.unionByName(pe)
             ddf = (
-                spark.read.parquet(*{os.path.abspath(p) for p, _ in plist})
-                .select(
-                    *names,
+                escan.withColumn(
+                    "_dfile",
                     F.regexp_replace(
                         F.input_file_name(), _SCHEME_RE, "/"
-                    ).alias("_dfile"),
+                    ),
                 )
                 .join(F.broadcast(dmap2), "_dfile")
                 .alias("e")

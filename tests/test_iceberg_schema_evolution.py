@@ -905,3 +905,119 @@ def test_export_rename_partition_source_time_travel(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     }
+
+
+def test_equality_delete_written_pre_rename_resolves(spark, tmp_path):
+    """A Flink-style equality delete file written BEFORE a rename
+    carries the OLD column name (with parquet field ids); after the
+    rename, the reader must resolve the delete columns by field id —
+    selecting by the new name would fail, and skipping the file would
+    resurrect deleted rows."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+        _manifest_list_schema,
+    )
+
+    root = str(tmp_path / "t")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    f_data = _write_pa(
+        os.path.join(root, "data", "a.parquet"),
+        {"id": [1, 2, 3], "total": [10, 20, 30]},
+        field_ids={"id": 1, "total": 2},
+    )
+    # equality delete on field 2, written pre-rename: column 'total'
+    f_del = _write_pa(
+        os.path.join(root, "eqdel", "d.parquet"),
+        {"total": [20]},
+        field_ids={"total": 2},
+    )
+    entry_schema = _entry_schema([], 2)
+
+    def entry(path, content, rc, ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "data_sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": rc,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": ids,
+            },
+        }
+
+    m_data = os.path.join(meta_dir, "m-0.avro")
+    m_del = os.path.join(meta_dir, "m-1-del.avro")
+    write_avro(m_data, entry_schema, [entry(f_data, 0, 3)])
+    write_avro(m_del, entry_schema, [entry(f_del, 2, 1, [2])])
+
+    def row(path, content, seq):
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": seq,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    ls = _manifest_list_schema(2)
+    lpath = os.path.join(meta_dir, "snap-2-1-manifest-list.avro")
+    write_avro(lpath, ls, [row(m_data, 0, 1), row(m_del, 1, 2)])
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000ee02",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 2,
+        "last-column-id": 2,
+        "schema": _schema(1, (1, "id", "long"), (2, "amount", "long")),
+        "schemas": [
+            _schema(0, (1, "id", "long"), (2, "total", "long")),
+            _schema(1, (1, "id", "long"), (2, "amount", "long")),
+        ],
+        "current-schema-id": 1,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 2,
+                "sequence-number": 2,
+                "timestamp-ms": 2,
+                "summary": {"operation": "delete"},
+                "manifest-list": lpath,
+                "schema-id": 1,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg_table(spark, root)
+    assert sorted(got.columns) == ["amount", "id"]
+    assert {(r["id"], r["amount"]) for r in got.collect()} == {
+        (1, 10),
+        (3, 30),  # amount==20 deleted via the pre-rename delete file
+    }
