@@ -1602,6 +1602,34 @@ def read_delta_changes(
         if starting_version > 0
         else {}
     )
+    # the whole range reads under the END version's schema; a rename /
+    # drop / type change INSIDE the range would silently misread older
+    # change files, so only additive evolution is allowed (the
+    # delta-spark "incompatible data schema change" rule). The start
+    # boundary's schema comes from the pre-range replay.
+    end_fields = {f.name: f.dataType for f in schema.fields}
+    # schema in force AT the start version — the range's base (a
+    # schema-change commit's own CDF rows are written under its NEW
+    # schema, so a range STARTING at that commit is fine)
+    start_meta = replay_delta_log(log_dir, starting_version)["metaData"]
+
+    def _compatible(meta_action):
+        if meta_action is None:
+            return True
+        old = T.StructType.fromJson(
+            json.loads(meta_action["schemaString"])
+        )
+        return all(
+            f.name in end_fields and end_fields[f.name] == f.dataType
+            for f in old.fields
+        )
+
+    if not _compatible(start_meta):
+        raise ValueError(
+            f"incompatible data schema change inside CDF range "
+            f"[{starting_version}, {ending_version}]: the range must "
+            "be split at the schema-change commit"
+        )
     groups: dict[str, list] = {"cdc": [], "insert": [], "delete": []}
     for v in range(starting_version, ending_version + 1):
         adds, removes, cdcs, ts = [], [], [], None
@@ -1616,6 +1644,15 @@ def read_delta_changes(
                     removes.append(a["remove"])
                 elif "cdc" in a:
                     cdcs.append(a["cdc"])
+                elif "metaData" in a:
+                    if not _compatible(a["metaData"]):
+                        raise ValueError(
+                            f"incompatible data schema change at "
+                            f"commit {v} inside CDF range "
+                            f"[{starting_version}, {ending_version}]: "
+                            "the range must be split at the "
+                            "schema-change commit"
+                        )
                 elif "commitInfo" in a and ts is None:
                     ci = a["commitInfo"]
                     ts = ci.get("inCommitTimestamp", ci.get("timestamp"))

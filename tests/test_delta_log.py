@@ -2036,3 +2036,39 @@ def test_schema_change_versions_read_under_own_schema(spark, tmp_path):
         1: (10, "x"),
         3: (30, "y"),
     }
+
+
+def test_cdf_range_refuses_incompatible_schema_change(spark, tmp_path):
+    """delta-spark's rule: a CDF range spanning a rename/drop/type
+    change refuses (older change files would silently misread under
+    the end schema); additive evolution and split ranges work."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        read_delta_changes,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, val INT"),
+        committed_at_ms=1000,
+    )
+    t.write(  # rename: incompatible
+        spark.createDataFrame([(1, 10), (3, 30)], "k INT, amount INT"),
+        committed_at_ms=2000,
+    )
+    t.write(  # additive on top of the renamed schema
+        spark.createDataFrame(
+            [(1, 10, "x"), (3, 30, "y"), (4, 40, "z")],
+            "k INT, amount INT, note STRING",
+        ),
+        committed_at_ms=3000,
+    )
+    export_delta_log(t, change_data=True)
+    with pytest.raises(ValueError, match="incompatible data schema"):
+        read_delta_changes(spark, t.root, 0, 2)
+    with pytest.raises(ValueError, match="incompatible data schema"):
+        read_delta_changes(spark, t.root, 0, 1)
+    # split at the schema-change commit: both halves read
+    pre = read_delta_changes(spark, t.root, 0, 0)
+    assert pre.count() > 0 and "val" in pre.columns
+    post = read_delta_changes(spark, t.root, 1, 2)  # additive range
+    assert post.count() > 0 and "note" in post.columns
