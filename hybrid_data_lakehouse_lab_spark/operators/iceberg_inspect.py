@@ -308,3 +308,20 @@ def delta_history_table(spark: SparkSession, root: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def refs_table(spark: SparkSession, root: str) -> DataFrame:
+    """One row per ref: (name, type, snapshot_id) — `tbl$refs`."""
+    metadata = _load_meta(root)
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("snapshot_id", T.LongType()),
+        ]
+    )
+    rows = [
+        (name, r.get("type", "branch"), r["snapshot-id"])
+        for name, r in sorted((metadata.get("refs") or {}).items())
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -779,3 +779,118 @@ def rewrite_delete_files(
         branch=branch,
         properties={"operation": "rewrite-deletes", "rewritten-from": head},
     )
+
+
+def find_orphan_files(root: str) -> list[str]:
+    """The detection half of Iceberg's `remove_orphan_files`: walk the
+    table root and report every data-looking file (parquet / Puffin)
+    that NO snapshot in the current metadata reaches through its
+    manifest graph — failed-write leftovers and files stranded by
+    external tools. Read-only by design: the report feeds a human or a
+    scheduled deleter with its own age cutoff (stock Iceberg's
+    3-day-old default exists precisely because a concurrent writer's
+    not-yet-committed files look orphaned; a metadata-only detector
+    cannot tell, so this one never unlinks).
+
+    CROSS-FACADE AWARE: a root may carry several metadata systems at
+    once (the UniForm shape — an Iceberg tree, a Delta log and the
+    engine's own SnapshotTable store). A file any of them references —
+    Iceberg manifests, every Delta version's adds / DV bins /
+    change-data, every SnapshotTable version dir — counts as reachable;
+    only files NO system knows are orphans.
+
+    Driver-side O(manifests + files-on-disk); `metadata/` and
+    `_delta_log/` trees are out of scope (they are not data files and
+    a Delta facade may legitimately own extra files there).
+    """
+    import json
+    import urllib.parse
+
+    from .avro_io import read_avro
+
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        metadata = json.load(fh)
+    reachable: set[str] = set()
+    # sibling facades' holdings
+    st_manifest = os.path.join(root, SnapshotTable.MANIFEST)
+    if os.path.exists(st_manifest):
+        with open(st_manifest) as fh:
+            st = json.load(fh)
+        for snap in st.get("snapshots") or []:
+            d = snap.get("path")
+            if d and os.path.isdir(d):
+                for dp, _dn, fns in os.walk(d):
+                    reachable.update(
+                        os.path.abspath(os.path.join(dp, fn))
+                        for fn in fns
+                    )
+    log_dir = os.path.join(root, "_delta_log")
+    if os.path.isdir(log_dir):
+        from .delta_log import _is_commit_file
+        from .roaring import dv_relative_path
+
+        for f in os.listdir(log_dir):
+            if not _is_commit_file(f):
+                continue
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    act = a.get("add") or a.get("remove") or a.get("cdc")
+                    if not act:
+                        continue
+                    reachable.add(
+                        os.path.abspath(
+                            os.path.join(
+                                root, urllib.parse.unquote(act["path"])
+                            )
+                        )
+                    )
+                    dv = act.get("deletionVector") if "add" in a else None
+                    if dv and dv.get("storageType") == "u":
+                        prefix, fname = dv_relative_path(
+                            dv["pathOrInlineDv"]
+                        )
+                        reachable.add(
+                            os.path.abspath(
+                                os.path.join(root, prefix, fname)
+                                if prefix
+                                else os.path.join(root, fname)
+                            )
+                        )
+    manifest_cache: set[str] = set()
+    for s in metadata.get("snapshots") or []:
+        ml = s["manifest-list"]
+        for r in read_avro(ml)[1]:
+            mp = r["manifest_path"]
+            if mp in manifest_cache:
+                continue
+            manifest_cache.add(mp)
+            for e in read_avro(mp)[1]:
+                reachable.add(
+                    os.path.abspath(e["data_file"]["file_path"])
+                )
+    for st in metadata.get("statistics") or []:
+        reachable.add(os.path.abspath(st["statistics-path"]))
+    root_abs = os.path.abspath(root)
+    skip_dirs = {"metadata", "_delta_log", "_change_data"}
+    orphans = []
+    for dirpath, dirnames, filenames in os.walk(root_abs):
+        rel = os.path.relpath(dirpath, root_abs)
+        top = rel.split(os.sep)[0]
+        if top in skip_dirs:
+            dirnames[:] = []
+            continue
+        for fn in filenames:
+            if fn.startswith((".", "_")):
+                continue
+            if not fn.endswith((".parquet", ".puffin", ".bin")):
+                continue
+            p = os.path.abspath(os.path.join(dirpath, fn))
+            if p not in reachable:
+                orphans.append(p)
+    return sorted(orphans)

@@ -297,3 +297,42 @@ def test_rewrite_then_expire_gcs_old_manifests(spark, append_chain):
     assert [s["snapshot-id"] for s in md["snapshots"]] == [5]
     got = sorted(r["k"] for r in read_iceberg_table(spark, t.root).collect())
     assert got == want
+
+
+def test_find_orphan_files_and_refs_table(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_inspect import (
+        refs_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        find_orphan_files,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ev = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    t.write(ev, committed_at_ms=1)
+    t.write(ev.filter(F.col("k") % 4 != 0), committed_at_ms=2)
+    export_iceberg_metadata(t, format_version=2)
+    assert find_orphan_files(t.root) == []  # a fresh export is clean
+    # plant a failed-write leftover
+    stray = os.path.join(t.root, "snapshots", "stray-leftover.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(
+        stray + ".dir"
+    )
+    import shutil
+
+    src = next(
+        f
+        for f in os.listdir(stray + ".dir")
+        if f.endswith(".parquet")
+    )
+    shutil.move(os.path.join(stray + ".dir", src), stray)
+    shutil.rmtree(stray + ".dir")
+    orphans = find_orphan_files(t.root)
+    assert orphans == [os.path.abspath(stray)]
+    assert os.path.isfile(stray)  # detection only — never unlinks
+
+    refs = {r["name"]: (r["type"], r["snapshot_id"]) for r in refs_table(spark, t.root).collect()}
+    assert refs["main"] == ("branch", 2)
