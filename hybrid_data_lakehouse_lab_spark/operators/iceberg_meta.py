@@ -660,6 +660,8 @@ def export_iceberg_metadata(
     id_of: dict[str, int] = {}  # live name -> field id (retired on drop)
     type_by_id: dict[int, str] = {}  # id -> latest (possibly promoted) type
     aliases: dict[int, list[str]] = {}  # id -> names in order of use
+    ever_named: set[str] = set()  # every name that was ever live
+    applied_renames: set[str] = set()  # renamed_columns keys ever applied
     last_column_id = 0
     schemas: list[dict] = []  # distinct schemas, schema-id = list index
     _schema_key_to_id: dict[tuple, int] = {}
@@ -682,17 +684,22 @@ def export_iceberg_metadata(
             it = _iceberg_type(f.dataType.simpleString())
             if f.name in id_of:
                 fid = id_of[f.name]
-            elif f.name in renamed_columns:
+            elif (
+                f.name in renamed_columns
+                and renamed_columns[f.name] in id_of
+            ):
+                # a rename applies only while the OLD name is live; a
+                # 'rename a->b, later drop b and re-add b' history (or
+                # a rename-back a->b->a) falls through to minting a
+                # fresh id instead of a spurious error — typo'd
+                # mappings are caught after the loop, when the old
+                # name turns out to have never existed at all
                 old = renamed_columns[f.name]
-                if old not in id_of:
-                    raise ValueError(
-                        f"renamed_columns maps {f.name!r} to {old!r}, "
-                        f"but no prior snapshot has a live column "
-                        f"{old!r} (live: {sorted(id_of)})"
-                    )
+                applied_renames.add(f.name)
                 fid = id_of.pop(old)
                 id_of[f.name] = fid
-                aliases[fid].append(f.name)
+                if f.name not in aliases[fid]:
+                    aliases[fid].append(f.name)
             else:
                 last_column_id += 1
                 fid = last_column_id
@@ -730,6 +737,7 @@ def export_iceberg_metadata(
         # re-added under the same name gets a fresh id, so old files'
         # data for the dropped column can never resurface (spec rule)
         live_names = {x["name"] for x in evf}
+        ever_named.update(live_names)
         for n in list(id_of):
             if n not in live_names:
                 del id_of[n]
@@ -744,6 +752,17 @@ def export_iceberg_metadata(
         event_schema_id.append(sid)
         col_ids_of.append({x["name"]: x["id"] for x in evf})
         type_of_of.append({x["name"]: x["type"] for x in evf})
+    typos = {
+        new: old
+        for new, old in renamed_columns.items()
+        if new not in applied_renames and old not in ever_named
+    }
+    if typos:
+        raise ValueError(
+            f"renamed_columns maps {typos} to old names no snapshot in "
+            f"the history ever had a live column for "
+            f"(names ever live: {sorted(ever_named)})"
+        )
     fields = schemas[event_schema_id[-1]]["fields"]
     col_ids = col_ids_of[-1]
     type_of = type_of_of[-1]
@@ -874,11 +893,14 @@ def export_iceberg_metadata(
     # full rewrite — part of the live file set alongside base_dir
     append_dirs: list[str] = []
     base_live_rows: int | None = None
-    # v3 DV state: cumulative deleted positions per absolute data-file
-    # path (a new DV REPLACES the prior one for that file, per the
-    # spec's at-most-one-DV-per-data-file rule — same replace semantics
-    # as Delta's cumulative descriptors)
-    dv_positions: dict[str, list[int]] = {}
+    # v3 DV state: cumulative per-file deletion-vector BODY bytes
+    # (magic + portable roaring64) + cardinality, keyed by absolute
+    # data-file path (a new DV REPLACES the prior one for that file,
+    # per the spec's at-most-one-DV-per-data-file rule — same replace
+    # semantics as Delta's cumulative descriptors). Bitmaps are built
+    # and merged EXECUTOR-side (operators/dv_kernel.py); the driver
+    # holds only compressed-bitmap bytes, never row positions.
+    dv_state: dict[str, tuple[bytes, int]] = {}
     # v3 row lineage: the table's next _row_id to assign
     next_row_id = 0
     written_delete_dirs: set[str] = set()
@@ -964,16 +986,11 @@ def export_iceberg_metadata(
             DataFrame, or None — the mask both incremental diffs apply
             to the base before comparing against the child."""
             if format_version >= 3:
+                from .dv_kernel import dv_state_positions
+
                 return (
-                    table.spark.createDataFrame(
-                        [
-                            (f, p)
-                            for f, ps in dv_positions.items()
-                            for p in ps
-                        ],
-                        "file_path string, pos bigint",
-                    )
-                    if dv_positions
+                    dv_state_positions(table.spark, dv_state)
+                    if dv_state
                     else None
                 )
             return (
@@ -1149,26 +1166,34 @@ def export_iceberg_metadata(
                 )
             operation = "overwrite" if del_files else "append"
         elif format_version >= 3 and (
-            deleted is not None or (is_minor and dv_positions)
+            deleted is not None or (is_minor and dv_state)
         ):
             # --- v3 merge-on-read delete snapshot: DELETION VECTORS in
             # a Puffin file (spec v3 forbids new positional-delete
             # parquet). One cumulative DV per touched data file; the
             # new delete manifest REPLACES all prior delete manifests
-            # in the manifest list (at most one DV per data file). DV
-            # bitmaps are materialized driver-side per file — the
-            # spec's own design point (a DV indexes rows of ONE parquet
-            # file; compaction rewrites files whose DVs grow large);
-            # the diff that finds the positions stays distributed. ---
-            from .puffin import DELETION_VECTOR_V1, dv_v1_blob, write_puffin
+            # in the manifest list (at most one DV per data file). The
+            # bitmaps are merged and serialized ON the executors via
+            # the cogrouped Arrow kernel shared with the Delta exporter
+            # (operators/dv_kernel.py — same magic+roaring64 body
+            # bytes); the driver receives only (file, blob,
+            # cardinality) per touched file and does the O(files)
+            # Puffin container assembly. ---
+            from .dv_kernel import dv_blobs_by_file
+            from .puffin import DELETION_VECTOR_V1, frame_dv_v1, write_puffin
 
             if deleted is not None:
-                for r in deleted.collect():
-                    cur = dv_positions.setdefault(r["file_path"], [])
-                    cur.append(r["pos"])
-                dv_positions = {
-                    p: sorted(set(ps)) for p, ps in dv_positions.items()
-                }
+                dv_state.update(
+                    {
+                        r["file_path"]: (
+                            bytes(r["blob"]),
+                            int(r["cardinality"]),
+                        )
+                        for r in dv_blobs_by_file(
+                            table.spark, deleted, dv_state
+                        )
+                    }
+                )
             # else (minor compaction): re-emit the cumulative DV state
             # as one fresh Puffin file — k stacked DV files become one
             base_by_abs = {
@@ -1188,16 +1213,16 @@ def export_iceberg_metadata(
                 _shutil.rmtree(sdir)
             os.makedirs(sdir, exist_ok=True)
             puffin_path = os.path.join(sdir, f"dv-{snapshot_id:05d}.puffin")
-            touched = sorted(dv_positions)
+            touched = sorted(dv_state)
             blobs = [
                 {
                     "type": DELETION_VECTOR_V1,
-                    "data": dv_v1_blob(dv_positions[p]),
+                    "data": frame_dv_v1(dv_state[p][0]),
                     "snapshot-id": snapshot_id,
                     "sequence-number": seq,
                     "properties": {
                         "referenced-data-file": p,
-                        "cardinality": str(len(dv_positions[p])),
+                        "cardinality": str(dv_state[p][1]),
                     },
                 }
                 for p in touched
@@ -1229,7 +1254,7 @@ def export_iceberg_metadata(
                                 )
                                 for sf in base_spec_fields
                             },
-                            "record_count": len(dv_positions[p]),
+                            "record_count": dv_state[p][1],
                             "file_size_in_bytes": puffin_size,
                             "referenced_data_file": p,
                             "content_offset": bm["offset"],
@@ -1251,7 +1276,7 @@ def export_iceberg_metadata(
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": sum(
-                    len(dv_positions[p]) for p in touched
+                    dv_state[p][1] for p in touched
                 ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
@@ -1577,7 +1602,7 @@ def export_iceberg_metadata(
             base_schema_sid = event_schema_id[i]
             delete_dirs = []
             append_dirs = []
-            dv_positions = {}
+            dv_state = {}
             base_live_rows = total_rc
             operation = "replace" if is_compaction else "overwrite"
 

@@ -138,6 +138,106 @@ def vacuum_snapshots(
     return [s["version"] for s in expired]
 
 
+def _snapshot_table_reachable(root: str) -> set[str]:
+    """Every file under any SnapshotTable version dir at `root` (empty
+    set when no SnapshotTable manifest exists). Absolute paths."""
+    import json
+
+    st_manifest = os.path.join(root, SnapshotTable.MANIFEST)
+    reachable: set[str] = set()
+    if not os.path.exists(st_manifest):
+        return reachable
+    with open(st_manifest) as fh:
+        st = json.load(fh)
+    for snap in st.get("snapshots") or []:
+        d = snap.get("path")
+        if d and os.path.isdir(d):
+            for dp, _dn, fns in os.walk(d):
+                reachable.update(
+                    os.path.abspath(os.path.join(dp, fn)) for fn in fns
+                )
+    return reachable
+
+
+def _delta_log_reachable(root: str) -> set[str]:
+    """Every data file, DV `.bin` and change-data file ANY version of a
+    `_delta_log/` at `root` references (empty set when no Delta facade
+    exists). Absolute paths."""
+    import json
+    import urllib.parse
+
+    log_dir = os.path.join(root, "_delta_log")
+    reachable: set[str] = set()
+    if not os.path.isdir(log_dir):
+        return reachable
+    from .delta_log import _is_commit_file
+    from .roaring import dv_relative_path
+
+    for f in os.listdir(log_dir):
+        if not _is_commit_file(f):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                act = a.get("add") or a.get("remove") or a.get("cdc")
+                if not act:
+                    continue
+                reachable.add(
+                    os.path.abspath(
+                        os.path.join(
+                            root, urllib.parse.unquote(act["path"])
+                        )
+                    )
+                )
+                dv = act.get("deletionVector") if "add" in a else None
+                if dv and dv.get("storageType") == "u":
+                    prefix, fname = dv_relative_path(dv["pathOrInlineDv"])
+                    reachable.add(
+                        os.path.abspath(
+                            os.path.join(root, prefix, fname)
+                            if prefix
+                            else os.path.join(root, fname)
+                        )
+                    )
+    return reachable
+
+
+def _iceberg_reachable(root: str) -> set[str]:
+    """Every data/delete file and statistics Puffin any snapshot of an
+    Iceberg `metadata/` tree at `root` references (empty set when no
+    Iceberg facade exists). Manifest avros themselves are NOT included
+    — no sibling facade ever shares those. Absolute paths."""
+    import json
+
+    from .avro_io import read_avro
+
+    meta_dir = os.path.join(root, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    reachable: set[str] = set()
+    if not os.path.exists(hint):
+        return reachable
+    with open(hint) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        metadata = json.load(fh)
+    seen: set[str] = set()
+    for s in metadata.get("snapshots") or []:
+        for r in read_avro(s["manifest-list"])[1]:
+            mp = r["manifest_path"]
+            if mp in seen:
+                continue
+            seen.add(mp)
+            for e in read_avro(mp)[1]:
+                reachable.add(
+                    os.path.abspath(e["data_file"]["file_path"])
+                )
+    for st in metadata.get("statistics") or []:
+        reachable.add(os.path.abspath(st["statistics-path"]))
+    return reachable
+
+
 def expire_iceberg_snapshots(
     root: str,
     older_than_ms: int | None = None,
@@ -222,6 +322,15 @@ def expire_iceberg_snapshots(
         return paths
 
     keep = _reach(survivors)
+    # CROSS-FACADE SAFETY: on a dual-export (UniForm-style) root, data
+    # files referenced only by expired Iceberg snapshots may still be
+    # live in the sibling _delta_log — union its holdings into the
+    # keep-set so this facade's GC never breaks the other. (The
+    # SnapshotTable manifest is deliberately NOT protected: it is the
+    # PARENT store the facades are exported from, expiring an exported
+    # tree is the owner trimming history, and `vacuum_snapshots` is
+    # the SnapshotTable-side retention action.)
+    keep |= _delta_log_reachable(root)
     drop = _reach(expired) - keep
     stats_entries = metadata.get("statistics") or []
     surviving_stats = [
@@ -364,6 +473,12 @@ def vacuum_delta_table(root: str, keep_versions: int = 1) -> list[str]:
                     ever.add(p)
                     if v in retained:
                         keep.add(p)
+    # CROSS-FACADE SAFETY: files this Delta log no longer retains may
+    # still be referenced by a sibling Iceberg tree on the same root
+    # (the UniForm dual-export shape). The SnapshotTable manifest is
+    # deliberately NOT protected — it is the parent store (see
+    # expire_iceberg_snapshots)
+    keep |= _iceberg_reachable(root)
     root_abs = os.path.abspath(root) + os.sep
     dropped = []
     for p in sorted(ever - keep):
@@ -420,12 +535,28 @@ def rewrite_iceberg_manifests(root: str) -> dict:
         m_seq = r.get("sequence_number")
         m_snap = r.get("added_snapshot_id")
         spec_id = r.get("partition_spec_id") or 0
+        # v3 row lineage: files written under manifest-level first_row_id
+        # inheritance carry null per-file first_row_id — materialize the
+        # assigned value NOW (manifest first_row_id + running record
+        # counts of preceding null-id ADDED entries, the spec's rule),
+        # because the rewritten entries become EXISTING and the spec
+        # requires EXISTING entries to carry an explicit first_row_id
+        # (readers only inherit for status==ADDED)
+        m_first = r.get("first_row_id")
+        m_assigned = 0
         for e in read_avro(r["manifest_path"])[1]:
             rec = e["data_file"]
             p = rec["file_path"]
+            frid = rec.get("first_row_id")
+            if frid is None and e["status"] == 1 and m_first is not None:
+                frid = m_first + m_assigned
+                m_assigned += rec.get("record_count") or 0
             if e["status"] == 2:
                 live.pop(p, None)
                 continue
+            if fv >= 3 and frid is not None:
+                rec = dict(rec)
+                rec["first_row_id"] = frid
             seq = e.get("data_sequence_number")
             if seq is None:
                 if e["status"] == 1:
@@ -803,79 +934,16 @@ def find_orphan_files(root: str) -> list[str]:
     `_delta_log/` trees are out of scope (they are not data files and
     a Delta facade may legitimately own extra files there).
     """
-    import json
-    import urllib.parse
-
-    from .avro_io import read_avro
-
+    # primary facade must exist (same contract as before the round-10
+    # refactor onto the shared reachability helpers)
     meta_dir = os.path.join(root, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        n = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
-        metadata = json.load(fh)
-    reachable: set[str] = set()
-    # sibling facades' holdings
-    st_manifest = os.path.join(root, SnapshotTable.MANIFEST)
-    if os.path.exists(st_manifest):
-        with open(st_manifest) as fh:
-            st = json.load(fh)
-        for snap in st.get("snapshots") or []:
-            d = snap.get("path")
-            if d and os.path.isdir(d):
-                for dp, _dn, fns in os.walk(d):
-                    reachable.update(
-                        os.path.abspath(os.path.join(dp, fn))
-                        for fn in fns
-                    )
-    log_dir = os.path.join(root, "_delta_log")
-    if os.path.isdir(log_dir):
-        from .delta_log import _is_commit_file
-        from .roaring import dv_relative_path
-
-        for f in os.listdir(log_dir):
-            if not _is_commit_file(f):
-                continue
-            with open(os.path.join(log_dir, f)) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    act = a.get("add") or a.get("remove") or a.get("cdc")
-                    if not act:
-                        continue
-                    reachable.add(
-                        os.path.abspath(
-                            os.path.join(
-                                root, urllib.parse.unquote(act["path"])
-                            )
-                        )
-                    )
-                    dv = act.get("deletionVector") if "add" in a else None
-                    if dv and dv.get("storageType") == "u":
-                        prefix, fname = dv_relative_path(
-                            dv["pathOrInlineDv"]
-                        )
-                        reachable.add(
-                            os.path.abspath(
-                                os.path.join(root, prefix, fname)
-                                if prefix
-                                else os.path.join(root, fname)
-                            )
-                        )
-    manifest_cache: set[str] = set()
-    for s in metadata.get("snapshots") or []:
-        ml = s["manifest-list"]
-        for r in read_avro(ml)[1]:
-            mp = r["manifest_path"]
-            if mp in manifest_cache:
-                continue
-            manifest_cache.add(mp)
-            for e in read_avro(mp)[1]:
-                reachable.add(
-                    os.path.abspath(e["data_file"]["file_path"])
-                )
-    for st in metadata.get("statistics") or []:
-        reachable.add(os.path.abspath(st["statistics-path"]))
+        fh.read()
+    reachable = (
+        _iceberg_reachable(root)
+        | _delta_log_reachable(root)
+        | _snapshot_table_reachable(root)
+    )
     root_abs = os.path.abspath(root)
     skip_dirs = {"metadata", "_delta_log", "_change_data"}
     orphans = []
@@ -894,3 +962,48 @@ def find_orphan_files(root: str) -> list[str]:
             if p not in reachable:
                 orphans.append(p)
     return sorted(orphans)
+
+
+def remove_orphan_files(
+    root: str,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+    now_ms: int | None = None,
+) -> list[str]:
+    """The execution half of Iceberg's `remove_orphan_files` on top of
+    `find_orphan_files`: delete (or with `dry_run`, just list) every
+    orphan whose mtime is older than the age cutoff.
+
+    The cutoff defaults to NOW − 3 days — stock Iceberg's default, and
+    for the same reason: a concurrent writer's not-yet-committed files
+    look orphaned to a metadata-only detector, and the age gate is the
+    only defense. Pass `older_than_ms` explicitly to override (tests
+    and controlled single-writer maintenance windows may use
+    `now_ms`-relative or absolute cutoffs safely).
+
+    CROSS-FACADE SAFE by construction: `find_orphan_files` counts a
+    file reachable if ANY co-resident metadata system references it
+    (Iceberg manifests, every Delta log version, the SnapshotTable
+    manifest), so nothing any facade can still read is ever deleted.
+
+    Driver-side O(manifests + files-on-disk), one unlink per orphan.
+    Returns the deleted (or with `dry_run`, the would-delete) paths.
+    """
+    import time
+
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    if older_than_ms is None:
+        older_than_ms = now_ms - 3 * 24 * 3600 * 1000
+    out = []
+    for p in find_orphan_files(root):
+        try:
+            mtime_ms = os.stat(p).st_mtime * 1000
+        except FileNotFoundError:
+            continue  # already gone (concurrent cleaner)
+        if mtime_ms >= older_than_ms:
+            continue
+        out.append(p)
+        if not dry_run:
+            os.remove(p)
+    return out

@@ -47,16 +47,26 @@ DV_MAGIC_BYTES = bytes([0xD1, 0xD3, 0x39, 0x64])
 DELETION_VECTOR_V1 = "deletion-vector-v1"
 
 
-def dv_v1_blob(positions: list[int]) -> bytes:
-    """Frame sorted unique row positions as a deletion-vector-v1 blob."""
-    from .roaring import serialize_roaring64
-
-    body = DV_MAGIC_BYTES + serialize_roaring64(positions)
+def frame_dv_v1(body: bytes) -> bytes:
+    """Frame a DV body (magic + portable roaring64 — the byte layout
+    shared with Delta's `roaring.dv_blob`) as a deletion-vector-v1
+    blob: BE length prefix + body + BE CRC-32. O(compressed-bitmap
+    bytes) — safe on the driver even for billion-row DVs, since the
+    bitmaps themselves are built executor-side (operators/dv_kernel)."""
+    if body[:4] != DV_MAGIC_BYTES:
+        raise ValueError(f"bad deletion-vector magic {body[:4].hex()}")
     return (
         struct.pack(">i", len(body))
         + body
         + struct.pack(">I", zlib.crc32(body))
     )
+
+
+def dv_v1_blob(positions: list[int]) -> bytes:
+    """Frame sorted unique row positions as a deletion-vector-v1 blob."""
+    from .roaring import serialize_roaring64
+
+    return frame_dv_v1(DV_MAGIC_BYTES + serialize_roaring64(positions))
 
 
 def decode_dv_v1_blob(blob: bytes) -> list[int]:

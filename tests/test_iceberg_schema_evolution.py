@@ -1021,3 +1021,85 @@ def test_equality_delete_written_pre_rename_resolves(spark, tmp_path):
         (1, 10),
         (3, 30),  # amount==20 deleted via the pre-rename delete file
     }
+
+
+def test_export_rename_back_dedupes_name_mapping(spark, tmp_path):
+    """ADVICE-r9: a rename-back history (a -> b -> a) must keep ONE
+    field id across all three eras and emit each alias once in the
+    name mapping — not {"names": ["a", "b", "a"]} — and not trip a
+    spurious unknown-source error on a's first appearance (the 'a'
+    mapping only applies once 'b' is live)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, 5)], "k INT, a INT"), committed_at_ms=1
+    )
+    t.write(
+        spark.createDataFrame([(1, 6)], "k INT, b INT"), committed_at_ms=2
+    )
+    t.write(
+        spark.createDataFrame([(1, 7)], "k INT, a INT"), committed_at_ms=3
+    )
+    export_iceberg_metadata(
+        t, format_version=2, renamed_columns={"b": "a", "a": "b"}
+    )
+    md = _meta(t.root)
+    assert md["last-column-id"] == 2  # k=1, a/b share id 2 throughout
+    ids = [
+        {f["name"]: f["id"] for f in s["fields"]} for s in md["schemas"]
+    ]
+    # era 3's schema is byte-identical to era 1's, so it DEDUPES back
+    # to schema-id 0 — only two distinct schemas exist
+    assert ids == [{"k": 1, "a": 2}, {"k": 1, "b": 2}]
+    assert md["current-schema-id"] == 0
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    entry = [e for e in nm if e["field-id"] == 2]
+    assert entry == [{"field-id": 2, "names": ["a", "b"]}]
+    # reads resolve every era under its own schema
+    assert {
+        r["k"]: r["a"] for r in read_iceberg_table(spark, t.root).collect()
+    } == {1: 7}
+    assert {
+        r["k"]: r["b"]
+        for r in read_iceberg_table(spark, t.root, snapshot_id=2).collect()
+    } == {1: 6}
+
+
+def test_export_stale_rename_mapping_mints_fresh_id(spark, tmp_path):
+    """ADVICE-r9: 'rename a->b, later drop b and re-add b' — the
+    {'b': 'a'} mapping applies to the first transition (a live), and
+    the re-add after the drop mints a FRESH id instead of raising a
+    spurious unknown-source error; dropped data never resurfaces."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, 5)], "k INT, a INT"), committed_at_ms=1
+    )
+    t.write(
+        spark.createDataFrame([(1, 6)], "k INT, b INT"), committed_at_ms=2
+    )
+    t.write(spark.createDataFrame([(1,)], "k INT"), committed_at_ms=3)
+    t.write(
+        spark.createDataFrame([(1, 9)], "k INT, b INT"), committed_at_ms=4
+    )
+    export_iceberg_metadata(
+        t, format_version=2, renamed_columns={"b": "a"}
+    )
+    md = _meta(t.root)
+    ids = [
+        {f["name"]: f["id"] for f in s["fields"]} for s in md["schemas"]
+    ]
+    assert ids[0] == {"k": 1, "a": 2}
+    assert ids[1] == {"k": 1, "b": 2}  # the rename: id kept
+    assert ids[2] == {"k": 1}
+    assert ids[3] == {"k": 1, "b": 3}  # the re-add: fresh id
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    # 'b' binds to its CURRENT field (id 3) only; id 2 keeps 'a'
+    assert [e for e in nm if "b" in e["names"]] == [
+        {"field-id": 3, "names": ["b"]}
+    ]
+    assert {
+        r["k"]: r["b"] for r in read_iceberg_table(spark, t.root).collect()
+    } == {1: 9}
+    assert {
+        r["k"]: r["b"]
+        for r in read_iceberg_table(spark, t.root, snapshot_id=2).collect()
+    } == {1: 6}
