@@ -164,6 +164,62 @@ def scd2_skew_gate(spark, sf_dir: str) -> dict:
     return out
 
 
+def bulk_delete_gate(spark, slice_dir: str) -> dict:
+    """Bulk-delete scale gate (VERDICT r9 item 2): delete ~10% of the
+    10× lineitem table (~600k of 6M rows) in ONE commit, then export
+    through both merge-on-read dialects — Delta deletion vectors and
+    Iceberg fv3 Puffin DVs — on the SAME root (the UniForm dual-export
+    shape). Since round 10 both exporters fold delete positions into
+    per-file roaring bitmaps ON the executors (operators/dv_kernel.py);
+    the driver receives only (file, blob, cardinality), so its memory
+    is flat in the delete count — the collect-guard tests
+    (tests/test_distributed_dv.py, tests/test_fv3_distributed_dv.py)
+    make regression structural, and this gate makes the wall-clock
+    measurable per round. Returns per-export seconds + row counts,
+    with a masked read-back count as validation."""
+    import shutil
+    import tempfile
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.timetravel import (
+        SnapshotTable,
+    )
+    from hybrid_data_lakehouse_lab_spark.sources import load_table
+
+    li = load_table(spark, slice_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+    )
+    keep = "pmod(l_orderkey + l_linenumber, 10) != 3"  # ~10% deleted
+    root = tempfile.mkdtemp(prefix="bulk_delete_gate_")
+    out: dict = {}
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "t"))
+        t.write(li.repartition(32), committed_at_ms=1000)
+        t.write(li.filter(keep).repartition(32), committed_at_ms=2000)
+        total = li.count()
+        live = li.filter(keep).count()
+        out["rows"] = total
+        out["deleted_rows"] = total - live
+        t0 = time.perf_counter()
+        export_delta_log(t, mor_deletes=True)
+        out["delta_dv_export_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        export_iceberg_metadata(t, format_version=3)
+        out["iceberg_fv3_export_sec"] = round(time.perf_counter() - t0, 3)
+        assert read_delta_table(spark, t.root).count() == live
+        assert read_iceberg_table(spark, t.root).count() == live
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def ingest_rows_per_sec(spark, n_copies: int = 1500) -> float:
     """Streaming CDC ingest throughput: drain a drop dir of envelope
     JSON (~240k rows) through the bronze lane (parse → flatten →
@@ -288,6 +344,7 @@ def main() -> None:
     sf1r_skew_queries: dict[str, float] = {}
     sf1r_skew_total = None
     scd2_skew: dict = {}
+    bulk_delete: dict = {}
     sf1r_skew_max_ratio = None
     if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1R"):
         import shutil
@@ -329,6 +386,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, slice_dir))
                 sf1r_lh[name] = round(time.perf_counter() - t0, 3)
+            # Bulk-delete gate (round 10): one ~10%-of-6M-rows delete
+            # commit through both DV exporters, driver memory flat.
+            bulk_delete = bulk_delete_gate(spark, slice_dir)
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
@@ -385,6 +445,9 @@ def main() -> None:
         headline["sf1r_skew_max_ratio"] = sf1r_skew_max_ratio
         headline["scd2_skew_plain_sec"] = scd2_skew["plain"]
         headline["scd2_skew_chunked_sec"] = scd2_skew["chunked"]
+    if bulk_delete:
+        headline["bulk_delete_delta_sec"] = bulk_delete["delta_dv_export_sec"]
+        headline["bulk_delete_fv3_sec"] = bulk_delete["iceberg_fv3_export_sec"]
     # Full per-query detail goes to a file; stdout carries only the compact
     # headline object as the LAST line. The driver captures a bounded tail
     # of stdout — round 2's single giant line (warm + cold dicts) overflowed
@@ -405,6 +468,7 @@ def main() -> None:
                 "sf1r_lakehouse": sf1r_lh,
                 "queries_sf1r_skew": sf1r_skew_queries,
                 "scd2_skew": scd2_skew,
+                "bulk_delete": bulk_delete,
             },
             f,
             indent=1,
