@@ -364,6 +364,8 @@ def main() -> None:
 
         root = tempfile.mkdtemp(prefix="sf1r_gate_")
         slice_dir = os.path.join(root, "slice")
+        skew_root = tempfile.mkdtemp(prefix="sf1r_skew_")
+        skew_dir = os.path.join(skew_root, "slice")
         try:
             build(sf_dir, slice_dir, 10)
             for name in HEADLINE:
@@ -389,19 +391,15 @@ def main() -> None:
             # Bulk-delete gate (round 10): one ~10%-of-6M-rows delete
             # commit through both DV exporters, driver memory flat.
             bulk_delete = bulk_delete_gate(spark, slice_dir)
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
 
-        # Skewed-key 10× gate (VERDICT r6 item 3): the uniform slice
-        # never exercises AQE skew handling, so replicate again with
-        # Zipf(≈1) join/agg keys (events.user_id, orders.o_custkey,
-        # lineitem.l_partkey — FK domains preserved) and require no
-        # headline query to blow up vs its uniform-slice time. The
-        # max ratio is RECORDED on the headline line; the accept bar
-        # (≤2× per query) is documented in BASELINE.md.
-        skew_root = tempfile.mkdtemp(prefix="sf1r_skew_")
-        skew_dir = os.path.join(skew_root, "slice")
-        try:
+            # Skewed-key 10× gate (VERDICT r6 item 3): the uniform
+            # slice never exercises AQE skew handling, so replicate
+            # again with Zipf(≈1) join/agg keys (events.user_id,
+            # orders.o_custkey, lineitem.l_partkey — FK domains
+            # preserved) and require no headline query to blow up vs
+            # its uniform-slice time. The max ratio is RECORDED on the
+            # headline line; the accept bar (≤2× per query) is
+            # documented in BASELINE.md.
             build(sf_dir, skew_dir, 10, skewed=True)
             for name in HEADLINE:
                 t0 = time.perf_counter()
@@ -412,9 +410,43 @@ def main() -> None:
                 n: round(sf1r_skew_queries[n] / max(sf1r_queries[n], 0.05), 2)
                 for n in HEADLINE
             }
+            # Adaptive re-measure (round 10, VERDICT r9 item 6): a
+            # single-pass ratio conflates Zipf sensitivity with host
+            # throttle windows (round 9 recorded 1.79; the quiet
+            # re-run measured 1.22). Mirror the headline's min-of-N
+            # estimator at O(offenders) cost: any query whose
+            # first-pass ratio exceeds 1.5 gets one more timed pass on
+            # EACH slice, and the per-slice minima replace the single
+            # samples. A ratio that survives min-of-2 on both sides is
+            # a real skew effect, not a throttle artifact.
+            for name, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+                if r <= 1.5:
+                    break
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, slice_dir))
+                sf1r_queries[name] = min(
+                    sf1r_queries[name],
+                    round(time.perf_counter() - t0, 3),
+                )
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, skew_dir))
+                sf1r_skew_queries[name] = min(
+                    sf1r_skew_queries[name],
+                    round(time.perf_counter() - t0, 3),
+                )
+                ratios[name] = round(
+                    sf1r_skew_queries[name]
+                    / max(sf1r_queries[name], 0.05),
+                    2,
+                )
             worst = max(ratios, key=ratios.get)
             sf1r_skew_max_ratio = ratios[worst]
+            # keep the recorded totals consistent with the per-query
+            # detail (offenders now carry their min-of-2)
+            sf1r_total = round(sum(sf1r_queries.values()), 3)
+            sf1r_skew_total = round(sum(sf1r_skew_queries.values()), 3)
         finally:
+            shutil.rmtree(root, ignore_errors=True)
             shutil.rmtree(skew_root, ignore_errors=True)
 
         # SCD2 hot-key gate (round 8): the window-on-CDC-id family under

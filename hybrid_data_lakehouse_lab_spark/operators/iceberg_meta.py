@@ -2066,11 +2066,24 @@ def read_iceberg_table(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    meta_dir = os.path.join(root, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        n = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
-        metadata = json.load(fh)
+    if root.startswith(("http://", "https://")):
+        # REST-catalog discovery (operators/rest_catalog.py): `root` is
+        # the spec's load-table endpoint
+        # (`http://host:port/v1/namespaces/{ns}/tables/{t}`); the
+        # LoadTableResult's metadata document replaces the
+        # version-hint.text walk. Data/manifest I/O still goes straight
+        # to the paths the metadata references — the catalog serves
+        # only the pointer, like any real Iceberg catalog.
+        from .rest_catalog import rest_load_table
+
+        metadata = rest_load_table(root)["metadata"]
+        meta_dir = root  # label for error messages only
+    else:
+        meta_dir = os.path.join(root, "metadata")
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            n = int(fh.read().strip())
+        with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+            metadata = json.load(fh)
     fv = metadata.get("format-version", 1)
     if fv not in (1, 2, 3):
         raise NotImplementedError(

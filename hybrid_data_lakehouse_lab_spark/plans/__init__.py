@@ -54,13 +54,11 @@ _PRIORITY = [
     "lead_window",
     "latest_per_key",
     "scalar_functions",
-    "op_decode_5arm",
     "scd2_build",
     "current_state_upsert",
     "history_audit",
     "retention_window",
     "scd2_point_in_time",
-    "scd2_temporal_enrich",
     "envelope_flatten_roundtrip",
     "config_current_state_view",
     # --- end-to-end machinery round-trips (sinks / time travel / streams) ---
@@ -94,6 +92,22 @@ _PRIORITY = [
     # (single-table filter+agg, the same operator family as in-window
     # q1, pytest-covered and sweep-green since round 1).
     "iceberg_schema_evolution_roundtrip",
+    # Round-10 rotation (VERDICT r9 item 5): the round-9 risk lanes
+    # carrying new semantics — iceberg_migrate_roundtrip (name-mapping
+    # over id-less files, the schema-evolution reader's production
+    # case) and streaming_iceberg_sink_roundtrip (the full reference
+    # pipeline shape: CDC stream → MERGE commits → Iceberg export →
+    # read-back) — plus this round's iceberg_rest_catalog_roundtrip
+    # (catalog-protocol discovery) are pinned in-window. Displaced to
+    # slots 51-53: op_decode_5arm (CASE decode; the F-family stays
+    # covered in-window by scalar_functions, dedicated pytest since
+    # round 1), scd2_temporal_enrich (interval enrich; scd2_build +
+    # scd2_point_in_time remain in-window, test_scd2 coverage), and
+    # dedup_ngram_jaccard (the dedup family keeps exact/LSH/simhash/
+    # embedding/fraction/clusters in-window, test_dedup coverage).
+    "iceberg_migrate_roundtrip",
+    "streaming_iceberg_sink_roundtrip",
+    "iceberg_rest_catalog_roundtrip",
     "streaming_bronze_roundtrip",
     "streaming_upsert_roundtrip",
     # --- LLM training-data pipeline flagships ---
@@ -102,7 +116,6 @@ _PRIORITY = [
     "dedup_duplicate_ngram_fraction",
     "dedup_simhash_near_pairs",
     "dedup_embedding_near_pairs",
-    "dedup_ngram_jaccard",
     "dedup_cluster_assignments",
     "corpus_curation_pipeline",
     "similarity_cosine_topk",
@@ -138,7 +151,13 @@ _PRIORITY = [
     # --- slots 51-53: displaced by the round-8 interop rotation (see the
     # in-window note above); all green since round 1 with dedicated tests
     # (test_oracle_queries / test_sql_surface) ---
-    # --- slot 51: displaced by the round-9 schema-evolution pin (see
+    # --- slots 51-53: displaced by the round-10 rotation (see the
+    # in-window note above); each green since round 1 with dedicated
+    # pytest coverage ---
+    "op_decode_5arm",
+    "scd2_temporal_enrich",
+    "dedup_ngram_jaccard",
+    # --- slot 54: displaced by the round-9 schema-evolution pin (see
     # the in-window note above) ---
     "q6_forecast_revenue",
     "json_extract_typed",

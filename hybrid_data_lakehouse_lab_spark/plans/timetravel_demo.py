@@ -1785,3 +1785,88 @@ def iceberg_migrate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(sorted(rows), "event_type STRING, n BIGINT")
+
+
+@register(
+    "iceberg_rest_catalog_roundtrip",
+    oracle="""
+    SELECT 'main' AS ref, event_type, count(*) AS n
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'audit' AS ref, event_type, count(*) AS n
+    FROM events WHERE user_id % 7 <> 0 GROUP BY 2
+    """,
+)
+def iceberg_rest_catalog_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg REST-catalog discovery round-trip, driver-visible
+    (VERDICT r9 item 3): the reference publishes its Iceberg tables
+    through a Nessie REST catalog (`libs/scd2_spark_processor.py:
+    101-103`); the public equivalent is the Iceberg REST catalog
+    protocol, implemented read-side in operators/rest_catalog.py.
+
+    The lane commits two snapshots (audit branch pinned at v1 — the
+    Nessie-style zero-copy branch), exports the metadata tree, serves
+    it over HTTP on an ephemeral loopback port, and reads BOTH refs
+    back through `read_iceberg_table(spark, <load-table URL>)` — no
+    version-hint.text involved on the read side. In-lane asserts pin
+    the protocol surface: /v1/config, namespace + table listings, HEAD
+    existence, the 404 error envelope for a missing table, and the
+    refs map (main + audit) arriving through the LoadTableResult.
+
+    Scale: the catalog serves O(KB) pointer JSON; all data I/O goes
+    straight to the paths the metadata references (one distributed
+    parquet scan per read, same plan as the file-based path)."""
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.rest_catalog import IcebergRestCatalog, rest_get
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="rest_catalog_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev.filter(F.col("user_id") % 7 != 0), committed_at_ms=1)
+        t.create_branch("audit", at_ms=1)
+        t.write(ev, committed_at_ms=2)
+        export_iceberg_metadata(t, format_version=2)
+        rows = []
+        with IcebergRestCatalog({("lake", "sales"): t.root}) as uri:
+            assert rest_get(f"{uri}/v1/config") == {
+                "defaults": {},
+                "overrides": {},
+            }
+            assert rest_get(f"{uri}/v1/namespaces") == {
+                "namespaces": [["lake"]]
+            }
+            assert rest_get(f"{uri}/v1/namespaces/lake/tables") == {
+                "identifiers": [{"namespace": ["lake"], "name": "sales"}]
+            }
+            table_url = f"{uri}/v1/namespaces/lake/tables/sales"
+            import urllib.request as _rq
+
+            head = _rq.Request(table_url, method="HEAD")
+            assert _rq.urlopen(head).status == 204
+            try:
+                rest_get(f"{uri}/v1/namespaces/lake/tables/nope")
+                raise AssertionError("missing table must 404")
+            except ValueError as e:
+                assert "NoSuchTableException" in str(e)
+            md = rest_get(table_url)["metadata"]
+            assert set(md["refs"]) == {"main", "audit"}
+            # both refs read through the PROTOCOL URL, not the tree
+            for ref in ("main", "audit"):
+                got = (
+                    read_iceberg_table(spark, table_url, ref=ref)
+                    .groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                rows.extend((ref, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "ref STRING, event_type STRING, n BIGINT"
+    )
