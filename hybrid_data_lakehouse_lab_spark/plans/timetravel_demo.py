@@ -1686,6 +1686,25 @@ def lakehouse_maintenance_roundtrip(
             e["status"] == 0 and e["data_sequence_number"] is not None
             for e in entries
         )
+        # --- orphan-file lifecycle (round 10): plant a failed-write
+        # leftover -> dry-run lists exactly it -> execute frees it
+        # (explicit cutoff: the stock 3-day age gate is for concurrent
+        # writers; this lane is single-writer) -> the read below
+        # proves the facade is untouched ---
+        from ..operators.maintenance import remove_orphan_files
+
+        stray = os.path.join(ti.root, "snapshots", "stray-leftover.parquet")
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(os.path.dirname(stray), exist_ok=True)
+        _pq.write_table(_pa.table({"x": [1, 2, 3]}), stray)
+        listed = remove_orphan_files(ti.root, dry_run=True, older_than_ms=2**62)
+        assert listed == [os.path.abspath(stray)], listed
+        assert os.path.isfile(stray)  # dry run never unlinks
+        deleted = remove_orphan_files(ti.root, older_than_ms=2**62)
+        assert deleted == [os.path.abspath(stray)] and not os.path.exists(stray)
+
         got = (
             read_iceberg_table(spark, ti.root)
             .groupBy("event_type")
