@@ -98,6 +98,7 @@ class IcebergRestCatalog:
     # -- routing --
 
     def _route(self, method: str, path: str) -> tuple[int, bytes]:
+        query = urllib.parse.parse_qs(urllib.parse.urlsplit(path).query)
         parts = [p for p in path.split("?")[0].split("/") if p]
         if not parts or parts[0] != "v1":
             return 404, _err(404, "NoSuchEndpointException", path)
@@ -151,6 +152,26 @@ class IcebergRestCatalog:
             if method == "HEAD":
                 return 204, b""
             loc, metadata = self._load(ident)
+            # spec `snapshots` param: "all" (default) or "refs" — the
+            # lazy-loading mode where only ref-reachable snapshots ship
+            mode = (query.get("snapshots") or ["all"])[0]
+            if mode == "refs":
+                wanted = {
+                    r["snapshot-id"]
+                    for r in (metadata.get("refs") or {}).values()
+                } | {metadata.get("current-snapshot-id")}
+                metadata = dict(metadata)
+                metadata["snapshots"] = [
+                    s
+                    for s in metadata.get("snapshots") or []
+                    if s["snapshot-id"] in wanted
+                ]
+            elif mode != "all":
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"invalid snapshots mode {mode!r} (all|refs)",
+                )
             return 200, json.dumps(
                 {
                     "metadata-location": loc,

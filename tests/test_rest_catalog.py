@@ -167,3 +167,25 @@ def test_refs_surface_through_protocol(spark, tmp_path):
 def test_bad_identifier_refused():
     with pytest.raises(ValueError, match="namespace"):
         IcebergRestCatalog({("solo",): "/tmp/x"})
+
+
+def test_snapshots_refs_mode(spark, tmp_path):
+    """Spec `?snapshots=refs` lazy loading: only ref-reachable
+    snapshots ship; default/all keeps the full list; a bogus mode gets
+    the 400 envelope."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(20).selectExpr("id")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id < 15"), committed_at_ms=2000)
+    t.write(df.filter("id < 10"), committed_at_ms=3000)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        full = rest_load_table(url)["metadata"]
+        assert [s["snapshot-id"] for s in full["snapshots"]] == [1, 2, 3]
+        lazy = rest_load_table(f"{url}?snapshots=refs")["metadata"]
+        # only main's head (snapshot 3) is ref-reachable here
+        assert [s["snapshot-id"] for s in lazy["snapshots"]] == [3]
+        assert rest_load_table(f"{url}?snapshots=all")["metadata"] == full
+        with pytest.raises(ValueError, match="BadRequestException"):
+            rest_get(f"{url}?snapshots=bogus")
