@@ -424,15 +424,24 @@ def _write_position_deletes(
     return finalize_spark_parts(out_dir, "delete")
 
 
-def _write_upsert_files(spark, df, out_dir: str, prefix: str) -> list[dict]:
+def _write_upsert_files(
+    spark, df, out_dir: str, prefix: str, pcols: list[str] | None = None
+) -> list[dict]:
     """Write `df` as parquet under `out_dir` with deterministic
     `{prefix}-NNNNN.parquet` names (stable re-export references), drop
     zero-row parts, return [{path, record_count, size, partition}].
     Used by the equality-delete upsert export for both the appended
-    data files and the key-tuple delete files; written BY SPARK so a
-    bulk upsert scales past driver memory — every part file becomes one
-    manifest entry."""
-    df.write.mode("overwrite").parquet(out_dir)
+    data files (partitionBy the table's identity spec when `pcols`,
+    so each part carries its typed partition struct) and the
+    key-tuple delete files (always unpartitioned — they apply as
+    GLOBAL deletes under an unpartitioned spec, per the Iceberg spec's
+    equality-delete scoping rule); written BY SPARK so a bulk upsert
+    scales past driver memory — every part file becomes one manifest
+    entry."""
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(out_dir)
     return finalize_spark_parts(out_dir, prefix)
 
 
@@ -868,12 +877,14 @@ def export_iceberg_metadata(
         return _entry_schemas[sid]
 
     if upsert_key is not None:
-        if seen_dirs:
+        hidden_in_dirs = seen_dirs & set(hidden_partitions)
+        if hidden_in_dirs:
             raise NotImplementedError(
-                "equality-delete upsert export supports unpartitioned "
-                f"tables only (partition dirs: {sorted(seen_dirs)}); "
-                "partition-scoped equality-delete WRITING is the open "
-                "boundary (the reader applies them fine)"
+                "equality-delete upsert export supports identity "
+                "partitioning only (hidden-transform dirs: "
+                f"{sorted(hidden_in_dirs)}); a transformed partition "
+                "column is not a table column, so upsert data files "
+                "cannot carry it"
             )
         bad = [k for k in upsert_key if k not in col_ids]
         if bad:
@@ -1053,11 +1064,23 @@ def export_iceberg_metadata(
             )
 
         if upsert is not None:
-            # --- equality-delete upsert commit (Flink dialect) ---
+            # --- equality-delete upsert commit (Flink dialect). On a
+            # partitioned table the appended data files are laid out
+            # under the base identity spec (typed partition structs per
+            # entry); the key-tuple delete files stay UNPARTITIONED and
+            # their manifest uses an unpartitioned spec — the spec's
+            # global-equality-delete scoping, so a primary key that
+            # MOVES partitions is still masked everywhere. ---
             changed, del_keys = upsert
+            base_spec_fields = specs[base_spec_id]
+            base_pcols = [sf["name"] for sf in base_spec_fields]
             ups_dir = os.path.join(table.root, "upserts", f"s{snapshot_id:05d}")
             data_files = _write_upsert_files(
-                table.spark, changed, os.path.join(ups_dir, "data"), "data"
+                table.spark,
+                changed,
+                os.path.join(ups_dir, "data"),
+                "data",
+                pcols=base_pcols,
             )
             del_files = _write_upsert_files(
                 table.spark, del_keys, os.path.join(ups_dir, "eqdel"), "eqdel"
@@ -1077,7 +1100,12 @@ def export_iceberg_metadata(
                         "content": 0,
                         "file_path": d["path"],
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": {
+                            sf["name"]: _partition_value(
+                                sf["type"], d["partition"].get(sf["name"])
+                            )
+                            for sf in base_spec_fields
+                        },
                         "record_count": d["record_count"],
                         "file_size_in_bytes": d["size"],
                         "value_counts": vcounts,
@@ -1121,6 +1149,10 @@ def export_iceberg_metadata(
                 manifest_rows.append(ups_row)
             if del_files:
                 eq_ids = [col_ids[k] for k in upsert_key]
+                # global equality deletes: the manifest uses an
+                # UNPARTITIONED spec (minted on first use), so the
+                # keys mask across every partition per the spec rule
+                del_sid = _resolve_spec([])
                 manifest_path = os.path.join(meta_dir, f"m-{i:05d}-del.avro")
                 entries = [
                     {
@@ -1144,12 +1176,12 @@ def export_iceberg_metadata(
                     }
                     for d in del_files
                 ]
-                write_avro(manifest_path, _entry_schema_of(base_spec_id), entries)
+                write_avro(manifest_path, _entry_schema_of(del_sid), entries)
                 manifest_rows.append(
                     {
                         "manifest_path": manifest_path,
                         "manifest_length": os.path.getsize(manifest_path),
-                        "partition_spec_id": base_spec_id,
+                        "partition_spec_id": del_sid,
                         "content": 1,
                         "sequence_number": seq,
                         "min_sequence_number": seq,

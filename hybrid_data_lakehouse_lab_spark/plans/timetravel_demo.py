@@ -1889,3 +1889,93 @@ def iceberg_rest_catalog_roundtrip(
     return spark.createDataFrame(
         sorted(rows), "ref STRING, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "iceberg_partitioned_upsert_roundtrip",
+    oracle="""
+    SELECT 1 AS snap, event_type, count(*) AS n
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 2 AS snap, event_type, count(*) AS n
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 9 = 0 THEN 'purchase' ELSE event_type END
+               AS event_type
+      FROM events WHERE event_id % 7 <> 0
+    ) GROUP BY 2
+    """,
+)
+def iceberg_partitioned_upsert_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 10: the equality-delete upsert dialect over an IDENTITY-
+    PARTITIONED table — the production shape of a Flink CDC upsert
+    table partitioned by a dimension column. The update rewrites some
+    keys' event_type, which MOVES those rows across partitions: the
+    appended data files land under the identity spec with typed
+    partition structs, while the key-tuple delete files ride an
+    UNPARTITIONED spec (the Iceberg spec's GLOBAL equality-delete
+    scoping), so the moved keys are masked in their old partitions.
+    In-lane asserts pin both spec assignments; the hash match proves
+    every partition's rows reconstruct exactly at both snapshots.
+
+    Scale: one PK diff + one partitionBy write per commit, masked
+    reads distributed; the delete-file application is a broadcast
+    anti-join on the PK (the MoR design point)."""
+    import json as _json
+
+    from ..operators.avro_io import read_avro
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    v2 = ev.filter(F.col("event_id") % 7 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 9 == 0, F.lit("purchase")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_pups_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, partition_by=["event_type"], committed_at_ms=1)
+        t.write(v2, partition_by=["event_type"], committed_at_ms=2)
+        meta_dir = export_iceberg_metadata(
+            t, format_version=2, upsert_key=["event_id"]
+        )
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            hint = fh.read().strip()
+        with open(os.path.join(meta_dir, f"v{hint}.metadata.json")) as fh:
+            md = _json.load(fh)
+        specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
+        _, rows2 = read_avro(md["snapshots"][1]["manifest-list"])
+        del_rows = [r for r in rows2 if r.get("content") == 1]
+        assert del_rows, "upsert commit must carry a delete manifest"
+        assert all(
+            specs[r["partition_spec_id"]] == [] for r in del_rows
+        ), "equality deletes must ride an unpartitioned spec (global)"
+        assert all(
+            [f["name"] for f in specs[r["partition_spec_id"]]]
+            == ["event_type"]
+            for r in rows2
+            if (r.get("content") or 0) == 0
+        ), "data manifests must ride the identity spec"
+        rows = []
+        for sid in (1, 2):
+            got = (
+                read_iceberg_table(spark, t.root, snapshot_id=sid)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.extend((sid, r["event_type"], r["n"]) for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "snap INT, event_type STRING, n BIGINT"
+    )

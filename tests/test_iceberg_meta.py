@@ -1389,8 +1389,10 @@ def test_upsert_export_insert_only_and_noop(spark, tmp_path):
 
 
 def test_upsert_export_validation(spark, tmp_path):
-    """v1 refuses, partitioned refuses, unknown key refuses, duplicate
-    key raises (equality deletes are only sound against a PK)."""
+    """v1 refuses, hidden-transform partitioning refuses (identity
+    partitioning is supported since round 10), unknown key refuses,
+    duplicate key raises (equality deletes are only sound against a
+    PK)."""
     from pyspark.sql import functions as F
 
     t = SnapshotTable(spark, str(tmp_path / "bad"))
@@ -1403,8 +1405,13 @@ def test_upsert_export_validation(spark, tmp_path):
     tp = SnapshotTable(spark, str(tmp_path / "badp"))
     dfp = spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
     tp.write(dfp, partition_by=["p"], committed_at_ms=1000)
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
-        export_iceberg_metadata(tp, format_version=2, upsert_key=["id"])
+    with pytest.raises(NotImplementedError, match="identity"):
+        export_iceberg_metadata(
+            tp,
+            format_version=2,
+            upsert_key=["id"],
+            hidden_partitions={"p": ("id", "bucket", 2)},
+        )
 
     td = SnapshotTable(spark, str(tmp_path / "dup"))
     td.write(spark.range(5).selectExpr("id", "id AS v"), committed_at_ms=1000)
@@ -1779,3 +1786,139 @@ def test_transform_range_far_future_sentinels():
     assert _transform_range("year", "date", -1970) is None  # year 0
     # in-range years still bound
     assert _transform_range("year", "date", 54) is not None
+
+
+def test_upsert_export_partitioned_identity(spark, tmp_path):
+    """Round 10: equality-delete upsert export over an IDENTITY-
+    partitioned table. Appended data files carry typed partition
+    structs under the base spec; the key-tuple delete files ride an
+    UNPARTITIONED spec (global equality deletes per the Iceberg spec's
+    scoping rule), so a primary key that MOVES partitions is masked in
+    its old partition too. Every snapshot reads back value-identical,
+    and partition pruning still works on the upserted head."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "pups"))
+    v1 = spark.sql(
+        "SELECT id, substr('abc', CAST(id % 3 AS INT) + 1, 1) AS g, "
+        "id * 2 AS v FROM range(12)"
+    )
+    t.write(v1, partition_by=["g"], committed_at_ms=1000)
+    # update id=4's value, MOVE id=5 from g='c' to g='a', insert id=12,
+    # delete id=7
+    v2 = spark.sql(
+        """
+        SELECT id,
+               CASE WHEN id = 5 THEN 'a'
+                    ELSE substr('abc', CAST(id % 3 AS INT) + 1, 1) END AS g,
+               CASE WHEN id = 4 THEN 999 ELSE id * 2 END AS v
+        FROM range(13) WHERE id != 7
+        """
+    )
+    t.write(v2, partition_by=["g"], committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2, upsert_key=["id"])
+    md = load_metadata(t.root)
+    # delete manifest rides an UNPARTITIONED spec; data manifests the
+    # identity spec
+    specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    (del_row,) = [r for r in rows2 if r["content"] == 1]
+    assert specs[del_row["partition_spec_id"]] == []
+    data_rows = [r for r in rows2 if r["content"] == 0]
+    assert all(
+        [f["name"] for f in specs[r["partition_spec_id"]]] == ["g"]
+        for r in data_rows
+    )
+    # the upsert commit's data manifest carries typed partition structs
+    ups_row = next(r for r in data_rows if r["sequence_number"] == 2)
+    _, ups_entries = read_avro_file(ups_row["manifest_path"])
+    parts = {e["data_file"]["partition"]["g"] for e in ups_entries}
+    assert parts and parts <= {"a", "b", "c"}
+    # value-identical reads at both snapshots
+    for sid, version in ((1, 1), (2, 2)):
+        got = sorted(
+            (r["id"], r["g"], r["v"])
+            for r in read_iceberg_table(
+                spark, t.root, snapshot_id=sid
+            ).collect()
+        )
+        want = sorted(
+            (r["id"], r["g"], r["v"])
+            for r in t.read(version=version).collect()
+        )
+        assert got == want, sid
+    # the moved key shows ONLY its new partition at the head
+    head = read_iceberg_table(spark, t.root)
+    assert [
+        (r["g"], r["v"]) for r in head.filter("id = 5").collect()
+    ] == [("a", 10)]
+    assert head.filter("id = 7").count() == 0
+    assert [(r["v"],) for r in head.filter("id = 4").collect()] == [(999,)]
+
+
+def test_upsert_export_partitioned_duckdb_independent_read(spark, tmp_path):
+    """Independent consumer proof for the partitioned upsert dialect:
+    reconstruct the head in DuckDB straight from the manifest graph
+    (data files + partition dirs + global equality deletes applied by
+    seq), no repo read code."""
+    import duckdb
+
+    t = SnapshotTable(spark, str(tmp_path / "pups2"))
+    v1 = spark.sql(
+        "SELECT id, substr('xy', CAST(id % 2 AS INT) + 1, 1) AS g, "
+        "id * 10 AS v FROM range(8)"
+    )
+    t.write(v1, partition_by=["g"], committed_at_ms=1000)
+    v2 = spark.sql(
+        """
+        SELECT id, substr('xy', CAST(id % 2 AS INT) + 1, 1) AS g,
+               CASE WHEN id = 2 THEN 777 ELSE id * 10 END AS v
+        FROM range(9) WHERE id != 3
+        """
+    )
+    t.write(v2, partition_by=["g"], committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2, upsert_key=["id"])
+    md = load_metadata(t.root)
+    _, rows = read_avro_file(md["snapshots"][1]["manifest-list"])
+    data_files = []  # (path, seq, partition g)
+    del_files = []  # (path, seq)
+    for r in rows:
+        _, entries = read_avro_file(r["manifest_path"])
+        for e in entries:
+            seq = e.get("data_sequence_number")
+            if seq is None:
+                seq = r["sequence_number"]
+            rec = e["data_file"]
+            if rec.get("content") == 2:
+                del_files.append((rec["file_path"], seq))
+            elif (r.get("content") or 0) == 0:
+                data_files.append(
+                    (rec["file_path"], seq, rec["partition"].get("g"))
+                )
+    con = duckdb.connect()
+    union = " UNION ALL ".join(
+        f"SELECT id, '{g}' AS g, v, {seq} AS _seq FROM '{p}'"
+        for p, seq, g in data_files
+    )
+    dels = (
+        " UNION ALL ".join(
+            f"SELECT id, {seq} AS _dseq FROM '{p}'" for p, seq in del_files
+        )
+        or "SELECT NULL AS id, NULL AS _dseq WHERE 1=0"
+    )
+    got = con.execute(
+        f"""
+        WITH data AS ({union}), dels AS ({dels})
+        SELECT id, g, v FROM data d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM dels x WHERE x.id = d.id AND x._dseq > d._seq
+        )
+        ORDER BY id
+        """
+    ).fetchall()
+    want = sorted(
+        (r["id"], r["g"], r["v"]) for r in t.read(version=2).collect()
+    )
+    assert got == [tuple(w) for w in want]
