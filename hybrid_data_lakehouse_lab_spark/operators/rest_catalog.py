@@ -16,16 +16,26 @@ scratch over tables this engine exported (or any tree
     GET  /v1/namespaces/{ns}/tables            -> ListTablesResponse
     GET  /v1/namespaces/{ns}/tables/{table}    -> LoadTableResult
     HEAD /v1/namespaces/{ns}/tables/{table}    -> 204 / 404
+    POST /v1/namespaces/{ns}/tables/{table}    -> CommitTableResponse
 
 Per the spec, multipart namespace path segments are joined with the
 0x1F unit separator (URL-encoded `%1F`), errors are the standard
 `{"error": {"message", "type", "code"}}` envelope, and the
 LoadTableResult carries `metadata-location`, the full `metadata`
-document and a `config` map. Write endpoints (create/commit) are out
-of scope — the engine's writers commit through `SnapshotTable` +
-export; a conforming external READER needs exactly this surface to
-find and load the tables (branches/tags ride in the metadata's `refs`
-field, the same place a Nessie-backed catalog surfaces them).
+document and a `config` map.
+
+The COMMIT endpoint covers the catalog's POINTER operations — the
+spec's `CommitTableRequest` with requirements `assert-table-uuid` /
+`assert-ref-snapshot-id` and updates `set-snapshot-ref` /
+`remove-snapshot-ref` / `set-properties` / `remove-properties` /
+`add-snapshot`. That is exactly the surface a Nessie-backed catalog
+adds over raw files: publish a staged snapshot to a branch (the WAP
+fast-forward), roll a branch back, tag a snapshot, annotate — all as
+ONE optimistic-concurrency commit (requirement check + new metadata
+version + atomic hint swap, serialized per catalog). Full DATA commits
+(new manifests/files) stay with the engine's writers — `add-snapshot`
+is validated to reference an existing manifest list, the shape an
+external writer that has already staged its files produces.
 
 The server resolves `version-hint.text` at REQUEST time, so a commit
 followed by a re-export is immediately visible through the protocol —
@@ -83,6 +93,11 @@ class IcebergRestCatalog:
             self._tables[tuple(ident)] = root
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # commits are optimistic-concurrency: requirement check + new
+        # metadata version + atomic hint swap, serialized catalog-wide
+        # (one lock — commits are O(KB) JSON, contention is never the
+        # bottleneck; data I/O happens before the commit, outside it)
+        self._commit_lock = threading.Lock()
 
     # -- metadata resolution (request time: commits become visible) --
 
@@ -95,9 +110,148 @@ class IcebergRestCatalog:
         with open(loc) as fh:
             return loc, json.load(fh)
 
+    # -- commits (pointer operations; optimistic concurrency) --
+
+    def _commit(self, ident: tuple[str, ...], req: dict) -> tuple[int, bytes]:
+        with self._commit_lock:
+            root = self._tables[ident]
+            meta_dir = os.path.join(root, "metadata")
+            with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+                n = int(fh.read().strip())
+            loc = os.path.join(meta_dir, f"v{n}.metadata.json")
+            with open(loc) as fh:
+                md = json.load(fh)
+            refs = md.setdefault("refs", {})
+            for r in req.get("requirements") or []:
+                t = r.get("type")
+                if t == "assert-table-uuid":
+                    if r.get("uuid") != md.get("table-uuid"):
+                        return 409, _err(
+                            409,
+                            "CommitFailedException",
+                            f"table uuid is {md.get('table-uuid')}, "
+                            f"requirement expected {r.get('uuid')}",
+                        )
+                elif t == "assert-ref-snapshot-id":
+                    cur = refs.get(r.get("ref"))
+                    cur_id = cur["snapshot-id"] if cur else None
+                    if cur_id != r.get("snapshot-id"):
+                        return 409, _err(
+                            409,
+                            "CommitFailedException",
+                            f"ref {r.get('ref')!r} is at {cur_id}, "
+                            f"requirement expected {r.get('snapshot-id')}",
+                        )
+                else:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"unsupported requirement type {t!r}",
+                    )
+            snap_ids = {
+                s["snapshot-id"] for s in md.get("snapshots") or []
+            }
+            for u in req.get("updates") or []:
+                a = u.get("action")
+                if a == "add-snapshot":
+                    s = u["snapshot"]
+                    ml = s.get("manifest-list")
+                    if not (ml and os.path.isfile(ml)):
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            f"add-snapshot manifest-list not found: {ml}"
+                            " (stage files before the pointer commit)",
+                        )
+                    if s["snapshot-id"] in snap_ids:
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            f"snapshot {s['snapshot-id']} already exists",
+                        )
+                    md.setdefault("snapshots", []).append(s)
+                    snap_ids.add(s["snapshot-id"])
+                    if md.get("format-version", 1) >= 2:
+                        md["last-sequence-number"] = max(
+                            md.get("last-sequence-number") or 0,
+                            s.get("sequence-number") or 0,
+                        )
+                elif a == "set-snapshot-ref":
+                    name = u["ref-name"]
+                    sid = u["snapshot-id"]
+                    if sid not in snap_ids:
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            f"set-snapshot-ref to unknown snapshot {sid}",
+                        )
+                    refs[name] = {
+                        "snapshot-id": sid,
+                        "type": u.get("type", "branch"),
+                    }
+                    if name == "main":
+                        # main moves = the table's current snapshot
+                        # moves; the snapshot-log records it (forward
+                        # publish and backward rollback both append —
+                        # Iceberg RESTORE semantics, monotonic log)
+                        md["current-snapshot-id"] = sid
+                        md.setdefault("snapshot-log", []).append(
+                            {
+                                "snapshot-id": sid,
+                                "timestamp-ms": (
+                                    md.get("last-updated-ms") or 0
+                                )
+                                + 1,
+                            }
+                        )
+                elif a == "remove-snapshot-ref":
+                    if u.get("ref-name") == "main":
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            "cannot remove the main branch ref",
+                        )
+                    refs.pop(u.get("ref-name"), None)
+                elif a == "set-properties":
+                    md.setdefault("properties", {}).update(
+                        u.get("updates") or {}
+                    )
+                elif a == "remove-properties":
+                    for k in u.get("removals") or []:
+                        (md.get("properties") or {}).pop(k, None)
+                else:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"unsupported update action {a!r}",
+                    )
+            md["last-updated-ms"] = (md.get("last-updated-ms") or 0) + 1
+            md.setdefault("metadata-log", []).append(
+                {
+                    "timestamp-ms": md["last-updated-ms"],
+                    "metadata-file": loc,
+                }
+            )
+            new_loc = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
+            tmp = new_loc + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(md, fh, indent=1, sort_keys=True)
+            os.replace(tmp, new_loc)
+            hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+            with open(hint_tmp, "w") as fh:
+                fh.write(str(n + 1))
+            os.replace(
+                hint_tmp, os.path.join(meta_dir, "version-hint.text")
+            )
+            return 200, json.dumps(
+                {"metadata-location": new_loc, "metadata": md}
+            ).encode()
+
     # -- routing --
 
-    def _route(self, method: str, path: str) -> tuple[int, bytes]:
+    def _route(
+        self, method: str, path: str, body: dict | None = None
+    ) -> tuple[int, bytes]:
         query = urllib.parse.parse_qs(urllib.parse.urlsplit(path).query)
         parts = [p for p in path.split("?")[0].split("/") if p]
         if not parts or parts[0] != "v1":
@@ -151,6 +305,8 @@ class IcebergRestCatalog:
                 )
             if method == "HEAD":
                 return 204, b""
+            if method == "POST":
+                return self._commit(ident, body or {})
             loc, metadata = self._load(ident)
             # spec `snapshots` param: "all" (default) or "refs" — the
             # lazy-loading mode where only ref-reachable snapshots ship
@@ -189,7 +345,16 @@ class IcebergRestCatalog:
         class Handler(BaseHTTPRequestHandler):
             def _respond(self, method: str) -> None:
                 try:
-                    code, body = catalog._route(method, self.path)
+                    payload = None
+                    if method == "POST":
+                        length = int(self.headers.get("Content-Length", 0))
+                        raw = self.rfile.read(length) if length else b"{}"
+                        payload = json.loads(raw.decode() or "{}")
+                    code, body = catalog._route(method, self.path, payload)
+                except json.JSONDecodeError as exc:
+                    code, body = 400, _err(
+                        400, "BadRequestException", f"invalid JSON: {exc}"
+                    )
                 except Exception as exc:  # surface as a 500 envelope
                     code, body = 500, _err(
                         500, type(exc).__name__, str(exc)
@@ -206,6 +371,9 @@ class IcebergRestCatalog:
 
             def do_HEAD(self):
                 self._respond("HEAD")
+
+            def do_POST(self):
+                self._respond("POST")
 
             def log_message(self, *a):  # quiet: no stderr per request
                 pass
@@ -247,6 +415,39 @@ def rest_get(url: str) -> dict:
             ) from None
         except (KeyError, json.JSONDecodeError):
             raise ValueError(f"REST catalog HTTP {e.code}: {body}") from None
+
+
+def rest_commit_table(
+    url: str,
+    updates: list[dict],
+    requirements: list[dict] | None = None,
+) -> dict:
+    """POST one CommitTableRequest to a table's endpoint; returns the
+    CommitTableResponse (metadata-location + metadata). Raises
+    ValueError with the error envelope on 4xx/5xx — a 409
+    CommitFailedException is the optimistic-concurrency retry signal."""
+    body = json.dumps(
+        {"requirements": requirements or [], "updates": updates}
+    ).encode()
+    req = urllib.request.Request(
+        url,
+        data=body,
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        raw = e.read().decode(errors="replace")
+        try:
+            msg = json.loads(raw)["error"]
+            raise ValueError(
+                f"REST catalog {msg.get('type')}: {msg.get('message')} "
+                f"(HTTP {e.code})"
+            ) from None
+        except (KeyError, json.JSONDecodeError):
+            raise ValueError(f"REST catalog HTTP {e.code}: {raw}") from None
 
 
 def rest_load_table(url: str) -> dict:

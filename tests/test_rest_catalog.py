@@ -189,3 +189,274 @@ def test_snapshots_refs_mode(spark, tmp_path):
         assert rest_load_table(f"{url}?snapshots=all")["metadata"] == full
         with pytest.raises(ValueError, match="BadRequestException"):
             rest_get(f"{url}?snapshots=bogus")
+
+
+def _commit_url(uri):
+    return f"{uri}/v1/namespaces/lake/tables/t"
+
+
+def _mk_two_snapshot_tree(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(30).selectExpr("id", "id % 3 AS g")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id < 10"), committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2)
+    return t
+
+
+def test_commit_tag_and_branch_and_rollback(spark, tmp_path):
+    """Pointer commits through the protocol: tag a snapshot, branch at
+    it, roll main back (Iceberg RESTORE semantics — the snapshot-log
+    appends), all visible through subsequent loads AND via
+    read_iceberg_table over the same URL."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+    )
+
+    t = _mk_two_snapshot_tree(spark, tmp_path)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = _commit_url(uri)
+        out = rest_commit_table(
+            url,
+            updates=[
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "v1.0",
+                    "type": "tag",
+                    "snapshot-id": 1,
+                },
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "audit",
+                    "type": "branch",
+                    "snapshot-id": 1,
+                },
+                {
+                    "action": "set-properties",
+                    "updates": {"owner": "pipelines"},
+                },
+            ],
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": 2},
+            ],
+        )
+        assert out["metadata-location"].endswith("v3.metadata.json")
+        md = rest_load_table(url)["metadata"]
+        assert md["refs"]["v1.0"] == {"snapshot-id": 1, "type": "tag"}
+        assert md["refs"]["audit"] == {"snapshot-id": 1, "type": "branch"}
+        assert md["properties"]["owner"] == "pipelines"
+        got = sorted(
+            r["id"]
+            for r in read_iceberg_table(spark, url, ref="v1.0").collect()
+        )
+        assert got == list(range(30))
+
+        # rollback: move main back to snapshot 1 through the protocol
+        rest_commit_table(
+            url,
+            updates=[
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "snapshot-id": 1,
+                }
+            ],
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": 2},
+            ],
+        )
+        md = rest_load_table(url)["metadata"]
+        assert md["current-snapshot-id"] == 1
+        # RESTORE appends to the snapshot-log, never rewrites it
+        assert [e["snapshot-id"] for e in md["snapshot-log"]][-1] == 1
+        head = sorted(
+            r["id"] for r in read_iceberg_table(spark, url).collect()
+        )
+        assert head == list(range(30))
+        # drop the branch; main refuses
+        rest_commit_table(
+            url,
+            updates=[{"action": "remove-snapshot-ref", "ref-name": "audit"}],
+        )
+        assert "audit" not in rest_load_table(url)["metadata"]["refs"]
+        with pytest.raises(ValueError, match="BadRequest"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {"action": "remove-snapshot-ref", "ref-name": "main"}
+                ],
+            )
+
+
+def test_commit_requirement_conflict_409(spark, tmp_path):
+    """Stale assert-ref-snapshot-id must fail with the spec's 409
+    CommitFailedException and leave the tree untouched."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+    )
+
+    t = _mk_two_snapshot_tree(spark, tmp_path)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = _commit_url(uri)
+        before = rest_load_table(url)["metadata-location"]
+        with pytest.raises(ValueError, match="CommitFailedException"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "snapshot-id": 1,
+                    }
+                ],
+                requirements=[
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": 99},
+                ],
+            )
+        with pytest.raises(ValueError, match="CommitFailedException"):
+            rest_commit_table(
+                url,
+                updates=[],
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": "not-the-uuid"},
+                ],
+            )
+        assert rest_load_table(url)["metadata-location"] == before
+
+
+def test_commit_add_snapshot_publish_flow(spark, tmp_path):
+    """The WAP shape through the protocol: a writer STAGES its files +
+    manifest list (here: reuse snapshot 2's manifest list as the staged
+    work), add-snapshot + set-snapshot-ref in one commit publishes it.
+    add-snapshot to a nonexistent manifest list refuses; duplicate ids
+    refuse; set-snapshot-ref to an unknown snapshot refuses."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+    )
+
+    t = _mk_two_snapshot_tree(spark, tmp_path)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = _commit_url(uri)
+        md = rest_load_table(url)["metadata"]
+        staged_ml = next(
+            s for s in md["snapshots"] if s["snapshot-id"] == 2
+        )["manifest-list"]
+        rest_commit_table(
+            url,
+            updates=[
+                {
+                    "action": "add-snapshot",
+                    "snapshot": {
+                        "snapshot-id": 77,
+                        "timestamp-ms": 7000,
+                        "summary": {"operation": "append"},
+                        "manifest-list": staged_ml,
+                        "schema-id": md["current-schema-id"],
+                        "sequence-number": 7,
+                    },
+                },
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "snapshot-id": 77,
+                },
+            ],
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": 2},
+            ],
+        )
+        md2 = rest_load_table(url)["metadata"]
+        assert md2["current-snapshot-id"] == 77
+        assert md2["last-sequence-number"] >= 7
+        got = sorted(
+            r["id"]
+            for r in read_iceberg_table(spark, url, snapshot_id=77).collect()
+        )
+        assert got == list(range(10))
+        with pytest.raises(ValueError, match="manifest-list not found"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "add-snapshot",
+                        "snapshot": {
+                            "snapshot-id": 78,
+                            "manifest-list": "/nope/missing.avro",
+                        },
+                    }
+                ],
+            )
+        with pytest.raises(ValueError, match="already exists"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "add-snapshot",
+                        "snapshot": {
+                            "snapshot-id": 77,
+                            "manifest-list": staged_ml,
+                        },
+                    }
+                ],
+            )
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "snapshot-id": 12345,
+                    }
+                ],
+            )
+
+
+def test_commit_concurrency_exactly_one_winner(spark, tmp_path):
+    """Optimistic concurrency under racing commits: N threads all
+    assert main@2 and try to move it — exactly ONE wins, the rest get
+    409, and the final tree reflects exactly one move."""
+    import threading as th
+
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+    )
+
+    t = _mk_two_snapshot_tree(spark, tmp_path)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = _commit_url(uri)
+        results = []
+
+        def racer():
+            try:
+                rest_commit_table(
+                    url,
+                    updates=[
+                        {
+                            "action": "set-snapshot-ref",
+                            "ref-name": "main",
+                            "snapshot-id": 1,
+                        }
+                    ],
+                    requirements=[
+                        {"type": "assert-ref-snapshot-id", "ref": "main",
+                         "snapshot-id": 2},
+                    ],
+                )
+                results.append("ok")
+            except ValueError as e:
+                assert "CommitFailedException" in str(e)
+                results.append("conflict")
+
+        threads = [th.Thread(target=racer) for _ in range(6)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join()
+        assert results.count("ok") == 1 and results.count("conflict") == 5
+        md = rest_load_table(url)["metadata"]
+        assert md["current-snapshot-id"] == 1
