@@ -3361,3 +3361,144 @@ def read_iceberg_statistics(spark, root: str) -> dict:
                 "retained": len(sk["entries"]),
             }
     return out
+
+
+def stage_iceberg_append(spark, df, metadata: dict) -> dict:
+    """Stage an APPEND against a live Iceberg table as an EXTERNAL
+    writer would before a catalog pointer commit: write the new data
+    files (by Spark — a bulk append scales past driver memory), build
+    their ADDED manifest with footer stats, build a manifest list that
+    carries the parent's manifests forward, and return the spec
+    `Snapshot` JSON ready for the REST catalog's `add-snapshot` +
+    `set-snapshot-ref` commit (operators/rest_catalog.py). Nothing in
+    the table is modified — the pointer move IS the commit, so a lost
+    race (409) costs only re-staging against the fresh metadata.
+
+    Scope: unpartitioned v1/v2 tables, schema equal by (name, type) to
+    the table's current schema. v3 is refused — row-lineage assignment
+    (`next-row-id`) is a metadata update this staging path cannot
+    express through the pointer-commit subset.
+
+    Driver cost: O(new files) manifest records + footer probes; the
+    data write and its stats stay distributed/columnar.
+    """
+    fv = metadata.get("format-version", 1)
+    if fv >= 3:
+        raise NotImplementedError(
+            "stage_iceberg_append supports format-versions 1-2; v3 row "
+            "lineage needs a next-row-id metadata update the pointer-"
+            "commit subset does not express"
+        )
+    spec_fields = None
+    for s in metadata.get("partition-specs") or [{"spec-id": 0, "fields": []}]:
+        if s["spec-id"] == metadata.get("default-spec-id", 0):
+            spec_fields = s["fields"]
+    if spec_fields:
+        raise NotImplementedError(
+            "stage_iceberg_append supports unpartitioned tables; "
+            f"default spec has fields {spec_fields}"
+        )
+    fields = metadata["schema"]["fields"]
+    want = {f["name"]: f["type"] for f in fields}
+    got = {
+        f.name: _iceberg_type(f.dataType.simpleString())
+        for f in df.schema.fields
+    }
+    if got != want:
+        raise ValueError(
+            f"staged schema {got} != table schema {want}; evolve the "
+            "table first"
+        )
+    col_ids = {f["name"]: f["id"] for f in fields}
+    type_of = want
+    root = metadata["location"]
+    snaps = metadata.get("snapshots") or []
+    snapshot_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = (metadata.get("last-sequence-number") or 0) + 1
+    meta_dir = os.path.join(root, "metadata")
+    # staged paths are UUID-unique, NOT snapshot-id-derived: two
+    # concurrent writers both pick max+1 before one of them wins the
+    # pointer commit, and id-derived paths would let the loser's
+    # re-staging clobber the winner's already-committed files (the
+    # reason real Iceberg writers uuid their data/manifest file names)
+    token = uuid.uuid4().hex[:12]
+    stage_dir = os.path.join(root, "staged", f"s-{token}")
+    files = _write_upsert_files(spark, df, stage_dir, "data")
+    entries = []
+    for d in files:
+        vcounts, ncounts, lower, upper = _file_column_stats(
+            d["path"], col_ids, type_of
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None if fv >= 2 else snapshot_id,
+                "data_sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": d["path"],
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": d["record_count"],
+                    "file_size_in_bytes": d["size"],
+                    "value_counts": vcounts,
+                    "null_value_counts": ncounts,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "equality_ids": None,
+                },
+            }
+        )
+    manifest_path = os.path.join(meta_dir, f"m-staged-{token}.avro")
+    write_avro(manifest_path, _entry_schema([], fv), entries)
+    row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": metadata.get("default-spec-id", 0),
+        "added_snapshot_id": snapshot_id,
+    }
+    if fv >= 2:
+        row.update(
+            {
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    d["record_count"] for d in files
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    parent_rows = []
+    cur = metadata.get("current-snapshot-id")
+    parent = next((s for s in snaps if s["snapshot-id"] == cur), None)
+    if parent is not None:
+        _, parent_rows = read_avro(parent["manifest-list"])
+    list_path = os.path.join(
+        meta_dir, f"snap-staged-{token}-manifest-list.avro"
+    )
+    write_avro(
+        list_path, _manifest_list_schema(fv), [*parent_rows, row]
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": (metadata.get("last-updated-ms") or 0) + 1,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(sum(d["record_count"] for d in files)),
+        },
+        "manifest-list": list_path,
+    }
+    if parent is not None:
+        snapshot["parent-snapshot-id"] = parent["snapshot-id"]
+    if metadata.get("current-schema-id") is not None:
+        snapshot["schema-id"] = metadata["current-schema-id"]
+    if fv >= 2:
+        snapshot["sequence-number"] = seq
+    return snapshot

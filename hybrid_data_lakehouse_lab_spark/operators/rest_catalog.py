@@ -450,6 +450,55 @@ def rest_commit_table(
             raise ValueError(f"REST catalog HTTP {e.code}: {raw}") from None
 
 
+def append_table_via_catalog(
+    spark, df, url: str, max_retries: int = 3
+) -> dict:
+    """The full EXTERNAL-WRITER append flow through the catalog
+    protocol: load the table, stage the new files + manifests against
+    the loaded metadata (`iceberg_meta.stage_iceberg_append` — nothing
+    in the table changes), then commit `add-snapshot` +
+    `set-snapshot-ref main` guarded by `assert-ref-snapshot-id` at the
+    loaded head. A lost race (409 CommitFailedException — another
+    writer moved main first) re-stages against the fresh metadata and
+    retries: the optimistic-concurrency loop every real Iceberg
+    catalog client runs. Returns the committed snapshot dict."""
+    from .iceberg_meta import stage_iceberg_append
+
+    last = None
+    for _ in range(max_retries + 1):
+        metadata = rest_load_table(url)["metadata"]
+        head = metadata.get("current-snapshot-id")
+        snapshot = stage_iceberg_append(spark, df, metadata)
+        try:
+            rest_commit_table(
+                url,
+                updates=[
+                    {"action": "add-snapshot", "snapshot": snapshot},
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "type": "branch",
+                        "snapshot-id": snapshot["snapshot-id"],
+                    },
+                ],
+                requirements=[
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": head,
+                    }
+                ],
+            )
+            return snapshot
+        except ValueError as e:
+            if "CommitFailedException" not in str(e):
+                raise
+            last = e
+    raise ValueError(
+        f"append lost the commit race {max_retries + 1} times: {last}"
+    )
+
+
 def rest_load_table(url: str) -> dict:
     """Load one table through its `/v1/namespaces/{ns}/tables/{t}`
     endpoint; returns the LoadTableResult dict (metadata-location,

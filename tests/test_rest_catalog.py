@@ -10,6 +10,7 @@ the public-spec equivalent discovery surface over exported trees.
 from __future__ import annotations
 
 import json
+import os
 import urllib.request
 
 import pytest
@@ -460,3 +461,186 @@ def test_commit_concurrency_exactly_one_winner(spark, tmp_path):
         assert results.count("ok") == 1 and results.count("conflict") == 5
         md = rest_load_table(url)["metadata"]
         assert md["current-snapshot-id"] == 1
+
+
+def test_append_via_catalog_full_flow(spark, tmp_path):
+    """External-writer append through the protocol: stage + add-snapshot
+    + set-snapshot-ref, retry on 409. Two sequential appends land as
+    snapshots 3 and 4; all four snapshots time-travel correctly through
+    the URL; a racing pointer move forces the retry path."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        append_table_via_catalog,
+        rest_commit_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(30).selectExpr("id", "id % 3 AS g")
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id < 10"), committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        s3 = append_table_via_catalog(
+            spark, spark.range(100, 105).selectExpr("id", "id % 3 AS g"), url
+        )
+        assert s3["snapshot-id"] == 3
+        s4 = append_table_via_catalog(
+            spark, spark.range(200, 202).selectExpr("id", "id % 3 AS g"), url
+        )
+        assert s4["snapshot-id"] == 4
+        md = rest_load_table(url)["metadata"]
+        assert md["current-snapshot-id"] == 4
+        assert md["last-sequence-number"] == 4
+        heads = {
+            sid: sorted(
+                r["id"]
+                for r in read_iceberg_table(
+                    spark, url, snapshot_id=sid
+                ).collect()
+            )
+            for sid in (1, 2, 3, 4)
+        }
+        assert heads[1] == list(range(30))
+        assert heads[2] == list(range(10))
+        assert heads[3] == list(range(10)) + [100, 101, 102, 103, 104]
+        assert heads[4] == heads[3] + [200, 201]
+        # stats rode along: a point-prune over the appended files works
+        pruned = read_iceberg_table(spark, url, prune=[("id", ">=", 200)])
+        assert sorted(r["id"] for r in pruned.filter("id >= 200").collect()) == [200, 201]
+
+        # force the retry path: monkey-move main between load and commit
+        # by appending through a df whose staging we interleave manually
+        metadata = rest_load_table(url)["metadata"]
+        from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+            stage_iceberg_append,
+        )
+
+        stale = stage_iceberg_append(
+            spark, spark.range(300, 303).selectExpr("id", "id % 3 AS g"),
+            metadata,
+        )
+        # someone else rolls main back first
+        rest_commit_table(
+            url,
+            updates=[
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "snapshot-id": 3}
+            ],
+        )
+        with pytest.raises(ValueError, match="CommitFailedException"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {"action": "add-snapshot", "snapshot": stale},
+                    {"action": "set-snapshot-ref", "ref-name": "main",
+                     "snapshot-id": stale["snapshot-id"]},
+                ],
+                requirements=[
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": 4}
+                ],
+            )
+        # the retrying helper succeeds despite the moved pointer
+        s6 = append_table_via_catalog(
+            spark, spark.range(300, 303).selectExpr("id", "id % 3 AS g"), url
+        )
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, url).collect()
+        )
+        assert got == list(range(10)) + [
+            100, 101, 102, 103, 104, 300, 301, 302,
+        ]
+        assert s6["parent-snapshot-id"] == 3  # appended onto rolled-back main
+
+
+def test_stage_append_validations(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        stage_iceberg_append,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(5).selectExpr("id", "id % 2 AS g"), committed_at_ms=1)
+    export_iceberg_metadata(t, format_version=2)
+    md = json.load(
+        open(os.path.join(t.root, "metadata", "v1.metadata.json"))
+    )
+    with pytest.raises(ValueError, match="table schema"):
+        stage_iceberg_append(spark, spark.range(3).selectExpr("id"), md)
+    md3 = dict(md, **{"format-version": 3})
+    with pytest.raises(NotImplementedError, match="format-versions 1-2"):
+        stage_iceberg_append(
+            spark, spark.range(3).selectExpr("id", "id % 2 AS g"), md3
+        )
+
+    tp = SnapshotTable(spark, str(tmp_path / "tp"))
+    tp.write(
+        spark.range(6).selectExpr(
+            "id", "substr('xy', CAST(id % 2 AS INT) + 1, 1) AS g"
+        ),
+        partition_by=["g"],
+        committed_at_ms=1,
+    )
+    export_iceberg_metadata(tp, format_version=2)
+    mdp = json.load(
+        open(os.path.join(tp.root, "metadata", "v1.metadata.json"))
+    )
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        stage_iceberg_append(
+            spark,
+            spark.range(3).selectExpr(
+                "id", "substr('xy', CAST(id % 2 AS INT) + 1, 1) AS g"
+            ),
+            mdp,
+        )
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Three writers append through the catalog simultaneously; the
+    optimistic retry loop serializes them — all three commits land
+    (distinct snapshot ids, chained parents) and the head holds every
+    row exactly once."""
+    import threading as th
+
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        append_table_via_catalog,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).selectExpr("id", "id % 3 AS g"), committed_at_ms=1)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        done, errors = [], []
+
+        def writer(lo):
+            try:
+                done.append(
+                    append_table_via_catalog(
+                        spark,
+                        spark.range(lo, lo + 5).selectExpr(
+                            "id", "id % 3 AS g"
+                        ),
+                        url,
+                        max_retries=10,
+                    )
+                )
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(e)
+
+        threads = [th.Thread(target=writer, args=(lo,)) for lo in (100, 200, 300)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join()
+        assert not errors, errors
+        assert len({s["snapshot-id"] for s in done}) == 3
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, url).collect()
+        )
+        want = sorted(
+            list(range(10))
+            + list(range(100, 105))
+            + list(range(200, 205))
+            + list(range(300, 305))
+        )
+        assert got == want
