@@ -1979,3 +1979,77 @@ def iceberg_partitioned_upsert_roundtrip(
     return spark.createDataFrame(
         sorted(rows), "snap INT, event_type STRING, n BIGINT"
     )
+
+
+@register(
+    "iceberg_catalog_append_roundtrip",
+    oracle="""
+    SELECT 1 AS snap, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE user_id % 2 = 0
+    UNION ALL
+    SELECT 2 AS snap, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    """,
+)
+def iceberg_catalog_append_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 10: the EXTERNAL-WRITER append flow through the catalog
+    protocol, driver-visible. A base table (even-user events) is
+    exported and served; the odd-user half is then appended by
+    `append_table_via_catalog` — files + manifests staged first
+    (UUID-unique paths), then ONE pointer commit (add-snapshot +
+    set-snapshot-ref main guarded by assert-ref-snapshot-id). Both
+    snapshots are read back through the load-table URL; snapshot 2
+    must equal the full events table — proving the staged manifest's
+    stats/entries and the carried-forward parent manifests compose
+    into a correct live file set. In-lane asserts pin the snapshot
+    chain (parent id) and that the commit bumped the metadata version
+    through the protocol, not the file tree.
+
+    Scale: the staged write and both reads run distributed; the
+    catalog moves O(KB) pointer JSON."""
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.rest_catalog import (
+        IcebergRestCatalog,
+        append_table_via_catalog,
+        rest_load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="catalog_append_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev.filter(F.col("user_id") % 2 == 0), committed_at_ms=1)
+        export_iceberg_metadata(t, format_version=2)
+        rows = []
+        with IcebergRestCatalog({("lake", "events"): t.root}) as uri:
+            url = f"{uri}/v1/namespaces/lake/tables/events"
+            before = rest_load_table(url)["metadata-location"]
+            snap = append_table_via_catalog(
+                spark, ev.filter(F.col("user_id") % 2 != 0), url
+            )
+            assert snap["snapshot-id"] == 2
+            assert snap["parent-snapshot-id"] == 1
+            after = rest_load_table(url)["metadata-location"]
+            assert after != before, "commit must mint a metadata version"
+            for sid in (1, 2):
+                got = (
+                    read_iceberg_table(spark, url, snapshot_id=sid)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("event_id").cast("long").alias("id_sum"),
+                    )
+                    .collect()[0]
+                )
+                rows.append((sid, got["n"], got["id_sum"]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "snap INT, n BIGINT, id_sum BIGINT"
+    )
