@@ -553,6 +553,7 @@ def export_iceberg_metadata(
     hidden_partitions: dict | None = None,
     upsert_key: list[str] | None = None,
     renamed_columns: dict[str, str] | None = None,
+    drop_foreign_commits: bool = False,
 ) -> str:
     """Emit an Iceberg `metadata/` tree under the table root for
     `branch`'s pointer history; returns the metadata directory.
@@ -645,6 +646,42 @@ def export_iceberg_metadata(
 
     meta_dir = os.path.join(table.root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+
+    # FOREIGN-COMMIT SAFETY: a pointer commit through the REST catalog
+    # (or any external engine POSTing add-snapshot) appends snapshots
+    # this exporter knows nothing about — its manifest lists are not
+    # the exporter's own `snap-{i}-1-manifest-list.avro` naming.
+    # Regenerating the tree would silently drop them and GC their
+    # manifests, so refuse loudly unless the caller opts in. The
+    # supported flow for keeping them is to land the data through the
+    # parent store (SnapshotTable.write) and re-export, or to keep
+    # committing through the catalog.
+    import re as _re
+
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint_path):
+        with open(hint_path) as fh:
+            _cur_n = int(fh.read().strip())
+        _cur_path = os.path.join(meta_dir, f"v{_cur_n}.metadata.json")
+        if os.path.exists(_cur_path):
+            with open(_cur_path) as fh:
+                _cur_md = json.load(fh)
+            foreign = [
+                s["snapshot-id"]
+                for s in _cur_md.get("snapshots") or []
+                if not _re.fullmatch(
+                    r"snap-\d+-1-manifest-list\.avro",
+                    os.path.basename(s.get("manifest-list") or ""),
+                )
+            ]
+            if foreign and not drop_foreign_commits:
+                raise ValueError(
+                    f"the tree at {meta_dir} holds catalog-committed "
+                    f"snapshots this export does not know "
+                    f"(ids {foreign}); re-exporting would drop them. "
+                    "Land the data through the parent store and retry, "
+                    "or pass drop_foreign_commits=True to discard them"
+                )
 
     # SCHEMA EVOLUTION: walk the pointer history chronologically and
     # give every column a stable field id at first appearance. Partition
@@ -1844,7 +1881,13 @@ def export_iceberg_metadata(
         stale = (
             (re.match(r"^m-\d+(-del|-ups|-app)?\.avro$", f) and f not in written_manifests)
             or (f.startswith("snap-") and f.endswith(".avro")
+                and f.split("-")[1].isdigit()
                 and int(f.split("-")[1]) > len(events))
+            # foreign (catalog-committed) staged manifests + manifest
+            # lists: only reachable from the foreign snapshots this
+            # regeneration just dropped (the drop_foreign_commits gate
+            # above made that explicit) — GC them with the snapshots
+            or f.startswith(("m-staged-", "snap-staged-"))
             or (f.startswith("v") and f.endswith(".metadata.json")
                 and f[1:-14].isdigit() and int(f[1:-14]) > n)
             # statistics puffins: regeneration drops the `statistics`
@@ -1854,6 +1897,11 @@ def export_iceberg_metadata(
         )
         if stale:
             os.remove(os.path.join(meta_dir, f))
+    staged_root = os.path.join(table.root, "staged")
+    if os.path.isdir(staged_root):
+        import shutil
+
+        shutil.rmtree(staged_root, ignore_errors=True)
     # Delete-file dirs not referenced by THIS export (history shrunk by
     # a vacuum, or a snapshot that re-exported as a rewrite) would
     # reference vacuumed data files — same GC contract as the manifests.

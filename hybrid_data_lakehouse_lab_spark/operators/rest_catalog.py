@@ -41,6 +41,15 @@ The server resolves `version-hint.text` at REQUEST time, so a commit
 followed by a re-export is immediately visible through the protocol —
 the catalog IS the pointer-swap, matching real catalog semantics.
 
+Ownership boundary with the parent store: `export_iceberg_metadata`
+regenerates the tree from SnapshotTable pointer history, so it REFUSES
+when the tree holds catalog-committed SNAPSHOTS it would drop
+(`drop_foreign_commits=True` opts into discarding them, staged
+artifacts included). Pointer-only catalog state (tags, extra branch
+refs, properties) is regenerated from the parent store's own state on
+re-export — whoever exports last owns that layer; keep committing
+through the catalog if the catalog is the source of truth.
+
 Scale note: the catalog serves O(KB) metadata JSON per request; data
 I/O never flows through it (clients scan the parquet/Avro paths the
 metadata references directly), so one driver-side thread is the right

@@ -644,3 +644,82 @@ def test_concurrent_appends_all_land(spark, tmp_path):
             + list(range(300, 305))
         )
         assert got == want
+
+
+def test_reexport_refuses_to_drop_catalog_commits(spark, tmp_path):
+    """Interplay guard: after a catalog append, regenerating the tree
+    from the parent SnapshotTable would silently drop the
+    catalog-committed snapshot — the export must refuse loudly, and
+    drop_foreign_commits=True must leave a clean, readable tree with
+    no staged leftovers."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        append_table_via_catalog,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(20).selectExpr("id", "id % 3 AS g")
+    t.write(df, committed_at_ms=1000)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        append_table_via_catalog(
+            spark, spark.range(100, 103).selectExpr("id", "id % 3 AS g"), url
+        )
+    with pytest.raises(ValueError, match="catalog-committed"):
+        export_iceberg_metadata(t, format_version=2)
+    # explicit opt-in: foreign snapshot + its staged artifacts dropped,
+    # tree regenerates clean from the parent store
+    export_iceberg_metadata(
+        t, format_version=2, drop_foreign_commits=True
+    )
+    got = sorted(
+        r["id"] for r in read_iceberg_table(spark, t.root).collect()
+    )
+    assert got == list(range(20))
+    assert not os.path.isdir(os.path.join(t.root, "staged"))
+    meta_dir = os.path.join(t.root, "metadata")
+    leftovers = [
+        f for f in os.listdir(meta_dir) if "staged" in f
+    ]
+    assert leftovers == []
+
+
+def test_lost_race_staging_is_orphan_cleanable(spark, tmp_path):
+    """A staging whose pointer commit never landed (lost race, crashed
+    writer) is exactly what find_orphan_files/remove_orphan_files
+    exist for: its data files are listed as orphans and freed, while
+    the committed snapshot's files survive."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        stage_iceberg_append,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        find_orphan_files,
+        remove_orphan_files,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        append_table_via_catalog,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).selectExpr("id", "id % 3 AS g"), committed_at_ms=1)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        md = rest_load_table(url)["metadata"]
+        # stage but never commit — the crashed-writer shape
+        stage_iceberg_append(
+            spark, spark.range(900, 903).selectExpr("id", "id % 3 AS g"), md
+        )
+        # a committed append for contrast
+        append_table_via_catalog(
+            spark, spark.range(100, 103).selectExpr("id", "id % 3 AS g"), url
+        )
+        orphans = find_orphan_files(t.root)
+        assert orphans, "lost-race staged files must be reported"
+        assert all(os.sep + "staged" + os.sep in p for p in orphans)
+        removed = remove_orphan_files(t.root, older_than_ms=2**62)
+        assert removed == orphans
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, url).collect()
+        )
+        assert got == list(range(10)) + [100, 101, 102]
