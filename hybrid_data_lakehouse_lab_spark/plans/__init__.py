@@ -18,6 +18,7 @@ from . import tpch_full  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import dedup_advanced  # noqa: E402,F401
+from . import dedup_substring  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import llm_extras  # noqa: E402,F401
 from . import intervals  # noqa: E402,F401
