@@ -2204,6 +2204,21 @@ def read_iceberg_table(
             if snapshot_id is not None
             else metadata["current-snapshot-id"]
         )
+    if sid is None or sid == -1:
+        # A table with no current snapshot (freshly created through the
+        # catalog, nothing committed yet; the spec writes -1). SELECT *
+        # must work and return zero rows under the table schema.
+        if snapshot_id is not None or metadata.get("snapshots"):
+            raise ValueError(f"snapshot {sid} not found in {meta_dir}")
+        empty_schema = T.StructType(
+            [
+                T.StructField(
+                    f["name"], _spark_type(f["type"]), not f.get("required")
+                )
+                for f in metadata["schema"]["fields"]
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
     snap = next(
         (s for s in metadata["snapshots"] if s["snapshot-id"] == sid), None
     )
@@ -3550,3 +3565,110 @@ def stage_iceberg_append(spark, df, metadata: dict) -> dict:
     if fv >= 2:
         snapshot["sequence-number"] = seq
     return snapshot
+
+
+def create_iceberg_table(
+    root: str,
+    fields: list[dict],
+    partition_fields: list[dict] | None = None,
+    properties: dict | None = None,
+    format_version: int = 2,
+) -> str:
+    """Mint a brand-new EMPTY Iceberg table tree: `v1.metadata.json` +
+    `version-hint.text` under `root/metadata`, no snapshots — the state
+    a catalog CREATE TABLE produces before the first commit
+    (current-snapshot-id = -1 per the spec). The REST catalog's
+    create-table endpoint (operators/rest_catalog.py) calls this; the
+    external-writer append flow (`stage_iceberg_append` + pointer
+    commit) then populates it, and `read_iceberg_table` reads the empty
+    table as zero rows under the declared schema.
+
+    `fields` are Iceberg schema fields ({"name", "type", "required"});
+    ids are assigned 1..n when absent (the spec: the catalog assigns
+    fresh ids on create — client-sent ids are suggestions at best).
+    `partition_fields` become partition-specs[0] verbatim with
+    field-ids assigned from 1000 — declarative JSON only; only
+    transforms the reader understands are accepted.
+
+    Returns the metadata directory. Refuses to create over an existing
+    tree (a catalog create is not an overwrite)."""
+    meta_dir = os.path.join(root, "metadata")
+    if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+        raise FileExistsError(f"table already exists at {root}")
+    known = {
+        "identity", "bucket", "truncate", "year", "month", "day", "hour",
+    }
+    out_fields = []
+    for i, f in enumerate(fields, start=1):
+        if not f.get("name") or not f.get("type"):
+            raise ValueError(f"schema field needs name+type: {f!r}")
+        _spark_type(f["type"])  # validates the type is one we read
+        out_fields.append(
+            {
+                "id": f.get("id") or i,
+                "name": f["name"],
+                "required": bool(f.get("required")),
+                "type": f["type"],
+            }
+        )
+    ids = [f["id"] for f in out_fields]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"duplicate field ids in schema: {ids}")
+    by_name = {f["name"]: f["id"] for f in out_fields}
+    spec_fields = []
+    for j, pf in enumerate(partition_fields or []):
+        transform = pf.get("transform", "identity")
+        if transform.split("[")[0] not in known:
+            raise NotImplementedError(
+                f"unsupported partition transform {transform!r}"
+            )
+        src = pf.get("source-id") or by_name.get(pf.get("name"))
+        if src is None:
+            raise ValueError(
+                f"partition field needs source-id or a schema column "
+                f"name: {pf!r}"
+            )
+        spec_fields.append(
+            {
+                "source-id": src,
+                "field-id": pf.get("field-id") or 1000 + j,
+                "name": pf.get("name")
+                or next(f["name"] for f in out_fields if f["id"] == src),
+                "transform": transform,
+            }
+        )
+    os.makedirs(meta_dir)
+    metadata = {
+        "format-version": format_version,
+        "table-uuid": str(uuid.uuid4()),
+        "location": root,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": max(ids),
+        "schema": {"type": "struct", "schema-id": 0, "fields": out_fields},
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": out_fields}
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": dict(properties or {}),
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {},
+    }
+    meta_path = os.path.join(meta_dir, "v1.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=1, sort_keys=True)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write("1")
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return meta_dir

@@ -10,13 +10,32 @@ repo). This module implements the READ surface of that spec from
 scratch over tables this engine exported (or any tree
 `read_iceberg_table` can read):
 
-    GET  /v1/config                            -> CatalogConfig
-    GET  /v1/namespaces                        -> ListNamespacesResponse
-    GET  /v1/namespaces/{ns}                   -> GetNamespaceResponse
-    GET  /v1/namespaces/{ns}/tables            -> ListTablesResponse
-    GET  /v1/namespaces/{ns}/tables/{table}    -> LoadTableResult
-    HEAD /v1/namespaces/{ns}/tables/{table}    -> 204 / 404
-    POST /v1/namespaces/{ns}/tables/{table}    -> CommitTableResponse
+    GET    /v1/config                            -> CatalogConfig
+    GET    /v1/namespaces                        -> ListNamespacesResponse
+    POST   /v1/namespaces                        -> CreateNamespaceResponse
+    GET    /v1/namespaces/{ns}                   -> GetNamespaceResponse
+    DELETE /v1/namespaces/{ns}                   -> 204 (409 if non-empty)
+    GET    /v1/namespaces/{ns}/tables            -> ListTablesResponse
+    POST   /v1/namespaces/{ns}/tables            -> LoadTableResult (create)
+    POST   /v1/namespaces/{ns}/register          -> LoadTableResult
+    GET    /v1/namespaces/{ns}/tables/{table}    -> LoadTableResult
+    HEAD   /v1/namespaces/{ns}/tables/{table}    -> 204 / 404
+    POST   /v1/namespaces/{ns}/tables/{table}    -> CommitTableResponse
+    DELETE /v1/namespaces/{ns}/tables/{table}    -> 204 (?purgeRequested)
+    POST   /v1/tables/rename                     -> 204
+
+    CREATE TABLE mints an empty metadata tree via
+    `iceberg_meta.create_iceberg_table` (fresh field ids assigned when
+    the client sends none; current-snapshot-id = -1), rooted at the
+    request `location` or `<warehouse_dir>/<ns...>/<name>`; the
+    external-writer append flow then populates it — the full
+    create → stage → pointer-commit → read lifecycle runs through the
+    protocol. `stage-create` (the CTAS/WAP staging mode) is refused
+    with 400: this catalog has no staged-metadata store. REGISTER
+    adopts an existing tree by its metadata-location (the spec's
+    migration endpoint). DROP TABLE removes the catalog entry and, with
+    `purgeRequested=true`, the tree; RENAME moves the catalog entry
+    only (Iceberg rename semantics — data paths never move).
 
 Per the spec, multipart namespace path segments are joined with the
 0x1F unit separator (URL-encoded `%1F`), errors are the standard
@@ -90,7 +109,7 @@ class IcebergRestCatalog:
     Tables may also be registered as "ns.table" strings (split on
     dots, last part = table name)."""
 
-    def __init__(self, warehouse: dict):
+    def __init__(self, warehouse: dict, warehouse_dir: str | None = None):
         self._tables: dict[tuple[str, ...], str] = {}
         for ident, root in warehouse.items():
             if isinstance(ident, str):
@@ -100,6 +119,15 @@ class IcebergRestCatalog:
                     f"table identifier needs namespace + name: {ident!r}"
                 )
             self._tables[tuple(ident)] = root
+        # Namespaces exist independently of tables (create-namespace
+        # then create-table is the protocol's order); seed from the
+        # initial warehouse so pre-registered tables' namespaces list.
+        self._namespaces: dict[tuple[str, ...], dict] = {
+            ident[:-1]: {} for ident in self._tables
+        }
+        # Default root for create-table requests without a `location`:
+        # <warehouse_dir>/<ns...>/<name>. None = location required.
+        self._warehouse_dir = warehouse_dir
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # commits are optimistic-concurrency: requirement check + new
@@ -256,6 +284,232 @@ class IcebergRestCatalog:
                 {"metadata-location": new_loc, "metadata": md}
             ).encode()
 
+    # -- catalog CRUD (namespaces, create/register/drop/rename table) --
+
+    def _create_namespace(self, body: dict) -> tuple[int, bytes]:
+        ns = tuple(body.get("namespace") or ())
+        if not ns or not all(isinstance(p, str) and p for p in ns):
+            return 400, _err(
+                400, "BadRequestException", f"invalid namespace: {ns!r}"
+            )
+        with self._commit_lock:
+            if ns in self._namespaces or ns in {
+                i[:-1] for i in self._tables
+            }:
+                return 409, _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"Namespace already exists: {'.'.join(ns)}",
+                )
+            self._namespaces[ns] = dict(body.get("properties") or {})
+            return 200, json.dumps(
+                {
+                    "namespace": list(ns),
+                    "properties": self._namespaces[ns],
+                }
+            ).encode()
+
+    def _drop_namespace(self, ns: tuple[str, ...]) -> tuple[int, bytes]:
+        with self._commit_lock:
+            held = [i for i in self._tables if i[:-1] == ns]
+            if held:
+                return 409, _err(
+                    409,
+                    "NamespaceNotEmptyException",
+                    f"Namespace {'.'.join(ns)} holds "
+                    f"{len(held)} table(s)",
+                )
+            self._namespaces.pop(ns, None)
+            return 204, b""
+
+    def _create_table(
+        self, ns: tuple[str, ...], body: dict
+    ) -> tuple[int, bytes]:
+        from .iceberg_meta import create_iceberg_table
+
+        name = body.get("name")
+        if not name:
+            return 400, _err(
+                400, "BadRequestException", "create-table needs a name"
+            )
+        if body.get("stage-create"):
+            return 400, _err(
+                400,
+                "BadRequestException",
+                "stage-create is not supported: this catalog has no "
+                "staged-metadata store (commit data through the "
+                "stage+pointer append flow instead)",
+            )
+        fields = (body.get("schema") or {}).get("fields")
+        if not fields:
+            return 400, _err(
+                400,
+                "BadRequestException",
+                "create-table needs schema.fields",
+            )
+        # Spec: the catalog assigns fresh field ids UNLESS the client's
+        # ids are already a complete consistent assignment (then
+        # partition-spec source-ids keep meaning).
+        ids = [f.get("id") for f in fields]
+        if not all(ids) or len(set(ids)) != len(ids):
+            fields = [
+                {k: v for k, v in f.items() if k != "id"} for f in fields
+            ]
+        with self._commit_lock:
+            ident = (*ns, name)
+            if ident in self._tables:
+                return 409, _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"Table already exists: {'.'.join(ident)}",
+                )
+            root = body.get("location")
+            if not root:
+                if self._warehouse_dir is None:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        "no location in the request and the catalog "
+                        "has no warehouse_dir",
+                    )
+                root = os.path.join(self._warehouse_dir, *ns, name)
+                if os.path.exists(root):
+                    # A previous table lived here (renamed or dropped
+                    # without purge — its tree stays, per Iceberg
+                    # semantics). Real catalogs mint collision-safe
+                    # locations rather than fail the create.
+                    import uuid as _uuid
+
+                    root = f"{root}-{_uuid.uuid4().hex[:8]}"
+            try:
+                create_iceberg_table(
+                    root,
+                    fields,
+                    partition_fields=(body.get("partition-spec") or {}).get(
+                        "fields"
+                    ),
+                    properties=body.get("properties"),
+                )
+            except FileExistsError as e:
+                return 409, _err(409, "AlreadyExistsException", str(e))
+            except (ValueError, NotImplementedError) as e:
+                return 400, _err(400, "BadRequestException", str(e))
+            self._tables[ident] = root
+            self._namespaces.setdefault(ns, {})
+            loc, metadata = self._load(ident)
+            return 200, json.dumps(
+                {
+                    "metadata-location": loc,
+                    "metadata": metadata,
+                    "config": {},
+                }
+            ).encode()
+
+    def _register_table(
+        self, ns: tuple[str, ...], body: dict
+    ) -> tuple[int, bytes]:
+        name, loc = body.get("name"), body.get("metadata-location")
+        if not name or not loc:
+            return 400, _err(
+                400,
+                "BadRequestException",
+                "register needs name + metadata-location",
+            )
+        if not os.path.isfile(loc):
+            return 400, _err(
+                400,
+                "BadRequestException",
+                f"metadata-location not found: {loc}",
+            )
+        base = os.path.basename(loc)
+        if not (base.startswith("v") and base.endswith(".metadata.json")):
+            return 400, _err(
+                400,
+                "BadRequestException",
+                f"metadata-location must be a v<N>.metadata.json: {loc}",
+            )
+        version = int(base[1:].split(".")[0])
+        meta_dir = os.path.dirname(loc)
+        with self._commit_lock:
+            ident = (*ns, name)
+            if ident in self._tables:
+                return 409, _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"Table already exists: {'.'.join(ident)}",
+                )
+            # The catalog serves the hinted head; adopt the registered
+            # version when it is ahead of (or there is) no hint — never
+            # move an existing hint backwards.
+            hint_path = os.path.join(meta_dir, "version-hint.text")
+            current = None
+            if os.path.isfile(hint_path):
+                with open(hint_path) as fh:
+                    current = int(fh.read().strip())
+            if current is None or current < version:
+                tmp = os.path.join(meta_dir, ".version-hint.tmp")
+                with open(tmp, "w") as fh:
+                    fh.write(str(version))
+                os.replace(tmp, hint_path)
+            self._tables[ident] = os.path.dirname(meta_dir)
+            self._namespaces.setdefault(ns, {})
+            loc2, metadata = self._load(ident)
+            return 200, json.dumps(
+                {
+                    "metadata-location": loc2,
+                    "metadata": metadata,
+                    "config": {},
+                }
+            ).encode()
+
+    def _drop_table(
+        self, ident: tuple[str, ...], purge: bool
+    ) -> tuple[int, bytes]:
+        import shutil
+
+        with self._commit_lock:
+            root = self._tables.pop(ident)
+            if purge:
+                shutil.rmtree(root, ignore_errors=True)
+            return 204, b""
+
+    def _rename_table(self, body: dict) -> tuple[int, bytes]:
+        src, dst = body.get("source") or {}, body.get("destination") or {}
+        s_ident = (*(src.get("namespace") or ()), src.get("name"))
+        d_ident = (*(dst.get("namespace") or ()), dst.get("name"))
+        if None in s_ident or None in d_ident:
+            return 400, _err(
+                400,
+                "BadRequestException",
+                "rename needs source + destination TableIdentifiers",
+            )
+        with self._commit_lock:
+            if s_ident not in self._tables:
+                return 404, _err(
+                    404,
+                    "NoSuchTableException",
+                    f"Table does not exist: {'.'.join(s_ident)}",
+                )
+            d_ns = d_ident[:-1]
+            if d_ns not in set(self._namespaces) | {
+                i[:-1] for i in self._tables
+            }:
+                return 404, _err(
+                    404,
+                    "NoSuchNamespaceException",
+                    f"Namespace does not exist: {'.'.join(d_ns)}",
+                )
+            if d_ident in self._tables:
+                return 409, _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"Table already exists: {'.'.join(d_ident)}",
+                )
+            # Iceberg rename moves the catalog entry only; the tree and
+            # every path inside it stay put.
+            self._tables[d_ident] = self._tables.pop(s_ident)
+            return 204, b""
+
     # -- routing --
 
     def _route(
@@ -270,34 +524,51 @@ class IcebergRestCatalog:
             return 200, json.dumps(
                 {"defaults": {}, "overrides": {}}
             ).encode()
+        if parts == ["tables", "rename"] and method == "POST":
+            return self._rename_table(body or {})
         if not parts or parts[0] != "namespaces":
             return 404, _err(404, "NoSuchEndpointException", path)
         if len(parts) == 1:
-            namespaces = sorted({ident[:-1] for ident in self._tables})
+            if method == "POST":
+                return self._create_namespace(body or {})
+            namespaces = sorted(
+                set(self._namespaces) | {i[:-1] for i in self._tables}
+            )
             return 200, json.dumps(
                 {"namespaces": [list(ns) for ns in namespaces]}
             ).encode()
         ns = _split_ns(parts[1])
-        known = {ident[:-1] for ident in self._tables}
+        known = set(self._namespaces) | {i[:-1] for i in self._tables}
+        no_such_ns = (
+            404,
+            _err(
+                404,
+                "NoSuchNamespaceException",
+                f"Namespace does not exist: {'.'.join(ns)}",
+            ),
+        )
         if len(parts) == 2:
             if ns not in known:
-                return 404, _err(
-                    404,
-                    "NoSuchNamespaceException",
-                    f"Namespace does not exist: {'.'.join(ns)}",
-                )
+                return no_such_ns
+            if method == "DELETE":
+                return self._drop_namespace(ns)
             return 200, json.dumps(
-                {"namespace": list(ns), "properties": {}}
+                {
+                    "namespace": list(ns),
+                    "properties": self._namespaces.get(ns, {}),
+                }
             ).encode()
+        if parts[2] == "register" and len(parts) == 3 and method == "POST":
+            if ns not in known:
+                return no_such_ns
+            return self._register_table(ns, body or {})
         if parts[2] != "tables":
             return 404, _err(404, "NoSuchEndpointException", path)
         if len(parts) == 3:
             if ns not in known:
-                return 404, _err(
-                    404,
-                    "NoSuchNamespaceException",
-                    f"Namespace does not exist: {'.'.join(ns)}",
-                )
+                return no_such_ns
+            if method == "POST":
+                return self._create_table(ns, body or {})
             idents = [
                 {"namespace": list(ident[:-1]), "name": ident[-1]}
                 for ident in sorted(self._tables)
@@ -316,6 +587,11 @@ class IcebergRestCatalog:
                 return 204, b""
             if method == "POST":
                 return self._commit(ident, body or {})
+            if method == "DELETE":
+                purge = (query.get("purgeRequested") or ["false"])[
+                    0
+                ].lower() == "true"
+                return self._drop_table(ident, purge)
             loc, metadata = self._load(ident)
             # spec `snapshots` param: "all" (default) or "refs" — the
             # lazy-loading mode where only ref-reachable snapshots ship
@@ -383,6 +659,9 @@ class IcebergRestCatalog:
 
             def do_POST(self):
                 self._respond("POST")
+
+            def do_DELETE(self):
+                self._respond("DELETE")
 
             def log_message(self, *a):  # quiet: no stderr per request
                 pass
@@ -477,6 +756,8 @@ def append_table_via_catalog(
     for _ in range(max_retries + 1):
         metadata = rest_load_table(url)["metadata"]
         head = metadata.get("current-snapshot-id")
+        if head == -1:  # freshly created table: no current snapshot yet
+            head = None
         snapshot = stage_iceberg_append(spark, df, metadata)
         try:
             rest_commit_table(
@@ -519,3 +800,120 @@ def rest_load_table(url: str) -> dict:
             f"(keys: {sorted(result)})"
         )
     return result
+
+
+def _rest_call(url: str, method: str, payload: dict | None = None) -> dict:
+    """One catalog request with the spec error envelope surfaced as
+    ValueError; 204 responses return {}."""
+    data = None if payload is None else json.dumps(payload).encode()
+    req = urllib.request.Request(
+        url,
+        data=data,
+        method=method,
+        headers={"Content-Type": "application/json"} if data else {},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return json.loads(raw.decode()) if raw else {}
+    except urllib.error.HTTPError as e:
+        raw = e.read().decode(errors="replace")
+        try:
+            msg = json.loads(raw)["error"]
+            raise ValueError(
+                f"REST catalog {msg.get('type')}: {msg.get('message')} "
+                f"(HTTP {e.code})"
+            ) from None
+        except (KeyError, json.JSONDecodeError):
+            raise ValueError(f"REST catalog HTTP {e.code}: {raw}") from None
+
+
+def rest_create_namespace(
+    base_url: str, ns: tuple[str, ...] | list[str], properties=None
+) -> dict:
+    return _rest_call(
+        f"{base_url}/v1/namespaces",
+        "POST",
+        {"namespace": list(ns), "properties": properties or {}},
+    )
+
+
+def rest_drop_namespace(base_url: str, ns) -> None:
+    seg = urllib.parse.quote(UNIT_SEP.join(ns))
+    _rest_call(f"{base_url}/v1/namespaces/{seg}", "DELETE")
+
+
+def rest_create_table(
+    base_url: str,
+    ns,
+    name: str,
+    schema_fields: list[dict],
+    location: str | None = None,
+    partition_fields: list[dict] | None = None,
+    properties: dict | None = None,
+) -> dict:
+    """CREATE TABLE through the protocol; returns the LoadTableResult."""
+    seg = urllib.parse.quote(UNIT_SEP.join(ns))
+    body: dict = {
+        "name": name,
+        "schema": {"type": "struct", "fields": schema_fields},
+    }
+    if location:
+        body["location"] = location
+    if partition_fields:
+        body["partition-spec"] = {"spec-id": 0, "fields": partition_fields}
+    if properties:
+        body["properties"] = properties
+    return _rest_call(f"{base_url}/v1/namespaces/{seg}/tables", "POST", body)
+
+
+def rest_register_table(
+    base_url: str, ns, name: str, metadata_location: str
+) -> dict:
+    seg = urllib.parse.quote(UNIT_SEP.join(ns))
+    return _rest_call(
+        f"{base_url}/v1/namespaces/{seg}/register",
+        "POST",
+        {"name": name, "metadata-location": metadata_location},
+    )
+
+
+def rest_drop_table(
+    base_url: str, ns, name: str, purge: bool = False
+) -> None:
+    seg = urllib.parse.quote(UNIT_SEP.join(ns))
+    q = "?purgeRequested=true" if purge else ""
+    _rest_call(
+        f"{base_url}/v1/namespaces/{seg}/tables/"
+        f"{urllib.parse.quote(name)}{q}",
+        "DELETE",
+    )
+
+
+def rest_rename_table(base_url: str, src_ns, src_name, dst_ns, dst_name):
+    _rest_call(
+        f"{base_url}/v1/tables/rename",
+        "POST",
+        {
+            "source": {"namespace": list(src_ns), "name": src_name},
+            "destination": {"namespace": list(dst_ns), "name": dst_name},
+        },
+    )
+
+
+def create_table_via_catalog(base_url: str, ns, name: str, df_schema) -> dict:
+    """CREATE TABLE from a Spark StructType: map each Spark field
+    through the engine's Iceberg type mapping and POST the
+    CreateTableRequest (the catalog assigns field ids). Returns the
+    LoadTableResult."""
+    from .iceberg_meta import _iceberg_type
+
+    fields = [
+        {
+            "name": f.name,
+            "type": _iceberg_type(f.dataType.simpleString()),
+            "required": not f.nullable,
+        }
+        for f in df_schema.fields
+    ]
+    return rest_create_table(base_url, ns, name, fields)

@@ -1,0 +1,303 @@
+"""REST-catalog CRUD surface (round 10): create/drop namespace,
+create/register/drop/rename table, empty-table reads, field-id
+assignment, and every spec error envelope on the write paths."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    create_iceberg_table,
+    export_iceberg_metadata,
+    read_iceberg_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+    IcebergRestCatalog,
+    append_table_via_catalog,
+    create_table_via_catalog,
+    rest_create_namespace,
+    rest_create_table,
+    rest_drop_namespace,
+    rest_drop_table,
+    rest_get,
+    rest_load_table,
+    rest_register_table,
+    rest_rename_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+FIELDS = [
+    {"name": "id", "type": "long", "required": True},
+    {"name": "name", "type": "string", "required": False},
+]
+
+
+def test_create_namespace_then_table_then_append_then_read(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id LONG, name STRING"
+    )
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        assert rest_create_namespace(uri, ["lake"], {"owner": "me"}) == {
+            "namespace": ["lake"],
+            "properties": {"owner": "me"},
+        }
+        # properties surface on GET
+        got = rest_get(f"{uri}/v1/namespaces/lake")
+        assert got["properties"] == {"owner": "me"}
+        lt = create_table_via_catalog(uri, ["lake"], "t", src.schema)
+        assert lt["metadata"]["current-snapshot-id"] == -1
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        empty = read_iceberg_table(spark, url)
+        assert empty.count() == 0 and empty.columns == ["id", "name"]
+        append_table_via_catalog(spark, src, url)
+        back = read_iceberg_table(spark, url)
+        assert sorted((r.id, r.name) for r in back.collect()) == [
+            (1, "a"),
+            (2, "b"),
+            (3, None),
+        ]
+        # default location = <warehouse_dir>/<ns>/<name>
+        assert lt["metadata"]["location"] == os.path.join(
+            str(tmp_path), "lake", "t"
+        )
+
+
+def test_create_table_assigns_fresh_ids_unless_complete(tmp_path):
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        # no client ids -> server assigns 1..n
+        lt = rest_create_table(uri, ["ns"], "a", FIELDS)
+        ids = [f["id"] for f in lt["metadata"]["schema"]["fields"]]
+        assert ids == [1, 2]
+        # complete consistent client ids -> kept (partition source-ids
+        # keep meaning)
+        lt2 = rest_create_table(
+            uri,
+            ["ns"],
+            "b",
+            [
+                {"id": 7, "name": "x", "type": "long"},
+                {"id": 9, "name": "y", "type": "string"},
+            ],
+            partition_fields=[{"name": "y", "transform": "identity"}],
+        )
+        md = lt2["metadata"]
+        assert [f["id"] for f in md["schema"]["fields"]] == [7, 9]
+        (pf,) = md["partition-specs"][0]["fields"]
+        assert pf["source-id"] == 9 and pf["field-id"] == 1000
+        # duplicate client ids -> reassigned, not refused
+        lt3 = rest_create_table(
+            uri,
+            ["ns"],
+            "c",
+            [
+                {"id": 4, "name": "x", "type": "long"},
+                {"id": 4, "name": "y", "type": "string"},
+            ],
+        )
+        assert [f["id"] for f in lt3["metadata"]["schema"]["fields"]] == [1, 2]
+
+
+def test_create_table_error_envelopes(tmp_path):
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        rest_create_table(uri, ["ns"], "t", FIELDS)
+        with pytest.raises(ValueError, match="AlreadyExistsException"):
+            rest_create_table(uri, ["ns"], "t", FIELDS)
+        with pytest.raises(ValueError, match="NoSuchNamespaceException"):
+            rest_create_table(uri, ["nope"], "t", FIELDS)
+        with pytest.raises(ValueError, match="BadRequestException"):
+            rest_create_table(uri, ["ns"], "bad", [])  # no schema fields
+        with pytest.raises(ValueError, match="unsupported partition"):
+            rest_create_table(
+                uri,
+                ["ns"],
+                "bad2",
+                FIELDS,
+                partition_fields=[{"name": "id", "transform": "void"}],
+            )
+        # stage-create refused with the documented reason
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{uri}/v1/namespaces/ns/tables",
+            data=json.dumps(
+                {
+                    "name": "staged",
+                    "stage-create": True,
+                    "schema": {"type": "struct", "fields": FIELDS},
+                }
+            ).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
+
+def test_create_namespace_conflicts_and_drop(tmp_path):
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["a"])
+        with pytest.raises(ValueError, match="AlreadyExistsException"):
+            rest_create_namespace(uri, ["a"])
+        rest_create_table(uri, ["a"], "t", FIELDS)
+        with pytest.raises(ValueError, match="NamespaceNotEmptyException"):
+            rest_drop_namespace(uri, ["a"])
+        rest_drop_table(uri, ["a"], "t")
+        rest_drop_namespace(uri, ["a"])
+        assert rest_get(f"{uri}/v1/namespaces") == {"namespaces": []}
+
+
+def test_drop_table_purge_removes_tree(tmp_path):
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        lt = rest_create_table(uri, ["ns"], "keep", FIELDS)
+        keep_root = lt["metadata"]["location"]
+        lt2 = rest_create_table(uri, ["ns"], "purge", FIELDS)
+        purge_root = lt2["metadata"]["location"]
+        rest_drop_table(uri, ["ns"], "keep")  # no purge: tree survives
+        assert os.path.isdir(keep_root)
+        rest_drop_table(uri, ["ns"], "purge", purge=True)
+        assert not os.path.exists(purge_root)
+        with pytest.raises(ValueError, match="NoSuchTableException"):
+            rest_load_table(f"{uri}/v1/namespaces/ns/tables/keep")
+
+
+def test_rename_table(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a")], "id LONG, name STRING")
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["a"])
+        rest_create_namespace(uri, ["b"])
+        create_table_via_catalog(uri, ["a"], "t", src.schema)
+        append_table_via_catalog(
+            spark, src, f"{uri}/v1/namespaces/a/tables/t"
+        )
+        rest_rename_table(uri, ["a"], "t", ["b"], "t2")
+        # old name gone, new name reads the same data (tree unmoved)
+        with pytest.raises(ValueError, match="NoSuchTableException"):
+            rest_load_table(f"{uri}/v1/namespaces/a/tables/t")
+        got = read_iceberg_table(spark, f"{uri}/v1/namespaces/b/tables/t2")
+        assert [(r.id, r.name) for r in got.collect()] == [(1, "a")]
+        with pytest.raises(ValueError, match="NoSuchTableException"):
+            rest_rename_table(uri, ["a"], "t", ["b"], "t3")
+        create_table_via_catalog(uri, ["a"], "t", src.schema)
+        with pytest.raises(ValueError, match="AlreadyExistsException"):
+            rest_rename_table(uri, ["a"], "t", ["b"], "t2")
+        with pytest.raises(ValueError, match="NoSuchNamespaceException"):
+            rest_rename_table(uri, ["a"], "t", ["ghost"], "t9")
+
+
+def test_register_exported_table(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(20)], "id LONG, user STRING"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(ev, committed_at_ms=1)
+    meta_dir = export_iceberg_metadata(t, format_version=2)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        hint = fh.read().strip()
+    loc = os.path.join(meta_dir, f"v{hint}.metadata.json")
+    with IcebergRestCatalog({}) as uri:
+        with pytest.raises(ValueError, match="NoSuchNamespaceException"):
+            rest_register_table(uri, ["lake"], "reg", loc)
+        rest_create_namespace(uri, ["lake"])
+        lt = rest_register_table(uri, ["lake"], "reg", loc)
+        assert lt["metadata-location"] == loc
+        got = read_iceberg_table(
+            spark, f"{uri}/v1/namespaces/lake/tables/reg"
+        )
+        assert got.count() == 20
+        with pytest.raises(ValueError, match="AlreadyExistsException"):
+            rest_register_table(uri, ["lake"], "reg", loc)
+        with pytest.raises(ValueError, match="BadRequestException"):
+            rest_register_table(
+                uri, ["lake"], "reg2", str(tmp_path / "missing.json")
+            )
+
+
+def test_register_never_moves_hint_backwards(spark, tmp_path):
+    ev = spark.createDataFrame([(1,)], "id LONG")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(ev, committed_at_ms=1)
+    meta_dir = export_iceberg_metadata(t, format_version=2)
+    t.write(ev, committed_at_ms=2)
+    export_iceberg_metadata(t, format_version=2)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        head = int(fh.read().strip())
+    old_loc = os.path.join(meta_dir, f"v{head - 1}.metadata.json")
+    assert os.path.isfile(old_loc)
+    with IcebergRestCatalog({}) as uri:
+        rest_create_namespace(uri, ["lake"])
+        rest_register_table(uri, ["lake"], "reg", old_loc)
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            assert int(fh.read().strip()) == head, (
+                "registering an older metadata file must not roll the "
+                "hint back"
+            )
+
+
+def test_create_iceberg_table_refuses_overwrite(tmp_path):
+    root = str(tmp_path / "t")
+    create_iceberg_table(root, FIELDS)
+    with pytest.raises(FileExistsError):
+        create_iceberg_table(root, FIELDS)
+
+
+def test_empty_table_read_via_tree_and_snapshot_id_still_strict(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    create_iceberg_table(root, FIELDS)
+    df = read_iceberg_table(spark, root)
+    assert df.count() == 0 and df.columns == ["id", "name"]
+    # explicit snapshot ids still refuse on an empty table
+    with pytest.raises(ValueError, match="snapshot 5 not found"):
+        read_iceberg_table(spark, root, snapshot_id=5)
+
+
+def test_partitioned_create_reads_after_external_partition_write(
+    spark, tmp_path
+):
+    # identity-partitioned CREATE: the spec JSON round-trips and the
+    # empty read works; appends stay with the engine's partition-aware
+    # writers (stage_iceberg_append refuses partitioned tables).
+    root = str(tmp_path / "t")
+    create_iceberg_table(
+        root,
+        FIELDS,
+        partition_fields=[{"name": "name", "transform": "identity"}],
+    )
+    md = json.load(open(os.path.join(root, "metadata/v1.metadata.json")))
+    (pf,) = md["partition-specs"][0]["fields"]
+    assert pf == {
+        "source-id": 2,
+        "field-id": 1000,
+        "name": "name",
+        "transform": "identity",
+    }
+    assert read_iceberg_table(spark, root).count() == 0
+
+
+def test_append_via_catalog_to_created_table_race_free(spark, tmp_path):
+    # the optimistic-concurrency retry works from the EMPTY state: a
+    # fresh table's head is -1/no ref, and two sequential appends chain
+    src1 = spark.createDataFrame([(1, "a")], "id LONG, name STRING")
+    src2 = spark.createDataFrame([(2, "b")], "id LONG, name STRING")
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        create_table_via_catalog(uri, ["ns"], "t", src1.schema)
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        s1 = append_table_via_catalog(spark, src1, url)
+        s2 = append_table_via_catalog(spark, src2, url)
+        assert s1.get("parent-snapshot-id") is None
+        assert s2["parent-snapshot-id"] == s1["snapshot-id"]
+        got = read_iceberg_table(spark, url)
+        assert got.count() == 2
+        assert (
+            got.agg(F.sum("id").alias("s")).collect()[0]["s"] == 3
+        )
