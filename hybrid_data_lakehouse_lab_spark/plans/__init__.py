@@ -25,6 +25,7 @@ from . import intervals  # noqa: E402,F401
 from . import funnel  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import similarity_binary  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import udtf_text  # noqa: E402,F401
 from . import basket  # noqa: E402,F401

@@ -54,6 +54,14 @@ _INTENDED_BNLJ = {
     "similarity_ivf_kmeans_topk",
     "similarity_ivf_nprobe_topk",
     "similarity_ivf_recall_audit",
+    # broadcast-query code scan (N_QUERIES-row build side, 16-byte codes)
+    "similarity_hamming_topk",
+    # broadcast-query code scan + the cosine ground-truth scan
+    "similarity_hamming_recall_audit",
+    # broadcast-query code scan + 1-row shortlist-law broadcast + the
+    # broadcast |Q|xs shortlist against the corpus scan (as
+    # similarity_pq_rerank_topk)
+    "similarity_hamming_rerank_topk",
     # ground truth side is the broadcast-query brute-force scan
     "similarity_pq_recall_audit",
     # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
