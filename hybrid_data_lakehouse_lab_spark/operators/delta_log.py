@@ -1011,6 +1011,126 @@ def write_checkpoint(
     return out
 
 
+def restore_delta_table(log_dir: str, version: int) -> dict:
+    """RESTORE the table to an earlier `version` by APPENDING a commit
+    (the Delta RESTORE command, PROTOCOL.md action reconciliation): the
+    new head's live file set equals the target version's — history is
+    never rewritten, so the pre-restore state stays time-travelable and
+    CDF consumers see one ordinary commit whose add/remove actions
+    express the rollback (the same derivation rule as any overwrite).
+
+    Per-path reconciliation against the CURRENT head:
+    - in target only            -> `add` (the file returns verbatim,
+      stats/partitionValues/DV descriptor as the target recorded them)
+    - in current only           -> `remove`
+    - in both but DIFFERENT     -> `remove` + `add` of the target's
+      action (this is how a deletion-vector descriptor added after the
+      target version is shed: the file is re-added descriptor-free)
+    If the target's metaData differs (schema was evolved after the
+    target), the target's metaData action is re-emitted — RESTORE
+    reverts schema as delta-spark does; the protocol action is NOT
+    downgraded (readers already assume the current protocol).
+
+    Refuses when any returning file is gone from disk (VACUUM'd):
+    restore needs the data, not just the log. The commit timestamp is
+    last-commit-ts + 1 so TIMESTAMP AS OF stays monotonic without a
+    wall clock. Returns {"version": new head, "restored_to", "n_added",
+    "n_removed"}.
+
+    100 TB: driver cost is two log replays + O(changed files) JSON
+    lines; no data is read, moved, or rewritten — the commit IS the
+    operation, exactly why RESTORE is instant on real Delta tables.
+
+    The exporter's SOLE-WRITER caveat applies as it does to vacuum: a
+    later `export_delta_log` full regeneration rebuilds the log from
+    SnapshotTable history and drops this appended commit — restore
+    exported logs you then serve/read, or restore the parent store via
+    its own rollback and re-export."""
+    cur = replay_delta_log(log_dir)
+    if version == cur["version"]:
+        raise ValueError(
+            f"table is already at version {version}; nothing to restore"
+        )
+    tgt = replay_delta_log(log_dir, version=version)
+    root = os.path.dirname(os.path.normpath(log_dir))
+    returning = [
+        a
+        for p, a in sorted(tgt["files"].items())
+        if cur["files"].get(p) != a
+    ]
+    missing = [
+        a["path"]
+        for a in returning
+        if not os.path.exists(os.path.join(root, a["path"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE to version {version}: {len(missing)} "
+            f"file(s) it references no longer exist (vacuumed?), e.g. "
+            f"{missing[0]}"
+        )
+    # monotonic commit timestamp without a wall clock
+    last_ts = 0
+    with open(
+        os.path.join(log_dir, f"{cur['version']:020d}.json")
+    ) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                last_ts = max(last_ts, a["commitInfo"]["timestamp"])
+            elif "add" in a and a["add"].get("modificationTime"):
+                last_ts = max(last_ts, a["add"]["modificationTime"])
+    ts = last_ts + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {
+                    "version": str(version),
+                    "timestamp": None,
+                },
+                "readVersion": cur["version"],
+                "engineInfo": (
+                    "hybrid_data_lakehouse_lab_spark delta restore"
+                ),
+            }
+        }
+    ]
+    if tgt["metaData"] != cur["metaData"] and tgt["metaData"] is not None:
+        actions.append({"metaData": tgt["metaData"]})
+    n_removed = 0
+    for p in sorted(cur["files"]):
+        if tgt["files"].get(p) != cur["files"][p]:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+            n_removed += 1
+    for a in returning:
+        add = dict(a)
+        add["dataChange"] = True
+        actions.append({"add": add})
+    new_v = cur["version"] + 1
+    path = os.path.join(log_dir, f"{new_v:020d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, path)
+    return {
+        "version": new_v,
+        "restored_to": version,
+        "n_added": len(returning),
+        "n_removed": n_removed,
+    }
+
+
 def clean_log_commits(log_dir: str) -> list[int]:
     """Delete JSON commit files at or before the `_last_checkpoint`
     version — Delta's metadata retention step, safe because any version

@@ -531,3 +531,128 @@ def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle + sharding — the LAST step of every training-data
+# pipeline: fix a global pseudo-random order, cut the corpus into N
+# equal-ish shard files, and prove the cut is balanced. Seeded so a
+# re-run (or a resumed run) produces byte-identical shards.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+SHUFFLE_SEED = "r10"  # part of the sort key: new seed = new epoch order
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           md5('{SHUFFLE_SEED}' || ':' || CAST(doc_id AS VARCHAR))
+             AS sort_key,
+           CAST(
+             (ascii(substr(md5('{SHUFFLE_SEED}' || ':'
+                || CAST(doc_id AS VARCHAR)), 1, 1))
+              * 256
+              + ascii(substr(md5('{SHUFFLE_SEED}' || ':'
+                || CAST(doc_id AS VARCHAR)), 2, 1)))
+             % {N_SHARDS} AS INT) AS shard
+    FROM documents
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic shuffle + shard assignment: every document
+    gets a pseudo-random sort key md5(seed:doc_id) and a shard in
+    [0, N_SHARDS) derived from the key's first two hex chars — so the
+    training order is (a) uniform, (b) independent of input order, and
+    (c) reproducible from the seed alone (epoch 2 = new seed, a full
+    reshuffle with zero state). The writer's final step is
+    repartition(shard).sortWithinPartitions(sort_key) — shard cut and
+    in-shard order both come from THIS relation, so the lane's output
+    is the complete spec of the physical layout.
+
+    100 TB: pure map-side projection (no shuffle in the lane itself);
+    the one real exchange is the writer's repartition-by-shard, which
+    is the intended data movement. No global sort, no global window —
+    in-shard order needs only sortWithinPartitions (map-side sort).
+    Shard-cut hygiene is ascii-of-hex (not a parse of the whole hash)
+    so both engines compute the identical integer."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(":", F.lit(SHUFFLE_SEED), F.col("doc_id")))
+    shard = (
+        (
+            F.ascii(F.substring(key, 1, 1)) * 256
+            + F.ascii(F.substring(key, 2, 1))
+        )
+        % N_SHARDS
+    ).cast("int")
+    return d.select(
+        "doc_id", key.alias("sort_key"), shard.alias("shard")
+    )
+
+
+@register(
+    "corpus_shard_balance",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(
+               (ascii(substr(md5('{SHUFFLE_SEED}' || ':'
+                  || CAST(doc_id AS VARCHAR)), 1, 1))
+                * 256
+                + ascii(substr(md5('{SHUFFLE_SEED}' || ':'
+                  || CAST(doc_id AS VARCHAR)), 2, 1)))
+               % {N_SHARDS} AS INT) AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM assigned GROUP BY shard
+    ),
+    tot AS (SELECT sum(n_docs) AS all_docs FROM per_shard)
+    SELECT shard, n_docs, total_tokens,
+           CAST(n_docs * {N_SHARDS} * 1000000 // all_docs - 1000000
+                AS BIGINT) AS skew_ppm
+    FROM per_shard, tot
+    """,
+)
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard balance report for the deterministic sharding: docs,
+    tokens, and each shard's deviation from the uniform share in
+    integer ppm (n_docs x N / total - 1, micro-units — the number an
+    operator alerts on before a skewed shard slows every epoch).
+
+    100 TB: one map-side-combined groupBy on the shard key (N_SHARDS
+    groups); the totals side is a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(":", F.lit(SHUFFLE_SEED), F.col("doc_id")))
+    shard = (
+        (
+            F.ascii(F.substring(key, 1, 1)) * 256
+            + F.ascii(F.substring(key, 2, 1))
+        )
+        % N_SHARDS
+    ).cast("int")
+    per_shard = (
+        d.select(
+            shard.alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    tot = per_shard.agg(F.sum("n_docs").alias("all_docs"))
+    return per_shard.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            f"CAST(n_docs * {N_SHARDS} * 1000000 div all_docs - 1000000"
+            " AS BIGINT)"
+        ).alias("skew_ppm"),
+    )

@@ -2146,3 +2146,90 @@ def iceberg_catalog_create_table_roundtrip(
     return spark.createDataFrame(
         sorted(rows, key=lambda r: r[0]), "snap INT, n BIGINT, id_sum BIGINT"
     )
+
+
+@register(
+    "delta_restore_roundtrip",
+    oracle="""
+    SELECT 'pre_restore_head' AS stage, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    UNION ALL
+    SELECT 'post_restore_head' AS stage, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE user_id % 2 = 0
+    UNION ALL
+    SELECT 'old_head_time_travel' AS stage, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    """,
+)
+def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: the Delta RESTORE command — roll the exported log back
+    to version 0 (even-user events) by APPENDING one reconciliation
+    commit (`restore_delta_table`): the new head reads as the old
+    content, while the pre-restore head stays time-travelable because
+    history is never rewritten. In-lane asserts pin the commitInfo
+    operation=RESTORE, the returned add/remove counters matching the
+    replayed file sets, and that no data file was copied or rewritten
+    (the commit IS the operation — instant at any table size).
+
+    Scale: two driver-side log replays + O(changed files) JSON lines;
+    zero data I/O."""
+    import json as _json
+    import os as _os
+
+    from ..operators.delta_log import (
+        export_delta_log,
+        read_delta_table,
+        restore_delta_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_restore_demo_")
+    rows = []
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev.filter(F.col("user_id") % 2 == 0), committed_at_ms=1)
+        t.write(ev, committed_at_ms=2)
+        log = export_delta_log(t)
+        data_files_before = {
+            f
+            for base, _, fs in _os.walk(t.root)
+            for f in fs
+            if f.endswith(".parquet") and "_delta_log" not in base
+        }
+
+        def stage(name, df):
+            got = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+            ).collect()[0]
+            rows.append((name, got["n"], got["id_sum"]))
+
+        stage("pre_restore_head", read_delta_table(spark, t.root))
+        res = restore_delta_table(log, 0)
+        assert res["restored_to"] == 0 and res["version"] == 2
+        with open(_os.path.join(log, f"{2:020d}.json")) as fh:
+            ci = _json.loads(fh.readline())["commitInfo"]
+        assert ci["operation"] == "RESTORE"
+        stage("post_restore_head", read_delta_table(spark, t.root))
+        stage(
+            "old_head_time_travel", read_delta_table(spark, t.root, version=1)
+        )
+        data_files_after = {
+            f
+            for base, _, fs in _os.walk(t.root)
+            for f in fs
+            if f.endswith(".parquet") and "_delta_log" not in base
+        }
+        assert data_files_after == data_files_before, (
+            "RESTORE must not copy or rewrite data files"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "stage STRING, n BIGINT, id_sum BIGINT"
+    )

@@ -83,6 +83,8 @@ _INTENDED_BNLJ = {
     # 1-row multi-current-key total joined into the 1-row summary
     "scd2_invariants_audit",
     "corpus_mix_resample",
+    # 1-row corpus-total broadcast over the N_SHARDS-row relation
+    "corpus_shard_balance",
     # arnk <= r theta-join of the broadcast (|Q|×s) refine relation
     # against the ≤4-row shortlist-size table, plus the broadcast-query
     # ground-truth scan (as similarity_pq_recall_audit) and the 1-row
