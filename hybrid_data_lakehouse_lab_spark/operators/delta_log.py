@@ -1011,7 +1011,9 @@ def write_checkpoint(
     return out
 
 
-def restore_delta_table(log_dir: str, version: int) -> dict:
+def restore_delta_table(
+    log_dir: str, version: int | None = None, timestamp_ms: int | None = None
+) -> dict:
     """RESTORE the table to an earlier `version` by APPENDING a commit
     (the Delta RESTORE command, PROTOCOL.md action reconciliation): the
     new head's live file set equals the target version's — history is
@@ -1045,7 +1047,17 @@ def restore_delta_table(log_dir: str, version: int) -> dict:
     later `export_delta_log` full regeneration rebuilds the log from
     SnapshotTable history and drops this appended commit — restore
     exported logs you then serve/read, or restore the parent store via
-    its own rollback and re-export."""
+    its own rollback and re-export.
+
+    Pass exactly one of `version` / `timestamp_ms` (the RESTORE
+    command's two forms); a timestamp resolves through the same
+    commitInfo rule as TIMESTAMP AS OF reads (version_at_timestamp)."""
+    if (version is None) == (timestamp_ms is None):
+        raise ValueError(
+            "pass exactly one of version / timestamp_ms to restore"
+        )
+    if timestamp_ms is not None:
+        version = version_at_timestamp(log_dir, timestamp_ms)
     cur = replay_delta_log(log_dir)
     if version == cur["version"]:
         raise ValueError(

@@ -22,7 +22,12 @@ scratch over tables this engine exported (or any tree
     HEAD   /v1/namespaces/{ns}/tables/{table}    -> 204 / 404
     POST   /v1/namespaces/{ns}/tables/{table}    -> CommitTableResponse
     DELETE /v1/namespaces/{ns}/tables/{table}    -> 204 (?purgeRequested)
+    POST   /v1/namespaces/{ns}/tables/{t}/metrics -> 204 (reportMetrics)
     POST   /v1/tables/rename                     -> 204
+
+    Listings honor the spec's `pageSize`/`pageToken` pagination
+    (deterministic order, opaque offset token, `next-page-token` iff
+    items remain).
 
     CREATE TABLE mints an empty metadata tree via
     `iceberg_meta.create_iceberg_table` (fresh field ids assigned when
@@ -128,6 +133,8 @@ class IcebergRestCatalog:
         # Default root for create-table requests without a `location`:
         # <warehouse_dir>/<ns...>/<name>. None = location required.
         self._warehouse_dir = warehouse_dir
+        # last 100 reportMetrics payloads (spec metrics endpoint)
+        self._metrics: list[dict] = []
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # commits are optimistic-concurrency: requirement check + new
@@ -283,6 +290,39 @@ class IcebergRestCatalog:
             return 200, json.dumps(
                 {"metadata-location": new_loc, "metadata": md}
             ).encode()
+
+    # -- listing pagination (spec pageToken/pageSize) --
+
+    @staticmethod
+    def _paged(query: dict, key: str, items: list) -> tuple[int, bytes]:
+        """Spec pagination over a deterministically-ordered listing:
+        `pageSize` bounds the page, the opaque `pageToken` is the
+        offset into the sorted listing, and `next-page-token` is
+        returned iff items remain. No pageSize = the whole listing in
+        one response (the spec's non-paginated mode)."""
+        size = query.get("pageSize")
+        token = (query.get("pageToken") or [None])[0]
+        try:
+            start = int(token) if token else 0
+            n = int(size[0]) if size else None
+        except ValueError:
+            return 400, _err(
+                400,
+                "BadRequestException",
+                f"invalid pageToken/pageSize: {token!r}/{size!r}",
+            )
+        if n is not None and n < 1:
+            return 400, _err(
+                400, "BadRequestException", f"pageSize must be >= 1: {n}"
+            )
+        out: dict = {}
+        if n is None:
+            out[key] = items[start:]
+        else:
+            out[key] = items[start : start + n]
+            if start + n < len(items):
+                out["next-page-token"] = str(start + n)
+        return 200, json.dumps(out).encode()
 
     # -- catalog CRUD (namespaces, create/register/drop/rename table) --
 
@@ -534,9 +574,9 @@ class IcebergRestCatalog:
             namespaces = sorted(
                 set(self._namespaces) | {i[:-1] for i in self._tables}
             )
-            return 200, json.dumps(
-                {"namespaces": [list(ns) for ns in namespaces]}
-            ).encode()
+            return self._paged(
+                query, "namespaces", [list(ns) for ns in namespaces]
+            )
         ns = _split_ns(parts[1])
         known = set(self._namespaces) | {i[:-1] for i in self._tables}
         no_such_ns = (
@@ -574,7 +614,26 @@ class IcebergRestCatalog:
                 for ident in sorted(self._tables)
                 if ident[:-1] == ns
             ]
-            return 200, json.dumps({"identifiers": idents}).encode()
+            return self._paged(query, "identifiers", idents)
+        if (
+            len(parts) == 5
+            and parts[4] == "metrics"
+            and method == "POST"
+        ):
+            # spec reportMetrics: accept the client's scan/commit
+            # report; the catalog acknowledges with 204 (no body). Kept
+            # in a bounded ring for inspection — a real deployment
+            # forwards these to its metrics store.
+            ident = (*ns, urllib.parse.unquote(parts[3]))
+            if ident not in self._tables:
+                return 404, _err(
+                    404,
+                    "NoSuchTableException",
+                    f"Table does not exist: {'.'.join(ident)}",
+                )
+            self._metrics.append({"table": list(ident), "report": body})
+            del self._metrics[:-100]
+            return 204, b""
         if len(parts) == 4:
             ident = (*ns, urllib.parse.unquote(parts[3]))
             if ident not in self._tables:
@@ -592,6 +651,10 @@ class IcebergRestCatalog:
                     0
                 ].lower() == "true"
                 return self._drop_table(ident, purge)
+            if method != "GET":
+                return 405, _err(
+                    405, "MethodNotAllowed", f"{method} {path}"
+                )
             loc, metadata = self._load(ident)
             # spec `snapshots` param: "all" (default) or "refs" — the
             # lazy-loading mode where only ref-reachable snapshots ship

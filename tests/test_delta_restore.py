@@ -101,3 +101,20 @@ def test_cdf_sees_restore_as_ordinary_change_commit(spark, tmp_path):
     # the inserts are exactly the returning v0 rows
     ins = changes.filter("_change_type = 'insert'")
     assert ins.count() == 10
+
+
+def test_restore_by_timestamp_and_arg_validation(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        restore_delta_table as _restore,
+    )
+
+    t, log = _two_version_table(spark, tmp_path, name="ts")
+    with pytest.raises(ValueError, match="exactly one"):
+        _restore(log)
+    with pytest.raises(ValueError, match="exactly one"):
+        _restore(log, version=0, timestamp_ms=1)
+    # commit timestamps are the SnapshotTable at_ms values (1 and 2):
+    # restoring to ts=1 resolves to version 0
+    res = _restore(log, timestamp_ms=1)
+    assert res["restored_to"] == 0
+    assert read_delta_table(spark, t.root).count() == 10

@@ -301,3 +301,67 @@ def test_append_via_catalog_to_created_table_race_free(spark, tmp_path):
         assert (
             got.agg(F.sum("id").alias("s")).collect()[0]["s"] == 3
         )
+
+
+def test_listing_pagination(tmp_path):
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        for i in range(5):
+            rest_create_namespace(uri, [f"ns{i}"])
+            rest_create_table(uri, [f"ns{i}"], "t", FIELDS)
+        # namespaces, page size 2: 3 pages chained by next-page-token
+        seen, token, pages = [], None, 0
+        while True:
+            q = f"?pageSize=2" + (f"&pageToken={token}" if token else "")
+            got = rest_get(f"{uri}/v1/namespaces{q}")
+            seen.extend(tuple(n) for n in got["namespaces"])
+            pages += 1
+            token = got.get("next-page-token")
+            if token is None:
+                break
+        assert pages == 3
+        assert seen == [(f"ns{i}",) for i in range(5)]
+        # no pageSize = whole listing, no token
+        got = rest_get(f"{uri}/v1/namespaces")
+        assert len(got["namespaces"]) == 5 and "next-page-token" not in got
+        # table listing paginates the same way
+        got = rest_get(f"{uri}/v1/namespaces/ns0/tables?pageSize=1")
+        assert got["identifiers"] == [{"namespace": ["ns0"], "name": "t"}]
+        assert "next-page-token" not in got
+        with pytest.raises(ValueError, match="pageSize must be >= 1"):
+            rest_get(f"{uri}/v1/namespaces?pageSize=0")
+        with pytest.raises(ValueError, match="invalid pageToken"):
+            rest_get(f"{uri}/v1/namespaces?pageSize=2&pageToken=zzz")
+
+
+def test_metrics_endpoint(tmp_path):
+    import urllib.request
+
+    # start() directly: the test needs the instance (to inspect
+    # _metrics), not just the uri the context manager yields
+    cat = IcebergRestCatalog({}, warehouse_dir=str(tmp_path))
+    uri = cat.start()
+    try:
+        rest_create_namespace(uri, ["ns"])
+        rest_create_table(uri, ["ns"], "t", FIELDS)
+        report = {"report-type": "scan-report", "snapshot-id": 1}
+        req = urllib.request.Request(
+            f"{uri}/v1/namespaces/ns/tables/t/metrics",
+            data=json.dumps(report).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        assert urllib.request.urlopen(req).status == 204
+        assert cat._metrics == [
+            {"table": ["ns", "t"], "report": report}
+        ]
+        # unknown table -> 404 envelope
+        req2 = urllib.request.Request(
+            f"{uri}/v1/namespaces/ns/tables/ghost/metrics",
+            data=b"{}",
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req2)
+        assert ei.value.code == 404
+    finally:
+        cat.stop()
