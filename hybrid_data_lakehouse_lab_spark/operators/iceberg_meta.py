@@ -3638,6 +3638,16 @@ def create_iceberg_table(
             }
         )
     os.makedirs(meta_dir)
+    props = dict(properties or {})
+    # seed the name-mapping so files written WITHOUT parquet field ids
+    # keep resolving after later renames (the same property the
+    # exporter maintains); caller-provided mappings win
+    props.setdefault(
+        "schema.name-mapping.default",
+        json.dumps(
+            [{"field-id": f["id"], "names": [f["name"]]} for f in out_fields]
+        ),
+    )
     metadata = {
         "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
@@ -3655,7 +3665,7 @@ def create_iceberg_table(
         "last-partition-id": 999 + len(spec_fields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "properties": dict(properties or {}),
+        "properties": props,
         "current-snapshot-id": -1,
         "snapshots": [],
         "snapshot-log": [],

