@@ -1043,9 +1043,22 @@ def rest_commit_table(
             raise ValueError(f"REST catalog HTTP {e.code}: {raw}") from None
 
 
+def committed_batch_id(metadata: dict) -> int | None:
+    """Highest `streaming.batch-id` recorded in any snapshot summary —
+    the exactly-once watermark a streaming catalog writer consults
+    before committing a micro-batch (the same idempotence device as
+    Delta's txn action and the Flink Iceberg sink's checkpoint id)."""
+    ids = [
+        int(s["summary"]["streaming.batch-id"])
+        for s in metadata.get("snapshots") or []
+        if (s.get("summary") or {}).get("streaming.batch-id") is not None
+    ]
+    return max(ids) if ids else None
+
+
 def append_table_via_catalog(
-    spark, df, url: str, max_retries: int = 3
-) -> dict:
+    spark, df, url: str, max_retries: int = 3, batch_id: int | None = None
+) -> dict | None:
     """The full EXTERNAL-WRITER append flow through the catalog
     protocol: load the table, stage the new files + manifests against
     the loaded metadata (`iceberg_meta.stage_iceberg_append` — nothing
@@ -1054,16 +1067,29 @@ def append_table_via_catalog(
     loaded head. A lost race (409 CommitFailedException — another
     writer moved main first) re-stages against the fresh metadata and
     retries: the optimistic-concurrency loop every real Iceberg
-    catalog client runs. Returns the committed snapshot dict."""
+    catalog client runs. Returns the committed snapshot dict.
+
+    With `batch_id` set (a streaming micro-batch writer), the append is
+    EXACTLY-ONCE: the id is recorded in the snapshot summary
+    (`streaming.batch-id`) and an append whose id is <= the table's
+    committed watermark returns None without staging — a replayed
+    micro-batch (checkpoint recovery re-delivers the last batch) is a
+    no-op instead of a duplicate."""
     from .iceberg_meta import stage_iceberg_append
 
     last = None
     for _ in range(max_retries + 1):
         metadata = rest_load_table(url)["metadata"]
+        if batch_id is not None:
+            seen = committed_batch_id(metadata)
+            if seen is not None and batch_id <= seen:
+                return None
         head = metadata.get("current-snapshot-id")
         if head == -1:  # freshly created table: no current snapshot yet
             head = None
         snapshot = stage_iceberg_append(spark, df, metadata)
+        if batch_id is not None:
+            snapshot["summary"]["streaming.batch-id"] = str(batch_id)
         try:
             rest_commit_table(
                 url,

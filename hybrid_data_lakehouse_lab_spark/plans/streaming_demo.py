@@ -481,3 +481,105 @@ def streaming_iceberg_sink_roundtrip(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(sorted(rows), "is_deleted BOOLEAN, n_keys BIGINT")
+
+
+@register(
+    "streaming_catalog_sink_roundtrip",
+    oracle="""
+    SELECT event_type AS product_name,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_ids
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_catalog_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 10: the streaming writer THROUGH the catalog protocol —
+    every micro-batch staged + pointer-committed over HTTP
+    (streaming/lanes.py:catalog_append_stream), against a table that
+    was itself CREATED through the protocol. Exactly-once is asserted
+    in-lane: each snapshot's summary carries its `streaming.batch-id`,
+    and replaying the last batch id (checkpoint-recovery shape) returns
+    None and leaves the snapshot chain unchanged — the idempotence
+    device real streaming Iceberg sinks use (Flink checkpoint id /
+    Delta txn action).
+
+    Scale: per-batch data writes and reads run distributed; the
+    catalog serializes O(KB) pointer commits, never data."""
+    from ..operators.iceberg_meta import read_iceberg_table
+    from ..operators.rest_catalog import (
+        IcebergRestCatalog,
+        append_table_via_catalog,
+        committed_batch_id,
+        create_table_via_catalog,
+        rest_create_namespace,
+        rest_load_table,
+    )
+    from ..operators.cdc import flatten_envelope
+    from ..streaming.lanes import catalog_append_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_catalog_")
+    try:
+        drop = os.path.join(tmp, "drop")
+        # 40 files at maxFilesPerTrigger=16 -> >= 3 micro-batches
+        _envelopes(ev).repartition(40).write.mode("overwrite").text(drop)
+        proj = lambda d: d.select(  # noqa: E731
+            "after_id", "after_product_name", "op", "ts_ms"
+        )
+        with IcebergRestCatalog({}, warehouse_dir=tmp) as uri:
+            rest_create_namespace(uri, ["lake"])
+            sample = proj(
+                flatten_envelope(
+                    spark.read.text(drop).limit(1), value_col="value"
+                )
+            )
+            create_table_via_catalog(uri, ["lake"], "bronze", sample.schema)
+            url = f"{uri}/v1/namespaces/lake/tables/bronze"
+            q = catalog_append_stream(
+                proj(flatten_envelope(read_envelope_stream(spark, drop))),
+                url,
+                os.path.join(tmp, "ckpt"),
+            )
+            q.awaitTermination(600)
+            md = rest_load_table(url)["metadata"]
+            snaps = md["snapshots"]
+            assert len(snaps) >= 2, "expected multi-batch commits"
+            batch_ids = [
+                s["summary"].get("streaming.batch-id") for s in snaps
+            ]
+            assert all(b is not None for b in batch_ids), batch_ids
+            wm = committed_batch_id(md)
+            assert wm == max(int(b) for b in batch_ids)
+            # checkpoint-recovery replay: the last batch id is a no-op
+            replay = proj(
+                flatten_envelope(
+                    spark.read.text(drop), value_col="value"
+                )
+            ).limit(5)
+            assert (
+                append_table_via_catalog(spark, replay, url, batch_id=wm)
+                is None
+            ), "replayed batch id must be skipped"
+            md2 = rest_load_table(url)["metadata"]
+            assert len(md2["snapshots"]) == len(snaps), (
+                "replay must not add a snapshot"
+            )
+            got = (
+                read_iceberg_table(spark, url)
+                .groupBy(
+                    F.col("after_product_name").alias("product_name")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct("after_id").alias("n_ids"),
+                )
+                .collect()
+            )
+            rows = [(r["product_name"], r["n"], r["n_ids"]) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "product_name STRING, n BIGINT, n_ids BIGINT"
+    )

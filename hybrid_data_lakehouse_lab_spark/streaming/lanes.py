@@ -725,3 +725,45 @@ def read_selection(spark: SparkSession, out_dir: str) -> DataFrame:
     appends of the same doc_id (identical rows by determinism) collapse
     to one."""
     return spark.read.parquet(out_dir).dropDuplicates(["doc_id"])
+
+
+def catalog_append_stream(
+    parsed: DataFrame,
+    table_url: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming append sink that commits every micro-batch to an
+    Iceberg table THROUGH the REST catalog protocol — the production
+    streaming-writer loop: stage files + manifests against the loaded
+    metadata, then one pointer commit guarded by assert-ref-snapshot-id,
+    re-staged on a 409 (another writer moved main first).
+
+    EXACTLY-ONCE across checkpoint recovery: the micro-batch id rides
+    the snapshot summary (`streaming.batch-id`); a replayed batch whose
+    id is at or below the table's committed watermark is skipped
+    without staging (the same idempotence device as Delta's txn action
+    and the Flink Iceberg sink's checkpoint id). Pair with
+    `operators/rest_catalog.py:committed_batch_id` to inspect the
+    watermark.
+
+    100 TB: each batch's data write and manifest stats run distributed;
+    the catalog moves O(KB) pointer JSON per commit; concurrent batch
+    writers serialize at the pointer, not at the data."""
+    from ..operators.rest_catalog import append_table_via_catalog
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        append_table_via_catalog(
+            batch.sparkSession, batch, table_url, batch_id=batch_id
+        )
+
+    writer = (
+        parsed.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

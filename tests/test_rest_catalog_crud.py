@@ -538,3 +538,31 @@ def test_add_schema_validation_envelopes(spark, tmp_path):
                     }
                 ],
             )
+
+
+def test_batch_id_appends_are_exactly_once(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        committed_batch_id,
+    )
+
+    src = spark.createDataFrame([(1, "a")], "id LONG, name STRING")
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        create_table_via_catalog(uri, ["ns"], "t", src.schema)
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        assert committed_batch_id(rest_load_table(url)["metadata"]) is None
+        s0 = append_table_via_catalog(spark, src, url, batch_id=0)
+        assert s0["summary"]["streaming.batch-id"] == "0"
+        # replay of batch 0 (and anything older) is a no-op
+        assert append_table_via_catalog(spark, src, url, batch_id=0) is None
+        md = rest_load_table(url)["metadata"]
+        assert len(md["snapshots"]) == 1
+        assert committed_batch_id(md) == 0
+        # the next batch commits and advances the watermark
+        s1 = append_table_via_catalog(spark, src, url, batch_id=1)
+        assert s1 is not None
+        md = rest_load_table(url)["metadata"]
+        assert committed_batch_id(md) == 1
+        assert read_iceberg_table(spark, url).count() == 2
+        # non-streaming appends (no batch_id) stay unconditional
+        assert append_table_via_catalog(spark, src, url) is not None
