@@ -35,8 +35,11 @@ scratch over tables this engine exported (or any tree
     request `location` or `<warehouse_dir>/<ns...>/<name>`; the
     external-writer append flow then populates it — the full
     create → stage → pointer-commit → read lifecycle runs through the
-    protocol. `stage-create` (the CTAS/WAP staging mode) is refused
-    with 400: this catalog has no staged-metadata store. REGISTER
+    protocol. `stage-create` (the CTAS staging mode) mints the tree
+    but registers NOTHING — the table stays invisible until a commit
+    carrying `assert-create` materializes it (uuid-keyed staging, so
+    racing CTAS writers of one name each finalize their own tree and
+    the loser fails whole). REGISTER
     adopts an existing tree by its metadata-location (the spec's
     migration endpoint). DROP TABLE removes the catalog entry and, with
     `purgeRequested=true`, the tree; RENAME moves the catalog entry
@@ -135,6 +138,13 @@ class IcebergRestCatalog:
         self._warehouse_dir = warehouse_dir
         # last 100 reportMetrics payloads (spec metrics endpoint)
         self._metrics: list[dict] = []
+        # stage-create trees awaiting their assert-create commit (CTAS):
+        # ident -> {table-uuid: root}, uuid-keyed so two writers staging
+        # the SAME name don't share a slot — each finalize commit picks
+        # its own tree (assert-table-uuid), and the loser's staged tree
+        # is left orphan-cleanable, like a lost append race's staging.
+        # Staged tables are invisible to loads/listings.
+        self._staged: dict[tuple[str, ...], dict[str, str]] = {}
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # commits are optimistic-concurrency: requirement check + new
@@ -168,7 +178,16 @@ class IcebergRestCatalog:
             refs = md.setdefault("refs", {})
             for r in req.get("requirements") or []:
                 t = r.get("type")
-                if t == "assert-table-uuid":
+                if t == "assert-create":
+                    # reaching _commit means the table exists (the
+                    # staged-materialize path strips assert-create)
+                    return 409, _err(
+                        409,
+                        "CommitFailedException",
+                        f"assert-create failed: table "
+                        f"{'.'.join(ident)} already exists",
+                    )
+                elif t == "assert-table-uuid":
                     if r.get("uuid") != md.get("table-uuid"):
                         return 409, _err(
                             409,
@@ -614,14 +633,6 @@ class IcebergRestCatalog:
             return 400, _err(
                 400, "BadRequestException", "create-table needs a name"
             )
-        if body.get("stage-create"):
-            return 400, _err(
-                400,
-                "BadRequestException",
-                "stage-create is not supported: this catalog has no "
-                "staged-metadata store (commit data through the "
-                "stage+pointer append flow instead)",
-            )
         fields = (body.get("schema") or {}).get("fields")
         if not fields:
             return 400, _err(
@@ -676,8 +687,29 @@ class IcebergRestCatalog:
                 return 409, _err(409, "AlreadyExistsException", str(e))
             except (ValueError, NotImplementedError) as e:
                 return 400, _err(400, "BadRequestException", str(e))
-            self._tables[ident] = root
             self._namespaces.setdefault(ns, {})
+            if body.get("stage-create"):
+                # CTAS staging (spec): the metadata exists, the TABLE
+                # does not — invisible to loads/listings until the
+                # client's final commit carries assert-create. Per the
+                # spec the staged LoadTableResult has no committed
+                # metadata-location.
+                meta_dir = os.path.join(root, "metadata")
+                with open(
+                    os.path.join(meta_dir, "v1.metadata.json")
+                ) as fh:
+                    metadata = json.load(fh)
+                self._staged.setdefault(ident, {})[
+                    metadata["table-uuid"]
+                ] = root
+                return 200, json.dumps(
+                    {
+                        "metadata-location": None,
+                        "metadata": metadata,
+                        "config": {},
+                    }
+                ).encode()
+            self._tables[ident] = root
             loc, metadata = self._load(ident)
             return 200, json.dumps(
                 {
@@ -879,6 +911,54 @@ class IcebergRestCatalog:
         if len(parts) == 4:
             ident = (*ns, urllib.parse.unquote(parts[3]))
             if ident not in self._tables:
+                reqs = (body or {}).get("requirements") or []
+                if (
+                    method == "POST"
+                    and ident in self._staged
+                    and any(r.get("type") == "assert-create" for r in reqs)
+                ):
+                    # CTAS finalize: assert-create materializes the
+                    # staged tree as the table, then the commit's
+                    # updates (add-snapshot + set-snapshot-ref) land
+                    # on it atomically under the commit lock. With
+                    # several trees staged under one name, the
+                    # committer's assert-table-uuid picks ITS tree.
+                    with self._commit_lock:
+                        staged = self._staged[ident]
+                        want = next(
+                            (
+                                r.get("uuid")
+                                for r in reqs
+                                if r.get("type") == "assert-table-uuid"
+                            ),
+                            None,
+                        )
+                        if want is None and len(staged) > 1:
+                            return 400, _err(
+                                400,
+                                "BadRequestException",
+                                f"{len(staged)} staged creates exist for "
+                                f"{'.'.join(ident)}; the finalize commit "
+                                "must carry assert-table-uuid",
+                            )
+                        uuid_key = want or next(iter(staged))
+                        if uuid_key not in staged:
+                            return 409, _err(
+                                409,
+                                "CommitFailedException",
+                                f"no staged create with uuid {uuid_key} "
+                                f"for {'.'.join(ident)}",
+                            )
+                        self._tables[ident] = staged.pop(uuid_key)
+                        if not staged:
+                            del self._staged[ident]
+                    req2 = dict(body or {})
+                    req2["requirements"] = [
+                        r
+                        for r in req2.get("requirements") or []
+                        if r.get("type") != "assert-create"
+                    ]
+                    return self._commit(ident, req2)
                 return 404, _err(
                     404,
                     "NoSuchTableException",
@@ -1196,6 +1276,67 @@ def rest_create_table(
     if properties:
         body["properties"] = properties
     return _rest_call(f"{base_url}/v1/namespaces/{seg}/tables", "POST", body)
+
+
+def rest_stage_create_table(
+    base_url: str, ns, name: str, schema_fields: list[dict], **kw
+) -> dict:
+    """stage-create (CTAS step 1): the server mints the metadata tree
+    but the table stays invisible until the assert-create commit."""
+    seg = urllib.parse.quote(UNIT_SEP.join(ns))
+    body: dict = {
+        "name": name,
+        "stage-create": True,
+        "schema": {"type": "struct", "fields": schema_fields},
+        **kw,
+    }
+    return _rest_call(f"{base_url}/v1/namespaces/{seg}/tables", "POST", body)
+
+
+def ctas_via_catalog(spark, df, base_url: str, ns, name: str) -> dict:
+    """CREATE TABLE AS SELECT through the protocol — the transactional
+    shape: stage-create mints invisible metadata, the data stages
+    against it (distributed write, nothing registered), and ONE
+    assert-create commit makes table + data appear atomically; a
+    concurrent create of the same name wins or loses whole. Returns the
+    committed snapshot dict."""
+    from .iceberg_meta import _iceberg_type, stage_iceberg_append
+
+    fields = [
+        {
+            "name": f.name,
+            "type": _iceberg_type(f.dataType.simpleString()),
+            "required": not f.nullable,
+        }
+        for f in df.schema.fields
+    ]
+    staged = rest_stage_create_table(base_url, ns, name, fields)
+    assert staged.get("metadata-location") is None  # spec: uncommitted
+    snapshot = stage_iceberg_append(spark, df, staged["metadata"])
+    seg = urllib.parse.quote(UNIT_SEP.join(ns))
+    url = f"{base_url}/v1/namespaces/{seg}/tables/{urllib.parse.quote(name)}"
+    rest_commit_table(
+        url,
+        updates=[
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot["snapshot-id"],
+            },
+        ],
+        requirements=[
+            {"type": "assert-create"},
+            # picks THIS writer's staged tree when several writers
+            # staged the same name
+            {
+                "type": "assert-table-uuid",
+                "uuid": staged["metadata"]["table-uuid"],
+            },
+        ],
+    )
+    return snapshot
 
 
 def rest_register_table(

@@ -120,24 +120,14 @@ def test_create_table_error_envelopes(tmp_path):
                 FIELDS,
                 partition_fields=[{"name": "id", "transform": "void"}],
             )
-        # stage-create refused with the documented reason
-        import urllib.request
-
-        req = urllib.request.Request(
-            f"{uri}/v1/namespaces/ns/tables",
-            data=json.dumps(
-                {
-                    "name": "staged",
-                    "stage-create": True,
-                    "schema": {"type": "struct", "fields": FIELDS},
-                }
-            ).encode(),
-            method="POST",
-            headers={"Content-Type": "application/json"},
+        # stage-create of an EXISTING name is refused up front (the
+        # assert-create finalize would fail anyway)
+        from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+            rest_stage_create_table,
         )
-        with pytest.raises(urllib.error.HTTPError) as ei:
-            urllib.request.urlopen(req)
-        assert ei.value.code == 400
+
+        with pytest.raises(ValueError, match="AlreadyExistsException"):
+            rest_stage_create_table(uri, ["ns"], "t", FIELDS)
 
 
 def test_create_namespace_conflicts_and_drop(tmp_path):
@@ -566,3 +556,97 @@ def test_batch_id_appends_are_exactly_once(spark, tmp_path):
         assert read_iceberg_table(spark, url).count() == 2
         # non-streaming appends (no batch_id) stay unconditional
         assert append_table_via_catalog(spark, src, url) is not None
+
+
+def test_ctas_stage_create_flow(spark, tmp_path):
+    """CTAS through the protocol: stage-create mints invisible
+    metadata, the data stages against it, and one assert-create commit
+    makes table + data appear atomically."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        ctas_via_catalog,
+        rest_commit_table,
+        rest_stage_create_table,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id LONG, name STRING"
+    )
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        staged = rest_stage_create_table(uri, ["ns"], "ghost", FIELDS)
+        assert staged["metadata-location"] is None
+        # staged table is INVISIBLE: loads 404, listings omit it
+        with pytest.raises(ValueError, match="NoSuchTableException"):
+            rest_load_table(f"{uri}/v1/namespaces/ns/tables/ghost")
+        assert rest_get(f"{uri}/v1/namespaces/ns/tables") == {
+            "identifiers": []
+        }
+        # the full CTAS helper: table + data appear in one commit
+        snap = ctas_via_catalog(spark, src, uri, ["ns"], "t")
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        got = read_iceberg_table(spark, url)
+        assert got.count() == 6
+        md = rest_load_table(url)["metadata"]
+        assert md["current-snapshot-id"] == snap["snapshot-id"]
+        # assert-create against an EXISTING table is the 409 conflict
+        with pytest.raises(ValueError, match="assert-create failed"):
+            rest_commit_table(
+                url,
+                updates=[{"action": "set-properties", "updates": {"a": "1"}}],
+                requirements=[{"type": "assert-create"}],
+            )
+        # a commit to a staged-but-unasserted ident stays 404
+        with pytest.raises(ValueError, match="NoSuchTableException"):
+            rest_commit_table(
+                f"{uri}/v1/namespaces/ns/tables/ghost",
+                updates=[{"action": "set-properties", "updates": {"a": "1"}}],
+            )
+
+
+def test_ctas_loser_conflicts_whole(spark, tmp_path):
+    """Two CTAS writers race the same name — both STAGE while the table
+    doesn't exist, one finalizes first, the loser's assert-create commit
+    fails whole (no half-created table, its own staged tree untouched:
+    uuid-keyed staging means the winner never consumed it)."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        stage_iceberg_append,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        ctas_via_catalog,
+        rest_commit_table,
+        rest_stage_create_table,
+    )
+
+    a = spark.createDataFrame([(1, "winner")], "id LONG, name STRING")
+    b = spark.createDataFrame([(2, "loser")], "id LONG, name STRING")
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        # writer B stages first (but commits second)
+        staged_b = rest_stage_create_table(uri, ["ns"], "t", FIELDS)
+        snap_b = stage_iceberg_append(spark, b, staged_b["metadata"])
+        # writer A stages AND finalizes
+        ctas_via_catalog(spark, a, uri, ["ns"], "t")
+        # B's finalize loses whole
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        with pytest.raises(ValueError, match="assert-create failed"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {"action": "add-snapshot", "snapshot": snap_b},
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "type": "branch",
+                        "snapshot-id": snap_b["snapshot-id"],
+                    },
+                ],
+                requirements=[
+                    {"type": "assert-create"},
+                    {
+                        "type": "assert-table-uuid",
+                        "uuid": staged_b["metadata"]["table-uuid"],
+                    },
+                ],
+            )
+        got = read_iceberg_table(spark, url).collect()
+        assert [(r.id, r.name) for r in got] == [(1, "winner")]
