@@ -102,10 +102,25 @@ def _gram_cte(k: int = SPAN_K) -> str:
     )"""
 
 
-def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared relation: maximal cross-document duplicated spans."""
+def _dup_spans(
+    spark: SparkSession, sf_dir: str, hash_grams: bool = False
+) -> DataFrame:
+    """Shared relation: maximal cross-document duplicated spans.
+
+    hash_grams=True is the 100 TB shuffle-byte variant: the group/join
+    key becomes xxhash64(gram) — 8 bytes instead of a k-token string.
+    A 64-bit collision can only MERGE two gram classes (an extra
+    duplicated position, never a lost one) with probability ~1e-8 at
+    10^9 distinct grams; the registered lane keeps the exact string key
+    so the DuckDB oracle pairing holds by construction, and
+    tests/test_dedup_substring.py proves both variants produce
+    identical spans on the gate corpus."""
     d = load_table(spark, sf_dir, "documents")
     grams = _grams(d)
+    if hash_grams:
+        grams = grams.select(
+            "doc_id", "pos", F.xxhash64("g").alias("g")
+        )
     # Map-side-combined groupBy, NOT a count window: a boilerplate gram
     # in 10^8 docs collapses to <= #map-partitions partial rows before
     # the shuffle; the >=2 filter then shrinks the join's build side to

@@ -124,3 +124,18 @@ def test_empty_and_no_dup_corpora(spark, tmp_path):
         r.doc_id: r for r in dedup_substring_doc_stats(spark, sf).collect()
     }
     assert stats[0].dup_tokens == 0 and stats[1].n_tokens == 2
+
+
+def test_hash_gram_variant_matches_exact_path(spark):
+    # the 100 TB shuffle-byte variant (xxhash64 group/join key) must
+    # produce identical spans on the gate corpus
+    from hybrid_data_lakehouse_lab_spark.plans.dedup_substring import (
+        _dup_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {tuple(r) for r in _dup_spans(spark, sf).collect()}
+    hashed = {
+        tuple(r) for r in _dup_spans(spark, sf, hash_grams=True).collect()
+    }
+    assert exact == hashed and exact, "variants diverged (or empty corpus)"
