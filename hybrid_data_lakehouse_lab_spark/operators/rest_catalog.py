@@ -166,232 +166,309 @@ class IcebergRestCatalog:
 
     # -- commits (pointer operations; optimistic concurrency) --
 
+    def _load_versioned(
+        self, ident: tuple[str, ...]
+    ) -> tuple[str, dict, int]:
+        """Current metadata location, parsed metadata, hint version."""
+        root = self._tables[ident]
+        meta_dir = os.path.join(root, "metadata")
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            n = int(fh.read().strip())
+        loc = os.path.join(meta_dir, f"v{n}.metadata.json")
+        with open(loc) as fh:
+            return loc, json.load(fh), n
+
     def _commit(self, ident: tuple[str, ...], req: dict) -> tuple[int, bytes]:
         with self._commit_lock:
-            root = self._tables[ident]
-            meta_dir = os.path.join(root, "metadata")
-            with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-                n = int(fh.read().strip())
-            loc = os.path.join(meta_dir, f"v{n}.metadata.json")
-            with open(loc) as fh:
-                md = json.load(fh)
-            refs = md.setdefault("refs", {})
-            for r in req.get("requirements") or []:
-                t = r.get("type")
-                if t == "assert-create":
-                    # reaching _commit means the table exists (the
-                    # staged-materialize path strips assert-create)
-                    return 409, _err(
-                        409,
-                        "CommitFailedException",
-                        f"assert-create failed: table "
-                        f"{'.'.join(ident)} already exists",
-                    )
-                elif t == "assert-table-uuid":
-                    if r.get("uuid") != md.get("table-uuid"):
-                        return 409, _err(
-                            409,
-                            "CommitFailedException",
-                            f"table uuid is {md.get('table-uuid')}, "
-                            f"requirement expected {r.get('uuid')}",
-                        )
-                elif t == "assert-ref-snapshot-id":
-                    cur = refs.get(r.get("ref"))
-                    cur_id = cur["snapshot-id"] if cur else None
-                    if cur_id != r.get("snapshot-id"):
-                        return 409, _err(
-                            409,
-                            "CommitFailedException",
-                            f"ref {r.get('ref')!r} is at {cur_id}, "
-                            f"requirement expected {r.get('snapshot-id')}",
-                        )
-                elif t == "assert-current-schema-id":
-                    if md.get("current-schema-id") != r.get(
-                        "current-schema-id"
-                    ):
-                        return 409, _err(
-                            409,
-                            "CommitFailedException",
-                            f"current schema id is "
-                            f"{md.get('current-schema-id')}, requirement "
-                            f"expected {r.get('current-schema-id')}",
-                        )
-                elif t == "assert-default-spec-id":
-                    if md.get("default-spec-id", 0) != r.get(
-                        "default-spec-id"
-                    ):
-                        return 409, _err(
-                            409,
-                            "CommitFailedException",
-                            f"default spec id is "
-                            f"{md.get('default-spec-id', 0)}, requirement "
-                            f"expected {r.get('default-spec-id')}",
-                        )
-                else:
-                    return 400, _err(
-                        400,
-                        "BadRequestException",
-                        f"unsupported requirement type {t!r}",
-                    )
-            snap_ids = {
-                s["snapshot-id"] for s in md.get("snapshots") or []
-            }
-            # spec: set-current-schema / set-default-spec accept -1
-            # meaning "the schema/spec added earlier in THIS commit"
-            last_added_schema: int | None = None
-            last_added_spec: int | None = None
-            for u in req.get("updates") or []:
-                a = u.get("action")
-                if a == "add-snapshot":
-                    s = u["snapshot"]
-                    ml = s.get("manifest-list")
-                    if not (ml and os.path.isfile(ml)):
-                        return 400, _err(
-                            400,
-                            "BadRequestException",
-                            f"add-snapshot manifest-list not found: {ml}"
-                            " (stage files before the pointer commit)",
-                        )
-                    if s["snapshot-id"] in snap_ids:
-                        return 400, _err(
-                            400,
-                            "BadRequestException",
-                            f"snapshot {s['snapshot-id']} already exists",
-                        )
-                    md.setdefault("snapshots", []).append(s)
-                    snap_ids.add(s["snapshot-id"])
-                    if md.get("format-version", 1) >= 2:
-                        md["last-sequence-number"] = max(
-                            md.get("last-sequence-number") or 0,
-                            s.get("sequence-number") or 0,
-                        )
-                elif a == "set-snapshot-ref":
-                    name = u["ref-name"]
-                    sid = u["snapshot-id"]
-                    if sid not in snap_ids:
-                        return 400, _err(
-                            400,
-                            "BadRequestException",
-                            f"set-snapshot-ref to unknown snapshot {sid}",
-                        )
-                    refs[name] = {
-                        "snapshot-id": sid,
-                        "type": u.get("type", "branch"),
-                    }
-                    if name == "main":
-                        # main moves = the table's current snapshot
-                        # moves; the snapshot-log records it (forward
-                        # publish and backward rollback both append —
-                        # Iceberg RESTORE semantics, monotonic log)
-                        md["current-snapshot-id"] = sid
-                        md.setdefault("snapshot-log", []).append(
-                            {
-                                "snapshot-id": sid,
-                                "timestamp-ms": (
-                                    md.get("last-updated-ms") or 0
-                                )
-                                + 1,
-                            }
-                        )
-                elif a == "remove-snapshot-ref":
-                    if u.get("ref-name") == "main":
-                        return 400, _err(
-                            400,
-                            "BadRequestException",
-                            "cannot remove the main branch ref",
-                        )
-                    refs.pop(u.get("ref-name"), None)
-                elif a == "add-schema":
-                    code, body_or_id = self._add_schema(md, u.get("schema"))
-                    if code != 200:
-                        return code, body_or_id
-                    last_added_schema = body_or_id
-                elif a == "set-current-schema":
-                    sid2 = u.get("schema-id")
-                    if sid2 == -1:
-                        if last_added_schema is None:
-                            return 400, _err(
-                                400,
-                                "BadRequestException",
-                                "set-current-schema -1 without a "
-                                "preceding add-schema in this commit",
-                            )
-                        sid2 = last_added_schema
-                    schemas = {
-                        s["schema-id"]: s for s in md.get("schemas") or []
-                    }
-                    if sid2 not in schemas:
-                        return 400, _err(
-                            400,
-                            "BadRequestException",
-                            f"set-current-schema to unknown schema {sid2}",
-                        )
-                    md["current-schema-id"] = sid2
-                    # keep the v1-compat top-level schema in lockstep:
-                    # the readers/writers here (and real v1 consumers)
-                    # look at metadata["schema"]
-                    md["schema"] = schemas[sid2]
-                elif a == "add-spec":
-                    code, body_or_id = self._add_spec(md, u.get("spec"))
-                    if code != 200:
-                        return code, body_or_id
-                    last_added_spec = body_or_id
-                elif a == "set-default-spec":
-                    pid = u.get("spec-id")
-                    if pid == -1:
-                        if last_added_spec is None:
-                            return 400, _err(
-                                400,
-                                "BadRequestException",
-                                "set-default-spec -1 without a "
-                                "preceding add-spec in this commit",
-                            )
-                        pid = last_added_spec
-                    known_specs = {
-                        s["spec-id"]
-                        for s in md.get("partition-specs") or []
-                    }
-                    if pid not in known_specs:
-                        return 400, _err(
-                            400,
-                            "BadRequestException",
-                            f"set-default-spec to unknown spec {pid}",
-                        )
-                    md["default-spec-id"] = pid
-                elif a == "set-properties":
-                    md.setdefault("properties", {}).update(
-                        u.get("updates") or {}
-                    )
-                elif a == "remove-properties":
-                    for k in u.get("removals") or []:
-                        (md.get("properties") or {}).pop(k, None)
-                else:
-                    return 400, _err(
-                        400,
-                        "BadRequestException",
-                        f"unsupported update action {a!r}",
-                    )
-            md["last-updated-ms"] = (md.get("last-updated-ms") or 0) + 1
-            md.setdefault("metadata-log", []).append(
-                {
-                    "timestamp-ms": md["last-updated-ms"],
-                    "metadata-file": loc,
-                }
-            )
-            new_loc = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
-            tmp = new_loc + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(md, fh, indent=1, sort_keys=True)
-            os.replace(tmp, new_loc)
-            hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-            with open(hint_tmp, "w") as fh:
-                fh.write(str(n + 1))
-            os.replace(
-                hint_tmp, os.path.join(meta_dir, "version-hint.text")
-            )
+            loc, md, n = self._load_versioned(ident)
+            err = self._check_and_apply(ident, md, loc, req)
+            if err is not None:
+                return err
+            new_loc = self._write_metadata(ident, md, n)
             return 200, json.dumps(
                 {"metadata-location": new_loc, "metadata": md}
             ).encode()
+
+    def _check_and_apply(
+        self, ident: tuple[str, ...], md: dict, loc: str, req: dict
+    ) -> tuple[int, bytes] | None:
+        """Validate `req`'s requirements against `md` and apply its
+        updates in place. Returns the spec error response on failure
+        (callers discard the partially-mutated md), None on success.
+        Pure in-memory — nothing is written — so a multi-table
+        transaction can validate EVERY change before persisting
+        any (the protocol's commitTransaction atomicity)."""
+        refs = md.setdefault("refs", {})
+        for r in req.get("requirements") or []:
+            t = r.get("type")
+            if t == "assert-create":
+                # reaching _commit means the table exists (the
+                # staged-materialize path strips assert-create)
+                return 409, _err(
+                    409,
+                    "CommitFailedException",
+                    f"assert-create failed: table "
+                    f"{'.'.join(ident)} already exists",
+                )
+            elif t == "assert-table-uuid":
+                if r.get("uuid") != md.get("table-uuid"):
+                    return 409, _err(
+                        409,
+                        "CommitFailedException",
+                        f"table uuid is {md.get('table-uuid')}, "
+                        f"requirement expected {r.get('uuid')}",
+                    )
+            elif t == "assert-ref-snapshot-id":
+                cur = refs.get(r.get("ref"))
+                cur_id = cur["snapshot-id"] if cur else None
+                if cur_id != r.get("snapshot-id"):
+                    return 409, _err(
+                        409,
+                        "CommitFailedException",
+                        f"ref {r.get('ref')!r} is at {cur_id}, "
+                        f"requirement expected {r.get('snapshot-id')}",
+                    )
+            elif t == "assert-current-schema-id":
+                if md.get("current-schema-id") != r.get(
+                    "current-schema-id"
+                ):
+                    return 409, _err(
+                        409,
+                        "CommitFailedException",
+                        f"current schema id is "
+                        f"{md.get('current-schema-id')}, requirement "
+                        f"expected {r.get('current-schema-id')}",
+                    )
+            elif t == "assert-default-spec-id":
+                if md.get("default-spec-id", 0) != r.get(
+                    "default-spec-id"
+                ):
+                    return 409, _err(
+                        409,
+                        "CommitFailedException",
+                        f"default spec id is "
+                        f"{md.get('default-spec-id', 0)}, requirement "
+                        f"expected {r.get('default-spec-id')}",
+                    )
+            else:
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"unsupported requirement type {t!r}",
+                )
+        snap_ids = {
+            s["snapshot-id"] for s in md.get("snapshots") or []
+        }
+        # spec: set-current-schema / set-default-spec accept -1
+        # meaning "the schema/spec added earlier in THIS commit"
+        last_added_schema: int | None = None
+        last_added_spec: int | None = None
+        for u in req.get("updates") or []:
+            a = u.get("action")
+            if a == "add-snapshot":
+                s = u["snapshot"]
+                ml = s.get("manifest-list")
+                if not (ml and os.path.isfile(ml)):
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"add-snapshot manifest-list not found: {ml}"
+                        " (stage files before the pointer commit)",
+                    )
+                if s["snapshot-id"] in snap_ids:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"snapshot {s['snapshot-id']} already exists",
+                    )
+                md.setdefault("snapshots", []).append(s)
+                snap_ids.add(s["snapshot-id"])
+                if md.get("format-version", 1) >= 2:
+                    md["last-sequence-number"] = max(
+                        md.get("last-sequence-number") or 0,
+                        s.get("sequence-number") or 0,
+                    )
+            elif a == "set-snapshot-ref":
+                name = u["ref-name"]
+                sid = u["snapshot-id"]
+                if sid not in snap_ids:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"set-snapshot-ref to unknown snapshot {sid}",
+                    )
+                refs[name] = {
+                    "snapshot-id": sid,
+                    "type": u.get("type", "branch"),
+                }
+                if name == "main":
+                    # main moves = the table's current snapshot
+                    # moves; the snapshot-log records it (forward
+                    # publish and backward rollback both append —
+                    # Iceberg RESTORE semantics, monotonic log)
+                    md["current-snapshot-id"] = sid
+                    md.setdefault("snapshot-log", []).append(
+                        {
+                            "snapshot-id": sid,
+                            "timestamp-ms": (
+                                md.get("last-updated-ms") or 0
+                            )
+                            + 1,
+                        }
+                    )
+            elif a == "remove-snapshot-ref":
+                if u.get("ref-name") == "main":
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        "cannot remove the main branch ref",
+                    )
+                refs.pop(u.get("ref-name"), None)
+            elif a == "add-schema":
+                code, body_or_id = self._add_schema(md, u.get("schema"))
+                if code != 200:
+                    return code, body_or_id
+                last_added_schema = body_or_id
+            elif a == "set-current-schema":
+                sid2 = u.get("schema-id")
+                if sid2 == -1:
+                    if last_added_schema is None:
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            "set-current-schema -1 without a "
+                            "preceding add-schema in this commit",
+                        )
+                    sid2 = last_added_schema
+                schemas = {
+                    s["schema-id"]: s for s in md.get("schemas") or []
+                }
+                if sid2 not in schemas:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"set-current-schema to unknown schema {sid2}",
+                    )
+                md["current-schema-id"] = sid2
+                # keep the v1-compat top-level schema in lockstep:
+                # the readers/writers here (and real v1 consumers)
+                # look at metadata["schema"]
+                md["schema"] = schemas[sid2]
+            elif a == "add-spec":
+                code, body_or_id = self._add_spec(md, u.get("spec"))
+                if code != 200:
+                    return code, body_or_id
+                last_added_spec = body_or_id
+            elif a == "set-default-spec":
+                pid = u.get("spec-id")
+                if pid == -1:
+                    if last_added_spec is None:
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            "set-default-spec -1 without a "
+                            "preceding add-spec in this commit",
+                        )
+                    pid = last_added_spec
+                known_specs = {
+                    s["spec-id"]
+                    for s in md.get("partition-specs") or []
+                }
+                if pid not in known_specs:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"set-default-spec to unknown spec {pid}",
+                    )
+                md["default-spec-id"] = pid
+            elif a == "set-properties":
+                md.setdefault("properties", {}).update(
+                    u.get("updates") or {}
+                )
+            elif a == "remove-properties":
+                for k in u.get("removals") or []:
+                    (md.get("properties") or {}).pop(k, None)
+            else:
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"unsupported update action {a!r}",
+                )
+        md["last-updated-ms"] = (md.get("last-updated-ms") or 0) + 1
+        md.setdefault("metadata-log", []).append(
+            {
+                "timestamp-ms": md["last-updated-ms"],
+                "metadata-file": loc,
+            }
+        )
+        return None
+
+    def _write_metadata(
+        self, ident: tuple[str, ...], md: dict, n: int
+    ) -> str:
+        """Persist md as v{n+1}, swap the version hint atomically."""
+        meta_dir = os.path.join(self._tables[ident], "metadata")
+        new_loc = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
+        tmp = new_loc + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(md, fh, indent=1, sort_keys=True)
+        os.replace(tmp, new_loc)
+        hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(n + 1))
+        os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+        return new_loc
+
+    def _commit_transaction(self, body: dict) -> tuple[int, bytes]:
+        """POST /v1/transactions/commit — the protocol's multi-table
+        atomic commit (CommitTransactionRequest). Every change's
+        requirements are validated and its updates applied IN MEMORY
+        first; only when all of them succeed does any metadata file get
+        written, so a single failing requirement rejects the whole
+        transaction with nothing changed (the atomicity the spec
+        promises, and what a pipeline committing fact + rollup tables
+        together needs). Two changes naming the same table chain: the
+        second sees the first's in-memory result. 204 on success."""
+        changes = body.get("table-changes") or []
+        if not changes:
+            return 400, _err(
+                400,
+                "BadRequestException",
+                "commitTransaction requires table-changes",
+            )
+        with self._commit_lock:
+            loaded: dict[tuple[str, ...], tuple[str, dict, int]] = {}
+            order: list[tuple[str, ...]] = []
+            for ch in changes:
+                tid = ch.get("identifier") or {}
+                ident = (
+                    *tuple(tid.get("namespace") or ()),
+                    tid.get("name"),
+                )
+                if ident[-1] is None or len(ident) < 2:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        "each table-change needs an identifier with "
+                        "namespace and name",
+                    )
+                if ident not in self._tables:
+                    return 404, _err(
+                        404,
+                        "NoSuchTableException",
+                        f"Table does not exist: {'.'.join(ident)}",
+                    )
+                if ident not in loaded:
+                    loaded[ident] = self._load_versioned(ident)
+                    order.append(ident)
+                loc, md, _n = loaded[ident]
+                err = self._check_and_apply(ident, md, loc, ch)
+                if err is not None:
+                    return err
+            for ident in order:
+                _loc, md, n = loaded[ident]
+                self._write_metadata(ident, md, n)
+            return 204, b""
 
     # -- schema / spec evolution validators (commit update actions) --
 
@@ -840,6 +917,8 @@ class IcebergRestCatalog:
             ).encode()
         if parts == ["tables", "rename"] and method == "POST":
             return self._rename_table(body or {})
+        if parts == ["transactions", "commit"] and method == "POST":
+            return self._commit_transaction(body or {})
         if not parts or parts[0] != "namespaces":
             return 404, _err(404, "NoSuchEndpointException", path)
         if len(parts) == 1:
@@ -1337,6 +1416,91 @@ def ctas_via_catalog(spark, df, base_url: str, ns, name: str) -> dict:
         ],
     )
     return snapshot
+
+
+def rest_commit_transaction(
+    base_url: str, table_changes: list[dict]
+) -> None:
+    """POST /v1/transactions/commit — one atomic commit across several
+    tables. Each entry: {"identifier": {"namespace": [...], "name":
+    ...}, "requirements": [...], "updates": [...]}. Raises ValueError
+    with the spec error envelope if the transaction is rejected (a 409
+    from ANY table's requirements rejects the whole transaction and
+    nothing changes)."""
+    _rest_call(
+        f"{base_url}/v1/transactions/commit",
+        "POST",
+        {"table-changes": table_changes},
+    )
+
+
+def append_tables_via_catalog_txn(
+    spark,
+    base_url: str,
+    appends: list[tuple[tuple[str, ...], str, "object"]],
+    max_retries: int = 3,
+) -> dict[str, dict]:
+    """Append to SEVERAL tables in ONE atomic catalog transaction — the
+    multi-table flavor of append_table_via_catalog, for pipelines whose
+    consistency unit spans tables (fact + rollup, table + audit log):
+    either every table gains its snapshot or none does.
+
+    appends: [(namespace tuple, table name, DataFrame), ...]. Each
+    table's files + manifests are STAGED first against its loaded
+    metadata (uuid-unique paths, nothing registered), then one
+    commitTransaction carries every table's add-snapshot +
+    set-snapshot-ref guarded by assert-ref-snapshot-id at its loaded
+    head. A lost race on any table (409) re-stages all of them against
+    fresh heads and retries. Returns {"ns.table": snapshot}."""
+    from .iceberg_meta import stage_iceberg_append
+
+    last: Exception | None = None
+    for _ in range(max_retries + 1):
+        changes = []
+        out: dict[str, dict] = {}
+        for ns, name, df in appends:
+            seg = urllib.parse.quote(UNIT_SEP.join(ns))
+            url = (
+                f"{base_url}/v1/namespaces/{seg}/tables/"
+                f"{urllib.parse.quote(name)}"
+            )
+            metadata = rest_load_table(url)["metadata"]
+            head = metadata.get("current-snapshot-id")
+            if head == -1:  # freshly created: no current snapshot yet
+                head = None
+            snapshot = stage_iceberg_append(spark, df, metadata)
+            changes.append(
+                {
+                    "identifier": {"namespace": list(ns), "name": name},
+                    "requirements": [
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "ref": "main",
+                            "snapshot-id": head,
+                        }
+                    ],
+                    "updates": [
+                        {"action": "add-snapshot", "snapshot": snapshot},
+                        {
+                            "action": "set-snapshot-ref",
+                            "ref-name": "main",
+                            "type": "branch",
+                            "snapshot-id": snapshot["snapshot-id"],
+                        },
+                    ],
+                }
+            )
+            out[".".join((*ns, name))] = snapshot
+        try:
+            rest_commit_transaction(base_url, changes)
+            return out
+        except ValueError as e:
+            if "CommitFailedException" not in str(e):
+                raise
+            last = e
+    raise ValueError(
+        f"transaction lost the commit race {max_retries + 1} times: {last}"
+    )
 
 
 def rest_register_table(

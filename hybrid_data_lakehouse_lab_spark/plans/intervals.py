@@ -195,3 +195,142 @@ def events_daily_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("int").alias("max_concurrency"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_gap_fill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n_obs,
+             CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.h, hr.n_obs, hr.vm
+      FROM grid g
+      LEFT JOIN hourly hr ON g.event_type = hr.event_type AND g.h = hr.h
+    ),
+    f AS (
+      SELECT event_type, h, COALESCE(n_obs, 0) AS n, vm,
+        last_value(vm IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN vm IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        first_value(vm IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN vm IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM j
+    )
+    SELECT event_type, h AS bucket, CAST(n AS BIGINT) AS n,
+      COALESCE(vm, prev_v) AS locf_micro,
+      CAST(CASE WHEN vm IS NOT NULL THEN vm
+           ELSE floor((prev_v * ((epoch(next_h) - epoch(h)) / 3600)
+                       + next_v * ((epoch(h) - epoch(prev_h)) / 3600))
+                      / ((epoch(next_h) - epoch(prev_h)) / 3600))
+           END AS BIGINT) AS interp_micro
+    FROM f
+    """,
+)
+def events_gap_fill_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series RESAMPLE: hourly buckets per event type over a
+    sparse user slice, missing buckets materialized and filled two
+    ways — LOCF (forward-fill of the last observed hourly mean) and
+    LINEAR INTERPOLATION between the neighboring observed buckets
+    (the timescaledb `time_bucket_gapfill` + `locf` + `interpolate`
+    trio, re-expressed as DataFrame ops).
+
+    Values ride as bigint MICRO-UNITS (floor(avg*1e6+0.5)) and the
+    interpolation is exact integer arithmetic
+    floor((prev*(m-k) + next*k)/m) — cross-engine `round()` on a
+    double diverges by one ulp exactly at the short-decimal boundaries
+    linear interpolation produces (see q2_min_cost_supplier's
+    docstring); integer micro-units make the comparison stable at
+    every SF.
+
+    Plan shape for 100 TB: the fact table collapses FIRST to one row
+    per (type, hour) — the only full-data shuffle. The dense grid is
+    built from per-type min/max via `sequence` + `explode`
+    (O(|types| x |hours|) rows, independent of fact cardinality), the
+    left join hits the already-tiny hourly relation, and the fill
+    windows partition by type over bounded per-type series — no
+    global window, no driver loop, all codegen."""
+    from pyspark.sql import Window as W
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 97 == 0)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.floor(F.avg("value") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("vm"),
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left")
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("vm").isNotNull(), F.col("h"))
+    f = j.select(
+        "event_type",
+        "h",
+        F.coalesce("n_obs", F.lit(0)).alias("n"),
+        "vm",
+        F.last("vm", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("vm", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    # gap offsets in whole hours: k into the gap, m = gap width
+    k = (F.unix_timestamp("h") - F.unix_timestamp("prev_h")) / 3600
+    m = (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")) / 3600
+    return f.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.coalesce("vm", "prev_v").alias("locf_micro"),
+        F.when(F.col("vm").isNotNull(), F.col("vm"))
+        .otherwise(
+            F.floor(
+                (F.col("prev_v") * (m - k) + F.col("next_v") * k) / m
+            )
+        )
+        .cast("long")
+        .alias("interp_micro"),
+    )

@@ -2233,3 +2233,160 @@ def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "stage STRING, n BIGINT, id_sum BIGINT"
     )
+
+
+@register(
+    "iceberg_catalog_txn_roundtrip",
+    oracle="""
+    SELECT 'events' AS tbl, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS key_sum
+    FROM events
+    UNION ALL
+    SELECT 'orders' AS tbl, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """,
+)
+def iceberg_catalog_txn_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 10: MULTI-TABLE atomic commit through the catalog's
+    `/v1/transactions/commit` endpoint (CommitTransactionRequest) — the
+    consistency unit a real pipeline needs when a fact table and its
+    sibling must move together (here: events + orders, each seeded with
+    its even-key half, completed by ONE transaction appending both odd
+    halves). In-lane asserts pin the protocol semantics:
+
+    - both tables' staged snapshots land under one POST (both heads at
+      snapshot 2, both metadata versions bumped);
+    - ATOMICITY on reject: a second transaction carrying a VALID change
+      for events and a STALE assert-ref-snapshot-id for orders is
+      refused whole (409) — events' metadata-location must not move
+      even though its own requirements passed;
+    - empty table-changes is a 400 per the spec.
+
+    Both tables then read back through their load-table URLs and must
+    equal the full base tables — the oracle states that declaratively.
+
+    Scale: staged writes and reads run distributed; the transaction
+    endpoint moves O(KB) pointer JSON per table, and validation is
+    all-in-memory before any metadata file persists (no partial-commit
+    window beyond process death, same boundary as any filesystem
+    catalog)."""
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.rest_catalog import (
+        IcebergRestCatalog,
+        append_tables_via_catalog_txn,
+        rest_commit_transaction,
+        rest_load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="catalog_txn_demo_")
+    rows = []
+    try:
+        te = SnapshotTable(spark, os.path.join(tmp, "events"))
+        te.write(ev.filter(F.col("event_id") % 2 == 0), committed_at_ms=1)
+        export_iceberg_metadata(te, format_version=2)
+        to = SnapshotTable(spark, os.path.join(tmp, "orders"))
+        to.write(od.filter(F.col("o_orderkey") % 2 == 0), committed_at_ms=1)
+        export_iceberg_metadata(to, format_version=2)
+        warehouse = {
+            ("lake", "events"): te.root,
+            ("lake", "orders"): to.root,
+        }
+        with IcebergRestCatalog(warehouse) as uri:
+            ev_url = f"{uri}/v1/namespaces/lake/tables/events"
+            od_url = f"{uri}/v1/namespaces/lake/tables/orders"
+            snaps = append_tables_via_catalog_txn(
+                spark,
+                uri,
+                [
+                    (("lake",), "events", ev.filter(F.col("event_id") % 2 != 0)),
+                    (("lake",), "orders", od.filter(F.col("o_orderkey") % 2 != 0)),
+                ],
+            )
+            assert snaps["lake.events"]["snapshot-id"] == 2
+            assert snaps["lake.orders"]["snapshot-id"] == 2
+
+            # atomicity: valid events change + stale orders requirement
+            # must reject the WHOLE transaction — events does not move
+            ev_loc = rest_load_table(ev_url)["metadata-location"]
+            od_loc = rest_load_table(od_url)["metadata-location"]
+            try:
+                rest_commit_transaction(
+                    uri,
+                    [
+                        {
+                            "identifier": {
+                                "namespace": ["lake"],
+                                "name": "events",
+                            },
+                            "requirements": [
+                                {
+                                    "type": "assert-ref-snapshot-id",
+                                    "ref": "main",
+                                    "snapshot-id": 2,
+                                }
+                            ],
+                            "updates": [
+                                {
+                                    "action": "set-properties",
+                                    "updates": {"poison": "true"},
+                                }
+                            ],
+                        },
+                        {
+                            "identifier": {
+                                "namespace": ["lake"],
+                                "name": "orders",
+                            },
+                            "requirements": [
+                                {
+                                    "type": "assert-ref-snapshot-id",
+                                    "ref": "main",
+                                    "snapshot-id": 1,  # stale: head is 2
+                                }
+                            ],
+                            "updates": [],
+                        },
+                    ],
+                )
+                raise AssertionError("stale transaction must 409")
+            except ValueError as e:
+                assert "CommitFailedException" in str(e)
+            assert rest_load_table(ev_url)["metadata-location"] == ev_loc
+            assert rest_load_table(od_url)["metadata-location"] == od_loc
+            assert "poison" not in (
+                rest_load_table(ev_url)["metadata"].get("properties") or {}
+            )
+            try:
+                rest_commit_transaction(uri, [])
+                raise AssertionError("empty transaction must 400")
+            except ValueError as e:
+                assert "BadRequestException" in str(e)
+
+            for name, url, key in (
+                ("events", ev_url, "event_id"),
+                ("orders", od_url, "o_orderkey"),
+            ):
+                got = (
+                    read_iceberg_table(spark, url)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(key).cast("long").alias("key_sum"),
+                    )
+                    .collect()[0]
+                )
+                rows.append((name, got["n"], got["key_sum"]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "tbl STRING, n BIGINT, key_sum BIGINT"
+    )
