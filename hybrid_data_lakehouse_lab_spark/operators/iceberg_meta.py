@@ -261,6 +261,17 @@ def _entry_schema(partition_fields: list[dict], format_version: int = 1) -> dict
                 "field-id": 135,
             }
         )
+        # sort_order_id (140): the registered sort order the file's
+        # rows are laid out in — stamped by sorted rewrites so readers
+        # can exploit the clustering (merge scans, range locality)
+        file_fields.append(
+            {
+                "name": "sort_order_id",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 140,
+            }
+        )
     if format_version >= 3:
         # v3 row lineage: first_row_id (142) — the starting _row_id of
         # an ADDED data file; and the DELETION VECTOR reference triple
@@ -957,6 +968,19 @@ def export_iceberg_metadata(
     written_manifests: set[str] = set()
     verified_unique: set[str] = set()  # PK-probed snapshot dirs (upserts)
     base_schema_sid: int = 0  # schema of the last full-rewrite snapshot
+    # spec SORT ORDERS: order-0 = unsorted. A snapshot committed by
+    # maintenance.rewrite_data_files_sorted (strategy "sort") declares
+    # its lexicographic order in the "sort-by" property; the exporter
+    # registers it as a real sort-orders entry, stamps the snapshot's
+    # ADDED data files with sort_order_id (field 140), and makes it the
+    # table's default write order (ALTER TABLE ... WRITE ORDERED BY
+    # semantics — the order persists until a later rewrite replaces
+    # it). Z-ORDER rewrites stay summary-only: the spec's sort-order
+    # transforms cannot express bit interleaving, so real engines also
+    # record z-order only in the rewrite's summary.
+    sort_orders: list[dict] = [{"order-id": 0, "fields": []}]
+    _order_key_to_id: dict[str, int] = {}
+    default_sort_order_id = 0
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         snapshot_id = i + 1
@@ -995,6 +1019,41 @@ def export_iceberg_metadata(
             and (snap.get("properties") or {}).get("operation")
             == "rewrite-deletes"
         )
+        # sorted-rewrite commits declare their order; resolve column
+        # names under THIS snapshot's schema (field ids are stable)
+        snap_sort_order_id = 0
+        _sort_by = (snap.get("properties") or {}).get("sort-by")
+        if (
+            format_version >= 2
+            and _sort_by
+            and (snap.get("properties") or {}).get("strategy") == "sort"
+        ):
+            _flds = []
+            for c, d in json.loads(_sort_by):
+                if c not in col_ids:
+                    _flds = []  # column unknown at this snapshot: skip
+                    break
+                _flds.append(
+                    {
+                        "transform": "identity",
+                        "source-id": col_ids[c],
+                        "direction": d,
+                        "null-order": (
+                            "nulls-first" if d == "asc" else "nulls-last"
+                        ),
+                    }
+                )
+            if _flds:
+                _okey = json.dumps(_flds, sort_keys=True)
+                _oid = _order_key_to_id.get(_okey)
+                if _oid is None:
+                    _oid = len(sort_orders)
+                    sort_orders.append(
+                        {"order-id": _oid, "fields": _flds}
+                    )
+                    _order_key_to_id[_okey] = _oid
+                snap_sort_order_id = _oid
+                default_sort_order_id = _oid
         upsert = None
         if upsert_key is not None and i > 0 and not is_compaction:
             parent_dir = by_version[events[i - 1]["version"]]["path"]
@@ -1628,6 +1687,8 @@ def export_iceberg_metadata(
                     }
                 else:
                     data_file["content"] = 0
+                    if snap_sort_order_id:
+                        data_file["sort_order_id"] = snap_sort_order_id
                     if format_version >= 3:
                         # v3 row lineage: every ADDED data file gets an
                         # explicit starting _row_id; the table counter
@@ -1819,8 +1880,8 @@ def export_iceberg_metadata(
     }
     if format_version >= 2:
         metadata["last-sequence-number"] = len(events)
-        metadata["sort-orders"] = [{"order-id": 0, "fields": []}]
-        metadata["default-sort-order-id"] = 0
+        metadata["sort-orders"] = sort_orders
+        metadata["default-sort-order-id"] = default_sort_order_id
     if format_version >= 3:
         # v3 row lineage: the next _row_id a future commit may assign
         metadata["next-row-id"] = next_row_id

@@ -797,6 +797,135 @@ def compact_snapshot(
     )
 
 
+def rewrite_data_files_sorted(
+    table: SnapshotTable,
+    by: list[tuple[str, str]] | list[str],
+    strategy: str = "sort",
+    branch: str = "main",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    committed_at_ms: int | None = None,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    bits: int = 16,
+    target_files: int | None = None,
+):
+    """SORTED REWRITE: rewrite the branch head clustered on `by` —
+    Iceberg's `rewrite_data_files(strategy => 'sort' | 'zorder')`,
+    Delta's `OPTIMIZE ... ZORDER BY`. An unsorted table's every file
+    spans the whole key domain, so min/max file skipping prunes
+    nothing; after the rewrite each file covers a narrow slice of the
+    sort key (or, for z-order, of EVERY participating column), and a
+    predicate reads the few files that can match.
+
+    strategy="sort": `by` is [(col, "asc"|"desc"), ...] (bare names
+    mean asc). The plan is repartitionByRange on the leading columns
+    (one shuffle that splits the key domain into contiguous chunks)
+    + sortWithinPartitions honoring directions. The commit records the
+    order in the `sort-by` property; `export_iceberg_metadata` turns
+    it into a real spec `sort-orders` entry, stamps the rewritten
+    files' `sort_order_id` (field 140), and makes it the table's
+    default write order.
+
+    strategy="zorder": `by` is column names; rows cluster along the
+    Morton curve of `bounds` (col -> (lo, hi); computed with one tiny
+    min/max aggregate when omitted — at 100 TB pass table-stat bounds
+    instead). Z-order is summary-only in the export: the spec's
+    sort-order transforms cannot express bit interleaving, so real
+    engines record it the same way.
+
+    Partitioned tables keep their hive layout: the range split leads
+    with the partition columns, so each partition dir's files carry
+    tight sort-key ranges. Idempotent like compact_snapshot: a head
+    that is already a compaction commit returns None.
+
+    100 TB shape: one distributed scan + ONE range shuffle (the
+    sampling pass repartitionByRange runs is on the sort key only);
+    the zorder key is pure JVM bit arithmetic (sources/zorder.py), no
+    UDF anywhere."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ..sources.zorder import zorder_key
+
+    if strategy not in ("sort", "zorder"):
+        raise ValueError(f"strategy {strategy!r} (sort|zorder)")
+    norm: list[tuple[str, str]] = [
+        (c, "asc") if isinstance(c, str) else (c[0], c[1]) for c in by
+    ]
+    if not norm:
+        raise ValueError("rewrite_data_files_sorted needs sort columns")
+    for _c, d in norm:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"direction {d!r} (asc|desc)")
+    m = table._load_manifest()
+    head = table.branch_head(branch)
+    if head is None:
+        raise ValueError(f"branch {branch!r} has no snapshots to rewrite")
+    snap = {s["version"]: s for s in m["snapshots"]}[head]
+    if (snap.get("properties") or {}).get("operation") == "compaction":
+        return None  # already rewritten; nothing accreted since
+    head_dir = snap["path"]
+    pcols = _partition_layout(head_dir)
+    df = table.spark.read.parquet(head_dir)
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(head_dir)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files = target_files or max(1, math.ceil(size / target_file_bytes))
+    if strategy == "sort":
+        keys = [c for c, _d in norm]
+        order = [
+            F.col(c).asc() if d == "asc" else F.col(c).desc()
+            for c, d in norm
+        ]
+        clustered = df.repartitionByRange(
+            n_files, *pcols, *keys
+        ).sortWithinPartitions(*[F.col(c) for c in pcols], *order)
+        props = {
+            "operation": "compaction",
+            "strategy": "sort",
+            "sort-by": _json.dumps(norm),
+            "compacted-from": head,
+        }
+    else:
+        cols = [c for c, _d in norm]
+        if bounds is None:
+            aggs = []
+            for c in cols:
+                aggs += [
+                    F.min(c).cast("double").alias(f"{c}__lo"),
+                    F.max(c).cast("double").alias(f"{c}__hi"),
+                ]
+            row = df.agg(*aggs).collect()[0]  # one row: 2x|cols| scalars
+            bounds = {
+                c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in cols
+            }
+        key = zorder_key(
+            [(F.col(c), *bounds[c]) for c in cols], bits=bits
+        )
+        clustered = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(n_files, *pcols, "_zkey")
+            .sortWithinPartitions(*pcols, "_zkey")
+            .drop("_zkey")
+        )
+        props = {
+            "operation": "compaction",
+            "strategy": "zorder",
+            "zorder-by": _json.dumps(cols),
+            "compacted-from": head,
+        }
+    return table.write(
+        clustered,
+        partition_by=pcols or None,
+        committed_at_ms=committed_at_ms,
+        branch=branch,
+        properties=props,
+    )
+
+
 def _partition_layout(snapshot_dir: str) -> list[str]:
     """Hive partition columns of a snapshot dir, outermost first."""
     pcols: list[str] = []

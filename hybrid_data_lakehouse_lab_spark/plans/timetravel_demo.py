@@ -2390,3 +2390,200 @@ def iceberg_catalog_txn_roundtrip(
     return spark.createDataFrame(
         sorted(rows), "tbl STRING, n BIGINT, key_sum BIGINT"
     )
+
+
+@register(
+    "iceberg_sort_rewrite_prune_roundtrip",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderkey >=
+      (SELECT CAST(floor(max(o_orderkey) * 0.7) AS BIGINT) FROM orders)
+    """,
+)
+def iceberg_sort_rewrite_prune_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SORTED REWRITE round-trip (Iceberg `rewrite_data_files
+    (strategy => 'sort')`, Delta `OPTIMIZE ... ZORDER`'s 1-D cousin):
+    orders lands UNSORTED (round-robin repartition, every file spans
+    the whole o_orderkey domain — the in-lane assert pins that a
+    stats-pruned read skips NOTHING), then
+    `rewrite_data_files_sorted` commits the head range-clustered on
+    o_orderkey and the re-export registers a real spec `sort-orders`
+    entry, stamps the rewritten files' sort_order_id, and the same
+    pruned read now SKIPS most files. The hash match proves the
+    rewrite changed layout only — content identical to the base
+    table.
+
+    Scale: this is THE maintenance action that turns an append-order
+    100 TB table into one whose per-file min/max actually prune;
+    one distributed range shuffle, no driver data motion."""
+    import json as _json
+
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.maintenance import rewrite_data_files_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="iceberg_sortrw_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(orders.repartition(8), committed_at_ms=1)
+        export_iceberg_metadata(t, format_version=2)
+        total = orders.count()
+        cut = orders.agg(
+            F.floor(F.max("o_orderkey") * 0.7).cast("bigint").alias("c")
+        ).collect()[0]["c"]
+        kept_before = read_iceberg_table(
+            spark, t.root, prune=[("o_orderkey", ">=", cut)]
+        ).count()
+        assert kept_before == total, (kept_before, total)  # no skip yet
+
+        info = rewrite_data_files_sorted(
+            t,
+            [("o_orderkey", "asc")],
+            target_files=32,  # fixed fan-out: the skip assert is
+            # about layout, not file size, and must hold at every SF
+            committed_at_ms=2,
+        )
+        assert info is not None
+        meta_dir = export_iceberg_metadata(t, format_version=2)
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            hint = fh.read().strip()
+        with open(os.path.join(meta_dir, f"v{hint}.metadata.json")) as fh:
+            md = _json.load(fh)
+        assert md["default-sort-order-id"] == 1
+        flds = md["sort-orders"][1]["fields"]
+        assert [f["direction"] for f in flds] == ["asc"]
+        assert [f["transform"] for f in flds] == ["identity"]
+
+        pruned = read_iceberg_table(
+            spark, t.root, prune=[("o_orderkey", ">=", cut)]
+        )
+        kept = pruned.count()
+        assert 0 < kept < total, (kept, total, cut)  # files REALLY skipped
+        row = (
+            pruned.filter(F.col("o_orderkey") >= cut)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+            )
+            .collect()[0]
+        )
+        rows = [(row["n"], row["total_cents"])]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "n BIGINT, total_cents BIGINT")
+
+
+@register(
+    "iceberg_zorder_rewrite_roundtrip",
+    oracle="""
+    WITH cuts AS (
+      SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) AS ec,
+             CAST(floor(max(user_id) * 0.8) AS BIGINT) AS uc
+      FROM events)
+    SELECT
+      (SELECT count(*) FROM events, cuts WHERE event_id >= ec) AS n_by_event,
+      (SELECT count(*) FROM events, cuts WHERE user_id >= uc) AS n_by_user,
+      (SELECT CAST(sum(event_id + user_id) AS BIGINT)
+       FROM events, cuts WHERE event_id >= ec AND user_id >= uc) AS both_sum
+    """,
+)
+def iceberg_zorder_rewrite_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-ORDER rewrite round-trip (Delta `OPTIMIZE ZORDER BY`,
+    Iceberg `rewrite_data_files(strategy => 'zorder')`): events lands
+    unsorted, then rewrites along the Morton curve of (event_id,
+    user_id) — after which a stats-pruned read on EITHER column skips
+    files (the in-lane asserts pin both, against a base where neither
+    prunes). A 1-D sort gives locality on one column only; the
+    interleaved key is what makes multi-predicate dashboards cheap at
+    100 TB. The export records the strategy in the snapshot summary
+    (the spec's sort-orders cannot express bit interleaving — real
+    engines record z-order the same way), and content equality rides
+    the oracle hash.
+
+    Scale: one distributed range shuffle on the Morton key (pure JVM
+    bit arithmetic, sources/zorder.py), bounds from one min/max
+    aggregate — at 100 TB pass table-stat bounds instead."""
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.maintenance import rewrite_data_files_sorted
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_zorder_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev.repartition(8), committed_at_ms=1)
+        export_iceberg_metadata(t, format_version=2)
+        total = ev.count()
+        cuts = ev.agg(
+            F.floor(F.max("event_id") * 0.8).cast("bigint").alias("ec"),
+            F.floor(F.max("user_id") * 0.8).cast("bigint").alias("uc"),
+        ).collect()[0]
+        ec, uc = cuts["ec"], cuts["uc"]
+        for col, cut in (("event_id", ec), ("user_id", uc)):
+            kept = read_iceberg_table(
+                spark, t.root, prune=[(col, ">=", cut)]
+            ).count()
+            assert kept == total, (col, kept, total)  # base: no skip
+
+        info = rewrite_data_files_sorted(
+            t,
+            ["event_id", "user_id"],
+            strategy="zorder",
+            target_files=64,  # fixed fan-out: 6 z-bits = 3-bit blocks
+            # per dimension, so either column prunes at every SF
+            committed_at_ms=2,
+        )
+        assert info is not None
+        export_iceberg_metadata(t, format_version=2)
+        for col, cut in (("event_id", ec), ("user_id", uc)):
+            kept = read_iceberg_table(
+                spark, t.root, prune=[(col, ">=", cut)]
+            ).count()
+            assert 0 < kept < total, (col, kept, total)  # both prune
+
+        n_e = (
+            read_iceberg_table(spark, t.root, prune=[("event_id", ">=", ec)])
+            .filter(F.col("event_id") >= ec)
+            .count()
+        )
+        n_u = (
+            read_iceberg_table(spark, t.root, prune=[("user_id", ">=", uc)])
+            .filter(F.col("user_id") >= uc)
+            .count()
+        )
+        both = (
+            read_iceberg_table(
+                spark,
+                t.root,
+                prune=[("event_id", ">=", ec), ("user_id", ">=", uc)],
+            )
+            .filter((F.col("event_id") >= ec) & (F.col("user_id") >= uc))
+            .agg(
+                F.sum(F.col("event_id") + F.col("user_id"))
+                .cast("long")
+                .alias("s")
+            )
+            .collect()[0]["s"]
+        )
+        rows = [(n_e, n_u, both)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_by_event BIGINT, n_by_user BIGINT, both_sum BIGINT"
+    )

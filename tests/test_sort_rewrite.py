@@ -1,0 +1,181 @@
+"""Sorted / z-ordered rewrite_data_files (operators/maintenance.py
+rewrite_data_files_sorted) and its Iceberg export surface: spec
+`sort-orders` registration, per-file sort_order_id (field 140),
+default write order, and summary-only z-order.
+
+Reference parity: the reference's Iceberg tables get this from the
+engine's rewrite_data_files(strategy => sort|zorder) maintenance
+action; file-skipping effectiveness is what partition pruning cannot
+give on non-partition columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.avro_io import read_avro
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+    export_iceberg_metadata,
+    read_iceberg_table,
+)
+from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+    rewrite_data_files_sorted,
+)
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def _metadata(root):
+    with open(f"{root}/metadata/version-hint.text") as fh:
+        n = fh.read().strip()
+    with open(f"{root}/metadata/v{n}.metadata.json") as fh:
+        return json.load(fh)
+
+
+@pytest.fixture()
+def unsorted_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(20000).selectExpr(
+        "id AS k", "pmod(cast(id * 2654435761 as bigint), 20000) AS v"
+    )
+    t.write(df.repartition(8), committed_at_ms=1)
+    return t
+
+
+def test_sort_rewrite_registers_order_and_stamps_files(
+    spark, unsorted_table
+):
+    t = unsorted_table
+    export_iceberg_metadata(t, format_version=2)
+    assert (
+        rewrite_data_files_sorted(
+            t, [("k", "desc")], target_files=16, committed_at_ms=2
+        )
+        is not None
+    )
+    export_iceberg_metadata(t, format_version=2)
+    md = _metadata(t.root)
+    assert md["default-sort-order-id"] == 1
+    assert md["sort-orders"][0] == {"order-id": 0, "fields": []}
+    (fld,) = md["sort-orders"][1]["fields"]
+    assert fld["transform"] == "identity"
+    assert fld["direction"] == "desc"
+    assert fld["null-order"] == "nulls-last"
+    assert fld["source-id"] == 1  # k is column 1
+    # rewritten files carry sort_order_id; the base snapshot's do not
+    by_snap = {s["snapshot-id"]: s for s in md["snapshots"]}
+    for sid, want in ((1, None), (2, 1)):
+        _, lrows = read_avro(by_snap[sid]["manifest-list"])
+        mf = [r for r in lrows if r["added_snapshot_id"] == sid][0]
+        _, erows = read_avro(mf["manifest_path"])
+        assert {
+            e["data_file"].get("sort_order_id") for e in erows
+        } == {want}, sid
+    # content unchanged, layout clustered: the pruned read skips files
+    full = read_iceberg_table(spark, t.root)
+    assert full.count() == 20000
+    kept = read_iceberg_table(
+        spark, t.root, prune=[("k", ">=", 19000)]
+    ).count()
+    assert 0 < kept < 20000
+
+
+def test_repeat_rewrite_reuses_order_id(spark, unsorted_table):
+    t = unsorted_table
+    rewrite_data_files_sorted(t, ["k"], target_files=8, committed_at_ms=2)
+    # accrete a plain write so the next rewrite isn't a no-op
+    t.write(
+        t.read().unionByName(
+            t.spark.range(20000, 21000).selectExpr(
+                "id AS k", "id AS v"
+            )
+        ),
+        committed_at_ms=3,
+    )
+    rewrite_data_files_sorted(t, ["k"], target_files=8, committed_at_ms=4)
+    export_iceberg_metadata(t, format_version=2)
+    md = _metadata(t.root)
+    # same key -> ONE registered order, still the default
+    assert len(md["sort-orders"]) == 2
+    assert md["default-sort-order-id"] == 1
+    # ...and the default survives the interleaved unsorted write
+    assert md["sort-orders"][1]["fields"][0]["source-id"] == 1
+
+
+def test_zorder_rewrite_is_summary_only_and_prunes_both(
+    spark, unsorted_table
+):
+    t = unsorted_table
+    export_iceberg_metadata(t, format_version=2)
+    for col in ("k", "v"):
+        assert (
+            read_iceberg_table(
+                spark, t.root, prune=[(col, ">=", 19000)]
+            ).count()
+            == 20000
+        )
+    rewrite_data_files_sorted(
+        t, ["k", "v"], strategy="zorder", target_files=64, committed_at_ms=2
+    )
+    export_iceberg_metadata(t, format_version=2)
+    md = _metadata(t.root)
+    # no spec sort order minted (z-order is inexpressible there)
+    assert md["sort-orders"] == [{"order-id": 0, "fields": []}]
+    assert md["default-sort-order-id"] == 0
+    head = md["snapshots"][-1]["summary"]
+    assert head["strategy"] == "zorder"
+    assert json.loads(head["zorder-by"]) == ["k", "v"]
+    for col in ("k", "v"):
+        kept = read_iceberg_table(
+            spark, t.root, prune=[(col, ">=", 19000)]
+        ).count()
+        assert 0 < kept < 20000, col
+    assert read_iceberg_table(spark, t.root).count() == 20000
+
+
+def test_partitioned_rewrite_preserves_hive_layout(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    df = spark.range(8000).selectExpr(
+        "id AS k", "CAST(pmod(id, 4) AS STRING) AS g"
+    )
+    t.write(df.repartition(8), partition_by=["g"], committed_at_ms=1)
+    info = rewrite_data_files_sorted(
+        t, ["k"], target_files=16, committed_at_ms=2
+    )
+    assert info is not None
+    head_dir = {s["version"]: s for s in t._load_manifest()["snapshots"]}[
+        t.branch_head("main")
+    ]["path"]
+    parts = sorted(
+        e for e in os.listdir(head_dir) if e.startswith("g=")
+    )
+    assert parts == ["g=0", "g=1", "g=2", "g=3"]
+    got = spark.read.parquet(head_dir).groupBy("g").count().collect()
+    # hive partition values read back type-inferred; compare as strings
+    assert {str(r["g"]): r["count"] for r in got} == {
+        "0": 2000, "1": 2000, "2": 2000, "3": 2000,
+    }
+
+
+def test_rewrite_idempotent_and_validates_args(spark, unsorted_table):
+    t = unsorted_table
+    rewrite_data_files_sorted(t, ["k"], target_files=4, committed_at_ms=2)
+    assert rewrite_data_files_sorted(t, ["k"]) is None  # head compacted
+    with pytest.raises(ValueError, match="sort|zorder"):
+        rewrite_data_files_sorted(t, ["k"], strategy="cluster")
+    with pytest.raises(ValueError, match="asc|desc"):
+        rewrite_data_files_sorted(t, [("k", "down")])
+    with pytest.raises(ValueError, match="sort columns"):
+        rewrite_data_files_sorted(t, [])
+
+
+def test_v1_export_has_no_sort_orders_key(spark, unsorted_table):
+    t = unsorted_table
+    rewrite_data_files_sorted(t, ["k"], target_files=4, committed_at_ms=2)
+    export_iceberg_metadata(t, format_version=1)
+    md = _metadata(t.root)
+    assert "sort-orders" not in md
+    assert "default-sort-order-id" not in md
