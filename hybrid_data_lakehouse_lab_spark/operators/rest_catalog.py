@@ -24,6 +24,14 @@ scratch over tables this engine exported (or any tree
     DELETE /v1/namespaces/{ns}/tables/{table}    -> 204 (?purgeRequested)
     POST   /v1/namespaces/{ns}/tables/{t}/metrics -> 204 (reportMetrics)
     POST   /v1/tables/rename                     -> 204
+    POST   /v1/transactions/commit               -> 204 (multi-table atomic)
+    GET    /v1/namespaces/{ns}/views             -> ListViewsResponse
+    POST   /v1/namespaces/{ns}/views             -> LoadViewResult (create)
+    GET    /v1/namespaces/{ns}/views/{view}      -> LoadViewResult
+    HEAD   /v1/namespaces/{ns}/views/{view}      -> 204 / 404
+    POST   /v1/namespaces/{ns}/views/{view}      -> LoadViewResult (commit)
+    DELETE /v1/namespaces/{ns}/views/{view}      -> 204
+    POST   /v1/views/rename                      -> 204
 
     Listings honor the spec's `pageSize`/`pageToken` pagination
     (deterministic order, opaque offset token, `next-page-token` iff
@@ -145,6 +153,9 @@ class IcebergRestCatalog:
         # is left orphan-cleanable, like a lost append race's staging.
         # Staged tables are invisible to loads/listings.
         self._staged: dict[tuple[str, ...], dict[str, str]] = {}
+        # Iceberg VIEWS (public view spec): ident -> tree root, same
+        # metadata-file + pointer layout as tables
+        self._views: dict[tuple[str, ...], str] = {}
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # commits are optimistic-concurrency: requirement check + new
@@ -690,14 +701,136 @@ class IcebergRestCatalog:
     def _drop_namespace(self, ns: tuple[str, ...]) -> tuple[int, bytes]:
         with self._commit_lock:
             held = [i for i in self._tables if i[:-1] == ns]
+            held += [i for i in self._views if i[:-1] == ns]
             if held:
                 return 409, _err(
                     409,
                     "NamespaceNotEmptyException",
                     f"Namespace {'.'.join(ns)} holds "
-                    f"{len(held)} table(s)",
+                    f"{len(held)} table(s)/view(s)",
                 )
             self._namespaces.pop(ns, None)
+            return 204, b""
+
+    # -- views (public Iceberg view spec) --
+
+    def _create_view(
+        self, ns: tuple[str, ...], body: dict
+    ) -> tuple[int, bytes]:
+        from .iceberg_view import create_view_metadata, write_view_tree
+
+        name = body.get("name")
+        if not name:
+            return 400, _err(
+                400, "BadRequestException", "create-view needs a name"
+            )
+        fields = (body.get("schema") or {}).get("fields")
+        vv = body.get("view-version") or {}
+        reps = vv.get("representations") or []
+        sql_reps = [r for r in reps if r.get("type") == "sql"]
+        if not (fields and sql_reps):
+            return 400, _err(
+                400,
+                "BadRequestException",
+                "create-view needs schema.fields and a sql "
+                "representation in view-version",
+            )
+        with self._commit_lock:
+            ident = (*ns, name)
+            if ident in self._views or ident in self._tables:
+                return 409, _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"Table or view already exists: {'.'.join(ident)}",
+                )
+            root = body.get("location")
+            if not root:
+                if self._warehouse_dir is None:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        "no location in the request and the catalog "
+                        "has no warehouse_dir",
+                    )
+                root = os.path.join(self._warehouse_dir, *ns, name)
+                if os.path.exists(root):
+                    import uuid as _uuid
+
+                    root = f"{root}-{_uuid.uuid4().hex[:8]}"
+            md = create_view_metadata(
+                sql_reps[0]["sql"],
+                [
+                    {k: v for k, v in f.items() if k != "id"}
+                    for f in fields
+                ],
+                vv.get("default-namespace") or list(ns),
+                root,
+                dialect=sql_reps[0].get("dialect", "spark"),
+                properties=body.get("properties"),
+            )
+            # extra dialect representations ride along verbatim
+            md["versions"][0]["representations"] = reps
+            loc = write_view_tree(root, md)
+            self._namespaces.setdefault(ns, {})
+            self._views[ident] = root
+            return 200, json.dumps(
+                {"metadata-location": loc, "metadata": md}
+            ).encode()
+
+    def _commit_view(
+        self, ident: tuple[str, ...], req: dict
+    ) -> tuple[int, bytes]:
+        from .iceberg_view import (
+            apply_view_commit,
+            load_view_tree,
+            write_view_tree,
+        )
+
+        with self._commit_lock:
+            root = self._views[ident]
+            _loc, md = load_view_tree(root)
+            err = apply_view_commit(md, req)
+            if err is not None:
+                code = (
+                    409
+                    if "uuid" in err and "requirement" in err
+                    else 400
+                )
+                typ = (
+                    "CommitFailedException"
+                    if code == 409
+                    else "BadRequestException"
+                )
+                return code, _err(code, typ, err)
+            loc = write_view_tree(root, md)
+            return 200, json.dumps(
+                {"metadata-location": loc, "metadata": md}
+            ).encode()
+
+    def _rename_view(self, body: dict) -> tuple[int, bytes]:
+        src, dst = body.get("source") or {}, body.get("destination") or {}
+        s_ident = (*(src.get("namespace") or ()), src.get("name"))
+        d_ident = (*(dst.get("namespace") or ()), dst.get("name"))
+        if None in s_ident or None in d_ident:
+            return 400, _err(
+                400,
+                "BadRequestException",
+                "rename needs source + destination identifiers",
+            )
+        with self._commit_lock:
+            if s_ident not in self._views:
+                return 404, _err(
+                    404,
+                    "NoSuchViewException",
+                    f"View does not exist: {'.'.join(s_ident)}",
+                )
+            if d_ident in self._views or d_ident in self._tables:
+                return 409, _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"Table or view already exists: {'.'.join(d_ident)}",
+                )
+            self._views[d_ident] = self._views.pop(s_ident)
             return 204, b""
 
     def _create_table(
@@ -919,6 +1052,8 @@ class IcebergRestCatalog:
             return self._rename_table(body or {})
         if parts == ["transactions", "commit"] and method == "POST":
             return self._commit_transaction(body or {})
+        if parts == ["views", "rename"] and method == "POST":
+            return self._rename_view(body or {})
         if not parts or parts[0] != "namespaces":
             return 404, _err(404, "NoSuchEndpointException", path)
         if len(parts) == 1:
@@ -955,6 +1090,45 @@ class IcebergRestCatalog:
             if ns not in known:
                 return no_such_ns
             return self._register_table(ns, body or {})
+        if parts[2] == "views":
+            if ns not in known:
+                return no_such_ns
+            if len(parts) == 3:
+                if method == "POST":
+                    return self._create_view(ns, body or {})
+                idents = [
+                    {"namespace": list(i[:-1]), "name": i[-1]}
+                    for i in sorted(self._views)
+                    if i[:-1] == ns
+                ]
+                return self._paged(query, "identifiers", idents)
+            if len(parts) == 4:
+                ident = (*ns, urllib.parse.unquote(parts[3]))
+                if ident not in self._views:
+                    return 404, _err(
+                        404,
+                        "NoSuchViewException",
+                        f"View does not exist: {'.'.join(ident)}",
+                    )
+                if method == "HEAD":
+                    return 204, b""
+                if method == "POST":
+                    return self._commit_view(ident, body or {})
+                if method == "DELETE":
+                    with self._commit_lock:
+                        self._views.pop(ident, None)
+                    return 204, b""
+                if method != "GET":
+                    return 405, _err(
+                        405, "MethodNotAllowed", f"{method} {path}"
+                    )
+                from .iceberg_view import load_view_tree
+
+                loc, md = load_view_tree(self._views[ident])
+                return 200, json.dumps(
+                    {"metadata-location": loc, "metadata": md}
+                ).encode()
+            return 404, _err(404, "NoSuchEndpointException", path)
         if parts[2] != "tables":
             return 404, _err(404, "NoSuchEndpointException", path)
         if len(parts) == 3:
