@@ -128,21 +128,38 @@ _PRIORITY = [
     "iceberg_catalog_create_table_roundtrip",
     "delta_restore_roundtrip",
     "dedup_substring_spans",
+    # Round-10 final additions, pinned in-window (each carries semantics
+    # that exist nowhere else in the window):
+    # iceberg_catalog_txn_roundtrip (multi-table atomic commit through
+    # /v1/transactions/commit — all-or-nothing across tables),
+    # iceberg_sort_rewrite_prune_roundtrip (sorted rewrite_data_files +
+    # spec sort-orders export, no-skip-before/skip-after asserted),
+    # iceberg_view_roundtrip (view spec: versioned SQL definitions over
+    # HTTP with replace + time travel). Displaced to slots 51-53:
+    # dedup_embedding_near_pairs (embedding-cosine machinery stays
+    # in-window via similarity_cosine_topk and the dedup family keeps
+    # exact/LSH/simhash/substring/clusters; test_dedup coverage since
+    # round 2), text_pii_scrub (text family keeps tfidf/quality + the
+    # curation pipeline in-window; regex-scrub pytest since round 2),
+    # corpus_contamination_check (broadcast semi-join shape also gated
+    # by test_plan_quality; dedicated pytest since round 3). The other
+    # new lanes (iceberg_zorder_rewrite_roundtrip,
+    # events_gap_fill_interpolate) rank right after at 54-55.
+    "iceberg_catalog_txn_roundtrip",
+    "iceberg_sort_rewrite_prune_roundtrip",
+    "iceberg_view_roundtrip",
     "streaming_bronze_roundtrip",
     "streaming_upsert_roundtrip",
     # --- LLM training-data pipeline flagships ---
     "dedup_exact",
     "dedup_near_pairs_lsh",
     "dedup_simhash_near_pairs",
-    "dedup_embedding_near_pairs",
     "dedup_cluster_assignments",
     "corpus_curation_pipeline",
     "similarity_cosine_topk",
     "text_tfidf_top_terms",
     "text_quality_score",
-    "text_pii_scrub",
     "corpus_pack_sequences",
-    "corpus_contamination_check",
     "multimodal_metadata",
     # --- hardest TPC-H plan shapes ---
     "q9_product_type_profit",
@@ -168,9 +185,16 @@ _PRIORITY = [
     # --- slots 51-53: displaced by the round-8 interop rotation (see the
     # in-window note above); all green since round 1 with dedicated tests
     # (test_oracle_queries / test_sql_surface) ---
-    # --- slots 51-53: displaced by the round-10 rotation (see the
-    # in-window note above); each green since round 1 with dedicated
-    # pytest coverage ---
+    # --- slots 51-55: displaced by / added in the round-10 final
+    # rotation (see the in-window note above) — the displaced trio, then
+    # this session's two remaining new lanes ---
+    "dedup_embedding_near_pairs",
+    "text_pii_scrub",
+    "corpus_contamination_check",
+    "iceberg_zorder_rewrite_roundtrip",
+    "events_gap_fill_interpolate",
+    # --- displaced by the earlier round-10 rotation; each green since
+    # round 1 with dedicated pytest coverage ---
     "op_decode_5arm",
     "scd2_temporal_enrich",
     "dedup_ngram_jaccard",

@@ -58,13 +58,17 @@ def test_priority_queries_sit_in_pinned_prefix():
     dedup_ngram_jaccard to slots 51-53), then the continuation rotated
     catalog-create / delta-restore / substring-dedup in-window
     (displacing dedup_duplicate_ngram_fraction, text_lang_id,
-    parts_pagerank to slots 54-56)."""
+    parts_pagerank to slots 54-56), and the final rotation pinned the
+    catalog-transaction / sort-rewrite / view lanes (displacing
+    dedup_embedding_near_pairs, text_pii_scrub,
+    corpus_contamination_check to slots 51-53, with the z-order and
+    gap-fill lanes right after)."""
     import __spark_entry__ as e
 
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 120
+    assert len(_PRIORITY) == 125
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
     assert "mor_compaction_roundtrip" in names[:50]
@@ -84,6 +88,16 @@ def test_priority_queries_sit_in_pinned_prefix():
     assert "iceberg_catalog_create_table_roundtrip" in names[:50]
     assert "delta_restore_roundtrip" in names[:50]
     assert "dedup_substring_spans" in names[:50]
+    # round-10 final rotation: transactions / sorted rewrite / views
+    assert "iceberg_catalog_txn_roundtrip" in names[:50]
+    assert "iceberg_sort_rewrite_prune_roundtrip" in names[:50]
+    assert "iceberg_view_roundtrip" in names[:50]
+    # displaced trio sits immediately after the window
+    assert names[50:53] == [
+        "dedup_embedding_near_pairs",
+        "text_pii_scrub",
+        "corpus_contamination_check",
+    ]
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES
 
