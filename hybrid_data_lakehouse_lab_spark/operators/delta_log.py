@@ -419,8 +419,14 @@ def export_delta_log(
             op, op_params = "DELETE", {"predicate": "[]"}
         elif is_compaction:
             # delta-spark OPTIMIZE: a logical no-op rewrite; dataChange
-            # false on every action so CDF/streaming consumers skip it
+            # false on every action so CDF/streaming consumers skip it.
+            # A z-ordered rewrite (maintenance.rewrite_data_files_sorted
+            # strategy="zorder") records its columns exactly as
+            # delta-spark does: the zOrderBy operationParameter.
             op, op_params = "OPTIMIZE", {"predicate": "[]", "auto": "false"}
+            _zb = (snap.get("properties") or {}).get("zorder-by")
+            if _zb:
+                op_params["zOrderBy"] = _zb
         else:
             op, op_params = "WRITE", {
                 "mode": "Overwrite",

@@ -2690,3 +2690,98 @@ def iceberg_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "version INT, event_type STRING, n BIGINT, id_sum BIGINT",
     )
+
+
+@register(
+    "iceberg_partition_stats_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS data_records,
+           CAST(count(*) FILTER (WHERE user_id % 5 = 0) AS BIGINT)
+             AS pos_deletes
+    FROM events GROUP BY 1
+    """,
+)
+def iceberg_partition_stats_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION STATISTICS files (Iceberg spec "Partition
+    Statistics"): after a partitioned MoR commit (snapshot 2 deletes
+    every user_id%5==0 row via positional deletes),
+    `write_partition_stats` rolls the live manifest entries up into
+    one O(|partitions|) parquet artifact — unified partition struct
+    with spec field ids, data/delete record+file counts — and
+    registers it in a NEW metadata version under
+    `partition-statistics`. The lane reads the REGISTERED file back
+    (what an external planner consumes) and returns per-partition
+    data-record and position-delete-record counts; the oracle states
+    both declaratively, so a hash match proves the stats file
+    summarizes exactly the table's live state. In-lane asserts pin
+    file counts against the actual manifest walk and the masked
+    read's row count against (data - deletes).
+
+    Scale: planners read KBs of per-partition stats instead of GBs of
+    per-file manifest entries; the rollup is the same O(entries)
+    metadata walk the inspection tables run, data files untouched."""
+    from ..operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from ..operators.iceberg_inspect import files_table
+    from ..operators.iceberg_pstats import (
+        partition_stats_table,
+        write_partition_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_pstats_demo_")
+    try:
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, partition_by=["event_type"], committed_at_ms=1)
+        t.write(
+            ev.filter(F.col("user_id") % 5 != 0),
+            partition_by=["event_type"],
+            committed_at_ms=2,
+        )
+        export_iceberg_metadata(t, format_version=2)
+        entry = write_partition_stats(spark, t.root)
+        assert entry["snapshot-id"] == 2
+        stats = partition_stats_table(spark, t.root).collect()
+        # file counts in the stats equal the manifest walk's
+        ft = files_table(spark, t.root).collect()
+        data_files = {}
+        del_files = {}
+        for r in ft:
+            key = (r["partition"] or {}).get("event_type")
+            if r["content"] == 0:
+                data_files[key] = data_files.get(key, 0) + 1
+            else:
+                del_files[key] = del_files.get(key, 0) + 1
+        rows = []
+        live_total = 0
+        for r in stats:
+            et = r["partition"]["event_type"]
+            assert r["data_file_count"] == data_files[et], et
+            assert r["position_delete_file_count"] == del_files.get(
+                et, 0
+            ), et
+            assert r["equality_delete_record_count"] == 0
+            rows.append(
+                (
+                    et,
+                    r["data_record_count"],
+                    r["position_delete_record_count"],
+                )
+            )
+            live_total += (
+                r["data_record_count"] - r["position_delete_record_count"]
+            )
+        # the masked read agrees with (data - deletes)
+        assert read_iceberg_table(spark, t.root).count() == live_total
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "event_type STRING, data_records BIGINT, pos_deletes BIGINT"
+    )
