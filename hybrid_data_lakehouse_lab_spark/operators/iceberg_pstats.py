@@ -78,11 +78,12 @@ def _pa_type(iceberg_type: str):
 
 
 def _field_type_of(metadata: dict, pf: dict) -> str:
-    """Result type of a partition field: the source column's type for
-    identity transforms, int for bucket/truncate/days-style transforms
-    (how the exporter writes partition values)."""
+    """Result type of a partition field per the spec's transform result
+    types: the source column's type for identity AND truncate (truncate
+    preserves the source type), int for bucket/days/hours/months/
+    years."""
     transform = pf.get("transform", "identity")
-    if transform == "identity":
+    if transform == "identity" or transform.startswith("truncate"):
         by_id = {}
         for s in metadata.get("schemas") or [metadata.get("schema")]:
             for f in (s or {}).get("fields") or []:
