@@ -90,6 +90,10 @@ LAKEHOUSE_10X = [
     # rewrite plus the evolved read's executor-parallel footer probes
     # and per-era scan unions
     "iceberg_schema_evolution_roundtrip",
+    # round 10: sorted rewrite at 10× — the range shuffle + export with
+    # sort-order stamping + the pruned re-read (file skipping measured
+    # where it matters, on the big slice)
+    "iceberg_sort_rewrite_prune_roundtrip",
 ]
 
 
