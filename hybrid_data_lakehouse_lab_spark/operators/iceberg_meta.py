@@ -557,6 +557,31 @@ def _file_column_stats(path: str, col_ids: dict[str, int], type_of: dict[str, st
     )
 
 
+def write_metadata_version(meta_dir: str, md: dict) -> str:
+    """Persist `md` as the NEXT metadata version under `meta_dir`
+    (v{n+1}.metadata.json, n from version-hint.text or 0) and swap the
+    hint atomically — the one pointer-commit discipline every metadata
+    writer here shares (catalog commits, view trees, partition-stats
+    registration). Returns the new metadata location. Callers that
+    need serialization hold their own lock around load+apply+write."""
+    os.makedirs(meta_dir, exist_ok=True)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    n = 0
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            n = int(fh.read().strip())
+    new_loc = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
+    tmp = new_loc + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(md, fh, indent=1, sort_keys=True)
+    os.replace(tmp, new_loc)
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(n + 1))
+    os.replace(hint_tmp, hint)
+    return new_loc
+
+
 def export_iceberg_metadata(
     table: SnapshotTable,
     branch: str = "main",

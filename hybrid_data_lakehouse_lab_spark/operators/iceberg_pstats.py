@@ -200,6 +200,8 @@ def write_partition_stats(
 
     # register in a NEW metadata version (replace any prior entry for
     # this snapshot — idempotent re-runs)
+    from .iceberg_meta import write_metadata_version
+
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         n = int(fh.read().strip())
     with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
@@ -213,15 +215,7 @@ def write_partition_stats(
     md["partition-statistics"] = sorted(
         pstats, key=lambda e: e["snapshot-id"]
     )
-    new_loc = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
-    tmp = new_loc + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(md, fh, indent=1, sort_keys=True)
-    os.replace(tmp, new_loc)
-    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(n + 1))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    write_metadata_version(meta_dir, md)
     return entry
 
 

@@ -92,11 +92,12 @@ def create_view_metadata(
     }
 
 
-def apply_view_commit(md: dict, req: dict) -> str | None:
+def apply_view_commit(md: dict, req: dict) -> tuple[int, str] | None:
     """Validate a view CommitViewRequest's requirements against `md`
-    and apply its updates in place. Returns an error message on
-    failure (md may be partially mutated — callers discard it), None
-    on success. Mirrors the table commit's in-memory contract.
+    and apply its updates in place. Returns (http status, message) on
+    failure — 409 for failed requirements, 400 for malformed updates —
+    (md may be partially mutated; callers discard it), None on
+    success. Mirrors the table commit's in-memory contract.
 
     Requirements: assert-view-uuid. Updates: add-schema,
     add-view-version (schema-id -1 = the schema added in THIS commit),
@@ -106,25 +107,38 @@ def apply_view_commit(md: dict, req: dict) -> str | None:
         t = r.get("type")
         if t == "assert-view-uuid":
             if r.get("uuid") != md.get("view-uuid"):
-                return (
+                return 409, (
                     f"view uuid is {md.get('view-uuid')}, requirement "
                     f"expected {r.get('uuid')}"
                 )
         else:
-            return f"unsupported view requirement type {t!r}"
+            return 400, f"unsupported view requirement type {t!r}"
     last_added_schema: int | None = None
     last_added_version: int | None = None
     for u in req.get("updates") or []:
         a = u.get("action")
         if a == "add-schema":
             schema = u.get("schema")
-            if not (schema or {}).get("fields"):
-                return "add-schema needs fields"
+            fields = (schema or {}).get("fields")
+            if not fields:
+                return 400, "add-schema needs fields"
             sid = max(
                 (s["schema-id"] for s in md.get("schemas") or []),
                 default=-1,
             ) + 1
+            # the catalog assigns field ids unless the client's are a
+            # complete unique assignment (same rule as table create)
+            ids = [f.get("id") for f in fields]
+            if not all(ids) or len(set(ids)) != len(ids):
+                fields = [
+                    {
+                        "id": i + 1,
+                        **{k: v for k, v in f.items() if k != "id"},
+                    }
+                    for i, f in enumerate(fields)
+                ]
             schema = dict(schema)
+            schema["fields"] = fields
             schema["schema-id"] = sid
             md.setdefault("schemas", []).append(schema)
             last_added_schema = sid
@@ -132,11 +146,11 @@ def apply_view_commit(md: dict, req: dict) -> str | None:
             v = dict(u.get("view-version") or {})
             reps = v.get("representations") or []
             if not any(r.get("type") == "sql" for r in reps):
-                return "add-view-version needs a sql representation"
+                return 400, "add-view-version needs a sql representation"
             sid = v.get("schema-id")
             if sid == -1:
                 if last_added_schema is None:
-                    return (
+                    return 400, (
                         "view-version schema-id -1 without a preceding "
                         "add-schema in this commit"
                     )
@@ -144,7 +158,7 @@ def apply_view_commit(md: dict, req: dict) -> str | None:
             if sid not in {
                 s["schema-id"] for s in md.get("schemas") or []
             }:
-                return f"view-version references unknown schema {sid}"
+                return 400, f"view-version references unknown schema {sid}"
             v["schema-id"] = sid
             vid = max(
                 (x["version-id"] for x in md.get("versions") or []),
@@ -165,7 +179,7 @@ def apply_view_commit(md: dict, req: dict) -> str | None:
             vid = u.get("view-version-id")
             if vid == -1:
                 if last_added_version is None:
-                    return (
+                    return 400, (
                         "set-current-view-version -1 without a preceding "
                         "add-view-version in this commit"
                     )
@@ -174,7 +188,9 @@ def apply_view_commit(md: dict, req: dict) -> str | None:
                 x["version-id"]: x for x in md.get("versions") or []
             }
             if vid not in versions:
-                return f"set-current-view-version to unknown version {vid}"
+                return 400, (
+                    f"set-current-view-version to unknown version {vid}"
+                )
             md["current-version-id"] = vid
             md.setdefault("version-log", []).append(
                 {
@@ -188,31 +204,18 @@ def apply_view_commit(md: dict, req: dict) -> str | None:
             for k in u.get("removals") or []:
                 (md.get("properties") or {}).pop(k, None)
         else:
-            return f"unsupported view update action {a!r}"
+            return 400, f"unsupported view update action {a!r}"
     return None
 
 
 def write_view_tree(root: str, md: dict) -> str:
     """Persist `md` as the next metadata version under
     `<root>/metadata/` and swap the version hint; returns the new
-    metadata location. Same layout as table trees."""
-    meta_dir = os.path.join(root, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    hint = os.path.join(meta_dir, "version-hint.text")
-    n = 0
-    if os.path.exists(hint):
-        with open(hint) as fh:
-            n = int(fh.read().strip())
-    loc = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
-    tmp = loc + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(md, fh, indent=1, sort_keys=True)
-    os.replace(tmp, loc)
-    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(n + 1))
-    os.replace(hint_tmp, hint)
-    return loc
+    metadata location. Same pointer discipline as table trees
+    (shared helper)."""
+    from .iceberg_meta import write_metadata_version
+
+    return write_metadata_version(os.path.join(root, "metadata"), md)
 
 
 def load_view_tree(root: str) -> tuple[str, dict]:
@@ -281,19 +284,18 @@ def read_iceberg_view(spark, url: str, version: int | None = None):
     v = _pick_version(md, version)
     sql = _pick_sql(v)
     ns = v.get("default-namespace") or []
-    if ns:
-        seg = _up.quote(UNIT_SEP.join(ns))
-        listing = rest_get(f"{base_url}/v1/namespaces/{seg}/tables")
-        for ident in listing.get("identifiers") or []:
-            name = ident["name"]
-            if not re.search(rf"\b{re.escape(name)}\b", sql):
-                continue
-            turl = (
-                f"{base_url}/v1/namespaces/{seg}/tables/"
-                f"{_up.quote(name)}"
-            )
-            read_iceberg_table(spark, turl).createOrReplaceTempView(name)
-    return spark.sql(sql)
+    registered = (
+        _register_referenced(spark, base_url, list(ns), sql) if ns else []
+    )
+    try:
+        # spark.sql analyzes eagerly: the returned DataFrame's plan
+        # holds the resolved relations, so the temp views can go away
+        return spark.sql(sql)
+    finally:
+        # don't leave bare-named temp views behind in the session (a
+        # same-named USER temp view is still clobbered — documented)
+        for name in registered:
+            spark.catalog.dropTempView(name)
 
 
 def _spark_schema_fields(spark, sql: str, resolve) -> list[dict]:
@@ -402,7 +404,12 @@ def replace_view_via_catalog(
     )
 
 
-def _register_referenced(spark, base_url: str, ns: list, sql: str) -> None:
+def _register_referenced(
+    spark, base_url: str, ns: list, sql: str
+) -> list[str]:
+    """Register every namespace table the SQL mentions (word match) as
+    a bare-named temp view; returns the names registered so callers
+    can drop them after analysis."""
     import urllib.parse as _up
 
     from .iceberg_meta import read_iceberg_table
@@ -410,8 +417,11 @@ def _register_referenced(spark, base_url: str, ns: list, sql: str) -> None:
 
     seg = _up.quote(UNIT_SEP.join(ns))
     listing = rest_get(f"{base_url}/v1/namespaces/{seg}/tables")
+    registered: list[str] = []
     for ident in listing.get("identifiers") or []:
         name = ident["name"]
         if re.search(rf"\b{re.escape(name)}\b", sql):
             turl = f"{base_url}/v1/namespaces/{seg}/tables/{_up.quote(name)}"
             read_iceberg_table(spark, turl).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered

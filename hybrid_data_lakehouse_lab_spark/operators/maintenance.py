@@ -862,8 +862,19 @@ def rewrite_data_files_sorted(
     if head is None:
         raise ValueError(f"branch {branch!r} has no snapshots to rewrite")
     snap = {s["version"]: s for s in m["snapshots"]}[head]
-    if (snap.get("properties") or {}).get("operation") == "compaction":
-        return None  # already rewritten; nothing accreted since
+    head_props = snap.get("properties") or {}
+    if head_props.get("operation") == "compaction":
+        # no-op ONLY when the head already has THIS clustering; a plain
+        # compaction (or a rewrite on different keys/strategy) still
+        # gets re-clustered — the caller asked for a specific layout
+        want_key = _json.dumps(
+            [c for c, _d in norm] if strategy == "zorder" else norm
+        )
+        have_key = head_props.get(
+            "zorder-by" if strategy == "zorder" else "sort-by"
+        )
+        if head_props.get("strategy") == strategy and have_key == want_key:
+            return None  # already clustered this way; nothing accreted
     head_dir = snap["path"]
     pcols = _partition_layout(head_dir)
     df = table.spark.read.parquet(head_dir)
@@ -899,9 +910,19 @@ def rewrite_data_files_sorted(
                     F.max(c).cast("double").alias(f"{c}__hi"),
                 ]
             row = df.agg(*aggs).collect()[0]  # one row: 2x|cols| scalars
-            bounds = {
-                c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in cols
-            }
+            bounds = {}
+            for c in cols:
+                lo, hi = row[f"{c}__lo"], row[f"{c}__hi"]
+                if lo is None or hi is None:
+                    raise ValueError(
+                        f"zorder column {c!r} is entirely NULL — it has "
+                        "no bounds and adds no clustering; drop it"
+                    )
+                if hi <= lo:
+                    # constant column: quantizes to one cell either way;
+                    # widen so the key math stays well-defined
+                    hi = lo + 1
+                bounds[c] = (lo, hi)
         key = zorder_key(
             [(F.col(c), *bounds[c]) for c in cols], bits=bits
         )

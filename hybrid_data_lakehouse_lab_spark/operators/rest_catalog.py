@@ -195,6 +195,7 @@ class IcebergRestCatalog:
             err = self._check_and_apply(ident, md, loc, req)
             if err is not None:
                 return err
+            self._finalize_metadata(md, loc)
             new_loc = self._write_metadata(ident, md, n)
             return 200, json.dumps(
                 {"metadata-location": new_loc, "metadata": md}
@@ -405,6 +406,14 @@ class IcebergRestCatalog:
                     "BadRequestException",
                     f"unsupported update action {a!r}",
                 )
+        return None
+
+    @staticmethod
+    def _finalize_metadata(md: dict, loc: str) -> None:
+        """ONE last-updated bump + metadata-log entry per written
+        version — kept out of _check_and_apply so a transaction that
+        chains several changes for one table doesn't log phantom
+        versions."""
         md["last-updated-ms"] = (md.get("last-updated-ms") or 0) + 1
         md.setdefault("metadata-log", []).append(
             {
@@ -412,23 +421,18 @@ class IcebergRestCatalog:
                 "metadata-file": loc,
             }
         )
-        return None
 
     def _write_metadata(
         self, ident: tuple[str, ...], md: dict, n: int
     ) -> str:
-        """Persist md as v{n+1}, swap the version hint atomically."""
+        """Persist md as the next version, swap the hint atomically
+        (n re-read inside the shared helper — identical under the
+        commit lock this runs in)."""
+        from .iceberg_meta import write_metadata_version
+
+        del n  # version derives from the hint, serialized by our lock
         meta_dir = os.path.join(self._tables[ident], "metadata")
-        new_loc = os.path.join(meta_dir, f"v{n + 1}.metadata.json")
-        tmp = new_loc + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(md, fh, indent=1, sort_keys=True)
-        os.replace(tmp, new_loc)
-        hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-        with open(hint_tmp, "w") as fh:
-            fh.write(str(n + 1))
-        os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
-        return new_loc
+        return write_metadata_version(meta_dir, md)
 
     def _commit_transaction(self, body: dict) -> tuple[int, bytes]:
         """POST /v1/transactions/commit — the protocol's multi-table
@@ -477,7 +481,8 @@ class IcebergRestCatalog:
                 if err is not None:
                     return err
             for ident in order:
-                _loc, md, n = loaded[ident]
+                loc, md, n = loaded[ident]
+                self._finalize_metadata(md, loc)
                 self._write_metadata(ident, md, n)
             return 204, b""
 
@@ -791,17 +796,13 @@ class IcebergRestCatalog:
             _loc, md = load_view_tree(root)
             err = apply_view_commit(md, req)
             if err is not None:
-                code = (
-                    409
-                    if "uuid" in err and "requirement" in err
-                    else 400
-                )
+                code, msg = err
                 typ = (
                     "CommitFailedException"
                     if code == 409
                     else "BadRequestException"
                 )
-                return code, _err(code, typ, err)
+                return code, _err(code, typ, msg)
             loc = write_view_tree(root, md)
             return 200, json.dumps(
                 {"metadata-location": loc, "metadata": md}
@@ -823,6 +824,18 @@ class IcebergRestCatalog:
                     404,
                     "NoSuchViewException",
                     f"View does not exist: {'.'.join(s_ident)}",
+                )
+            d_ns = d_ident[:-1]
+            known = (
+                set(self._namespaces)
+                | {i[:-1] for i in self._tables}
+                | {i[:-1] for i in self._views}
+            )
+            if d_ns not in known:
+                return 404, _err(
+                    404,
+                    "NoSuchNamespaceException",
+                    f"Namespace does not exist: {'.'.join(d_ns)}",
                 )
             if d_ident in self._views or d_ident in self._tables:
                 return 409, _err(
@@ -860,11 +873,11 @@ class IcebergRestCatalog:
             ]
         with self._commit_lock:
             ident = (*ns, name)
-            if ident in self._tables:
+            if ident in self._tables or ident in self._views:
                 return 409, _err(
                     409,
                     "AlreadyExistsException",
-                    f"Table already exists: {'.'.join(ident)}",
+                    f"Table or view already exists: {'.'.join(ident)}",
                 )
             root = body.get("location")
             if not root:
@@ -956,7 +969,7 @@ class IcebergRestCatalog:
         meta_dir = os.path.dirname(loc)
         with self._commit_lock:
             ident = (*ns, name)
-            if ident in self._tables:
+            if ident in self._tables or ident in self._views:
                 return 409, _err(
                     409,
                     "AlreadyExistsException",
@@ -1023,11 +1036,11 @@ class IcebergRestCatalog:
                     "NoSuchNamespaceException",
                     f"Namespace does not exist: {'.'.join(d_ns)}",
                 )
-            if d_ident in self._tables:
+            if d_ident in self._tables or d_ident in self._views:
                 return 409, _err(
                     409,
                     "AlreadyExistsException",
-                    f"Table already exists: {'.'.join(d_ident)}",
+                    f"Table or view already exists: {'.'.join(d_ident)}",
                 )
             # Iceberg rename moves the catalog entry only; the tree and
             # every path inside it stay put.

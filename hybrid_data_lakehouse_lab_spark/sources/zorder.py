@@ -40,6 +40,17 @@ def zorder_key(
     n = len(bounded_cols)
     if n * bits > 62:
         raise ValueError(f"{n} cols x {bits} bits exceeds bigint range")
+    for _c, lo, hi in bounded_cols:
+        if lo is None or hi is None:
+            raise ValueError(
+                "zorder bounds must be numbers (an all-NULL column has "
+                "no bounds; drop it from the key)"
+            )
+        if not float(hi) > float(lo):
+            raise ValueError(
+                f"zorder bounds need hi > lo, got ({lo}, {hi}) — a "
+                "constant column adds no clustering; drop it"
+            )
     scale = (1 << bits) - 1
     quantized = []
     for col, lo, hi in bounded_cols:

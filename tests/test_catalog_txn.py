@@ -226,3 +226,45 @@ def test_txn_retry_wins_after_concurrent_single_table_commit(spark, pair):
         assert read_iceberg_table(
             spark, f"{uri}/v1/namespaces/lake/tables/b"
         ).count() == 7
+
+
+def test_txn_same_table_chain_logs_one_metadata_version(spark, pair):
+    """Two chained changes fold into ONE written version with ONE
+    metadata-log entry — no phantom versions for inspection/time
+    travel."""
+    import json
+
+    a, _ = pair
+    with IcebergRestCatalog({("lake", "a"): a.root}) as uri:
+        rest_commit_transaction(
+            uri,
+            [
+                {
+                    "identifier": {"namespace": ["lake"], "name": "a"},
+                    "requirements": [],
+                    "updates": [
+                        {
+                            "action": "set-properties",
+                            "updates": {"one": "1"},
+                        }
+                    ],
+                },
+                {
+                    "identifier": {"namespace": ["lake"], "name": "a"},
+                    "requirements": [],
+                    "updates": [
+                        {
+                            "action": "set-properties",
+                            "updates": {"two": "2"},
+                        }
+                    ],
+                },
+            ],
+        )
+    with open(f"{a.root}/metadata/v2.metadata.json") as fh:
+        md = json.load(fh)
+    logged = [
+        e["metadata-file"] for e in md["metadata-log"]
+        if e["metadata-file"].endswith("v1.metadata.json")
+    ]
+    assert len(logged) == 1

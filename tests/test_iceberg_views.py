@@ -70,13 +70,19 @@ def test_apply_view_commit_rules(tmp_path):
         ["lake"],
         str(tmp_path / "v"),
     )
-    # uuid guard
+    # uuid guard: failed requirement is a 409
     err = apply_view_commit(
         md, {"requirements": [{"type": "assert-view-uuid", "uuid": "no"}]}
     )
-    assert "uuid" in err
+    assert err[0] == 409 and "uuid" in err[1]
+    # unsupported requirement types are 400s even when named like uuid
+    err = apply_view_commit(
+        md,
+        {"requirements": [{"type": "assert-table-uuid", "uuid": "x"}]},
+    )
+    assert err[0] == 400 and "unsupported" in err[1]
     # -1 pointers without preceding adds
-    assert "without a preceding" in apply_view_commit(
+    err = apply_view_commit(
         md,
         {
             "updates": [
@@ -92,6 +98,7 @@ def test_apply_view_commit_rules(tmp_path):
             ]
         },
     )
+    assert err[0] == 400 and "without a preceding" in err[1]
     # happy path: add schema + version + move pointer
     err = apply_view_commit(
         md,
@@ -259,3 +266,84 @@ def test_view_commit_uuid_mismatch_409(spark, catalog):
             },
         )
     assert rest_get(vurl)["metadata-location"] == before
+
+
+def test_table_create_and_rename_cannot_shadow_view(spark, catalog):
+    uri = catalog
+    create_view_via_catalog(
+        spark, uri, ["lake"], "shadow", "SELECT id FROM numbers"
+    )
+    # CREATE TABLE over the view name
+    with pytest.raises(ValueError, match="AlreadyExistsException"):
+        _rest_call(
+            f"{uri}/v1/namespaces/lake/tables",
+            "POST",
+            {
+                "name": "shadow",
+                "schema": {
+                    "type": "struct",
+                    "fields": [{"name": "id", "type": "long"}],
+                },
+            },
+        )
+    # RENAME TABLE onto the view name
+    with pytest.raises(ValueError, match="AlreadyExistsException"):
+        _rest_call(
+            f"{uri}/v1/tables/rename",
+            "POST",
+            {
+                "source": {"namespace": ["lake"], "name": "numbers"},
+                "destination": {"namespace": ["lake"], "name": "shadow"},
+            },
+        )
+
+
+def test_rename_view_to_unknown_namespace_404(spark, catalog):
+    uri = catalog
+    create_view_via_catalog(
+        spark, uri, ["lake"], "homeless", "SELECT id FROM numbers"
+    )
+    with pytest.raises(ValueError, match="NoSuchNamespaceException"):
+        _rest_call(
+            f"{uri}/v1/views/rename",
+            "POST",
+            {
+                "source": {"namespace": ["lake"], "name": "homeless"},
+                "destination": {"namespace": ["ghost"], "name": "x"},
+            },
+        )
+    # still loadable at its original identity
+    rest_get(f"{uri}/v1/namespaces/lake/views/homeless")
+
+
+def test_replaced_view_schema_fields_carry_ids(spark, catalog):
+    uri = catalog
+    create_view_via_catalog(
+        spark, uri, ["lake"], "ids",
+        "SELECT g, count(*) AS n FROM numbers GROUP BY g",
+    )
+    res = replace_view_via_catalog(
+        spark, uri, ["lake"], "ids",
+        "SELECT g, sum(id) AS s FROM numbers GROUP BY g",
+    )
+    for schema in res["metadata"]["schemas"]:
+        ids = [f.get("id") for f in schema["fields"]]
+        assert all(ids), schema
+        assert len(set(ids)) == len(ids)
+
+
+def test_read_view_drops_its_temp_views(spark, catalog):
+    uri = catalog
+    create_view_via_catalog(
+        spark, uri, ["lake"], "tidy", "SELECT id FROM numbers"
+    )
+    df = read_iceberg_view(
+        spark, f"{uri}/v1/namespaces/lake/views/tidy"
+    )
+    # the helper's temp view is gone; the DataFrame still executes
+    # (analysis resolved the relation eagerly)
+    assert not any(
+        t.name == "numbers" and t.tableType == "TEMPORARY"
+        for t in spark.catalog.listTables()
+    )
+    assert df.count() == 100

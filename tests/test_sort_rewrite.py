@@ -179,3 +179,60 @@ def test_v1_export_has_no_sort_orders_key(spark, unsorted_table):
     md = _metadata(t.root)
     assert "sort-orders" not in md
     assert "default-sort-order-id" not in md
+
+
+def test_recluster_after_plain_compaction_and_key_change(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        compact_snapshot,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(5000).selectExpr(
+        "id AS k", "pmod(cast(id * 2654435761 as bigint), 5000) AS v"
+    )
+    t.write(df.repartition(8), committed_at_ms=1)
+    assert compact_snapshot(t, committed_at_ms=2) is not None
+    # a sorted rewrite after a PLAIN compaction must still run
+    assert (
+        rewrite_data_files_sorted(
+            t, ["k"], target_files=8, committed_at_ms=3
+        )
+        is not None
+    )
+    # same keys again -> no-op; different keys -> runs
+    assert rewrite_data_files_sorted(t, ["k"]) is None
+    assert (
+        rewrite_data_files_sorted(
+            t, ["v"], target_files=8, committed_at_ms=4
+        )
+        is not None
+    )
+    # strategy change over the same columns also runs
+    assert (
+        rewrite_data_files_sorted(
+            t, ["v"], strategy="zorder", target_files=8, committed_at_ms=5
+        )
+        is not None
+    )
+
+
+def test_zorder_all_null_and_constant_bounds(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(100).selectExpr(
+            "id", "CAST(NULL AS BIGINT) AS dead", "7 AS const"
+        ),
+        committed_at_ms=1,
+    )
+    with pytest.raises(ValueError, match="entirely NULL"):
+        rewrite_data_files_sorted(
+            t, ["id", "dead"], strategy="zorder", target_files=4
+        )
+    # constant column: widened bounds, rewrite succeeds
+    assert (
+        rewrite_data_files_sorted(
+            t, ["id", "const"], strategy="zorder", target_files=4,
+            committed_at_ms=2,
+        )
+        is not None
+    )
