@@ -93,14 +93,23 @@ def _field_type_of(metadata: dict, pf: dict) -> str:
 
 
 def write_partition_stats(
-    spark: SparkSession, root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    catalog_url: str | None = None,
 ) -> dict:
     """Compute and persist the partition-statistics file for
     `snapshot_id` (default: current snapshot) of the Iceberg tree at
     `root`, and register it in a NEW metadata version (atomic hint
     swap — same pointer discipline as every other metadata commit).
     Re-running replaces the snapshot's entry idempotently. Returns the
-    registered entry dict."""
+    registered entry dict.
+
+    With `catalog_url` (the table's load endpoint), registration goes
+    through the catalog's COMMIT endpoint instead — the stats file is
+    staged first, then one `set-partition-statistics` pointer commit
+    lands it (the spec's update action; how an external stats writer
+    registers against a catalog-owned table)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -197,6 +206,20 @@ def write_partition_stats(
         "statistics-path": path,
         "file-size-in-bytes": os.path.getsize(path),
     }
+
+    if catalog_url is not None:
+        from .rest_catalog import rest_commit_table
+
+        rest_commit_table(
+            catalog_url,
+            updates=[
+                {
+                    "action": "set-partition-statistics",
+                    "partition-statistics": entry,
+                }
+            ],
+        )
+        return entry
 
     # register in a NEW metadata version (replace any prior entry for
     # this snapshot — idempotent re-runs)

@@ -393,6 +393,68 @@ class IcebergRestCatalog:
                         f"set-default-spec to unknown spec {pid}",
                     )
                 md["default-spec-id"] = pid
+            elif a == "set-statistics":
+                # spec: register a Puffin statistics file for ONE
+                # snapshot (replaces that snapshot's prior entry)
+                st = u.get("statistics") or {}
+                sid3 = st.get("snapshot-id")
+                if sid3 is None or not st.get("statistics-path"):
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        "set-statistics needs statistics with "
+                        "snapshot-id + statistics-path",
+                    )
+                if sid3 not in snap_ids:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"set-statistics for unknown snapshot {sid3}",
+                    )
+                md["statistics"] = [
+                    e
+                    for e in md.get("statistics") or []
+                    if e.get("snapshot-id") != sid3
+                ] + [st]
+            elif a == "remove-statistics":
+                md["statistics"] = [
+                    e
+                    for e in md.get("statistics") or []
+                    if e.get("snapshot-id") != u.get("snapshot-id")
+                ]
+            elif a == "set-partition-statistics":
+                ps = u.get("partition-statistics") or {}
+                sid3 = ps.get("snapshot-id")
+                if sid3 is None or not ps.get("statistics-path"):
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        "set-partition-statistics needs "
+                        "partition-statistics with snapshot-id + "
+                        "statistics-path",
+                    )
+                if sid3 not in snap_ids:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"set-partition-statistics for unknown "
+                        f"snapshot {sid3}",
+                    )
+                md["partition-statistics"] = sorted(
+                    [
+                        e
+                        for e in md.get("partition-statistics") or []
+                        if e.get("snapshot-id") != sid3
+                    ]
+                    + [ps],
+                    key=lambda e: e["snapshot-id"],
+                )
+            elif a == "remove-partition-statistics":
+                md["partition-statistics"] = [
+                    e
+                    for e in md.get("partition-statistics") or []
+                    if e.get("snapshot-id") != u.get("snapshot-id")
+                ]
             elif a == "set-properties":
                 md.setdefault("properties", {}).update(
                     u.get("updates") or {}

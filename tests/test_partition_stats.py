@@ -122,3 +122,90 @@ def test_idempotent_registration_and_missing_error(spark, tmp_path):
         md = json.load(fh)
     assert len(md["partition-statistics"]) == 1
     assert partition_stats_table(spark, t.root).count() == 1
+
+
+def test_stats_registration_through_catalog_commit(spark, tmp_path):
+    """set-partition-statistics / remove-partition-statistics through
+    the protocol: stage the stats file, pointer-commit the entry."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        rest_commit_table,
+        rest_load_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(300).selectExpr(
+        "id", "CAST(pmod(id, 3) AS STRING) AS g"
+    )
+    t.write(df, partition_by=["g"], committed_at_ms=1)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        entry = write_partition_stats(spark, t.root, catalog_url=url)
+        md = rest_load_table(url)["metadata"]
+        assert md["partition-statistics"] == [entry]
+        # re-run replaces, not duplicates
+        write_partition_stats(spark, t.root, catalog_url=url)
+        md = rest_load_table(url)["metadata"]
+        assert len(md["partition-statistics"]) == 1
+        # the registered artifact reads back
+        assert partition_stats_table(spark, t.root).count() == 3
+        # unknown snapshot refused
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "set-partition-statistics",
+                        "partition-statistics": {
+                            "snapshot-id": 99,
+                            "statistics-path": entry["statistics-path"],
+                            "file-size-in-bytes": 1,
+                        },
+                    }
+                ],
+            )
+        # remove drops the entry
+        rest_commit_table(
+            url,
+            updates=[
+                {
+                    "action": "remove-partition-statistics",
+                    "snapshot-id": entry["snapshot-id"],
+                }
+            ],
+        )
+        assert (
+            rest_load_table(url)["metadata"].get("partition-statistics")
+            == []
+        )
+
+
+def test_theta_stats_registration_through_catalog_commit(spark, tmp_path):
+    """set-statistics (Puffin table stats) through the protocol."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        rest_commit_table,
+        rest_load_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(100).selectExpr("id"), committed_at_ms=1)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        st = {
+            "snapshot-id": 1,
+            "statistics-path": f"{t.root}/metadata/fake-stats.puffin",
+            "file-size-in-bytes": 10,
+            "blob-metadata": [],
+        }
+        rest_commit_table(
+            url, updates=[{"action": "set-statistics", "statistics": st}]
+        )
+        assert rest_load_table(url)["metadata"]["statistics"] == [st]
+        rest_commit_table(
+            url,
+            updates=[{"action": "remove-statistics", "snapshot-id": 1}],
+        )
+        assert rest_load_table(url)["metadata"]["statistics"] == []
