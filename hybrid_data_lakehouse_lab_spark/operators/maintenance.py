@@ -233,8 +233,9 @@ def _iceberg_reachable(root: str) -> set[str]:
                 reachable.add(
                     os.path.abspath(e["data_file"]["file_path"])
                 )
-    for st in metadata.get("statistics") or []:
-        reachable.add(os.path.abspath(st["statistics-path"]))
+    for key in ("statistics", "partition-statistics"):
+        for st in metadata.get(key) or []:
+            reachable.add(os.path.abspath(st["statistics-path"]))
     return reachable
 
 
@@ -332,18 +333,25 @@ def expire_iceberg_snapshots(
     # the SnapshotTable-side retention action.)
     keep |= _delta_log_reachable(root)
     drop = _reach(expired) - keep
+    # table stats AND partition stats: survivors protected, expired
+    # snapshots' artifacts dropped with their snapshots
+    surviving_by_key: dict[str, list] = {}
+    for key in ("statistics", "partition-statistics"):
+        entries = metadata.get(key) or []
+        surviving_by_key[key] = [
+            st for st in entries if st["snapshot-id"] not in expired_ids
+        ]
+        keep.update(
+            os.path.abspath(st["statistics-path"])
+            for st in surviving_by_key[key]
+        )
+        drop.update(
+            os.path.abspath(st["statistics-path"])
+            for st in entries
+            if st["snapshot-id"] in expired_ids
+        )
     stats_entries = metadata.get("statistics") or []
-    surviving_stats = [
-        st for st in stats_entries if st["snapshot-id"] not in expired_ids
-    ]
-    keep.update(
-        os.path.abspath(st["statistics-path"]) for st in surviving_stats
-    )
-    drop.update(
-        os.path.abspath(st["statistics-path"])
-        for st in stats_entries
-        if st["snapshot-id"] in expired_ids
-    )
+    surviving_stats = surviving_by_key["statistics"]
     drop -= keep
 
     metadata["snapshots"] = survivors
@@ -354,6 +362,10 @@ def expire_iceberg_snapshots(
     ]
     if stats_entries:
         metadata["statistics"] = surviving_stats
+    if metadata.get("partition-statistics"):
+        metadata["partition-statistics"] = surviving_by_key[
+            "partition-statistics"
+        ]
     prev_path = os.path.join(meta_dir, f"v{n}.metadata.json")
     metadata.setdefault("metadata-log", []).append(
         {

@@ -209,3 +209,38 @@ def test_theta_stats_registration_through_catalog_commit(spark, tmp_path):
             updates=[{"action": "remove-statistics", "snapshot-id": 1}],
         )
         assert rest_load_table(url)["metadata"]["statistics"] == []
+
+
+def test_expire_drops_expired_partition_stats_keeps_survivors(
+    spark, tmp_path
+):
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        expire_iceberg_snapshots,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(200).selectExpr(
+        "id", "CAST(pmod(id, 2) AS STRING) AS g"
+    )
+    t.write(df, partition_by=["g"], committed_at_ms=1)
+    t.write(
+        spark.range(50, 300).selectExpr(
+            "id", "CAST(pmod(id, 2) AS STRING) AS g"
+        ),
+        partition_by=["g"],
+        committed_at_ms=2,
+    )
+    export_iceberg_metadata(t, format_version=2)
+    e1 = write_partition_stats(spark, t.root, snapshot_id=1)
+    e2 = write_partition_stats(spark, t.root, snapshot_id=2)
+    assert os.path.exists(e1["statistics-path"])
+    expired = expire_iceberg_snapshots(t.root, keep_last=1)
+    assert expired == [1]
+    # expired snapshot's stats file GC'd, entry gone; survivor intact
+    assert not os.path.exists(e1["statistics-path"])
+    assert os.path.exists(e2["statistics-path"])
+    rows = partition_stats_table(spark, t.root).collect()
+    assert sum(r["data_record_count"] for r in rows) == 250
+    with open(f"{t.root}/metadata/v{_hint(t.root)}.metadata.json") as fh:
+        md = json.load(fh)
+    assert [e["snapshot-id"] for e in md["partition-statistics"]] == [2]
