@@ -197,6 +197,7 @@ def files_table(
             ),
             T.StructField("record_count", T.LongType(), True),
             T.StructField("file_size_in_bytes", T.LongType(), True),
+            T.StructField("sort_order_id", T.IntegerType(), True),
         ]
     )
     rows = [
@@ -213,6 +214,7 @@ def files_table(
             or None,
             rec.get("record_count"),
             rec.get("file_size_in_bytes"),
+            rec.get("sort_order_id"),
         )
         for content, spec_id, rec in _live_entries(root, metadata, s)
     ]

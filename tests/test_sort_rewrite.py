@@ -236,3 +236,17 @@ def test_zorder_all_null_and_constant_bounds(spark, tmp_path):
         )
         is not None
     )
+
+
+def test_files_table_surfaces_sort_order_id(spark, unsorted_table):
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_inspect import (
+        files_table,
+    )
+
+    t = unsorted_table
+    rewrite_data_files_sorted(t, ["k"], target_files=4, committed_at_ms=2)
+    export_iceberg_metadata(t, format_version=2)
+    rows = files_table(spark, t.root).collect()
+    assert {r["sort_order_id"] for r in rows} == {1}
+    rows1 = files_table(spark, t.root, snapshot_id=1).collect()
+    assert {r["sort_order_id"] for r in rows1} == {None}
