@@ -393,6 +393,79 @@ class IcebergRestCatalog:
                         f"set-default-spec to unknown spec {pid}",
                     )
                 md["default-spec-id"] = pid
+            elif a == "add-sort-order":
+                code, body_or_id = self._add_sort_order(
+                    md, u.get("sort-order")
+                )
+                if code != 200:
+                    return code, body_or_id
+                last_added_sort_order = body_or_id
+            elif a == "set-default-sort-order":
+                oid = u.get("sort-order-id")
+                if oid == -1:
+                    if last_added_sort_order is None:
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            "set-default-sort-order -1 without a "
+                            "preceding add-sort-order in this commit",
+                        )
+                    oid = last_added_sort_order
+                known_orders = {
+                    o["order-id"] for o in md.get("sort-orders") or []
+                }
+                if oid not in known_orders:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"set-default-sort-order to unknown order {oid}",
+                    )
+                md["default-sort-order-id"] = oid
+            elif a == "remove-snapshots":
+                ids = set(u.get("snapshot-ids") or [])
+                if not ids:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        "remove-snapshots needs snapshot-ids",
+                    )
+                missing = ids - snap_ids
+                if missing:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"remove-snapshots: unknown {sorted(missing)}",
+                    )
+                pinned = {
+                    r2["snapshot-id"] for r2 in refs.values()
+                } | {md.get("current-snapshot-id")}
+                held = ids & pinned
+                if held:
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"remove-snapshots: {sorted(held)} still "
+                        "referenced by a ref or the current snapshot",
+                    )
+                md["snapshots"] = [
+                    s2
+                    for s2 in md.get("snapshots") or []
+                    if s2["snapshot-id"] not in ids
+                ]
+                md["snapshot-log"] = [
+                    e
+                    for e in md.get("snapshot-log") or []
+                    if e["snapshot-id"] not in ids
+                ]
+                snap_ids -= ids
+                # stats entries for removed snapshots go with them
+                for key in ("statistics", "partition-statistics"):
+                    if md.get(key):
+                        md[key] = [
+                            e2
+                            for e2 in md[key]
+                            if e2.get("snapshot-id") not in ids
+                        ]
             elif a == "set-statistics":
                 # spec: register a Puffin statistics file for ONE
                 # snapshot (replaces that snapshot's prior entry)
@@ -638,6 +711,57 @@ class IcebergRestCatalog:
                 m["names"].append(f["name"])
         props["schema.name-mapping.default"] = json.dumps(mapping)
         return 200, new_id
+
+    @staticmethod
+    def _add_sort_order(md: dict, order: dict | None):
+        """Validate + append an add-sort-order update (ALTER TABLE ...
+        WRITE ORDERED BY over the protocol). Fields must reference live
+        schema field ids with identity transforms (the transforms this
+        engine writes), direction asc|desc, null-order
+        nulls-first|nulls-last. Identical field lists reuse the
+        existing order id (the exporter's dedupe rule). Returns
+        (200, order id) or (400, error body)."""
+        fields = (order or {}).get("fields")
+        if fields is None:
+            return 400, _err(
+                400, "BadRequestException", "add-sort-order needs fields"
+            )
+        live_ids = {
+            f["id"]
+            for sch in md.get("schemas") or [md.get("schema")]
+            for f in (sch or {}).get("fields") or []
+        }
+        for f in fields:
+            if f.get("source-id") not in live_ids:
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"sort field references unknown source-id "
+                    f"{f.get('source-id')}",
+                )
+            if f.get("direction") not in ("asc", "desc"):
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"sort direction {f.get('direction')!r} (asc|desc)",
+                )
+            if f.get("null-order") not in ("nulls-first", "nulls-last"):
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"null-order {f.get('null-order')!r} "
+                    "(nulls-first|nulls-last)",
+                )
+        orders = md.setdefault(
+            "sort-orders", [{"order-id": 0, "fields": []}]
+        )
+        key = json.dumps(fields, sort_keys=True)
+        for o in orders:
+            if json.dumps(o["fields"], sort_keys=True) == key:
+                return 200, o["order-id"]
+        oid = max(o["order-id"] for o in orders) + 1
+        orders.append({"order-id": oid, "fields": list(fields)})
+        return 200, oid
 
     @staticmethod
     def _add_spec(md: dict, spec: dict | None):

@@ -268,3 +268,85 @@ def test_txn_same_table_chain_logs_one_metadata_version(spark, pair):
         if e["metadata-file"].endswith("v1.metadata.json")
     ]
     assert len(logged) == 1
+
+
+def test_sort_order_and_remove_snapshots_actions(spark, pair):
+    """add-sort-order / set-default-sort-order (ALTER TABLE WRITE
+    ORDERED BY over the protocol) and remove-snapshots."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+    )
+
+    a, _ = pair
+    with IcebergRestCatalog({("lake", "a"): a.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/a"
+        fields = [
+            {
+                "source-id": 1,
+                "transform": "identity",
+                "direction": "desc",
+                "null-order": "nulls-last",
+            }
+        ]
+        res = rest_commit_table(
+            url,
+            updates=[
+                {"action": "add-sort-order", "sort-order": {"fields": fields}},
+                {"action": "set-default-sort-order", "sort-order-id": -1},
+            ],
+        )
+        md = res["metadata"]
+        assert md["default-sort-order-id"] == 1
+        assert md["sort-orders"][1]["fields"] == fields
+        # identical order re-added -> same id, no duplicate
+        res = rest_commit_table(
+            url,
+            updates=[
+                {"action": "add-sort-order", "sort-order": {"fields": fields}}
+            ],
+        )
+        assert len(res["metadata"]["sort-orders"]) == 2
+        # validation: unknown source-id, bad direction
+        with pytest.raises(ValueError, match="unknown source-id"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "add-sort-order",
+                        "sort-order": {
+                            "fields": [
+                                {
+                                    "source-id": 99,
+                                    "transform": "identity",
+                                    "direction": "asc",
+                                    "null-order": "nulls-first",
+                                }
+                            ]
+                        },
+                    }
+                ],
+            )
+        # remove-snapshots: current snapshot is protected
+        with pytest.raises(ValueError, match="still referenced"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {"action": "remove-snapshots", "snapshot-ids": [1]}
+                ],
+            )
+        # append a second snapshot, then snapshot 1 is removable
+        append_table_via_catalog(
+            spark, spark.range(10, 12).selectExpr("id"), url
+        )
+        res = rest_commit_table(
+            url,
+            updates=[{"action": "remove-snapshots", "snapshot-ids": [1]}],
+        )
+        md = res["metadata"]
+        assert [s["snapshot-id"] for s in md["snapshots"]] == [2]
+        assert all(
+            e["snapshot-id"] != 1 for e in md.get("snapshot-log") or []
+        )
+        # the head still reads (15 rows: 10 base + 5... base a had 10,
+        # txn fixture appends nothing here; head = 10 + 2)
+        assert read_iceberg_table(spark, url).count() == 12
