@@ -300,11 +300,16 @@ def read_iceberg_view(spark, url: str, version: int | None = None):
 
 def _spark_schema_fields(spark, sql: str, resolve) -> list[dict]:
     """Derive the view's Iceberg schema fields by ANALYZING the SQL
-    (no execution): `resolve` registers the referenced temp views."""
+    (no execution): `resolve` registers the referenced temp views,
+    which are dropped again once the schema is read."""
     from .iceberg_meta import _iceberg_type
 
-    resolve()
-    schema = spark.sql(sql).schema
+    registered = resolve() or []
+    try:
+        schema = spark.sql(sql).schema
+    finally:
+        for name in registered:
+            spark.catalog.dropTempView(name)
     return [
         {
             "name": f.name,
@@ -335,7 +340,7 @@ def create_view_via_catalog(
     dns = list(default_namespace if default_namespace is not None else ns)
 
     def resolve():
-        _register_referenced(spark, base_url, dns, sql)
+        return _register_referenced(spark, base_url, dns, sql)
 
     fields = _spark_schema_fields(spark, sql, resolve)
     seg = _up.quote(UNIT_SEP.join(ns))
@@ -370,7 +375,7 @@ def replace_view_via_catalog(
     dns = _pick_version(md, None).get("default-namespace") or list(ns)
 
     def resolve():
-        _register_referenced(spark, base_url, dns, sql)
+        return _register_referenced(spark, base_url, dns, sql)
 
     fields = _spark_schema_fields(spark, sql, resolve)
     return _rest_call(

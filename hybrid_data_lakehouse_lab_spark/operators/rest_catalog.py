@@ -1824,7 +1824,12 @@ def append_tables_via_catalog_txn(
     commitTransaction carries every table's add-snapshot +
     set-snapshot-ref guarded by assert-ref-snapshot-id at its loaded
     head. A lost race on any table (409) re-stages all of them against
-    fresh heads and retries. Returns {"ns.table": snapshot}."""
+    fresh heads and retries. Returns {"ns.table": snapshot}.
+
+    Each table may appear ONCE per call (two appends to one table
+    would stage colliding snapshot ids against the same head — the
+    server rejects the duplicate add-snapshot; union the DataFrames
+    instead)."""
     from .iceberg_meta import stage_iceberg_append
 
     last: Exception | None = None

@@ -35,7 +35,7 @@ def test_bench_names_are_registered():
     ]
     assert not missing, missing
     assert len(bench.MULTIMODAL_10X) == 7
-    assert len(bench.LAKEHOUSE_10X) == 7  # round 9: + schema evolution
+    assert len(bench.LAKEHOUSE_10X) == 8  # round 10: + sorted rewrite
 
 
 @pytest.fixture(scope="module")
