@@ -1970,10 +1970,15 @@ def export_iceberg_metadata(
                 and f.split("-")[1].isdigit()
                 and int(f.split("-")[1]) > len(events))
             # foreign (catalog-committed) staged manifests + manifest
-            # lists: only reachable from the foreign snapshots this
-            # regeneration just dropped (the drop_foreign_commits gate
-            # above made that explicit) — GC them with the snapshots
-            or f.startswith(("m-staged-", "snap-staged-"))
+            # lists: GC'd ONLY under the drop_foreign_commits opt-in —
+            # a staged-but-not-yet-committed external append must
+            # survive a routine re-export (the docstring's contract);
+            # with the opt-in, the foreign snapshots were just dropped
+            # and their staging goes with them
+            or (
+                drop_foreign_commits
+                and f.startswith(("m-staged-", "snap-staged-"))
+            )
             or (f.startswith("v") and f.endswith(".metadata.json")
                 and f[1:-14].isdigit() and int(f[1:-14]) > n)
             # statistics puffins: regeneration drops the `statistics`
@@ -1984,7 +1989,7 @@ def export_iceberg_metadata(
         if stale:
             os.remove(os.path.join(meta_dir, f))
     staged_root = os.path.join(table.root, "staged")
-    if os.path.isdir(staged_root):
+    if drop_foreign_commits and os.path.isdir(staged_root):
         import shutil
 
         shutil.rmtree(staged_root, ignore_errors=True)
@@ -3713,6 +3718,16 @@ def create_iceberg_table(
             raise ValueError(
                 f"partition field needs source-id or a schema column "
                 f"name: {pf!r}"
+            )
+        if src not in ids:
+            # the client's source-id may live in ITS original id space
+            # when the catalog stripped/reassigned incomplete field
+            # ids; a dangling id would mint a spec that silently never
+            # partitions anything
+            raise ValueError(
+                f"partition field source-id {src} matches no schema "
+                f"column (schema ids: {sorted(ids)}); name the column "
+                "instead when the catalog assigns fresh ids"
             )
         spec_fields.append(
             {

@@ -191,6 +191,12 @@ class IcebergRestCatalog:
 
     def _commit(self, ident: tuple[str, ...], req: dict) -> tuple[int, bytes]:
         with self._commit_lock:
+            if ident not in self._tables:  # raced with a DELETE
+                return 404, _err(
+                    404,
+                    "NoSuchTableException",
+                    f"Table does not exist: {'.'.join(ident)}",
+                )
             loc, md, n = self._load_versioned(ident)
             err = self._check_and_apply(ident, md, loc, req)
             if err is not None:
@@ -677,6 +683,17 @@ class IcebergRestCatalog:
                     f"{old['type']} -> {f['type']} is not a legal "
                     "promotion",
                 )
+            elif not old.get("required", False) and f.get(
+                "required", False
+            ):
+                # spec: an optional column can never become required —
+                # existing files may hold nulls the new schema forbids
+                return 400, _err(
+                    400,
+                    "BadRequestException",
+                    f"field {f['id']} ({f.get('name')!r}) cannot go "
+                    "optional -> required; existing data may be null",
+                )
         new_id = (
             max(s["schema-id"] for s in md.get("schemas") or [{"schema-id": -1}])
             + 1
@@ -850,6 +867,14 @@ class IcebergRestCatalog:
                 400,
                 "BadRequestException",
                 f"invalid pageToken/pageSize: {token!r}/{size!r}",
+            )
+        if start < 0:
+            # tokens are server-issued offsets; a negative one is
+            # corrupt/stale, not a Python negative slice
+            return 400, _err(
+                400,
+                "BadRequestException",
+                f"invalid pageToken: {token!r}",
             )
         if n is not None and n < 1:
             return 400, _err(
@@ -1191,7 +1216,13 @@ class IcebergRestCatalog:
         import shutil
 
         with self._commit_lock:
-            root = self._tables.pop(ident)
+            root = self._tables.pop(ident, None)
+            if root is None:  # raced with another DELETE
+                return 404, _err(
+                    404,
+                    "NoSuchTableException",
+                    f"Table does not exist: {'.'.join(ident)}",
+                )
             if purge:
                 shutil.rmtree(root, ignore_errors=True)
             return 204, b""
@@ -1410,7 +1441,19 @@ class IcebergRestCatalog:
                         for r in req2.get("requirements") or []
                         if r.get("type") != "assert-create"
                     ]
-                    return self._commit(ident, req2)
+                    code, resp = self._commit(ident, req2)
+                    if code != 200:
+                        # fail WHOLE: un-materialize and re-stage so a
+                        # corrected finalize (or another writer) can
+                        # still land; without this a bad update leaves
+                        # an empty table registered forever
+                        with self._commit_lock:
+                            staged_root = self._tables.pop(ident, None)
+                            if staged_root is not None:
+                                self._staged.setdefault(ident, {})[
+                                    uuid_key
+                                ] = staged_root
+                    return code, resp
                 return 404, _err(
                     404,
                     "NoSuchTableException",
@@ -1429,7 +1472,14 @@ class IcebergRestCatalog:
                 return 405, _err(
                     405, "MethodNotAllowed", f"{method} {path}"
                 )
-            loc, metadata = self._load(ident)
+            try:
+                loc, metadata = self._load(ident)
+            except KeyError:  # raced with a DELETE after the route check
+                return 404, _err(
+                    404,
+                    "NoSuchTableException",
+                    f"Table does not exist: {'.'.join(ident)}",
+                )
             # spec `snapshots` param: "all" (default) or "refs" — the
             # lazy-loading mode where only ref-reachable snapshots ship
             mode = (query.get("snapshots") or ["all"])[0]
@@ -1525,21 +1575,8 @@ class IcebergRestCatalog:
 
 
 def rest_get(url: str) -> dict:
-    """GET one catalog endpoint, raising ValueError with the spec's
-    error envelope on non-2xx."""
-    try:
-        with urllib.request.urlopen(url) as resp:
-            return json.loads(resp.read().decode())
-    except urllib.error.HTTPError as e:
-        body = e.read().decode(errors="replace")
-        try:
-            msg = json.loads(body)["error"]
-            raise ValueError(
-                f"REST catalog {msg.get('type')}: {msg.get('message')} "
-                f"(HTTP {e.code})"
-            ) from None
-        except (KeyError, json.JSONDecodeError):
-            raise ValueError(f"REST catalog HTTP {e.code}: {body}") from None
+    """GET one catalog endpoint; spec error envelope -> ValueError."""
+    return _rest_call(url, "GET")
 
 
 def rest_commit_table(
@@ -1551,28 +1588,11 @@ def rest_commit_table(
     CommitTableResponse (metadata-location + metadata). Raises
     ValueError with the error envelope on 4xx/5xx — a 409
     CommitFailedException is the optimistic-concurrency retry signal."""
-    body = json.dumps(
-        {"requirements": requirements or [], "updates": updates}
-    ).encode()
-    req = urllib.request.Request(
+    return _rest_call(
         url,
-        data=body,
-        method="POST",
-        headers={"Content-Type": "application/json"},
+        "POST",
+        {"requirements": requirements or [], "updates": updates},
     )
-    try:
-        with urllib.request.urlopen(req) as resp:
-            return json.loads(resp.read().decode())
-    except urllib.error.HTTPError as e:
-        raw = e.read().decode(errors="replace")
-        try:
-            msg = json.loads(raw)["error"]
-            raise ValueError(
-                f"REST catalog {msg.get('type')}: {msg.get('message')} "
-                f"(HTTP {e.code})"
-            ) from None
-        except (KeyError, json.JSONDecodeError):
-            raise ValueError(f"REST catalog HTTP {e.code}: {raw}") from None
 
 
 def committed_batch_id(metadata: dict) -> int | None:

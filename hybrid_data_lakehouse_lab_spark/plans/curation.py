@@ -544,19 +544,30 @@ N_SHARDS = 8
 SHUFFLE_SEED = "r10"  # part of the sort key: new seed = new epoch order
 
 
+# hex-digit VALUE of char `pos` of the sort key (0-15): ascii('0'-'9')
+# minus 48, ascii('a'-'f') minus 87. (ascii(c) % N is NOT uniform over
+# the 16 hex chars; the parsed 8-bit value of two hex digits is exactly
+# uniform mod any power of two.)
+_SQL_KEY = f"md5('{SHUFFLE_SEED}' || ':' || CAST(doc_id AS VARCHAR))"
+
+
+def _sql_hexval(pos: int) -> str:
+    a = f"ascii(substr({_SQL_KEY}, {pos}, 1))"
+    return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+
+_SQL_SHARD = (
+    f"CAST(({_sql_hexval(1)} * 16 + {_sql_hexval(2)}) "
+    f"% {N_SHARDS} AS INT)"
+)
+
+
 @register(
     "corpus_shuffle_shards",
     oracle=f"""
     SELECT doc_id,
-           md5('{SHUFFLE_SEED}' || ':' || CAST(doc_id AS VARCHAR))
-             AS sort_key,
-           CAST(
-             (ascii(substr(md5('{SHUFFLE_SEED}' || ':'
-                || CAST(doc_id AS VARCHAR)), 1, 1))
-              * 256
-              + ascii(substr(md5('{SHUFFLE_SEED}' || ':'
-                || CAST(doc_id AS VARCHAR)), 2, 1)))
-             % {N_SHARDS} AS INT) AS shard
+           {_SQL_KEY} AS sort_key,
+           {_SQL_SHARD} AS shard
     FROM documents
     """,
 )
@@ -575,19 +586,29 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one real exchange is the writer's repartition-by-shard, which
     is the intended data movement. No global sort, no global window —
     in-shard order needs only sortWithinPartitions (map-side sort).
-    Shard-cut hygiene is ascii-of-hex (not a parse of the whole hash)
-    so both engines compute the identical integer."""
+    The shard id is the PARSED 8-bit value of the key's first two hex
+    digits mod N — exactly uniform for power-of-two N (ascii-of-hex
+    mod N is not: the 16 hex codepoints are not equidistributed mod 8,
+    which skewed shards 3x before this fix), computed with the same
+    integer arithmetic in both engines."""
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat_ws(":", F.lit(SHUFFLE_SEED), F.col("doc_id")))
-    shard = (
-        (
-            F.ascii(F.substring(key, 1, 1)) * 256
-            + F.ascii(F.substring(key, 2, 1))
-        )
-        % N_SHARDS
-    ).cast("int")
+    shard = (_shard_of(key) % N_SHARDS).cast("int")
     return d.select(
         "doc_id", key.alias("sort_key"), shard.alias("shard")
+    )
+
+
+def _hexval(c):
+    """Value of one hex-digit column (0-15)."""
+    a = F.ascii(c)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def _shard_of(key):
+    """Parsed 8-bit value of the key's first two hex digits."""
+    return _hexval(F.substring(key, 1, 1)) * 16 + _hexval(
+        F.substring(key, 2, 1)
     )
 
 
@@ -596,13 +617,7 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH assigned AS (
       SELECT doc_id,
-             CAST(
-               (ascii(substr(md5('{SHUFFLE_SEED}' || ':'
-                  || CAST(doc_id AS VARCHAR)), 1, 1))
-                * 256
-                + ascii(substr(md5('{SHUFFLE_SEED}' || ':'
-                  || CAST(doc_id AS VARCHAR)), 2, 1)))
-               % {N_SHARDS} AS INT) AS shard,
+             {_SQL_SHARD} AS shard,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents
     ),
@@ -628,13 +643,7 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups); the totals side is a 1-row broadcast."""
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat_ws(":", F.lit(SHUFFLE_SEED), F.col("doc_id")))
-    shard = (
-        (
-            F.ascii(F.substring(key, 1, 1)) * 256
-            + F.ascii(F.substring(key, 2, 1))
-        )
-        % N_SHARDS
-    ).cast("int")
+    shard = (_shard_of(key) % N_SHARDS).cast("int")
     per_shard = (
         d.select(
             shard.alias("shard"),

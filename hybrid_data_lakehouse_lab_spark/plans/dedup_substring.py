@@ -231,10 +231,11 @@ def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_tokens", F.lit(0))
             .cast("long")
             .alias("dup_tokens"),
-            (
-                F.coalesce("dup_tokens", F.lit(0))
-                * F.lit(1_000_000)
-                / F.col("n_tokens")
+            # integer floor division (`div`), matching the oracle's
+            # `//` bit-for-bit — double `/` + cast can round up across
+            # an integer boundary within one ulp of it
+            F.expr(
+                "coalesce(dup_tokens, 0L) * 1000000L div n_tokens"
             )
             .cast("long")
             .alias("dup_frac_ppm"),

@@ -723,3 +723,129 @@ def test_lost_race_staging_is_orphan_cleanable(spark, tmp_path):
             r["id"] for r in read_iceberg_table(spark, url).collect()
         )
         assert got == list(range(10)) + [100, 101, 102]
+
+
+def test_reexport_preserves_inflight_staging(spark, tmp_path):
+    """A staged-but-not-yet-committed external append survives a
+    routine re-export (no foreign commits in the tree, no opt-in): the
+    staged data, manifest and manifest list stay, and the pointer
+    commit still lands afterwards. (Before this fix the export GC'd
+    staged artifacts unconditionally, stranding in-flight writers.)"""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        stage_iceberg_append,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+        rest_load_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).selectExpr("id"), committed_at_ms=1000)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        metadata = rest_load_table(url)["metadata"]
+        snapshot = stage_iceberg_append(
+            spark, spark.range(10, 13).selectExpr("id"), metadata
+        )
+        # routine re-export between stage and commit
+        export_iceberg_metadata(t, format_version=2)
+        assert os.path.isfile(snapshot["manifest-list"])
+        rest_commit_table(
+            url,
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snapshot["snapshot-id"],
+                },
+            ],
+            requirements=[
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": metadata["current-snapshot-id"],
+                }
+            ],
+        )
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, url).collect()
+        )
+        assert got == list(range(13))
+
+
+def test_ctas_finalize_failure_rolls_back_materialization(spark, tmp_path):
+    """A finalize commit whose updates are invalid must fail WHOLE:
+    the table is un-materialized and the staging restored, so a
+    corrected finalize still lands (no permanently-registered empty
+    table)."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        stage_iceberg_append,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+        rest_get,
+        rest_stage_create_table,
+    )
+
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+            rest_create_namespace,
+        )
+
+        rest_create_namespace(uri, ["lake"])
+        staged = rest_stage_create_table(
+            uri, ["lake"], "ctas",
+            [{"name": "id", "type": "long", "required": False}],
+        )
+        url = f"{uri}/v1/namespaces/lake/tables/ctas"
+        # finalize with a BAD update: add-snapshot pointing nowhere
+        with pytest.raises(ValueError, match="manifest-list not found"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "add-snapshot",
+                        "snapshot": {
+                            "snapshot-id": 1,
+                            "manifest-list": "/nonexistent.avro",
+                        },
+                    }
+                ],
+                requirements=[
+                    {"type": "assert-create"},
+                    {
+                        "type": "assert-table-uuid",
+                        "uuid": staged["metadata"]["table-uuid"],
+                    },
+                ],
+            )
+        # NOT materialized: load 404s, listing empty
+        with pytest.raises(ValueError, match="NoSuchTableException"):
+            rest_get(url)
+        # corrected finalize lands
+        snapshot = stage_iceberg_append(
+            spark, spark.range(5).selectExpr("id"), staged["metadata"]
+        )
+        rest_commit_table(
+            url,
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snapshot["snapshot-id"],
+                },
+            ],
+            requirements=[
+                {"type": "assert-create"},
+                {
+                    "type": "assert-table-uuid",
+                    "uuid": staged["metadata"]["table-uuid"],
+                },
+            ],
+        )
+        assert read_iceberg_table(spark, url).count() == 5

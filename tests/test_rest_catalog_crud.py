@@ -650,3 +650,115 @@ def test_ctas_loser_conflicts_whole(spark, tmp_path):
             )
         got = read_iceberg_table(spark, url).collect()
         assert [(r.id, r.name) for r in got] == [(1, "winner")]
+
+
+def test_create_table_rejects_dangling_spec_source_id(tmp_path):
+    """When the catalog reassigns incomplete client field ids, a
+    partition-spec source-id from the client's original id space must
+    be refused, not minted as a spec that silently never partitions."""
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        _rest_call,
+        rest_create_namespace,
+    )
+
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["lake"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="matches no schema column"):
+            _rest_call(
+                f"{uri}/v1/namespaces/lake/tables",
+                "POST",
+                {
+                    "name": "t",
+                    "schema": {
+                        "type": "struct",
+                        # duplicate ids -> catalog strips + reassigns
+                        "fields": [
+                            {"id": 7, "name": "a", "type": "long"},
+                            {"id": 7, "name": "b", "type": "string"},
+                        ],
+                    },
+                    "partition-spec": {
+                        "spec-id": 0,
+                        "fields": [
+                            {
+                                "source-id": 7,
+                                "transform": "identity",
+                                "name": "b",
+                            }
+                        ],
+                    },
+                },
+            )
+        # naming the column instead works
+        res = _rest_call(
+            f"{uri}/v1/namespaces/lake/tables",
+            "POST",
+            {
+                "name": "t",
+                "schema": {
+                    "type": "struct",
+                    "fields": [
+                        {"id": 7, "name": "a", "type": "long"},
+                        {"id": 7, "name": "b", "type": "string"},
+                    ],
+                },
+                "partition-spec": {
+                    "spec-id": 0,
+                    "fields": [{"name": "b", "transform": "identity"}],
+                },
+            },
+        )
+        spec = res["metadata"]["partition-specs"][0]
+        assert spec["fields"][0]["source-id"] == 2  # reassigned id of b
+
+
+def test_add_schema_rejects_optional_to_required_flip(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        export_iceberg_metadata,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        rest_commit_table,
+        rest_load_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.timetravel import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).selectExpr("id"), committed_at_ms=1)
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("lake", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/lake/tables/t"
+        cur = rest_load_table(url)["metadata"]["schema"]["fields"]
+        flipped = [dict(f, required=True) for f in cur]
+        import pytest as _pytest
+
+        with _pytest.raises(
+            ValueError, match="optional -> required"
+        ):
+            rest_commit_table(
+                url,
+                updates=[
+                    {
+                        "action": "add-schema",
+                        "schema": {"type": "struct", "fields": flipped},
+                    },
+                    {"action": "set-current-schema", "schema-id": -1},
+                ],
+            )
+        # required -> optional stays legal
+        relaxed = [dict(f, required=False) for f in cur]
+        rest_commit_table(
+            url,
+            updates=[
+                {
+                    "action": "add-schema",
+                    "schema": {"type": "struct", "fields": relaxed},
+                },
+                {"action": "set-current-schema", "schema-id": -1},
+            ],
+        )
