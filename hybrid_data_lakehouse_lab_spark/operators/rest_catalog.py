@@ -281,6 +281,7 @@ class IcebergRestCatalog:
         # meaning "the schema/spec added earlier in THIS commit"
         last_added_schema: int | None = None
         last_added_spec: int | None = None
+        last_added_sort_order: int | None = None
         for u in req.get("updates") or []:
             a = u.get("action")
             if a == "add-snapshot":
@@ -675,6 +676,20 @@ class IcebergRestCatalog:
                         f"a retired id (last-column-id={last_col}); "
                         "new columns need fresh ids",
                     )
+                if f.get("required", False) and not (
+                    md.get("format-version", 1) >= 3
+                    and f.get("initial-default") is not None
+                ):
+                    # spec: existing files have no value for a brand-new
+                    # column, so it cannot be required — unless v3 with
+                    # an initial-default to materialize for old rows
+                    return 400, _err(
+                        400,
+                        "BadRequestException",
+                        f"new field {f['id']} ({f.get('name')!r}) "
+                        "cannot be required; existing files hold no "
+                        "value (v3 initial-default would be needed)",
+                    )
             elif not _promotion_ok(old["type"], f["type"]):
                 return 400, _err(
                     400,
@@ -1003,7 +1018,15 @@ class IcebergRestCatalog:
         )
 
         with self._commit_lock:
-            root = self._views[ident]
+            # re-check under the lock: the existence probe in _route ran
+            # outside it, so a concurrent DELETE could have won the race
+            root = self._views.get(ident)
+            if root is None:
+                return 404, _err(
+                    404,
+                    "NoSuchViewException",
+                    f"View does not exist: {'.'.join(ident)}",
+                )
             _loc, md = load_view_tree(root)
             err = apply_view_commit(md, req)
             if err is not None:
