@@ -263,9 +263,50 @@ def ingest_rows_per_sec(spark, n_copies: int = 1500) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Host-speed calibration (VERDICT r10 item 3): two consecutive rounds
+# needed detached-worktree A/B runs to separate host throttle from code
+# changes (BENCH_r09 16.2 s vs the same commit re-benched at 29.2 s on
+# the later, throttled host). This fixed Spark-free microbenchmark runs
+# before and after the Spark sweeps; `host_factor` on the headline line
+# is min(before, after) / CALIB_REF_SEC, so a cross-round wall-clock
+# delta divides into (code × host) by construction — no worktree A/B
+# needed. The reference 0.55 s is the quiet-host floor measured when
+# the constant was pinned (round 11); the absolute unit is arbitrary,
+# only cross-round consistency matters.
+CALIB_REF_SEC = 0.55
+
+
+def host_calibration(runs: int = 5) -> float:
+    """Deterministic single-process CPU+memory microbenchmark: numpy
+    row-sorts + elementwise passes over a 2000x2000 float64 array, plus
+    a 2M-step pure-Python integer-hash loop. No Spark, no I/O, no BLAS
+    matmul (BLAS thread counts vary by host). Returns the min wall
+    seconds across `runs` timed passes (one untimed warmup pass absorbs
+    allocator/page-fault noise) — the min is the throttle-free estimate,
+    same philosophy as the warm query sweeps."""
+    import numpy as np
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(0)
+        a = rng.random((2000, 2000))
+        for _ in range(3):
+            a = np.sort(a, axis=1)
+            a = (a * 1.0000001 + 0.1) % 1.0
+        float(a.sum())
+        h = 0
+        for i in range(2_000_000):
+            h = (h * 1103515245 + 12345 + i) & 0xFFFFFFFF
+        return time.perf_counter() - t0
+
+    one()  # untimed warmup
+    return round(min(one() for _ in range(runs)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_before = host_calibration()  # before the JVM exists
     # Progress bars and stage spam eat bytes from the driver's bounded
     # stdout-tail capture; the headline JSON line must survive in it.
     spark = get_spark(
@@ -457,6 +498,8 @@ def main() -> None:
         # a 30%-hot heartbeat entity, plain vs chunked, both timed.
         scd2_skew = scd2_skew_gate(spark, sf_dir)
 
+    calib_after = host_calibration()
+    host_factor = round(min(calib_before, calib_after) / CALIB_REF_SEC, 2)
     headline = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -465,6 +508,7 @@ def main() -> None:
         "warm": f"min-of-{N_SWEEPS}",
         "warm_cv": warm_cv,
         "warm_median_sec": warm_median,
+        "host_factor": host_factor,
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": ingest,
         "ingest": f"best-of-{ingest_runs}",
@@ -496,6 +540,9 @@ def main() -> None:
         json.dump(
             {
                 **headline,
+                "calib_before_sec": calib_before,
+                "calib_after_sec": calib_after,
+                "calib_ref_sec": CALIB_REF_SEC,
                 "queries_cold": cold,
                 "warm_sweep_totals": sweep_totals,
                 "queries_sf1r": sf1r_queries,

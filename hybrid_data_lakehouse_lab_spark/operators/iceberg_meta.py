@@ -456,6 +456,43 @@ def _write_upsert_files(
     return finalize_spark_parts(out_dir, prefix)
 
 
+def _hidden_transform_col(
+    source_col: str, transform: str, param, source_type: str
+):
+    """Spark Column computing the spec-exact HIDDEN partition value of
+    `source_col` for a transformed spec field, used to lay out upsert
+    data files under a days()/month/year/bucket/truncate-partitioned
+    base spec (the reference's SCD2 table is
+    `PARTITIONED BY (days(effective_start_ts))`,
+    libs/scd2_spark_processor.py:151). The dir column inferred from a
+    snapshot's layout can be type-mangled by Spark's partition-column
+    inference (a digit-like truncate prefix '01' reads back as int 1),
+    so the writer always RE-DERIVES the value from the source column —
+    the manifests' typed partition tuples then match the base spec
+    byte-for-byte. Pure built-in expressions: a map-side projection,
+    no shuffle, codegen-friendly at any scale."""
+    from pyspark.sql import functions as F
+
+    from .iceberg_transforms import bucket_col, truncate_col
+
+    src = F.col(source_col)
+    if transform == "day":
+        return F.to_date(src)  # DateType -> ISO dirs, epoch-day values
+    if transform == "month":
+        return (
+            (F.year(src) - F.lit(1970)) * F.lit(12) + F.month(src) - F.lit(1)
+        ).cast("int")
+    if transform == "year":
+        return (F.year(src) - F.lit(1970)).cast("int")
+    if transform == "bucket":
+        return bucket_col(src, int(param), source_type)
+    if transform == "truncate":
+        return truncate_col(src, int(param), source_type)
+    raise NotImplementedError(
+        f"hidden partition transform {transform!r} for upsert export"
+    )
+
+
 def _write_append_files(df, out_dir: str, pcols: list[str]) -> list[dict]:
     """Write an incremental-append delta under `out_dir`, laid out like
     the base snapshot (partitionBy the base spec's directory columns,
@@ -616,7 +653,12 @@ def export_iceberg_metadata(
     layout); manifests reference the deterministic renamed file paths,
     so re-export converges.
 
-    With `upsert_key` (requires format_version=2, unpartitioned), every
+    With `upsert_key` (requires format_version=2; composes with
+    identity AND hidden-transform partitioning — data files lay out
+    under the base spec, with transformed dir values re-derived
+    spec-exactly from the source column, while key-tuple delete files
+    stay global/unpartitioned so cross-partition PK moves mask
+    everywhere), every
     transition exports in the EQUALITY-DELETE dialect — the commit
     shape streaming upsert writers (Flink, the mode the reference's
     merge-on-read config targets) produce: the distributed PK diff
@@ -950,15 +992,6 @@ def export_iceberg_metadata(
         return _entry_schemas[sid]
 
     if upsert_key is not None:
-        hidden_in_dirs = seen_dirs & set(hidden_partitions)
-        if hidden_in_dirs:
-            raise NotImplementedError(
-                "equality-delete upsert export supports identity "
-                "partitioning only (hidden-transform dirs: "
-                f"{sorted(hidden_in_dirs)}); a transformed partition "
-                "column is not a table column, so upsert data files "
-                "cannot carry it"
-            )
         bad = [k for k in upsert_key if k not in col_ids]
         if bad:
             raise ValueError(f"upsert_key columns {bad} not in table schema")
@@ -1187,14 +1220,35 @@ def export_iceberg_metadata(
         if upsert is not None:
             # --- equality-delete upsert commit (Flink dialect). On a
             # partitioned table the appended data files are laid out
-            # under the base identity spec (typed partition structs per
-            # entry); the key-tuple delete files stay UNPARTITIONED and
-            # their manifest uses an unpartitioned spec — the spec's
-            # global-equality-delete scoping, so a primary key that
-            # MOVES partitions is still masked everywhere. ---
+            # under the base spec — identity dir columns ride along
+            # from the snapshot read; HIDDEN-transform dir columns
+            # (days/month/year/bucket/truncate) are re-derived from
+            # their source column with the spec-exact expression, so a
+            # days(effective_start_ts)-partitioned SCD2 table (the
+            # reference's own layout) exports with typed partition
+            # structs per entry. The key-tuple delete files stay
+            # UNPARTITIONED and their manifest uses an unpartitioned
+            # spec — the spec's global-equality-delete scoping, so a
+            # primary key that MOVES partitions (an SCD2 update lands
+            # its current row on a new day) is still masked
+            # everywhere. ---
             changed, del_keys = upsert
             base_spec_fields = specs[base_spec_id]
             base_pcols = [sf["name"] for sf in base_spec_fields]
+            for sf in base_spec_fields:
+                if sf["transform"] == "identity":
+                    continue
+                hp = tuple(hidden_partitions[sf["name"]])
+                src_col = hp[0]
+                changed = changed.withColumn(
+                    sf["name"],
+                    _hidden_transform_col(
+                        src_col,
+                        hp[1],
+                        hp[2] if len(hp) > 2 else None,
+                        type_of[src_col],
+                    ),
+                )
             ups_dir = os.path.join(table.root, "upserts", f"s{snapshot_id:05d}")
             data_files = _write_upsert_files(
                 table.spark,

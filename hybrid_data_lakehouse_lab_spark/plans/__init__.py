@@ -80,7 +80,6 @@ _PRIORITY = [
     # history_audit/retention_window, the TPC-H broadcast joins gated
     # by test_plan_quality, and count_sum_by_group — each with
     # dedicated pytest coverage and sweep verification since round 1).
-    "timetravel_versions_demo",
     "iceberg_v2_metadata_roundtrip",
     "delta_dv_roundtrip",
     "iceberg_equality_delete_roundtrip",
@@ -148,22 +147,46 @@ _PRIORITY = [
     "iceberg_catalog_txn_roundtrip",
     "iceberg_sort_rewrite_prune_roundtrip",
     "iceberg_view_roundtrip",
-    "streaming_bronze_roundtrip",
     "streaming_upsert_roundtrip",
+    # Round-11 rotation (VERDICT r10 items 1-2): pin the six round-10
+    # lanes that have never had a driver CORRECTNESS row —
+    # iceberg_partition_stats_roundtrip (partition-stats files),
+    # iceberg_zorder_rewrite_roundtrip (z-order rewrite + summary),
+    # events_gap_fill_interpolate (gap fill + linear interpolation),
+    # corpus_shuffle_shards (seeded shuffle + uniform sharding),
+    # similarity_hamming_rerank_topk (binary-quantized ANN),
+    # streaming_catalog_sink_roundtrip (exactly-once catalog sink) —
+    # plus iceberg_partitioned_upsert_roundtrip, EXTENDED this round to
+    # the reference's own days()-partitioned merge-on-read layout with
+    # cross-partition PK moves (VERDICT r10 item 1). Displaced to slots
+    # 51-57: streaming_bronze_roundtrip (streaming family keeps
+    # streaming_upsert + streaming_iceberg_sink + the new catalog sink
+    # in-window; stream==batch pytest), timetravel_versions_demo (time
+    # travel covered in-window by iceberg v2/v3/delta/migrate lanes;
+    # test_iceberg_meta), dedup_simhash_near_pairs (dedup keeps
+    # exact/LSH/clusters/substring in-window; test_dedup),
+    # text_tfidf_top_terms (text keeps quality + curation in-window),
+    # corpus_pack_sequences (corpus family represented by the new
+    # shuffle-shards lane; dedicated pytest), multimodal_metadata
+    # (test_multimodal; decode lanes sweep-green), and
+    # q18_large_volume_customers (TPC-H keeps q1/q9/q21;
+    # test_plan_quality gates its plan shape).
+    "iceberg_partitioned_upsert_roundtrip",
+    "iceberg_partition_stats_roundtrip",
+    "iceberg_zorder_rewrite_roundtrip",
+    "events_gap_fill_interpolate",
+    "corpus_shuffle_shards",
+    "similarity_hamming_rerank_topk",
+    "streaming_catalog_sink_roundtrip",
     # --- LLM training-data pipeline flagships ---
     "dedup_exact",
     "dedup_near_pairs_lsh",
-    "dedup_simhash_near_pairs",
     "dedup_cluster_assignments",
     "corpus_curation_pipeline",
     "similarity_cosine_topk",
-    "text_tfidf_top_terms",
     "text_quality_score",
-    "corpus_pack_sequences",
-    "multimodal_metadata",
     # --- hardest TPC-H plan shapes ---
     "q9_product_type_profit",
-    "q18_large_volume_customers",
     "q21_single_return_supplier",
     # =====================================================================
     # Slots 51-100: insurance for a wider driver window. Ordered by how
@@ -188,11 +211,18 @@ _PRIORITY = [
     # --- slots 51-55: displaced by / added in the round-10 final
     # rotation (see the in-window note above) — the displaced trio, then
     # this session's two remaining new lanes ---
+    # --- slots 51-57: displaced by the round-11 rotation (see the
+    # in-window note above) ---
+    "streaming_bronze_roundtrip",
+    "timetravel_versions_demo",
+    "dedup_simhash_near_pairs",
+    "text_tfidf_top_terms",
+    "corpus_pack_sequences",
+    "multimodal_metadata",
+    "q18_large_volume_customers",
     "dedup_embedding_near_pairs",
     "text_pii_scrub",
     "corpus_contamination_check",
-    "iceberg_zorder_rewrite_roundtrip",
-    "events_gap_fill_interpolate",
     # --- displaced by the earlier round-10 rotation; each green since
     # round 1 with dedicated pytest coverage ---
     "op_decode_5arm",

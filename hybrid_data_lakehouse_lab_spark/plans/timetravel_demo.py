@@ -1894,31 +1894,39 @@ def iceberg_rest_catalog_roundtrip(
 @register(
     "iceberg_partitioned_upsert_roundtrip",
     oracle="""
-    SELECT 1 AS snap, event_type, count(*) AS n
-    FROM events GROUP BY 2
+    SELECT 1 AS snap, event_type,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, count(*) AS n
+    FROM events GROUP BY 2, 3
     UNION ALL
-    SELECT 2 AS snap, event_type, count(*) AS n
+    SELECT 2 AS snap, event_type, dt, count(*) AS n
     FROM (
-      SELECT event_id,
-             CASE WHEN event_id % 9 = 0 THEN 'purchase' ELSE event_type END
-               AS event_type
+      SELECT CASE WHEN event_id % 9 = 0 THEN 'purchase' ELSE event_type END
+               AS event_type,
+             CAST(CAST(ts + CASE WHEN event_id % 5 = 0
+                                 THEN INTERVAL 10 DAY
+                                 ELSE INTERVAL 0 DAY END AS DATE)
+                  AS VARCHAR) AS dt
       FROM events WHERE event_id % 7 <> 0
-    ) GROUP BY 2
+    ) GROUP BY 2, 3
     """,
 )
 def iceberg_partitioned_upsert_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Round 10: the equality-delete upsert dialect over an IDENTITY-
-    PARTITIONED table — the production shape of a Flink CDC upsert
-    table partitioned by a dimension column. The update rewrites some
-    keys' event_type, which MOVES those rows across partitions: the
-    appended data files land under the identity spec with typed
-    partition structs, while the key-tuple delete files ride an
-    UNPARTITIONED spec (the Iceberg spec's GLOBAL equality-delete
-    scoping), so the moved keys are masked in their old partitions.
-    In-lane asserts pin both spec assignments; the hash match proves
-    every partition's rows reconstruct exactly at both snapshots.
+    """Round 10 (identity), extended round 11 to the reference's OWN
+    layout: the equality-delete upsert dialect over a table partitioned
+    by identity(event_type) PLUS HIDDEN days(ts) — the reference's SCD2
+    table is `PARTITIONED BY (days(effective_start_ts))` merge-on-read
+    (libs/scd2_spark_processor.py:151,155). The update rewrites some
+    keys' event_type AND shifts some keys' ts by +10 days, MOVING rows
+    across both partition dimensions: the appended data files land
+    under the mixed spec with typed partition structs (the day value
+    re-derived spec-exactly from ts — epoch-day ints in the manifests),
+    while the key-tuple delete files ride an UNPARTITIONED spec (the
+    Iceberg spec's GLOBAL equality-delete scoping), so moved keys are
+    masked in their old partitions. In-lane asserts pin both spec
+    assignments and the epoch-day typing; the hash match proves every
+    (type, day) cell reconstructs exactly at both snapshots.
 
     Scale: one PK diff + one partitionBy write per commit, masked
     reads distributed; the delete-file application is a broadcast
@@ -1931,27 +1939,58 @@ def iceberg_partitioned_upsert_roundtrip(
         read_iceberg_table,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", "ts")
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
     )
-    v2 = ev.filter(F.col("event_id") % 7 != 0).withColumn(
-        "event_type",
-        F.when(F.col("event_id") % 9 == 0, F.lit("purchase")).otherwise(
-            F.col("event_type")
-        ),
+    v2 = (
+        ev.drop("dt")
+        .filter(F.col("event_id") % 7 != 0)
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 9 == 0, F.lit("purchase")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.col("ts") + F.expr("INTERVAL 10 DAYS"),
+            ).otherwise(F.col("ts")),
+        )
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
     )
     tmp = tempfile.mkdtemp(prefix="iceberg_pups_demo_")
     try:
         t = SnapshotTable(spark, os.path.join(tmp, "t"))
-        t.write(ev, partition_by=["event_type"], committed_at_ms=1)
-        t.write(v2, partition_by=["event_type"], committed_at_ms=2)
+        # one file per (type, day) cell — the writer-side small-file
+        # discipline a 100 TB table needs, and it keeps the per-file
+        # footer/stats work linear in cells, not cells x tasks
+        t.write(
+            ev.repartition("event_type", "dt"),
+            partition_by=["event_type", "dt"],
+            committed_at_ms=1,
+        )
+        t.write(
+            v2.repartition("event_type", "dt"),
+            partition_by=["event_type", "dt"],
+            committed_at_ms=2,
+        )
         meta_dir = export_iceberg_metadata(
-            t, format_version=2, upsert_key=["event_id"]
+            t,
+            format_version=2,
+            upsert_key=["event_id"],
+            hidden_partitions={"dt": ("ts", "day")},
         )
         with open(os.path.join(meta_dir, "version-hint.text")) as fh:
             hint = fh.read().strip()
         with open(os.path.join(meta_dir, f"v{hint}.metadata.json")) as fh:
             md = _json.load(fh)
+        assert "dt" not in [
+            f["name"] for f in md["schemas"][-1]["fields"]
+        ], "days() partition column must be HIDDEN (not a table column)"
         specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
         _, rows2 = read_avro(md["snapshots"][1]["manifest-list"])
         del_rows = [r for r in rows2 if r.get("content") == 1]
@@ -1959,25 +1998,40 @@ def iceberg_partitioned_upsert_roundtrip(
         assert all(
             specs[r["partition_spec_id"]] == [] for r in del_rows
         ), "equality deletes must ride an unpartitioned spec (global)"
-        assert all(
-            [f["name"] for f in specs[r["partition_spec_id"]]]
-            == ["event_type"]
+        for r in rows2:
+            if (r.get("content") or 0) != 0:
+                continue
+            sfs = specs[r["partition_spec_id"]]
+            assert [f["name"] for f in sfs] == ["event_type", "dt"] and [
+                f["transform"] for f in sfs
+            ] == ["identity", "day"], "data manifests must ride the mixed spec"
+        # the upsert commit's entries carry typed EPOCH-DAY values
+        ups_row = next(
+            r
             for r in rows2
-            if (r.get("content") or 0) == 0
-        ), "data manifests must ride the identity spec"
+            if (r.get("content") or 0) == 0 and r["sequence_number"] == 2
+        )
+        _, ups_entries = read_avro(ups_row["manifest_path"])
+        assert all(
+            isinstance(e["data_file"]["partition"]["dt"], int)
+            for e in ups_entries
+        ), "day partition values must export as epoch-day ints"
         rows = []
         for sid in (1, 2):
             got = (
                 read_iceberg_table(spark, t.root, snapshot_id=sid)
-                .groupBy("event_type")
+                .groupBy(
+                    "event_type",
+                    F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+                )
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
-            rows.extend((sid, r["event_type"], r["n"]) for r in got)
+            rows.extend((sid, r["event_type"], r["dt"], r["n"]) for r in got)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
-        sorted(rows), "snap INT, event_type STRING, n BIGINT"
+        sorted(rows), "snap INT, event_type STRING, dt STRING, n BIGINT"
     )
 
 

@@ -10,6 +10,7 @@ for the table format the reference actually uses (Iceberg via Nessie).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import struct
@@ -1389,11 +1390,15 @@ def test_upsert_export_insert_only_and_noop(spark, tmp_path):
 
 
 def test_upsert_export_validation(spark, tmp_path):
-    """v1 refuses, hidden-transform partitioning refuses (identity
-    partitioning is supported since round 10), unknown key refuses,
-    duplicate key raises (equality deletes are only sound against a
-    PK)."""
+    """v1 refuses, unknown key refuses, duplicate key raises (equality
+    deletes are only sound against a PK). Hidden-transform partitioning
+    is supported since round 11 (identity since round 10) — a
+    single-snapshot bucket-partitioned export now succeeds under
+    upsert_key."""
     from pyspark.sql import functions as F
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+        bucket_col,
+    )
 
     t = SnapshotTable(spark, str(tmp_path / "bad"))
     t.write(spark.range(5).selectExpr("id", "id AS v"), committed_at_ms=1000)
@@ -1403,15 +1408,19 @@ def test_upsert_export_validation(spark, tmp_path):
         export_iceberg_metadata(t, format_version=2, upsert_key=["nope"])
 
     tp = SnapshotTable(spark, str(tmp_path / "badp"))
-    dfp = spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    dfp = spark.range(6).selectExpr("id", "id AS v").withColumn(
+        "p", bucket_col(F.col("id"), 2, "long")
+    )
     tp.write(dfp, partition_by=["p"], committed_at_ms=1000)
-    with pytest.raises(NotImplementedError, match="identity"):
-        export_iceberg_metadata(
-            tp,
-            format_version=2,
-            upsert_key=["id"],
-            hidden_partitions={"p": ("id", "bucket", 2)},
-        )
+    export_iceberg_metadata(
+        tp,
+        format_version=2,
+        upsert_key=["id"],
+        hidden_partitions={"p": ("id", "bucket", 2)},
+    )
+    md = load_metadata(tp.root)
+    (sf,) = md["partition-specs"][0]["fields"]
+    assert sf["transform"] == "bucket[2]"
 
     td = SnapshotTable(spark, str(tmp_path / "dup"))
     td.write(spark.range(5).selectExpr("id", "id AS v"), committed_at_ms=1000)
@@ -1922,3 +1931,177 @@ def test_upsert_export_partitioned_duckdb_independent_read(spark, tmp_path):
         (r["id"], r["g"], r["v"]) for r in t.read(version=2).collect()
     )
     assert got == [tuple(w) for w in want]
+
+
+def test_upsert_export_partitioned_days_hidden(spark, tmp_path):
+    """Round 11: equality-delete upsert export over a HIDDEN
+    days()-partitioned table — the reference's own SCD2 layout
+    (libs/scd2_spark_processor.py:151, `PARTITIONED BY
+    (days(effective_start_ts))`, merge-on-read). The upsert commit's
+    data files are laid out under the day spec with the transform
+    value RE-DERIVED from the source timestamp (epoch-day ints in the
+    manifests); the key-tuple delete files stay global/unpartitioned,
+    so a PK whose timestamp MOVES to another day is masked in its old
+    day partition too."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "dups"))
+    v1 = spark.sql(
+        "SELECT id, timestamp'2024-03-01 06:00:00'"
+        " + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0) AS ts,"
+        " id * 2 AS v FROM range(12)"
+    ).withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    t.write(v1, partition_by=["dt"], committed_at_ms=1000)
+    # update id=4's value; MOVE id=5 forward 10 days (cross-partition);
+    # insert id=12; delete id=7
+    v2 = spark.sql(
+        """
+        SELECT id,
+               timestamp'2024-03-01 06:00:00'
+                 + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0)
+                 + CASE WHEN id = 5 THEN make_interval(0,0,0,10,0,0,0)
+                        ELSE make_interval(0,0,0,0,0,0,0) END AS ts,
+               CASE WHEN id = 4 THEN 999 ELSE id * 2 END AS v
+        FROM range(13) WHERE id != 7
+        """
+    ).withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    t.write(v2, partition_by=["dt"], committed_at_ms=2000)
+    export_iceberg_metadata(
+        t,
+        format_version=2,
+        upsert_key=["id"],
+        hidden_partitions={"dt": ("ts", "day")},
+    )
+    md = load_metadata(t.root)
+    # dt is HIDDEN: not a table column; spec field transform = day
+    assert [f["name"] for f in md["schema"]["fields"]] == ["id", "ts", "v"]
+    specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    (del_row,) = [r for r in rows2 if r["content"] == 1]
+    assert specs[del_row["partition_spec_id"]] == []  # global deletes
+    data_rows = [r for r in rows2 if r["content"] == 0]
+    for r in data_rows:
+        (sf,) = specs[r["partition_spec_id"]]
+        assert sf["transform"] == "day" and sf["name"] == "dt"
+    # the upsert commit's entries carry typed EPOCH-DAY partition values
+    ups_row = next(r for r in data_rows if r["sequence_number"] == 2)
+    _, ups_entries = read_avro_file(ups_row["manifest_path"])
+    days = {e["data_file"]["partition"]["dt"] for e in ups_entries}
+    epoch = datetime.date(1970, 1, 1)
+    d0 = (datetime.date(2024, 3, 1) - epoch).days
+    assert days and all(isinstance(d, int) for d in days)
+    assert (d0 + 2 + 10) in days  # id=5 moved to 2024-03-13
+    # value-identical reads at both snapshots (on the table columns)
+    for sid, version in ((1, 1), (2, 2)):
+        got = sorted(
+            (r["id"], str(r["ts"]), r["v"])
+            for r in read_iceberg_table(
+                spark, t.root, snapshot_id=sid
+            ).collect()
+        )
+        want = sorted(
+            (r["id"], str(r["ts"]), r["v"])
+            for r in t.read(version=version).select("id", "ts", "v").collect()
+        )
+        assert got == want, sid
+    head = read_iceberg_table(spark, t.root)
+    assert head.filter("id = 7").count() == 0
+    assert [(r["v"],) for r in head.filter("id = 4").collect()] == [(999,)]
+    (moved,) = head.filter("id = 5").collect()
+    assert str(moved["ts"]).startswith("2024-03-13")
+
+
+def test_upsert_export_days_hidden_duckdb_independent_read(
+    spark, tmp_path
+):
+    """Independent consumer proof for the hidden-transform upsert
+    dialect: reconstruct the head in DuckDB straight from the manifest
+    graph — data files + EPOCH-DAY partition values + global equality
+    deletes applied by the strictly-older seq rule — no repo read code.
+    Also re-derives each entry's day value in DuckDB from the file's
+    own timestamps and asserts it matches the manifest tuple."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "dups2"))
+    v1 = spark.sql(
+        "SELECT id, timestamp'2024-05-01 12:00:00'"
+        " + make_interval(0,0,0,CAST(id % 2 AS INT),0,0,0) AS ts,"
+        " id * 10 AS v FROM range(8)"
+    ).withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    t.write(v1, partition_by=["dt"], committed_at_ms=1000)
+    v2 = spark.sql(
+        """
+        SELECT id,
+               timestamp'2024-05-01 12:00:00'
+                 + make_interval(0,0,0,CAST(id % 2 AS INT),0,0,0)
+                 + CASE WHEN id = 2 THEN make_interval(0,0,0,30,0,0,0)
+                        ELSE make_interval(0,0,0,0,0,0,0) END AS ts,
+               CASE WHEN id = 2 THEN 777 ELSE id * 10 END AS v
+        FROM range(9) WHERE id != 3
+        """
+    ).withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    t.write(v2, partition_by=["dt"], committed_at_ms=2000)
+    export_iceberg_metadata(
+        t,
+        format_version=2,
+        upsert_key=["id"],
+        hidden_partitions={"dt": ("ts", "day")},
+    )
+    md = load_metadata(t.root)
+    _, rows = read_avro_file(md["snapshots"][1]["manifest-list"])
+    data_files = []  # (path, seq, manifest epoch-day)
+    del_files = []  # (path, seq)
+    for r in rows:
+        _, entries = read_avro_file(r["manifest_path"])
+        for e in entries:
+            seq = e.get("data_sequence_number")
+            if seq is None:
+                seq = r["sequence_number"]
+            rec = e["data_file"]
+            if rec.get("content") == 2:
+                del_files.append((rec["file_path"], seq))
+            elif (r.get("content") or 0) == 0:
+                data_files.append(
+                    (rec["file_path"], seq, rec["partition"]["dt"])
+                )
+    con = duckdb.connect()
+    # (a) each manifest day value re-derives from the file's own rows
+    for p, _seq, day in data_files:
+        lo, hi = con.execute(
+            f"SELECT min(datediff('day', DATE '1970-01-01', ts)),"
+            f" max(datediff('day', DATE '1970-01-01', ts)) FROM '{p}'"
+        ).fetchone()
+        assert lo == hi == day, (p, lo, hi, day)
+    # (b) head reconstruction under the strictly-older rule
+    union = " UNION ALL ".join(
+        f"SELECT id, ts, v, {seq} AS _seq FROM '{p}'"
+        for p, seq, _day in data_files
+    )
+    dels = (
+        " UNION ALL ".join(
+            f"SELECT id, {seq} AS _dseq FROM '{p}'" for p, seq in del_files
+        )
+        or "SELECT NULL AS id, NULL AS _dseq WHERE 1=0"
+    )
+    got = con.execute(
+        f"""
+        WITH data AS ({union}), dels AS ({dels})
+        SELECT id, CAST(ts AS VARCHAR), v FROM data d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM dels x WHERE x.id = d.id AND x._dseq > d._seq
+        )
+        ORDER BY id
+        """
+    ).fetchall()
+    want = sorted(
+        (r["id"], str(r["ts"]), r["v"])
+        for r in t.read(version=2).select("id", "ts", "v").collect()
+    )
+    assert [(g[0], g[1][:19], g[2]) for g in got] == [
+        (w[0], w[1][:19], w[2]) for w in want
+    ]
