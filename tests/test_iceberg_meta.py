@@ -2105,3 +2105,100 @@ def test_upsert_export_days_hidden_duckdb_independent_read(
     assert [(g[0], g[1][:19], g[2]) for g in got] == [
         (w[0], w[1][:19], w[2]) for w in want
     ]
+
+
+def test_variant_column_v3_roundtrip(spark, tmp_path):
+    """Iceberg v3 VARIANT type (spec v3 type system): a Spark
+    VariantType column exports as schema type `variant`; the data
+    files carry the Parquet VARIANT logical type (Spark writes the
+    shredded form per the Parquet Variant Shredding spec), and the
+    reader scans them back natively. A pure-delete second snapshot
+    exercises the v3 DV path over variant rows (the full-row compare
+    key casts variant to its canonical JSON string)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    df = spark.range(20).select(
+        "id",
+        F.parse_json(
+            F.format_string('{"k": %d, "s": "x%d"}', "id", (F.col("id") % 3))
+        ).alias("v"),
+    )
+    t = SnapshotTable(spark, str(tmp_path / "var"))
+    t.write(df, committed_at_ms=1000)
+    t.write(df.filter("id % 4 != 0"), committed_at_ms=2000)
+    # v2 refuses: variant is a v3 type
+    with pytest.raises(ValueError, match="format-version 3"):
+        export_iceberg_metadata(t, format_version=2)
+    export_iceberg_metadata(t, format_version=3)
+    md = load_metadata(t.root)
+    fields = {f["name"]: f["type"] for f in md["schema"]["fields"]}
+    assert fields == {"id": "long", "v": "variant"}
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == [
+        "overwrite",
+        "delete",
+    ]
+    for sid, version in ((1, 1), (2, 2)):
+        back = read_iceberg_table(spark, t.root, snapshot_id=sid)
+        assert back.schema["v"].dataType.simpleString() == "variant"
+        got = sorted(
+            (r["id"], r["k"], r["s"])
+            for r in back.select(
+                "id",
+                F.try_variant_get("v", "$.k", "long").alias("k"),
+                F.try_variant_get("v", "$.s", "string").alias("s"),
+            ).collect()
+        )
+        want = sorted(
+            (i, i, f"x{i % 3}")
+            for i in range(20)
+            if version == 1 or i % 4 != 0
+        )
+        assert got == want, sid
+
+
+def test_variant_column_upsert_dialect(spark, tmp_path):
+    """The equality-delete upsert dialect composes with a variant
+    payload column: the PK diff's full-row key casts variant to JSON
+    text, changed rows keep their original binary form, and the masked
+    read returns the updated payloads."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    mk = lambda df: df.select(  # noqa: E731
+        "id", F.parse_json(F.col("payload")).alias("v")
+    )
+    v1 = mk(
+        spark.range(10).selectExpr(
+            "id", "format_string('{\"n\": %d}', id) AS payload"
+        )
+    )
+    v2 = mk(
+        spark.sql(
+            """
+            SELECT id, CASE WHEN id = 3 THEN '{"n": 999}'
+                            ELSE format_string('{"n": %d}', id) END AS payload
+            FROM range(11) WHERE id != 7
+            """
+        )
+    )
+    t = SnapshotTable(spark, str(tmp_path / "varups"))
+    t.write(v1, committed_at_ms=1000)
+    t.write(v2, committed_at_ms=2000)
+    export_iceberg_metadata(t, format_version=3, upsert_key=["id"])
+    md = load_metadata(t.root)
+    assert md["snapshots"][1]["summary"]["operation"] == "overwrite"
+    head = read_iceberg_table(spark, t.root)
+    got = {
+        r["id"]: r["n"]
+        for r in head.select(
+            "id", F.try_variant_get("v", "$.n", "long").alias("n")
+        ).collect()
+    }
+    assert got == {i: (999 if i == 3 else i) for i in range(11) if i != 7}
