@@ -159,3 +159,37 @@ def test_pipeline_checkpoint_replay_is_noop(spark, changes, tmp_path_factory):
     # as-of commit time resolves to snapshot 1
     ok, why = frames_equal(pipe.scd2(as_of_ms=1_500).toPandas(), before)
     assert ok, why
+
+
+def test_scd2_auto_selection_matches_both_paths(spark):
+    """scd2_from_changes_auto picks by measured hot-key multiplicity
+    (SCD2_CHUNK_THRESHOLD) and both selections produce the identical
+    chain. threshold=3 forces the chunked branch on a small frame; the
+    default threshold keeps it plain."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.scd2 import (
+        scd2_from_changes,
+        scd2_from_changes_auto,
+        scd2_from_changes_chunked,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", "c"),
+            (1, "a", "2024-01-01 01:00:00", "u"),  # heartbeat: same hash
+            (1, "b", "2024-01-02 00:00:00", "u"),
+            (1, "b", "2024-01-03 00:00:00", "u"),  # heartbeat next day
+            (2, "x", "2024-01-01 00:00:00", "c"),
+        ],
+        "id INT, payload STRING, ts_s STRING, op STRING",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    args = (changes, ["id"], ["payload"], "ts", "op")
+    plain = sorted(map(tuple, scd2_from_changes(*args).collect()))
+    chunked = sorted(map(tuple, scd2_from_changes_chunked(*args).collect()))
+    auto_lo = sorted(
+        map(tuple, scd2_from_changes_auto(*args, threshold=3).collect())
+    )
+    auto_hi = sorted(map(tuple, scd2_from_changes_auto(*args).collect()))
+    assert plain == chunked == auto_lo == auto_hi
+    assert len(plain) == 3  # (1,a), (1,b), (2,x) — heartbeats collapsed
