@@ -341,7 +341,23 @@ def export_delta_log(
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         files = _snapshot_files(table.root, snap["path"])
-        schema_str = table.spark.read.parquet(snap["path"]).schema.json()
+        snap_schema = table.spark.read.parquet(snap["path"]).schema
+        if any(
+            f.dataType.simpleString() == "variant"
+            for f in snap_schema.fields
+        ):
+            # Delta VARIANT needs the variantType writer feature plus
+            # stats/footer handling this exporter's pyarrow cannot do
+            # (the Parquet VARIANT logical type is rejected by this
+            # container's pyarrow); refuse with the reason instead of
+            # crashing in the per-file stats pass. The Iceberg v3
+            # exporter covers the variant round-trip.
+            raise NotImplementedError(
+                "export_delta_log does not support VARIANT columns "
+                "(Delta variantType writer feature not implemented); "
+                "use export_iceberg_metadata(format_version=3)"
+            )
+        schema_str = snap_schema.json()
         # partition columns in path-segment order (every file of one
         # snapshot shares the same partitioning scheme)
         partition_cols = next(

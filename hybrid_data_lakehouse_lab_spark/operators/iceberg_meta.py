@@ -482,14 +482,29 @@ def _hidden_transform_col(
     from .iceberg_transforms import bucket_col, truncate_col
 
     src = F.col(source_col)
+    # The spec defines the date binners over the UTC instant for
+    # timestamptz sources. to_date/year/month interpret TimestampType
+    # in the SESSION timezone, so a non-UTC session would bin a
+    # 2024-03-01T02:00Z instant into 2024-02-29 — derive the UTC date
+    # from epoch micros instead (date/timestamp_ntz sources carry no
+    # zone and bin directly).
+    if source_type == "timestamptz":
+        utc_date = F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.floor(F.unix_micros(src) / F.lit(86_400_000_000)).cast("int"),
+        )
+    else:
+        utc_date = F.to_date(src)
     if transform == "day":
-        return F.to_date(src)  # DateType -> ISO dirs, epoch-day values
+        return utc_date  # DateType -> ISO dirs, epoch-day values
     if transform == "month":
         return (
-            (F.year(src) - F.lit(1970)) * F.lit(12) + F.month(src) - F.lit(1)
+            (F.year(utc_date) - F.lit(1970)) * F.lit(12)
+            + F.month(utc_date)
+            - F.lit(1)
         ).cast("int")
     if transform == "year":
-        return (F.year(src) - F.lit(1970)).cast("int")
+        return (F.year(utc_date) - F.lit(1970)).cast("int")
     if transform == "bucket":
         return bucket_col(src, int(param), source_type)
     if transform == "truncate":
@@ -3213,6 +3228,20 @@ def migrate_parquet_dir(
             f"expected columns {pcols}"
         )
     df = spark.read.parquet(source_dir)  # schema analysis only, no scan
+    if any(
+        f.dataType.simpleString() == "variant" for f in df.schema.fields
+    ):
+        # migrate emits format-version 2 and reads footers with pyarrow
+        # (which rejects the Parquet VARIANT logical type); variant is a
+        # v3-only schema type, so an in-place migration of variant
+        # parquet cannot produce a spec-valid v2 tree — refuse with the
+        # reason rather than crash mid-job in _footer_stats
+        raise NotImplementedError(
+            "migrate_parquet_dir does not support VARIANT columns: the "
+            "migration emits a format-version 2 tree and variant is a "
+            "v3-only type; rewrite through SnapshotTable + "
+            "export_iceberg_metadata(format_version=3) instead"
+        )
     fields = []
     col_ids: dict[str, int] = {}
     for i, f in enumerate(df.schema.fields, start=1):

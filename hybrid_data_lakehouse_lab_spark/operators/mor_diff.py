@@ -199,8 +199,10 @@ def _parquet_row_count(path: str) -> int:
         # count, no data scan
         import duckdb
 
-        return duckdb.sql(
-            f"SELECT count(*) FROM '{path}'"
+        # parameterized read_parquet: a quote or glob metachar in the
+        # path must not break the query or trigger DuckDB globbing
+        return duckdb.execute(
+            "SELECT count(*) FROM read_parquet(?)", [path]
         ).fetchone()[0]
 
 

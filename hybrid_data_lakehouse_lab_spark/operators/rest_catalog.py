@@ -1311,14 +1311,20 @@ class IcebergRestCatalog:
                 "or urn:ietf:params:oauth:grant-type:token-exchange)",
             )
         token = f"sandbox-{uuid.uuid4().hex}"
-        return 200, json.dumps(
-            {
-                "access_token": token,
-                "token_type": "bearer",
-                "expires_in": 3600,
-                "scope": scope,
-            }
-        ).encode()
+        resp = {
+            "access_token": token,
+            "token_type": "bearer",
+            "expires_in": 3600,
+            "scope": scope,
+        }
+        if grant != "client_credentials":
+            # RFC 8693 §2.2.1: issued_token_type is REQUIRED on a
+            # token-exchange response (and modeled by the spec's
+            # OAuthTokenResponse)
+            resp["issued_token_type"] = (
+                "urn:ietf:params:oauth:token-type:access_token"
+            )
+        return 200, json.dumps(resp).encode()
 
     def _rename_table(self, body: dict) -> tuple[int, bytes]:
         src, dst = body.get("source") or {}, body.get("destination") or {}
@@ -1618,7 +1624,14 @@ class IcebergRestCatalog:
                     if method == "POST":
                         length = int(self.headers.get("Content-Length", 0))
                         raw = self.rfile.read(length) if length else b"{}"
-                        if self.path.split("?")[0] == "/v1/oauth/tokens":
+                        # match the route normalization in _route (which
+                        # splits on '/' and drops empties): a trailing
+                        # slash must not flip the body parser to JSON
+                        if [
+                            p
+                            for p in self.path.split("?")[0].split("/")
+                            if p
+                        ] == ["v1", "oauth", "tokens"]:
                             # the spec's token endpoint takes
                             # application/x-www-form-urlencoded, not JSON
                             payload = {

@@ -190,6 +190,7 @@ def scd2_from_changes_auto(
     op_col: str = "op",
     order_cols: list[str] | None = None,
     threshold: int = SCD2_CHUNK_THRESHOLD,
+    chunk_col: Column | None = None,
 ) -> DataFrame:
     """Measured auto-selection between the single-window and chunked
     SCD2 builds (VERDICT r10 item 8): one map-side-combined groupBy
@@ -200,17 +201,35 @@ def scd2_from_changes_auto(
     scan of the batch — at 100 TB that is noise next to either build's
     window shuffle, and it is the ONLY way to see skew the planner
     can't know statically. Callers that already know their key
-    distribution should call the specific build directly."""
+    distribution should call the specific build directly.
+
+    The chunked branch needs a chunk that is monotone in the event
+    order: the default to_date(ts_col) qualifies only when order_cols
+    leads with ts_col; for any other order pass `chunk_col` (see
+    scd2_from_changes_chunked). Without either, the probe is skipped
+    entirely (chunking is unreachable — no point paying the scan) and
+    the single-window build runs."""
     order_cols = order_cols or [ts_col]
+    can_chunk = chunk_col is not None or order_cols[0] == ts_col
+    if not can_chunk:
+        return scd2_from_changes(
+            changes, key_cols, attr_cols, ts_col, op_col, order_cols
+        )
     hot = (
         changes.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .agg(F.max("_n").alias("_m"))
         .collect()[0][0]
     )
-    if hot is not None and hot >= threshold and order_cols[0] == ts_col:
+    if hot is not None and hot >= threshold:
         return scd2_from_changes_chunked(
-            changes, key_cols, attr_cols, ts_col, op_col, order_cols
+            changes,
+            key_cols,
+            attr_cols,
+            ts_col,
+            op_col,
+            order_cols,
+            chunk_col=chunk_col,
         )
     return scd2_from_changes(
         changes, key_cols, attr_cols, ts_col, op_col, order_cols

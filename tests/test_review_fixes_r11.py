@@ -1,0 +1,173 @@
+"""Regression tests for the round-11 self-review findings (7 findings,
+all fixed): variant refusals on the migrate/Delta paths, UTC-exact
+hidden date binners, quote/glob-safe DuckDB footer fallback, OAuth
+trailing-slash body parsing + RFC 8693 issued_token_type, and the
+scd2 auto-selection probe short-circuit."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+
+def _variant_df(spark, n=4):
+    return spark.range(n).select(
+        "id",
+        F.parse_json(F.format_string('{"k": %d}', "id")).alias("v"),
+    )
+
+
+def test_migrate_refuses_variant_cleanly(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        migrate_parquet_dir,
+    )
+
+    src = str(tmp_path / "src")
+    _variant_df(spark).write.parquet(src)
+    with pytest.raises(NotImplementedError, match="VARIANT"):
+        migrate_parquet_dir(spark, str(tmp_path / "t"), src)
+
+
+def test_delta_export_refuses_variant_cleanly(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(_variant_df(spark), committed_at_ms=1)
+    with pytest.raises(NotImplementedError, match="VARIANT"):
+        export_delta_log(t)
+
+
+def test_hidden_day_transform_is_utc_exact(spark):
+    """The spec's date binners are defined over the UTC instant for
+    timestamptz; a non-UTC session must not shift the bin. 2024-03-01
+    02:00 UTC is 2024-02-29 in America/Los_Angeles — the derived day
+    value must stay the UTC epoch-day."""
+    import datetime
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _hidden_transform_col,
+    )
+
+    df = spark.sql("SELECT timestamp'2024-03-01 02:00:00' AS ts")
+    utc_day = (
+        datetime.date(2024, 3, 1) - datetime.date(1970, 1, 1)
+    ).days
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        for transform, want in (
+            ("day", datetime.date(2024, 3, 1)),
+            ("month", (2024 - 1970) * 12 + 2),
+            ("year", 2024 - 1970),
+        ):
+            (got,) = df.select(
+                _hidden_transform_col("ts", transform, None, "timestamptz")
+                .alias("x")
+            ).collect()[0]
+            assert got == want, (transform, got)
+        # sanity: the naive session-tz binner WOULD have been wrong
+        (naive,) = df.select(F.to_date("ts").alias("d")).collect()[0]
+        assert naive == datetime.date(2024, 2, 29)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert (want := utc_day) is not None  # silence unused warning
+
+
+def test_parquet_row_count_fallback_survives_odd_paths(spark, tmp_path):
+    """The DuckDB footer fallback (triggered by the Parquet VARIANT
+    logical type) must use a parameterized read_parquet — a quote or a
+    glob bracket in the path is a literal, not SQL or a glob."""
+    from hybrid_data_lakehouse_lab_spark.operators.mor_diff import (
+        _parquet_row_count,
+    )
+
+    odd = tmp_path / "o'brien [1]"
+    _variant_df(spark, 7).coalesce(1).write.parquet(str(odd / "t"))
+    parts = [
+        p
+        for p in (odd / "t").iterdir()
+        if p.name.endswith(".parquet") and not p.name.startswith("_")
+    ]
+    assert parts
+    assert _parquet_row_count(str(parts[0])) == 7
+
+
+def test_oauth_trailing_slash_still_form_parsed(tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+    )
+
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        data = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": "a",
+                "client_secret": "b",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{uri}/v1/oauth/tokens/", data=data, method="POST"
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read().decode())
+        assert resp.status == 200 and body["token_type"] == "bearer"
+
+
+def test_oauth_token_exchange_carries_issued_token_type(tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+    )
+
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        data = urllib.parse.urlencode(
+            {
+                "grant_type": (
+                    "urn:ietf:params:oauth:grant-type:token-exchange"
+                ),
+                "subject_token": "tok",
+                "subject_token_type": (
+                    "urn:ietf:params:oauth:token-type:access_token"
+                ),
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{uri}/v1/oauth/tokens", data=data, method="POST"
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read().decode())
+        assert (
+            body["issued_token_type"]
+            == "urn:ietf:params:oauth:token-type:access_token"
+        )
+
+
+def test_scd2_auto_lsn_first_order_skips_probe_and_runs_plain(spark):
+    """With order_cols not led by ts and no chunk_col, chunking is
+    unreachable — auto must not pay the probe scan and must return the
+    plain build's result."""
+    from hybrid_data_lakehouse_lab_spark.operators.scd2 import (
+        scd2_from_changes,
+        scd2_from_changes_auto,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 1, "c"),
+            (1, "b", "2024-01-01 01:00:00", 2, "u"),
+        ],
+        "id INT, payload STRING, ts_s STRING, lsn INT, op STRING",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    args = (changes, ["id"], ["payload"], "ts", "op", ["lsn", "ts"])
+    plain = sorted(map(tuple, scd2_from_changes(*args).collect()))
+    auto = sorted(
+        map(tuple, scd2_from_changes_auto(*args, threshold=1).collect())
+    )
+    assert plain == auto
