@@ -1395,6 +1395,29 @@ class IcebergRestCatalog:
             namespaces = sorted(
                 set(self._namespaces) | {i[:-1] for i in self._tables}
             )
+            # spec `parent` param (unit-separator-joined): list only the
+            # namespaces DIRECTLY under the parent; 404 for an unknown
+            # parent, and no parent = every top-level namespace would be
+            # the hierarchical reading, but the spec's default is the
+            # flat full listing — kept for compatibility with the
+            # pre-existing clients of this server.
+            parent_q = (query.get("parent") or [None])[0]
+            if parent_q is not None:
+                parent = tuple(
+                    urllib.parse.unquote(parent_q).split(UNIT_SEP)
+                )
+                if parent not in namespaces:
+                    return 404, _err(
+                        404,
+                        "NoSuchNamespaceException",
+                        f"Namespace does not exist: {'.'.join(parent)}",
+                    )
+                namespaces = [
+                    ns
+                    for ns in namespaces
+                    if len(ns) == len(parent) + 1
+                    and ns[: len(parent)] == parent
+                ]
             return self._paged(
                 query, "namespaces", [list(ns) for ns in namespaces]
             )

@@ -241,3 +241,21 @@ def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frac_ppm"),
         )
     )
+
+
+@register("dedup_substring_spans_hashed", oracle=_SPANS_SQL)
+def dedup_substring_spans_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shuffle-byte variant of `dedup_substring_spans` as a
+    first-class oracle-paired lane: the gram group/join key is
+    xxhash64(gram) — 8 bytes on the wire instead of a k-token string,
+    which at production k=50 is the difference between shuffling ~8 B
+    and ~300 B per gram occurrence. The oracle is the SAME exact-string
+    spans SQL: a 64-bit collision could only MERGE two gram classes
+    (an extra duplicated position, never a lost one) with probability
+    ~1e-8 at 10^9 distinct grams, so hashed output is value-identical
+    to the exact lane on any non-adversarial corpus — and the driver's
+    hash compare proves it on every run, making the documented scale
+    swap a verified equivalence instead of a docstring claim."""
+    return _dup_spans(spark, sf_dir, hash_grams=True)

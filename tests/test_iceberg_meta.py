@@ -2202,3 +2202,59 @@ def test_variant_column_upsert_dialect(spark, tmp_path):
         ).collect()
     }
     assert got == {i: (999 if i == 3 else i) for i in range(11) if i != 7}
+
+
+def test_upsert_export_partitioned_bucket_hidden(spark, tmp_path):
+    """Hidden bucket[8] partitioning under the upsert dialect: the
+    murmur3 bucket dir value is re-derived on write (spec Appendix B
+    hash), entries carry int bucket values, and updated keys mask
+    correctly — a key's bucket never moves (hash of an unchanged PK),
+    so this pins the stable-bucket case days() cannot cover."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+        bucket_col,
+        bucket_value,
+    )
+
+    def with_bucket(df):
+        return df.withColumn("b", bucket_col(F.col("id"), 8, "long"))
+
+    t = SnapshotTable(spark, str(tmp_path / "bups"))
+    v1 = with_bucket(spark.range(16).selectExpr("id", "id * 3 AS v"))
+    t.write(v1, partition_by=["b"], committed_at_ms=1000)
+    v2 = with_bucket(
+        spark.sql(
+            "SELECT id, CASE WHEN id = 6 THEN -1 ELSE id * 3 END AS v "
+            "FROM range(17) WHERE id != 2"
+        )
+    )
+    t.write(v2, partition_by=["b"], committed_at_ms=2000)
+    export_iceberg_metadata(
+        t,
+        format_version=2,
+        upsert_key=["id"],
+        hidden_partitions={"b": ("id", "bucket", 8)},
+    )
+    md = load_metadata(t.root)
+    (sf,) = md["partition-specs"][0]["fields"]
+    assert sf["transform"] == "bucket[8]"
+    # upsert entries carry the spec-exact murmur3 bucket of their ids
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    ups_row = next(
+        r
+        for r in rows2
+        if (r.get("content") or 0) == 0 and r["sequence_number"] == 2
+    )
+    _, entries = read_avro_file(ups_row["manifest_path"])
+    got_buckets = {e["data_file"]["partition"]["b"] for e in entries}
+    want_buckets = {bucket_value(i, 8, "long") for i in (6, 16)}
+    assert got_buckets == want_buckets
+    head = read_iceberg_table(spark, t.root)
+    got = {r["id"]: r["v"] for r in head.collect()}
+    assert got == {
+        i: (-1 if i == 6 else i * 3) for i in range(17) if i != 2
+    }

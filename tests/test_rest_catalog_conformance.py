@@ -299,3 +299,33 @@ def test_pagination_edges(tmp_path):
         # corrupt token: 400
         code, raw = _raw(f"{uri}/v1/namespaces?pageToken=-3")
         assert code == 400
+
+
+def test_namespace_parent_listing(tmp_path):
+    """GET /v1/namespaces?parent=a lists the namespaces DIRECTLY under
+    `a` (unit-separator-joined multi-part parents); unknown parent is
+    404; the flat full listing stays the no-parent default."""
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        for ns in (["a"], ["a", "b"], ["a", "b", "c"], ["a", "d"], ["z"]):
+            rest_create_namespace(uri, ns)
+        got = rest_get(f"{uri}/v1/namespaces?parent=a")
+        assert got["namespaces"] == [["a", "b"], ["a", "d"]]
+        # grandchildren are not direct children
+        deep = rest_get(f"{uri}/v1/namespaces?parent=a%1Fb")
+        assert deep["namespaces"] == [["a", "b", "c"]]
+        # leaf parent: empty listing, not an error
+        leaf = rest_get(f"{uri}/v1/namespaces?parent=z")
+        assert leaf["namespaces"] == []
+        # unknown parent: 404 NoSuchNamespaceException
+        code, raw = _raw(f"{uri}/v1/namespaces?parent=ghost")
+        assert code == 404
+        assert json.loads(raw)["error"]["type"] == "NoSuchNamespaceException"
+        # no parent: the flat full listing (pre-existing contract)
+        flat = rest_get(f"{uri}/v1/namespaces")
+        assert [tuple(n) for n in flat["namespaces"]] == [
+            ("a",), ("a", "b"), ("a", "b", "c"), ("a", "d"), ("z",),
+        ]
+        # parent composes with pagination
+        page = rest_get(f"{uri}/v1/namespaces?parent=a&pageSize=1")
+        assert page["namespaces"] == [["a", "b"]]
+        assert page["next-page-token"]
