@@ -3631,21 +3631,33 @@ def stage_iceberg_append(spark, df, metadata: dict) -> dict:
     the table is modified — the pointer move IS the commit, so a lost
     race (409) costs only re-staging against the fresh metadata.
 
-    Scope: unpartitioned v1/v2 tables, schema equal by (name, type) to
-    the table's current schema. v3 is refused — row-lineage assignment
-    (`next-row-id`) is a metadata update this staging path cannot
-    express through the pointer-commit subset.
+    Scope: unpartitioned v1/v2/v3 tables, schema equal by (name, type)
+    to the table's current schema. On v3 the staged manifest and files
+    carry EXPLICIT row lineage starting at the loaded metadata's
+    `next-row-id` (the snapshot JSON then declares `first-row-id` +
+    `added-rows`); the catalog's add-snapshot commit validates that
+    `first-row-id` still equals its `next-row-id` and advances it — a
+    writer that lost a race staged against stale lineage and gets the
+    same 409 CommitFailedException as a stale ref, so re-staging
+    against fresh metadata is the one retry path for both.
 
     Driver cost: O(new files) manifest records + footer probes; the
     data write and its stats stay distributed/columnar.
     """
     fv = metadata.get("format-version", 1)
+    first_row = None
     if fv >= 3:
-        raise NotImplementedError(
-            "stage_iceberg_append supports format-versions 1-2; v3 row "
-            "lineage needs a next-row-id metadata update the pointer-"
-            "commit subset does not express"
-        )
+        first_row = metadata.get("next-row-id")
+        if first_row is None:
+            # external v3 trees may predate row lineage in this engine;
+            # derive the cursor from the committed snapshots
+            first_row = max(
+                (
+                    (s.get("first-row-id") or 0) + (s.get("added-rows") or 0)
+                    for s in metadata.get("snapshots") or []
+                ),
+                default=0,
+            )
     spec_fields = None
     for s in metadata.get("partition-specs") or [{"spec-id": 0, "fields": []}]:
         if s["spec-id"] == metadata.get("default-spec-id", 0):
@@ -3682,6 +3694,7 @@ def stage_iceberg_append(spark, df, metadata: dict) -> dict:
     stage_dir = os.path.join(root, "staged", f"s-{token}")
     files = _write_upsert_files(spark, df, stage_dir, "data")
     entries = []
+    row_cursor = first_row
     for d in files:
         vcounts, ncounts, lower, upper = _file_column_stats(
             d["path"], col_ids, type_of
@@ -3707,6 +3720,9 @@ def stage_iceberg_append(spark, df, metadata: dict) -> dict:
                 },
             }
         )
+        if fv >= 3:
+            entries[-1]["data_file"]["first_row_id"] = row_cursor
+            row_cursor += d["record_count"]
     manifest_path = os.path.join(meta_dir, f"m-staged-{token}.avro")
     write_avro(manifest_path, _entry_schema([], fv), entries)
     row = {
@@ -3731,6 +3747,8 @@ def stage_iceberg_append(spark, df, metadata: dict) -> dict:
                 "deleted_rows_count": 0,
             }
         )
+    if fv >= 3:
+        row["first_row_id"] = first_row
     parent_rows = []
     cur = metadata.get("current-snapshot-id")
     parent = next((s for s in snaps if s["snapshot-id"] == cur), None)
@@ -3758,6 +3776,9 @@ def stage_iceberg_append(spark, df, metadata: dict) -> dict:
         snapshot["schema-id"] = metadata["current-schema-id"]
     if fv >= 2:
         snapshot["sequence-number"] = seq
+    if fv >= 3:
+        snapshot["first-row-id"] = first_row
+        snapshot["added-rows"] = row_cursor - first_row
     return snapshot
 
 
@@ -3789,6 +3810,10 @@ def create_iceberg_table(
     meta_dir = os.path.join(root, "metadata")
     if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
         raise FileExistsError(f"table already exists at {root}")
+    if format_version not in (1, 2, 3):
+        raise ValueError(
+            f"unsupported format-version {format_version!r} (1-3)"
+        )
     known = {
         "identity", "bucket", "truncate", "year", "month", "day", "hour",
     }
@@ -3808,6 +3833,13 @@ def create_iceberg_table(
     ids = [f["id"] for f in out_fields]
     if len(set(ids)) != len(ids):
         raise ValueError(f"duplicate field ids in schema: {ids}")
+    if format_version < 3 and any(
+        f["type"] == "variant" for f in out_fields
+    ):
+        raise ValueError(
+            "variant columns are an Iceberg format-version 3 type; "
+            f"create with format_version=3 (got {format_version})"
+        )
     by_name = {f["name"]: f["id"] for f in out_fields}
     spec_fields = []
     for j, pf in enumerate(partition_fields or []):
@@ -3876,6 +3908,10 @@ def create_iceberg_table(
         "metadata-log": [],
         "refs": {},
     }
+    if format_version >= 3:
+        # v3 row lineage: the table starts with no rows assigned; the
+        # commit path advances this as snapshots add rows
+        metadata["next-row-id"] = 0
     meta_path = os.path.join(meta_dir, "v1.metadata.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:

@@ -310,6 +310,25 @@ class IcebergRestCatalog:
                         "BadRequestException",
                         f"snapshot {s['snapshot-id']} already exists",
                     )
+                if md.get("format-version", 1) >= 3 and s.get(
+                    "added-rows"
+                ):
+                    # v3 row lineage: the writer staged explicit
+                    # first_row_ids from the metadata it loaded; a
+                    # stale cursor means another commit advanced
+                    # next-row-id since — the same re-stage retry as a
+                    # lost ref race, so the same 409
+                    nri = md.get("next-row-id") or 0
+                    if s.get("first-row-id") != nri:
+                        return 409, _err(
+                            409,
+                            "CommitFailedException",
+                            "add-snapshot staged row lineage at "
+                            f"first-row-id={s.get('first-row-id')} but "
+                            f"the table's next-row-id is {nri}; "
+                            "re-stage against fresh metadata",
+                        )
+                    md["next-row-id"] = nri + int(s["added-rows"])
                 md.setdefault("snapshots", []).append(s)
                 snap_ids.add(s["snapshot-id"])
                 if md.get("format-version", 1) >= 2:
@@ -1149,6 +1168,24 @@ class IcebergRestCatalog:
                         "fields"
                     ),
                     properties=body.get("properties"),
+                    # the client requests a format through the standard
+                    # 'format-version' table property (the same knob
+                    # Spark SQL's TBLPROPERTIES uses); a variant column
+                    # forces at least v3 regardless (v2 + variant would
+                    # be a spec-invalid tree — the catalog owns the
+                    # format decision on create)
+                    format_version=max(
+                        int(
+                            (body.get("properties") or {}).get(
+                                "format-version", 2
+                            )
+                        ),
+                        3
+                        if any(
+                            f.get("type") == "variant" for f in fields
+                        )
+                        else 2,
+                    ),
                 )
             except FileExistsError as e:
                 return 409, _err(409, "AlreadyExistsException", str(e))

@@ -762,3 +762,108 @@ def test_add_schema_rejects_optional_to_required_flip(spark, tmp_path):
                 {"action": "set-current-schema", "schema-id": -1},
             ],
         )
+
+
+def test_v3_catalog_append_row_lineage(spark, tmp_path):
+    """Round 11: the external-writer append flow on a v3 table. The
+    stager writes EXPLICIT first_row_ids from the loaded metadata's
+    next-row-id; the catalog's add-snapshot commit validates the cursor
+    and advances it; the reader surfaces stable _row_ids across
+    commits."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_load_table,
+    )
+
+    def mk(a, b):
+        return spark.range(a, b).select(
+            "id",
+            F.parse_json(F.format_string('{"k": %d}', "id")).alias("v"),
+        )
+
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        lt = create_table_via_catalog(uri, ["ns"], "t", mk(0, 1).schema)
+        # a variant column auto-selects format-version 3 on create
+        assert lt["metadata"]["format-version"] == 3
+        assert lt["metadata"]["next-row-id"] == 0
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        append_table_via_catalog(spark, mk(0, 4), url)
+        append_table_via_catalog(spark, mk(4, 7), url)
+        md = rest_load_table(url)["metadata"]
+        assert md["next-row-id"] == 7
+        assert [
+            (s["first-row-id"], s["added-rows"]) for s in md["snapshots"]
+        ] == [(0, 4), (4, 3)]
+        back = read_iceberg_table(spark, url, with_row_lineage=True)
+        assert sorted((r["id"], r["_row_id"]) for r in back.collect()) == [
+            (i, i) for i in range(7)
+        ]
+
+
+def test_v3_lineage_stale_cursor_is_409(spark, tmp_path):
+    """A snapshot staged against stale row lineage must hit the same
+    409 CommitFailedException wall as a stale ref — the catalog never
+    lets two commits hand out the same _row_id range."""
+    import pytest as _pytest
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        stage_iceberg_append,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_commit_table,
+        rest_load_table,
+    )
+
+    df = spark.range(5).selectExpr("id")
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        # the standard 'format-version' table property requests v3 on a
+        # variant-free schema
+        lt = rest_create_table(
+            uri,
+            ["ns"],
+            "t",
+            [{"name": "id", "type": "long"}],
+            properties={"format-version": "3"},
+        )
+        assert lt["metadata"]["format-version"] == 3
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        md = rest_load_table(url)["metadata"]
+        # stage TWO appends against the SAME metadata: both claim
+        # first-row-id = 0
+        s1 = stage_iceberg_append(spark, df, md)
+        s2 = stage_iceberg_append(spark, df, md)
+        # distinct snapshot ids (both stagers picked max+1 = 1), so the
+        # commit reaches the LINEAGE check, not the duplicate-id one
+        s2["snapshot-id"] = s1["snapshot-id"] + 1
+        rest_commit_table(
+            url,
+            updates=[
+                {"action": "add-snapshot", "snapshot": s1},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "snapshot-id": s1["snapshot-id"],
+                },
+            ],
+        )
+        with _pytest.raises(ValueError, match="next-row-id"):
+            rest_commit_table(
+                url,
+                updates=[
+                    {"action": "add-snapshot", "snapshot": s2},
+                ],
+            )
+
+
+def test_create_iceberg_table_refuses_variant_below_v3(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="format-version 3"):
+        create_iceberg_table(
+            str(tmp_path / "t"),
+            [{"name": "v", "type": "variant"}],
+            format_version=2,
+        )
