@@ -2424,6 +2424,14 @@ def read_iceberg_table(
     # v3 deletion vectors: (puffin path, offset, size, referenced data
     # file, seq, cardinality)
     dv_deletes: list[tuple[str, int, int, str, int, int]] = []
+    # v3 row-lineage manifest inheritance (spec "Row Lineage"): a DATA
+    # manifest whose manifest-list row leaves first_row_id null
+    # inherits it from the SNAPSHOT's first-row-id, advanced by the
+    # added_rows_count of preceding null-first_row_id data manifests in
+    # list order. This engine's own trees write explicit ids
+    # everywhere; the fallback is for external v3 writers that rely on
+    # inheritance.
+    snap_row_cursor = snap.get("first-row-id") if fv >= 3 else None
     for mf in manifest_files:
         m_seq = mf.get("sequence_number")
         m_content = mf.get("content") or 0
@@ -2437,6 +2445,13 @@ def read_iceberg_table(
             )
         _, entries = read_avro(mf["manifest_path"])
         m_first = mf.get("first_row_id")
+        if (
+            m_first is None
+            and m_content == 0
+            and snap_row_cursor is not None
+        ):
+            m_first = snap_row_cursor
+            snap_row_cursor += mf.get("added_rows_count") or 0
         m_assigned = 0
         for e in entries:
             df_rec = e["data_file"]

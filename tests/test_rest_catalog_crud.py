@@ -867,3 +867,67 @@ def test_create_iceberg_table_refuses_variant_below_v3(tmp_path):
             [{"name": "v", "type": "variant"}],
             format_version=2,
         )
+
+
+def test_v3_reader_inherits_manifest_first_row_id(spark, tmp_path):
+    """Spec row-lineage inheritance: an external v3 writer may leave a
+    DATA manifest's first_row_id null in the manifest list; the reader
+    assigns it from the snapshot's first-row-id advanced by preceding
+    null manifests' added_rows_count. Built by hand-stripping the
+    explicit ids from a catalog-written tree."""
+    from hybrid_data_lakehouse_lab_spark.operators.avro_io import (
+        read_avro,
+        write_avro,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+        _manifest_list_schema,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        rest_create_table,
+        rest_load_table,
+    )
+
+    df1 = spark.range(0, 4).selectExpr("id")
+    df2 = spark.range(4, 7).selectExpr("id")
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        rest_create_table(
+            uri,
+            ["ns"],
+            "t",
+            [{"name": "id", "type": "long"}],
+            properties={"format-version": "3"},
+        )
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        append_table_via_catalog(spark, df1, url)
+        append_table_via_catalog(spark, df2, url)
+        md = rest_load_table(url)["metadata"]
+        head = next(
+            s
+            for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        # Strip the explicit ids from the manifest the HEAD snapshot
+        # added (spec: only a snapshot's OWN manifests may rely on
+        # inheritance — carried-forward manifests keep the id they
+        # were assigned under their original snapshot).
+        _, rows = read_avro(head["manifest-list"])
+        stripped = 0
+        for r in rows:
+            if r["added_snapshot_id"] != head["snapshot-id"]:
+                continue
+            r["first_row_id"] = None
+            _, entries = read_avro(r["manifest_path"])
+            for e in entries:
+                e["data_file"]["first_row_id"] = None
+            write_avro(r["manifest_path"], _entry_schema([], 3), entries)
+            stripped += 1
+        assert stripped == 1
+        write_avro(head["manifest-list"], _manifest_list_schema(3), rows)
+        # the head's manifest now inherits from the snapshot's
+        # first-row-id (4); the carried-forward one stays explicit (0)
+        assert head["first-row-id"] == 4
+        back = read_iceberg_table(spark, url, with_row_lineage=True)
+        got = sorted((r["id"], r["_row_id"]) for r in back.collect())
+        assert got == [(i, i) for i in range(7)]
