@@ -68,7 +68,7 @@ def test_priority_queries_sit_in_pinned_prefix():
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 125
+    assert len(_PRIORITY) == 130
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
     assert "mor_compaction_roundtrip" in names[:50]
@@ -92,11 +92,27 @@ def test_priority_queries_sit_in_pinned_prefix():
     assert "iceberg_catalog_txn_roundtrip" in names[:50]
     assert "iceberg_sort_rewrite_prune_roundtrip" in names[:50]
     assert "iceberg_view_roundtrip" in names[:50]
-    # displaced trio sits immediately after the window
-    assert names[50:53] == [
-        "dedup_embedding_near_pairs",
-        "text_pii_scrub",
-        "corpus_contamination_check",
+    # round-11 rotation: the seven pins (six never-driver-checked
+    # round-10 lanes + the days()-extended partitioned upsert)
+    for pinned in (
+        "iceberg_partitioned_upsert_roundtrip",
+        "iceberg_partition_stats_roundtrip",
+        "iceberg_zorder_rewrite_roundtrip",
+        "events_gap_fill_interpolate",
+        "corpus_shuffle_shards",
+        "similarity_hamming_rerank_topk",
+        "streaming_catalog_sink_roundtrip",
+    ):
+        assert pinned in names[:50], pinned
+    # the round-11 displaced seven sit immediately after the window
+    assert names[50:57] == [
+        "streaming_bronze_roundtrip",
+        "timetravel_versions_demo",
+        "dedup_simhash_near_pairs",
+        "text_tfidf_top_terms",
+        "corpus_pack_sequences",
+        "multimodal_metadata",
+        "q18_large_volume_customers",
     ]
     # and nothing was dropped by the reordering
     from hybrid_data_lakehouse_lab_spark.plans import ORACLES, QUERIES

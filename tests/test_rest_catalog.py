@@ -566,11 +566,14 @@ def test_stage_append_validations(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="table schema"):
         stage_iceberg_append(spark, spark.range(3).selectExpr("id"), md)
+    # v3 staging is SUPPORTED since round 11: explicit row lineage from
+    # the metadata's next-row-id (absent here -> derived from the
+    # committed snapshots, which carry none -> cursor 0)
     md3 = dict(md, **{"format-version": 3})
-    with pytest.raises(NotImplementedError, match="format-versions 1-2"):
-        stage_iceberg_append(
-            spark, spark.range(3).selectExpr("id", "id % 2 AS g"), md3
-        )
+    s3 = stage_iceberg_append(
+        spark, spark.range(3).selectExpr("id", "id % 2 AS g"), md3
+    )
+    assert s3["first-row-id"] == 0 and s3["added-rows"] == 3
 
     tp = SnapshotTable(spark, str(tmp_path / "tp"))
     tp.write(
