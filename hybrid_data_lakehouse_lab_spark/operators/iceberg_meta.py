@@ -497,6 +497,17 @@ def _hidden_transform_col(
         utc_date = F.to_date(src)
     if transform == "day":
         return utc_date  # DateType -> ISO dirs, epoch-day values
+    if transform == "hour":
+        # epoch hours of the UTC instant (timestamp-only per spec);
+        # NTZ sources bin their naive wall-clock fields
+        if source_type == "timestamptz":
+            return F.floor(
+                F.unix_micros(src) / F.lit(3_600_000_000)
+            ).cast("int")
+        return (
+            F.unix_date(F.to_date(src)).cast("bigint") * F.lit(24)
+            + F.hour(src)
+        ).cast("int")
     if transform == "month":
         return (
             (F.year(utc_date) - F.lit(1970)) * F.lit(12)
@@ -924,7 +935,15 @@ def export_iceberg_metadata(
     fields = schemas[event_schema_id[-1]]["fields"]
     col_ids = col_ids_of[-1]
     type_of = type_of_of[-1]
-    _TRANSFORM_TYPES = {"day": "date", "month": "int", "year": "int"}
+    # spec result types for the date/time binners: day -> date (ISO
+    # dirs, epoch-day values), month/year/hour -> int (months/years/
+    # hours from epoch; hour is timestamp-only per the spec)
+    _TRANSFORM_TYPES = {
+        "day": "date",
+        "month": "int",
+        "year": "int",
+        "hour": "int",
+    }
 
     def _spec_fields_for(pcols: list[str]) -> list[dict]:
         spec_fields = []
@@ -943,6 +962,14 @@ def export_iceberg_metadata(
                         f"column {source_col!r}"
                     )
                 if transform in _TRANSFORM_TYPES:
+                    if transform == "hour" and type_of[source_col] not in (
+                        "timestamp",
+                        "timestamptz",
+                    ):
+                        raise ValueError(
+                            f"hour transform for {c!r} needs a timestamp "
+                            f"source (got {type_of[source_col]!r})"
+                        )
                     tname, ttype = transform, _TRANSFORM_TYPES[transform]
                 elif transform == "bucket":
                     if not isinstance(param, int) or param <= 0:
@@ -2214,6 +2241,11 @@ def _transform_range(transform: str, source_type: str, pv: int):
     if source_type not in ("date", "timestamp", "timestamptz"):
         return None
     pv = int(pv)
+    if transform == "hour":
+        # epoch-hour bin: micros interval; meaningless on a date source
+        if source_type == "date":
+            return None
+        return pv * 3_600_000_000, (pv + 1) * 3_600_000_000 - 1
     if transform == "day":
         start_day, end_day = pv, pv + 1
     elif transform == "month":
@@ -2615,7 +2647,9 @@ def read_iceberg_table(
         }
         for f in specs_of[sid].values():
             t = f["transform"]
-            if t not in ("identity", "day", "month", "year") and not _PARAM_RE.fullmatch(t):
+            if t not in (
+                "identity", "day", "month", "year", "hour"
+            ) and not _PARAM_RE.fullmatch(t):
                 raise NotImplementedError(f"partition transform {t!r}")
     # identity fields attach as real columns; day/month/year and
     # bucket[N]/truncate[W] transforms are HIDDEN partitioning (the

@@ -611,7 +611,7 @@ def rewrite_iceberg_manifests(root: str) -> dict:
             return type_by_id[sf["source-id"]]
         if t == "day":
             return "date"
-        if t in ("month", "year"):
+        if t in ("month", "year", "hour"):
             return "int"
         m = _PARAM.fullmatch(t)
         if m:

@@ -935,7 +935,10 @@ def test_hidden_partition_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="non-partition"):
         export_iceberg_metadata(t, hidden_partitions={"nope": ("ts", "day")})
     with pytest.raises(NotImplementedError, match="transform"):
-        export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "hour")})
+        export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "void")})
+    with pytest.raises(ValueError, match="timestamp source"):
+        # hour is supported since round 11 — but only over timestamps
+        export_iceberg_metadata(t, hidden_partitions={"dt": ("id", "hour")})
     with pytest.raises(ValueError, match="positive bucket count"):
         export_iceberg_metadata(t, hidden_partitions={"dt": ("ts", "bucket")})
     with pytest.raises(ValueError, match="positive width"):
@@ -2258,3 +2261,95 @@ def test_upsert_export_partitioned_bucket_hidden(spark, tmp_path):
     assert got == {
         i: (-1 if i == 6 else i * 3) for i in range(17) if i != 2
     }
+
+
+def test_hidden_hour_partition_roundtrip_prune_and_upsert(spark, tmp_path):
+    """hour() — the last spec date/time binner this exporter lacked:
+    dirs carry epoch-hour ints, spec field transform 'hour', the
+    reader prunes timestamp predicates to the matching hour bins, and
+    the upsert dialect re-derives the hour value on write. Streaming
+    ingest tables are the production users (hour-grained layout)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    base_h = int(
+        (_dt.datetime(2024, 6, 1) - _dt.datetime(1970, 1, 1)).total_seconds()
+        // 3600
+    )
+
+    def with_hour(df):
+        return df.withColumn(
+            "hr", F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("int")
+        )
+
+    v1 = with_hour(
+        spark.sql(
+            "SELECT id, timestamp'2024-06-01 00:30:00'"
+            " + make_interval(0,0,0,0,CAST(id % 3 AS INT),0,0) AS ts,"
+            " id * 2 AS v FROM range(12)"
+        )
+    )
+    t = SnapshotTable(spark, str(tmp_path / "hup"))
+    t.write(v1, partition_by=["hr"], committed_at_ms=1000)
+    # move id=5 forward 6 hours, update id=4, delete id=7, insert id=12
+    v2 = with_hour(
+        spark.sql(
+            """
+            SELECT id,
+                   timestamp'2024-06-01 00:30:00'
+                     + make_interval(0,0,0,0,CAST(id % 3 AS INT),0,0)
+                     + CASE WHEN id = 5 THEN make_interval(0,0,0,0,6,0,0)
+                            ELSE make_interval(0,0,0,0,0,0,0) END AS ts,
+                   CASE WHEN id = 4 THEN 999 ELSE id * 2 END AS v
+            FROM range(13) WHERE id != 7
+            """
+        )
+    )
+    t.write(v2, partition_by=["hr"], committed_at_ms=2000)
+    export_iceberg_metadata(
+        t,
+        format_version=2,
+        upsert_key=["id"],
+        hidden_partitions={"hr": ("ts", "hour")},
+    )
+    md = load_metadata(t.root)
+    (sf,) = md["partition-specs"][0]["fields"]
+    assert sf["transform"] == "hour" and sf["name"] == "hr"
+    # upsert entries carry epoch-hour ints incl. the moved key's new bin
+    _, rows2 = read_avro_file(md["snapshots"][1]["manifest-list"])
+    ups_row = next(
+        r
+        for r in rows2
+        if (r.get("content") or 0) == 0 and r["sequence_number"] == 2
+    )
+    _, entries = read_avro_file(ups_row["manifest_path"])
+    hours = {e["data_file"]["partition"]["hr"] for e in entries}
+    assert all(isinstance(h, int) for h in hours)
+    assert (base_h + 2 + 6) in hours  # id=5: hour bin 2 -> 8
+    # masked head is exact
+    head = read_iceberg_table(spark, t.root)
+    got = {r["id"]: r["v"] for r in head.collect()}
+    assert got == {i: (999 if i == 4 else i * 2) for i in range(13) if i != 7}
+    # hour-bin pruning: an equality-hour predicate keeps only that bin
+    pruned = read_iceberg_table(
+        spark,
+        t.root,
+        prune=[
+            ("ts", ">=", "2024-06-01 01:00:00"),
+            ("ts", "<", "2024-06-01 02:00:00"),
+        ],
+    )
+    want_ids = {r["id"] for r in head.collect() if r["ts"].hour == 1}
+    got_ids = {
+        r["id"]
+        for r in pruned.filter(
+            "ts >= timestamp'2024-06-01 01:00:00' AND "
+            "ts < timestamp'2024-06-01 02:00:00'"
+        ).collect()
+    }
+    assert got_ids == want_ids and want_ids
