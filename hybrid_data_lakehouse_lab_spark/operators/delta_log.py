@@ -57,10 +57,47 @@ import urllib.parse
 import uuid
 
 from .dv_kernel import dv_blobs_by_file, dv_state_positions
-from .mor_diff import _SCHEME_RE
+from .mor_diff import _SCHEME_RE, _parquet_row_count
 from .timetravel import SnapshotTable
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _variant_protocol(proto: dict) -> dict:
+    """Upgrade a protocol to table-features form carrying variantType
+    (PROTOCOL.md "Variant Data Type": reader 3 + writer 7, feature in
+    BOTH lists). Converting a legacy version to the features form must
+    list the capabilities the legacy version implied — the spec's
+    conversion rule — so a writer 2 base becomes
+    [appendOnly, invariants, variantType]."""
+    _WRITER_IMPLIED = {
+        2: {"appendOnly", "invariants"},
+        3: {"appendOnly", "invariants", "checkConstraints"},
+        4: {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+        },
+    }
+    _READER_IMPLIED = {2: {"columnMapping"}}
+    rv = proto.get("minReaderVersion", 1)
+    wv = proto.get("minWriterVersion", 2)
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if rv < 3:
+        rf |= _READER_IMPLIED.get(rv, set())
+    if wv < 7:
+        wf |= _WRITER_IMPLIED.get(wv, _WRITER_IMPLIED[2])
+    rf.add("variantType")
+    wf.add("variantType")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
 # Deletion vectors are a reader/writer table FEATURE (PROTOCOL.md):
 # tables carrying them must declare reader v3 / writer v7 with the
 # feature named, and old readers must refuse rather than return
@@ -154,7 +191,21 @@ def _delta_stats(path: str) -> str | None:
     try:
         md = pq.ParquetFile(path).metadata
     except Exception:
-        return None
+        # Parquet VARIANT footers are rejected by this pyarrow; keep
+        # the numRecords half of the stats through the DuckDB-backed
+        # counter (bounds stay absent — engines then simply cannot
+        # skip these files, which is correct)
+        try:
+            return json.dumps(
+                {
+                    "numRecords": _parquet_row_count(path),
+                    "minValues": {},
+                    "maxValues": {},
+                    "nullCount": {},
+                }
+            )
+        except Exception:
+            return None
     agg: dict[str, dict] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
@@ -338,25 +389,16 @@ def export_delta_log(
     base_live_rows: int | None = None
     referenced_dv_files: set[str] = set()
     referenced_cdc_dirs: set[str] = set()
+    cur_protocol: dict | None = None
+    cur_protocol_variant = False
     for i, ev in enumerate(events):
         snap = by_version[ev["version"]]
         files = _snapshot_files(table.root, snap["path"])
         snap_schema = table.spark.read.parquet(snap["path"]).schema
-        if any(
+        snap_has_variant = any(
             f.dataType.simpleString() == "variant"
             for f in snap_schema.fields
-        ):
-            # Delta VARIANT needs the variantType writer feature plus
-            # stats/footer handling this exporter's pyarrow cannot do
-            # (the Parquet VARIANT logical type is rejected by this
-            # container's pyarrow); refuse with the reason instead of
-            # crashing in the per-file stats pass. The Iceberg v3
-            # exporter covers the variant round-trip.
-            raise NotImplementedError(
-                "export_delta_log does not support VARIANT columns "
-                "(Delta variantType writer feature not implemented); "
-                "use export_iceberg_metadata(format_version=3)"
-            )
+        )
         schema_str = snap_schema.json()
         # partition columns in path-segment order (every file of one
         # snapshot shares the same partitioning scheme)
@@ -470,7 +512,18 @@ def export_delta_log(
                 proto = {"minReaderVersion": 1, "minWriterVersion": 4}
             else:
                 proto = PROTOCOL
+            if snap_has_variant:
+                proto = _variant_protocol(proto)
+                cur_protocol_variant = True
             actions.append({"protocol": proto})
+            cur_protocol = proto
+        elif snap_has_variant and not cur_protocol_variant:
+            # variant first appears mid-history (schema evolution):
+            # emit the protocol UPGRADE in the same commit, like a real
+            # writer enabling a table feature
+            cur_protocol = _variant_protocol(cur_protocol)
+            cur_protocol_variant = True
+            actions.append({"protocol": cur_protocol})
         if schema_str != prev_schema:
             configuration = (
                 {"delta.enableDeletionVectors": "true"} if mor_deletes else {}
@@ -1190,8 +1243,8 @@ def clean_log_commits(log_dir: str) -> list[int]:
 def _check_reader_protocol(protocol: dict) -> None:
     """The shared read-side protocol gate: minReaderVersion 1; 2 (the
     legacy column-mapping version); or 3 with readerFeatures ⊆
-    {deletionVectors, columnMapping, v2Checkpoint, timestampNtz}.
-    Anything else
+    {deletionVectors, columnMapping, v2Checkpoint, timestampNtz,
+    variantType}. Anything else
     refuses honestly — returning rows while ignoring an unknown reader
     feature is how a reader silently resurrects deleted data."""
     reader_v = protocol.get("minReaderVersion", 1)
@@ -1207,6 +1260,7 @@ def _check_reader_protocol(protocol: dict) -> None:
         "columnMapping",
         "v2Checkpoint",
         "timestampNtz",  # TIMESTAMP_NTZ is native in Spark 4; just allow it
+        "variantType",  # Spark 4 reads the Parquet VARIANT type natively
     }
         if unsupported:
             raise NotImplementedError(

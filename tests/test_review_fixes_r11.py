@@ -34,15 +34,88 @@ def test_migrate_refuses_variant_cleanly(spark, tmp_path):
         migrate_parquet_dir(spark, str(tmp_path / "t"), src)
 
 
-def test_delta_export_refuses_variant_cleanly(spark, tmp_path):
+def test_delta_variant_roundtrip_with_dvs(spark, tmp_path):
+    """Delta VARIANT (variantType table feature, added later in round
+    11 in place of the initial refusal): the log carries reader 3 /
+    writer 7 with variantType in BOTH feature lists, stats fall back to
+    numRecords-only (pyarrow cannot open VARIANT footers), and the DV
+    masked read returns exact variant values at every version."""
+    import json
+    import os
+
     from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
         export_delta_log,
+        read_delta_table,
     )
 
     t = SnapshotTable(spark, str(tmp_path / "t"))
-    t.write(_variant_df(spark), committed_at_ms=1)
-    with pytest.raises(NotImplementedError, match="VARIANT"):
-        export_delta_log(t)
+    t.write(_variant_df(spark, 10), committed_at_ms=1)
+    t.write(_variant_df(spark, 10).filter("id % 3 != 0"), committed_at_ms=2)
+    export_delta_log(t, mor_deletes=True)
+    protos, num_records = [], []
+    for fn in sorted(os.listdir(os.path.join(t.root, "_delta_log"))):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(t.root, "_delta_log", fn)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protos.append(a["protocol"])
+                if "add" in a and a["add"].get("stats"):
+                    num_records.append(
+                        json.loads(a["add"]["stats"])["numRecords"]
+                    )
+    (proto,) = protos
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    # stats survive through the DuckDB-backed fallback (VARIANT footer);
+    # empty Spark part files legitimately report 0
+    assert num_records and sum(num_records) >= 10
+    for version, want_ids in ((0, range(10)), (1, [i for i in range(10) if i % 3])):
+        back = read_delta_table(spark, t.root, version=version)
+        got = sorted(
+            (r["id"], r["k"])
+            for r in back.select(
+                "id", F.try_variant_get("v", "$.k", "long").alias("k")
+            ).collect()
+        )
+        assert got == [(i, i) for i in want_ids], version
+
+
+def test_delta_variant_mid_history_protocol_upgrade(spark, tmp_path):
+    """variant arriving via schema evolution mid-log emits the protocol
+    UPGRADE action in that commit, like a real writer enabling a table
+    feature."""
+    import json
+    import os
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(4).selectExpr("id"), committed_at_ms=1)
+    t.write(_variant_df(spark, 6), committed_at_ms=2)
+    export_delta_log(t)
+    by_version = {}
+    for fn in sorted(os.listdir(os.path.join(t.root, "_delta_log"))):
+        if fn.endswith(".json"):
+            with open(os.path.join(t.root, "_delta_log", fn)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        by_version[int(fn.split(".")[0])] = a["protocol"]
+    assert by_version[0] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    up = by_version[1]
+    assert up["minReaderVersion"] == 3
+    assert "variantType" in up["readerFeatures"]
+    # legacy writer 2's implied capabilities are listed on conversion
+    assert {"appendOnly", "invariants"} <= set(up["writerFeatures"])
+    back = read_delta_table(spark, t.root)
+    assert back.count() == 6
+    assert back.schema["v"].dataType.simpleString() == "variant"
 
 
 def test_hidden_day_transform_is_utc_exact(spark):
