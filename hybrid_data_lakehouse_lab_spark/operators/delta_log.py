@@ -63,6 +63,26 @@ from .timetravel import SnapshotTable
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+def _contains_variant(dt) -> bool:
+    """True iff the type tree contains a VariantType anywhere — the
+    protocol feature is required whenever variant appears, including
+    nested inside struct/array/map (a name-substring check would false-
+    positive on a column literally named 'variant')."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_variant(dt.keyType) or _contains_variant(
+            dt.valueType
+        )
+    return False
+
+
 def _variant_protocol(proto: dict) -> dict:
     """Upgrade a protocol to table-features form carrying variantType
     (PROTOCOL.md "Variant Data Type": reader 3 + writer 7, feature in
@@ -395,10 +415,7 @@ def export_delta_log(
         snap = by_version[ev["version"]]
         files = _snapshot_files(table.root, snap["path"])
         snap_schema = table.spark.read.parquet(snap["path"]).schema
-        snap_has_variant = any(
-            f.dataType.simpleString() == "variant"
-            for f in snap_schema.fields
-        )
+        snap_has_variant = _contains_variant(snap_schema)
         schema_str = snap_schema.json()
         # partition columns in path-segment order (every file of one
         # snapshot shares the same partitioning scheme)

@@ -2481,6 +2481,10 @@ def read_iceberg_table(
             m_first is None
             and m_content == 0
             and snap_row_cursor is not None
+            # only manifests ADDED BY this snapshot may inherit; a
+            # carried-forward manifest must keep its original explicit
+            # id (else old rows would receive the NEW snapshot's range)
+            and mf.get("added_snapshot_id") == snap["snapshot-id"]
         ):
             m_first = snap_row_cursor
             snap_row_cursor += mf.get("added_rows_count") or 0
@@ -3204,6 +3208,17 @@ def read_iceberg_table(
         # position — STABLE across MoR deletes and metadata rewrites
         # (surviving rows keep their ids; only a data-file rewrite
         # re-assigns). A |files|-row broadcast map, one projection.
+        _unresolved = [p for p in files if file_first.get(p) is None]
+        if _unresolved:
+            # a carried-forward manifest with null first_row_id is
+            # spec-invalid (only a snapshot's OWN manifests inherit);
+            # inventing ids here would collide with real ones — refuse
+            raise ValueError(
+                "row lineage requested but no first_row_id resolves "
+                f"for {len(_unresolved)} data file(s), e.g. "
+                f"{_unresolved[0]} (carried-forward manifest with null "
+                "first_row_id?)"
+            )
         fmap = spark.createDataFrame(
             [
                 (os.path.abspath(p), file_first.get(p))
@@ -3669,6 +3684,27 @@ def read_iceberg_statistics(spark, root: str) -> dict:
     return out
 
 
+def next_row_id_of(metadata: dict) -> int:
+    """The v3 row-lineage cursor of a table: the metadata's
+    `next-row-id`, or — for external v3 trees that predate row lineage
+    or were registered without the field — the derived cursor
+    max(first-row-id + added-rows) over the committed snapshots. ONE
+    implementation shared by the stager and the catalog's add-snapshot
+    validation: if the two sides derived the cursor differently, a
+    register-then-append flow would 409 forever (both re-derivations
+    keep producing the same mismatched pair)."""
+    nri = metadata.get("next-row-id")
+    if nri is not None:
+        return int(nri)
+    return max(
+        (
+            (s.get("first-row-id") or 0) + (s.get("added-rows") or 0)
+            for s in metadata.get("snapshots") or []
+        ),
+        default=0,
+    )
+
+
 def stage_iceberg_append(spark, df, metadata: dict) -> dict:
     """Stage an APPEND against a live Iceberg table as an EXTERNAL
     writer would before a catalog pointer commit: write the new data
@@ -3694,19 +3730,7 @@ def stage_iceberg_append(spark, df, metadata: dict) -> dict:
     data write and its stats stay distributed/columnar.
     """
     fv = metadata.get("format-version", 1)
-    first_row = None
-    if fv >= 3:
-        first_row = metadata.get("next-row-id")
-        if first_row is None:
-            # external v3 trees may predate row lineage in this engine;
-            # derive the cursor from the committed snapshots
-            first_row = max(
-                (
-                    (s.get("first-row-id") or 0) + (s.get("added-rows") or 0)
-                    for s in metadata.get("snapshots") or []
-                ),
-                default=0,
-            )
+    first_row = next_row_id_of(metadata) if fv >= 3 else None
     spec_fields = None
     for s in metadata.get("partition-specs") or [{"spec-id": 0, "fields": []}]:
         if s["spec-id"] == metadata.get("default-spec-id", 0):

@@ -310,16 +310,33 @@ class IcebergRestCatalog:
                         "BadRequestException",
                         f"snapshot {s['snapshot-id']} already exists",
                     )
-                if md.get("format-version", 1) >= 3 and s.get(
-                    "added-rows"
-                ):
-                    # v3 row lineage: the writer staged explicit
-                    # first_row_ids from the metadata it loaded; a
-                    # stale cursor means another commit advanced
-                    # next-row-id since — the same re-stage retry as a
-                    # lost ref race, so the same 409
-                    nri = md.get("next-row-id") or 0
-                    if s.get("first-row-id") != nri:
+                if md.get("format-version", 1) >= 3:
+                    # v3 row lineage. A snapshot without BOTH lineage
+                    # fields is malformed — accepting it would leave
+                    # next-row-id unadvanced and let the NEXT commit
+                    # hand out the same _row_id range again.
+                    if (
+                        s.get("first-row-id") is None
+                        or s.get("added-rows") is None
+                    ):
+                        return 400, _err(
+                            400,
+                            "BadRequestException",
+                            "v3 add-snapshot requires first-row-id and "
+                            "added-rows (row lineage is mandatory in "
+                            "format-version 3)",
+                        )
+                    # the writer staged explicit first_row_ids from the
+                    # metadata it loaded; a stale cursor means another
+                    # commit advanced the lineage since — the same
+                    # re-stage retry as a lost ref race, so the same
+                    # 409. next_row_id_of is the SAME derivation the
+                    # stager uses (registered external trees may lack
+                    # the explicit next-row-id field).
+                    from .iceberg_meta import next_row_id_of
+
+                    nri = next_row_id_of(md)
+                    if int(s["first-row-id"]) != nri:
                         return 409, _err(
                             409,
                             "CommitFailedException",
@@ -1170,10 +1187,11 @@ class IcebergRestCatalog:
                     properties=body.get("properties"),
                     # the client requests a format through the standard
                     # 'format-version' table property (the same knob
-                    # Spark SQL's TBLPROPERTIES uses); a variant column
-                    # forces at least v3 regardless (v2 + variant would
-                    # be a spec-invalid tree — the catalog owns the
-                    # format decision on create)
+                    # Spark SQL's TBLPROPERTIES uses) — honored as-is,
+                    # including v1; a variant column forces at least v3
+                    # regardless (v2 + variant would be a spec-invalid
+                    # tree — the catalog owns the format decision on
+                    # create). Bad values 400 via create's validation.
                     format_version=max(
                         int(
                             (body.get("properties") or {}).get(
@@ -1184,7 +1202,7 @@ class IcebergRestCatalog:
                         if any(
                             f.get("type") == "variant" for f in fields
                         )
-                        else 2,
+                        else 1,
                     ),
                 )
             except FileExistsError as e:
@@ -1440,9 +1458,10 @@ class IcebergRestCatalog:
             # pre-existing clients of this server.
             parent_q = (query.get("parent") or [None])[0]
             if parent_q is not None:
-                parent = tuple(
-                    urllib.parse.unquote(parent_q).split(UNIT_SEP)
-                )
+                # parse_qs already percent-decoded the value; a second
+                # unquote would corrupt namespaces containing literal
+                # escape sequences
+                parent = tuple(parent_q.split(UNIT_SEP))
                 if parent not in namespaces:
                     return 404, _err(
                         404,

@@ -950,6 +950,34 @@ def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_m.select("vec_id", "embedding", q.alias("qvec"))
 
 
+def _sq8_scored(spark: SparkSession, sf_dir: str, n_queries: int):
+    """(codes, scored): the int8-code corpus and the query-vs-corpus
+    integer-dot scoring relation (query_id, match_id, idot) — ONE
+    implementation shared by the serving lane and the recall audit so
+    the dot expression and tie-break can never drift between them.
+    The query codes broadcast; the corpus streams once."""
+    c = _sq8_codes(spark, sf_dir)
+    q_codes = c.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qq, cvec, (a, b) -> a * b), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = (
+        F.broadcast(q_codes)
+        .crossJoin(
+            c.select(
+                F.col("vec_id").alias("match_id"),
+                F.col("qvec").alias("cvec"),
+            )
+        )
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", idot.alias("idot"))
+    )
+    return c, scored
+
+
 def _register_sq8_rerank():
     from .pq import _SL_DUCK, _SL_SPARK
     from .similarity import (
@@ -1015,26 +1043,7 @@ def _register_sq8_rerank():
         vectors are fetched for at most s candidates per query; the
         corpus count feeding the law is a 1-row broadcast."""
         check_brute_force_bound(N_QUERIES)
-        c = _sq8_codes(spark, sf_dir)
-        q_codes = c.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qvec").alias("qq"),
-        )
-        idot = F.expr(
-            "aggregate(zip_with(qq, cvec, (a, b) -> a * b), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        scored = (
-            F.broadcast(q_codes)
-            .crossJoin(
-                c.select(
-                    F.col("vec_id").alias("match_id"),
-                    F.col("qvec").alias("cvec"),
-                )
-            )
-            .filter(F.col("match_id") != F.col("query_id"))
-            .select("query_id", "match_id", idot.alias("idot"))
-        )
+        _, scored = _sq8_scored(spark, sf_dir, N_QUERIES)
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", _as_double("embedding").alias("v")
         )
@@ -1151,11 +1160,9 @@ def _register_sq8_recall_audit():
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", _as_double("embedding").alias("v")
         )
-        c = _sq8_codes(spark, sf_dir).select("vec_id", "qvec")
-        q = c.join(e, "vec_id").filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qvec").alias("qq"),
-            F.col("v").alias("qv"),
+        _c, sq_scored = _sq8_scored(spark, sf_dir, N_QUERIES)
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         )
         dot = F.expr(_DOT.format(a="qv", b="cv"))
         nq = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
@@ -1180,21 +1187,6 @@ def _register_sq8_recall_audit():
             exact_scored.withColumn("rnk", F.row_number().over(w_sim))
             .filter(F.col("rnk") <= TOP_K)
             .select("query_id", "match_id")
-        )
-        idot = F.expr(
-            "aggregate(zip_with(qq, cvec, (a, b) -> a * b), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        sq_scored = (
-            F.broadcast(q.select("query_id", "qq"))
-            .crossJoin(
-                c.select(
-                    F.col("vec_id").alias("match_id"),
-                    F.col("qvec").alias("cvec"),
-                )
-            )
-            .filter(F.col("match_id") != F.col("query_id"))
-            .select("query_id", "match_id", idot.alias("idot"))
         )
         w_sq = Window.partitionBy("query_id").orderBy(
             F.desc("idot"), "match_id"

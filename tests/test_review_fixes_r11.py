@@ -244,3 +244,253 @@ def test_scd2_auto_lsn_first_order_skips_probe_and_runs_plain(spark):
         map(tuple, scd2_from_changes_auto(*args, threshold=1).collect())
     )
     assert plain == auto
+
+
+def test_uniform_dual_export_variant(spark, tmp_path):
+    """UniForm over a VARIANT table: one data copy, both format facades
+    — Iceberg v3 (schema type `variant`, DV delete) and Delta
+    (variantType feature) — read back value-identical through their own
+    metadata."""
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(_variant_df(spark, 12), committed_at_ms=1)
+    t.write(_variant_df(spark, 12).filter("id % 4 != 0"), committed_at_ms=2)
+    export_iceberg_metadata(t, format_version=3)
+    export_delta_log(t, mor_deletes=True)
+
+    def vals(df):
+        return sorted(
+            (r["id"], r["k"])
+            for r in df.select(
+                "id", F.try_variant_get("v", "$.k", "long").alias("k")
+            ).collect()
+        )
+
+    want_head = [(i, i) for i in range(12) if i % 4]
+    assert vals(read_iceberg_table(spark, t.root)) == want_head
+    assert vals(read_delta_table(spark, t.root)) == want_head
+    assert vals(read_iceberg_table(spark, t.root, snapshot_id=1)) == [
+        (i, i) for i in range(12)
+    ]
+    assert vals(read_delta_table(spark, t.root, version=0)) == [
+        (i, i) for i in range(12)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Second self-review batch (v3 lineage edges, REST conformance edges)
+# ---------------------------------------------------------------------------
+
+
+def test_registered_external_v3_tree_appends_without_409_loop(
+    spark, tmp_path
+):
+    """A registered v3 tree WITHOUT next-row-id (external/pre-lineage)
+    must append through the catalog: the stager and the commit
+    validation share one cursor derivation, so the first append cannot
+    409 forever."""
+    import json
+    import os
+
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        export_iceberg_metadata,
+        next_row_id_of,
+        read_iceberg_table,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        append_table_via_catalog,
+        rest_load_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(5).selectExpr("id"), committed_at_ms=1)
+    meta_dir = export_iceberg_metadata(t, format_version=3)
+    # strip next-row-id: simulate an external pre-lineage v3 tree
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = fh.read().strip()
+    mp = os.path.join(meta_dir, f"v{n}.metadata.json")
+    md = json.load(open(mp))
+    nri = md.pop("next-row-id")
+    json.dump(md, open(mp, "w"))
+    assert next_row_id_of(md) == nri  # derived == what was stripped
+    with IcebergRestCatalog({("ns", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        append_table_via_catalog(
+            spark, spark.range(5, 8).selectExpr("id"), url
+        )
+        md2 = rest_load_table(url)["metadata"]
+        assert md2["next-row-id"] == nri + 3
+        back = read_iceberg_table(spark, url, with_row_lineage=True)
+        rows = sorted((r["id"], r["_row_id"]) for r in back.collect())
+        assert [r[1] for r in rows] == list(range(8))
+
+
+def test_v3_add_snapshot_without_lineage_fields_is_400(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        stage_iceberg_append,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        create_table_via_catalog,
+        rest_commit_table,
+        rest_create_namespace,
+        rest_load_table,
+    )
+
+    df = spark.range(4).select(
+        "id", F.parse_json(F.lit('{"a": 1}')).alias("v")
+    )
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        create_table_via_catalog(uri, ["ns"], "t", df.schema)  # v3
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        md = rest_load_table(url)["metadata"]
+        snap = stage_iceberg_append(spark, df, md)
+        broken = {
+            k: v
+            for k, v in snap.items()
+            if k not in ("first-row-id", "added-rows")
+        }
+        with pytest.raises(ValueError, match="row lineage is mandatory"):
+            rest_commit_table(
+                url, updates=[{"action": "add-snapshot", "snapshot": broken}]
+            )
+
+
+def test_reader_refuses_lineage_on_carried_forward_null_manifest(
+    spark, tmp_path
+):
+    """A carried-forward data manifest with null first_row_id is
+    spec-invalid; with_row_lineage must refuse rather than assign the
+    NEW snapshot's range to old rows (plain reads still work)."""
+    import json
+    import os
+
+    from hybrid_data_lakehouse_lab_spark.operators.avro_io import (
+        read_avro,
+        write_avro,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _manifest_list_schema,
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(4).selectExpr("id"), committed_at_ms=1)
+    t.write(spark.range(9).selectExpr("id"), committed_at_ms=2)  # append
+    export_iceberg_metadata(t, format_version=3)
+    md = json.load(
+        open(
+            os.path.join(
+                t.root,
+                "metadata",
+                f"v{open(os.path.join(t.root, 'metadata', 'version-hint.text')).read().strip()}.metadata.json",
+            )
+        )
+    )
+    head = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        _entry_schema,
+    )
+
+    _, rows = read_avro(head["manifest-list"])
+    # null the CARRIED-FORWARD manifest's ids (list row AND entries —
+    # the exporter stamps explicit ids at both levels)
+    for r in rows:
+        if r["added_snapshot_id"] != head["snapshot-id"]:
+            r["first_row_id"] = None
+            _, entries = read_avro(r["manifest_path"])
+            for e in entries:
+                e["data_file"]["first_row_id"] = None
+            write_avro(r["manifest_path"], _entry_schema([], 3), entries)
+    write_avro(head["manifest-list"], _manifest_list_schema(3), rows)
+    assert read_iceberg_table(spark, t.root).count() == 9  # plain read ok
+    with pytest.raises(ValueError, match="first_row_id"):
+        read_iceberg_table(spark, t.root, with_row_lineage=True)
+
+
+def test_namespace_parent_with_literal_percent_not_double_decoded(
+    tmp_path,
+):
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        rest_create_namespace,
+        rest_get,
+    )
+
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        # a namespace whose NAME contains a literal percent-escape
+        rest_create_namespace(uri, ["x%79"])
+        rest_create_namespace(uri, ["x%79", "kid"])
+        got = rest_get(f"{uri}/v1/namespaces?parent=x%2579")
+        assert got["namespaces"] == [["x%79", "kid"]]
+
+
+def test_create_table_format_version_1_is_honored(tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        rest_create_namespace,
+        rest_create_table,
+    )
+
+    with IcebergRestCatalog({}, warehouse_dir=str(tmp_path)) as uri:
+        rest_create_namespace(uri, ["ns"])
+        lt = rest_create_table(
+            uri,
+            ["ns"],
+            "t",
+            [{"name": "id", "type": "long"}],
+            properties={"format-version": "1"},
+        )
+        assert lt["metadata"]["format-version"] == 1
+        with pytest.raises(ValueError, match="BadRequestException"):
+            rest_create_table(
+                uri,
+                ["ns"],
+                "t9",
+                [{"name": "id", "type": "long"}],
+                properties={"format-version": "9"},
+            )
+
+
+def test_delta_nested_variant_sets_protocol_feature(spark, tmp_path):
+    import json
+    import os
+
+    from hybrid_data_lakehouse_lab_spark.operators.delta_log import (
+        export_delta_log,
+    )
+
+    df = spark.range(3).select(
+        "id",
+        F.struct(
+            F.parse_json(F.format_string('{"k": %d}', "id")).alias("inner")
+        ).alias("s"),
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(df, committed_at_ms=1)
+    export_delta_log(t)
+    with open(
+        os.path.join(t.root, "_delta_log", "00000000000000000000.json")
+    ) as fh:
+        protos = [
+            json.loads(line)["protocol"]
+            for line in fh
+            if '"protocol"' in line
+        ]
+    (proto,) = protos
+    assert "variantType" in proto["readerFeatures"]
