@@ -62,6 +62,10 @@ _INTENDED_BNLJ = {
     # broadcast |Q|xs shortlist against the corpus scan (as
     # similarity_pq_rerank_topk)
     "similarity_hamming_rerank_topk",
+    # the int8 twins of the two hamming lanes above: broadcast-query
+    # int8-code scan (+ shortlist law / ground-truth scan respectively)
+    "similarity_sq8_rerank_topk",
+    "similarity_sq8_recall_audit",
     # ground truth side is the broadcast-query brute-force scan
     "similarity_pq_recall_audit",
     # inherits _kmeans_assign's crossJoin vs the k-row centroid broadcast
