@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .scd2 import current_state, scd2_from_changes, scd2_from_changes_chunked
+from .scd2 import (
+    current_state,
+    scd2_from_changes,
+    scd2_from_changes_auto,
+    scd2_from_changes_chunked,
+)
 
 
 def merge_scd2_batch(
@@ -38,7 +43,7 @@ def merge_scd2_batch(
     ts_col: str,
     op_col: str = "op",
     order_cols: list[str] | None = None,
-    chunked: bool = False,
+    chunked: bool | str = False,
 ) -> DataFrame:
     """Apply one CDC batch to an existing SCD2 table; returns the new table.
 
@@ -53,12 +58,21 @@ def merge_scd2_batch(
     ``chunked=True`` routes both the initial load and the per-batch
     rebuild through ``scd2_from_changes_chunked`` (event-date chunks) —
     the hot-key mitigation for corpora where one entity carries a large
-    share of a batch (see tests/test_skew_validation.py). Output is
-    identical either way; both internal orderings lead with ts_col, so
-    the chunked builder's monotonicity precondition holds.
+    share of a batch (see tests/test_skew_validation.py).
+    ``chunked="auto"`` probes the batch's max per-key multiplicity and
+    picks the path at the measured SCD2_CHUNK_THRESHOLD crossover
+    (operators/scd2.py:scd2_from_changes_auto) — one partial-agg scan
+    per build, worth it when batch skew varies. Output is identical on
+    every path; all internal orderings lead with ts_col, so the chunked
+    builder's monotonicity precondition holds.
     """
     order_cols = order_cols or [ts_col]
-    build = scd2_from_changes_chunked if chunked else scd2_from_changes
+    if chunked == "auto":
+        build = scd2_from_changes_auto
+    elif chunked:
+        build = scd2_from_changes_chunked
+    else:
+        build = scd2_from_changes
 
     if existing is None or not existing.columns:
         return build(changes, key_cols, attr_cols, ts_col, op_col, order_cols)

@@ -64,8 +64,11 @@ class Scd2Pipeline:
     lsn_col: str | None = "lsn"
     #: Route SCD2 builds through the two-level (key, chunk) chain — the
     #: hot-key skew mitigation (operators/scd2.py:scd2_from_changes_chunked).
-    #: Identical output; enable for corpora with heartbeat-heavy entities.
-    chunked: bool = False
+    #: Identical output; enable for corpora with heartbeat-heavy
+    #: entities, or pass "auto" to probe each batch's max per-key
+    #: multiplicity and pick the path at the measured crossover
+    #: (scd2_from_changes_auto, SCD2_CHUNK_THRESHOLD).
+    chunked: bool | str = False
     #: Partition the SCD2 snapshots by effective-start DAY — the
     #: reference's own table layout (`PARTITIONED BY
     #: (days(effective_start_ts))`, libs/scd2_spark_processor.py:151).

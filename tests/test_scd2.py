@@ -193,3 +193,31 @@ def test_scd2_auto_selection_matches_both_paths(spark):
     auto_hi = sorted(map(tuple, scd2_from_changes_auto(*args).collect()))
     assert plain == chunked == auto_lo == auto_hi
     assert len(plain) == 3  # (1,a), (1,b), (2,x) — heartbeats collapsed
+
+
+def test_merge_scd2_batch_chunked_auto(spark):
+    """chunked='auto' routes through the measured auto-selection and
+    stays identical to the plain path on a multi-batch merge."""
+    from pyspark.sql import functions as F
+
+    from hybrid_data_lakehouse_lab_spark.operators.merge import (
+        merge_scd2_batch,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "id INT, payload STRING, ts_s STRING, op STRING"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    b1 = batch([(1, "a", "2024-01-01 00:00:00", "c"),
+                (2, "x", "2024-01-01 00:00:00", "c")])
+    b2 = batch([(1, "b", "2024-01-02 00:00:00", "u"),
+                (2, "x", "2024-01-02 00:00:00", "u")])  # heartbeat
+    out = {}
+    for mode in (False, True, "auto"):
+        t1 = merge_scd2_batch(None, b1, ["id"], ["payload"], "ts",
+                              chunked=mode)
+        t2 = merge_scd2_batch(t1, b2, ["id"], ["payload"], "ts",
+                              chunked=mode)
+        out[mode] = sorted(map(tuple, t2.collect()))
+    assert out[False] == out[True] == out["auto"]
