@@ -243,15 +243,29 @@ def expire_iceberg_snapshots(
     root: str,
     older_than_ms: int | None = None,
     keep_last: int = 1,
+    as_of_ms: int | None = None,
 ) -> list[int]:
     """Iceberg `expire_snapshots` for a `metadata/` tree on disk —
     works on exported AND hand-built/external trees (anything
     `read_iceberg_table` can read).
 
     Retention rule (the spec action's): the current snapshot, every
-    snapshot a ref (branch/tag) points at, and the most recent
-    `keep_last` snapshots are always protected; everything else expires
-    when older than `older_than_ms` (or unconditionally when None).
+    snapshot a SURVIVING ref (branch/tag) points at, and the most
+    recent `keep_last` snapshots are always protected; everything else
+    expires when older than `older_than_ms` (or unconditionally when
+    None).
+
+    PER-REF RETENTION (the spec's snapshot-reference fields, settable
+    through the REST commit's set-snapshot-ref update):
+    `max-ref-age-ms` removes a non-main ref whose referenced snapshot
+    is older than the limit at `as_of_ms` (wall clock when None) — the
+    tag/branch itself is dropped from `refs`, and its snapshots become
+    expirable like any other; a surviving BRANCH additionally protects
+    its ancestor chain per its own `min-snapshots-to-keep` (first N
+    ancestors from the head) and `max-snapshot-age-ms` (ancestors
+    younger than the limit), walked over `parent-snapshot-id` links —
+    branches without the fields protect only their head, the prior
+    behavior.
 
     GC is REACHABILITY-BASED: manifest lists, manifests, data/delete
     files (parquet and Puffin DVs) and statistics Puffins referenced by
@@ -286,9 +300,51 @@ def expire_iceberg_snapshots(
         metadata.get("snapshots") or [],
         key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
     )
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    refs = dict(metadata.get("refs") or {})
+    if as_of_ms is None and any(
+        r.get("max-ref-age-ms") is not None
+        or r.get("max-snapshot-age-ms") is not None
+        for r in refs.values()
+    ):
+        import time as _time
+
+        as_of_ms = int(_time.time() * 1000)
+    # ref aging: a non-main ref past its max-ref-age-ms is REMOVED (its
+    # snapshots then expire like any other's)
+    refs_removed = []
+    for name, r in list(refs.items()):
+        age_limit = r.get("max-ref-age-ms")
+        if name == "main" or age_limit is None:
+            continue
+        ref_ts = by_id.get(r["snapshot-id"], {}).get("timestamp-ms", 0)
+        if as_of_ms - ref_ts > age_limit:
+            del refs[name]
+            refs_removed.append(name)
+    metadata["refs"] = refs
+
+    def _ancestors(sid):
+        while sid in by_id:
+            yield sid
+            sid = by_id[sid].get("parent-snapshot-id")
+            if sid is None:
+                return
+
     protected = {metadata.get("current-snapshot-id")}
-    for r in (metadata.get("refs") or {}).values():
+    for r in refs.values():
         protected.add(r["snapshot-id"])
+        if r.get("type", "branch") != "branch":
+            continue
+        keep_n = r.get("min-snapshots-to-keep")
+        max_age = r.get("max-snapshot-age-ms")
+        if keep_n is None and max_age is None:
+            continue
+        for idx, sid in enumerate(_ancestors(r["snapshot-id"])):
+            ts = by_id[sid].get("timestamp-ms", 0)
+            if (keep_n is not None and idx < keep_n) or (
+                max_age is not None and as_of_ms - ts <= max_age
+            ):
+                protected.add(sid)
     protected.update(
         s["snapshot-id"] for s in snaps[max(0, len(snaps) - keep_last):]
     )
@@ -298,7 +354,7 @@ def expire_iceberg_snapshots(
         if s["snapshot-id"] not in protected
         and (older_than_ms is None or s.get("timestamp-ms", 0) < older_than_ms)
     ]
-    if not expired:
+    if not expired and not refs_removed:
         return []
     expired_ids = {s["snapshot-id"] for s in expired}
     survivors = [s for s in snaps if s["snapshot-id"] not in expired_ids]

@@ -366,6 +366,15 @@ class IcebergRestCatalog:
                     "snapshot-id": sid,
                     "type": u.get("type", "branch"),
                 }
+                # spec SetSnapshotRefUpdate retention fields — honored
+                # by expire_iceberg_snapshots' per-ref retention
+                for k in (
+                    "min-snapshots-to-keep",
+                    "max-snapshot-age-ms",
+                    "max-ref-age-ms",
+                ):
+                    if u.get(k) is not None:
+                        refs[name][k] = int(u[k])
                 if name == "main":
                     # main moves = the table's current snapshot
                     # moves; the snapshot-log records it (forward

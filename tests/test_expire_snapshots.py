@@ -190,3 +190,104 @@ def test_expire_drops_expired_statistics(spark, tmp_path):
     md, _ = _meta(t.root)
     assert md["statistics"] == md0["statistics"]
     assert os.path.isfile(stats_path)
+
+
+def test_per_ref_retention_fields(spark, tmp_path):
+    """Spec snapshot-reference retention (round 11): max-ref-age-ms
+    removes an aged tag (its snapshot then expires); a branch's
+    min-snapshots-to-keep / max-snapshot-age-ms protect its ANCESTOR
+    CHAIN, not just its head; fields arrive through the REST commit's
+    set-snapshot-ref update. Deterministic via as_of_ms."""
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from test_iceberg_meta import load_metadata
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        expire_iceberg_snapshots,
+    )
+    from hybrid_data_lakehouse_lab_spark.operators.rest_catalog import (
+        IcebergRestCatalog,
+        rest_commit_table,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # four commits, 1000 ms apart
+    for v in range(1, 5):
+        t.write(
+            spark.range(v * 10).selectExpr("id"),
+            committed_at_ms=v * 1000,
+        )
+    export_iceberg_metadata(t, format_version=2)
+    with IcebergRestCatalog({("ns", "t"): t.root}) as uri:
+        url = f"{uri}/v1/namespaces/ns/tables/t"
+        # an aged tag on snapshot 1, a retention-carrying branch on 4
+        rest_commit_table(
+            url,
+            updates=[
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "old-tag",
+                    "snapshot-id": 1,
+                    "type": "tag",
+                    "max-ref-age-ms": 500,
+                },
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "dev",
+                    "snapshot-id": 4,
+                    "type": "branch",
+                    "min-snapshots-to-keep": 2,
+                    "max-snapshot-age-ms": 1500,
+                },
+            ],
+        )
+    md = load_metadata(t.root)
+    assert md["refs"]["old-tag"]["max-ref-age-ms"] == 500
+    assert md["refs"]["dev"]["min-snapshots-to-keep"] == 2
+    # at t=5000: old-tag (snapshot ts 1000) is 4000 ms old -> removed;
+    # dev protects head 4 + ancestor 3 (min 2 to keep; snapshot 2 at
+    # ts 2000 is 3000 ms old > 1500, so age protects nothing extra);
+    # snapshot 1 and 2 expire (keep_last=1 protects only the newest)
+    expired = expire_iceberg_snapshots(
+        t.root, older_than_ms=10_000, keep_last=1, as_of_ms=5000
+    )
+    assert expired == [1, 2]
+    md2 = load_metadata(t.root)
+    assert "old-tag" not in md2["refs"]
+    assert sorted(s["snapshot-id"] for s in md2["snapshots"]) == [3, 4]
+    # surviving snapshots still read
+    assert read_iceberg_table(spark, t.root, snapshot_id=3).count() == 30
+    assert read_iceberg_table(spark, t.root, snapshot_id=4).count() == 40
+
+
+def test_ref_removal_commits_even_when_nothing_expires(spark, tmp_path):
+    from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
+        export_iceberg_metadata,
+    )
+    from test_iceberg_meta import load_metadata
+    from hybrid_data_lakehouse_lab_spark.operators.maintenance import (
+        expire_iceberg_snapshots,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(3).selectExpr("id"), committed_at_ms=1000)
+    export_iceberg_metadata(t, format_version=2)
+    md_path = t.root + "/metadata"
+    import json
+    import os
+
+    n = int(open(os.path.join(md_path, "version-hint.text")).read())
+    mp = os.path.join(md_path, f"v{n}.metadata.json")
+    md = json.load(open(mp))
+    md["refs"]["stale"] = {
+        "snapshot-id": 1,
+        "type": "tag",
+        "max-ref-age-ms": 10,
+    }
+    json.dump(md, open(mp, "w"))
+    expired = expire_iceberg_snapshots(t.root, as_of_ms=99_999)
+    assert expired == []  # snapshot 1 is current: protected
+    md2 = load_metadata(t.root)
+    assert "stale" not in md2["refs"]  # but the aged tag is GONE
+    assert md2["snapshots"]  # and the table still reads
