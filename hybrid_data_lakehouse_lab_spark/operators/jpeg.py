@@ -160,6 +160,24 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.buf.append(0x00)
 
+    def write_big(self, val: int, length: int) -> None:
+        """Append `length` bits of `val` (an arbitrary-width Python int
+        of already-concatenated codes) and emit every completed byte in
+        one to_bytes + replace pass — byte stuffing (T.81 F.1.2.3) is
+        exactly 'insert 0x00 after each 0xFF', which bytes.replace does
+        in C instead of a per-byte Python loop."""
+        self.acc = (self.acc << length) | val
+        self.nbits += length
+        nbytes = self.nbits >> 3
+        if nbytes:
+            rem = self.nbits - (nbytes << 3)
+            chunk = (self.acc >> rem).to_bytes(nbytes, "big")
+            self.acc &= (1 << rem) - 1
+            self.nbits = rem
+            if b"\xff" in chunk:
+                chunk = chunk.replace(b"\xff", b"\xff\x00")
+            self.buf += chunk
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -220,33 +238,49 @@ def _entropy_code_block(
     zz: np.ndarray, dc_codes, ac_codes, writer: _BitWriter, prev_dc: int
 ) -> int:
     """Entropy-code one zigzag-ordered quantized block (DC prediction +
-    AC run-length per F.1.2); returns the block's DC for prediction."""
-    s, bits = _magnitude(int(zz[0]) - prev_dc)
-    code, ln = dc_codes[s]
-    writer.write(code, ln)
-    if s:
-        writer.write(bits, s)
+    AC run-length per F.1.2); returns the block's DC for prediction.
+
+    Codes accumulate into one local Python int (a block is a few
+    hundred bits — cheap bignum shifts) and land in the writer via a
+    single write_big call, so the per-symbol cost is two int ops
+    instead of a method call with a byte-emit loop."""
+    acc = 0
+    nb = 0
+    v = int(zz[0]) - prev_dc
+    if v:
+        s = v.bit_length() if v >= 0 else (-v).bit_length()
+        code, ln = dc_codes[s]
+        acc = (code << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1))
+        nb = ln + s
+    else:
+        acc, nb = dc_codes[0]
     run = 0
+    zz_list = zz.tolist()
     nz = np.nonzero(zz[1:])[0]
     last_nz = (nz[-1] + 1) if len(nz) else 0
+    zrl_code, zrl_ln = ac_codes[0xF0]
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz_list[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-            writer.write(code, ln)
+            acc = (acc << zrl_ln) | zrl_code  # ZRL: 16 zeros
+            nb += zrl_ln
             run -= 16
-        s, bits = _magnitude(v)
+        s = v.bit_length() if v >= 0 else (-v).bit_length()
         code, ln = ac_codes[(run << 4) | s]
-        writer.write(code, ln)
-        writer.write(bits, s)
+        acc = (acc << (ln + s)) | (code << s) | (
+            (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+        )
+        nb += ln + s
         run = 0
     if last_nz < 63:
         code, ln = ac_codes[0x00]  # EOB
-        writer.write(code, ln)
-    return int(zz[0])
+        acc = (acc << ln) | code
+        nb += ln
+    writer.write_big(acc, nb)
+    return int(zz_list[0])
 
 
 _SUBSAMPLING = {
@@ -303,9 +337,19 @@ def encode_jpeg(
     else:
         ycc = _rgb_to_ycbcr(arr)
         full = [ycc[..., i] for i in range(3)]
-    full = [
-        np.pad(p, ((0, full_h - h), (0, full_w - w)), mode="edge") for p in full
-    ]
+    if full_h != h or full_w != w:
+        # edge-replicate pad without np.pad (whose generic pad-area
+        # machinery costs ~10× the two broadcast assignments needed here)
+        padded = []
+        for p in full:
+            q = np.empty((full_h, full_w), dtype=p.dtype)
+            q[:h, :w] = p
+            if full_w != w:
+                q[:h, w:] = q[:h, w - 1 : w]
+            if full_h != h:
+                q[h:, :] = q[h - 1 : h, :]
+            padded.append(q)
+        full = padded
     planes = []
     for p, (fh_, fv_) in zip(full, factors):
         fx, fy = maxh // fh_, maxv // fv_
@@ -598,42 +642,79 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        # Trailing bits in `acc` that were synthesized past the end of
+        # the entropy segment (a marker or end-of-data) so that peeks
+        # never fault. Consuming one is the corrupt-stream signal the
+        # per-bit reader used to raise from inside _fill.
+        self.virtual = 0
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError(
-                    "restart marker hit mid-segment (corrupt stream or "
-                    "wrong DRI interval)"
-                )
-            else:
-                raise ValueError(
-                    f"unexpected marker 0xff{nxt:02x} inside entropy data"
-                )
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+    def _fill_to(self, n: int) -> None:
+        """Buffer at least `n` bits. Bytes are pulled in bulk (0xFF00
+        stuffing unstuffed inline); a marker or end-of-data pads with
+        virtual zero bits instead of raising, so the symbol LUT can
+        always peek 16 bits — the raise happens only if a virtual bit
+        is actually consumed (see read_bit/_read_symbol)."""
+        data = self.data
+        pos = self.pos
+        acc = self.acc
+        nbits = self.nbits
+        ln = len(data)
+        while nbits < n:
+            # bulk path: 8 stuffing-free bytes in one from_bytes
+            chunk = data[pos : pos + 8]
+            if len(chunk) == 8 and b"\xff" not in chunk:
+                acc = (acc << 64) | int.from_bytes(chunk, "big")
+                nbits += 64
+                pos += 8
+                continue
+            if pos < ln:
+                b = data[pos]
+                if b != 0xFF:
+                    acc = (acc << 8) | b
+                    nbits += 8
+                    pos += 1
+                    continue
+                if pos + 1 < ln and data[pos + 1] == 0x00:
+                    acc = (acc << 8) | 0xFF
+                    nbits += 8
+                    pos += 2
+                    continue
+                # a real marker (RSTn / EOI / next segment): stop here
+            acc <<= 8
+            nbits += 8
+            self.virtual += 8
+        self.pos = pos
+        self.acc = acc
+        self.nbits = nbits
 
     def read_bit(self) -> int:
         if self.nbits == 0:
-            self._fill()
+            self._fill_to(1)
         self.nbits -= 1
+        if self.nbits < self.virtual:
+            raise ValueError(
+                "entropy data exhausted mid-unit: marker or end of "
+                "stream reached (corrupt stream or wrong DRI interval)"
+            )
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill_to(n)
+        self.nbits -= n
+        if self.nbits < self.virtual:
+            raise ValueError(
+                "entropy data exhausted mid-unit: marker or end of "
+                "stream reached (corrupt stream or wrong DRI interval)"
+            )
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self, expected: int) -> None:
         """Consume an RSTn at a restart boundary: discard pad bits to
         the byte boundary, then the 2-byte marker (n must cycle 0..7)."""
-        self.acc = self.nbits = 0
+        self.acc = self.nbits = self.virtual = 0
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expected:
             raise ValueError(
                 f"expected RST{expected} at byte {self.pos}, found "
@@ -657,14 +738,54 @@ def _build_decode_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], i
     return table
 
 
-def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+# Built LUTs memoized on the DHT payload: a corpus of images produced by
+# one encoder family (this module's fixed tables, or Annex K) re-declares
+# the same handful of tables in every file, and the flat LUT is a pure
+# function of that payload. Bounded: spec-distinct DHTs seen per process,
+# each 64k small ints.
+_DECODE_LUT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+
+
+def _build_decode_lut(bits: list[int], vals: bytes) -> list[int]:
+    """Flat 2^16 lookup table: entry at any 16-bit window whose prefix
+    is a code holds (symbol << 5) | code_length; 0 marks an invalid
+    prefix (no canonical code is length 0). One peek + one list index
+    replaces the per-bit tree walk of _build_decode_table — the
+    standard table-driven Huffman decode every production JPEG decoder
+    uses (e.g. libjpeg's jdhuff lookahead table)."""
+    key = (bytes(bits), bytes(vals))
+    lut = _DECODE_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    table = np.zeros(1 << 16, dtype=np.int32)
     code = 0
+    k = 0
     for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy data")
+        width = 1 << (16 - length)
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            table[lo : lo + width] = (vals[k] << 5) | length
+            code += 1
+            k += 1
+        code <<= 1
+    lut = table.tolist()
+    _DECODE_LUT_CACHE[key] = lut
+    return lut
+
+
+def _read_symbol(reader: _BitReader, lut: list[int]) -> int:
+    if reader.nbits < 16:
+        reader._fill_to(16)
+    entry = lut[(reader.acc >> (reader.nbits - 16)) & 0xFFFF]
+    if entry == 0:
+        raise ValueError("invalid Huffman code in entropy data")
+    reader.nbits -= entry & 0x1F
+    if reader.nbits < reader.virtual:
+        raise ValueError(
+            "entropy data exhausted mid-unit: marker or end of "
+            "stream reached (corrupt stream or wrong DRI interval)"
+        )
+    return entry >> 5
 
 
 def _extend(bits: int, s: int) -> int:
@@ -722,7 +843,7 @@ def decode_jpeg(payload: bytes):
                 bits = list(body[at + 1 : at + 17])
                 n = sum(bits)
                 vals = body[at + 17 : at + 17 + n]
-                htables[(tc, th)] = _build_decode_table(bits, vals)
+                htables[(tc, th)] = _build_decode_lut(bits, vals)
                 at += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
@@ -831,10 +952,32 @@ def _decode_scan(
     p1 = 1 << al
     m1 = -p1
 
+    _exhausted = (
+        "entropy data exhausted mid-unit: marker or end of "
+        "stream reached (corrupt stream or wrong DRI interval)"
+    )
+
     def decode_dc(idx, dc_t, zz):
         if ah == 0:  # first DC scan: diff-coded point-transformed value
-            sym = _read_symbol(reader, dc_t)
-            prev[idx] += _extend(reader.read_bits(sym), sym)
+            # one buffered fill covers the symbol (≤16 bits) and its
+            # value bits (≤11) — LUT peek + two masked shifts, no
+            # per-bit calls (same inlining as decode_ac_first)
+            if reader.nbits < 27:
+                reader._fill_to(32)
+            nb = reader.nbits
+            entry = dc_t[(reader.acc >> (nb - 16)) & 0xFFFF]
+            if entry == 0:
+                raise ValueError("invalid Huffman code in entropy data")
+            sym = entry >> 5
+            nb -= (entry & 0x1F) + sym
+            reader.nbits = nb
+            if nb < reader.virtual:
+                raise ValueError(_exhausted)
+            if sym:
+                bits = (reader.acc >> nb) & ((1 << sym) - 1)
+                prev[idx] += (
+                    bits if bits >= (1 << (sym - 1)) else bits - (1 << sym) + 1
+                )
             zz[0] = prev[idx] << al
         else:  # refinement: one bit, OR'd at position al
             if reader.read_bit():
@@ -846,18 +989,37 @@ def _decode_scan(
             return
         k = k0
         while k <= k1:
-            sym = _read_symbol(reader, ac_t)
-            run, size = sym >> 4, sym & 0xF
+            # fill once for symbol (≤16) + value (≤11) bits
+            if reader.nbits < 27:
+                reader._fill_to(32)
+            nb = reader.nbits
+            entry = ac_t[(reader.acc >> (nb - 16)) & 0xFFFF]
+            if entry == 0:
+                raise ValueError("invalid Huffman code in entropy data")
+            sym = entry >> 5
+            run = sym >> 4
+            size = sym & 0xF
+            nb -= entry & 0x1F
             if size == 0:
+                reader.nbits = nb
+                if nb < reader.virtual:
+                    raise ValueError(_exhausted)
                 if run == 15:  # ZRL
                     k += 16
                     continue
                 state["eobrun"] = (1 << run) - 1 + reader.read_bits(run)
                 return
+            nb -= size
+            reader.nbits = nb
+            if nb < reader.virtual:
+                raise ValueError(_exhausted)
+            bits = (reader.acc >> nb) & ((1 << size) - 1)
             k += run
             if k > k1:
                 raise ValueError("AC run past end of band")
-            zz[k] = _extend(reader.read_bits(size), size) << al
+            zz[k] = (
+                bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+            ) << al
             k += 1
 
     def refine_nonzero(zz, k):
