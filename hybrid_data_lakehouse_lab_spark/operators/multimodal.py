@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -606,8 +608,11 @@ def fake_feature_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas pipeline: partition-parallel, Arrow-batched, no shuffle."""
-    return media.mapInPandas(fake_feature_extract, schema=FEATURE_SCHEMA)
+    """mapInPandas pipeline: partition-parallel, Arrow-batched. fan_out
+    first: a small scan is one partition and would serialize the kernel
+    onto one core; at real scale the input already has enough splits
+    and fan_out adds no shuffle (operators/util.py)."""
+    return fan_out(media).mapInPandas(fake_feature_extract, schema=FEATURE_SCHEMA)
 
 
 def encode_wav(samples, sample_rate: int = 16000, codec: str = "pcm16") -> bytes:
@@ -918,7 +923,9 @@ def audio_decode_stats(
     the source PCM but an exact integer function of it, which is what
     the μ-law lane's oracle re-states in SQL.
 
-    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle."""
+    100 TB: partition-local mapInPandas, Arrow-batched — no shuffle
+    at scale (fan_out only repartitions scans narrower than the
+    cluster; real inputs have thousands of splits)."""
     import hashlib
 
     import numpy as np
@@ -957,7 +964,7 @@ def audio_decode_stats(
                 )
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(kernel, schema=AUDIO_STATS_SCHEMA)
+    return fan_out(media).mapInPandas(kernel, schema=AUDIO_STATS_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = T.StructType(
@@ -993,7 +1000,9 @@ def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> Dat
     rows take a DIFFERENT filter type — the inflate + unfilter path is
     exercised on every blob, not just in unit tests.
 
-    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle —
+    100 TB: partition-local mapInPandas, Arrow-batched — no shuffle
+    at scale (fan_out only repartitions scans narrower than the
+    cluster) —
     identical dataflow to a PIL-backed kernel."""
     import hashlib
 
@@ -1030,7 +1039,7 @@ def image_decode_stats(media: DataFrame, width: int = 5, height: int = 4) -> Dat
                     out["b_sum"].append(int(dec[:, :, 2].sum(dtype=np.int64)))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(kernel, schema=IMAGE_STATS_SCHEMA)
+    return fan_out(media).mapInPandas(kernel, schema=IMAGE_STATS_SCHEMA)
 
 
 JPEG_TOLERANCE = 48  # ≥2× the max reconstruction error ever observed on
@@ -1061,7 +1070,9 @@ def jpeg_roundtrip_stats(
     lanes the oracle pairs on dims + verdict rather than exact content;
     the tolerance itself is pinned empirically in tests/test_jpeg.py.
 
-    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle."""
+    100 TB: partition-local mapInPandas, Arrow-batched — no shuffle
+    at scale (fan_out only repartitions scans narrower than the
+    cluster; real inputs have thousands of splits)."""
     import numpy as np
 
     from .jpeg import decode_jpeg, encode_jpeg
@@ -1087,7 +1098,7 @@ def jpeg_roundtrip_stats(
                 out["within_tol"].append(err <= JPEG_TOLERANCE)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)
+    return fan_out(media).mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)
 
 
 VIDEO_STATS_SCHEMA = T.StructType(
@@ -1124,7 +1135,9 @@ def video_decode_stats(
     channel sums pin the BGR swap, and fps pins the avih timebase
     round-trip. width=5 keeps the DIB stride padded (16-byte rows).
 
-    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle —
+    100 TB: partition-local mapInPandas, Arrow-batched — no shuffle
+    at scale (fan_out only repartitions scans narrower than the
+    cluster) —
     identical dataflow to an ffmpeg-backed kernel."""
     import hashlib
 
@@ -1154,7 +1167,7 @@ def video_decode_stats(
                 out["b_sum"].append(int(dec[:, :, :, 2].sum(dtype=np.int64)))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(kernel, schema=VIDEO_STATS_SCHEMA)
+    return fan_out(media).mapInPandas(kernel, schema=VIDEO_STATS_SCHEMA)
 
 
 MJPEG_STATS_SCHEMA = T.StructType(
@@ -1185,7 +1198,9 @@ def mjpeg_roundtrip_stats(
     Lossy, so like jpeg_roundtrip_stats the verdict is dims/fps plus
     max |decoded−source| ≤ JPEG_TOLERANCE per document.
 
-    100 TB: partition-local mapInPandas, Arrow-batched, no shuffle."""
+    100 TB: partition-local mapInPandas, Arrow-batched — no shuffle
+    at scale (fan_out only repartitions scans narrower than the
+    cluster; real inputs have thousands of splits)."""
     import numpy as np
 
     n_px = n_frames * width * height * 3
@@ -1211,7 +1226,7 @@ def mjpeg_roundtrip_stats(
                 out["within_tol"].append(err <= JPEG_TOLERANCE)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(kernel, schema=MJPEG_STATS_SCHEMA)
+    return fan_out(media).mapInPandas(kernel, schema=MJPEG_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -1474,7 +1489,7 @@ def sample_frames(
                 }
             )
 
-    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+    return fan_out(media).mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
 def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
@@ -1506,4 +1521,4 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+    return fan_out(media).mapInPandas(kernel, schema=RESIZE_SCHEMA)
