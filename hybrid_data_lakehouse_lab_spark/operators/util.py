@@ -2,10 +2,55 @@
 
 from __future__ import annotations
 
+import os
+import urllib.parse
+
 from pyspark.sql import DataFrame
 
+#: Size gate for ``fan_out(min_bytes=...)`` call sites: the measured
+#: crossover (local[32], interleaved A/B) where a round-robin shuffle of
+#: the scan output starts paying for itself on JVM-expression lanes
+#: (regex/JSON/vector arithmetic). Below it the serial scan finishes
+#: before the shuffle would — repartitioning a sub-MB corpus LOST 15-40%
+#: at sf0.1 while the same lanes gained 1.3-3.2x on the 10x slice.
+#: Python-kernel lanes (media codecs) skip the gate: their per-byte cost
+#: is orders of magnitude higher, so repartitioning pays at any size.
+#: Sized on UNCOMPRESSED bytes (parquet row-group total_byte_size):
+#: compressed file size under-measures work by >20x on replicated
+#: corpora (a 50k-doc slice compresses to 0.7 MB but carries 18 MB of
+#: text through the lane's expressions).
+FAN_OUT_MIN_BYTES = 4 << 20
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+
+def _input_bytes(files: list[str]) -> int | None:
+    """Total UNCOMPRESSED input size of a scan's file listing — parquet
+    footers' row-group total_byte_size (a few footer reads; only ever
+    called for scans narrower than the cluster), raw file size for
+    anything else. None = could not size (treat as big)."""
+    total = 0
+    for f in files:
+        path = urllib.parse.urlparse(f).path if ":/" in f else f
+        try:
+            if path.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(path).metadata
+                total += sum(
+                    md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups)
+                )
+            else:
+                total += os.path.getsize(path)
+        except Exception:
+            return None
+    return total
+
+
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int = 0,
+) -> DataFrame:
     """Ensure enough partitions for CPU-heavy downstream work.
 
     A small parquet file scans as ONE partition (maxPartitionBytes), which
@@ -13,14 +58,27 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     core. Repartition up only when the scan is narrower than the cluster —
     at real scale inputs already have thousands of splits and this is a
     no-op (no shuffle added).
+
+    ``min_bytes`` additionally skips the repartition when the scan's
+    total input size is provably below the crossover where the shuffle
+    pays for itself (see FAN_OUT_MIN_BYTES) — pass it on lanes whose
+    per-byte compute is JVM-cheap; leave it off where per-row compute is
+    heavyweight (Python codec kernels). A source with no file listing
+    (checkpointed/in-memory relations) cannot prove it is small and
+    repartitions as before.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     # Decide from the driver-side file listing, NOT df.rdd.getNumPartitions():
     # the .rdd probe forces a plan-to-RDD physical conversion per call. A scan
     # with >= target input files already parallelizes; at real scale (thousands
     # of splits) this branch makes fan_out a no-op with no shuffle added.
-    if len(df.inputFiles()) >= target:
+    files = df.inputFiles()
+    if len(files) >= target:
         return df
+    if min_bytes and files:
+        total = _input_bytes(files)
+        if total is not None and total < min_bytes:
+            return df
     return df.repartition(target)
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import decode_op
+from ..operators.util import FAN_OUT_MIN_BYTES, fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -606,8 +607,12 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a filter + aggregate, as here) this beats `get_json_object`, which
     re-parses the JSON string at every call site — at 100 TB the parse
     is the scan's CPU bill. The oracle uses DuckDB's JSON extraction —
-    same values, independent implementation."""
-    ev = _t(spark, sf_dir, "events")
+    same values, independent implementation.
+
+    Size-gated fan_out: the variant parse is the lane's CPU bill and a
+    single-row-group scan would run it on one core; the gate keeps the
+    shuffle away below the measured crossover (FAN_OUT_MIN_BYTES)."""
+    ev = fan_out(_t(spark, sf_dir, "events"), min_bytes=FAN_OUT_MIN_BYTES)
     v = F.parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
     return (

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.util import FAN_OUT_MIN_BYTES, fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -97,7 +98,12 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("match_id"), _as_double("embedding").alias("cv"))
+    # size-gated fan_out on the STREAM side: the per-row dot products
+    # are the lane's CPU bill and a single-row-group corpus scan would
+    # run them on one core (the broadcast query side is untouched)
+    c = fan_out(emb, min_bytes=FAN_OUT_MIN_BYTES).select(
+        F.col("vec_id").alias("match_id"), _as_double("embedding").alias("cv")
+    )
     dot = F.expr(_DOT.format(a="qv", b="cv"))
     nq = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
     nc = F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
@@ -234,7 +240,10 @@ def similarity_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("match_id"), _as_double("embedding").alias("cv"))
+    # same stream-side fan_out rationale as the JVM twin above
+    c = fan_out(emb, min_bytes=FAN_OUT_MIN_BYTES).select(
+        F.col("vec_id").alias("match_id"), _as_double("embedding").alias("cv")
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.util import FAN_OUT_MIN_BYTES, fan_out
 from ..sources import load_table
 from .registry import register
 
@@ -109,7 +110,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # size-gated fan_out: md5+regex per doc parallelizes once the
+    # corpus is past the shuffle crossover (see FAN_OUT_MIN_BYTES)
+    d = fan_out(
+        load_table(spark, sf_dir, "documents"), min_bytes=FAN_OUT_MIN_BYTES
+    )
     normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
@@ -135,7 +140,9 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training-cost estimator that whitespace counts understate on
     punctuation/digit-heavy text. Pure regexp_extract_all: map-side,
     codegen, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(
+        load_table(spark, sf_dir, "documents"), min_bytes=FAN_OUT_MIN_BYTES
+    )
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
