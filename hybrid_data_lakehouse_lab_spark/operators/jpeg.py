@@ -159,6 +159,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.buf.append(0x00)
+        # drop emitted high bits: without this the accumulator retains
+        # every bit ever written and each shift copies a growing bignum
+        # (quadratic in stream length on the per-symbol progressive path)
+        self.acc &= (1 << self.nbits) - 1
 
     def write_big(self, val: int, length: int) -> None:
         """Append `length` bits of `val` (an arbitrary-width Python int
@@ -656,8 +660,14 @@ class _BitReader:
         is actually consumed (see read_bit/_read_symbol)."""
         data = self.data
         pos = self.pos
-        acc = self.acc
+        # Drop already-consumed high bits before appending: reads only
+        # ever mask the low `nbits`, but without this the accumulator
+        # keeps every bit it has seen and grows into a megabit bignum —
+        # each subsequent shift then copies the whole thing, turning
+        # decode quadratic in stream length (measured 9 s for a 256²
+        # image; 0.2 s truncated).
         nbits = self.nbits
+        acc = self.acc & ((1 << nbits) - 1)
         ln = len(data)
         while nbits < n:
             # bulk path: 8 stuffing-free bytes in one from_bytes
@@ -1070,7 +1080,20 @@ def _decode_scan(
                 k += 1
             state["eobrun"] -= 1
 
+    # Baseline scans (full band, no point transform) decode each block
+    # into a fresh Python list written to the coefficient store ONCE —
+    # per-coefficient numpy scalar writes cost ~5x a list store.
+    # Progressive scans keep the numpy views: coefficients accumulate
+    # across scans, so the store must be read-write in place.
+    baseline_fast = ss == 0 and se == 63 and ah == 0 and al == 0
+
     def decode_unit(idx, dc_t, ac_t, zz):
+        if baseline_fast:
+            buf = [0] * 64
+            decode_dc(idx, dc_t, buf)
+            decode_ac_first(ac_t, buf, 1, 63)
+            zz[:] = buf
+            return
         if ss == 0:
             decode_dc(idx, dc_t, zz)
         if se > 0:
