@@ -1301,15 +1301,29 @@ def export_iceberg_metadata(
                     continue
                 hp = tuple(hidden_partitions[sf["name"]])
                 src_col = hp[0]
-                changed = changed.withColumn(
-                    sf["name"],
-                    _hidden_transform_col(
+                if hp[1] == "bucket":
+                    # staged-column murmur3: the Column form's
+                    # duplicated rounds blow up the partitioned write's
+                    # sort codegen (see with_bucket_column)
+                    from .iceberg_transforms import with_bucket_column
+
+                    changed = with_bucket_column(
+                        changed,
+                        sf["name"],
                         src_col,
-                        hp[1],
-                        hp[2] if len(hp) > 2 else None,
+                        int(hp[2]),
                         type_of[src_col],
-                    ),
-                )
+                    )
+                else:
+                    changed = changed.withColumn(
+                        sf["name"],
+                        _hidden_transform_col(
+                            src_col,
+                            hp[1],
+                            hp[2] if len(hp) > 2 else None,
+                            type_of[src_col],
+                        ),
+                    )
             ups_dir = os.path.join(table.root, "upserts", f"s{snapshot_id:05d}")
             data_files = _write_upsert_files(
                 table.spark,

@@ -191,6 +191,79 @@ def _hash_long_col(v):
     h = h.bitwiseXOR(F.shiftrightunsigned(h, 16))
     return h  # unsigned 32-bit in a bigint; sign is irrelevant after & MAX
 
+def with_bucket_column(df, out_col: str, src, n: int, iceberg_type: str = "long"):
+    """``df`` plus ``out_col`` = Iceberg bucket(src, n), with every
+    murmur3 round staged as a NAMED intermediate column.
+
+    The single-Column form (``bucket_col``) duplicates each rotl/xor
+    operand subtree — Column expressions are trees, not DAGs — so the
+    hash expands to hundreds of copies of the source expression, the
+    generated sort/project function crosses janino's method limits
+    (observed: a 14k-line ``sort_addToSorter`` failing to compile under
+    a bucket-partitioned write), and Spark silently falls back to
+    interpreted evaluation of the giant tree. Staging each round as an
+    alias makes every reference an attribute (cheap to repeat), and
+    CollapseProject keeps the stages separate precisely because the
+    non-cheap aliases are referenced more than once. Values are
+    identical to ``bucket_col`` (tests pin equality); use this form on
+    row-at-scale paths, the Column form for value-side/driver work.
+    ``src`` is a column name or Column."""
+    from pyspark.sql import functions as F
+
+    src = F.col(src) if isinstance(src, str) else src
+    if iceberg_type in ("int", "long"):
+        v = src.cast("bigint")
+    elif iceberg_type == "date":
+        v = F.datediff(src, F.lit("1970-01-01").cast("date")).cast("bigint")
+    elif iceberg_type in ("timestamp", "timestamptz"):
+        v = F.unix_micros(src)
+    else:
+        raise NotImplementedError(
+            f"with_bucket_column source type {iceberg_type!r}"
+        )
+    taken = set(df.columns)
+    def fresh(base: str) -> str:
+        name = base
+        i = 0
+        while name in taken:
+            i += 1
+            name = f"{base}{i}"
+        taken.add(name)
+        return name
+
+    tmp: list[str] = []
+    def stage(dfx, base, expr):
+        name = fresh(base)
+        tmp.append(name)
+        return dfx.withColumn(name, expr), F.col(name)
+
+    df, tv = stage(df, "_mm3_v", v)
+    h = F.lit(0).cast("bigint")
+    for i, blk in enumerate(
+        (
+            tv.bitwiseAND(F.lit(_M32)),
+            F.shiftrightunsigned(tv, 32).bitwiseAND(F.lit(_M32)),
+        )
+    ):
+        df, k = stage(df, f"_mm3_k{i}", _mul32(blk, _C1))
+        df, kr = stage(df, f"_mm3_kr{i}", _rotl32(k, 15))
+        df, hx = stage(df, f"_mm3_hx{i}", h.bitwiseXOR(_mul32(kr, _C2)))
+        df, hr = stage(df, f"_mm3_hr{i}", _rotl32(hx, 13))
+        h = (hr * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
+    df, f0 = stage(df, "_mm3_f0", h.bitwiseXOR(F.lit(8)))
+    df, f1 = stage(
+        df, "_mm3_f1", _mul32(f0.bitwiseXOR(F.shiftrightunsigned(f0, 16)), 0x85EBCA6B)
+    )
+    df, f2 = stage(
+        df, "_mm3_f2", _mul32(f1.bitwiseXOR(F.shiftrightunsigned(f1, 13)), 0xC2B2AE35)
+    )
+    hashed = f2.bitwiseXOR(F.shiftrightunsigned(f2, 16))
+    out = F.when(
+        src.isNotNull(), hashed.bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(n)
+    ).cast("int")
+    return df.withColumn(out_col, out).drop(*tmp)
+
+
 def bucket_col(col, n: int, iceberg_type: str = "long"):
     """Spark Column computing the Iceberg bucket partition value of
     `col` — pure integer expressions, codegen-friendly, for writing

@@ -676,15 +676,18 @@ def iceberg_bucket_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         export_iceberg_metadata,
         read_iceberg_table,
     )
-    from ..operators.iceberg_transforms import bucket_col
+    from ..operators.iceberg_transforms import with_bucket_column
 
     orders = load_table(spark, sf_dir, "orders")
     tmp = tempfile.mkdtemp(prefix="iceberg_bucket_demo_")
     try:
         t = SnapshotTable(spark, os.path.join(tmp, "t"))
+        # staged-column murmur3: the single-Column form exploded the
+        # partitioned write's sort codegen past janino's limits
+        # (interpreted fallback); see with_bucket_column
         t.write(
-            orders.repartition(4).withColumn(
-                "b", bucket_col(F.col("o_custkey"), 16, "long")
+            with_bucket_column(
+                orders.repartition(4), "b", F.col("o_custkey"), 16, "long"
             ),
             partition_by=["b"],
             committed_at_ms=1,

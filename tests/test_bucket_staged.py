@@ -1,0 +1,70 @@
+"""with_bucket_column — the staged-projection murmur3 bucket transform.
+
+The single-Column form duplicates every rotl/xor operand subtree;
+fused into a partitioned write's sort (or any big codegen stage) the
+generated method crosses janino's limits and either falls back to
+interpreted evaluation or — when janino splits the class — dies with
+IllegalAccessError on BufferedRowIterator.partitionIndex (reproduced).
+The staged form keeps each murmur3 round a named column, so codegen
+sees attribute references. These tests pin value equality against the
+spec-pinned Python reference (bucket_value) and against bucket_col.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_data_lakehouse_lab_spark.operators.iceberg_transforms import (
+    bucket_col,
+    bucket_value,
+    with_bucket_column,
+)
+
+
+@pytest.mark.parametrize(
+    "expr,iceberg_type,n",
+    [
+        ("CAST(id * 7919 - 50000 AS BIGINT)", "long", 16),
+        ("CAST(id % 1000 - 500 AS INT)", "int", 8),
+        ("timestamp_micros(id * 1000001)", "timestamptz", 32),
+        ("date_add(date'1970-01-01', CAST(id % 20000 AS INT))", "date", 4),
+    ],
+)
+def test_matches_bucket_col_and_python(spark, expr, iceberg_type, n):
+    df = spark.range(500).selectExpr("id", f"{expr} AS v")
+    staged = with_bucket_column(df, "got", F.col("v"), n, iceberg_type)
+    legacy = df.withColumn("exp", bucket_col(F.col("v"), n, iceberg_type))
+    got = {r["id"]: r["got"] for r in staged.select("id", "got").collect()}
+    exp = {r["id"]: r["exp"] for r in legacy.select("id", "exp").collect()}
+    assert got == exp
+    # spot-check a slice against the Python spec reference
+    vals = {r["id"]: r["v"] for r in df.collect()}
+    for i in list(vals)[:50]:
+        assert got[i] == bucket_value(vals[i], n, iceberg_type), (i, vals[i])
+
+
+def test_null_source_buckets_null(spark):
+    df = spark.range(10).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN NULL ELSE id END AS v"
+    )
+    out = with_bucket_column(df, "b", F.col("v"), 16, "long")
+    rows = {r["id"]: r["b"] for r in out.collect()}
+    assert all(rows[i] is None for i in range(0, 10, 2))
+    assert all(rows[i] is not None for i in range(1, 10, 2))
+
+
+def test_no_temp_columns_leak(spark):
+    df = spark.range(5).selectExpr("id", "id AS v")
+    out = with_bucket_column(df, "b", F.col("v"), 16, "long")
+    assert set(out.columns) == {"id", "v", "b"}
+
+
+def test_fresh_names_avoid_collisions(spark):
+    df = spark.range(5).selectExpr("id", "id AS v", "id AS _mm3_v", "id AS _mm3_k0")
+    out = with_bucket_column(df, "b", F.col("v"), 16, "long")
+    assert {"_mm3_v", "_mm3_k0", "b"} <= set(out.columns)
+    legacy = df.withColumn("exp", bucket_col(F.col("v"), 16, "long"))
+    assert [r["b"] for r in out.orderBy("id").collect()] == [
+        r["exp"] for r in legacy.orderBy("id").collect()
+    ]
