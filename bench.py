@@ -96,6 +96,43 @@ LAKEHOUSE_10X = [
     "iceberg_sort_rewrite_prune_roundtrip",
 ]
 
+# Outlier re-measure for the ONE-SHOT gate lanes (round 12, VERDICT r11
+# item 5): the headline set already defends against multi-second host
+# throttle windows with min-of-5, but each 10× gate lane runs once, so a
+# throttle window becomes the lane's number for the whole round
+# (observed: bulk_delete_fv3 33.6 s in BENCH_r11 vs 14.1 s same-code
+# same-round at 8 cores; history 10-16 s). Rule, mirroring the skew
+# gate's round-10 fix: a first reading above 2× the lane's recorded
+# history anchor triggers ONE immediate re-run; the min is kept and both
+# readings are recorded in BENCH_DETAIL["gate_outlier_reruns"]. Anchors
+# are the round-11-close BENCH_DETAIL per-lane values (throttled host —
+# i.e. generous), so the rule only fires on genuine outliers.
+LANE_ANCHOR_SEC = {
+    "iceberg_v2_metadata_roundtrip": 20.4,
+    "delta_dv_roundtrip": 16.6,
+    "iceberg_equality_delete_roundtrip": 16.6,
+    "delta_cdf_roundtrip": 19.0,
+    "mor_compaction_roundtrip": 24.9,
+    "iceberg_v3_dv_roundtrip": 14.7,
+    "iceberg_schema_evolution_roundtrip": 2.9,
+    "iceberg_sort_rewrite_prune_roundtrip": 3.7,
+    "bulk_delete_delta_sec": 12.9,
+    "bulk_delete_fv3_sec": 15.2,
+}
+
+# First-plan-JIT split instrumentation (round 12, VERDICT r11 item 3):
+# the builder's claim that ~50% of each one-shot lakehouse lane is
+# first-plan codegen/JIT was cProfile-backed for one lane but never in
+# the bench record. The three most expensive lanes get ONE extra timed
+# pass; BENCH_DETAIL["sf1r_lh_warm"] carries the warm reading next to
+# the cold one so the cold−warm split is data, not narrative. The warm
+# pass doubles as the outlier re-run for these lanes.
+LAKEHOUSE_WARM_SPLIT = [
+    "mor_compaction_roundtrip",
+    "delta_cdf_roundtrip",
+    "delta_dv_roundtrip",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -224,15 +261,20 @@ def bulk_delete_gate(spark, slice_dir: str) -> dict:
     return out
 
 
-def ingest_rows_per_sec(spark, n_copies: int = 1500) -> float:
+def ingest_rows_per_sec(spark, n_copies: int = 6000) -> tuple[float, int]:
     """Streaming CDC ingest throughput: drain a drop dir of envelope
-    JSON (~240k rows) through the bronze lane (parse → flatten →
-    dt-partitioned parquet) and report rows/sec. The reference's
+    JSON through the bronze lane (parse → flatten → dt-partitioned
+    parquet) and report (rows/sec, micro-batch count). The reference's
     generator sustains ~1,000 rows/s and stresses to 10-20k rows/s
     (BASELINE.md a); this measures the same envelope format through our
-    lane. The corpus is sized so the ~4 s fixed stream-startup cost
-    stops dominating the measurement (at 50k rows it halves the
-    reported rate).
+    lane. Corpus sizing (round 12, VERDICT r11 item 6): ~960k rows so a
+    drain runs ≥10 s and the fixed stream-startup + commit-cycle cost
+    amortizes — at the previous 240k rows the run was ~3 s and the
+    recorded rate swung 62-96k rows/s on identical code, swamping the
+    round-11 one-batch-drain change the estimator was meant to resolve.
+    The metric definition (rows drained / wall seconds through the same
+    lane) is unchanged; the batch count is recorded so batching-related
+    regressions are visible in the record instead of inferred.
     """
     import shutil
     import tempfile
@@ -262,7 +304,8 @@ def ingest_rows_per_sec(spark, n_copies: int = 1500) -> float:
         )
         q.awaitTermination(600)
         dt = time.perf_counter() - t0
-        return round(len(lines) / dt, 1)
+        batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        return round(len(lines) / dt, 1), batches
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -333,10 +376,27 @@ def main() -> None:
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     sweep_totals: list[float] = []
+    # Scan-width record (round 12, VERDICT r11 item 2): the driver's
+    # core-scaling probe reads ≈1 on every headline lane and flagged
+    # suspect_cpus_ignored even though $SPARK_GRAFT_CPUS is honored
+    # (session.py:25,36) — at sf0.1 every headline input is a single
+    # parquet row group, so the scan is ONE task and each lane sits at
+    # its serial-scan floor regardless of core count. Record the scan
+    # file count per lane (the upper bound on scan-stage tasks for these
+    # single-row-group files) at both scales so serial-floor lanes are
+    # distinguishable from ignored cores in the bench record itself.
+    # The core-scaling witness is sf1r_mm_total_sec (documented in
+    # BASELINE.md): 25.5 s at 8 cores vs 11.8 s at 32 in BENCH_r11.
+    scan_files: dict[str, int | None] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
+        df = QUERIES[name](spark, sf_dir)
+        materialize(df)
         cold[name] = round(time.perf_counter() - t0, 3)
+        try:
+            scan_files[name] = len(df.inputFiles())
+        except Exception:  # noqa: BLE001 — diagnostics only
+            scan_files[name] = None
     N_SWEEPS = 5
     for _ in range(N_SWEEPS):
         sweep_total = 0.0
@@ -367,10 +427,13 @@ def main() -> None:
     # matching the warm-query estimator's philosophy.
     ingest_rows_per_sec(spark, n_copies=50)
     ingest = 0.0
+    ingest_batches = 0
     ingest_runs = 0
     while ingest_runs < 4:
-        rate = ingest_rows_per_sec(spark)
+        rate, batches = ingest_rows_per_sec(spark)
         ingest_runs += 1
+        if rate > ingest:
+            ingest_batches = batches
         if ingest_runs >= 2 and rate <= ingest * 1.05:
             ingest = max(ingest, rate)
             break
@@ -387,9 +450,12 @@ def main() -> None:
     # for the default sf0.1 corpus.
     sf1r_total = None
     sf1r_queries: dict[str, float] = {}
+    sf1r_scan_files: dict[str, int | None] = {}
     sf1r_mm: dict[str, float] = {}
     sf01_mm: dict[str, float] = {}
     sf1r_lh: dict[str, float] = {}
+    sf1r_lh_warm: dict[str, float] = {}
+    gate_outlier_reruns: dict[str, dict] = {}
     sf1r_skew_queries: dict[str, float] = {}
     sf1r_skew_total = None
     scd2_skew: dict = {}
@@ -419,8 +485,13 @@ def main() -> None:
             build(sf_dir, slice_dir, 10)
             for name in HEADLINE:
                 t0 = time.perf_counter()
-                materialize(QUERIES[name](spark, slice_dir))
+                df = QUERIES[name](spark, slice_dir)
+                materialize(df)
                 sf1r_queries[name] = round(time.perf_counter() - t0, 3)
+                try:
+                    sf1r_scan_files[name] = len(df.inputFiles())
+                except Exception:  # noqa: BLE001 — diagnostics only
+                    sf1r_scan_files[name] = None
             sf1r_total = round(sum(sf1r_queries.values()), 3)
             # The codec lanes' scaling claim (mapInPandas per-blob Arrow
             # kernels: no shuffle, wall tracks blob count) was documented
@@ -437,9 +508,39 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, slice_dir))
                 sf1r_lh[name] = round(time.perf_counter() - t0, 3)
+                rerun_reason = None
+                if sf1r_lh[name] > 2 * LANE_ANCHOR_SEC[name]:
+                    rerun_reason = "outlier"  # >2× history: re-measure
+                elif name in LAKEHOUSE_WARM_SPLIT:
+                    rerun_reason = "warm_split"  # JIT-split instrumentation
+                if rerun_reason:
+                    t0 = time.perf_counter()
+                    materialize(QUERIES[name](spark, slice_dir))
+                    again = round(time.perf_counter() - t0, 3)
+                    if name in LAKEHOUSE_WARM_SPLIT:
+                        sf1r_lh_warm[name] = again
+                    if rerun_reason == "outlier":
+                        gate_outlier_reruns[name] = {
+                            "first": sf1r_lh[name],
+                            "rerun": again,
+                        }
+                        sf1r_lh[name] = min(sf1r_lh[name], again)
             # Bulk-delete gate (round 10): one ~10%-of-6M-rows delete
             # commit through both DV exporters, driver memory flat.
             bulk_delete = bulk_delete_gate(spark, slice_dir)
+            if (
+                bulk_delete["delta_dv_export_sec"]
+                > 2 * LANE_ANCHOR_SEC["bulk_delete_delta_sec"]
+                or bulk_delete["iceberg_fv3_export_sec"]
+                > 2 * LANE_ANCHOR_SEC["bulk_delete_fv3_sec"]
+            ):
+                again = bulk_delete_gate(spark, slice_dir)
+                for k in ("delta_dv_export_sec", "iceberg_fv3_export_sec"):
+                    gate_outlier_reruns[f"bulk_delete.{k}"] = {
+                        "first": bulk_delete[k],
+                        "rerun": again[k],
+                    }
+                    bulk_delete[k] = min(bulk_delete[k], again[k])
 
             # Skewed-key 10× gate (VERDICT r6 item 3): the uniform
             # slice never exercises AQE skew handling, so replicate
@@ -516,6 +617,7 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": ingest,
         "ingest": f"best-of-{ingest_runs}",
+        "ingest_batches": ingest_batches,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if sf1r_total is not None:
@@ -549,10 +651,14 @@ def main() -> None:
                 "calib_ref_sec": CALIB_REF_SEC,
                 "queries_cold": cold,
                 "warm_sweep_totals": sweep_totals,
+                "headline_scan_files": scan_files,
                 "queries_sf1r": sf1r_queries,
+                "sf1r_scan_files": sf1r_scan_files,
                 "sf01_multimodal": sf01_mm,
                 "sf1r_multimodal": sf1r_mm,
                 "sf1r_lakehouse": sf1r_lh,
+                "sf1r_lh_warm": sf1r_lh_warm,
+                "gate_outlier_reruns": gate_outlier_reruns,
                 "queries_sf1r_skew": sf1r_skew_queries,
                 "scd2_skew": scd2_skew,
                 "bulk_delete": bulk_delete,

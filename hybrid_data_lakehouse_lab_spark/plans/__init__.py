@@ -172,12 +172,27 @@ _PRIORITY = [
     # q18_large_volume_customers (TPC-H keeps q1/q9/q21;
     # test_plan_quality gates its plan shape).
     "iceberg_partitioned_upsert_roundtrip",
-    "iceberg_partition_stats_roundtrip",
-    "iceberg_zorder_rewrite_roundtrip",
-    "events_gap_fill_interpolate",
-    "corpus_shuffle_shards",
     "similarity_hamming_rerank_topk",
     "streaming_catalog_sink_roundtrip",
+    # Round-12 rotation (VERDICT r11 item 8): pin the four round-11
+    # build-window lanes that have never had a driver CORRECTNESS row —
+    # iceberg_variant_roundtrip (v3 VARIANT columns through the
+    # exporter + shredded reader), similarity_sq8_rerank_topk +
+    # similarity_sq8_recall_audit (scalar-quantization ANN: int8
+    # shortlist + exact re-rank + recall audit), and
+    # dedup_substring_spans_hashed (the 100 TB shuffle-byte variant of
+    # the substring-dedup lane). Displaced to slots 51-54, all four
+    # newly driver-green in CORRECTNESS_r11 with dedicated pytest:
+    # iceberg_partition_stats_roundtrip (test_partition_stats),
+    # iceberg_zorder_rewrite_roundtrip (test_zorder),
+    # events_gap_fill_interpolate (test_oracle_queries / intervals
+    # family stays in-window via range/asof joins... gap-fill pytest),
+    # corpus_shuffle_shards (corpus family keeps curation + train/val
+    # split in-window; dedicated pytest).
+    "iceberg_variant_roundtrip",
+    "similarity_sq8_rerank_topk",
+    "similarity_sq8_recall_audit",
+    "dedup_substring_spans_hashed",
     # --- LLM training-data pipeline flagships ---
     "dedup_exact",
     "dedup_near_pairs_lsh",
@@ -211,7 +226,14 @@ _PRIORITY = [
     # --- slots 51-55: displaced by / added in the round-10 final
     # rotation (see the in-window note above) — the displaced trio, then
     # this session's two remaining new lanes ---
-    # --- slots 51-57: displaced by the round-11 rotation (see the
+    # --- slots 51-54: displaced by the round-12 rotation (see the
+    # in-window note above); all four driver-green in CORRECTNESS_r11
+    # with dedicated pytest coverage ---
+    "iceberg_partition_stats_roundtrip",
+    "iceberg_zorder_rewrite_roundtrip",
+    "events_gap_fill_interpolate",
+    "corpus_shuffle_shards",
+    # --- slots 55-61: displaced by the round-11 rotation (see the
     # in-window note above) ---
     "streaming_bronze_roundtrip",
     "timetravel_versions_demo",
