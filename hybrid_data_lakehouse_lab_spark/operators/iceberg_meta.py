@@ -1276,6 +1276,10 @@ def export_iceberg_metadata(
                 [base_dir, *append_dirs],
                 _prior_deletes(),
                 snap["path"],
+                # both totals already known from parquet footers: the
+                # narrow diff skips its two count jobs
+                base_rows=base_live_rows,
+                child_rows=total_rc,
             )
 
         if upsert is not None:

@@ -61,6 +61,62 @@ def _row_key_cols(df, cols):
     ]
 
 
+#: Salt for the second 64-bit hash lane of the 128-bit row-value hash.
+#: Any fixed non-zero literal works; prepending it to the column list
+#: shifts the whole xxhash64 running-hash chain, making the two lanes
+#: behave as independent hash functions.
+_H2_SALT = -6148914691236517206  # 0xAAAA...AAAA as signed int64
+
+
+def _row_hash_cols(df, cols):
+    """Two xxhash64 columns forming a 128-bit hash of the row VALUE
+    (the same value semantics as the full-row struct key in
+    `_row_key_cols`: variant columns compare by canonical JSON).
+
+    Null handling: Spark's xxhash64 SKIPS null inputs (the running
+    hash is unchanged for a null child), so (null, 'a') and ('a', null)
+    would collide deterministically. Interleaving an `isnull` flag per
+    column re-injects the null positions into the hash stream, so only
+    genuine 128-bit collisions remain (~N²/2¹²⁹ for N rows)."""
+    from pyspark.sql import functions as F
+
+    kcols = _row_key_cols(df, cols)
+    hcols = []
+    for c in kcols:
+        hcols.append(c)
+        hcols.append(F.isnull(c))
+    return F.xxhash64(*hcols), F.xxhash64(F.lit(_H2_SALT), *hcols)
+
+
+def _rank_minus_counts(base_kfp, child_counts, k_cols, _f, _p, _nc, _r):
+    """Shared core of the position diff: rank base occurrences per key
+    group by (file, pos) and keep the occurrences ranked past the
+    child's multiplicity for that key — Σ_k max(0, base_k − child_k)
+    positions. `k_cols` is the grouping key column name list (full-row
+    struct or 128-bit hash pair); join is null-safe only for the struct
+    form (hashes are never null, and plain equi-keys keep the join a
+    hash join with small codegen)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*k_cols).orderBy(_f, _p)
+    ranked = base_kfp.withColumn(_r, F.row_number().over(w)).alias("rk")
+    cc = child_counts.alias("cc")
+    if len(k_cols) == 1:
+        cond = F.col(f"rk.{k_cols[0]}").eqNullSafe(F.col(f"cc.{k_cols[0]}"))
+    else:
+        cond = None
+        for k in k_cols:
+            e = F.col(f"rk.{k}") == F.col(f"cc.{k}")
+            cond = e if cond is None else (cond & e)
+    return (
+        ranked.join(cc, cond, "left")
+        .where(F.col(_nc).isNull() | (F.col(_r) > F.col(_nc)))
+        # re-qualify: both sides carry the key columns after the join
+        .select(*[F.col(f"rk.{c}").alias(c) for c in base_kfp.columns])
+    )
+
+
 def _position_delete_diff(
     spark, base_dirs, deleted_so_far, child_dir: str, check_excess: bool = True
 ):
@@ -88,14 +144,32 @@ def _position_delete_diff(
     |masked base| − |positions| == |child|, and both exporters already
     hold those totals from parquet footers. On that cheaper path a
     count mismatch means "not a pure delete", and the caller falls
-    back to the rewrite model."""
+    back to the rewrite model.
+
+    NARROW SHUFFLE (round 12, guide §2.3/§8): the `check_excess=False`
+    path groups by a 128-bit row-value hash (two xxhash64 lanes)
+    instead of the full-row struct, so the diff's one shuffle carries
+    (hash, file, pos) — ~32 B + path per row — rather than every data
+    column. Exactness is kept by a collision-verification pass: the
+    full-value diff is re-run restricted to the deletion-AFFECTED hash
+    groups (a broadcast semi-join of the scans against the candidate
+    groups — the candidate set is delete-sized, the expected overlap
+    with child is ~0 rows) and must reproduce the candidate position
+    set exactly, else the diff returns None and the caller falls back
+    to the always-correct rewrite model. A wrong delete set would
+    additionally require a 128-bit collision between two distinct row
+    values confined to an equal-count group the child never perturbs
+    (~N²/2¹²⁹ ≈ 10⁻²³ at 10⁸ rows) AND pass the caller's count
+    identity. The returned positions are localCheckpoint-materialized
+    (the verification consumes them; callers re-pin for free). The
+    `check_excess=True` path keeps the full-row struct key — it is the
+    exact-probe mode used directly by tests and ad-hoc callers."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     dirs = [base_dirs] if isinstance(base_dirs, str) else list(base_dirs)
     scans = [spark.read.parquet(d) for d in dirs]
-    _f, _p, _k, _r, _nc, _nb = _fresh_names(
-        scans[0].columns, "_f", "_p", "_k", "_r", "_nc", "_nb"
+    _f, _p, _k, _r, _nc, _nb, _h1, _h2 = _fresh_names(
+        scans[0].columns, "_f", "_p", "_k", "_r", "_nc", "_nb", "_h1", "_h2"
     )
     parts = [
         s.withColumn(
@@ -116,13 +190,13 @@ def _position_delete_diff(
     if sorted(child.columns) != cols:
         return None  # schema changed: not expressible as deletes
     key = F.struct(*_row_key_cols(child, cols))
-    b = base.withColumn(_k, key).select(_k, _f, _p)
-    child_counts = (
-        child.withColumn(_k, key)
-        .groupBy(_k)
-        .agg(F.count(F.lit(1)).alias(_nc))
-    )
     if check_excess:
+        b = base.withColumn(_k, key).select(_k, _f, _p)
+        child_counts = (
+            child.withColumn(_k, key)
+            .groupBy(_k)
+            .agg(F.count(F.lit(1)).alias(_nc))
+        )
         base_counts = b.groupBy(_k).agg(F.count(F.lit(1)).alias(_nb))
         cc, bc = child_counts.alias("cc"), base_counts.alias("bc")
         excess = (
@@ -133,27 +207,90 @@ def _position_delete_diff(
         )
         if excess:
             return None
-    cc = child_counts.alias("cc")
-    w = Window.partitionBy(_k).orderBy(_f, _p)
-    ranked = b.withColumn(_r, F.row_number().over(w)).alias("rk")
-    return (
-        ranked.join(cc, F.col(f"rk.{_k}").eqNullSafe(F.col(f"cc.{_k}")), "left")
-        .where(F.col(_nc).isNull() | (F.col(_r) > F.col(_nc)))
-        .select(F.col(_f).alias("file_path"), F.col(_p).alias("pos"))
+        return _rank_minus_counts(
+            b, child_counts, [_k], _f, _p, _nc, _r
+        ).select(F.col(_f).alias("file_path"), F.col(_p).alias("pos"))
+
+    # --- narrow 128-bit-hash path (count-identity callers) ---
+    h1, h2 = _row_hash_cols(child, cols)
+    b = (
+        base.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .select(_h1, _h2, _f, _p)
     )
+    child_counts = (
+        child.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .groupBy(_h1, _h2)
+        .agg(F.count(F.lit(1)).alias(_nc))
+    )
+    cand = (
+        _rank_minus_counts(b, child_counts, [_h1, _h2], _f, _p, _nc, _r)
+        .select(_h1, _h2, _f, _p)
+        .localCheckpoint()
+    )
+    # Collision verification: re-run the full-value diff restricted to
+    # the deletion-affected hash groups; it must reproduce the
+    # candidate (file, pos) set exactly. Affected groups are
+    # delete-sized, so the semi-joined subsets stay small — the extra
+    # cost is one more scan of base and child, no wide shuffle.
+    aff = cand.select(_h1, _h2).distinct()
+    base_aff = (
+        base.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+        .withColumn(_k, key)
+        .select(_k, _f, _p)
+    )
+    child_aff_counts = (
+        child.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+        .withColumn(_k, key)
+        .groupBy(_k)
+        .agg(F.count(F.lit(1)).alias(_nc))
+    )
+    exact = (
+        _rank_minus_counts(base_aff, child_aff_counts, [_k], _f, _p, _nc, _r)
+        .select(_f, _p)
+        .localCheckpoint()
+    )
+    n = cand.count()
+    if exact.count() != n or exact.join(cand, [_f, _p], "inner").count() != n:
+        return None  # 128-bit collision in an affected group: rewrite
+    return cand.select(F.col(_f).alias("file_path"), F.col(_p).alias("pos"))
 
 
-def _append_diff(spark, base_dirs, deleted_so_far, child_dir: str):
+def _append_diff(
+    spark,
+    base_dirs,
+    deleted_so_far,
+    child_dir: str,
+    base_rows: int | None = None,
+    child_rows: int | None = None,
+):
     """If `child_dir`'s rows are a super-multiset of the MASKED base
     (the union of `base_dirs`' files minus the already-deleted
     positions in `deleted_so_far` — a DataFrame(file_path, pos) or
-    None), return a DataFrame of the APPENDED rows (child exceptAll
-    base — exact multiset difference); else return None (the
-    transition needs a rewrite, not an append).
+    None), return a DataFrame of the APPENDED rows (child minus base —
+    exact multiset difference); else return None (the transition needs
+    a rewrite, not an append).
 
-    Mirror image of `_position_delete_diff`, same cost envelope: fully
-    distributed (two exceptAll shuffles of parent + child per exported
-    append commit), no driver-side row materialization."""
+    Mirror image of `_position_delete_diff`'s narrow path (round 12,
+    guide §2.3/§8): the append positions are computed per 128-bit
+    row-value hash group (child occurrences ranked past the base's
+    multiplicity), so the diff's shuffle carries (hash, file, pos)
+    instead of full rows, and the super-multiset probe is the count
+    identity Σ max(0, child_k − base_k) == |child| − |masked base| —
+    one count on the checkpointed candidates instead of the former
+    full-width `base.exceptAll(child)` probe job. The appended FULL
+    rows move exactly once: a (file, pos) semi-join against the child
+    scan (they would move into the append files regardless). Exactness
+    is kept the same way as the delete diff: the full-value diff is
+    re-run restricted to the append-affected hash groups and must
+    reproduce the candidate position set, else None (rewrite model).
+    Pass `base_rows` (MASKED live rows) / `child_rows` when the caller
+    already holds them (parquet footers) to skip the two count jobs."""
     from pyspark.sql import functions as F
 
     dirs = [base_dirs] if isinstance(base_dirs, str) else list(base_dirs)
@@ -162,11 +299,13 @@ def _append_diff(spark, base_dirs, deleted_so_far, child_dir: str):
     if any(sorted(s.dtypes) != sorted(child.dtypes) for s in scans):
         return None  # schema/layout changed: not expressible as appends
     if any(t == "variant" for _, t in child.dtypes):
-        # exceptAll cannot compare variant, and the appended rows must
-        # keep their original binary form — fall back to the (always
-        # correct) rewrite model for variant tables' append transitions
+        # the appended rows must keep their original binary form, and
+        # the exact verification pass compares full values — fall back
+        # to the (always correct) rewrite model for variant tables
         return None
-    _f, _p = _fresh_names(child.columns, "_f", "_p")
+    _f, _p, _k, _r, _nc, _h1, _h2 = _fresh_names(
+        child.columns, "_f", "_p", "_k", "_r", "_nc", "_h1", "_h2"
+    )
     parts = [
         s.withColumn(
             _f, F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
@@ -181,10 +320,62 @@ def _append_diff(spark, base_dirs, deleted_so_far, child_dir: str):
             F.col("file_path").alias(_f), F.col("pos").alias(_p)
         )
         base = base.join(F.broadcast(dels), [_f, _p], "left_anti")
-    base = base.select(*child.columns)
-    if base.exceptAll(child).limit(1).count():
+    cols = sorted(child.columns)
+    h1, h2 = _row_hash_cols(child, cols)
+    key = F.struct(*_row_key_cols(child, cols))
+    child_fp = child.withColumn(
+        _f, F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
+    ).withColumn(_p, F.col("_metadata.row_index"))
+    c_kfp = (
+        child_fp.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .select(_h1, _h2, _f, _p)
+    )
+    base_counts = (
+        base.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .groupBy(_h1, _h2)
+        .agg(F.count(F.lit(1)).alias(_nc))
+    )
+    cand = (
+        _rank_minus_counts(c_kfp, base_counts, [_h1, _h2], _f, _p, _nc, _r)
+        .select(_h1, _h2, _f, _p)
+        .localCheckpoint()
+    )
+    n = cand.count()
+    n_base = base.count() if base_rows is None else base_rows
+    n_child = child.count() if child_rows is None else child_rows
+    if n != n_child - n_base:
         return None  # some base row missing from child: not an append
-    return child.exceptAll(base)
+    # collision verification on the append-affected hash groups
+    aff = cand.select(_h1, _h2).distinct()
+    child_aff = (
+        child_fp.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+        .withColumn(_k, key)
+        .select(_k, _f, _p)
+    )
+    base_aff_counts = (
+        base.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+        .withColumn(_k, key)
+        .groupBy(_k)
+        .agg(F.count(F.lit(1)).alias(_nc))
+    )
+    exact = (
+        _rank_minus_counts(child_aff, base_aff_counts, [_k], _f, _p, _nc, _r)
+        .select(_f, _p)
+        .localCheckpoint()
+    )
+    if exact.count() != n or exact.join(cand, [_f, _p], "inner").count() != n:
+        return None  # 128-bit collision in an affected group: rewrite
+    return child_fp.join(
+        F.broadcast(cand.select(_f, _p)) if n <= 1_000_000 else cand.select(_f, _p),
+        [_f, _p],
+        "left_semi",
+    ).select(*child.columns)
 
 
 def _parquet_row_count(path: str) -> int:
