@@ -105,8 +105,9 @@ LAKEHOUSE_10X = [
 # gate's round-10 fix: a first reading above 2× the lane's recorded
 # history anchor triggers ONE immediate re-run; the min is kept and both
 # readings are recorded in BENCH_DETAIL["gate_outlier_reruns"]. Anchors
-# are the round-11-close BENCH_DETAIL per-lane values (throttled host —
-# i.e. generous), so the rule only fires on genuine outliers.
+# are the round-12 baseline run's per-lane values (BENCH_DETAIL at
+# commit 6cbc9cc; throttled host — i.e. generous), so the rule only
+# fires on genuine outliers.
 LANE_ANCHOR_SEC = {
     "iceberg_v2_metadata_roundtrip": 20.4,
     "delta_dv_roundtrip": 16.6,

@@ -117,6 +117,30 @@ def _rank_minus_counts(base_kfp, child_counts, k_cols, _f, _p, _nc, _r):
     )
 
 
+def _hashed_delete_candidates(base, child, cols, _f, _p, _r, _nc, _h1, _h2):
+    """LAZY candidate delete positions (_h1, _h2, _f, _p) of the narrow
+    hash-keyed diff — factored out so plan captures can explain the
+    full diff plan (the caller checkpoint-materializes it, which hides
+    the plan behind a LogicalRDD)."""
+    from pyspark.sql import functions as F
+
+    h1, h2 = _row_hash_cols(child, cols)
+    b = (
+        base.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .select(_h1, _h2, _f, _p)
+    )
+    child_counts = (
+        child.withColumn(_h1, h1)
+        .withColumn(_h2, h2)
+        .groupBy(_h1, _h2)
+        .agg(F.count(F.lit(1)).alias(_nc))
+    )
+    return _rank_minus_counts(
+        b, child_counts, [_h1, _h2], _f, _p, _nc, _r
+    ).select(_h1, _h2, _f, _p)
+
+
 def _position_delete_diff(
     spark, base_dirs, deleted_so_far, child_dir: str, check_excess: bool = True
 ):
@@ -213,22 +237,9 @@ def _position_delete_diff(
 
     # --- narrow 128-bit-hash path (count-identity callers) ---
     h1, h2 = _row_hash_cols(child, cols)
-    b = (
-        base.withColumn(_h1, h1)
-        .withColumn(_h2, h2)
-        .select(_h1, _h2, _f, _p)
-    )
-    child_counts = (
-        child.withColumn(_h1, h1)
-        .withColumn(_h2, h2)
-        .groupBy(_h1, _h2)
-        .agg(F.count(F.lit(1)).alias(_nc))
-    )
-    cand = (
-        _rank_minus_counts(b, child_counts, [_h1, _h2], _f, _p, _nc, _r)
-        .select(_h1, _h2, _f, _p)
-        .localCheckpoint()
-    )
+    cand = _hashed_delete_candidates(
+        base, child, cols, _f, _p, _r, _nc, _h1, _h2
+    ).localCheckpoint()
     # Collision verification: re-run the full-value diff restricted to
     # the deletion-affected hash groups; it must reproduce the
     # candidate (file, pos) set exactly. Affected groups are
