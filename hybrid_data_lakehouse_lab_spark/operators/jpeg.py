@@ -751,9 +751,14 @@ def _build_decode_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], i
 # Built LUTs memoized on the DHT payload: a corpus of images produced by
 # one encoder family (this module's fixed tables, or Annex K) re-declares
 # the same handful of tables in every file, and the flat LUT is a pure
-# function of that payload. Bounded: spec-distinct DHTs seen per process,
-# each 64k small ints.
+# function of that payload. CAPPED (ADVICE r11): an external corpus
+# where every image carries per-image optimized tables would otherwise
+# grow a long-lived worker without bound (each entry is a 64k-int list,
+# several MB). Past the cap, entries are evicted FIFO — the cache keeps
+# helping encoder-family corpora and degrades to per-image builds on
+# all-distinct ones.
 _DECODE_LUT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+_DECODE_LUT_CACHE_MAX = 64  # ~64 × 64k ints ≈ a few hundred MB worst case
 
 
 def _build_decode_lut(bits: list[int], vals: bytes) -> list[int]:
@@ -779,6 +784,8 @@ def _build_decode_lut(bits: list[int], vals: bytes) -> list[int]:
             k += 1
         code <<= 1
     lut = table.tolist()
+    if len(_DECODE_LUT_CACHE) >= _DECODE_LUT_CACHE_MAX:
+        _DECODE_LUT_CACHE.pop(next(iter(_DECODE_LUT_CACHE)))
     _DECODE_LUT_CACHE[key] = lut
     return lut
 

@@ -26,10 +26,21 @@ def _input_bytes(files: list[str]) -> int | None:
     """Total UNCOMPRESSED input size of a scan's file listing — parquet
     footers' row-group total_byte_size (a few footer reads; only ever
     called for scans narrower than the cluster), raw file size for
-    anything else. None = could not size (treat as big)."""
+    anything else. None = could not size (treat as big).
+
+    LOCAL-ONLY by design (ADVICE r11): footer reads go through the
+    driver's filesystem, so non-file schemes (s3a://, hdfs://) return
+    None explicitly — the gate then treats the input as big and
+    repartitions, the safe direction at real scale."""
     total = 0
     for f in files:
-        path = urllib.parse.urlparse(f).path if ":/" in f else f
+        if ":/" in f:
+            parsed = urllib.parse.urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None  # remote scheme: cannot size from the driver
+            path = parsed.path
+        else:
+            path = f
         try:
             if path.endswith(".parquet"):
                 import pyarrow.parquet as pq
@@ -67,6 +78,11 @@ def fan_out(
     (checkpointed/in-memory relations) cannot prove it is small and
     repartitions as before.
     """
+    if df.isStreaming:
+        # inputFiles()/repartition() are batch-only APIs; media kernels
+        # are batch lanes today, so streaming wiring passes through
+        # unchanged rather than failing (ADVICE r11)
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     # Decide from the driver-side file listing, NOT df.rdd.getNumPartitions():
     # the .rdd probe forces a plan-to-RDD physical conversion per call. A scan

@@ -40,9 +40,13 @@ def main() -> None:
     spark = get_spark(
         "experiment", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    defaults = {
-        k: spark.conf.get(k, None) for _, pairs in variants for k, _ in pairs
-    }
+    defaults = {}
+    for _, pairs in variants:
+        for k, _ in pairs:
+            try:
+                defaults[k] = spark.conf.get(k, None)
+            except Exception:  # keys with no default can raise (ADVICE r11)
+                defaults[k] = None
     # untimed warmup of every query (codegen/JIT) under default confs
     for n in names:
         materialize(QUERIES[n](spark, sf_dir))
@@ -52,20 +56,24 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {label: {} for label, _ in variants}
     for _ in range(n_runs):
         for label, pairs in variants:
-            for k, v in pairs:
-                spark.conf.set(k, v)
-            spark.sparkContext.setJobDescription(f"variant {label}")
-            per = results[label]
-            for n in names:
-                t0 = time.perf_counter()
-                materialize(QUERIES[n](spark, sf_dir))
-                dt = time.perf_counter() - t0
-                per[n] = min(per.get(n, dt), dt)
-            for k in dict(pairs):
-                if defaults[k] is None:
-                    spark.conf.unset(k)
-                else:
-                    spark.conf.set(k, defaults[k])
+            try:
+                for k, v in pairs:
+                    spark.conf.set(k, v)
+                spark.sparkContext.setJobDescription(f"variant {label}")
+                per = results[label]
+                for n in names:
+                    t0 = time.perf_counter()
+                    materialize(QUERIES[n](spark, sf_dir))
+                    dt = time.perf_counter() - t0
+                    per[n] = min(per.get(n, dt), dt)
+            finally:
+                # reset even when a variant dies mid-run (ADVICE r11):
+                # a later manual use of the session must see defaults
+                for k in dict(pairs):
+                    if defaults[k] is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, defaults[k])
     header = ["query"] + [label for label, _ in variants]
     print("\t".join(header))
     for n in names:
