@@ -77,7 +77,15 @@ def _row_hash_cols(df, cols):
     hash is unchanged for a null child), so (null, 'a') and ('a', null)
     would collide deterministically. Interleaving an `isnull` flag per
     column re-injects the null positions into the hash stream, so only
-    genuine 128-bit collisions remain (~N²/2¹²⁹ for N rows)."""
+    genuine 128-bit collisions remain (~N²/2¹²⁹ for N rows).
+
+    Float nuance: struct grouping normalizes -0.0/0.0 and NaN
+    (`normalizenanandzero`); xxhash64 hashes raw bits, so a base -0.0
+    row and a child 0.0 row land in DIFFERENT hash groups. That can
+    only make the diff more conservative — the child-side group shows
+    excess, the caller's count identity fails, and the exporter falls
+    back to the (always correct) rewrite model. It can never select a
+    wrong position."""
     from pyspark.sql import functions as F
 
     kcols = _row_key_cols(df, cols)
