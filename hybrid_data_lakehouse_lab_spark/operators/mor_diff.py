@@ -490,12 +490,25 @@ def _upsert_diff(
     transition needs a rewrite). Raises if `key` is not unique in
     either snapshot — equality deletes are only sound against a PK.
 
-    Fully distributed: two key-uniqueness probes (groupBy + limit 1)
-    and two null-safe full-row anti-joins; one scan of parent + child
-    per exported commit, same cost envelope as the positional diff.
-    Pass `verified_unique` (a mutable set of already-probed snapshot
-    dirs) when diffing a chain — each dir is the child of one commit
-    and the parent of the next, so caching halves the probe jobs."""
+    Fully distributed, ONE key-partitioned join (round 12, guide
+    §2.3/§2.4): the former form ran two null-safe anti-joins on a
+    full-row struct key, shuffling each table's full width twice plus
+    the duplicated struct. Under the (probed) PK uniqueness the same
+    semantics decompose over the key: a child row is changed-or-new iff
+    its key is absent from the parent or any column differs; a parent
+    key is deleted-or-replaced iff absent from the child or any column
+    differs. One full-outer join on the KEY columns (null-safe) moves
+    each table once, the delta-sized classification is
+    localCheckpoint-pinned, and both outputs derive from the pinned
+    frame — the two downstream writer jobs recompute nothing. Exact (no
+    hashing): values compare column-by-column null-safely, variant via
+    its canonical-JSON cast, same as the struct key compared.
+
+    Two key-uniqueness probes (groupBy + limit 1) still guard the PK
+    precondition. Pass `verified_unique` (a mutable set of
+    already-probed snapshot dirs) when diffing a chain — each dir is
+    the child of one commit and the parent of the next, so caching
+    halves the probe jobs."""
     from pyspark.sql import functions as F
 
     parent = spark.read.parquet(parent_dir)
@@ -505,7 +518,7 @@ def _upsert_diff(
     missing = [k for k in key if k not in child.columns]
     if missing:
         raise ValueError(f"upsert_key columns {missing} not in snapshot schema")
-    (_n, _rk) = _fresh_names(child.columns, "_n", "_rk")
+    (_n, _cm, _pm, _pk) = _fresh_names(child.columns, "_n", "_cm", "_pm", "_pk")
     for name, df, d in (("parent", parent, parent_dir), ("child", child, child_dir)):
         if verified_unique is not None and d in verified_unique:
             continue
@@ -522,25 +535,40 @@ def _upsert_diff(
         if verified_unique is not None:
             verified_unique.add(d)
     cols = sorted(child.columns)
-    rowkey = F.struct(*_row_key_cols(child, cols))
-    p = parent.withColumn(_rk, rowkey)
-    c = child.withColumn(_rk, rowkey)
-    changed = (
-        c.alias("c")
-        .join(
-            p.alias("p"),
-            F.col(f"c.{_rk}").eqNullSafe(F.col(f"p.{_rk}")),
-            "left_anti",
+    vt = {
+        f.name
+        for f in child.schema.fields
+        if f.dataType.simpleString() == "variant"
+    }
+
+    def _cmp(side: str, col: str) -> F.Column:
+        c = F.col(f"{side}.{col}")
+        return c.cast("string") if col in vt else c
+
+    c = child.withColumn(_cm, F.lit(1)).alias("c")
+    p = parent.withColumn(_pm, F.lit(1)).alias("p")
+    cond = None
+    for k in key:
+        e = _cmp("c", k).eqNullSafe(_cmp("p", k))
+        cond = e if cond is None else (cond & e)
+    differ = F.lit(False)
+    for col in cols:
+        if col in key:
+            continue
+        differ = differ | ~_cmp("c", col).eqNullSafe(_cmp("p", col))
+    delta = (
+        c.join(p, cond, "full_outer")
+        .where(F.col(_pm).isNull() | F.col(_cm).isNull() | differ)
+        .select(
+            F.col(_cm),
+            F.col(_pm),
+            *[F.col(f"c.{col}").alias(col) for col in child.columns],
+            F.struct(*[F.col(f"p.{k}").alias(k) for k in key]).alias(_pk),
         )
-        .drop(_rk)
+        .localCheckpoint()
     )
-    del_keys = (
-        p.alias("p")
-        .join(
-            c.alias("c"),
-            F.col(f"p.{_rk}").eqNullSafe(F.col(f"c.{_rk}")),
-            "left_anti",
-        )
-        .select(*key)
+    changed = delta.where(F.col(_cm).isNotNull()).select(*child.columns)
+    del_keys = delta.where(F.col(_pm).isNotNull()).select(
+        *[F.col(f"{_pk}.{k}").alias(k) for k in key]
     )
     return changed, del_keys

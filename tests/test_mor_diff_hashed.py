@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from hybrid_data_lakehouse_lab_spark.operators.mor_diff import (
     _append_diff,
     _position_delete_diff,
+    _upsert_diff,
 )
 
 
@@ -115,6 +116,43 @@ def test_append_diff_matches_exceptall(spark, tmp_path):
         base_rows[:3] + appended_rows, schema
     ).write.parquet(c2)
     assert _append_diff(spark, b, None, c2) is None
+
+
+def test_upsert_diff_single_join_semantics(spark, tmp_path):
+    """The round-12 single-key-join upsert diff must classify exactly
+    like the former double anti-join: changed = new + updated child
+    rows, del_keys = deleted + replaced parent keys, null keys matched
+    null-safely."""
+    b, c = str(tmp_path / "p"), str(tmp_path / "c")
+    schema = "id INT, v STRING, x DOUBLE"
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (None, "n", 0.0)],
+        schema,
+    ).write.parquet(b)
+    spark.createDataFrame(
+        [
+            (1, "a", 1.0),  # unchanged
+            (2, "B", 2.0),  # updated
+            (6, "f", 6.0),  # new
+            (None, "n2", 0.0),  # null key, updated
+        ],
+        schema,
+    ).write.parquet(c)
+    changed, del_keys = _upsert_diff(spark, b, c, ["id"])
+    got_changed = sorted(
+        [tuple(r) for r in changed.collect()], key=lambda t: (t[0] is None, t)
+    )
+    assert got_changed == [(2, "B", 2.0), (6, "f", 6.0), (None, "n2", 0.0)]
+    got_del = sorted([r.id for r in del_keys.collect()], key=lambda v: (v is None, v))
+    assert got_del == [2, 3, None]
+    assert [f.name for f in del_keys.schema.fields] == ["id"]
+    # non-unique key still refuses loudly
+    c2 = str(tmp_path / "c2")
+    spark.createDataFrame([(1, "a", 1.0), (1, "z", 9.0)], schema).write.parquet(c2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not unique"):
+        _upsert_diff(spark, b, c2, ["id"])
 
 
 def test_prior_deletes_masked_before_hashing(spark, tmp_path):
