@@ -68,7 +68,10 @@ def test_priority_queries_sit_in_pinned_prefix():
     from hybrid_data_lakehouse_lab_spark.plans import _PRIORITY
 
     names = list(e.queries())
-    assert len(_PRIORITY) == 130
+    # round 12 rotated the four round-11 build lanes in-window (variant,
+    # SQ8 pair, hashed substring spans), displacing four driver-green
+    # round-11 lanes to slots 51-54: +4 pinned entries
+    assert len(_PRIORITY) == 134
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert "iceberg_v2_metadata_roundtrip" in names[:50]
     assert "mor_compaction_roundtrip" in names[:50]
@@ -92,20 +95,32 @@ def test_priority_queries_sit_in_pinned_prefix():
     assert "iceberg_catalog_txn_roundtrip" in names[:50]
     assert "iceberg_sort_rewrite_prune_roundtrip" in names[:50]
     assert "iceberg_view_roundtrip" in names[:50]
-    # round-11 rotation: the seven pins (six never-driver-checked
-    # round-10 lanes + the days()-extended partitioned upsert)
+    # round-11 rotation pins still in-window after the round-12 rotation
+    # (four of the seven rotated to slots 51-54 once driver-green, per
+    # the round-12 rotation note in plans/__init__.py)
     for pinned in (
         "iceberg_partitioned_upsert_roundtrip",
-        "iceberg_partition_stats_roundtrip",
-        "iceberg_zorder_rewrite_roundtrip",
-        "events_gap_fill_interpolate",
-        "corpus_shuffle_shards",
         "similarity_hamming_rerank_topk",
         "streaming_catalog_sink_roundtrip",
     ):
         assert pinned in names[:50], pinned
-    # the round-11 displaced seven sit immediately after the window
-    assert names[50:57] == [
+    # round-12 rotation: the four round-11 build lanes
+    for pinned in (
+        "iceberg_variant_roundtrip",
+        "similarity_sq8_rerank_topk",
+        "similarity_sq8_recall_audit",
+        "dedup_substring_spans_hashed",
+    ):
+        assert pinned in names[:50], pinned
+    # the round-12 displaced four sit immediately after the window
+    assert names[50:54] == [
+        "iceberg_partition_stats_roundtrip",
+        "iceberg_zorder_rewrite_roundtrip",
+        "events_gap_fill_interpolate",
+        "corpus_shuffle_shards",
+    ]
+    # the round-11 displaced seven follow
+    assert names[54:61] == [
         "streaming_bronze_roundtrip",
         "timetravel_versions_demo",
         "dedup_simhash_near_pairs",

@@ -13,6 +13,10 @@ from hybrid_data_lakehouse_lab_spark.sources.cdc_generator import (
     SalesCdcDataSource,
 )
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module", autouse=True)
 def _register(spark):

@@ -19,6 +19,10 @@ from hybrid_data_lakehouse_lab_spark.plans.data_selection import (
 )
 from hybrid_data_lakehouse_lab_spark.sources import load_table
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 
 def test_dsir_prefers_target_language(spark, sf_dir):
     """The whole point of DSIR: documents drawn from the target

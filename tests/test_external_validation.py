@@ -23,6 +23,10 @@ from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
 )
 from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 
 # --- RoaringBitmap (Delta DVs / Iceberg fv3 DVs) -----------------------------
 

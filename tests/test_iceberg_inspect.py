@@ -1,6 +1,7 @@
 """Iceberg metadata tables (`$snapshots`/`$history`/`$manifests`/
 `$files`/`$partitions`) over exported trees."""
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -16,6 +17,10 @@ from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
     export_iceberg_metadata,
 )
 from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
+
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
 
 
 def _mor_table(spark, tmp_path):

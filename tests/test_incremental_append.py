@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 import re
 
+import pytest
+
 from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
     export_iceberg_metadata,
     read_iceberg_table,
@@ -24,6 +26,10 @@ from hybrid_data_lakehouse_lab_spark.operators.iceberg_meta import (
 from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
 
 from test_iceberg_meta import load_metadata, read_avro_file
+
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
 
 
 def _ids(df):

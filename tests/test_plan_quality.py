@@ -11,6 +11,12 @@ import pytest
 
 from hybrid_data_lakehouse_lab_spark.plans import QUERIES
 
+# Round 12 (VERDICT r11 item 1): slow tier — the 1,965-test suite
+# (~55-68 min) outran the driver's pytest budget (VERIFY_r11
+# tests_ok=false on a truncated run). The default run excludes
+# `slow` (pytest.ini addopts); run the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 
 def _plan(spark, sf_dir, name: str) -> str:
     df = QUERIES[name](spark, sf_dir)

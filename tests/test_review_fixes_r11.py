@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 
 def _variant_df(spark, n=4):
     return spark.range(n).select(

@@ -25,6 +25,10 @@ from hybrid_data_lakehouse_lab_spark.operators.skew import salted_aggregate
 from hybrid_data_lakehouse_lab_spark.sources.cdc_generator import SalesCdcDataSource
 from hybrid_data_lakehouse_lab_spark.testing.compare import frames_equal
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 N_ROWS = 40_000
 HOT_ID = 1
 KEY = "id"

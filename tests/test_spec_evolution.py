@@ -33,6 +33,10 @@ from hybrid_data_lakehouse_lab_spark.operators.timetravel import SnapshotTable
 
 from test_iceberg_meta import load_metadata, read_avro_file
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 
 def _rows(df, *cols):
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())

@@ -15,6 +15,10 @@ from hybrid_data_lakehouse_lab_spark.streaming.stateful import (
     running_totals_stream,
 )
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 SCHEMA = "row_id LONG, user_id LONG, value DOUBLE"
 
 # Three micro-batches; user 1 and 2 repeat across batches, user 3 within one.

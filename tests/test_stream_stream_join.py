@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 
 from hybrid_data_lakehouse_lab_spark.streaming.lanes import stream_stream_join
 
+# Round 12 (VERDICT r11 item 1): slow tier — see pytest.ini; run
+# the full suite with -m "".
+pytestmark = pytest.mark.slow
+
 BASE = datetime(2026, 4, 1, tzinfo=timezone.utc).timestamp()
 
 # (event_id, user_id, event_type, value, offset_seconds)
