@@ -96,14 +96,20 @@ def _row_hash_cols(df, cols):
     return F.xxhash64(*hcols), F.xxhash64(F.lit(_H2_SALT), *hcols)
 
 
-def _rank_minus_counts(base_kfp, child_counts, k_cols, _f, _p, _nc, _r):
+def _rank_minus_counts(
+    base_kfp, child_counts, k_cols, _f, _p, _nc, _r, keep_nc: bool = False
+):
     """Shared core of the position diff: rank base occurrences per key
     group by (file, pos) and keep the occurrences ranked past the
     child's multiplicity for that key — Σ_k max(0, base_k − child_k)
     positions. `k_cols` is the grouping key column name list (full-row
     struct or 128-bit hash pair); join is null-safe only for the struct
     form (hashes are never null, and plain equi-keys keep the join a
-    hash join with small codegen)."""
+    hash join with small codegen). With `keep_nc` the joined child
+    multiplicity rides along (null = the key vanished from the child
+    entirely) — the hash paths use it to split fully-deleted groups,
+    which are exact by construction, from partially-deleted ones, which
+    need the collision verification."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -117,11 +123,14 @@ def _rank_minus_counts(base_kfp, child_counts, k_cols, _f, _p, _nc, _r):
         for k in k_cols:
             e = F.col(f"rk.{k}") == F.col(f"cc.{k}")
             cond = e if cond is None else (cond & e)
+    keep = [F.col(f"rk.{c}").alias(c) for c in base_kfp.columns]
+    if keep_nc:
+        keep.append(F.col(_nc))
     return (
         ranked.join(cc, cond, "left")
         .where(F.col(_nc).isNull() | (F.col(_r) > F.col(_nc)))
         # re-qualify: both sides carry the key columns after the join
-        .select(*[F.col(f"rk.{c}").alias(c) for c in base_kfp.columns])
+        .select(*keep)
     )
 
 
@@ -145,12 +154,17 @@ def _hashed_delete_candidates(base, child, cols, _f, _p, _r, _nc, _h1, _h2):
         .agg(F.count(F.lit(1)).alias(_nc))
     )
     return _rank_minus_counts(
-        b, child_counts, [_h1, _h2], _f, _p, _nc, _r
-    ).select(_h1, _h2, _f, _p)
+        b, child_counts, [_h1, _h2], _f, _p, _nc, _r, keep_nc=True
+    ).select(_h1, _h2, _f, _p, _nc)
 
 
 def _position_delete_diff(
-    spark, base_dirs, deleted_so_far, child_dir: str, check_excess: bool = True
+    spark,
+    base_dirs,
+    deleted_so_far,
+    child_dir: str,
+    check_excess: bool = True,
+    verify: bool = True,
 ):
     """If `child_dir`'s rows are a sub-multiset of the MASKED base
     (the union of `base_dirs`' files — one dir or a [base, *append
@@ -248,35 +262,53 @@ def _position_delete_diff(
     cand = _hashed_delete_candidates(
         base, child, cols, _f, _p, _r, _nc, _h1, _h2
     ).localCheckpoint()
-    # Collision verification: re-run the full-value diff restricted to
-    # the deletion-affected hash groups; it must reproduce the
-    # candidate (file, pos) set exactly. Affected groups are
-    # delete-sized, so the semi-joined subsets stay small — the extra
-    # cost is one more scan of base and child, no wide shuffle.
-    aff = cand.select(_h1, _h2).distinct()
-    base_aff = (
-        base.withColumn(_h1, h1)
-        .withColumn(_h2, h2)
-        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
-        .withColumn(_k, key)
-        .select(_k, _f, _p)
-    )
-    child_aff_counts = (
-        child.withColumn(_h1, h1)
-        .withColumn(_h2, h2)
-        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
-        .withColumn(_k, key)
-        .groupBy(_k)
-        .agg(F.count(F.lit(1)).alias(_nc))
-    )
-    exact = (
-        _rank_minus_counts(base_aff, child_aff_counts, [_k], _f, _p, _nc, _r)
-        .select(_f, _p)
-        .localCheckpoint()
-    )
-    n = cand.count()
-    if exact.count() != n or exact.join(cand, [_f, _p], "inner").count() != n:
-        return None  # 128-bit collision in an affected group: rewrite
+    if not verify:  # measurement-only escape hatch (tools/ab_mor_diff)
+        return cand.select(F.col(_f).alias("file_path"), F.col(_p).alias("pos"))
+    # Collision verification — PARTIAL groups only. A candidate group
+    # whose joined child multiplicity is NULL vanished from the child
+    # entirely; deleting ALL its occurrences is exact even under a hash
+    # collision, because any colliding value's child rows would hash
+    # into the same group — the child provably holds none of the
+    # group's values. Only PARTIALLY-deleted groups (the child keeps
+    # some occurrences) depend on the ranking choosing value-correct
+    # occurrences, so only they are re-checked against the full-value
+    # diff (broadcast semi-join of the scans against the partial
+    # groups). On unique-row tables this set is EMPTY and verification
+    # costs one count on the checkpointed candidates — measured: the
+    # blanket affected-group verification re-scanned base+child per
+    # commit and cost more than the narrow shuffle saved (interleaved
+    # A/B, tools/ab_mor_diff.py).
+    cand_partial = cand.where(F.col(_nc).isNotNull())
+    n_partial = cand_partial.count()
+    if n_partial:
+        aff = cand_partial.select(_h1, _h2).distinct()
+        base_aff = (
+            base.withColumn(_h1, h1)
+            .withColumn(_h2, h2)
+            .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+            .withColumn(_k, key)
+            .select(_k, _f, _p)
+        )
+        child_aff_counts = (
+            child.withColumn(_h1, h1)
+            .withColumn(_h2, h2)
+            .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+            .withColumn(_k, key)
+            .groupBy(_k)
+            .agg(F.count(F.lit(1)).alias(_nc))
+        )
+        exact = (
+            _rank_minus_counts(
+                base_aff, child_aff_counts, [_k], _f, _p, _nc, _r
+            )
+            .select(_f, _p)
+            .localCheckpoint()
+        )
+        if (
+            exact.count() != n_partial
+            or exact.join(cand_partial, [_f, _p], "inner").count() != n_partial
+        ):
+            return None  # 128-bit collision in a partial group: rewrite
     return cand.select(F.col(_f).alias("file_path"), F.col(_p).alias("pos"))
 
 
@@ -287,6 +319,7 @@ def _append_diff(
     child_dir: str,
     base_rows: int | None = None,
     child_rows: int | None = None,
+    verify: bool = True,
 ):
     """If `child_dir`'s rows are a super-multiset of the MASKED base
     (the union of `base_dirs`' files minus the already-deleted
@@ -357,8 +390,10 @@ def _append_diff(
         .agg(F.count(F.lit(1)).alias(_nc))
     )
     cand = (
-        _rank_minus_counts(c_kfp, base_counts, [_h1, _h2], _f, _p, _nc, _r)
-        .select(_h1, _h2, _f, _p)
+        _rank_minus_counts(
+            c_kfp, base_counts, [_h1, _h2], _f, _p, _nc, _r, keep_nc=True
+        )
+        .select(_h1, _h2, _f, _p, _nc)
         .localCheckpoint()
     )
     n = cand.count()
@@ -366,30 +401,46 @@ def _append_diff(
     n_child = child.count() if child_rows is None else child_rows
     if n != n_child - n_base:
         return None  # some base row missing from child: not an append
-    # collision verification on the append-affected hash groups
-    aff = cand.select(_h1, _h2).distinct()
-    child_aff = (
-        child_fp.withColumn(_h1, h1)
-        .withColumn(_h2, h2)
-        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
-        .withColumn(_k, key)
-        .select(_k, _f, _p)
-    )
-    base_aff_counts = (
-        base.withColumn(_h1, h1)
-        .withColumn(_h2, h2)
-        .join(F.broadcast(aff), [_h1, _h2], "left_semi")
-        .withColumn(_k, key)
-        .groupBy(_k)
-        .agg(F.count(F.lit(1)).alias(_nc))
-    )
-    exact = (
-        _rank_minus_counts(child_aff, base_aff_counts, [_k], _f, _p, _nc, _r)
-        .select(_f, _p)
-        .localCheckpoint()
-    )
-    if exact.count() != n or exact.join(cand, [_f, _p], "inner").count() != n:
-        return None  # 128-bit collision in an affected group: rewrite
+    if verify:
+        # Collision verification — PARTIAL groups only (mirror of the
+        # delete diff): a candidate group whose joined BASE multiplicity
+        # is NULL is entirely new — appending all its child occurrences
+        # is exact even under a collision, because the base provably
+        # holds none of the group's values. Only groups the base
+        # partially covers depend on the ranking choosing value-correct
+        # occurrences; on unique-row tables this set is empty.
+        cand_partial = cand.where(F.col(_nc).isNotNull())
+        n_partial = cand_partial.count()
+        if n_partial:
+            aff = cand_partial.select(_h1, _h2).distinct()
+            child_aff = (
+                child_fp.withColumn(_h1, h1)
+                .withColumn(_h2, h2)
+                .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+                .withColumn(_k, key)
+                .select(_k, _f, _p)
+            )
+            base_aff_counts = (
+                base.withColumn(_h1, h1)
+                .withColumn(_h2, h2)
+                .join(F.broadcast(aff), [_h1, _h2], "left_semi")
+                .withColumn(_k, key)
+                .groupBy(_k)
+                .agg(F.count(F.lit(1)).alias(_nc))
+            )
+            exact = (
+                _rank_minus_counts(
+                    child_aff, base_aff_counts, [_k], _f, _p, _nc, _r
+                )
+                .select(_f, _p)
+                .localCheckpoint()
+            )
+            if (
+                exact.count() != n_partial
+                or exact.join(cand_partial, [_f, _p], "inner").count()
+                != n_partial
+            ):
+                return None  # 128-bit collision in a partial group: rewrite
     return child_fp.join(
         F.broadcast(cand.select(_f, _p)) if n <= 1_000_000 else cand.select(_f, _p),
         [_f, _p],

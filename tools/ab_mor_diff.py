@@ -58,9 +58,18 @@ def main() -> None:
     def old_append_shim(*a, base_rows=None, child_rows=None):
         return old._append_diff(*a)
 
+    import functools
+
     new_fns = {
         "_position_delete_diff": mor_diff._position_delete_diff,
         "_append_diff": mor_diff._append_diff,
+        "_upsert_diff": mor_diff._upsert_diff,
+    }
+    noverify_fns = {
+        "_position_delete_diff": functools.partial(
+            mor_diff._position_delete_diff, verify=False
+        ),
+        "_append_diff": functools.partial(mor_diff._append_diff, verify=False),
         "_upsert_diff": mor_diff._upsert_diff,
     }
     old_fns = {
@@ -101,9 +110,10 @@ def main() -> None:
     apply(new_fns)
     materialize(QUERIES[lanes[0]](spark, slice_dir))
 
-    results: dict[str, dict[str, float]] = {"old": {}, "new": {}}
+    variants = [("old", old_fns), ("new", new_fns), ("noverify", noverify_fns)]
+    results: dict[str, dict[str, float]] = {label: {} for label, _ in variants}
     for r in range(n_rounds):
-        for label, fns in (("old", old_fns), ("new", new_fns)):
+        for label, fns in variants:
             apply(fns)
             for lane in lanes:
                 spark.sparkContext.setJobDescription(f"{label} r{r} {lane}")
@@ -114,12 +124,11 @@ def main() -> None:
                 per[lane] = min(per.get(lane, dt), dt)
                 print(f"  [{label} r{r}] {lane}: {dt:.2f}s", flush=True)
     apply(new_fns)
-    print("\nlane\told\tnew\tspeedup")
+    labels = [label for label, _ in variants]
+    print("\nlane\t" + "\t".join(labels))
     for lane in lanes:
-        o, n = results["old"][lane], results["new"][lane]
-        print(f"{lane}\t{o:.2f}\t{n:.2f}\t{o / n:.2f}x")
-    to, tn = sum(results["old"].values()), sum(results["new"].values())
-    print(f"TOTAL\t{to:.2f}\t{tn:.2f}\t{to / tn:.2f}x")
+        print(lane + "\t" + "\t".join(f"{results[x][lane]:.2f}" for x in labels))
+    print("TOTAL\t" + "\t".join(f"{sum(results[x].values()):.2f}" for x in labels))
 
 
 if __name__ == "__main__":
